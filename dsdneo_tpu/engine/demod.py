@@ -1,0 +1,59 @@
+"""The jitted device demod step: framed I/Q → soft symbols + dibits.
+
+This is the rebuild's equivalent of the reference demod thread's
+``full_demod`` (src/dsp/demod_pipeline.cpp:1311): one traced function
+per (mode, shape) that runs the channel filter, discriminator, timing
+recovery and slicing for a whole ``[C, N]`` batch on device.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsdneo_tpu.dsp import firdes, frontend
+from dsdneo_tpu.engine.modes import MODES, ModeConfig
+from dsdneo_tpu.symbols import slicer, timing
+
+
+@lru_cache(maxsize=32)
+def _taps_for(profile: str, fs: float) -> np.ndarray:
+    return firdes.channel_lpf(fs, profile)
+
+
+@partial(jax.jit, static_argnames=("sps", "four_level", "n_sym"))
+def _demod_fm_jit(x: jax.Array, taps: jax.Array, sps: float, four_level: bool,
+                  n_sym: int):
+    y = frontend.fir_complex(x, taps)
+    d = frontend.fm_discriminate(y)
+    sym, pos = timing.recover_symbols(d, sps, win_symbols=256, max_symbols=n_sym)
+    dibits, norm = slicer.slice_dibits(sym, win=512, four_level=four_level)
+    power = frontend.iq_power(x)
+    return dibits, norm, power
+
+
+def demod_fm(samples: np.ndarray, mode: ModeConfig | str, fs: float = 48000.0
+             ) -> tuple[np.ndarray, np.ndarray]:
+    """Demodulate ``[N]`` or ``[C, N]`` complex baseband → (dibits, soft).
+
+    FM/FSK/C4FM path (CQPSK uses :mod:`dsdneo_tpu.dsp.cqpsk`).
+    """
+    if isinstance(mode, str):
+        mode = MODES[mode]
+    x = np.asarray(samples)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    sps = fs / mode.symbol_rate
+    n_sym = int((x.shape[1] - 2 * sps) // sps)
+    taps = jnp.asarray(_taps_for(mode.lpf_profile, fs))
+    dibits, norm, _power = _demod_fm_jit(jnp.asarray(x), taps, sps,
+                                         mode.four_level, n_sym)
+    dibits = np.asarray(dibits)
+    norm = np.asarray(norm)
+    if squeeze:
+        return dibits[0], norm[0]
+    return dibits, norm
