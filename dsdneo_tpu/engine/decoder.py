@@ -15,6 +15,7 @@ from dsdneo_tpu.engine.modes import MODES, ModeConfig
 from dsdneo_tpu.io import read_iq_capture
 from dsdneo_tpu.protocol import base as proto_base
 # importing protocol packages registers their decoders
+import dsdneo_tpu.protocol.dmr  # noqa: F401
 import dsdneo_tpu.protocol.p25  # noqa: F401
 from dsdneo_tpu.symbols import framesync
 

@@ -1,0 +1,210 @@
+"""DMR base-station burst decoder (2-slot TDMA, ETSI TS 102 361-1/-4).
+
+Burst geometry relative to the 24-dibit sync field at ``hit.pos``
+(reference parity: src/protocol/dmr/dmr_data.c:120-246 — CACH at
+sync-66 dibits, payload halves 49 dibits each, slot type 5 dibits
+either side of sync):
+
+  [CACH 12][payload 49][slot-type 5][SYNC 24][slot-type 5][payload 49]
+   pos-66    pos-54      pos-5        pos      pos+24       pos+29
+
+Polarity ambiguity: DMR's BS voice and BS data sync words are symbol-wise
+complements (0x755FD7DF75F7 vs 0xD5D7F77FD757), so a voice-pattern hit on
+an inverted channel is really a data burst and vice versa.  Each hit is
+decoded under the data hypothesis first (validated by the slot-type
+Golay(20,8)); failing that, it is treated as voice.  The reference
+resolves the same ambiguity through its polarity state machine in
+src/dsp/dsd_frame_sync.c.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dsdneo_tpu.fec import blockcodes, bptc, crc
+from dsdneo_tpu.protocol.base import (DecoderContext, DibitReader,
+                                      ProtocolDecoder, register)
+from dsdneo_tpu.symbols.framesync import SyncHit
+
+# CACH bit interleave (ETSI TS 102 361-1 7.1.4; same table in reference
+# src/protocol/dmr/dmr_cach.c:9)
+CACH_INTERLEAVE = np.array([0, 7, 8, 9, 1, 10, 11, 12, 2, 13, 14, 15, 3, 16,
+                            4, 17, 18, 19, 5, 20, 21, 22, 6, 23], dtype=np.int64)
+
+DATA_TYPES = {
+    0: "PI Header", 1: "VLC Header", 2: "TLC", 3: "CSBK", 4: "MBC Header",
+    5: "MBC Continuation", 6: "Data Header", 7: "R12DATA", 8: "R34DATA",
+    9: "Idle", 10: "R1DATA", 11: "RAS", 12: "USB Data",
+}
+
+CSBK_OPCODES = {
+    0x01: "UU_V_Req", 0x04: "UU_Ans_Rsp", 0x05: "UU_V_Req (FOACSU)",
+    0x07: "Channel Timing", 0x19: "Aloha", 0x1A: "UU_Ans_Req",
+    0x1C: "Ackvitation", 0x1E: "Random Access Service",
+    0x20: "Ahoy", 0x26: "Ackd", 0x27: "Ackt", 0x28: "Ackn",
+    0x2E: "NACK Rsp", 0x30: "P_Grant", 0x31: "TV_Grant", 0x32: "TD_Grant",
+    0x33: "PV_Grant", 0x34: "PD_Grant", 0x38: "C_Move", 0x39: "C_Aloha",
+    0x3A: "P_Clear", 0x3B: "C_Bcast", 0x3C: "P_Protect", 0x3D: "PV_Grant DX",
+    0x3E: "PD_Grant DX", 0x3F: "BS Outbound Activation",
+}
+
+
+def _bits_to_int(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+@register("dmr")
+class DmrBsDecoder(ProtocolDecoder):
+    protocol = "dmr"
+
+    def __init__(self):
+        self.color_code = -1
+        self.vc_counter = {0: 0, 1: 0}
+
+    # -- helpers ----------------------------------------------------------
+    @staticmethod
+    def _slice_bits(reader: DibitReader, start: int, n_dibits: int,
+                    invert: bool) -> np.ndarray | None:
+        """Absolute dibit range → bit array (with polarity inversion)."""
+        if start < 0 or start + n_dibits > len(reader.dibits):
+            return None
+        dd = reader.dibits[start:start + n_dibits].astype(np.uint8)
+        if invert:
+            dd = dd ^ 2
+        bits = np.empty(2 * n_dibits, dtype=np.uint8)
+        bits[0::2] = (dd >> 1) & 1
+        bits[1::2] = dd & 1
+        return bits
+
+    def _cach_slot(self, reader: DibitReader, pos: int, invert: bool) -> int | None:
+        """Decode CACH TACT → slot (0/1) or None on FEC failure."""
+        bits = self._slice_bits(reader, pos - 66, 12, invert)
+        if bits is None:
+            return None
+        cach = np.zeros(24, dtype=np.uint8)
+        cach[CACH_INTERLEAVE] = bits
+        h = blockcodes.hamming_7_4()
+        msg, errs = h.decode(cach[:7])
+        if errs > 1:
+            return None
+        return int(h.codebook[msg][1])   # AT(1) TC(1) LCSS(2)
+
+    # -- entry ------------------------------------------------------------
+    def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
+        kind = hit.sync.kind
+        pos = hit.pos
+        is_voice_pattern = "voice" in kind
+        base_invert = reader.invert
+
+        # data hypothesis: voice-pattern hit on an inverted channel is data
+        data_invert = base_invert ^ is_voice_pattern
+        st = self._slot_type(reader, pos, data_invert)
+        if st is not None:
+            cc, dtype = st
+            self._data_burst(reader, hit, ctx, data_invert, cc, dtype)
+        else:
+            voice_invert = base_invert ^ (not is_voice_pattern)
+            self._voice_burst(reader, hit, ctx, voice_invert)
+        return pos + 29 + 49    # end of second payload half
+
+    def _slot_type(self, reader: DibitReader, pos: int, invert: bool
+                   ) -> tuple[int, int] | None:
+        st_pre = self._slice_bits(reader, pos - 5, 5, invert)
+        st_suf = self._slice_bits(reader, pos + 24, 5, invert)
+        if st_pre is None or st_suf is None:
+            return None
+        gol = blockcodes.golay_20_8()
+        msg, errs = gol.decode(np.concatenate([st_pre, st_suf]))
+        if errs > 2:
+            return None
+        cc = (msg >> 4) & 0xF
+        dtype = msg & 0xF
+        if dtype > 12:
+            return None
+        return cc, dtype
+
+    # -- data bursts ------------------------------------------------------
+    def _data_burst(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext,
+                    invert: bool, cc: int, dtype: int) -> None:
+        pos = hit.pos
+        self.color_code = cc
+        ctx.state.dmr_color_code = cc
+        slot = self._cach_slot(reader, pos, invert)
+        s = slot if slot is not None else 0
+        polarity = "-" if invert else "+"
+        lights = ["[slot1]", " slot2 "] if s == 0 else [" slot1 ", "[slot2]"]
+        name = DATA_TYPES.get(dtype, f"DT{dtype:X}")
+        head = (f"Sync: {polarity}DMR {lights[0]} {lights[1]} "
+                f"| Color Code={cc:02d} | {name}")
+
+        h1 = self._slice_bits(reader, pos - 54, 49, invert)
+        h2 = self._slice_bits(reader, pos + 29, 49, invert)
+        if h1 is None or h2 is None:
+            ctx.emit(head, "dmr", pos, cc=cc, dtype=dtype)
+            return
+        payload, errors = bptc.bptc_196_96_decode(np.concatenate([h1, h2]))
+        detail = ""
+        if errors == 0:
+            if dtype == 3:
+                detail = self._csbk(payload, ctx)
+            elif dtype == 1:
+                detail = self._vlc_header(payload, ctx)
+            elif dtype == 2:
+                detail = self._tlc(payload, ctx)
+        ctx.emit(head + detail, "dmr", pos, cc=cc, dtype=dtype, slot=s)
+
+    def _csbk(self, bits96: np.ndarray, ctx: DecoderContext) -> str:
+        """Control Signalling Block (TS 102 361-2 7.1; CRC mask 0xA5A5)."""
+        ccrc = crc.crc16_bits(bits96[:80], init=0, xorout=0xFFFF) ^ 0xA5A5
+        rcrc = _bits_to_int(bits96[80:96])
+        if ccrc != rcrc:
+            return " | CSBK CRC ERR"
+        opcode = _bits_to_int(bits96[2:8])
+        fid = _bits_to_int(bits96[8:16])
+        name = CSBK_OPCODES.get(opcode, f"CSBK {opcode:02X}")
+        dst = _bits_to_int(bits96[16:40])
+        src = _bits_to_int(bits96[40:64])
+        return f" | {name} FID {fid:02X} [{dst}] [{src}]"
+
+    def _vlc_header(self, bits96: np.ndarray, ctx: DecoderContext) -> str:
+        """Voice LC header: 72-bit FLC + RS(12,9) (CRC mask 0x969696)."""
+        from dsdneo_tpu.fec import rs as rsmod
+        code = rsmod.rs_12_9()
+        syms = np.array([_bits_to_int(bits96[i * 8:(i + 1) * 8]) for i in range(12)],
+                        dtype=np.int64)
+        syms[9:12] ^= 0x96
+        dec, nerr = code.decode(syms)
+        if nerr < 0:
+            return " | VLC RS ERR"
+        flco = int(dec[0]) & 0x3F
+        dst = (int(dec[3]) << 16) | (int(dec[4]) << 8) | int(dec[5])
+        src = (int(dec[6]) << 16) | (int(dec[7]) << 8) | int(dec[8])
+        ctx.state.last_tg, ctx.state.last_src = dst, src
+        kind = "Group" if flco == 0 else ("Private" if flco == 3 else f"FLCO {flco:02X}")
+        return f" | VLC {kind} TGT={dst} SRC={src}"
+
+    def _tlc(self, bits96: np.ndarray, ctx: DecoderContext) -> str:
+        return self._vlc_header(bits96, ctx).replace("VLC", "TLC")
+
+    # -- voice bursts -----------------------------------------------------
+    def _voice_burst(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext,
+                     invert: bool) -> None:
+        pos = hit.pos
+        slot = self._cach_slot(reader, pos, invert)
+        s = slot if slot is not None else 0
+        self.vc_counter[s] = self.vc_counter.get(s, 0) % 6 + 1
+        polarity = "-" if invert else "+"
+        lights = ["[slot1]", " slot2 "] if s == 0 else [" slot1 ", "[slot2]"]
+        cc = self.color_code if self.color_code >= 0 else ctx.state.dmr_color_code
+        cc_str = f"{cc:02d}" if cc >= 0 else "XX"
+        ctx.emit(f"Sync: {polarity}DMR {lights[0]} {lights[1]} "
+                 f"| Color Code={cc_str} | VC{self.vc_counter[s]}",
+                 "dmr", pos, slot=s)
+        # AMBE frames: 108 bits either side of sync → 3×72-bit frames
+        h1 = self._slice_bits(reader, pos - 54, 54, invert)
+        h2 = self._slice_bits(reader, pos + 24, 54, invert)
+        if h1 is not None and h2 is not None:
+            ctx.events[-1].fields["ambe216"] = np.concatenate([h1, h2])
