@@ -16,6 +16,8 @@ from dsdneo_tpu.io import read_iq_capture
 from dsdneo_tpu.protocol import base as proto_base
 # importing protocol packages registers their decoders
 import dsdneo_tpu.protocol.dmr  # noqa: F401
+import dsdneo_tpu.protocol.dstar  # noqa: F401
+import dsdneo_tpu.protocol.nxdn  # noqa: F401
 import dsdneo_tpu.protocol.p25  # noqa: F401
 from dsdneo_tpu.symbols import framesync
 
@@ -31,6 +33,7 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
     hits = framesync.find_syncs(norm, defs, threshold=sync_threshold)
 
     ctx = proto_base.DecoderContext(verbose=verbose)
+    ctx.mode_name = mode.name
     registry = proto_base.registry()
     decoders: dict[str, proto_base.ProtocolDecoder] = {}
     consumed_until = 0

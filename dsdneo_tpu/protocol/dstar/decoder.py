@@ -1,0 +1,133 @@
+"""D-STAR (GMSK 4800 bps, 2-level) voice + slow-data decoder.
+
+Frame model (JARL D-STAR; reference parity src/protocol/dstar/dstar.c):
+21 voice frames per sync period — each frame is 72 voice bits + 24
+slow-data bits, with the 21st frame's data field replaced by the frame
+sync.  The 20×24 = 480 slow-data bits carry 60 bytes of 6-byte blocks
+(XOR-scrambled with the repeating 24-bit pattern 0x0EF2C9), which
+reassemble the 41-byte RF header (flags + RPT2/RPT1/URCALL/MYCALL +
+CRC-16/X25) when the block type is 0x55
+(reference src/protocol/dstar/dstar_slow_data.c).
+
+Bit convention: 2-level positive polarity maps symbol > 0 → bit 0
+(reference src/core/frames/dsd_dibit.c store_two_level_dibit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dsdneo_tpu.protocol.base import (DecoderContext, DibitReader,
+                                      ProtocolDecoder, register)
+from dsdneo_tpu.symbols.framesync import SyncHit
+
+# first 24 bits of the D-STAR scrambling sequence (x^7+x^4+1 LFSR), as a
+# repeating XOR pattern for the slow-data bytes
+SD_SCRAMBLE = np.array([0, 0, 0, 0, 1, 1, 1, 0, 1, 1, 1, 1,
+                        0, 0, 1, 0, 1, 1, 0, 0, 1, 0, 0, 1], dtype=np.uint8)
+
+
+def crc16_x25(data: np.ndarray) -> int:
+    """CRC-16/X25 (poly 0x8408 reflected, init/xorout 0xFFFF), returned
+    byte-swapped as the reference's dstar_crc16 does."""
+    crc = 0xFFFF
+    for byte in data:
+        crc ^= int(byte)
+        for _ in range(8):
+            if crc & 1:
+                crc = (crc >> 1) ^ 0x8408
+            else:
+                crc >>= 1
+    crc = (~crc) & 0xFFFF
+    return ((crc << 8) | (crc >> 8)) & 0xFFFF
+
+
+def _ascii(b: np.ndarray) -> str:
+    return "".join(chr(int(c)) if 0x20 <= c <= 0x7E else " " for c in b)
+
+
+@register("dstar")
+class DstarDecoder(ProtocolDecoder):
+    protocol = "dstar"
+
+    def _bits(self, reader: DibitReader, start: int, n: int) -> np.ndarray | None:
+        """n symbols → n bits (2-level: dibit 3 → 1, dibit 1 → 0)."""
+        if start < 0 or start + n > len(reader.dibits):
+            return None
+        dd = reader.dibits[start:start + n].astype(np.uint8)
+        bits = ((dd >> 1) & 1)          # dibit 3/2 (negative symbol) → 1
+        if reader.invert:
+            bits = bits ^ 1
+        return bits.astype(np.uint8)
+
+    def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
+        if hit.sync.kind == "hd":
+            return self._header(reader, hit, ctx)
+        return self._voice(reader, hit, ctx)
+
+    def _voice(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
+        pos = hit.end
+        sd_bits = []
+        voice = []
+        for j in range(21):
+            v = self._bits(reader, pos, 72)
+            if v is None:
+                return len(reader.dibits)
+            voice.append(v)
+            pos += 72
+            if j != 20:
+                d = self._bits(reader, pos, 24)
+                if d is None:
+                    return len(reader.dibits)
+                sd_bits.append(d)
+                pos += 24
+        sd = np.concatenate(sd_bits)
+        line = self._slow_data(sd, ctx)
+        ctx.emit(f"Sync: {hit.sync.name} VOICE  {line}", "dstar", hit.pos,
+                 voice=np.stack(voice))
+        return pos
+
+    def _slow_data(self, sd: np.ndarray, ctx: DecoderContext) -> str:
+        sd = sd ^ np.tile(SD_SCRAMBLE, 20)
+        sd = sd[::-1]
+        sd_bytes = np.zeros(60, dtype=np.uint8)
+        for i in range(60):
+            v = 0
+            for b in sd[i * 8:(i + 1) * 8]:
+                v = (v << 1) | int(b)
+            sd_bytes[59 - i] = v
+        if sd_bytes[0] != 0x55:
+            return "SLOW DATA"
+        blk = int(sd_bytes[0] & 0xF) + 1
+        hd = np.zeros(60, dtype=np.uint8)
+        j = 0
+        for i in range(50):
+            j += 1
+            hd[i] = sd_bytes[j] if j < 60 else 0
+            for marker in range(1, 10):
+                if j == blk * marker - 1:
+                    j += 1
+        crc_ext = (int(hd[39]) << 8) | int(hd[40])
+        crc_cmp = crc16_x25(hd[:39])
+        if crc_cmp != crc_ext:
+            return "SLOW DATA - HEADER FORMAT (CRC ERR)"
+        rpt2 = _ascii(hd[3:11]).strip()
+        rpt1 = _ascii(hd[11:19]).strip()
+        dst = _ascii(hd[19:27])
+        src = _ascii(hd[27:39])
+        ctx.state.last_src = src.strip()
+        flags = int(hd[0])
+        flagstr = ""
+        for bit, name in ((0x80, " DATA"), (0x40, " REPEATER"),
+                          (0x20, " INTERRUPTED"), (0x10, " CONTROL SIGNAL"),
+                          (0x08, " URGENT")):
+            if flags & bit:
+                flagstr += name
+        return (f"RPT 2: {rpt2} RPT 1: {rpt1} DST: {dst} SRC: {src}{flagstr}")
+
+    def _header(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
+        """RF header (660 coded bits: scramble + interleave + rate-1/2
+        convolutional K=3) — full decode lands with the TX path; skip to
+        the voice stream for now."""
+        ctx.emit(f"Sync: {hit.sync.name} HEADER", "dstar", hit.pos)
+        return hit.end

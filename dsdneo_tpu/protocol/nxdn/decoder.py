@@ -1,0 +1,249 @@
+"""NXDN (4800/9600 bps 4-level FSK) RDCH/RCCH decoder.
+
+Frame model (NXDN CAI / OP25 lineage; reference parity
+src/protocol/nxdn/nxdn_frame.c): after the 10-symbol FSW the frame is
+182 dibits — LICH (8 dibits, sign bits), then 348 payload bits laid out
+as SACCH(60) + 2×FACCH/VCH(144).  The whole frame is descrambled by the
+PN9 sequence (seed 0xE4: dibit sign flips at fixed positions).
+
+SACCH: 60 bits → 12×5 de-interleave → depuncture (2 of each 12) →
+rate-1/2 K=5 Viterbi → 26 data bits (structure 2 + RAN 6 + message 18)
++ CRC6.  Four superframe parts reassemble the 72-bit message (VCALL
+etc.; reference src/protocol/nxdn/nxdn_deperm.c / nxdn_element.c).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dsdneo_tpu.fec import conv
+from dsdneo_tpu.protocol.base import (DecoderContext, DibitReader,
+                                      ProtocolDecoder, register)
+from dsdneo_tpu.symbols.framesync import SyncHit
+
+
+def _pn9_scramble_positions(seed: int = 0xE4, n: int = 182) -> np.ndarray:
+    """PN9 LFSR (x⁹+x⁵+1 form used by NXDN): positions whose dibit sign
+    is inverted (reference src/protocol/nxdn/nxdn_descramble.c)."""
+    lfsr = seed
+    pos = []
+    for i in range(n):
+        if lfsr & 1:
+            pos.append(i)
+        bit = ((lfsr >> 4) ^ lfsr) & 1
+        lfsr = (lfsr >> 1) | (bit << 8)
+    return np.array(pos, dtype=np.int64)
+
+
+_SCRAMBLE_POS = _pn9_scramble_positions()
+
+# 12×5 block interleave for the 60-bit SACCH (OP25 PERM_12_5:
+# received bit i lands at deinterleaved position (i%5)*12 + i//5)
+_PERM_12_5 = np.array([(i % 5) * 12 + i // 5 for i in range(60)], dtype=np.int64)
+
+# LICH option → (voice_frames_mask, facch_mask, sacch, cac) profiles
+# (reference nxdn_frame.c k_nxdn_lich_profiles; voice/facch values are
+# bitmasks over the two payload halves)
+_LICH_PROFILES: dict[int, tuple[int, int, bool, bool]] = {}
+for lich in (0x01, 0x05):
+    _LICH_PROFILES[lich] = (0, 0, False, True)
+for lich in (0x28, 0x29, 0x49):
+    _LICH_PROFILES[lich] = (0, 0, False, False)       # udch
+for lich in (0x2E, 0x2F, 0x4E, 0x4F):
+    _LICH_PROFILES[lich] = (0, 0, False, False)
+for lich in (0x32, 0x33, 0x52, 0x53):
+    _LICH_PROFILES[lich] = (2, 1, True, False)
+for lich in (0x34, 0x35, 0x54, 0x55):
+    _LICH_PROFILES[lich] = (1, 2, True, False)
+for lich in (0x36, 0x37, 0x56, 0x57):
+    _LICH_PROFILES[lich] = (3, 0, True, False)
+for lich in (0x20, 0x21, 0x30, 0x31, 0x40, 0x41, 0x50, 0x51):
+    _LICH_PROFILES[lich] = (0, 3, True, False)
+for lich in (0x38, 0x39):
+    _LICH_PROFILES[lich] = (0, 0, True, False)
+
+MESSAGE_LABELS = {
+    0x00: " CALL_RESP", 0x01: " VCALL", 0x02: " VCALL_REC_REQ",
+    0x03: " VCALL_IV", 0x04: " VCALL_ASSGN", 0x05: " VCALL_ASSGN_DUP",
+    0x06: " CALL_CONN_RESP", 0x07: " TX_REL_EX", 0x08: " TX_REL",
+    0x09: " DCALL_HEADER", 0x0B: " DCALL_DATA", 0x0C: " DCALL_ACK",
+    0x0E: " DCALL_ASSGN", 0x0F: " HEAD_DLY", 0x10: " IDLE", 0x11: " DISC",
+    0x17: " DST_ID_INFO", 0x18: " SITE_INFO", 0x19: " SRV_INFO",
+    0x1A: " CCH_INFO", 0x1B: " ADJ_SITE_INFO", 0x1C: " FAIL_STAT_INFO",
+    0x20: " REG_RESP", 0x24: " GRP_REG_RESP", 0x38: " SDCALL_REQ_HEADER",
+    0x39: " SDCALL_REQ_DATA", 0x3B: " SDCALL_RESP",
+}
+
+CALL_TYPES = {0: "Broadcast Call", 1: "Group Call", 2: "Idle", 3: "Session Call",
+              4: "Private Call", 5: "Reserved", 6: "PSTN Interconnect Call",
+              7: "PSTN Speed Dial Call"}
+
+VOICE_MODES = {0: "4800bps/EHR", 2: "9600bps/EHR", 3: "9600bps/EFR",
+               8: "4800bps/EHR S:1", 10: "9600bps/EHR S:1", 11: "9600bps/EFR S:1"}
+
+
+def crc6_nxdn(bits: np.ndarray) -> int:
+    """NXDN CRC6 shift-register form (reference nxdn_deperm.c crc6)."""
+    s = [1] * 6
+    for b in bits:
+        a = int(b) ^ s[0]
+        s[0] = a ^ s[1]
+        s[1] = s[2]
+        s[2] = s[3]
+        s[3] = a ^ s[4]
+        s[4] = a ^ s[5]
+        s[5] = a
+    v = 0
+    for bit in s:
+        v = (v << 1) | bit
+    return v
+
+
+def _bti(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+@register("nxdn")
+class NxdnDecoder(ProtocolDecoder):
+    protocol = "nxdn"
+
+    def __init__(self):
+        self.segments = np.ones((4, 18), dtype=np.uint8)
+        self.seg_ok = [False] * 4
+        self.part_of_frame = -1
+        self.last_ran = -1
+        self.variant = None  # "NXDN48"/"NXDN96" (set from symbol rate)
+
+    def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
+        pos = hit.pos + 10                      # LICH starts after the FSW
+        if pos + 182 > len(reader.dibits):
+            return len(reader.dibits)
+        dd = reader.dibits[pos:pos + 182].astype(np.uint8)
+        soft = reader.soft[pos:pos + 182].astype(np.float32)
+        if reader.invert:
+            dd = dd ^ 2
+            soft = -soft
+        # descramble: invert dibit sign at PN positions
+        dd = dd.copy()
+        dd[_SCRAMBLE_POS] ^= 2
+        soft = soft.copy()
+        soft[_SCRAMBLE_POS] *= -1.0
+
+        lich_full = _bti((dd[:8] >> 1) & 1)
+        parity_rx = lich_full & 1
+        lich = lich_full >> 1
+        nbits = 7 if lich in (0x08, 0x4A, 0x48, 0x46) else 4
+        parity = 0
+        for k in range(7, 8 - nbits, -1):
+            parity ^= (lich_full >> k) & 1
+        if parity != parity_rx:
+            return pos + 182
+
+        profile = _LICH_PROFILES.get(lich)
+        variant = self.variant or getattr(ctx, "mode_name", "") or "NXDN48"
+        if variant == "nxdn96":
+            variant = "NXDN96"
+        elif variant == "nxdn48":
+            variant = "NXDN48"
+        rf = (lich >> 5) & 0x3
+        rf_name = {0: "RCCH", 1: "RTCH", 2: "RDCH"}.get(rf, "RTCH_C")
+
+        bits = np.zeros(364, dtype=np.uint8)
+        bits[0::2] = (dd >> 1) & 1
+        bits[1::2] = dd & 1
+        rel = np.repeat(np.clip(np.abs(soft) / 3.0, 0.05, 1.0), 2).astype(np.float32)
+
+        if profile is None:
+            ctx.emit(f"Sync: {variant}  {rf_name} LICH {lich:02X}", "nxdn", hit.pos)
+            return pos + 182
+
+        voice, facch, sacch, cac = profile
+        kind = ("Voice " if voice and not facch else
+                ("Data  " if not voice else f"V{3 - facch}+F{facch} "))
+        if not voice and not facch and not sacch and not cac:
+            kind = "Data  "
+
+        line = f"Sync: {variant}  {rf_name} {kind}"
+        if sacch:
+            line += self._sacch(bits[16:76], rel[16:76], ctx, hit)
+        ctx.emit(line, "nxdn", hit.pos, lich=lich)
+        if voice:
+            # AMBE 49-bit frames live in the FACCH halves; collected for
+            # the vocoder stage
+            ctx.events[-1].fields["voice_bits"] = bits[76:364]
+        return pos + 182
+
+    # -- SACCH ------------------------------------------------------------
+    def _sacch(self, bits60, rel60, ctx: DecoderContext, hit: SyncHit) -> str:
+        deperm = np.zeros(60, dtype=np.float32)
+        deperm_rel = np.zeros(60, dtype=np.float32)
+        deperm[_PERM_12_5] = bits60
+        deperm_rel[_PERM_12_5] = rel60
+        # depuncture: each 10 deperm bits → 12 symbols, zeros at 5 and 11
+        sym = np.zeros(72, dtype=np.float32)
+        wt = np.zeros(72, dtype=np.float32)
+        src = 0
+        for blk in range(6):
+            for i in range(12):
+                if i in (5, 11):
+                    continue
+                sym[blk * 12 + i] = deperm[src]
+                wt[blk * 12 + i] = deperm_rel[src]
+                src += 1
+        dec = conv.decode_soft(sym, wt, nbits=32)
+        crc = crc6_nxdn(dec[:26])
+        check = _bti(dec[26:32])
+        sf = _bti(dec[0:2])
+        part = {2: 1, 1: 2, 0: 3}.get(sf, 0)
+        valid_seq = (crc == check)
+        out = ""
+        if crc == check:
+            ran = _bti(dec[2:8])
+            self.last_ran = ran
+            ctx.state.nxdn_ran = ran
+            self.seg_ok[part] = True
+            self.segments[part] = dec[8:26]
+            out += f" RAN {ran:02d} PF {part + 1}/4"
+        else:
+            out += f" RAN {self.last_ran:02d}" if self.last_ran >= 0 else "       "
+            out += " PF X/4"
+            self.seg_ok = [False] * 4
+        if part == 3:
+            if all(self.seg_ok):
+                out += self._full_sacch(ctx, hit)
+            self.seg_ok = [False] * 4
+        return out
+
+    def _full_sacch(self, ctx: DecoderContext, hit: SyncHit) -> str:
+        msg = self.segments.reshape(-1)          # 72 bits
+        mtype = _bti(msg[2:8])
+        label = MESSAGE_LABELS.get(mtype, f" MSG {mtype:02X}")
+        out = label
+        if mtype in (0x01, 0x07, 0x08, 0x11):    # VCALL family
+            cc_option = _bti(msg[8:16])
+            call_type = _bti(msg[16:19])
+            vco = _bti(msg[19:24])
+            src = _bti(msg[24:40])
+            dst = _bti(msg[40:56])
+            ctx.state.last_src, ctx.state.last_tg = src, dst
+            parts = []
+            if cc_option & 0x80:
+                parts.append("Emergency ")
+            ct = CALL_TYPES.get(call_type, "Unknown Call Type")
+            vm = VOICE_MODES.get(vco & 0xF, f"Reserved {vco & 0xF:X}")
+            duplex = "Duplex" if vco & 0x10 else "Half Duplex"
+            if mtype == 0x01:
+                opt = f"{duplex} {vm} ({vco:02X}) - "
+            elif mtype == 0x08:
+                opt = "  Transmission Release  - "
+            elif mtype == 0x07:
+                opt = "Transmission Release Ex - "
+            else:
+                opt = "       Disconnect       - "
+            detail = (f"\n {''.join(parts)}{ct} - {opt}"
+                      f"Src={src & 0xFFFF} - Dst/TG={dst & 0xFFFF} ")
+            out += detail
+        return out

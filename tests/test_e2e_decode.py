@@ -29,14 +29,11 @@ CASES = [
     # reference's own FEC on its own symbol capture), is 1.  See PARITY.md.
     ("dmr_voice", "dmr", r"Color Code=01 \| CSBK"),
     ("dmr_t3_cc", "dmr", r"Color Code=01 \| (CSBK|Idle)"),
-    pytest.param("nxdn48", "nxdn48", r"Src=901", marks=pytest.mark.xfail(
-        reason="NXDN decoder not yet implemented", strict=False)),
-    pytest.param("nxdn96", "nxdn96", r"RAN 00", marks=pytest.mark.xfail(
-        reason="NXDN decoder not yet implemented", strict=False)),
+    ("nxdn48", "nxdn48", r"Src=901"),
+    ("nxdn96", "nxdn96", r"RAN 00"),
     pytest.param("dpmr", "dpmr", r"Src=1601621", marks=pytest.mark.xfail(
         reason="dPMR decoder not yet implemented", strict=False)),
-    pytest.param("dstar", "dstar", r"SRC: KB7WUK", marks=pytest.mark.xfail(
-        reason="D-STAR decoder not yet implemented", strict=False)),
+    ("dstar", "dstar", r"SRC: KB7WUK"),
     pytest.param("ysf", "ysf", r"V/D2 RID Mode Repeater CC", marks=pytest.mark.xfail(
         reason="YSF decoder not yet implemented", strict=False)),
     pytest.param("edacs", "edacs", r"Site ID \[02\]\[002\]", marks=pytest.mark.xfail(
