@@ -16,8 +16,11 @@ from dsdneo_tpu.io import read_iq_capture
 from dsdneo_tpu.protocol import base as proto_base
 # importing protocol packages registers their decoders
 import dsdneo_tpu.protocol.dmr  # noqa: F401
+import dsdneo_tpu.protocol.dpmr  # noqa: F401
+import dsdneo_tpu.protocol.edacs  # noqa: F401
 import dsdneo_tpu.protocol.dstar  # noqa: F401
 import dsdneo_tpu.protocol.nxdn  # noqa: F401
+import dsdneo_tpu.protocol.ysf  # noqa: F401
 import dsdneo_tpu.protocol.p25  # noqa: F401
 from dsdneo_tpu.symbols import framesync
 

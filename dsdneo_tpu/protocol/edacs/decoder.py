@@ -1,0 +1,175 @@
+"""EDACS control channel decoder (9600 baud GFSK, 2-level).
+
+Message frame after the 48-bit sync: 240 bits = two 40-bit BCH(40,28)
+codewords, each transmitted 3× (second copy inverted) and majority
+voted (reference src/protocol/edacs/edacs-fme.c:157-178, 1973-2080).
+Standard-mode message types MT-A/B/D per the GE/Ericsson protocol.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from dsdneo_tpu.fec import gf
+from dsdneo_tpu.protocol.base import (DecoderContext, DibitReader,
+                                      ProtocolDecoder, register)
+from dsdneo_tpu.symbols.framesync import SyncHit
+
+
+@lru_cache(maxsize=None)
+def _bch_basis() -> np.ndarray:
+    """Parity rows for BCH(40,28): shortened (63,51) t=2 code over
+    GF(64)/x⁶+x+1; 12 parity bits per 28-bit message (msb-first)."""
+    g = gf.bch_generator_poly(6, 4)
+    assert g.bit_length() - 1 == 12
+    rows = np.zeros((28, 12), dtype=np.uint8)
+    for i in range(28):
+        rem = gf.poly_mod((1 << (27 - i)) << 12, g)
+        rows[i] = [(rem >> (11 - j)) & 1 for j in range(12)]
+    return rows
+
+
+def edacs_bch_encode(msg28: int) -> int:
+    """28-bit message → 40-bit codeword (data ‖ parity)."""
+    basis = _bch_basis()
+    bits = np.array([(msg28 >> (27 - i)) & 1 for i in range(28)], dtype=np.uint8)
+    parity = bits @ basis % 2
+    word = msg28 << 12
+    for j in range(12):
+        word |= int(parity[j]) << (11 - j)
+    return word
+
+
+LCN_STATUS = {28: "[Convert To Callee]", 29: "[Call Queued]",
+              30: "[System Busy]", 31: "[Call Denied]",
+              26: "[Reserved LCN Status]", 27: "[Reserved LCN Status]"}
+
+ADJ_DEF = {1: "[Adjacent System Definition]", 2: "[Adjacencies Table Length Definition]"}
+
+
+def _lcn_status(lcn: int) -> str:
+    return LCN_STATUS.get(lcn, "")
+
+
+@register("edacs")
+class EdacsDecoder(ProtocolDecoder):
+    protocol = "edacs"
+
+    def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
+        pos = hit.end
+        if pos + 240 > len(reader.dibits):
+            return len(reader.dibits)
+        dd = reader.dibits[pos:pos + 240].astype(np.uint8)
+        bits = (dd >> 1) & 1                      # 2-level: negative symbol = 1
+        if reader.invert:
+            bits = bits ^ 1
+        frames = [self._word(bits[i * 40:(i + 1) * 40]) for i in range(6)]
+        msg1 = self._vote(frames[0], frames[1], frames[2])
+        msg2 = self._vote(frames[3], frames[4], frames[5])
+        # resolve channel polarity by BCH validity (an inverted channel
+        # complements every 40-bit word)
+        inverted = reader.invert
+        if (edacs_bch_encode(msg1 >> 12) != msg1
+                or edacs_bch_encode(msg2 >> 12) != msg2):
+            m1c = (~msg1) & 0xFFFFFFFFFF
+            m2c = (~msg2) & 0xFFFFFFFFFF
+            if (edacs_bch_encode(m1c >> 12) == m1c
+                    and edacs_bch_encode(m2c >> 12) == m2c):
+                msg1, msg2 = m1c, m2c
+                inverted = not inverted
+            else:
+                ctx.emit(f"Sync: {'-' if inverted else '+'}EDACS  BCH FAIL",
+                         "edacs", hit.pos)
+                return pos + 240
+        line = self._standard(msg1 >> 12, msg2 >> 12, ctx)
+        ctx.emit(f"Sync: {'-' if inverted else '+'}EDACS {line}", "edacs", hit.pos)
+        return pos + 240
+
+    @staticmethod
+    def _word(bits: np.ndarray) -> int:
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v
+
+    @staticmethod
+    def _vote(a: int, b: int, c: int) -> int:
+        b = (~b) & 0xFFFFFFFFFF
+        return (a & b) | (a & c) | (b & c)
+
+    # -- standard mode ----------------------------------------------------
+    def _standard(self, msg1: int, msg2: int, ctx: DecoderContext) -> str:
+        mt_a = (msg1 >> 25) & 0x7
+        mt_b = (msg1 >> 22) & 0x7
+        mt_d = (msg1 >> 17) & 0x1F
+        s = ctx.state
+        if mt_a in (0, 1, 2, 3):
+            lcn = (msg1 >> 20) & 0x1F
+            group = msg1 & 0x7FF
+            return (f" Voice Group Channel Assignment :: Group [{group:04d}]"
+                    f" LCN [{lcn:02d}]{_lcn_status(lcn)}")
+        if mt_a == 5:
+            return " Data Call Channel Assignment"
+        if mt_a == 6:
+            return " Login Acknowledge"
+        if mt_a != 7:
+            return f" Reserved Command (MT-A: {mt_a:X})"
+        # MT-B space
+        if mt_b == 0:
+            return " Status/Message"
+        if mt_b == 1:
+            return " Interconnect Channel Assignment"
+        if mt_b == 3:
+            mt_c = (msg1 >> 20) & 0x3
+            lcn = (msg1 >> 15) & 0x1F
+            indiv = (msg1 >> 14) & 1
+            group = msg1 & 0x7FF
+            kind = "Digital" if mt_c in (1, 3) else "Analog"
+            if indiv:
+                return (f" Voice Individual Channel Update :: LID "
+                        f"[{msg1 & 0x3FFF:05d}] LCN [{lcn:02d}]{_lcn_status(lcn)}")
+            return (f" Voice Group Channel Update :: {kind} Group [{group:04d}]"
+                    f" LCN [{lcn:02d}]{_lcn_status(lcn)}")
+        if mt_b == 4:
+            return " System Assigned ID"
+        if mt_b == 5:
+            return " Voice Individual Channel Assignment"
+        if mt_b == 6:
+            return " Console Unkey/Drop"
+        if mt_b != 7:
+            return f" Reserved Command (MT-B: {mt_b:X})"
+        # MT-D space
+        if mt_d == 0x00:
+            return " Cancel Dynamic Regroup"
+        if mt_d == 0x01:
+            lcn = (msg1 >> 12) & 0x1F
+            idx = (msg1 >> 9) & 0x7
+            site = (msg1 >> 4) & 0x1F
+            return (f" Adjacent Site Control Channel :: Site ID [{site:02X}]"
+                    f"[{site:03d}] Index [{idx}] LCN [{lcn:02d}]"
+                    f"{_lcn_status(lcn)} {ADJ_DEF.get(idx, '[Adjacent System Definition]')}")
+        if mt_d == 0x02:
+            return " Extended Site Options"
+        if mt_d == 0x04:
+            return " System Dynamic Regroup Plan Bitmap"
+        if mt_d == 0x05:
+            return " Assignment to Auxiliary CC"
+        if mt_d == 0x06:
+            return " Initiate Test Call Command"
+        if mt_d == 0x07:
+            return " Unit Enable/Disable"
+        if mt_d in (0x08, 0x09, 0x0A, 0x0B):
+            cc_lcn = (msg1 >> 12) & 0x1F
+            priority = (msg1 >> 9) & 0x7
+            site = msg1 & 0x1F
+            s.p2_siteid = site
+            return (f" Standard/Networked :: Site ID [{site:02X}][{site:03d}]"
+                    f" Priority [{priority}] CC LCN [{cc_lcn:02d}]"
+                    f"{_lcn_status(cc_lcn)}")
+        if mt_d == 0x0F:
+            return " System All-Call"
+        if mt_d == 0x10:
+            return " Dynamic Regrouping"
+        return f" Reserved Command (MT-D: {mt_d:02X})"

