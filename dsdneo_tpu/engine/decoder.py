@@ -18,6 +18,7 @@ from dsdneo_tpu.protocol import base as proto_base
 import dsdneo_tpu.protocol.dmr  # noqa: F401
 import dsdneo_tpu.protocol.dpmr  # noqa: F401
 import dsdneo_tpu.protocol.edacs  # noqa: F401
+import dsdneo_tpu.protocol.m17  # noqa: F401
 import dsdneo_tpu.protocol.dstar  # noqa: F401
 import dsdneo_tpu.protocol.nxdn  # noqa: F401
 import dsdneo_tpu.protocol.ysf  # noqa: F401

@@ -1,0 +1,233 @@
+"""M17 (4800 sym/s 4-level FSK) decoder: LSF, stream, BERT, packet.
+
+Frame: 8-symbol sync + 184 symbols (368 bits).
+LSF: derandomize (fixed 368-bit sequence) → QR de-interleave
+π(i)=(45i+92i²) mod 368 → depuncture P1 (61-entry) → rate-1/2 K=5
+Viterbi → 240 bits (DST 48, SRC 48, TYPE 16, META 112, CRC16 0x5935).
+Stream frames carry a 96-bit LICH (4× Golay(24,12) → 40-bit LSF chunk +
+3-bit counter) + 272-bit P2-punctured payload (FN + Codec2 voice).
+Reference parity: src/protocol/m17/m17.c, m17_algorithms.c, m17_tables.c;
+constants per the M17 specification.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dsdneo_tpu.fec import blockcodes, conv
+from dsdneo_tpu.protocol.base import (DecoderContext, DibitReader,
+                                      ProtocolDecoder, register)
+from dsdneo_tpu.symbols.framesync import SyncHit
+
+# M17 spec randomizer sequence (46 bytes → 368 bits)
+_SCRAMBLE = np.array([
+    1,1,0,1,0,1,1,0,1,0,1,1,0,1,0,1,1,1,1,0,0,0,1,0,0,0,1,1,0,0,0,0,1,0,0,0,0,
+    0,1,0,1,1,1,1,1,1,1,1,1,0,0,0,0,1,0,0,0,1,1,0,0,0,1,0,1,0,1,1,1,0,1,0,0,1,
+    0,0,1,1,1,0,1,0,0,1,0,1,1,0,1,0,0,1,0,0,0,0,1,1,0,1,1,0,0,0,1,0,0,1,1,0,0,
+    0,1,1,0,1,1,1,0,1,0,1,0,1,1,1,0,1,0,0,0,0,1,1,0,0,1,1,0,0,1,0,0,0,0,1,0,1,
+    0,0,1,0,0,1,0,0,0,0,1,1,1,0,0,1,0,0,0,1,0,0,0,1,1,1,0,1,1,1,1,1,1,0,0,0,0,
+    1,1,0,1,1,1,0,0,1,1,0,1,0,0,0,0,0,1,0,1,1,1,1,0,0,1,1,0,1,0,1,1,1,0,1,1,0,
+    1,0,0,0,0,1,0,1,0,0,1,1,1,0,1,0,1,0,1,1,0,0,1,1,0,1,0,1,1,1,0,1,1,0,0,0,0,
+    1,1,0,0,1,1,0,0,0,1,1,0,1,1,1,0,1,0,1,0,1,1,0,0,0,0,0,0,0,1,1,0,1,0,0,0,1,
+    0,0,1,1,0,0,1,1,1,0,0,0,0,1,1,1,0,0,0,1,0,0,1,1,0,1,0,1,0,1,1,1,0,0,0,1,1,
+    0,0,0,0,0,1,0,1,1,0,1,0,0,1,0,1,0,0,1,0,1,1,1,1,0,0,0,1,1,0,0,0,0,1,1],
+    dtype=np.uint8)
+
+_INTERLEAVE = np.array([(45 * i + 92 * i * i) % 368 for i in range(368)],
+                       dtype=np.int64)
+
+_P1 = np.array([1,1,0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1,0,
+                1,1,1,0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1,0,1,1],
+               dtype=np.uint8)
+_P2 = np.array([1,1,1,1,1,1,1,1,1,1,1,0], dtype=np.uint8)
+_P3 = np.array([1,1,1,1,1,1,1,0], dtype=np.uint8)
+
+BASE40 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-/."
+
+DT_NAMES = {0: " Reserved", 1: " Data", 2: " Voice (3200bps)", 3: " Voice (1600bps)"}
+
+
+def m17_crc16(data: np.ndarray) -> int:
+    crc = 0xFFFF
+    for byte in data:
+        crc ^= int(byte) << 8
+        for _ in range(8):
+            crc <<= 1
+            if crc & 0x10000:
+                crc = (crc ^ 0x5935) & 0xFFFF
+    return crc & 0xFFFF
+
+
+def decode_callsign(value: int) -> str:
+    if value == 0xFFFFFFFFFFFF:
+        return "BROADCAST"
+    if value == 0:
+        return "RESERVED"
+    out = []
+    while value > 0:
+        out.append(BASE40[value % 40])
+        value //= 40
+    return "".join(out)
+
+
+def _bti(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+def _pack_bytes(bits: np.ndarray) -> np.ndarray:
+    n = len(bits) // 8
+    return np.array([_bti(bits[i * 8:(i + 1) * 8]) for i in range(n)],
+                    dtype=np.uint8)
+
+
+def _depuncture(sym368: np.ndarray, pattern: np.ndarray, out_len: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    sym = np.zeros(out_len, dtype=np.float32)
+    wt = np.zeros(out_len, dtype=np.float32)
+    src = 0
+    for i in range(out_len):
+        if pattern[i % len(pattern)]:
+            if src < len(sym368):
+                sym[i] = sym368[src]
+                wt[i] = 1.0
+                src += 1
+    return sym, wt
+
+
+@register("m17")
+class M17Decoder(ProtocolDecoder):
+    protocol = "m17"
+
+    def __init__(self):
+        self.lsf_chunks = np.zeros((6, 40), dtype=np.uint8)
+        self.chunk_ok = [False] * 6
+        self.polarity: bool | None = None
+
+    def _payload_bits(self, reader: DibitReader, start: int) -> np.ndarray | None:
+        if start + 184 > len(reader.dibits):
+            return None
+        dd = reader.dibits[start:start + 184].astype(np.uint8)
+        if reader.invert:
+            dd = dd ^ 2
+        bits = np.empty(368, dtype=np.uint8)
+        bits[0::2] = (dd >> 1) & 1
+        bits[1::2] = dd & 1
+        return bits
+
+    def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
+        kind = hit.sync.kind
+        # M17's STR sync is the symbol-wise complement of the LSF sync (and
+        # PKT of BRT), so on an inverted channel an 8-symbol hit means its
+        # complement kind.  Channel polarity is learned from a CRC-valid LSF.
+        if self.polarity is not None and reader.invert != self.polarity:
+            kind = {"str": "lsf8", "pkt": "brt", "brt": "pkt",
+                    "pre_lsf": "pre_lsf"}.get(kind, kind)
+            reader.invert = self.polarity
+        polarity = "-" if reader.invert else "+"
+        pos = hit.end
+        if kind == "pre_lsf":
+            return self._lsf(reader, hit, ctx, polarity)
+        if kind == "lsf8":
+            return self._lsf(reader, hit, ctx, polarity)
+        if kind == "str":
+            return self._stream(reader, hit, ctx, polarity)
+        if kind == "brt":
+            ctx.emit(f"Sync: {polarity}M17 BRT ", "m17", hit.pos)
+            return pos + 184
+        if kind == "pkt":
+            ctx.emit(f"Sync: {polarity}M17 PKT ", "m17", hit.pos)
+            return pos + 184
+        return pos
+
+    def _decode_type1(self, bits368: np.ndarray, pattern: np.ndarray,
+                      coded_len: int, nbits: int) -> np.ndarray:
+        derand = bits368 ^ _SCRAMBLE[:368]
+        deint = derand[_INTERLEAVE].astype(np.float32)
+        sym, wt = _depuncture(deint, pattern, coded_len)
+        return conv.decode_soft(sym, wt, nbits=nbits)
+
+    def _lsf(self, reader, hit, ctx, polarity) -> int:
+        bits = self._payload_bits(reader, hit.end)
+        if bits is None:
+            return len(reader.dibits)
+        lsf = self._decode_type1(bits, _P1, 488, 240)
+        if m17_crc16(_pack_bytes(lsf)) == 0:
+            self.polarity = reader.invert
+        return self._handle_lsf_bits(lsf, hit, ctx, polarity, "LSF")
+
+    def _handle_lsf_bits(self, lsf: np.ndarray, hit, ctx, polarity, label) -> int:
+        packed = _pack_bytes(lsf)
+        if m17_crc16(packed) != 0:
+            ctx.emit(f"Sync: {polarity}M17 {label}  CRC ERR", "m17", hit.pos)
+            return hit.end + 184
+        dst = _bti(lsf[0:48])
+        src = _bti(lsf[48:96])
+        t = _bti(lsf[96:112])
+        # type word fields are little-endian within the 16-bit value
+        tw = t
+        ps = tw & 1
+        dt = (tw >> 1) & 3
+        cn = (tw >> 7) & 0xF
+        line = (f"Sync: {polarity}M17 {label} \n CAN: {cn}"
+                f" DST: {decode_callsign(dst)} SRC: {decode_callsign(src)}"
+                f"{DT_NAMES.get(dt, '') if ps else ' Packet'}")
+        ctx.state.last_src = decode_callsign(src)
+        ctx.emit(line, "m17", hit.pos, dst=dst, src=src, type=tw)
+        return hit.end + 184
+
+    def _stream(self, reader, hit, ctx, polarity) -> int:
+        bits = self._payload_bits(reader, hit.end)
+        if bits is None:
+            return len(reader.dibits)
+        # de-randomize + de-interleave the whole 368-bit frame, then split
+        deframe = (bits ^ _SCRAMBLE[:368])[_INTERLEAVE]
+        lich_bits = deframe[:96]
+        gol = blockcodes.golay_24_12()
+        content = np.zeros(48, dtype=np.uint8)
+        ok = True
+        for blk in range(4):
+            msg, errs = gol.decode(lich_bits[blk * 24:(blk + 1) * 24])
+            if errs > 3:
+                ok = False
+            content[blk * 12:(blk + 1) * 12] = gol.codebook[msg][:12]
+        line = f"Sync: {polarity}M17 STR "
+        if not ok:
+            ctx.emit(line + "LICH G24 ERR", "m17", hit.pos)
+            return hit.end + 184
+        cnt = _bti(content[40:43])
+        if cnt > 5:
+            ctx.emit(line + "LICH CNT ERR", "m17", hit.pos)
+            return hit.end + 184
+        line += f"LC: {cnt + 1}/6 "
+        self.lsf_chunks[cnt] = content[:40]
+        self.chunk_ok[cnt] = True
+        detail = ""
+        if cnt == 5 and all(self.chunk_ok):
+            lsf = self.lsf_chunks.reshape(-1)
+            packed = _pack_bytes(lsf)
+            if m17_crc16(packed) == 0:
+                dst = _bti(lsf[0:48])
+                src = _bti(lsf[48:96])
+                tw = _bti(lsf[96:112])
+                dt = (tw >> 1) & 3
+                cn = (tw >> 7) & 0xF
+                detail = (f"\n CAN: {cn} DST: {decode_callsign(dst)}"
+                          f" SRC: {decode_callsign(src)}{DT_NAMES.get(dt, '')}")
+                ctx.state.last_src = decode_callsign(src)
+            self.chunk_ok = [False] * 6
+        # stream payload: FN(16) + voice(128) via P2
+        payload = self._stream_payload(deframe[96:368])
+        if payload is not None:
+            fn = _bti(payload[0:16])
+            line += f"FN: {fn & 0x7FFF:04X} "
+            if fn & 0x8000:
+                line += "EOT "
+        ctx.emit(line + detail, "m17", hit.pos)
+        return hit.end + 184
+
+    def _stream_payload(self, bits272: np.ndarray) -> np.ndarray | None:
+        sym, wt = _depuncture(bits272.astype(np.float32), _P2, 296)
+        return conv.decode_soft(sym, wt, nbits=144)

@@ -1,3 +1,3 @@
-from dsdneo_tpu.protocol.p25 import phase1
+from dsdneo_tpu.protocol.p25 import phase1, phase2
 
-__all__ = ["phase1"]
+__all__ = ["phase1", "phase2"]

@@ -66,9 +66,13 @@ SYNC_DEFS: list[SyncDef] = [
     SyncDef("+YSF", "31111311313113131131", "ysf", "frame"),
     SyncDef("-YSF", "13333133131331313313", "ysf", "frame", True),
     SyncDef("+M17 LSF", "3131313133331131", "m17", "pre_lsf"),
+    SyncDef("-M17 LSF", "1313131311113313", "m17", "pre_lsf", True),
     SyncDef("+M17 STR", "33331131", "m17", "str"),
+    SyncDef("-M17 STR", "11113313", "m17", "str", True),
     SyncDef("+M17 PKT", "13113333", "m17", "pkt"),
+    SyncDef("-M17 PKT", "31331111", "m17", "pkt", True),
     SyncDef("+M17 BRT", "31331111", "m17", "brt"),
+    SyncDef("-M17 BRT", "13113333", "m17", "brt", True),
     SyncDef("+dPMR FS1", "111333331133131131111313", "dpmr", "fs1"),
     SyncDef("+dPMR FS2", "113333131331", "dpmr", "fs2"),
     SyncDef("+dPMR FS3", "133131333311", "dpmr", "fs3"),
@@ -134,11 +138,18 @@ def find_syncs(soft: np.ndarray, defs: list[SyncDef] | None = None,
     scores = correlate_syncs(soft, defs)
     best_def = np.argmax(scores, axis=0)
     best_score = scores[best_def, np.arange(scores.shape[1])]
+    # short patterns need a stricter score to keep the false-hit rate
+    # comparable to the 24-symbol syncs
+    thr = np.full(len(defs), threshold, dtype=np.float32)
+    for i, d in enumerate(defs):
+        if len(d.pattern) <= 8:
+            thr[i] = max(threshold, 0.88)
+    eff_thr = thr[best_def]
     hits: list[SyncHit] = []
     pos = 0
     k = soft.shape[0]
     while pos < k:
-        if best_score[pos] >= threshold:
+        if best_score[pos] >= eff_thr[pos]:
             # refine within a small neighborhood: local maximum wins
             lo, hi = pos, min(pos + 3, k)
             p = lo + int(np.argmax(best_score[lo:hi]))

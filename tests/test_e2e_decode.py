@@ -21,8 +21,7 @@ CASES = [
     ("p25p1_c4fm_vc", "p25p1", r"Group Voice Channel User"),
     ("p25p1_cqpsk_cc", "p25p1", r"WACN: 92065; SYS: 0D5"),
     ("p25p1_cqpsk_vc", "p25p1", r"Group Voice Channel User"),
-    pytest.param("p25p2_cc", "p25p2", r"P25p2 SACCH", marks=pytest.mark.xfail(
-        reason="P25 Phase 2 decoder not yet implemented", strict=False)),
+    ("p25p2_cc", "p25p2", r"P25p2 SACCH"),
     # Reference asserts "Color Code=02" on these two, but that value is an
     # acquisition artifact of its EMB confidence lock — the transmitted CC,
     # validated by 0-error Golay slot types + CRC-valid CSBKs (and by the
@@ -39,8 +38,7 @@ CASES = [
     ("dstar", "dstar", r"SRC: KB7WUK"),
     ("ysf", "ysf", r"V/D2 RID Mode Repeater CC"),
     ("edacs", "edacs", r"Site ID \[02\]\[002\]"),
-    pytest.param("m17", "m17", r"SRC: N0CALL", marks=pytest.mark.xfail(
-        reason="M17 decoder not yet implemented", strict=False)),
+    ("m17", "m17", r"SRC: N0CALL"),
 ]
 
 
