@@ -1,0 +1,104 @@
+"""The many-channel TPU device step — the serving hot path.
+
+One jitted function consumes a ``[C, B]`` block of framed I/Q (C
+channels — the data-parallel axis, B samples), runs channel filter, FM
+discrimination, feed-forward timing recovery and 4-level slicing for
+every channel at once, and emits per-channel dibits + soft symbols +
+power metrics.  This is the rebuild's equivalent of running C copies of
+the reference demod thread (src/dsp/demod_pipeline.cpp full_demod), as
+one batched XLA program.
+
+TPU-first choices:
+  - levels via windowed min/max (VPU reductions) instead of quantile
+    sorts;
+  - timing via the Oerder&Meyr spectral estimate (elementwise + matmul
+    reductions), no per-sample feedback scan;
+  - interpolated symbol pickup via gathers;
+  - everything in float32/bf16-friendly shapes; C is the mesh-shardable
+    axis (see dsdneo_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsdneo_tpu.dsp import firdes, frontend
+from dsdneo_tpu.engine.modes import MODES, ModeConfig
+
+
+def frontend_step(iq: jax.Array, taps: jax.Array, sps: float, n_sym: int,
+                  four_level: bool = True):
+    """Pure function: I/Q → (dibits, soft, power) for a ``[C, B]`` batch.
+
+    ``iq`` is either complex64 ``[C, B]`` or float32 ``[C, B, 2]``
+    (I/Q planes) — the axon TPU runtime cannot transfer complex arrays
+    across the host boundary, so the serving path feeds float planes and
+    forms complex on device.  C shards over the mesh with no
+    cross-channel communication.
+    """
+    if iq.ndim == 3:
+        iq = jax.lax.complex(iq[..., 0], iq[..., 1])
+    y = frontend.fir_complex(iq, taps)
+    d = frontend.fm_discriminate(y)
+
+    c, n = d.shape
+    # -- timing: single coherent O&M estimate per block ------------------
+    dc = jnp.mean(d, axis=-1, keepdims=True)
+    e = (d - dc) ** 2
+    idx = jnp.arange(n, dtype=jnp.float32)
+    tone = jnp.exp(-2j * jnp.pi * idx / sps)
+    X = jnp.sum(e * tone, axis=-1)
+    tau = jnp.mod(-jnp.angle(X) * (sps / (2 * jnp.pi)), sps)
+
+    k = jnp.arange(n_sym, dtype=jnp.float32)
+    pos = k[None, :] * sps + tau[:, None]
+    pos = jnp.clip(pos, 0.0, n - 2.0)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - i0.astype(jnp.float32)
+    g0 = jnp.take_along_axis(d, i0, axis=-1)
+    g1 = jnp.take_along_axis(d, i0 + 1, axis=-1)
+    sym = g0 * (1.0 - frac) + g1 * frac
+
+    # -- levels: windowed min/max (robust enough post-LPF) ---------------
+    win = 256
+    nw = max(n_sym // win, 1)
+    body = sym[:, : nw * win].reshape(c, nw, win)
+    hi = jnp.max(body, axis=-1)
+    lo = jnp.min(body, axis=-1)
+    center = jnp.repeat((hi + lo) * 0.5, win, axis=-1)
+    scale = jnp.repeat(jnp.maximum((hi - lo) * 0.5, 1e-6), win, axis=-1)
+    pad = n_sym - nw * win
+    if pad > 0:
+        center = jnp.concatenate([center, center[:, -1:].repeat(pad, axis=-1)], axis=-1)
+        scale = jnp.concatenate([scale, scale[:, -1:].repeat(pad, axis=-1)], axis=-1)
+    norm = (sym - center) / scale * 3.0
+
+    if four_level:
+        neg = norm < 0.0
+        outer = jnp.abs(norm) > 2.0
+        dibits = jnp.where(neg, jnp.where(outer, 3, 2), jnp.where(outer, 1, 0))
+    else:
+        dibits = jnp.where(norm < 0.0, 3, 1)
+    power = jnp.mean(jnp.abs(iq) ** 2, axis=-1)
+    return dibits.astype(jnp.uint8), norm, power
+
+
+@lru_cache(maxsize=8)
+def make_frontend_step(mode_name: str, B: int, fs: float = 48000.0):
+    """Build a jitted ``[C, B]`` front-end step for a decode mode."""
+    mode = MODES[mode_name]
+    sps = fs / mode.symbol_rate
+    n_sym = int(B // sps) - 2
+    # keep taps as a host constant: eager device ops are slow on the
+    # tunneled TPU and complex/constant transfers can be unsupported
+    taps = firdes.channel_lpf(fs, mode.lpf_profile)
+
+    @jax.jit
+    def step(iq: jax.Array):
+        return frontend_step(iq, taps, sps, n_sym, mode.four_level)
+
+    return step

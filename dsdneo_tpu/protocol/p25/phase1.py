@@ -191,6 +191,20 @@ class P25P1Decoder(ProtocolDecoder):
             self._lcw(lc_bits, hit, ctx)
         ctx.emit(" LDU1 VOICE (9 IMBE frames)", "p25p1", hit.pos,
                  imbe=np.stack(imbe))
+        self._voice(imbe, ctx)
+
+    def _voice(self, imbe_frames: list[np.ndarray], ctx: DecoderContext) -> None:
+        """IMBE ECC + parameter decode + synthesis → 8 kHz PCM."""
+        from dsdneo_tpu.protocol.p25.imbe_frame import decode_imbe_ecc
+        from dsdneo_tpu.vocoder.mbe import decode_imbe_4400
+        from dsdneo_tpu.vocoder.synth import synthesize_frames
+        params = []
+        for fr in imbe_frames:
+            bits88, _errs = decode_imbe_ecc(fr)
+            params.append(decode_imbe_4400(bits88))
+        pcm = synthesize_frames(params)
+        if pcm.size:
+            ctx.emit_audio(pcm, slot=0)
 
     def _lcw(self, bits: np.ndarray, hit: SyncHit, ctx: DecoderContext) -> None:
         """Link Control Word (reference p25_lcw.c formats)."""
@@ -245,6 +259,7 @@ class P25P1Decoder(ProtocolDecoder):
                      "p25p1", hit.pos, algid=algid, kid=kid)
         ctx.emit(" LDU2 VOICE (9 IMBE frames)", "p25p1", hit.pos,
                  imbe=np.stack(imbe))
+        self._voice(imbe, ctx)
 
     def _hdu(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> None:
         """Header Data Unit: 36 Golay(18,6)-protected hexbits, RS(36,20,17)."""
