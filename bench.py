@@ -40,14 +40,15 @@ def main() -> int:
     out = step(x)
     jax.block_until_ready(out)
 
-    n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
+    # per-step blocking: async dispatch through the tunneled runtime makes
+    # batched timing unreliable, so take the median of synchronized steps
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
         out = step(x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    step_s = dt / n_steps
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    step_s = float(np.median(times))
     x_realtime = C * (B / FS) / step_s
 
     print(json.dumps({

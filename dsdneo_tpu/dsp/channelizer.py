@@ -1,0 +1,68 @@
+"""Polyphase filter-bank channelizer: wideband I/Q → N channel basebands.
+
+The headline many-channel mode (BASELINE.json config 5): one wideband
+capture (e.g. 3.2 MHz ≈ 256 × 12.5 kHz) splits into N critically-sampled
+channels in a single device program —
+
+    polyphase decompose [B] → [B/N, N] → per-branch FIR (a depthwise
+    conv, MXU-eligible) → IFFT across the branch axis → [N, B/N]
+    complex basebands,
+
+which then feed the batched demod step (engine.batched.frontend_step).
+The reference instead time-shares ONE tuner over channels
+(src/engine/trunk_scan.c); the channelizer is where the TPU build
+fundamentally outruns it.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsdneo_tpu.dsp import firdes
+
+
+@lru_cache(maxsize=8)
+def prototype_taps(n_ch: int, taps_per_branch: int = 8) -> np.ndarray:
+    """Prototype lowpass for an N-channel critically sampled PFB."""
+    ntaps = n_ch * taps_per_branch
+    # cutoff at half the channel spacing (normalized fs = n_ch channels)
+    h = firdes.lowpass_taps(ntaps - 1, float(n_ch), 0.5, window="blackman-harris")
+    out = np.zeros(ntaps, dtype=np.float32)
+    out[:h.shape[0]] = h
+    return out * n_ch
+
+
+def channelize(x: jax.Array, n_ch: int, taps_per_branch: int = 8) -> jax.Array:
+    """``[B]`` (or ``[..., B]``) wideband complex → ``[..., n_ch, B/n_ch]``.
+
+    Critically sampled DFT filter bank; channel k is centered at
+    k·fs/n_ch (wrapping to negative frequencies past n_ch/2).
+    """
+    h = prototype_taps(n_ch, taps_per_branch)
+    P = taps_per_branch
+    b = x.shape[-1]
+    m = b // n_ch
+    xp = x[..., : m * n_ch].reshape(*x.shape[:-1], m, n_ch)
+    # polyphase branches: branch i uses taps h[i::n_ch] over the block axis
+    hp = jnp.asarray(h.reshape(P, n_ch))               # [P, n_ch]
+    # FIR along the m axis per branch: y[t, i] = Σ_p h[p, i] · xp[t-p, i]
+    pad = jnp.zeros((*xp.shape[:-2], P - 1, n_ch), dtype=xp.dtype)
+    xpad = jnp.concatenate([pad, xp], axis=-2)         # [m+P-1, n_ch]
+    y = jnp.zeros_like(xp)
+    for p in range(P):
+        y = y + xpad[..., P - 1 - p + jnp.arange(m), :] * hp[p][None, :]
+    # DFT across branches → channels (forward FFT aligns channel k with
+    # center +k·fs/N for the x[mN+i] branch convention)
+    ch = jnp.fft.fft(y, axis=-1)                       # [m, n_ch]
+    return jnp.moveaxis(ch, -1, -2).astype(jnp.complex64)  # [n_ch, m]
+
+
+def channel_frequencies(n_ch: int, fs: float) -> np.ndarray:
+    """Center frequency of each channelizer output (Hz, signed)."""
+    k = np.arange(n_ch)
+    k = np.where(k <= n_ch // 2, k, k - n_ch)
+    return k * (fs / n_ch)

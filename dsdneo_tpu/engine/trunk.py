@@ -1,0 +1,209 @@
+"""Trunking state machines + tuner control (host control plane).
+
+Re-expresses the reference's unified P25 trunking SM
+(src/protocol/p25/p25_trunk_sm.h:49-105 — IDLE / ON_CC / TUNED /
+HUNTING with grant/release/tick events, hangtime and CC-hunt recovery)
+and the DMR Tier III equivalent (src/protocol/dmr/dmr_trunk_sm.c).
+
+The "tuner" is an abstraction: in the single-tuner live path it issues
+retunes (the reference's rtl_stream async tagged tune); in the batched
+TPU path a retune is a per-channel NCO/config row rewrite between device
+steps — no recompilation, just data.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Callable, Optional
+
+
+class TrunkPhase(Enum):
+    IDLE = 0        # no system acquired
+    ON_CC = 1       # camped on the control channel
+    TUNED = 2       # following a voice grant
+    HUNTING = 3     # lost CC; rotating candidate list
+
+
+@dataclass
+class GrantEvent:
+    freq_hz: float
+    tg: int
+    src: int
+    channel: int = 0
+    svc: int = 0
+    phase2: bool = False
+    slot: int = 0
+
+
+@dataclass
+class IdenTable:
+    """P25 channel-number → frequency math (reference
+    src/protocol/p25/p25_frequency.c iden_up records)."""
+    entries: dict = field(default_factory=dict)  # iden -> (base_hz, spacing_hz, offset_hz, tdma_slots)
+
+    def add(self, iden: int, base_hz: float, spacing_hz: float,
+            offset_hz: float = 0.0, tdma_slots: int = 1) -> None:
+        self.entries[iden] = (base_hz, spacing_hz, offset_hz, max(tdma_slots, 1))
+
+    def channel_to_freq(self, channel16: int) -> Optional[float]:
+        iden = (channel16 >> 12) & 0xF
+        chan = channel16 & 0xFFF
+        ent = self.entries.get(iden)
+        if ent is None:
+            return None
+        base, spacing, _off, slots = ent
+        return base + (chan // slots) * spacing
+
+    def channel_to_slot(self, channel16: int) -> int:
+        iden = (channel16 >> 12) & 0xF
+        ent = self.entries.get(iden)
+        if ent is None:
+            return 0
+        return (channel16 & 0xFFF) % ent[3]
+
+
+class TrunkSM:
+    """Unified trunking follower (P25 P1/P2 + DMR T3 share the model)."""
+
+    def __init__(self, tune: Callable[[float, str], bool],
+                 policy: Optional[Callable[[int], bool]] = None,
+                 hangtime_s: float = 1.0, vc_grace_s: float = 1.5,
+                 cc_timeout_s: float = 5.0,
+                 now_fn: Callable[[], float] = time.monotonic):
+        self.tune = tune
+        self.policy = policy or (lambda tg: True)
+        self.hangtime_s = hangtime_s
+        self.vc_grace_s = vc_grace_s
+        self.cc_timeout_s = cc_timeout_s
+        self.now = now_fn
+
+        self.phase = TrunkPhase.IDLE
+        self.cc_freq: float = 0.0
+        self.vc_freq: float = 0.0
+        self.cc_candidates: list[float] = []
+        self.hunt_index = 0
+        self.current_tg = 0
+        self.last_cc_seen = 0.0
+        self.last_vc_activity = 0.0
+        self.tuned_at = 0.0
+        self.events: list[str] = []
+
+    # -- inputs -----------------------------------------------------------
+    def on_cc_activity(self, freq_hz: float) -> None:
+        """Control-channel frame decoded at freq (NID/TSBK/CSBK)."""
+        self.last_cc_seen = self.now()
+        if self.phase in (TrunkPhase.IDLE, TrunkPhase.HUNTING):
+            self.phase = TrunkPhase.ON_CC
+            self.cc_freq = freq_hz
+            self._log(f"ON_CC {freq_hz/1e6:.4f} MHz")
+        if freq_hz not in self.cc_candidates:
+            self.cc_candidates.insert(0, freq_hz)
+            del self.cc_candidates[16:]
+
+    def on_grant(self, ev: GrantEvent) -> bool:
+        if self.phase == TrunkPhase.TUNED:
+            return False
+        if not self.policy(ev.tg):
+            self._log(f"grant blocked TG {ev.tg}")
+            return False
+        if ev.freq_hz <= 0:
+            return False
+        if self.tune(ev.freq_hz, "voice"):
+            self.phase = TrunkPhase.TUNED
+            self.vc_freq = ev.freq_hz
+            self.current_tg = ev.tg
+            self.tuned_at = self.now()
+            self.last_vc_activity = self.tuned_at
+            self._log(f"TUNED TG {ev.tg} @ {ev.freq_hz/1e6:.4f} MHz")
+            return True
+        return False
+
+    def on_voice_activity(self) -> None:
+        self.last_vc_activity = self.now()
+
+    def on_release(self, forced: bool = False) -> None:
+        if self.phase != TrunkPhase.TUNED:
+            return
+        self._return_to_cc("release" + (" (forced)" if forced else ""))
+
+    # -- periodic tick (the reference's watchdog + frame-loop tick,
+    #    p25_sm_watchdog.c / p25_trunk_sm.c:4792) -------------------------
+    def tick(self) -> None:
+        now = self.now()
+        if self.phase == TrunkPhase.TUNED:
+            if (now - self.last_vc_activity > self.hangtime_s
+                    and now - self.tuned_at > self.vc_grace_s):
+                self._return_to_cc("hangtime expired")
+        elif self.phase == TrunkPhase.ON_CC:
+            if now - self.last_cc_seen > self.cc_timeout_s:
+                self.phase = TrunkPhase.HUNTING
+                self.hunt_index = 0
+                self._log("CC lost → HUNTING")
+        elif self.phase == TrunkPhase.HUNTING:
+            if self.cc_candidates:
+                f = self.cc_candidates[self.hunt_index % len(self.cc_candidates)]
+                self.hunt_index += 1
+                self.tune(f, "cc")
+                self._log(f"hunt {f/1e6:.4f} MHz")
+
+    # -- internals --------------------------------------------------------
+    def _return_to_cc(self, why: str) -> None:
+        self.phase = TrunkPhase.ON_CC
+        self.vc_freq = 0.0
+        self.current_tg = 0
+        if self.cc_freq:
+            self.tune(self.cc_freq, "cc")
+        self._log(f"→ CC ({why})")
+
+    def _log(self, msg: str) -> None:
+        self.events.append(msg)
+
+
+@dataclass
+class ScanTarget:
+    freq_hz: float
+    mode: str
+    label: str = ""
+
+
+class TrunkScanner:
+    """Single-tuner rotation over multiple systems (reference
+    src/engine/trunk_scan.c:1795 — dwell + activity hold, ≤32 targets)."""
+
+    MAX_TARGETS = 32
+
+    def __init__(self, tune: Callable[[float, str], bool],
+                 dwell_s: float = 1.0, hold_s: float = 5.0,
+                 now_fn: Callable[[], float] = time.monotonic):
+        self.targets: list[ScanTarget] = []
+        self.tune = tune
+        self.dwell_s = dwell_s
+        self.hold_s = hold_s
+        self.now = now_fn
+        self.index = -1
+        self.switched_at = 0.0
+        self.last_activity = 0.0
+
+    def add_target(self, t: ScanTarget) -> bool:
+        if len(self.targets) >= self.MAX_TARGETS:
+            return False
+        self.targets.append(t)
+        return True
+
+    def on_activity(self) -> None:
+        self.last_activity = self.now()
+
+    def tick(self) -> Optional[ScanTarget]:
+        if not self.targets:
+            return None
+        now = self.now()
+        active_hold = now - self.last_activity < self.hold_s
+        if self.index >= 0 and (active_hold or now - self.switched_at < self.dwell_s):
+            return self.targets[self.index]
+        self.index = (self.index + 1) % len(self.targets)
+        t = self.targets[self.index]
+        self.tune(t.freq_hz, t.mode)
+        self.switched_at = now
+        return t

@@ -1,0 +1,150 @@
+"""Three-tier runtime configuration: CLI > environment > INI defaults.
+
+Reference parity: the reference parses ~110 ``DSD_NEO_*`` env knobs once
+into an immutable typed struct (include/dsd-neo/runtime/config.h:141,
+src/runtime/config.cpp; documented docs/cli.md:311-658), layered under
+CLI flags and over the INI user config (src/runtime/config_user.cpp,
+docs/config-system.md).  This module mirrors that precedence with the
+``DSDNEO_TPU_*`` prefix (the reference names are also accepted).
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+from dataclasses import dataclass, field, fields, replace
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    # logging / observability
+    log_level: str = "info"            # DSD_NEO_LOG_LEVEL
+    log_sink: str = "stderr"           # DSD_NEO_LOG_SINK
+    perf_csv: str = ""                 # DSD_NEO_RTL_PERF_CSV (path)
+    perf_interval_ms: int = 1000       # DSD_NEO_RTL_PERF_CSV_INTERVAL_MS
+    pdu_json: bool = False             # DSD_NEO_PDU_JSON
+    frame_log: str = ""                # --frame-log path
+    # decode behavior
+    sync_threshold: float = 0.62
+    sync_warmstart: bool = False       # DSD_NEO_SYNC_WARMSTART
+    soft_erasure_threshold: int = 60   # DSD_NEO_P25 soft thresholds
+    # trunking
+    trunk_enable: bool = False
+    trunk_hangtime_s: float = 1.0      # DSD_NEO_P25_VC_GRACE etc.
+    p25_wd_ms: int = 250               # DSD_NEO_P25_WD_MS
+    cc_cache_path: str = ""            # DSD_NEO_P25_CC_CACHE
+    # device / batching
+    platform: str = "cpu"              # cpu|tpu|default
+    channels: int = 1
+    block_s: float = 1.0
+    # audio
+    audio_gain: float = 0.0            # 0 = auto
+    audio_out_rate: int = 8000
+
+    def with_overrides(self, **kw) -> "RuntimeConfig":
+        kw = {k: v for k, v in kw.items() if v is not None}
+        return replace(self, **kw)
+
+
+_ENV_MAP = {
+    "LOG_LEVEL": ("log_level", str),
+    "LOG_SINK": ("log_sink", str),
+    "RTL_PERF_CSV": ("perf_csv", str),
+    "RTL_PERF_CSV_INTERVAL_MS": ("perf_interval_ms", int),
+    "PDU_JSON": ("pdu_json", lambda v: v not in ("0", "", "false")),
+    "SYNC_THRESHOLD": ("sync_threshold", float),
+    "SYNC_WARMSTART": ("sync_warmstart", lambda v: v not in ("0", "", "false")),
+    "TRUNK_ENABLE": ("trunk_enable", lambda v: v not in ("0", "", "false")),
+    "TRUNK_HANGTIME_S": ("trunk_hangtime_s", float),
+    "P25_WD_MS": ("p25_wd_ms", int),
+    "P25_CC_CACHE": ("cc_cache_path", str),
+    "PLATFORM": ("platform", str),
+    "CHANNELS": ("channels", int),
+    "AUDIO_GAIN": ("audio_gain", float),
+}
+
+_PREFIXES = ("DSDNEO_TPU_", "DSD_NEO_")
+
+_config: Optional[RuntimeConfig] = None
+
+
+def load_env(base: RuntimeConfig | None = None,
+             environ: dict | None = None) -> RuntimeConfig:
+    env = environ if environ is not None else os.environ
+    cfg = base or RuntimeConfig()
+    overrides = {}
+    for key, (attr, conv) in _ENV_MAP.items():
+        for prefix in _PREFIXES:
+            raw = env.get(prefix + key)
+            if raw is not None:
+                try:
+                    overrides[attr] = conv(raw)
+                except (TypeError, ValueError):
+                    pass
+                break
+    return cfg.with_overrides(**overrides)
+
+
+def load_ini(path: str, base: RuntimeConfig | None = None) -> RuntimeConfig:
+    """INI user config (``[dsdneo]`` section, keys = field names).
+    Supports ``include = other.ini`` chains like the reference's
+    profile/include system."""
+    cfg = base or RuntimeConfig()
+    cp = configparser.ConfigParser()
+    read = cp.read(path)
+    if not read:
+        return cfg
+    sec = cp["dsdneo"] if cp.has_section("dsdneo") else cp["DEFAULT"]
+    inc = sec.get("include", "")
+    if inc:
+        inc_path = os.path.join(os.path.dirname(path), inc)
+        cfg = load_ini(inc_path, cfg)
+    overrides = {}
+    valid = {f.name: f.type for f in fields(RuntimeConfig)}
+    for key, raw in sec.items():
+        if key == "include" or key not in valid:
+            continue
+        cur = getattr(cfg, key)
+        try:
+            if isinstance(cur, bool):
+                overrides[key] = raw.lower() in ("1", "true", "yes", "on")
+            elif isinstance(cur, int):
+                overrides[key] = int(raw)
+            elif isinstance(cur, float):
+                overrides[key] = float(raw)
+            else:
+                overrides[key] = raw
+        except ValueError:
+            continue
+    return cfg.with_overrides(**overrides)
+
+
+def bootstrap(ini_path: str | None = None, **cli_overrides) -> RuntimeConfig:
+    """Full precedence chain: defaults < INI < env < CLI.  The result is
+    cached as the process-wide immutable config (reference
+    dsd_runtime_bootstrap, src/runtime/bootstrap/bootstrap.c:716)."""
+    global _config
+    cfg = RuntimeConfig()
+    if ini_path:
+        cfg = load_ini(ini_path, cfg)
+    cfg = load_env(cfg)
+    cfg = cfg.with_overrides(**cli_overrides)
+    _config = cfg
+    return cfg
+
+
+def get() -> RuntimeConfig:
+    global _config
+    if _config is None:
+        _config = load_env()
+    return _config
+
+
+def save_ini(cfg: RuntimeConfig, path: str) -> None:
+    """INI autosave (reference engine.c:2604 config autosave on exit)."""
+    cp = configparser.ConfigParser()
+    cp["dsdneo"] = {f.name: str(getattr(cfg, f.name))
+                    for f in fields(RuntimeConfig)}
+    with open(path, "w") as f:
+        cp.write(f)

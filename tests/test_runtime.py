@@ -1,0 +1,147 @@
+"""Host runtime tests: config precedence, trunking SM, events,
+talkgroup policy, crypto keystreams."""
+
+import time
+
+import numpy as np
+import pytest
+
+
+def test_config_precedence(tmp_path):
+    from dsdneo_tpu.runtime import config as C
+    ini = tmp_path / "u.ini"
+    ini.write_text("[dsdneo]\nlog_level = debug\ntrunk_hangtime_s = 2.5\n")
+    cfg = C.load_ini(str(ini))
+    assert cfg.log_level == "debug" and cfg.trunk_hangtime_s == 2.5
+    cfg = C.load_env(cfg, environ={"DSD_NEO_LOG_LEVEL": "warning"})
+    assert cfg.log_level == "warning"
+    cfg = cfg.with_overrides(log_level="error")
+    assert cfg.log_level == "error"
+    # INI include chain
+    base = tmp_path / "base.ini"
+    base.write_text("[dsdneo]\nchannels = 8\n")
+    child = tmp_path / "child.ini"
+    child.write_text(f"[dsdneo]\ninclude = base.ini\nlog_level = notice\n")
+    cfg2 = C.load_ini(str(child))
+    assert cfg2.channels == 8 and cfg2.log_level == "notice"
+
+
+def test_config_ini_roundtrip(tmp_path):
+    from dsdneo_tpu.runtime import config as C
+    cfg = C.RuntimeConfig(channels=16, trunk_enable=True)
+    p = tmp_path / "save.ini"
+    C.save_ini(cfg, str(p))
+    cfg2 = C.load_ini(str(p))
+    assert cfg2.channels == 16 and cfg2.trunk_enable is True
+
+
+def test_trunk_sm_grant_hangtime_and_hunt():
+    from dsdneo_tpu.engine.trunk import GrantEvent, TrunkPhase, TrunkSM
+    clock = [0.0]
+    tunes = []
+    sm = TrunkSM(tune=lambda f, why: tunes.append((f, why)) or True,
+                 hangtime_s=1.0, vc_grace_s=0.5, cc_timeout_s=2.0,
+                 now_fn=lambda: clock[0])
+    sm.on_cc_activity(851e6)
+    assert sm.phase == TrunkPhase.ON_CC
+    assert sm.on_grant(GrantEvent(freq_hz=852e6, tg=100, src=1))
+    assert sm.phase == TrunkPhase.TUNED
+    # voice active → stays tuned
+    clock[0] = 1.0
+    sm.on_voice_activity()
+    sm.tick()
+    assert sm.phase == TrunkPhase.TUNED
+    # hangtime expires → back to CC
+    clock[0] = 3.0
+    sm.tick()
+    assert sm.phase == TrunkPhase.ON_CC
+    assert tunes[-1] == (851e6, "cc")
+    # CC silence → hunting rotates candidates
+    clock[0] = 10.0
+    sm.tick()
+    assert sm.phase == TrunkPhase.HUNTING
+    sm.tick()
+    assert tunes[-1][1] == "cc"
+
+
+def test_trunk_sm_policy_block():
+    from dsdneo_tpu.engine.trunk import GrantEvent, TrunkSM
+    sm = TrunkSM(tune=lambda f, why: True, policy=lambda tg: tg != 666)
+    sm.on_cc_activity(851e6)
+    assert not sm.on_grant(GrantEvent(freq_hz=852e6, tg=666, src=1))
+    assert sm.on_grant(GrantEvent(freq_hz=852e6, tg=1, src=1))
+
+
+def test_iden_table_channel_math():
+    from dsdneo_tpu.engine.trunk import IdenTable
+    t = IdenTable()
+    t.add(1, 851_000_000, 12_500, tdma_slots=2)
+    assert t.channel_to_freq((1 << 12) | 10) == 851_000_000 + 5 * 12_500
+    assert t.channel_to_slot((1 << 12) | 11) == 1
+    assert t.channel_to_freq((2 << 12) | 1) is None
+
+
+def test_talkgroup_policy(tmp_path):
+    from dsdneo_tpu.core.talkgroup import TalkgroupPolicy
+    csv_path = tmp_path / "group.csv"
+    csv_path.write_text("TG,Mode,Label\n100,A,Fire\n200,B,Blocked\n300,DE,PD\n")
+    pol = TalkgroupPolicy()
+    assert pol.import_group_csv(str(csv_path)) == 3
+    assert pol.allows(100)
+    assert not pol.allows(200)
+    assert pol.allows(300, encrypted=False)
+    assert not pol.allows(300, encrypted=True)
+    pol.hold(0, 100)
+    assert not pol.allows(300, slot=0)
+    pol.release_hold(0)
+    assert pol.label(100) == "Fire"
+
+
+def test_event_history(tmp_path):
+    from dsdneo_tpu.core.events import CallEvent, CallKind, EventHistory
+    log = tmp_path / "events.log"
+    h = EventHistory(capacity=4, log_path=str(log))
+    ev = CallEvent(when=time.time(), protocol="p25p1",
+                   kind=CallKind.GROUP_VOICE, tg=100, src=42)
+    h.begin_call(ev)
+    h.end_call(0)
+    h.note(0, "CC seen")
+    snap = h.snapshot(0)
+    assert len(snap) == 2
+    h.close()
+    text = log.read_text()
+    assert "TG=100" in text and "START" in text and "END" in text
+
+
+def test_crypto_keystreams():
+    from dsdneo_tpu.crypto import keystream as K
+    # RC4 vector (key "Key" → keystream EB9F7781B734CA72A719)
+    ks = K.rc4_keystream(b"Key", 10)
+    assert bytes(ks).hex().upper() == "EB9F7781B734CA72A719"
+    # DES known vector: key 0x133457799BBCDFF1, plaintext 0x0123456789ABCDEF
+    ct = K.des_encrypt_block(0x0123456789ABCDEF, 0x133457799BBCDFF1)
+    assert ct == 0x85E813540F0AB405
+    # AES-128 FIPS-197 vector
+    ct = K.aes_encrypt_block(bytes.fromhex("00112233445566778899aabbccddeeff"),
+                             bytes.fromhex("000102030405060708090a0b0c0d0e0f"))
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    # AES-256 FIPS-197 vector
+    ct = K.aes_encrypt_block(
+        bytes.fromhex("00112233445566778899aabbccddeeff"),
+        bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                      "101112131415161718191a1b1c1d1e1f"))
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    # DMR BP keystream repeats the 16-bit key
+    ks = K.dmr_basic_keystream(0xABCD, 32)
+    assert list(ks[:16]) == list(ks[16:32])
+
+
+def test_perf_probe(tmp_path):
+    from dsdneo_tpu.runtime.log import PerfProbe
+    p = tmp_path / "perf.csv"
+    probe = PerfProbe(str(p), interval_s=0.0)
+    probe.add(device_ms=1.5, channels=8, symbols=100)
+    probe.add(device_ms=2.0, channels=8, symbols=100)
+    probe.close()
+    text = p.read_text()
+    assert "device_ms" in text and len(text.splitlines()) >= 2
