@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="audio output (null | wav:PATH | pcm:PATH)")
     p.add_argument("-v", dest="verbose", action="count", default=0)
     p.add_argument("--sync-threshold", type=float, default=0.62)
+    p.add_argument("--cqpsk", action="store_true",
+                   help="use the CQPSK/LSM carrier+timing chain instead of "
+                        "the FM discriminator path")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "default"],
                    help="JAX platform for the DSP pipeline (single-channel "
                         "offline decode defaults to host CPU; the batched "
@@ -52,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         ctx = decode_capture(args.iq_replay, args.mode,
                              sync_threshold=args.sync_threshold,
-                             verbose=args.verbose)
+                             verbose=args.verbose, cqpsk=args.cqpsk)
     except (OSError, ValueError) as e:
         print(f"dsd-neo-tpu: cannot replay {args.iq_replay}: {e}", file=sys.stderr)
         return 1

@@ -1,0 +1,86 @@
+"""CQPSK/LSM (π/4-DQPSK) demodulation — feed-forward TPU design.
+
+The reference's chain is a cascade of per-sample feedback loops
+(src/dsp/costas.cpp: AGC → FLL band-edge → Gardner TED → differential
+phasor → Costas, documented include/dsd-neo/dsp/costas.h:9-20).  Those
+loops serialize on the sample axis, so this module replaces them with
+feed-forward equivalents of the same estimators:
+
+  1. carrier: the 4th-power spectral line (QPSK modulation-stripping)
+     gives the CFO in one FFT — the FLL's steady state;
+  2. matched filter: RRC (the Gardner loop's input filter);
+  3. timing: Oerder&Meyr square-law phase — the TED's steady state —
+     with per-window drift tracking;
+  4. differential phasor: s_k·conj(s_{k-1}) and its angle IS the π/4
+     DQPSK symbol (±45° = ±1, ±135° = ±3), absorbing residual carrier
+     phase exactly as the reference's diff-phasor + Costas pair does.
+
+Output soft symbols use the same ±1/±3 alphabet as the C4FM
+discriminator path, so the slicer/framesync/protocol stack is shared.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsdneo_tpu.dsp import firdes, frontend
+
+
+def estimate_cfo_qpsk(x: jax.Array, fs: float, symbol_rate: float) -> jax.Array:
+    """Carrier offset per channel via the 4th-power method: ``[C]`` Hz.
+
+    π/4-DQPSK phase increments are odd multiples of π/4, so x⁴ carries a
+    deterministic π flip per symbol: its spectral line sits at
+    4·CFO + symbol_rate/2, not 4·CFO."""
+    x4 = x ** 4
+    n = x.shape[-1]
+    spec = jnp.abs(jnp.fft.fft(x4, axis=-1))
+    k = jnp.argmax(spec, axis=-1)
+    freqs = jnp.fft.fftfreq(n, 1.0 / fs)
+    return (freqs[k] - symbol_rate / 2.0) / 4.0
+
+
+def demod_cqpsk(x: jax.Array, fs: float, symbol_rate: float,
+                rrc_alpha: float = 0.2, n_sym: int | None = None):
+    """``[C, N]`` complex baseband → (soft symbols ``[C, K]`` in the
+    ±1/±3 alphabet, cfo estimates ``[C]``)."""
+    c, n = x.shape
+    sps = fs / symbol_rate
+    if n_sym is None:
+        n_sym = int((n - 2 * sps) // sps) - 1
+
+    # 1. CFO correction
+    cfo = estimate_cfo_qpsk(x, fs, symbol_rate)
+    t = jnp.arange(n, dtype=jnp.float32) / fs
+    x = x * jnp.exp(-2j * jnp.pi * cfo[:, None] * t[None, :])
+
+    # 2. RRC matched filter
+    taps = jnp.asarray(firdes.rrc(sps, int(8 * sps) | 1, rrc_alpha))
+    y = frontend.fir_complex(x, taps)
+
+    # 3. timing from the squared envelope (windowed O&M w/ drift unwrap)
+    from dsdneo_tpu.symbols.timing import decision_positions
+    e = jnp.abs(y) ** 2
+    pos = decision_positions(e, sps, win_symbols=128, max_symbols=n_sym + 1)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - i0.astype(jnp.float32))[..., None]
+    yr = jnp.stack([y.real, y.imag], axis=-1)
+    g0 = jnp.take_along_axis(yr, i0[..., None].repeat(2, axis=-1), axis=1)
+    g1 = jnp.take_along_axis(yr, (i0 + 1)[..., None].repeat(2, axis=-1), axis=1)
+    sym2 = g0 * (1 - frac) + g1 * frac
+    s = jax.lax.complex(sym2[..., 0], sym2[..., 1])      # [C, K+1]
+
+    # 4. differential phasor → π/4-DQPSK soft symbols
+    d = s[:, 1:] * jnp.conj(s[:, :-1])
+    ang = jnp.arctan2(d.imag, d.real)                    # ±π/4, ±3π/4
+    soft = ang * (4.0 / jnp.pi)                          # → ±1, ±3
+    return soft, cfo
+
+
+@partial(jax.jit, static_argnames=("fs", "symbol_rate", "n_sym"))
+def demod_cqpsk_jit(x, fs: float, symbol_rate: float, n_sym: int):
+    return demod_cqpsk(x, fs, symbol_rate, n_sym=n_sym)

@@ -28,11 +28,16 @@ from dsdneo_tpu.symbols import framesync
 
 def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
                    fs: float = 48000.0, sync_threshold: float = 0.62,
-                   verbose: int = 0) -> proto_base.DecoderContext:
+                   verbose: int = 0, cqpsk: bool = False
+                   ) -> proto_base.DecoderContext:
     """Decode one channel of complex baseband samples end to end."""
     if isinstance(mode, str):
         mode = MODES[mode]
-    dibits, norm = demod_fm(samples, mode, fs)
+    if cqpsk:
+        from dsdneo_tpu.engine.demod import demod_cqpsk_path
+        dibits, norm = demod_cqpsk_path(samples, mode, fs)
+    else:
+        dibits, norm = demod_fm(samples, mode, fs)
     defs = framesync.patterns_for(set(mode.protocols))
     hits = framesync.find_syncs(norm, defs, threshold=sync_threshold)
 

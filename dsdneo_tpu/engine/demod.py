@@ -35,11 +35,32 @@ def _demod_fm_jit(x: jax.Array, taps: jax.Array, sps: float, four_level: bool,
     return dibits, norm, power
 
 
+def demod_cqpsk_path(samples: np.ndarray, mode: ModeConfig | str,
+                     fs: float = 48000.0) -> tuple[np.ndarray, np.ndarray]:
+    """CQPSK/LSM demod → (dibits, soft) in the shared ±1/±3 alphabet."""
+    from dsdneo_tpu.dsp.cqpsk import demod_cqpsk
+    if isinstance(mode, str):
+        mode = MODES[mode]
+    x = np.asarray(samples)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    soft, _cfo = demod_cqpsk(jnp.asarray(x), fs, float(mode.symbol_rate))
+    soft = np.asarray(soft)
+    neg = soft < 0
+    outer = np.abs(soft) > 2
+    dibits = np.where(neg, np.where(outer, 3, 2),
+                      np.where(outer, 1, 0)).astype(np.uint8)
+    if squeeze:
+        return dibits[0], soft[0]
+    return dibits, soft
+
+
 def demod_fm(samples: np.ndarray, mode: ModeConfig | str, fs: float = 48000.0
              ) -> tuple[np.ndarray, np.ndarray]:
     """Demodulate ``[N]`` or ``[C, N]`` complex baseband → (dibits, soft).
 
-    FM/FSK/C4FM path (CQPSK uses :mod:`dsdneo_tpu.dsp.cqpsk`).
+    FM/FSK/C4FM path (CQPSK uses :func:`demod_cqpsk_path`).
     """
     if isinstance(mode, str):
         mode = MODES[mode]

@@ -1,0 +1,179 @@
+"""Network audio/control IO: UDP/TCP PCM input, UDP audio out, rigctl.
+
+Reference parity:
+  - UDP PCM16LE input ring (src/io/audio_backends/udp_input.c)
+  - TCP PCM16LE input with reconnect watchdog (tcp_input.c)
+  - UDP PCM blaster output (udp_audio.c)
+  - rigctl TCP client for external SDR retuning (src/io/control/
+    dsd_rigctl.c — ``F <hz>`` / ``f`` protocol)
+  - UDP retune control server (udp_control.cpp)
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+
+class UdpPcmInput:
+    """Receives 16-bit little-endian PCM datagrams into a ring."""
+
+    def __init__(self, bind: str = "127.0.0.1", port: int = 7355,
+                 capacity: int = 1 << 20):
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind((bind, port))
+        self.sock.settimeout(0.25)
+        self.buf = np.zeros(capacity, dtype=np.int16)
+        self.head = 0
+        self.tail = 0
+        self.capacity = capacity
+        self.drops = 0
+        self._stop = False
+        self._lock = threading.Condition()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop:
+            try:
+                data, _ = self.sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            samples = np.frombuffer(data, dtype="<i2")
+            with self._lock:
+                free = self.capacity - (self.head - self.tail)
+                take = min(len(samples), free)
+                for i in range(take):
+                    self.buf[(self.head + i) % self.capacity] = samples[i]
+                self.head += take
+                self.drops += len(samples) - take
+                self._lock.notify_all()
+
+    def read(self, n: int, timeout: float = 1.0) -> Optional[np.ndarray]:
+        with self._lock:
+            if not self._lock.wait_for(
+                    lambda: self.head - self.tail >= n or self._stop,
+                    timeout=timeout):
+                return None
+            if self.head - self.tail < n:
+                return None
+            idx = (self.tail + np.arange(n)) % self.capacity
+            out = self.buf[idx].copy()
+            self.tail += n
+            return out
+
+    def close(self):
+        self._stop = True
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class TcpPcmInput:
+    """TCP PCM16LE stream input (e.g. from SDR software)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 3.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.settimeout(timeout)
+
+    def read(self, n: int) -> Optional[np.ndarray]:
+        need = 2 * n
+        chunks = []
+        while need > 0:
+            try:
+                data = self.sock.recv(need)
+            except socket.timeout:
+                return None
+            if not data:
+                return None
+            chunks.append(data)
+            need -= len(data)
+        return np.frombuffer(b"".join(chunks), dtype="<i2")
+
+    def close(self):
+        self.sock.close()
+
+
+class UdpAudioOutput:
+    """Blasts decoded PCM16LE to a UDP sink."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 23456,
+                 chunk: int = 320):
+        self.addr = (host, port)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.chunk = chunk
+
+    def write(self, pcm: np.ndarray) -> None:
+        x = np.asarray(pcm)
+        if x.dtype != np.int16:
+            x = (np.clip(x, -1, 1) * 32767).astype("<i2")
+        for i in range(0, len(x), self.chunk):
+            self.sock.sendto(x[i:i + self.chunk].tobytes(), self.addr)
+
+    def close(self):
+        self.sock.close()
+
+
+class RigctlClient:
+    """Hamlib rigctld protocol client for external tuner control."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 4532,
+                 timeout: float = 2.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.settimeout(timeout)
+
+    def set_freq(self, hz: float) -> bool:
+        self.sock.sendall(f"F {int(hz)}\n".encode())
+        resp = self.sock.recv(64)
+        return b"RPRT 0" in resp or resp.strip() == b""
+
+    def get_freq(self) -> Optional[float]:
+        self.sock.sendall(b"f\n")
+        try:
+            return float(self.sock.recv(64).split()[0])
+        except (ValueError, IndexError, socket.timeout):
+            return None
+
+    def close(self):
+        self.sock.close()
+
+
+class UdpControlServer:
+    """UDP retune control: text datagrams ``TUNE <hz>`` / ``STOP`` invoke
+    a callback (reference udp_control.h:30-43 callback API)."""
+
+    def __init__(self, on_tune: Callable[[float], None],
+                 bind: str = "127.0.0.1", port: int = 4532):
+        self.on_tune = on_tune
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind((bind, port))
+        self.sock.settimeout(0.25)
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop:
+            try:
+                data, addr = self.sock.recvfrom(256)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            parts = data.decode(errors="ignore").split()
+            if len(parts) == 2 and parts[0].upper() == "TUNE":
+                try:
+                    self.on_tune(float(parts[1]))
+                    self.sock.sendto(b"OK\n", addr)
+                except ValueError:
+                    self.sock.sendto(b"ERR\n", addr)
+
+    def close(self):
+        self._stop = True
+        self.sock.close()

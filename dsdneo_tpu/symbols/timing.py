@@ -36,6 +36,25 @@ def _unwrap_mod(tau: jax.Array, period: float) -> jax.Array:
     return jnp.concatenate([tau[..., :1], tau[..., :1] + jnp.cumsum(d, axis=-1)], axis=-1)
 
 
+def decision_positions(e: jax.Array, sps: float, win_symbols: int = 256,
+                       max_symbols: int | None = None) -> jax.Array:
+    """Per-symbol decision instants ``[C, K]`` from a (nonnegative)
+    timing-energy signal ``[C, N]`` via windowed O&M + drift unwrap."""
+    c, n = e.shape
+    L = max(int(round(win_symbols * sps)), 8)
+    nw = max(n // L, 1)
+    idx = jnp.arange(n, dtype=jnp.float32)
+    tone = jnp.exp(-2j * jnp.pi * idx / sps)
+    prod = (e * tone)[:, : nw * L].reshape(c, nw, L)
+    X = jnp.sum(prod, axis=-1)
+    tau = _unwrap_mod(jnp.mod(-jnp.angle(X) * (sps / (2 * jnp.pi)), sps), sps)
+    centers = (jnp.arange(nw, dtype=jnp.float32) + 0.5) * L
+    K = max_symbols if max_symbols is not None else int((n - 2 * sps) // sps)
+    base = jnp.arange(K, dtype=jnp.float32) * sps
+    off = jax.vmap(lambda tc: jnp.interp(base, centers, tc))(tau)
+    return jnp.clip(base[None, :] + off, 0.0, n - 2.0)
+
+
 @partial(jax.jit, static_argnames=("sps", "win_symbols", "max_symbols"))
 def recover_symbols(d: jax.Array, sps: float, win_symbols: int = 256,
                     max_symbols: int | None = None) -> tuple[jax.Array, jax.Array]:

@@ -1,0 +1,155 @@
+// SPDX-License-Identifier: MIT
+//
+// Native host-ingest runtime for the TPU decode pipeline:
+//   - lock-free SPSC byte ring with producer-drop accounting and
+//     generation counters for purge-on-retune (the reference keeps the
+//     same contract in include/dsd-neo/runtime/input_ring.h:22-70);
+//   - fused CU8 -> float32 I/Q widening with optional fs/4 rotation on
+//     the consumer side (reference src/dsp/simd_widen*.cpp), emitting
+//     [B, 2] float planes ready for jax.device_put.
+//
+// Exposed as a plain C ABI consumed through ctypes
+// (dsdneo_tpu/runtime/native.py); no Python headers needed.
+
+#include <atomic>
+#include <chrono>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+
+namespace {
+
+struct Ring {
+    uint8_t* buf;
+    size_t capacity;                 // power of two
+    std::atomic<uint64_t> head;      // producer writes
+    std::atomic<uint64_t> tail;      // consumer reads
+    std::atomic<uint64_t> drops;     // bytes dropped when full
+    std::atomic<uint32_t> generation;  // bumped by purge (retune)
+    std::atomic<int> shutdown;
+};
+
+inline size_t mask(const Ring* r, uint64_t v) {
+    return static_cast<size_t>(v) & (r->capacity - 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+Ring* dsd_ring_create(size_t capacity_pow2) {
+    size_t cap = 1;
+    while (cap < capacity_pow2) cap <<= 1;
+    Ring* r = new Ring();
+    r->buf = new uint8_t[cap];
+    r->capacity = cap;
+    r->head.store(0);
+    r->tail.store(0);
+    r->drops.store(0);
+    r->generation.store(0);
+    r->shutdown.store(0);
+    return r;
+}
+
+void dsd_ring_destroy(Ring* r) {
+    if (!r) return;
+    delete[] r->buf;
+    delete r;
+}
+
+// Producer: write n bytes; drops the excess when the ring is full
+// (producer never blocks — matches the reference's USB-callback contract).
+size_t dsd_ring_write(Ring* r, const uint8_t* data, size_t n) {
+    uint64_t head = r->head.load(std::memory_order_relaxed);
+    uint64_t tail = r->tail.load(std::memory_order_acquire);
+    size_t free_space = r->capacity - static_cast<size_t>(head - tail);
+    size_t to_write = n < free_space ? n : free_space;
+    for (size_t i = 0; i < to_write; ++i) {
+        r->buf[mask(r, head + i)] = data[i];
+    }
+    r->head.store(head + to_write, std::memory_order_release);
+    if (to_write < n) {
+        r->drops.fetch_add(n - to_write, std::memory_order_relaxed);
+    }
+    return to_write;
+}
+
+// Consumer: blocking read of exactly n bytes (or fewer on timeout /
+// shutdown / purge).  Returns bytes read.
+size_t dsd_ring_read(Ring* r, uint8_t* out, size_t n, int timeout_ms) {
+    using clock = std::chrono::steady_clock;
+    auto deadline = clock::now() + std::chrono::milliseconds(timeout_ms);
+    uint32_t gen = r->generation.load(std::memory_order_acquire);
+    size_t got = 0;
+    while (got < n) {
+        if (r->shutdown.load(std::memory_order_relaxed)) break;
+        if (r->generation.load(std::memory_order_acquire) != gen) {
+            // retune purge: abandon the partial block
+            return 0;
+        }
+        uint64_t tail = r->tail.load(std::memory_order_relaxed);
+        uint64_t head = r->head.load(std::memory_order_acquire);
+        size_t avail = static_cast<size_t>(head - tail);
+        if (avail == 0) {
+            if (clock::now() > deadline) break;
+            std::this_thread::sleep_for(std::chrono::microseconds(100));
+            continue;
+        }
+        size_t take = avail < (n - got) ? avail : (n - got);
+        for (size_t i = 0; i < take; ++i) {
+            out[got + i] = r->buf[mask(r, tail + i)];
+        }
+        r->tail.store(tail + take, std::memory_order_release);
+        got += take;
+    }
+    return got;
+}
+
+// Consumer: read 2*n_samples CU8 bytes and widen to float32 [n, 2]
+// planes in [-1, 1], optionally applying the fs/4 rotation
+// (rotate_dir = 0 none, +1 e^{+j pi n/2}, -1 e^{-j pi n/2}).
+size_t dsd_ring_read_widen_cu8(Ring* r, float* out, size_t n_samples,
+                               int rotate_dir, int timeout_ms) {
+    const size_t n_bytes = 2 * n_samples;
+    uint8_t* tmp = new uint8_t[n_bytes];
+    size_t got = dsd_ring_read(r, tmp, n_bytes, timeout_ms);
+    size_t samples = got / 2;
+    const float scale = 1.0f / 127.5f;
+    for (size_t i = 0; i < samples; ++i) {
+        float si = static_cast<float>(tmp[2 * i]) * scale - 1.0f;
+        float sq = static_cast<float>(tmp[2 * i + 1]) * scale - 1.0f;
+        if (rotate_dir != 0) {
+            // multiply by j^{±n}: cycle (1, ±j, -1, ∓j)
+            switch (i & 3) {
+                case 0: break;
+                case 1: { float t = si; si = rotate_dir > 0 ? -sq : sq;
+                          sq = rotate_dir > 0 ? t : -t; break; }
+                case 2: si = -si; sq = -sq; break;
+                case 3: { float t = si; si = rotate_dir > 0 ? sq : -sq;
+                          sq = rotate_dir > 0 ? -t : t; break; }
+            }
+        }
+        out[2 * i] = si;
+        out[2 * i + 1] = sq;
+    }
+    delete[] tmp;
+    return samples;
+}
+
+void dsd_ring_purge(Ring* r) {
+    r->generation.fetch_add(1, std::memory_order_acq_rel);
+    r->tail.store(r->head.load(std::memory_order_acquire),
+                  std::memory_order_release);
+}
+
+void dsd_ring_shutdown(Ring* r) { r->shutdown.store(1); }
+
+uint64_t dsd_ring_drops(const Ring* r) { return r->drops.load(); }
+
+size_t dsd_ring_fill(const Ring* r) {
+    return static_cast<size_t>(r->head.load() - r->tail.load());
+}
+
+uint32_t dsd_ring_generation(const Ring* r) { return r->generation.load(); }
+
+}  // extern "C"

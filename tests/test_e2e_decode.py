@@ -68,3 +68,19 @@ def test_cli_smoke(tmp_path, capsys):
     assert rc == 0
     err = capsys.readouterr().err
     assert "NAC/CC: 140" in err
+
+
+@pytest.mark.parametrize("fixture,expected", [
+    ("p25p1_cqpsk_cc", r"WACN: 92065; SYS: 0D5"),
+    ("p25p1_cqpsk_vc", r"Group Voice Channel User"),
+])
+def test_decode_iq_cqpsk_chain(fixture, expected):
+    """The dedicated CQPSK chain (4th-power CFO + RRC + O&M timing +
+    differential phasor) must decode the LSM fixtures on its own."""
+    path = os.path.join(FIXDIR, f"{fixture}.iq.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    from dsdneo_tpu.engine import decode_capture
+    ctx = decode_capture(path, "p25p1", cqpsk=True)
+    text = "\n".join(e.line for e in ctx.events)
+    assert re.search(expected, text)

@@ -1,0 +1,118 @@
+"""IO tests: iq captures, symbol captures (incl. reference interop),
+network PCM loopback, rigctl/udp control protocol."""
+
+import os
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+
+def test_iq_capture_roundtrip(tmp_path):
+    from dsdneo_tpu.io import IqMetadata, read_iq_capture, write_iq_capture
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=1000) + 1j * rng.normal(size=1000)).astype(np.complex64) * 0.2
+    x = np.clip(x.real, -0.99, 0.99) + 1j * np.clip(x.imag, -0.99, 0.99)
+    x = x.astype(np.complex64)
+    p = tmp_path / "test.iq"
+    write_iq_capture(str(p), x, IqMetadata(sample_format="cf32", sample_rate_hz=48000))
+    meta, back = read_iq_capture(str(p) + ".json")
+    assert meta.sample_rate_hz == 48000
+    np.testing.assert_allclose(back, x, atol=1e-6)
+    # cu8 quantized roundtrip
+    p2 = tmp_path / "t2.iq"
+    write_iq_capture(str(p2), x, IqMetadata(sample_format="cu8"))
+    _, back2 = read_iq_capture(str(p2))
+    assert np.abs(back2 - x).max() < 0.01
+
+
+def test_symbol_capture_roundtrip(tmp_path):
+    from dsdneo_tpu.io.symbol_capture import (SymbolCapture,
+                                              read_symbol_capture,
+                                              write_symbol_capture)
+    rng = np.random.default_rng(1)
+    dibits = rng.integers(0, 4, 500).astype(np.uint8)
+    rel = rng.integers(0, 256, 500).astype(np.uint8)
+    p = tmp_path / "syms.bin"
+    write_symbol_capture(str(p), SymbolCapture(dibits, rel), soft=True)
+    cap = read_symbol_capture(str(p))
+    np.testing.assert_array_equal(cap.dibits, dibits)
+    np.testing.assert_array_equal(cap.reliability, rel)
+    # legacy
+    p2 = tmp_path / "syms2.bin"
+    write_symbol_capture(str(p2), SymbolCapture(dibits), soft=False)
+    cap2 = read_symbol_capture(str(p2))
+    np.testing.assert_array_equal(cap2.dibits, dibits)
+
+
+@pytest.mark.skipif(not os.path.exists("/tmp/oracle_dmr_syms.bin"),
+                    reason="oracle capture not present")
+def test_symbol_capture_reads_reference_format():
+    from dsdneo_tpu.io.symbol_capture import read_symbol_capture
+    cap = read_symbol_capture("/tmp/oracle_dmr_syms.bin")
+    assert cap.dibits.size > 9000
+    assert set(np.unique(cap.dibits)) <= {0, 1, 2, 3}
+
+
+def test_udp_pcm_loopback():
+    from dsdneo_tpu.io.net import UdpAudioOutput, UdpPcmInput
+    inp = UdpPcmInput(port=0)
+    port = inp.sock.getsockname()[1]
+    out = UdpAudioOutput(port=port, chunk=160)
+    pcm = (np.sin(np.arange(480) * 0.1) * 10000).astype(np.int16)
+    out.write(pcm)
+    got = inp.read(480, timeout=2.0)
+    assert got is not None
+    np.testing.assert_array_equal(got, pcm)
+    inp.close()
+    out.close()
+
+
+def test_udp_control_tune():
+    from dsdneo_tpu.io.net import UdpControlServer
+    tuned = []
+    srv = UdpControlServer(on_tune=tuned.append, port=0)
+    port = srv.sock.getsockname()[1]
+    c = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    c.settimeout(2.0)
+    c.sendto(b"TUNE 851012500", ("127.0.0.1", port))
+    resp, _ = c.recvfrom(16)
+    assert resp.strip() == b"OK"
+    assert tuned == [851012500.0]
+    srv.close()
+    c.close()
+
+
+def test_rigctl_protocol():
+    from dsdneo_tpu.io.net import RigctlClient
+    # fake rigctld
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+    state = {"freq": 0}
+
+    def server():
+        conn, _ = lsock.accept()
+        f = conn.makefile("rwb")
+        for line in f:
+            parts = line.decode().split()
+            if not parts:
+                continue
+            if parts[0] == "F":
+                state["freq"] = int(parts[1])
+                f.write(b"RPRT 0\n")
+            elif parts[0] == "f":
+                f.write(str(state["freq"]).encode() + b"\n")
+            f.flush()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    cli = RigctlClient(port=port)
+    assert cli.set_freq(852_000_000)
+    assert state["freq"] == 852_000_000
+    assert cli.get_freq() == 852_000_000
+    cli.close()
+    lsock.close()
