@@ -59,6 +59,17 @@ def main(argv: list[str] | None = None) -> int:
     except (OSError, ValueError) as e:
         print(f"dsd-neo-tpu: cannot replay {args.iq_replay}: {e}", file=sys.stderr)
         return 1
+    if args.frontend == "terminal":
+        import numpy as np
+        from dsdneo_tpu.ui.terminal import UiModel, run
+        audio_s = sum(len(c) for chunks in ctx.audio.values()
+                      for c in chunks) / 8000.0
+        run(UiModel(mode=args.mode, source=args.iq_replay,
+                    n_events=len(ctx.events),
+                    n_syncs=getattr(ctx, "n_syncs", 0),
+                    audio_s=audio_s,
+                    lines=[e.line for e in ctx.events],
+                    soft=getattr(ctx, "debug_soft", None)))
     for ev in ctx.events:
         print(ev.line, file=sys.stderr)
 

@@ -1,0 +1,86 @@
+"""Signal-quality estimators: per-modulation SNR, squelch, spectrum.
+
+Reference parity: src/dsp/snr_estimator.cpp (C4FM eye / QPSK
+constellation / GFSK eye SNR) + snr_bias.cpp corrections, the power
+squelch in demod_pipeline.cpp, and the spectrum snapshot feeding the
+UI/auto-PPM (src/io/radio/rtl_metrics.cpp).
+All batched ``[C, ...]`` pure functions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def snr_c4fm_eye(norm_symbols: jax.Array) -> jax.Array:
+    """Eye-based SNR (dB) for 4-level symbols normalized to ±1/±3:
+    signal power of the ideal levels vs residual around nearest level."""
+    lv = jnp.asarray([1.0, 3.0, -1.0, -3.0])
+    d = jnp.min(jnp.abs(norm_symbols[..., None] - lv), axis=-1)
+    noise = jnp.mean(d ** 2, axis=-1)
+    sig = jnp.mean(norm_symbols ** 2, axis=-1)
+    return 10.0 * jnp.log10(jnp.maximum(sig / jnp.maximum(noise, 1e-9), 1e-9))
+
+
+def snr_qpsk_constellation(symbols: jax.Array) -> jax.Array:
+    """SNR (dB) from unit-circle spread of differential QPSK phasors."""
+    mag = jnp.abs(symbols)
+    mean_mag = jnp.mean(mag, axis=-1, keepdims=True)
+    err = jnp.mean((mag - mean_mag) ** 2, axis=-1)
+    sig = jnp.mean(mag ** 2, axis=-1)
+    return 10.0 * jnp.log10(jnp.maximum(sig / jnp.maximum(err, 1e-9), 1e-9))
+
+
+def power_squelch(iq: jax.Array, threshold_db: float = -110.0) -> jax.Array:
+    """Per-channel open/closed gate from mean input power (dBFS)."""
+    p = jnp.mean(jnp.abs(iq) ** 2, axis=-1)
+    db = 10.0 * jnp.log10(jnp.maximum(p, 1e-20))
+    return db > threshold_db
+
+
+def spectrum_snapshot(iq: jax.Array, nfft: int = 1024) -> jax.Array:
+    """Averaged power spectrum ``[C, nfft]`` in dB (UI + auto-PPM food)."""
+    c, n = iq.shape
+    m = n // nfft
+    x = iq[:, : m * nfft].reshape(c, m, nfft)
+    w = jnp.hanning(nfft).astype(jnp.float32)
+    spec = jnp.fft.fftshift(jnp.abs(jnp.fft.fft(x * w, axis=-1)) ** 2, axes=-1)
+    avg = jnp.mean(spec, axis=1)
+    return 10.0 * jnp.log10(jnp.maximum(avg, 1e-20))
+
+
+def estimate_cfo_fm(disc: jax.Array, fs: float) -> jax.Array:
+    """Carrier-offset estimate (Hz) from discriminator DC — the auto-PPM
+    observable (reference src/io/radio/rtl_auto_ppm.cpp)."""
+    return jnp.mean(disc, axis=-1) * (fs / 2.0)
+
+
+class AutoPpm:
+    """Slow PPM drift corrector: averages CFO observations when SNR/power
+    gates pass, converging on a ppm correction (host-side controller)."""
+
+    def __init__(self, center_hz: float, gate_snr_db: float = 10.0,
+                 alpha: float = 0.05, lock_threshold_hz: float = 50.0):
+        self.center_hz = center_hz
+        self.gate_snr_db = gate_snr_db
+        self.alpha = alpha
+        self.lock_threshold_hz = lock_threshold_hz
+        self.est_hz = 0.0
+        self.locked = False
+        self.n_obs = 0
+
+    def observe(self, cfo_hz: float, snr_db: float) -> float:
+        if snr_db >= self.gate_snr_db:
+            self.est_hz += self.alpha * (cfo_hz - self.est_hz)
+            self.n_obs += 1
+            if self.n_obs > 20 and abs(cfo_hz - self.est_hz) < self.lock_threshold_hz:
+                self.locked = True
+        return self.ppm
+
+    @property
+    def ppm(self) -> float:
+        if self.center_hz <= 0:
+            return 0.0
+        return -self.est_hz / self.center_hz * 1e6

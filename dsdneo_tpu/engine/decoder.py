@@ -43,6 +43,8 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
 
     ctx = proto_base.DecoderContext(verbose=verbose)
     ctx.mode_name = mode.name
+    ctx.debug_soft = norm
+    ctx.n_syncs = len(hits)
     registry = proto_base.registry()
     decoders: dict[str, proto_base.ProtocolDecoder] = {}
     consumed_until = 0

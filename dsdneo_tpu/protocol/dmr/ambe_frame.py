@@ -1,0 +1,56 @@
+"""AMBE+2 (3600x2450) voice frame ECC for DMR/dPMR/NXDN/YSF.
+
+A 72-bit frame carries 4 code vectors: C0 Golay(24,12), C1 Golay(23,12)
+(PN-scrambled from the corrected C0), C2 11 raw bits, C3 14 raw bits →
+49 parameter bits.  The DMR dibit interleave is the standard map
+(reference copy include/dsd-neo/core/ambe_interleave.h).
+
+The C1 PN descramble uses the same placeholder recurrence as the IMBE
+path (see protocol/p25/imbe_frame.py STATUS note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dsdneo_tpu.fec.blockcodes import golay_24_12
+from dsdneo_tpu.protocol.p25.imbe_frame import golay_23_12, _pn_bits
+
+# (high_row, high_col, low_row, low_col) per dibit
+AMBE_MAP = [
+    (0, 23, 0, 5), (1, 10, 2, 3), (0, 22, 0, 4), (1, 9, 2, 2), (0, 21, 0, 3), (1, 8, 2, 1),
+    (0, 20, 0, 2), (1, 7, 2, 0), (0, 19, 0, 1), (1, 6, 3, 13), (0, 18, 0, 0), (1, 5, 3, 12),
+    (0, 17, 1, 22), (1, 4, 3, 11), (0, 16, 1, 21), (1, 3, 3, 10), (0, 15, 1, 20), (1, 2, 3, 9),
+    (0, 14, 1, 19), (1, 1, 3, 8), (0, 13, 1, 18), (1, 0, 3, 7), (0, 12, 1, 17), (2, 10, 3, 6),
+    (0, 11, 1, 16), (2, 9, 3, 5), (0, 10, 1, 15), (2, 8, 3, 4), (0, 9, 1, 14), (2, 7, 3, 3),
+    (0, 8, 1, 13), (2, 6, 3, 2), (0, 7, 1, 12), (2, 5, 3, 1), (0, 6, 1, 11), (2, 4, 3, 0),
+]
+
+
+def deinterleave_ambe72(bits72: np.ndarray) -> np.ndarray:
+    """72 on-air bits (36 dibits) → ambe_fr[4][24]."""
+    fr = np.zeros((4, 24), dtype=np.uint8)
+    b = np.asarray(bits72, dtype=np.uint8)
+    for j, (hr, hc, lr, lc) in enumerate(AMBE_MAP):
+        fr[hr][hc] = b[2 * j]
+        fr[lr][lc] = b[2 * j + 1]
+    return fr
+
+
+def decode_ambe_ecc(bits72: np.ndarray) -> tuple[np.ndarray, int]:
+    """72 on-air bits → (49 AMBE parameter bits, error count)."""
+    fr = deinterleave_ambe72(bits72)
+    g24 = golay_24_12()
+    g23 = golay_23_12()
+    errs = 0
+    c0, e0 = g24.decode(fr[0])
+    errs += e0
+    pn = _pn_bits(c0, 23)
+    c1, e1 = g23.decode(fr[1][:23] ^ pn)
+    errs += e1
+    out = np.zeros(49, dtype=np.uint8)
+    out[0:12] = [(c0 >> (11 - i)) & 1 for i in range(12)]
+    out[12:24] = [(c1 >> (11 - i)) & 1 for i in range(12)]
+    out[24:35] = fr[2][:11]
+    out[35:49] = fr[3][:14]
+    return out, errs

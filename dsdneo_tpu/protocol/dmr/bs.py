@@ -207,4 +207,19 @@ class DmrBsDecoder(ProtocolDecoder):
         h1 = self._slice_bits(reader, pos - 54, 54, invert)
         h2 = self._slice_bits(reader, pos + 24, 54, invert)
         if h1 is not None and h2 is not None:
-            ctx.events[-1].fields["ambe216"] = np.concatenate([h1, h2])
+            voice216 = np.concatenate([h1, h2])
+            ctx.events[-1].fields["ambe216"] = voice216
+            self._synthesize(voice216, s, ctx)
+
+    def _synthesize(self, voice216: np.ndarray, slot: int,
+                    ctx: DecoderContext) -> None:
+        from dsdneo_tpu.protocol.dmr.ambe_frame import decode_ambe_ecc
+        from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
+        from dsdneo_tpu.vocoder.synth import synthesize_frames
+        params = []
+        for k in range(3):
+            bits49, _errs = decode_ambe_ecc(voice216[72 * k:72 * (k + 1)])
+            params.append(decode_ambe_2450(bits49))
+        pcm = synthesize_frames(params)
+        if pcm.size:
+            ctx.emit_audio(pcm, slot=slot)
