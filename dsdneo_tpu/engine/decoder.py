@@ -23,6 +23,8 @@ import dsdneo_tpu.protocol.dstar  # noqa: F401
 import dsdneo_tpu.protocol.nxdn  # noqa: F401
 import dsdneo_tpu.protocol.ysf  # noqa: F401
 import dsdneo_tpu.protocol.p25  # noqa: F401
+import dsdneo_tpu.protocol.provoice  # noqa: F401
+import dsdneo_tpu.protocol.x2tdma  # noqa: F401
 from dsdneo_tpu.symbols import framesync
 
 

@@ -154,6 +154,10 @@ class DpmrDecoder(ProtocolDecoder):
             elif (c1 or h1[0]) and fn1 == 2 or (c2 or h2[0]) and fn2 == 3:
                 self.src = ident
 
+        # TCH voice: 4 AMBE frames per frame, two frames per part
+        for base in (pos + 36, pos + 36 + 144 + 12 + 36):
+            self._voice(reader, base, ctx)
+
         line = f"Sync: {hit.sync.name}  dPMR Frame Sync 2 \n"
         line += f" TG={self.tg}" if self.tg else " TG=(CRC ERR)"
         if self.src:
@@ -164,3 +168,20 @@ class DpmrDecoder(ProtocolDecoder):
             line += " Src=(CRC ERR) Channel Code =(CRC ERR)"
         ctx.emit(line, "dpmr", hit.pos, fn=(fn1, fn2))
         return pos + 372
+
+    def _voice(self, reader: DibitReader, start: int, ctx: DecoderContext) -> None:
+        """4 AMBE+2 frames of 36 dibits each (reference
+        src/protocol/dpmr/dpmr_voice.c dpmr_read_tch_group)."""
+        from dsdneo_tpu.protocol.dmr.ambe_frame import decode_ambe_ecc
+        from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
+        from dsdneo_tpu.vocoder.synth import synthesize_frames
+        params = []
+        for k in range(4):
+            bits = self._bits(reader, start + 36 * k, 36)
+            if bits is None:
+                return
+            bits49, _errs = decode_ambe_ecc(bits)
+            params.append(decode_ambe_2450(bits49))
+        pcm = synthesize_frames(params)
+        if pcm.size:
+            ctx.emit_audio(pcm, slot=0)

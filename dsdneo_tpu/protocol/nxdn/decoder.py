@@ -171,10 +171,30 @@ class NxdnDecoder(ProtocolDecoder):
             line += self._sacch(bits[16:76], rel[16:76], ctx, hit)
         ctx.emit(line, "nxdn", hit.pos, lich=lich)
         if voice:
-            # AMBE 49-bit frames live in the FACCH halves; collected for
-            # the vocoder stage
             ctx.events[-1].fields["voice_bits"] = bits[76:364]
+            self._voice(dd, voice, ctx)
         return pos + 182
+
+    def _voice(self, dd: np.ndarray, voice: int, ctx: DecoderContext) -> None:
+        """AMBE frames at dibits 38+36k of the descrambled frame
+        (reference src/protocol/nxdn/nxdn_voice.c); voice mask 1=first
+        half, 2=second, 3=both."""
+        from dsdneo_tpu.protocol.dmr.ambe_frame import decode_ambe_ecc
+        from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
+        from dsdneo_tpu.vocoder.synth import synthesize_frames
+        start = 0 if voice in (1, 3) else 2
+        stop = 2 if voice == 1 else 4
+        params = []
+        for k in range(start, stop):
+            seg = dd[38 + 36 * k: 38 + 36 * (k + 1)]
+            bits72 = np.empty(72, dtype=np.uint8)
+            bits72[0::2] = (seg >> 1) & 1
+            bits72[1::2] = seg & 1
+            bits49, _errs = decode_ambe_ecc(bits72)
+            params.append(decode_ambe_2450(bits49))
+        pcm = synthesize_frames(params)
+        if pcm.size:
+            ctx.emit_audio(pcm, slot=0)
 
     # -- SACCH ------------------------------------------------------------
     def _sacch(self, bits60, rel60, ctx: DecoderContext, hit: SyncHit) -> str:

@@ -101,6 +101,8 @@ class YsfDecoder(ProtocolDecoder):
         payload = self._dd(reader, pos + 120, 360)
         if payload is not None and fi == 1 and dt == 2:
             detail = self._dch2(payload, fn, cm, ctx)
+        if payload is not None and dt == 2:
+            self._voice_vd2(payload, ctx)
         ctx.emit(line + detail, "ysf", pos, dt=dt, fn=fn, cm=cm)
         return pos + 480
 
@@ -156,3 +158,33 @@ class YsfDecoder(ProtocolDecoder):
         if fn == 5:
             return f"RM3: {txt[:5]} RM4: {txt[5:]} "
         return ""
+
+    def _voice_vd2(self, payload: np.ndarray, ctx: DecoderContext) -> None:
+        """V/D2 voice: 5 blocks of 52 dibits after each 20-dibit DCH
+        chunk; 104 bits de-interleaved (4x26) + PN-dewhitened, with
+        tripled-bit majority vote for the protected prefix → 49-bit AMBE
+        (reference src/protocol/ysf/ysf.c ysf_read_type2_vech_bits /
+        ysf_build_type2_ambe)."""
+        from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
+        from dsdneo_tpu.vocoder.synth import synthesize_frames
+        maj = np.array([0, 0, 0, 1, 0, 1, 1, 1], dtype=np.uint8)
+        params = []
+        for blk in range(5):
+            seg = payload[blk * 72 + 20: blk * 72 + 72]
+            bits = np.empty(104, dtype=np.uint8)
+            k = 0
+            for d in seg:
+                for b in ((d >> 1) & 1, d & 1):
+                    idx = (k % 4) * 26 + k // 4
+                    bits[idx] = b ^ _PN95_512[idx % 512]
+                    k += 1
+            ambe = np.zeros(49, dtype=np.uint8)
+            li = 0
+            for j in range(2, 81, 3):
+                ambe[li] = maj[(bits[j - 2] << 2) | (bits[j - 1] << 1) | bits[j]]
+                li += 1
+            ambe[27:49] = bits[81:103]
+            params.append(decode_ambe_2450(ambe))
+        pcm = synthesize_frames(params)
+        if pcm.size:
+            ctx.emit_audio(pcm, slot=0)
