@@ -38,11 +38,76 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(flag, dest="mode", action="store_const", const=mode,
                        help=f"decode mode: {mode}")
     p.set_defaults(mode="auto")
+    # M17 encoders (reference src/runtime/cli/args.c:2289-2313 -fZ/-fB/-fP)
+    p.add_argument("-fZ", dest="tx_mode", action="store_const", const="str",
+                   help="M17 stream encoder")
+    p.add_argument("-fP", dest="tx_mode", action="store_const", const="pkt",
+                   help="M17 packet encoder")
+    p.add_argument("-fB", dest="tx_mode", action="store_const", const="brt",
+                   help="M17 BERT encoder")
+    p.add_argument("-M", dest="m17dat", default="",
+                   metavar="M17:CAN:SRC:DST",
+                   help="M17 encoder user data (reference -M)")
+    p.add_argument("--m17-sms", default="", metavar="TEXT",
+                   help="SMS text for the M17 packet encoder")
+    p.add_argument("--tx-frames", type=int, default=25,
+                   help="stream/BERT frames to transmit")
     return p
+
+
+def _run_m17_tx(args) -> int:
+    """Generate an M17 transmission as a baseband I/Q capture.
+
+    The reference encoders (src/protocol/m17/m17.c encodeM17STR/PKT/BRT)
+    emit 48 kHz RF audio; here the dibit stream is 4FSK-modulated at
+    48 kHz (10 samples/symbol) and written as a cf32 capture that the
+    decode path — ours or the reference's — can replay.
+    """
+    import numpy as np
+    from dsdneo_tpu.protocol.m17 import encoder as m17tx
+
+    can, src, dst = 7, "DSD-NEO", "BROADCAST"
+    parts = args.m17dat.upper().split(":")
+    if parts and parts[0] == "M17":
+        if len(parts) > 1 and parts[1].isdigit():
+            can = min(int(parts[1]), 15)
+        if len(parts) > 2 and parts[2]:
+            src = parts[2][:9]
+        if len(parts) > 3 and parts[3]:
+            dst = parts[3][:9]
+
+    if args.tx_mode == "str":
+        voice = np.zeros((args.tx_frames, 128), dtype=np.uint8)
+        dibits = m17tx.encode_stream_transmission(dst, src, voice, can=can)
+        desc = f"M17 Stream  CAN:{can} SRC:{src} DST:{dst} ({args.tx_frames} frames)"
+    elif args.tx_mode == "pkt":
+        text = args.m17_sms or "dsd-neo-tpu M17 packet test"
+        dibits = m17tx.encode_packet_transmission(dst, src, text, can=can)
+        desc = f"M17 Packet  CAN:{can} SRC:{src} DST:{dst} SMS:{text!r}"
+    else:
+        dibits = m17tx.encode_bert_transmission(args.tx_frames)
+        desc = f"M17 BERT ({args.tx_frames} frames)"
+
+    iq = m17tx.dibits_to_baseband(dibits, sps=10, dev=0.15)
+    print(f"M17 Encoder: {desc}", file=sys.stderr)
+    print(f"M17 Encoder: {len(dibits)} symbols, {len(iq)} samples @48000",
+          file=sys.stderr)
+    if args.audio_out.startswith("iq:"):
+        from dsdneo_tpu.io.iq import IqMetadata, write_iq_capture
+        write_iq_capture(args.audio_out[3:], iq,
+                         IqMetadata(sample_format="cf32", sample_rate_hz=48000))
+        print(f"M17 Encoder: wrote {args.audio_out[3:]}", file=sys.stderr)
+    elif args.audio_out != "null":
+        print("M17 Encoder: use -o iq:PATH to write the capture",
+              file=sys.stderr)
+        return 2
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "tx_mode", None):
+        return _run_m17_tx(args)
     if not args.iq_replay:
         print("dsd-neo-tpu: no input source (use --iq-replay)", file=sys.stderr)
         return 2

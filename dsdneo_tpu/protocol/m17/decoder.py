@@ -105,6 +105,9 @@ class M17Decoder(ProtocolDecoder):
         self.lsf_chunks = np.zeros((6, 40), dtype=np.uint8)
         self.chunk_ok = [False] * 6
         self.polarity: bool | None = None
+        self.pkt_chunks: dict[int, np.ndarray] = {}
+        self.bert = {"lfsr": 1, "lock": 0, "locked": False,
+                     "bits": 0, "errors": 0}
 
     def _payload_bits(self, reader: DibitReader, start: int) -> np.ndarray | None:
         if start + 184 > len(reader.dibits):
@@ -122,10 +125,14 @@ class M17Decoder(ProtocolDecoder):
         # M17's STR sync is the symbol-wise complement of the LSF sync (and
         # PKT of BRT), so on an inverted channel an 8-symbol hit means its
         # complement kind.  Channel polarity is learned from a CRC-valid LSF.
-        if self.polarity is not None and reader.invert != self.polarity:
-            kind = {"str": "lsf8", "pkt": "brt", "brt": "pkt",
-                    "pre_lsf": "pre_lsf"}.get(kind, kind)
-            reader.invert = self.polarity
+        # Unknown polarity defaults to positive (reference assumes normal
+        # polarity until -xz / inversion is established); pre_lsf keeps its
+        # own inversion so an inverted LSF can still teach the polarity.
+        want = self.polarity if self.polarity is not None else False
+        if reader.invert != want and kind != "pre_lsf":
+            kind = {"str": "lsf8", "lsf8": "str",
+                    "pkt": "brt", "brt": "pkt"}.get(kind, kind)
+            reader.invert = want
         polarity = "-" if reader.invert else "+"
         pos = hit.end
         if kind == "pre_lsf":
@@ -135,11 +142,9 @@ class M17Decoder(ProtocolDecoder):
         if kind == "str":
             return self._stream(reader, hit, ctx, polarity)
         if kind == "brt":
-            ctx.emit(f"Sync: {polarity}M17 BRT ", "m17", hit.pos)
-            return pos + 184
+            return self._bert(reader, hit, ctx, polarity)
         if kind == "pkt":
-            ctx.emit(f"Sync: {polarity}M17 PKT ", "m17", hit.pos)
-            return pos + 184
+            return self._pkt(reader, hit, ctx, polarity)
         return pos
 
     def _decode_type1(self, bits368: np.ndarray, pattern: np.ndarray,
@@ -231,3 +236,69 @@ class M17Decoder(ProtocolDecoder):
     def _stream_payload(self, bits272: np.ndarray) -> np.ndarray | None:
         sym, wt = _depuncture(bits272.astype(np.float32), _P2, 296)
         return conv.decode_soft(sym, wt, nbits=144)
+
+    def _pkt(self, reader, hit, ctx, polarity) -> int:
+        """Packet frame: 200 chunk bits + 6 metadata bits, P3-punctured
+        (reference src/protocol/m17/m17_algorithms.c
+        m17_packet_encode_type1_bits, m17_packet_parse_metadata_byte)."""
+        bits = self._payload_bits(reader, hit.end)
+        if bits is None:
+            return len(reader.dibits)
+        t1 = self._decode_type1(bits, _P3, 420, 206)
+        mb = _bti(t1[200:206]) << 2
+        eof = (mb >> 7) & 1
+        value = (mb >> 2) & 0x1F
+        line = f"Sync: {polarity}M17 PKT "
+        if not eof:
+            self.pkt_chunks[value] = t1[:200]
+            ctx.emit(line + f"BLK: {value:02d}", "m17", hit.pos)
+            return hit.end + 184
+        if value == 0 or value > 25:
+            ctx.emit(line + "META ERR", "m17", hit.pos)
+            return hit.end + 184
+        full = len(self.pkt_chunks)
+        data = np.concatenate(
+            [self.pkt_chunks[k] for k in sorted(self.pkt_chunks)] + [t1[:200]]
+        ) if full else t1[:200]
+        payload = _pack_bytes(data)[:full * 25 + value]
+        self.pkt_chunks = {}
+        if len(payload) < 3 or m17_crc16(payload) != 0:
+            ctx.emit(line + "EOF CRC ERR", "m17", hit.pos)
+            return hit.end + 184
+        app = payload[:-2]
+        detail = ""
+        if app[0] == 0x05:            # SMS protocol identifier
+            text = bytes(app[1:]).split(b"\0")[0].decode("utf-8", "replace")
+            detail = f"\n SMS: {text}"
+        ctx.emit(line + f"EOF ({len(app)} bytes){detail}", "m17", hit.pos,
+                 payload=app)
+        return hit.end + 184
+
+    def _bert(self, reader, hit, ctx, polarity) -> int:
+        """BERT frame: 197 PRBS9 bits, P2-punctured (reference
+        src/protocol/m17/m17_algorithms.c m17_prbs9_rx_push_bit)."""
+        bits = self._payload_bits(reader, hit.end)
+        if bits is None:
+            return len(reader.dibits)
+        t1 = self._decode_type1(bits, _P2, 402, 197)
+        st = self.bert
+        for b in t1:
+            b = int(b)
+            if st["locked"]:
+                s = st["lfsr"]
+                exp = ((s >> 8) ^ (s >> 4)) & 1
+                st["lfsr"] = ((s << 1) | exp) & 0x1FF
+                st["bits"] += 1
+                st["errors"] += exp != b
+            else:
+                s = st["lfsr"]
+                exp = ((s >> 8) ^ (s >> 4)) & 1
+                st["lock"] = st["lock"] + 1 if exp == b else 0
+                st["lfsr"] = ((s << 1) | b) & 0x1FF
+                if st["lock"] >= 18:
+                    st["locked"] = True
+        tag = "LOCK" if st["locked"] else "SYNCING"
+        ctx.emit(f"Sync: {polarity}M17 BRT BERT: {tag}"
+                 f" bits:{st['bits']} errors:{st['errors']}",
+                 "m17", hit.pos)
+        return hit.end + 184

@@ -36,6 +36,7 @@ def estimate_levels(sym: jax.Array, win: int = 512, four_level: bool = True):
     back to ``[C, K]`` (step function per window).
     """
     c, k = sym.shape
+    win = min(win, k)            # short captures: one window over it all
     nw = max(k // win, 1)
     body = sym[:, : nw * win].reshape(c, nw, win)
     hi = jnp.quantile(body, 0.98, axis=-1)
