@@ -44,10 +44,13 @@ def main() -> int:
     n_sym = int(B // sps) - 2
     taps = firdes.channel_lpf(float(FS), mode.lpf_profile)
 
+    use_pallas = jax.default_backend() not in ("cpu",)
+
     @jax.jit
     def chained(iq):
         def body(carry, _):
-            d, s, p = frontend_step(iq + carry * 1e-9, taps, sps, n_sym, True)
+            d, s, p = frontend_step(iq + carry * 1e-9, taps, sps, n_sym, True,
+                                    use_pallas=use_pallas)
             return jnp.sum(s) + jnp.sum(p), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
         return acc

@@ -31,7 +31,7 @@ from dsdneo_tpu.engine.modes import MODES, ModeConfig
 
 
 def frontend_step(iq: jax.Array, taps: jax.Array, sps: float, n_sym: int,
-                  four_level: bool = True):
+                  four_level: bool = True, use_pallas: bool = False):
     """Pure function: I/Q → (dibits, soft, power) for a ``[C, B]`` batch.
 
     ``iq`` is either complex64 ``[C, B]`` or float32 ``[C, B, 2]``
@@ -39,11 +39,21 @@ def frontend_step(iq: jax.Array, taps: jax.Array, sps: float, n_sym: int,
     across the host boundary, so the serving path feeds float planes and
     forms complex on device.  C shards over the mesh with no
     cross-channel communication.
+
+    ``use_pallas`` routes the FIR + discriminator through the fused
+    MXU kernel (ops.pallas_frontend); requires ``taps`` to be a host
+    numpy array.
     """
     if iq.ndim == 3:
-        iq = jax.lax.complex(iq[..., 0], iq[..., 1])
-    y = frontend.fir_complex(iq, taps)
-    d = frontend.fm_discriminate(y)
+        xr, xi = iq[..., 0], iq[..., 1]
+    else:
+        xr, xi = jnp.real(iq), jnp.imag(iq)
+    if use_pallas:
+        from dsdneo_tpu.ops import pallas_frontend
+        d = pallas_frontend.fir_discriminate(xr, xi, np.asarray(taps))
+    else:
+        y = frontend.fir_complex(jax.lax.complex(xr, xi), taps)
+        d = frontend.fm_discriminate(y)
 
     c, n = d.shape
     # -- timing: single coherent O&M estimate per block ------------------
@@ -83,22 +93,30 @@ def frontend_step(iq: jax.Array, taps: jax.Array, sps: float, n_sym: int,
         dibits = jnp.where(neg, jnp.where(outer, 3, 2), jnp.where(outer, 1, 0))
     else:
         dibits = jnp.where(norm < 0.0, 3, 1)
-    power = jnp.mean(jnp.abs(iq) ** 2, axis=-1)
+    power = jnp.mean(xr * xr + xi * xi, axis=-1)
     return dibits.astype(jnp.uint8), norm, power
 
 
 @lru_cache(maxsize=8)
-def make_frontend_step(mode_name: str, B: int, fs: float = 48000.0):
-    """Build a jitted ``[C, B]`` front-end step for a decode mode."""
+def make_frontend_step(mode_name: str, B: int, fs: float = 48000.0,
+                       use_pallas: bool | None = None):
+    """Build a jitted ``[C, B]`` front-end step for a decode mode.
+
+    ``use_pallas=None`` auto-selects: the fused MXU kernel on TPU, the
+    plain XLA chain elsewhere (pallas interpret mode is debug-only).
+    """
     mode = MODES[mode_name]
     sps = fs / mode.symbol_rate
     n_sym = int(B // sps) - 2
     # keep taps as a host constant: eager device ops are slow on the
     # tunneled TPU and complex/constant transfers can be unsupported
     taps = firdes.channel_lpf(fs, mode.lpf_profile)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
 
     @jax.jit
     def step(iq: jax.Array):
-        return frontend_step(iq, taps, sps, n_sym, mode.four_level)
+        return frontend_step(iq, taps, sps, n_sym, mode.four_level,
+                             use_pallas=use_pallas)
 
     return step
