@@ -61,8 +61,10 @@ class DmrBsDecoder(ProtocolDecoder):
     protocol = "dmr"
 
     def __init__(self):
+        from dsdneo_tpu.protocol.dmr.data import PduAssembler
         self.color_code = -1
         self.vc_counter = {0: 0, 1: 0}
+        self.assembler = {0: PduAssembler(), 1: PduAssembler()}
 
     # -- helpers ----------------------------------------------------------
     @staticmethod
@@ -145,16 +147,60 @@ class DmrBsDecoder(ProtocolDecoder):
         if h1 is None or h2 is None:
             ctx.emit(head, "dmr", pos, cc=cc, dtype=dtype)
             return
-        payload, errors = bptc.bptc_196_96_decode(np.concatenate([h1, h2]))
+        burst = np.concatenate([h1, h2])
         detail = ""
-        if errors == 0:
-            if dtype == 3:
-                detail = self._csbk(payload, ctx)
-            elif dtype == 1:
-                detail = self._vlc_header(payload, ctx)
-            elif dtype == 2:
-                detail = self._tlc(payload, ctx)
+        if dtype == 8:                      # rate 3/4 data: trellis coded
+            detail = self._r34_block(burst, s)
+        else:
+            payload, errors = bptc.bptc_196_96_decode(burst)
+            if errors == 0:
+                if dtype == 3:
+                    detail = self._csbk(payload, ctx)
+                elif dtype == 1:
+                    detail = self._vlc_header(payload, ctx)
+                elif dtype == 2:
+                    detail = self._tlc(payload, ctx)
+                elif dtype == 6:
+                    detail = self._data_header(payload, s)
+                elif dtype == 7:
+                    detail = self._r12_block(payload, s)
+                elif dtype == 0:
+                    detail = self._pi_header(payload)
         ctx.emit(head + detail, "dmr", pos, cc=cc, dtype=dtype, slot=s)
+
+    def _data_header(self, bits96: np.ndarray, slot: int) -> str:
+        from dsdneo_tpu.protocol.dmr.data import parse_data_header
+        hdr = parse_data_header(bits96)
+        if hdr is None:
+            return " | Data Header CRC ERR"
+        self.assembler[slot].start(hdr)
+        return " | " + hdr.describe()
+
+    def _r12_block(self, bits96: np.ndarray, slot: int) -> str:
+        """Rate-1/2 unconfirmed data block: the 96 BPTC bits are payload."""
+        block = np.packbits(bits96)
+        done = self.assembler[slot].add_block(block)
+        return done if done else f" | block {self.assembler[slot].count}"
+
+    def _r34_block(self, bits196: np.ndarray, slot: int) -> str:
+        """Rate-3/4 data block (ETSI trellis; reference dmr_dburst.c
+        dmr_dburst_handle_trellis)."""
+        from dsdneo_tpu.fec import trellis34
+        dibits = ((bits196[0::2] << 1) | bits196[1::2]).astype(np.uint8)
+        data18, metric = trellis34.decode_r34(dibits)
+        done = self.assembler[slot].add_block(data18)
+        tag = "" if metric == 0 else f" (metric {metric})"
+        return done if done else f" | R34 block {self.assembler[slot].count}{tag}"
+
+    def _pi_header(self, bits96: np.ndarray) -> str:
+        """PI header (privacy indicator, CRC mask 0x6969)."""
+        ccrc = crc.crc16_bits(bits96[:80], init=0, xorout=0xFFFF) ^ 0x6969
+        if ccrc != _bits_to_int(bits96[80:96]):
+            return " | PI Header CRC ERR"
+        alg = _bits_to_int(bits96[0:8])
+        kid = _bits_to_int(bits96[16:24])
+        mi = _bits_to_int(bits96[24:56])
+        return f" | PI H- ALG ID: {alg:02X}; KEY ID: {kid:02X}; MI(32): {mi:08X};"
 
     def _csbk(self, bits96: np.ndarray, ctx: DecoderContext) -> str:
         """Control Signalling Block (TS 102 361-2 7.1; CRC mask 0xA5A5)."""

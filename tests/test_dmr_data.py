@@ -1,0 +1,137 @@
+"""DMR data path: rate-3/4 trellis, data header, PDU assembly — driven
+through the real burst decoder on synthesized bursts."""
+
+import numpy as np
+import pytest
+
+
+def test_trellis34_roundtrip():
+    from dsdneo_tpu.fec.trellis34 import decode_r34, encode_r34
+    rng = np.random.default_rng(0)
+    for data in (np.zeros(18, np.uint8), np.full(18, 0xFF, np.uint8),
+                 rng.integers(0, 256, 18).astype(np.uint8)):
+        out, metric = decode_r34(encode_r34(data))
+        assert metric == 0
+        assert np.array_equal(out, data)
+
+
+def test_data_header_parse_confirmed():
+    from dsdneo_tpu.fec import crc
+    from dsdneo_tpu.protocol.dmr.data import parse_data_header
+    bits = np.zeros(96, dtype=np.uint8)
+    bits[0] = 1                       # group
+    bits[4:8] = [0, 0, 1, 1]          # DPF 3 = confirmed
+    bits[8:12] = [0, 1, 0, 0]         # SAP 4 = IP based
+
+    def put(val, lo, n):
+        for i in range(n):
+            bits[lo + i] = (val >> (n - 1 - i)) & 1
+    put(1234, 16, 24)                 # target
+    put(5678, 40, 24)                 # source
+    put(2, 65, 7)                     # blocks to follow
+    c = crc.crc16_bits(bits[:80], init=0, xorout=0xFFFF) ^ 0xCCCC
+    put(c, 80, 16)
+    h = parse_data_header(bits)
+    assert h is not None
+    assert h.dpf == 3 and h.confirmed
+    assert h.target == 1234 and h.source == 5678
+    assert h.blocks == 2 and h.sap == 4
+    assert "Confirmed Delivery" in h.describe()
+    assert "Source: 5678 Target: 1234" in h.describe()
+    # corrupt CRC → reject
+    bits[95] ^= 1
+    assert parse_data_header(bits) is None
+
+
+def _golay_slot_type(cc: int, dtype: int) -> np.ndarray:
+    from dsdneo_tpu.fec.blockcodes import golay_20_8
+    return golay_20_8().codebook[(cc << 4) | dtype]
+
+
+def _bits_of(v, n):
+    return np.array([(v >> (n - 1 - i)) & 1 for i in range(n)], dtype=np.uint8)
+
+
+def _make_burst(payload196: np.ndarray, cc: int, dtype: int) -> np.ndarray:
+    """CACH(24) + [49][5] SYNC(48) [5][49] bit image → dibit array."""
+    from dsdneo_tpu.protocol.dmr.bs import CACH_INTERLEAVE
+    from dsdneo_tpu.fec.blockcodes import hamming_7_4
+    st = _golay_slot_type(cc, dtype)
+    sync_bits = np.zeros(48, dtype=np.uint8)
+    sync = "313333111331131131331131"      # +DMR BS data
+    sync_d = np.array([1 if ch == "1" else 3 for ch in sync], dtype=np.uint8)
+    sync_bits[0::2] = (sync_d >> 1) & 1
+    sync_bits[1::2] = sync_d & 1
+    # CACH: TACT word (AT=0 TC=0 LCSS=0) → Hamming(7,4) + payload zeros
+    cach = np.zeros(24, dtype=np.uint8)
+    cach[:7] = hamming_7_4().codebook[0]
+    cach_tx = cach[CACH_INTERLEAVE]
+    bits = np.concatenate([cach_tx, payload196[:98], st[:10], sync_bits,
+                           st[10:], payload196[98:]])
+    return ((bits[0::2] << 1) | bits[1::2]).astype(np.uint8)
+
+
+def _decode_stream(dibits):
+    from dsdneo_tpu.protocol.base import DecoderContext, DibitReader, registry
+    import dsdneo_tpu.protocol.dmr  # noqa: F401
+    from dsdneo_tpu.symbols import framesync
+    lv = np.array([1.0, 3.0, -1.0, -3.0], dtype=np.float32)
+    soft = lv[dibits]
+    hits = framesync.find_syncs(soft, framesync.patterns_for({"dmr"}),
+                                threshold=0.9)
+    ctx = DecoderContext()
+    dec = registry()["dmr"]()
+    for h in hits:
+        r = DibitReader(dibits, soft, pos=h.end, frame_start=h.pos,
+                        invert=h.sync.inverted)
+        dec.handle(r, h, ctx)
+    return ctx
+
+
+def test_dmr_data_call_r34_end_to_end():
+    """Header burst + two rate-3/4 blocks through the real decoder."""
+    from dsdneo_tpu.fec import crc
+    from dsdneo_tpu.fec.bptc import bptc_196_96_encode
+    from dsdneo_tpu.fec.trellis34 import encode_r34
+    from dsdneo_tpu.protocol.dmr.data import crc32_bits
+
+    # data header: unconfirmed delivery, 2 blocks follow
+    hb = np.zeros(96, dtype=np.uint8)
+    hb[0] = 1
+    hb[4:8] = [0, 0, 1, 0]           # DPF 2 unconfirmed
+    hb[8:12] = [0, 1, 0, 0]
+    hb[16:40] = _bits_of(100, 24)
+    hb[40:64] = _bits_of(200, 24)
+    hb[65:72] = _bits_of(2, 7)
+    c = crc.crc16_bits(hb[:80], init=0, xorout=0xFFFF) ^ 0xCCCC
+    hb[80:96] = _bits_of(c, 16)
+
+    # 2 x 18-byte rate 3/4 blocks; last 4 bytes = CRC32 over swapped rest
+    msg = b"Hello DMR data world over trellis 34" [:32]
+    payload = np.frombuffer(msg, dtype=np.uint8).copy()
+    swapped = payload.copy()
+    for i in range(0, len(swapped) - 1, 2):
+        swapped[i], swapped[i + 1] = swapped[i + 1], swapped[i]
+    cv = crc32_bits(np.unpackbits(swapped))
+    full = np.concatenate([payload, _bits_of(cv, 32).reshape(4, 8)
+                           .dot(1 << np.arange(7, -1, -1)).astype(np.uint8)])
+    assert len(full) == 36
+
+    gap = np.zeros(80, dtype=np.uint8)
+    stream = [gap, _make_burst(bptc_196_96_encode(hb), 7, 6)]
+    for blk in (full[:18], full[18:]):
+        bits = np.unpackbits(blk)
+        dib = encode_r34(blk)
+        p = np.zeros(196, dtype=np.uint8)
+        p[0::2] = (dib >> 1) & 1
+        p[1::2] = dib & 1
+        stream.append(_make_burst(p, 7, 8))
+    stream.append(gap)
+    ctx = _decode_stream(np.concatenate(stream))
+    text = "\n".join(e.line for e in ctx.events)
+    assert "Data Header" in text
+    assert "Unconfirmed Delivery" in text
+    assert "Source: 200 Target: 100" in text
+    assert "R34 block 1" in text
+    assert "CRC32 OK" in text
+    assert "Hello DMR data world" in text
