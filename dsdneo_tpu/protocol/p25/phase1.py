@@ -54,9 +54,43 @@ class P25P1Decoder(ProtocolDecoder):
             self._ldu2(reader, hit, ctx)
         elif duid == 0x0:
             self._hdu(reader, hit, ctx)
-        elif duid in (0x3, 0xF):
+        elif duid == 0xF:
+            self._tdulc(reader, hit, ctx)
+        elif duid == 0x3:
             pass  # terminator: nothing further to read before next sync
         return reader.pos
+
+    # -- TDULC ------------------------------------------------------------
+    def _tdulc(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> None:
+        """Terminator with Link Control: 6 data + 6 parity dodeca words,
+        each Golay(24,12), then RS(24,12,13) over the hexword pairs
+        (reference p25p1_tdulc.c tdulc_read_data_and_parity_words /
+        tdulc_build_lcw_payload)."""
+        if reader.remaining() < 150:
+            return
+        gol = blockcodes.golay_24_12()
+        words = np.zeros((12, 12), dtype=np.uint8)
+        for w in range(12):
+            bits, rel = reader.read_bits(12)
+            msg, _e = gol.decode(bits, rel)
+            words[w] = [(msg >> (11 - i)) & 1 for i in range(12)]
+        # hexwords in plain stream order: word w yields hexwords 2w
+        # (bits 0-5) and 2w+1 (bits 6-11); validated against the
+        # p25p1_cqpsk_vc fixture's TDULC Group Voice LCWs
+        hexwords = np.zeros(24, dtype=np.int64)
+        for w in range(12):
+            hexwords[2 * w] = _bits_to_int(words[w][0:6])
+            hexwords[2 * w + 1] = _bits_to_int(words[w][6:12])
+        code = rs.rs_24_12_13()
+        dec, nerr = code.decode(hexwords)
+        if nerr < 0:
+            ctx.emit(" TDULC RS FEC ERR", "p25p1", hit.pos)
+            return
+        lc_bits = np.zeros(72, dtype=np.uint8)
+        for i in range(12):
+            for j in range(6):
+                lc_bits[6 * i + j] = (int(dec[i]) >> (5 - j)) & 1
+        self._lcw(lc_bits, hit, ctx)
 
     # -- NID --------------------------------------------------------------
     def _read_nid(self, reader: DibitReader, ctx: DecoderContext):
@@ -88,6 +122,99 @@ class P25P1Decoder(ProtocolDecoder):
             if last:
                 return
 
+    @staticmethod
+    def _iden_table(ctx: DecoderContext):
+        from dsdneo_tpu.engine.trunk import IdenTable
+        if getattr(ctx.state, "iden_table", None) is None:
+            ctx.state.iden_table = IdenTable()
+        return ctx.state.iden_table
+
+    def _chan_freq_note(self, ctx: DecoderContext, channel: int) -> str:
+        """'P25 FREQ: map …' resolution line (reference
+        p25_frequency.c process_channel_to_freq prints)."""
+        freq = self._iden_table(ctx).channel_to_freq(channel)
+        if freq is None:
+            return ""
+        return f"\n  P25 FREQ: map ch=0x{channel:04X} -> {freq / 1e6:.6f} MHz"
+
+    def _iden_update(self, b: np.ndarray, opcode: int, ctx: DecoderContext,
+                     hit: SyncHit) -> None:
+        """IDEN_UP family (0x33 TDMA / 0x34 VHF-UHF / 0x3D standard);
+        field extraction per reference p25p2_mac_parse.c
+        p25p2_mac_decode_iden_* (the P1 TSBK bridges through the same
+        layout, tsbk_build_mac_like_pdu)."""
+        iden = int(b[2]) >> 4
+        if opcode == 0x3D:               # standard
+            bw = ((int(b[2]) & 0xF) << 5) | ((int(b[3]) & 0xF8) >> 3)
+            sign = (int(b[3]) >> 2) & 1
+            raw = ((int(b[3]) & 3) << 6) | (int(b[4]) >> 2)
+            chan_type, bw_vu = 1, 0
+            title = " Identifier Update (8.3.1.23)"
+        else:                            # VHF/UHF and TDMA share layout
+            bw_vu = int(b[2]) & 0xF
+            sign = (int(b[3]) >> 7) & 1
+            raw = ((int(b[3]) & 0x7F) << 6) | (int(b[4]) >> 2)
+            bw = 0
+            chan_type = bw_vu if opcode == 0x33 else 1
+            title = (" Identifier Update for TDMA - Abbreviated"
+                     if opcode == 0x33 else " Identifier Update UHF/VHF")
+        trans_off = raw if sign else -raw
+        chan_spac = ((int(b[4]) & 3) << 8) | int(b[5])
+        base = (int(b[6]) << 24) | (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+        slots = {3: 2, 4: 4, 5: 2}.get(chan_type, 1) if opcode == 0x33 else 1
+        self._iden_table(ctx).add(iden, base * 5.0, chan_spac * 125.0,
+                                  trans_off * 250e3, slots)
+        if opcode == 0x33:
+            detail = (f"{title}\n  Channel Identifier [{iden:X}] Channel Type"
+                      f" [{chan_type:X}] Transmit Offset [{trans_off & 0xFFFFFFFF:04X}]")
+        elif opcode == 0x34:
+            detail = (f"{title}\n  Channel Identifier [{iden:X}] BW [{bw_vu:X}]"
+                      f" Transmit Offset [{trans_off & 0xFFFFFFFF:04X}]")
+        else:
+            detail = (f"{title}\n  Channel Identifier [{iden:X}] BW [{bw:X}]"
+                      f" Transmit Offset [{trans_off & 0xFFFFFFFF:04X}]")
+        detail += (f"\n  Channel Spacing [{chan_spac:03X}]"
+                   f" Base Frequency [{base:08X}] [{base * 5:09d}]")
+        ctx.emit(detail, "p25p1", hit.pos, iden=iden)
+
+    def _mfid90(self, b: np.ndarray, opcode: int, hit: SyncHit,
+                ctx: DecoderContext) -> None:
+        """Motorola (MFID 0x90) TSBKs (reference p25p1_tsbk.c:624-657)."""
+        if opcode == 0x09:
+            mk = (int(b[2]) >> 4) & 0xF
+            ctx.emit(f" MFID90 (Moto) Scan Marker Broadcast\n"
+                     f"  MK: {mk} MS: {int(b[3])} Value: {(int(b[4]) << 8) | int(b[5])}",
+                     "p25p1", hit.pos)
+        elif opcode == 0x0B:
+            channel = (int(b[2]) << 8) | int(b[3])
+            note = self._chan_freq_note(ctx, channel)
+            ctx.emit(f" MFID90 (Moto) Control Channel Base Station ID\n"
+                     f"  CHAN [{channel:04X}]{note}", "p25p1", hit.pos)
+        elif opcode == 0x0A:
+            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" MFID90 (Moto) Emergency Alarm Activation\n"
+                     f"  Source: {src} ** EMERGENCY **", "p25p1", hit.pos)
+        elif opcode == 0x08:
+            src = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" MFID90 (Moto) Acknowledge Response\n"
+                     f"  Service [{int(b[2]) & 0x3F:02X}] Source [{src}] Target [{tgt}]",
+                     "p25p1", hit.pos)
+        elif opcode in (0x00, 0x01):
+            sg = (int(b[2]) << 8) | int(b[3])
+            ga1 = (int(b[4]) << 8) | int(b[5])
+            act = "Add" if opcode == 0x00 else "Delete"
+            ctx.emit(f" MFID90 (Moto) Group Regroup {act} Command\n  SG: {sg}"
+                     + (f" GA1: {ga1}" if ga1 else ""), "p25p1", hit.pos)
+        elif opcode == 0x02:
+            channel = (int(b[4]) << 8) | int(b[5])
+            sg = (int(b[6]) << 8) | int(b[7])
+            ctx.emit(f" MFID90 (Moto) Group Regroup Channel Grant\n"
+                     f"  CHAN [{channel:04X}] SG [{sg}]"
+                     f"{self._chan_freq_note(ctx, channel)}", "p25p1", hit.pos)
+        else:
+            ctx.emit(f" MFID90 (Moto) Opcode {opcode:02X}", "p25p1", hit.pos)
+
     def _tsbk(self, bits96: np.ndarray, hit: SyncHit, ctx: DecoderContext) -> bool:
         """Parse one TSBK; returns True when the Last Block flag is set.
         Field layouts per TIA-102.AABC (reference p25p1_tsbk.c)."""
@@ -97,6 +224,9 @@ class P25P1Decoder(ProtocolDecoder):
         opcode = int(b[0] & 0x3F)
         mfid = int(b[1])
         s = ctx.state
+        if mfid == 0x90:
+            self._mfid90(b, opcode, hit, ctx)
+            return bool(lb)
         if protect or mfid >= 2:
             ctx.emit(f" TSBK MFID {mfid:02X} OP {opcode:02X}", "p25p1", hit.pos)
             return bool(lb)
@@ -107,7 +237,8 @@ class P25P1Decoder(ProtocolDecoder):
             s.p2_wacn, s.p2_sysid = wacn, sysid
             ctx.emit(f" Network Status Broadcast TSBK - Abbreviated \n"
                      f"  LRA [{int(b[2]):02X}] WACN [{wacn:05X}] SYSID [{sysid:03X}]"
-                     f" NAC [{s.p2_cc:03X}] CHAN-T [{channel:04X}]",
+                     f" NAC [{s.p2_cc:03X}] CHAN-T [{channel:04X}]"
+                     f"{self._chan_freq_note(ctx, channel)}",
                      "p25p1", hit.pos, wacn=wacn, sysid=sysid)
         elif opcode == 0x3A:  # RFSS Status Broadcast
             syid = ((int(b[3]) & 0xF) << 8) | int(b[4])
@@ -116,14 +247,16 @@ class P25P1Decoder(ProtocolDecoder):
             s.p2_rfssid, s.p2_siteid = rfss, site
             ctx.emit(f" RFSS Status Broadcast TSBK - Abbreviated \n"
                      f"  SYSID [{syid:03X}] RFSS [{rfss:03d}] SITE [{site:03d}]"
-                     f" CHAN-T [{channel:04X}]", "p25p1", hit.pos)
+                     f" CHAN-T [{channel:04X}]"
+                     f"{self._chan_freq_note(ctx, channel)}", "p25p1", hit.pos)
         elif opcode == 0x00:  # Group Voice Channel Grant
             channel = (int(b[4]) << 8) | int(b[5])
             group = (int(b[6]) << 8) | int(b[7])
             src = (int(b[8]) << 16) | (int(b[9]) << 8) | int(b[10])
             s.last_tg, s.last_src = group, src
             ctx.emit(f" Group Voice Channel Grant Update\n"
-                     f"  CHAN [{channel:04X}] TG [{group}] SRC [{src}]",
+                     f"  CHAN [{channel:04X}] TG [{group}] SRC [{src}]"
+                     f"{self._chan_freq_note(ctx, channel)}",
                      "p25p1", hit.pos, tg=group, src=src, channel=channel)
         elif opcode == 0x02:  # Group Voice Channel Grant Update
             ch1 = (int(b[2]) << 8) | int(b[3])
@@ -133,13 +266,85 @@ class P25P1Decoder(ProtocolDecoder):
             ctx.emit(f" Group Voice Channel Grant Update"
                      f" CH1 [{ch1:04X}] TG1 [{g1}] CH2 [{ch2:04X}] TG2 [{g2}]",
                      "p25p1", hit.pos, tg=g1, channel=ch1)
-        elif opcode in (0x34, 0x3D):  # IDEN_UP (VHF/UHF, 800)
-            iden = int(b[2]) >> 4
-            ctx.emit(f" Channel Identifier Update IDEN [{iden:X}]", "p25p1", hit.pos)
+        elif opcode in (0x04, 0x05):  # UU Voice Channel Grant / Answer Req
+            channel = (int(b[2]) << 8) | int(b[3])
+            tgt = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            name = ("Unit to Unit Voice Channel Grant" if opcode == 0x04
+                    else "Unit to Unit Answer Request")
+            ctx.emit(f" {name}\n  CHAN [{channel:04X}] Target [{tgt}] Source [{src}]"
+                     f"{self._chan_freq_note(ctx, channel)}", "p25p1", hit.pos)
+        elif opcode in (0x33, 0x34, 0x3D):  # IDEN_UP family
+            self._iden_update(b, opcode, ctx, hit)
         elif opcode == 0x39:  # Secondary CC Broadcast
-            ctx.emit(" Secondary Control Channel Broadcast", "p25p1", hit.pos)
+            rfss, site = int(b[2]), int(b[3])
+            ch1 = (int(b[4]) << 8) | int(b[5])
+            ch2 = (int(b[7]) << 8) | int(b[8])
+            ctx.emit(f" Secondary Control Channel Broadcast\n"
+                     f"  RFSS [{rfss:03d}] SITE [{site:03d}] CHAN1 [{ch1:04X}]"
+                     f" CHAN2 [{ch2:04X}]{self._chan_freq_note(ctx, ch1)}",
+                     "p25p1", hit.pos)
         elif opcode == 0x3C:  # Adjacent Status Broadcast
-            ctx.emit(" Adjacent Status Broadcast", "p25p1", hit.pos)
+            lra = int(b[2])
+            cfva = int(b[3]) >> 4
+            rfss, site = int(b[5]), int(b[6])
+            channel = (int(b[7]) << 8) | int(b[8])
+            ssc = int(b[9])
+            flags = ""
+            if cfva & 0x8:
+                flags += " Conventional"
+            if cfva & 0x4:
+                flags += " Failure Condition"
+            flags += " Up to Date (Correct)" if cfva & 0x2 else " Last Known"
+            if cfva & 0x1:
+                flags += " Valid RFSS Connection Active"
+            ctx.emit(f" Adjacent Status Broadcast - Abbreviated\n"
+                     f"  LRA [{lra:02X}] RFSS[{rfss:03d}] SITE [{site:03d}]"
+                     f" SYSID [000] CHAN-T [{channel:04X}] SSC [{ssc:02X}]\n "
+                     f" {flags.strip()}{self._chan_freq_note(ctx, channel)}",
+                     "p25p1", hit.pos)
+        elif opcode == 0x28:  # Group Affiliation Response
+            ga = (int(b[4]) << 8) | int(b[5])
+            aga = (int(b[2]) << 8) | int(b[3])
+            tgt = (int(b[6]) << 16) | (int(b[7]) << 8) | int(b[8])
+            ctx.emit(f" Group Affiliation Response\n  Announce Group [{aga}]"
+                     f" Group [{ga}] Target [{tgt}]", "p25p1", hit.pos)
+        elif opcode == 0x2C:  # Unit Registration Response
+            src = (int(b[6]) << 16) | (int(b[7]) << 8) | int(b[8])
+            ctx.emit(f" Unit Registration Response\n  Source [{src}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x1F:  # Call Alert
+            tgt = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" Call Alert\n  Target [{tgt}] Source [{src}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x16:  # SNDCP Data Channel Announcement - Explicit
+            ch1 = (int(b[2]) << 8) | int(b[3])
+            ch2 = (int(b[4]) << 8) | int(b[5])
+            ctx.emit(f" SNDCP (P1 TSBK) CH1 [{ch1:04X}] CH2 [{ch2:04X}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x30:  # Synchronization Broadcast
+            ltoff = int(b[4]) & 0x3F
+            year = int(b[5]) >> 1
+            month = ((int(b[5]) & 1) << 3) | (int(b[6]) >> 5)
+            day = int(b[6]) & 0x1F
+            hour = int(b[7]) >> 3
+            minute = ((int(b[7]) & 7) << 3) | (int(b[8]) >> 5)
+            slots = ((int(b[8]) & 0x1F) << 8) | int(b[9])
+            seconds = min(slots // 135, 59)
+            offhour = ((ltoff & 0x1F) / 2.0) * (-1 if ltoff & 0x20 else 1)
+            line = " Synchronization Broadcast"
+            if year:
+                line += (f"\n  Date: 20{year:02d}.{month:02d}.{day:02d}"
+                         f" Time: {hour:02d}:{minute:02d}:{seconds:02d} UTC")
+                if offhour:
+                    line += f"\n  Local Time Offset: {offhour:.1f} Hours;"
+            ctx.emit(line, "p25p1", hit.pos)
+        elif opcode == 0x18:  # Status Update
+            tgt = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" Status Update\n  Target [{tgt}] Source [{src}]",
+                     "p25p1", hit.pos)
         else:
             ctx.emit(f" TSBK OP [{opcode:02X}]", "p25p1", hit.pos)
         return bool(lb)

@@ -70,6 +70,38 @@ def test_cli_smoke(tmp_path, capsys):
     assert "NAC/CC: 140" in err
 
 
+def test_p25p1_cc_tsbk_detail():
+    """TSBK opcode parses must match the reference oracle's field values
+    (iden updates, adjacent status, channel→frequency mapping)."""
+    path = os.path.join(FIXDIR, "p25p1_c4fm_cc.iq.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    text = _decode_text("p25p1_c4fm_cc", "p25p1")
+    assert ("Identifier Update UHF/VHF\n  Channel Identifier [2] BW [5] "
+            "Transmit Offset [0640]\n  Channel Spacing [032] "
+            "Base Frequency [0487AB00] [380000000]") in text
+    assert ("Identifier Update (8.3.1.23)\n  Channel Identifier [1] BW [64] "
+            "Transmit Offset [0078]") in text
+    assert "P25 FREQ: map ch=0x2114 -> 381.725000 MHz" in text
+    assert ("LRA [00] RFSS[005] SITE [030] SYSID [000] CHAN-T [2438] "
+            "SSC [70]") in text
+    assert "SNDCP (P1 TSBK) CH1 [0040] CH2 [FFFF]" in text
+    assert "MFID90 (Moto) Scan Marker Broadcast" in text
+
+
+def test_p25p1_tdulc():
+    """TDULC link-control decode matches the oracle's LCW."""
+    path = os.path.join(FIXDIR, "p25p1_cqpsk_vc.iq.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    from dsdneo_tpu.engine import decode_capture
+    ctx = decode_capture(path, "p25p1", cqpsk=True)
+    text = "\n".join(e.line for e in ctx.events)
+    assert re.search(r"TDULC\n Group Voice Channel User - "
+                     r"Group 10384 Source 41183",
+                     "\n".join(text.split("\n")))
+
+
 @pytest.mark.parametrize("fixture,expected", [
     ("p25p1_cqpsk_cc", r"WACN: 92065; SYS: 0D5"),
     ("p25p1_cqpsk_vc", r"Group Voice Channel User"),
