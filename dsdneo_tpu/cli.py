@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="audio output (null | wav:PATH | pcm:PATH)")
     p.add_argument("-v", dest="verbose", action="count", default=0)
     p.add_argument("--sync-threshold", type=float, default=0.62)
+    p.add_argument("-X", dest="p2_params", default=None,
+                   metavar="WACNSYSNAC",
+                   help="manually set P25p2 WACN/SYSID/NAC as 11 hex "
+                        "digits, e.g. BEE00ABC123 (reference -X)")
     p.add_argument("--cqpsk", action="store_true",
                    help="use the CQPSK/LSM carrier+timing chain instead of "
                         "the FM discriminator path")
@@ -116,11 +120,21 @@ def main(argv: list[str] | None = None) -> int:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    p2 = None
+    if args.p2_params:
+        v = args.p2_params
+        if len(v) != 11:
+            print("dsd-neo-tpu: -X needs 11 hex digits (WACN SYS NAC)",
+                  file=sys.stderr)
+            return 2
+        p2 = (int(v[:5], 16), int(v[5:8], 16), int(v[8:], 16))
+
     from dsdneo_tpu.engine import decode_capture
     try:
         ctx = decode_capture(args.iq_replay, args.mode,
                              sync_threshold=args.sync_threshold,
-                             verbose=args.verbose, cqpsk=args.cqpsk)
+                             verbose=args.verbose, cqpsk=args.cqpsk,
+                             p2_params=p2)
     except (OSError, ValueError) as e:
         print(f"dsd-neo-tpu: cannot replay {args.iq_replay}: {e}", file=sys.stderr)
         return 1

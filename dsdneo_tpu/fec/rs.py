@@ -201,6 +201,13 @@ def rs_36_20_17() -> ReedSolomon:
 
 
 @lru_cache(maxsize=None)
+def rs_63_35() -> ReedSolomon:
+    """P25 Phase 2 RS(63,35,29) over GF(64) — SACCH/FACCH/ESS
+    (reference src/fec/ez.cpp ezpwd::RS<63,35>, poly 0x43 fcr 1)."""
+    return ReedSolomon(63, 35, m=6, fcr=1)
+
+
+@lru_cache(maxsize=None)
 def rs_12_9() -> ReedSolomon:
     """DMR RS(12,9,4) over GF(256) (ETSI TS 102 361-1 B.3.6)."""
     return ReedSolomon(12, 9, m=8, prim_poly=0b100011101, fcr=0)

@@ -1,0 +1,181 @@
+"""P25 Phase 2 scrambler, ISCH, and SACCH/FACCH channel coding.
+
+Reference parity: src/protocol/p25/phase2/p25p2_scramble.c (44-bit
+Fibonacci LFSR), src/fec/ez.cpp (ISCH (40,9,16) table + RS(63,35)
+hexbit packing), src/protocol/p25/phase2/p25p2_frame.c (bit geometry +
+fixed erasure positions), p25_crc.c (CRC12).
+
+The ISCH code is affine over GF(2): the reference's 128-entry lookup
+table is exactly ``C0 ^ xor(G[i] for set bits of the 7-bit value)``,
+so only the 8 generator constants are stored here (verified against
+the full table).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from dsdneo_tpu.fec import rs
+
+# -- scrambler ------------------------------------------------------------
+
+def generate_scramble_bits(wacn: int, sysid: int, nac: int, n: int) -> np.ndarray:
+    """TIA-102.BBAC Fig 7.1 external 44-bit Fibonacci LFSR:
+    x^44 + x^34 + x^20 + x^15 + x^9 + x^4 + 1, seeded WACN<<24|SYS<<12|NAC."""
+    seed = ((wacn & 0xFFFFF) << 24) | ((sysid & 0xFFF) << 12) | (nac & 0xFFF)
+    out = np.zeros(n, dtype=np.uint8)
+    for i in range(n):
+        out[i] = (seed >> 43) & 1
+        bit = ((seed >> 33) ^ (seed >> 19) ^ (seed >> 14) ^ (seed >> 8)
+               ^ (seed >> 3) ^ (seed >> 43)) & 1
+        seed = ((seed << 1) | bit) & 0xFFFFFFFFFFF
+    return out
+
+
+# -- ISCH (40,9,16) -------------------------------------------------------
+
+_ISCH_C0 = 0x184229D461
+_ISCH_G = (0x343D8597, 0x58CBAA4E, 0x9DA3A171, 0x9048D9B72,
+           0x20807F7FF, 0xC00DED18E, 0x100F4B1758)
+
+ISCH_SYNC = 0x575D57F7FF      # unscrambled sync variant (skipped)
+
+
+def isch_codeword(value: int) -> int:
+    w = _ISCH_C0
+    for i in range(7):
+        if (value >> i) & 1:
+            w ^= _ISCH_G[i]
+    return w
+
+
+@lru_cache(maxsize=1)
+def _isch_table() -> dict:
+    return {isch_codeword(v): v for v in range(128)}
+
+
+def isch_lookup(word40: int, max_dist: int = 6) -> int:
+    """40-bit ISCH → 7-bit value (chan_num<<5 | isch_loc<<3 | free<<2 |
+    uf_count), or -1.  Exact, then nearest within ``max_dist`` bits
+    ((40,9,16) code: d=16 → ≤7-bit correction is unambiguous)."""
+    t = _isch_table()
+    hit = t.get(word40)
+    if hit is not None:
+        return hit
+    best, best_d = -1, max_dist + 1
+    for cw, v in t.items():
+        d = bin(cw ^ word40).count("1")
+        if d < best_d:
+            best, best_d = v, d
+    return best
+
+
+# -- CRC12 ----------------------------------------------------------------
+
+_CRC12_POLY = 0b1100010010111   # x^12+x^11+x^7+x^4+x^2+x+1
+
+
+def crc12_ok(bits: np.ndarray, n: int) -> bool:
+    """CRC12 over bits[0:n], received at bits[n:n+12] (reference
+    p25_crc.c crc12, final inversion 0xFFF)."""
+    buf = np.concatenate([bits[:n].astype(np.uint8), np.zeros(12, np.uint8)])
+    poly = [(_CRC12_POLY >> (12 - i)) & 1 for i in range(13)]
+    for i in range(n):
+        if buf[i]:
+            for j in range(13):
+                buf[i + j] ^= poly[j]
+    crc = 0
+    for i in range(12):
+        crc = (crc << 1) | int(buf[n + i])
+    crc ^= 0xFFF
+    rx = 0
+    for i in range(12):
+        rx = (rx << 1) | int(bits[n + i])
+    return crc == rx
+
+
+# -- SACCH / FACCH RS(63,35) ----------------------------------------------
+
+# hexbit layout inside the 63-symbol RS codeword (reference ez.cpp):
+#   SACCH: payload at 5..34 (30 hexbits), parity at 35..56; 0-4, 57-62
+#   untransmitted (fixed erasures).  FACCH: payload at 9..34 (26),
+#   parity at 35..53; 0-8, 54-62 erased.
+_LAYOUT = {
+    "sacch": (5, 30, 22, [0, 1, 2, 3, 4, 57, 58, 59, 60, 61, 62]),
+    "facch": (9, 26, 19, [0, 1, 2, 3, 4, 5, 6, 7, 8, 54, 55, 56, 57,
+                          58, 59, 60, 61, 62]),
+}
+
+
+def _hexpack(bits: np.ndarray) -> np.ndarray:
+    n = len(bits) // 6
+    out = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        v = 0
+        for j in range(6):
+            v = (v << 1) | int(bits[6 * i + j])
+        out[i] = v
+    return out
+
+
+def xcch_rs_decode(payload_bits: np.ndarray, parity_bits: np.ndarray,
+                   kind: str) -> tuple[np.ndarray, int]:
+    """RS(63,35) correction → (corrected payload bits, n_corrected|-1)."""
+    j0, np_hex, npar_hex, erasures = _LAYOUT[kind]
+    vec = np.zeros(63, dtype=np.int64)
+    vec[j0:j0 + np_hex] = _hexpack(payload_bits[:np_hex * 6])
+    vec[35:35 + npar_hex] = _hexpack(parity_bits[:npar_hex * 6])
+    dec, nerr = rs.rs_63_35().decode(vec, erasures=erasures)
+    out = payload_bits.copy()
+    if nerr >= 0:
+        for i in range(np_hex):
+            for j in range(6):
+                out[6 * i + j] = (int(dec[j0 + i]) >> (5 - j)) & 1
+    return out, nerr
+
+
+def xcch_rs_encode(payload_bits: np.ndarray, kind: str) -> np.ndarray:
+    """Systematic RS(63,35) parity bits for loopback tests."""
+    j0, np_hex, npar_hex, _ = _LAYOUT[kind]
+    vec = np.zeros(35, dtype=np.int64)
+    vec[j0:j0 + np_hex] = _hexpack(payload_bits[:np_hex * 6])
+    full = rs.rs_63_35().encode(vec)
+    parity = np.zeros(npar_hex * 6, dtype=np.uint8)
+    for i in range(npar_hex):
+        for j in range(6):
+            parity[6 * i + j] = (int(full[35 + i]) >> (5 - j)) & 1
+    return parity
+
+
+# timeslot bit geometry (360 bits per timeslot; reference p25p2_frame.c
+# process_SACCHs/process_FACCHs)
+def extract_sacch(ts_bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    payload = np.concatenate([ts_bits[2:74], ts_bits[76:184]])
+    parity = np.concatenate([ts_bits[184:244], ts_bits[246:318]])
+    return payload, parity
+
+
+def extract_facch(ts_bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    payload = np.concatenate([ts_bits[2:74], ts_bits[76:138],
+                              ts_bits[180:202]])
+    parity = np.concatenate([ts_bits[202:244], ts_bits[246:318]])
+    return payload, parity
+
+
+def insert_sacch(ts_bits: np.ndarray, payload: np.ndarray,
+                 parity: np.ndarray) -> None:
+    ts_bits[2:74] = payload[0:72]
+    ts_bits[76:184] = payload[72:180]
+    ts_bits[184:244] = parity[0:60]
+    ts_bits[246:318] = parity[60:132]
+
+
+def insert_facch(ts_bits: np.ndarray, payload: np.ndarray,
+                 parity: np.ndarray) -> None:
+    ts_bits[2:74] = payload[0:72]
+    ts_bits[76:138] = payload[72:134]
+    ts_bits[180:202] = payload[134:156]
+    ts_bits[202:244] = parity[0:42]
+    ts_bits[246:318] = parity[42:114]

@@ -1,13 +1,14 @@
-"""P25 Phase 2 (TDMA, 6000 sym/s) frame decoder — burst typing layer.
+"""P25 Phase 2 (TDMA, 6000 sym/s) frame decoder.
 
 Superframe walk (reference parity src/protocol/p25/phase2/p25p2_frame.c):
 after the 20-symbol sync, 700 dibits cover 4 timeslots of 360 bits.
 Each timeslot's DUID is an 8-bit codeword (bits 0,1,74,75,244,245,
-318,319 of the slot) from the canonical set below; ISCH fields at bits
-320-359 locate the superframe for descrambling.  Voice/MAC decode needs
-the WACN/SYS/NAC scrambler parameters (from the Phase 1 control
-channel); without them bursts are typed but not descrambled — matching
-the reference's "P2 Missing Parameters" behavior.
+318,319) from the canonical set below; the ISCH field at bits 320-359
+locates the timeslot within the 12-slot superframe for descrambling.
+With WACN/SYS/NAC known (learned from the Phase 1 control channel or
+supplied via -X), SACCH/FACCH are descrambled, RS(63,35)-corrected,
+CRC12-checked and their MAC PDUs parsed; without them bursts are typed
+only — matching the reference's "P2 Missing Parameters" behaviour.
 """
 
 from __future__ import annotations
@@ -16,6 +17,7 @@ import numpy as np
 
 from dsdneo_tpu.protocol.base import (DecoderContext, DibitReader,
                                       ProtocolDecoder, register)
+from dsdneo_tpu.protocol.p25 import p2_xcch
 from dsdneo_tpu.symbols.framesync import SyncHit
 
 # canonical DUID codewords (TIA-102.BBAC; reference p25p2_frame.c:141)
@@ -23,6 +25,9 @@ DUID_CANONICAL = [0x00, 0x17, 0x2E, 0x39, 0x4B, 0x5C, 0x65, 0x72,
                   0x8D, 0x9A, 0xA3, 0xB4, 0xC6, 0xD1, 0xE8, 0xFF]
 
 DUID_OFFSETS = [0, 1, 74, 75, 244, 245, 318, 319]
+
+MAC_HEADER_NAMES = {1: "MAC_PTT", 2: "MAC_END", 3: "MAC_IDLE",
+                    4: "MAC_ACTIVE", 6: "MAC_HANGTIME"}
 
 
 def duid_lookup(received: int) -> int:
@@ -39,9 +44,29 @@ def duid_lookup(received: int) -> int:
     return best
 
 
+def _bti(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
 @register("p25p2")
 class P25P2Decoder(ProtocolDecoder):
     protocol = "p25p2"
+
+    def __init__(self):
+        self.sf_pos: int | None = None   # superframe timeslot position 0-11
+        self._scramble: np.ndarray | None = None
+        self._scramble_key = None
+
+    def _scramble_bits(self, s) -> np.ndarray:
+        key = (s.p2_wacn, s.p2_sysid, s.p2_cc)
+        if self._scramble_key != key:
+            # 12 timeslots + slack for the +20 bit alignment offset
+            self._scramble = p2_xcch.generate_scramble_bits(*key, 4800)
+            self._scramble_key = key
+        return self._scramble
 
     def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
         pos = hit.end
@@ -63,25 +88,152 @@ class P25P2Decoder(ProtocolDecoder):
 
         slot = 0
         for ts in range(4):
-            if ts * 360 + 319 >= 1400:
+            if ts * 360 + 360 > 1400:
                 break
+            ts_bits = bits[ts * 360:(ts + 1) * 360]
+            self._isch(ts_bits, ts)
             received = 0
             for off in DUID_OFFSETS:
-                received = (received << 1) | int(bits[ts * 360 + off])
+                received = (received << 1) | int(ts_bits[off])
             duid = duid_lookup(received)
             slot_label = f"LCH {slot} "
-            if duid in (3, 12):
-                name = "SACCH "
-            elif duid == 13:
-                name = "LCCH  "
-            elif duid == 4:
-                name = "LCCHs "
+            detail = ""
+            if duid in (3, 12, 13, 4):
+                name = "SACCH " if duid in (3, 12) else ("LCCH  " if duid == 13 else "LCCHs ")
+                detail = self._xcch(ts_bits, ts, "sacch",
+                                    scrambled=duid in (3, 4),
+                                    lcch=duid in (13, 4), ctx=ctx,
+                                    have_params=have_params, hit=hit, slot=slot)
+            elif duid in (9, 15):
+                name = slot_label + "FACCH "
+                detail = self._xcch(ts_bits, ts, "facch",
+                                    scrambled=duid == 9, lcch=False, ctx=ctx,
+                                    have_params=have_params, hit=hit, slot=slot)
             elif duid in (0, 6):
                 name = slot_label + ("4V" if duid == 0 else "2V")
             elif duid < 0:
                 name = slot_label + f" DUID ERR {received:02X}"
             else:
                 name = slot_label + f"DUID {duid}"
-            ctx.emit(f"       P25p2 {name}", "p25p2", hit.pos, ts=ts, duid=duid)
+            ctx.emit(f"       P25p2 {name}{detail}", "p25p2", hit.pos,
+                     ts=ts, duid=duid)
+            if self.sf_pos is not None:
+                self.sf_pos = (self.sf_pos + 1) % 12
             slot ^= 1
         return pos + 700
+
+    def _isch(self, ts_bits: np.ndarray, fc: int) -> None:
+        """Track superframe position from the ISCH field (reference
+        p25p2_process_isch: chan 1 loc 0/1/2 → positions 12/4/8)."""
+        word = _bti(ts_bits[320:360])
+        if word == p2_xcch.ISCH_SYNC:
+            return
+        v = p2_xcch.isch_lookup(word)
+        if v < 0:
+            return
+        chan = (v >> 5) & 3
+        loc = (v >> 3) & 3
+        if chan == 1 and loc in (0, 1, 2):
+            self.sf_pos = {0: 0, 1: 4, 2: 8}[loc]
+
+    def _descramble(self, payload, parity, kind, ts_bits, s):
+        """XOR with the LFSR sequence at this timeslot's superframe
+        position (reference p25p2_frame.c:378-384, +20 bit offset)."""
+        p = self.sf_pos if self.sf_pos is not None else 0
+        lbit = self._scramble_bits(s)
+        base = 360 * p + 20
+        scr = np.zeros(360, dtype=np.uint8)
+        scr[:] = lbit[base:base + 360]
+        x = ts_bits ^ scr
+        if kind == "sacch":
+            return p2_xcch.extract_sacch(x)
+        return p2_xcch.extract_facch(x)
+
+    def _xcch(self, ts_bits, fc, kind, scrambled, lcch, ctx, have_params,
+              hit, slot) -> str:
+        if scrambled and not have_params:
+            return ""
+        if scrambled:
+            payload, parity = self._descramble(
+                ts_bits, None, kind, ts_bits, ctx.state)
+        else:
+            ex = p2_xcch.extract_sacch if kind == "sacch" else p2_xcch.extract_facch
+            payload, parity = ex(ts_bits)
+        corrected, nerr = p2_xcch.xcch_rs_decode(payload, parity, kind)
+        if nerr < 0:
+            return " R-S ERR"
+        n = len(corrected)
+        if lcch:
+            crc_ok = True          # LCCH uses CRC16 over 164; lenient here
+        else:
+            crc_ok = p2_xcch.crc12_ok(corrected, n - 12)
+        if not crc_ok:
+            return " CRC12 ERR"
+        return self._mac_pdu(corrected, kind, ctx, hit, slot)
+
+    # -- MAC PDU ----------------------------------------------------------
+    def _mac_pdu(self, payload: np.ndarray, kind: str, ctx: DecoderContext,
+                 hit, slot: int) -> str:
+        """Header + message walk (reference p25p2_xcch.c
+        process_SACCH/FACCH_MAC_PDU, p25p2_mac_tables.c lengths)."""
+        opcode = _bti(payload[0:3])
+        n_oct = 22 if kind == "sacch" else 19
+        mac = np.zeros(24, dtype=np.int64)
+        for i in range(n_oct):
+            mac[i] = _bti(payload[8 * i:8 * i + 8])
+        name = MAC_HEADER_NAMES.get(opcode, f"MAC_{opcode}")
+        detail = f" {name}"
+        if opcode == 1:      # MAC_PTT: MI, alg, key, group, source
+            mi = 0
+            for i in range(1, 9):
+                mi = (mi << 8) | int(mac[i])
+            alg = int(mac[9])
+            kid = (int(mac[10]) << 8) | int(mac[11])
+            src = (int(mac[13]) << 16) | (int(mac[14]) << 8) | int(mac[15])
+            tg = (int(mac[16]) << 8) | int(mac[17])
+            ctx.state.last_tg, ctx.state.last_src = tg, src
+            detail += (f"\n VCH {slot + 1} - TG {tg} SRC {src} "
+                       f"ALG {alg:02X} KEY {kid:04X}")
+        elif opcode == 2:    # MAC_END
+            src = (int(mac[13]) << 16) | (int(mac[14]) << 8) | int(mac[15])
+            tg = (int(mac[16]) << 8) | int(mac[17])
+            detail += f" TG {tg} SRC {src}"
+        elif opcode in (0, 3, 4, 6):
+            detail += self._mac_messages(mac, n_oct, ctx, hit)
+        return detail
+
+    def _mac_messages(self, mac: np.ndarray, n_oct: int, ctx: DecoderContext,
+                      hit) -> str:
+        """Walk MAC messages, bridging each to the shared trunking field
+        parsers (the P1 TSBK handlers; reference tsbk_build_mac_like_pdu
+        shows the two layouts coincide with MFID stripped)."""
+        from dsdneo_tpu.protocol.p25.mac_tables import mac_msg_len
+        from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+        p1 = self._p1_bridge(ctx)
+        i = 1
+        out = ""
+        while i < n_oct:
+            op = int(mac[i])
+            if op == 0:
+                break
+            length = mac_msg_len(op)
+            if length == 0 or i + 1 >= n_oct:
+                break
+            b96 = np.zeros(96, dtype=np.uint8)
+            pseudo = np.zeros(12, dtype=np.int64)
+            pseudo[0] = op & 0x3F
+            for k in range(2, 12):
+                j = i + k - 1
+                pseudo[k] = mac[j] if j < n_oct else 0
+            for bi in range(96):
+                byte = pseudo[bi // 8]
+                b96[bi] = (int(byte) >> (7 - bi % 8)) & 1
+            p1._tsbk(b96, hit, ctx)
+            i += length
+        return out
+
+    def _p1_bridge(self, ctx):
+        if not hasattr(self, "_p1"):
+            from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+            self._p1 = P25P1Decoder()
+        return self._p1

@@ -1,0 +1,132 @@
+"""P25 Phase 2 SACCH/FACCH loopback: scramble, ISCH, RS(63,35), CRC12
+and MAC PDU parse via synthesized timeslots."""
+
+import numpy as np
+import pytest
+
+
+def _bits_of(v, n):
+    return np.array([(v >> (n - 1 - i)) & 1 for i in range(n)], dtype=np.uint8)
+
+
+def test_isch_affine_roundtrip():
+    from dsdneo_tpu.protocol.p25.p2_xcch import isch_codeword, isch_lookup
+    for v in range(128):
+        w = isch_codeword(v)
+        assert isch_lookup(w) == v
+        assert isch_lookup(w ^ 0b101) == v       # 2-bit error corrected
+
+
+def test_scramble_known_prefix():
+    """LFSR self-consistency: deterministic, seed-dependent."""
+    from dsdneo_tpu.protocol.p25.p2_xcch import generate_scramble_bits
+    a = generate_scramble_bits(0xBEE00, 0x14C, 0x140, 64)
+    b = generate_scramble_bits(0xBEE00, 0x14C, 0x140, 64)
+    c = generate_scramble_bits(0xBEE00, 0x14C, 0x141, 64)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    # first output bit is seed bit 43
+    seed = (0xBEE00 << 24) | (0x14C << 12) | 0x140
+    assert a[0] == (seed >> 43) & 1
+
+
+def test_xcch_rs_roundtrip():
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+    rng = np.random.default_rng(0)
+    for kind, nbits in (("sacch", 180), ("facch", 156)):
+        payload = rng.integers(0, 2, nbits).astype(np.uint8)
+        parity = p2_xcch.xcch_rs_encode(payload, kind)
+        got, nerr = p2_xcch.xcch_rs_decode(payload, parity, kind)
+        assert nerr >= 0          # erased (untransmitted) symbols count
+        assert np.array_equal(got, payload)
+        # flip a few payload bits → corrected
+        bad = payload.copy()
+        bad[[5, 40, 90]] ^= 1
+        got, nerr = p2_xcch.xcch_rs_decode(bad, parity, kind)
+        assert nerr >= 0
+        assert np.array_equal(got, payload)
+
+
+def _make_sacch_ts(payload180, duid_idx, isch_val, scramble=None, sf_pos=0):
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+    from dsdneo_tpu.protocol.p25.phase2 import DUID_CANONICAL, DUID_OFFSETS
+    parity = p2_xcch.xcch_rs_encode(payload180, "sacch")
+    ts = np.zeros(360, dtype=np.uint8)
+    p2_xcch.insert_sacch(ts, payload180, parity)
+    if scramble is not None:
+        base = 360 * sf_pos + 20
+        mask = np.zeros(360, dtype=np.uint8)
+        mask[:] = scramble[base:base + 360]
+        # scramble only the payload/parity positions; DUID+ISCH stay clear
+        keep = np.zeros(360, dtype=bool)
+        keep[2:74] = keep[76:184] = keep[184:244] = keep[246:318] = True
+        ts = np.where(keep, ts ^ mask, ts)
+    cw = DUID_CANONICAL[duid_idx]
+    for k, off in enumerate(DUID_OFFSETS):
+        ts[off] = (cw >> (7 - k)) & 1
+    ts[320:360] = _bits_of(p2_xcch.isch_codeword(isch_val), 40)
+    return ts
+
+
+def test_p25p2_sacch_mac_loopback():
+    """Scrambled SACCH carrying MAC_IDLE + Network Status Broadcast
+    decodes through the real Phase 2 decoder."""
+    from dsdneo_tpu.protocol.base import DecoderContext, DibitReader
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+    from dsdneo_tpu.protocol.p25.phase2 import P25P2Decoder
+    from dsdneo_tpu.symbols import framesync
+
+    wacn, sysid, nac = 0xBEE00, 0x14C, 0x140
+    payload = np.zeros(180, dtype=np.uint8)
+    payload[0:3] = [0, 1, 1]                    # MAC_IDLE header opcode 3
+    mac = np.zeros(22, dtype=np.int64)
+    mac[1] = 0x7B                               # Network Status Broadcast
+    mac[2] = 0x00                               # LRA
+    mac[3] = (wacn >> 12) & 0xFF
+    mac[4] = (wacn >> 4) & 0xFF
+    mac[5] = ((wacn & 0xF) << 4) | (sysid >> 8)
+    mac[6] = sysid & 0xFF
+    mac[7] = 0x21                               # CHAN-T hi
+    mac[8] = 0x14                               # CHAN-T lo
+    for i in range(1, 21):
+        payload[8 * i:8 * i + 8] = _bits_of(int(mac[i]), 8)
+    # CRC12 over first 168 bits
+    buf = np.concatenate([payload[:168], np.zeros(12, np.uint8)])
+    poly = [1, 1, 0, 0, 0, 1, 0, 0, 1, 0, 1, 1, 1]
+    for i in range(168):
+        if buf[i]:
+            for j in range(13):
+                buf[i + j] ^= poly[j]
+    crc = 0
+    for i in range(12):
+        crc = (crc << 1) | int(buf[168 + i])
+    payload[168:180] = _bits_of(crc ^ 0xFFF, 12)
+
+    scr = p2_xcch.generate_scramble_bits(wacn, sysid, nac, 4800)
+    # superframe: ts0 at position 0 (ISCH chan1 loc0), duid 3 = scrambled SACCH
+    tss = [_make_sacch_ts(payload, 3, (1 << 5) | (0 << 3), scr, sf_pos=k)
+           for k in range(4)]
+    bits = np.concatenate(tss)
+    dibits = ((bits[0::2] << 1) | bits[1::2]).astype(np.uint8)
+
+    ctx = DecoderContext()
+    ctx.state.p2_wacn, ctx.state.p2_sysid, ctx.state.p2_cc = wacn, sysid, nac
+    dec = P25P2Decoder()
+
+    sync_def = next(d for d in framesync.SYNC_DEFS
+                    if d.protocol == "p25p2" and not d.inverted)
+    sync_d = np.array([1 if c == "1" else 3 for c in sync_def.pattern],
+                      dtype=np.uint8)
+    stream = np.concatenate([sync_d, dibits])
+    lv = np.array([1.0, 3.0, -1.0, -3.0], dtype=np.float32)
+    hits = framesync.find_syncs(lv[stream], [sync_def], threshold=0.9)
+    assert hits, "sync not found"
+    r = DibitReader(stream, lv[stream], pos=hits[0].end,
+                    frame_start=hits[0].pos, invert=False)
+    dec.handle(r, hits[0], ctx)
+    text = "\n".join(e.line for e in ctx.events)
+    assert "SACCH" in text
+    assert "MAC_IDLE" in text
+    assert "Network Status Broadcast" in text
+    assert "WACN [BEE00] SYSID [14C]" in text
+    assert "CHAN-T [2114]" in text
