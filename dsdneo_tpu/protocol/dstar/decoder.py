@@ -27,6 +27,51 @@ SD_SCRAMBLE = np.array([0, 0, 0, 0, 1, 1, 1, 0, 1, 1, 1, 1,
                         0, 0, 1, 0, 1, 1, 0, 0, 1, 0, 0, 1], dtype=np.uint8)
 
 
+def _header_scramble() -> np.ndarray:
+    """127-bit PN from the x⁷+x⁴+1 LFSR, seed 0x07, MSb out (reference
+    dstar_header_utils.c dstar_fill_scrambler_sequence)."""
+    reg = 0x07
+    out = np.zeros(127, dtype=np.uint8)
+    for i in range(127):
+        out[i] = (reg >> 6) & 1
+        fb = ((reg >> 6) ^ (reg >> 3)) & 1
+        reg = ((reg << 1) & 0x7E) | fb
+    return out
+
+
+# rate-1/2 K=3 trellis (G1=x²+x+1, G2=x²+1): next-state ← (prev, ref1, ref0)
+_V_TRANS = {0: ((0, 0, 0), (2, 1, 1)), 1: ((0, 1, 1), (2, 0, 0)),
+            2: ((1, 1, 0), (3, 0, 1)), 3: ((1, 0, 1), (3, 1, 0))}
+_V_DECODED = [0, 1, 0, 1]
+
+
+def _viterbi_k3(coded: np.ndarray) -> np.ndarray:
+    """660 hard bits (pairs s1,s0) → 330 info bits (reference
+    dstar_header_utils.c dstar_header_viterbi_decode_soft)."""
+    n = len(coded) // 2
+    metric = np.zeros(4, dtype=np.int64)
+    memory = np.zeros((4, n), dtype=np.uint8)
+    for t in range(n):
+        s1, s0 = int(coded[2 * t]), int(coded[2 * t + 1])
+        new = np.zeros(4, dtype=np.int64)
+        for ns in range(4):
+            (pa, a1, a0), (pb, b1, b0) = _V_TRANS[ns]
+            ma = metric[pa] + (s1 ^ a1) + (s0 ^ a0)
+            mb = metric[pb] + (s1 ^ b1) + (s0 ^ b0)
+            if ma <= mb:
+                new[ns], memory[ns, t] = ma, 0
+            else:
+                new[ns], memory[ns, t] = mb, 1
+        metric = new
+    state = int(np.argmin(metric))
+    out = np.zeros(n, dtype=np.uint8)
+    prev0, prev1 = [0, 0, 1, 1], [2, 2, 3, 3]
+    for t in range(n - 1, -1, -1):
+        out[t] = _V_DECODED[state]
+        state = (prev1 if memory[state, t] else prev0)[state]
+    return out
+
+
 def crc16_x25(data: np.ndarray) -> int:
     """CRC-16/X25 (poly 0x8408 reflected, init/xorout 0xFFFF), returned
     byte-swapped as the reference's dstar_crc16 does."""
@@ -126,8 +171,44 @@ class DstarDecoder(ProtocolDecoder):
         return (f"RPT 2: {rpt2} RPT 1: {rpt1} DST: {dst} SRC: {src}{flagstr}")
 
     def _header(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
-        """RF header (660 coded bits: scramble + interleave + rate-1/2
-        convolutional K=3) — full decode lands with the TX path; skip to
-        the voice stream for now."""
-        ctx.emit(f"Sync: {hit.sync.name} HEADER", "dstar", hit.pos)
-        return hit.end
+        """RF header: 660 coded bits → descramble (x⁷+x⁴+1 LFSR seed
+        0x07) → deinterleave → rate-1/2 K=3 Viterbi → 41 octets
+        (reference src/protocol/dstar/dstar_header.c,
+        dstar_header_utils.c)."""
+        bits = self._bits(reader, hit.end, 660)
+        if bits is None:
+            ctx.emit(f"Sync: {hit.sync.name} HEADER", "dstar", hit.pos)
+            return hit.end
+        b = bits ^ np.resize(_header_scramble(), 660)
+        dei = np.zeros(660, dtype=np.uint8)
+        k = 0
+        for i in range(660):
+            dei[k] = b[i]
+            k += 24
+            if k >= 672:
+                k -= 671
+            elif k >= 660:
+                k -= 647
+        info = _viterbi_k3(dei)
+        hdr = np.zeros(41, dtype=np.uint8)
+        for i in range(328):
+            hdr[i // 8] |= int(info[i]) << (i % 8)
+        crc_ext = (int(hdr[39]) << 8) | int(hdr[40])
+        crc_cmp = crc16_x25(hdr[:39])
+        rpt2 = _ascii(hdr[3:11])
+        rpt1 = _ascii(hdr[11:19])
+        dst = _ascii(hdr[19:27])
+        src = _ascii(hdr[27:39])
+        flags = ""
+        for bit, name in ((0x80, " DATA"), (0x40, " REPEATER"),
+                          (0x20, " INTERRUPTED"), (0x10, " CONTROL SIGNAL"),
+                          (0x08, " URGENT")):
+            if hdr[0] & bit:
+                flags += name
+        tag = "" if crc_cmp == crc_ext else " (CRC ERR)"
+        if crc_cmp == crc_ext:
+            ctx.state.last_src = src.strip()
+        ctx.emit(f"Sync: {hit.sync.name} HEADER  RPT 2: {rpt2} RPT 1: {rpt1}"
+                 f" DST: {dst} SRC: {src}{flags}{tag}", "dstar", hit.pos,
+                 rpt1=rpt1, rpt2=rpt2, dst=dst, src=src)
+        return hit.end + 660

@@ -36,6 +36,11 @@ CASES = [
     # TG=Src=3939*5*.  See PARITY.md.
     ("dpmr", "dpmr", r"Src=3939\*5\* Channel Code=02"),
     ("dstar", "dstar", r"SRC: KB7WUK"),
+    # RF header decode (scramble + deinterleave + K=3 Viterbi): the
+    # reference's own header decode garbles this fixture's header; ours
+    # recovers the full callsign set with a valid CRC
+    ("dstar", "dstar",
+     r"HEADER  RPT 2: WB7DZG B RPT 1: WB7DZG B DST: CQCQCQ   SRC: KB7WUK"),
     ("ysf", "ysf", r"V/D2 RID Mode Repeater CC"),
     ("edacs", "edacs", r"Site ID \[02\]\[002\]"),
     ("m17", "m17", r"SRC: N0CALL"),
