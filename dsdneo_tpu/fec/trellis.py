@@ -48,6 +48,25 @@ def p25_12_deinterleave_bits(bits196: np.ndarray) -> np.ndarray:
     return out
 
 
+def p25_12_encode(bits96: np.ndarray) -> np.ndarray:
+    """96 data bits → one 196-bit trellis block (for loopback tests)."""
+    data = np.asarray(bits96, dtype=np.uint8)
+    dibits = (data[0::2] << 1) | data[1::2]
+    states = list(dibits) + [0]              # flush step
+    dei = np.zeros(98, dtype=np.uint8)
+    prev = 0
+    for i, s in enumerate(states):
+        nib = int(P25_DTM[(prev << 2) | int(s)])
+        dei[2 * i] = (nib >> 2) & 3
+        dei[2 * i + 1] = nib & 3
+        prev = int(s)
+    tx = dei[interleave_98()]
+    out = np.zeros(196, dtype=np.uint8)
+    out[0::2] = (tx >> 1) & 1
+    out[1::2] = tx & 1
+    return out
+
+
 def p25_12_decode(bits196: np.ndarray, llr196: np.ndarray | None = None
                   ) -> tuple[np.ndarray, int]:
     """Decode one 196-bit P25 1/2-rate trellis block → (96 data bits,

@@ -56,9 +56,66 @@ class P25P1Decoder(ProtocolDecoder):
             self._hdu(reader, hit, ctx)
         elif duid == 0xF:
             self._tdulc(reader, hit, ctx)
+        elif duid == 0xC:
+            self._mpdu(reader, hit, ctx)
         elif duid == 0x3:
             pass  # terminator: nothing further to read before next sync
         return reader.pos
+
+    # -- MPDU (packet data unit) ------------------------------------------
+    _SAP_NAMES = {0x00: "User Data", 0x01: "Enc User Data", 0x02: "Pkt Data",
+                  0x03: "ARP", 0x04: "IP Data", 0x1F: "Ext Addressing",
+                  0x20: "SNDCP Ctrl", 0x61: "Trunking Control",
+                  0x63: "Enc Trunking Control"}
+
+    def _mpdu(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> None:
+        """Multi-block PDU: header + blocks, each a 1/2-rate trellis
+        codeword (reference p25p1_mdpu.c processMPDU; header fields
+        p25p1_pdu_data.c p25_read_pdu_header_fields)."""
+        hdr = self._mpdu_block(reader)
+        if hdr is None:
+            return
+        if crc.crc16_bits(hdr[:80], init=0, xorout=0xFFFF) != _bits_to_int(hdr[80:96]):
+            ctx.emit(" P25 Data Header CRC Error", "p25p1", hit.pos)
+            return
+        b = np.packbits(hdr[:96]).astype(np.int64)
+        an = (int(b[0]) >> 6) & 1
+        io = (int(b[0]) >> 5) & 1
+        fmt = int(b[0]) & 0x1F
+        sap = int(b[1]) & 0x3F
+        mfid = int(b[2])
+        address = (int(b[3]) << 16) | (int(b[4]) << 8) | int(b[5])
+        blks = int(b[6]) & 0x7F
+        pad = int(b[7]) & 0x1F
+        line = f" P25 Data - AN: {an}; IO: {io}; FMT: {fmt:02X}; "
+        sap_s = self._SAP_NAMES.get(sap, "Reserved")
+        line += (f"\n F: {(int(b[6]) >> 7) & 1}; Blocks: {blks:02X};"
+                 f" Pad: {pad}; MFID: {mfid:02X}; SAP: {sap:02X} [{sap_s}];")
+        line += f" {'DST' if io else 'SRC'} LLID: {address};"
+        ctx.emit(line, "p25p1", hit.pos, sap=sap, blocks=blks)
+        data = []
+        for _ in range(min(blks, 32)):
+            blk = self._mpdu_block(reader)
+            if blk is None:
+                break
+            data.append(np.packbits(blk[:96]))
+            if sap in (0x61, 0x63):
+                # MBT continuation: surface as a TSBK-style parse
+                self._tsbk(blk, hit, ctx)
+        if data and sap not in (0x61, 0x63):
+            payload = np.concatenate(data)
+            hexs = "".join(f"{int(x):02X}" for x in payload[:24])
+            ctx.emit(f" P25 PDU Payload ({len(payload)} bytes) {hexs}",
+                     "p25p1", hit.pos, payload=payload)
+
+    def _mpdu_block(self, reader: DibitReader) -> np.ndarray | None:
+        if reader.remaining() < 98:
+            return None
+        bits, rel = reader.read_bits(98)
+        llr = ((1 - 2 * bits.astype(np.int32))
+               * np.clip(rel * 64, 1, 127)).astype(np.int32)
+        data96, _cost = trellis.p25_12_decode(bits, llr)
+        return data96
 
     # -- TDULC ------------------------------------------------------------
     def _tdulc(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> None:

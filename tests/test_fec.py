@@ -126,3 +126,20 @@ def test_crc16_ccitt_p25():
     bits = np.zeros(80, dtype=np.uint8)
     c = crc.crc16_bits(bits, init=0, xorout=0xFFFF)
     assert c == 0xFFFF
+
+
+def test_p25_trellis_encode_roundtrip():
+    import numpy as np
+    from dsdneo_tpu.fec import trellis
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        data = rng.integers(0, 2, 96).astype(np.uint8)
+        coded = trellis.p25_12_encode(data)
+        out, cost = trellis.p25_12_decode(coded)
+        assert cost == 0
+        assert np.array_equal(out, data)
+        # a couple of dibit errors must correct
+        bad = coded.copy()
+        bad[[10, 11, 100]] ^= 1
+        out, _ = trellis.p25_12_decode(bad)
+        assert np.array_equal(out, data)

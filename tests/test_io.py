@@ -116,3 +116,44 @@ def test_rigctl_protocol():
     assert cli.get_freq() == 852_000_000
     cli.close()
     lsock.close()
+
+
+def test_iq_capture_writer_events(tmp_path):
+    """Streaming capture writer with retune journal → replay segments."""
+    import numpy as np
+    from dsdneo_tpu.io.iq import (IqCaptureWriter, IqMetadata, read_iq_capture,
+                                  read_iq_events, replay_segments)
+    rng = np.random.default_rng(0)
+    a = (rng.normal(size=1000) + 1j * rng.normal(size=1000)).astype(np.complex64) * 0.1
+    b = (rng.normal(size=500) + 1j * rng.normal(size=500)).astype(np.complex64) * 0.1
+    path = str(tmp_path / "cap.iq")
+    with IqCaptureWriter(path, IqMetadata(sample_format="cf32",
+                                          center_frequency_hz=851_000_000)) as w:
+        w.submit(a)
+        w.record_event("retune", center_frequency_hz=852_500_000,
+                       reason="trunk grant")
+        w.submit(b)
+        w.record_event("mute", duration_bytes=64)
+    meta, samples = read_iq_capture(path)
+    assert meta.contains_retunes
+    assert meta.extra["capture_retune_count"] == 1
+    assert len(samples) == 1500
+    evs = read_iq_events(meta)
+    assert [e.kind for e in evs] == ["retune", "mute"]
+    segs = list(replay_segments(meta, samples))
+    assert len(segs) == 2
+    assert segs[0][0] == 851_000_000 and len(segs[0][1]) == 1000
+    assert segs[1][0] == 852_500_000 and len(segs[1][1]) == 500
+    np.testing.assert_allclose(segs[1][1], b, atol=1e-6)
+
+
+def test_iq_capture_writer_max_bytes(tmp_path):
+    import numpy as np
+    from dsdneo_tpu.io.iq import IqCaptureWriter, IqMetadata
+    x = np.ones(100, dtype=np.complex64) * 0.5
+    path = str(tmp_path / "cap2.iq")
+    with IqCaptureWriter(path, IqMetadata(sample_format="cf32"),
+                         max_bytes=400) as w:
+        assert w.submit(x[:50]) == 400
+        assert w.submit(x[50:]) == 0      # over cap → dropped
+        assert w.drops == 50

@@ -130,3 +130,44 @@ def test_p25p2_sacch_mac_loopback():
     assert "Network Status Broadcast" in text
     assert "WACN [BEE00] SYSID [14C]" in text
     assert "CHAN-T [2114]" in text
+
+
+def test_p25_mpdu_loopback():
+    """Synthesized MPDU (header + 2 data blocks) through the real P1
+    decoder's packet-data path."""
+    import numpy as np
+    from dsdneo_tpu.fec import crc, trellis
+    from dsdneo_tpu.protocol.base import DecoderContext, DibitReader
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+
+    hdr = np.zeros(96, dtype=np.uint8)
+    by = np.zeros(12, dtype=np.int64)
+    by[0] = (1 << 5) | 0x16          # IO=1, FMT=0x16 unconfirmed
+    by[1] = 0x04                      # SAP 4 = IP Data
+    by[2] = 0x00
+    by[3], by[4], by[5] = 0x01, 0x23, 0x45   # LLID 74565
+    by[6] = 2                         # 2 blocks
+    for i in range(10):
+        hdr[8 * i:8 * i + 8] = _bits_of(int(by[i]), 8)
+    c = crc.crc16_bits(hdr[:80], init=0, xorout=0xFFFF)
+    hdr[80:96] = _bits_of(c, 16)
+
+    rng = np.random.default_rng(9)
+    blocks = [hdr] + [rng.integers(0, 2, 96).astype(np.uint8)
+                      for _ in range(2)]
+    bits = np.concatenate([trellis.p25_12_encode(b) for b in blocks])
+    dibits = ((bits[0::2] << 1) | bits[1::2]).astype(np.uint8)
+    soft = np.array([1.0, 3.0, -1.0, -3.0], dtype=np.float32)[dibits]
+
+    ctx = DecoderContext()
+    dec = P25P1Decoder()
+    r = DibitReader(dibits, soft, pos=0, frame_start=0, invert=False)
+
+    class _Hit:
+        pos = 0
+    dec._mpdu(r, _Hit(), ctx)
+    text = "\n".join(e.line for e in ctx.events)
+    assert "P25 Data - AN: 0; IO: 1; FMT: 16;" in text
+    assert "SAP: 04 [IP Data]" in text
+    assert "DST LLID: 74565;" in text
+    assert "P25 PDU Payload (24 bytes)" in text
