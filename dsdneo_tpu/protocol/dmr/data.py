@@ -176,7 +176,14 @@ class PduAssembler:
             swapped[i], swapped[i + 1] = swapped[i + 1], swapped[i]
         crc_cmp = crc32_bits(np.unpackbits(swapped))
         verdict = "CRC32 OK" if crc_cmp == crc_ext else "CRC32 ERR"
-        text = _printable(payload[:-4])
+        body = payload[:-4]
+        from dsdneo_tpu.protocol.dmr.lrrp import looks_like_lrrp, parse_lrrp
+        if looks_like_lrrp(body):
+            fix = parse_lrrp(body)
+            if fix is not None:
+                return (f" | LRRP ({len(payload)} bytes) {verdict}\n "
+                        f"{fix.describe()}")
+        text = _printable(body)
         tail = f" '{text}'" if text else ""
         return (f" | Multi Block PDU ({len(payload)} bytes) {verdict}{tail}")
 

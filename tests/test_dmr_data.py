@@ -135,3 +135,37 @@ def test_dmr_data_call_r34_end_to_end():
     assert "R34 block 1" in text
     assert "CRC32 OK" in text
     assert "Hello DMR data world" in text
+
+
+def test_lrrp_parse():
+    """LRRP response with timestamp + position/radius + speed/heading."""
+    import numpy as np
+    from dsdneo_tpu.protocol.dmr.lrrp import looks_like_lrrp, parse_lrrp
+
+    def tok_time(y, mo, d, h, mi, s):
+        b = [0x34,
+             (y >> 6) & 0xFF,
+             ((y & 0x3F) << 2) | (mo >> 2),
+             ((mo & 3) << 6) | (d << 1) | (h >> 4),
+             ((h & 0xF) << 4) | (mi >> 2),
+             ((mi & 3) << 6) | s]
+        return b
+
+    lat_raw = int(37.25 * 2147483648.0 / 90.0) & 0xFFFFFFFF
+    lon_raw = int(-121.5 * 2147483648.0 / 180.0) & 0xFFFFFFFF
+    pos = [0x51] + list(lat_raw.to_bytes(4, "big")) \
+        + list(lon_raw.to_bytes(4, "big")) + [0x00, 0x64]   # radius 1.0m
+    spd = [0x6C, 0x0B, 0xB8]                                 # 30.00 mph
+    hdg = [0x56, 45]                                         # 90 deg
+    tokens = tok_time(2026, 8, 16, 12, 34, 56) + pos + spd + hdg
+    pdu = np.array([0x07, len(tokens)] + tokens, dtype=np.uint8)
+    assert looks_like_lrrp(pdu)
+    fix = parse_lrrp(pdu)
+    assert fix is not None and fix.have_pos
+    assert abs(fix.lat - 37.25) < 1e-4
+    assert abs(fix.lon + 121.5) < 1e-4
+    assert fix.time == (2026, 8, 16, 12, 34, 56)
+    assert abs(fix.speed_mph - 30.0) < 0.01
+    assert fix.heading_deg == 90
+    assert abs(fix.radius_m - 1.0) < 0.01
+    assert "Lat: 37.25000 Lon: -121.50000" in fix.describe()
