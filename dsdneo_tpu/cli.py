@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SMS text for the M17 packet encoder")
     p.add_argument("--tx-frames", type=int, default=25,
                    help="stream/BERT frames to transmit")
+    p.add_argument("--stream", type=float, default=0.0, metavar="SECONDS",
+                   help="decode in streamed blocks of this many seconds "
+                        "(the live-pipeline path) instead of one shot")
+    p.add_argument("--calls-dir", default="", metavar="DIR",
+                   help="export per-call WAV+JSON records to DIR "
+                        "(reference per-call WAV / rdio export)")
     return p
 
 
@@ -129,12 +135,33 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         p2 = (int(v[:5], 16), int(v[5:8], 16), int(v[8:], 16))
 
+    recorder = None
+    if args.calls_dir:
+        from dsdneo_tpu.core.calls import CallRecorder
+        recorder = CallRecorder(args.calls_dir, mode=args.mode)
+
     from dsdneo_tpu.engine import decode_capture
     try:
-        ctx = decode_capture(args.iq_replay, args.mode,
-                             sync_threshold=args.sync_threshold,
-                             verbose=args.verbose, cqpsk=args.cqpsk,
-                             p2_params=p2)
+        if args.stream > 0:
+            from dsdneo_tpu.engine.stream import StreamDecoder
+            from dsdneo_tpu.io import read_iq_capture
+            meta, samples = read_iq_capture(args.iq_replay)
+            sd = StreamDecoder(args.mode, fs=float(meta.sample_rate_hz),
+                               sync_threshold=args.sync_threshold)
+            sd.ctx.call_recorder = recorder
+            if p2 is not None:
+                (sd.ctx.state.p2_wacn, sd.ctx.state.p2_sysid,
+                 sd.ctx.state.p2_cc) = p2
+            chunk = max(int(meta.sample_rate_hz * args.stream), 4800)
+            for i in range(0, len(samples), chunk):
+                sd.push(samples[i:i + chunk])
+            sd.flush()
+            ctx = sd.ctx
+        else:
+            ctx = decode_capture(args.iq_replay, args.mode,
+                                 sync_threshold=args.sync_threshold,
+                                 verbose=args.verbose, cqpsk=args.cqpsk,
+                                 p2_params=p2, call_recorder=recorder)
     except (OSError, ValueError) as e:
         print(f"dsd-neo-tpu: cannot replay {args.iq_replay}: {e}", file=sys.stderr)
         return 1
@@ -149,6 +176,10 @@ def main(argv: list[str] | None = None) -> int:
                     audio_s=audio_s,
                     lines=[e.line for e in ctx.events],
                     soft=getattr(ctx, "debug_soft", None)))
+    if recorder is not None:
+        recorder.finish_all()
+        print(f"calls exported: {len(recorder.finished)} -> {args.calls_dir}",
+              file=sys.stderr)
     for ev in ctx.events:
         print(ev.line, file=sys.stderr)
 

@@ -44,6 +44,12 @@ class DecoderContext:
 
     def emit_audio(self, pcm: np.ndarray, slot: int = 0) -> None:
         self.audio.setdefault(slot, []).append(pcm)
+        if getattr(self, "call_recorder", None) is not None:
+            t = sum(len(c) for c in self.audio[slot]) / 8000.0
+            self.call_recorder.add_audio(
+                pcm, slot, t,
+                talkgroup=getattr(self.state, "last_tg", 0) or 0,
+                source=getattr(self.state, "last_src", 0) or 0)
 
     def frame_info(self) -> str:
         """printFrameInfo-format header segment (reference
