@@ -5,15 +5,20 @@ A 72-bit frame carries 4 code vectors: C0 Golay(24,12), C1 Golay(23,12)
 49 parameter bits.  The DMR dibit interleave is the standard map
 (reference copy include/dsd-neo/core/ambe_interleave.h).
 
-The C1 PN descramble uses the same placeholder recurrence as the IMBE
-path (see protocol/p25/imbe_frame.py STATUS note).
+STATUS: the C0 convention (Golay(23,12) generator 0xAE3 over frame bits
+[0:23], overall parity at bit 23) was validated on the dmr_voice
+fixture's voice superframes (1 residual channel error vs ~3 = random
+under the previous extended-Golay interpretation).  The C1 PN uses the
+IMBE-recovered recurrence (173x+13849, MSB out, reverse-order
+application — see protocol/p25/imbe_frame.py); the seed convention for
+AMBE could not be confirmed on the fixture's marginal voice (no frame
+decodes C0 with zero errors, so seed inversion has no clean anchor).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from dsdneo_tpu.fec.blockcodes import golay_24_12
 from dsdneo_tpu.protocol.p25.imbe_frame import golay_23_12, _pn_bits
 
 # (high_row, high_col, low_row, low_col) per dibit
@@ -40,13 +45,14 @@ def deinterleave_ambe72(bits72: np.ndarray) -> np.ndarray:
 def decode_ambe_ecc(bits72: np.ndarray) -> tuple[np.ndarray, int]:
     """72 on-air bits → (49 AMBE parameter bits, error count)."""
     fr = deinterleave_ambe72(bits72)
-    g24 = golay_24_12()
     g23 = golay_23_12()
     errs = 0
-    c0, e0 = g24.decode(fr[0])
+    c0, e0 = g23.decode(fr[0][0:23])
     errs += e0
+    if int(g23.codebook[c0].sum() + fr[0][23]) & 1:
+        errs += 1                      # overall parity mismatch
     pn = _pn_bits(c0, 23)
-    c1, e1 = g23.decode(fr[1][:23] ^ pn)
+    c1, e1 = g23.decode(fr[1][:23] ^ pn[::-1])
     errs += e1
     out = np.zeros(49, dtype=np.uint8)
     out[0:12] = [(c0 >> (11 - i)) & 1 for i in range(12)]
