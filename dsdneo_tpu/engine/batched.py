@@ -64,14 +64,29 @@ def frontend_step(iq: jax.Array, taps: jax.Array, sps: float, n_sym: int,
     X = jnp.sum(e * tone, axis=-1)
     tau = jnp.mod(-jnp.angle(X) * (sps / (2 * jnp.pi)), sps)
 
-    k = jnp.arange(n_sym, dtype=jnp.float32)
-    pos = k[None, :] * sps + tau[:, None]
-    pos = jnp.clip(pos, 0.0, n - 2.0)
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    frac = pos - i0.astype(jnp.float32)
-    g0 = jnp.take_along_axis(d, i0, axis=-1)
-    g1 = jnp.take_along_axis(d, i0 + 1, axis=-1)
-    sym = g0 * (1.0 - frac) + g1 * frac
+    isps = int(round(sps))
+    if abs(sps - isps) < 1e-9 and n_sym * isps + isps <= n:
+        # integer samples/symbol (every supported mode at 48 kHz): the
+        # per-channel gather collapses to a reshape + one-hot contraction
+        # over the symbol phase — TPU-friendly (no dynamic gather)
+        o = jnp.floor(tau).astype(jnp.int32)            # [C] in [0, sps)
+        frac = (tau - o.astype(jnp.float32))[:, None]   # [C, 1]
+        dr = d[:, :n_sym * isps].reshape(c, n_sym, isps)
+        nxt = d[:, isps:n_sym * isps + isps:isps]       # next symbol's s0
+        dr = jnp.concatenate([dr, nxt[:, :, None]], axis=2)  # [C,K,sps+1]
+        j = jnp.arange(isps + 1, dtype=jnp.int32)[None, :]
+        w = (jnp.where(j == o[:, None], 1.0 - frac, 0.0)
+             + jnp.where(j == o[:, None] + 1, frac, 0.0))    # [C, sps+1]
+        sym = jnp.einsum("ckj,cj->ck", dr, w)
+    else:
+        k = jnp.arange(n_sym, dtype=jnp.float32)
+        pos = k[None, :] * sps + tau[:, None]
+        pos = jnp.clip(pos, 0.0, n - 2.0)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - i0.astype(jnp.float32)
+        g0 = jnp.take_along_axis(d, i0, axis=-1)
+        g1 = jnp.take_along_axis(d, i0 + 1, axis=-1)
+        sym = g0 * (1.0 - frac) + g1 * frac
 
     # -- levels: windowed min/max (robust enough post-LPF) ---------------
     win = 256
