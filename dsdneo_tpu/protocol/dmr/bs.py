@@ -65,6 +65,7 @@ class DmrBsDecoder(ProtocolDecoder):
         self.color_code = -1
         self.vc_counter = {0: 0, 1: 0}
         self.assembler = {0: PduAssembler(), 1: PduAssembler()}
+        self.alias = {}
 
     # -- helpers ----------------------------------------------------------
     @staticmethod
@@ -241,21 +242,172 @@ class DmrBsDecoder(ProtocolDecoder):
         pos = hit.pos
         slot = self._cach_slot(reader, pos, invert)
         s = slot if slot is not None else 0
-        self.vc_counter[s] = self.vc_counter.get(s, 0) % 6 + 1
         polarity = "-" if invert else "+"
         lights = ["[slot1]", " slot2 "] if s == 0 else [" slot1 ", "[slot2]"]
         cc = self.color_code if self.color_code >= 0 else ctx.state.dmr_color_code
         cc_str = f"{cc:02d}" if cc >= 0 else "XX"
         ctx.emit(f"Sync: {polarity}DMR {lights[0]} {lights[1]} "
-                 f"| Color Code={cc_str} | VC{self.vc_counter[s]}",
+                 f"| Color Code={cc_str} | VC1",
                  "dmr", pos, slot=s)
-        # AMBE frames: 108 bits either side of sync → 3×72-bit frames
+        self._voice_payload(reader, pos, invert, s, ctx)
+        self._follow_superframe(reader, hit, ctx, invert, s, cc_str, lights,
+                                polarity)
+
+    def _voice_payload(self, reader: DibitReader, pos: int, invert: bool,
+                       s: int, ctx: DecoderContext) -> None:
+        """AMBE frames: 108 bits either side of the centre field."""
         h1 = self._slice_bits(reader, pos - 54, 54, invert)
         h2 = self._slice_bits(reader, pos + 24, 54, invert)
         if h1 is not None and h2 is not None:
             voice216 = np.concatenate([h1, h2])
             ctx.events[-1].fields["ambe216"] = voice216
             self._synthesize(voice216, s, ctx)
+
+    def _follow_superframe(self, reader: DibitReader, hit: SyncHit,
+                           ctx: DecoderContext, invert: bool, s: int,
+                           cc_str: str, lights: list, polarity: str) -> None:
+        """VC2-VC6 bursts carry no sync: the 48-bit centre field is
+        EMB + a 32-bit embedded-LC fragment (reference dmr_bs.c
+        read_dmr_bs_sync_segment, dmr_dburst_handle_emb).  Same-slot
+        bursts repeat every 288 dibits."""
+        frags = []
+        for k in range(1, 6):
+            base = hit.pos + 288 * k
+            center = self._slice_bits(reader, base, 24, invert)
+            if center is None:
+                break
+            # a strong sync correlation means a new burst, not EMB
+            if self._looks_like_sync(reader, base):
+                break
+            emb16 = np.concatenate([center[0:8], center[40:48]])
+            qr = blockcodes.qr_16_7_6()
+            msg, errs = qr.decode(emb16)
+            emb_ok = errs <= 1
+            lcss = msg & 3
+            if emb_ok:
+                self.color_code = (msg >> 3) & 0xF
+                cc_str = f"{self.color_code:02d}"
+            ctx.emit(f"Sync: {polarity}DMR {lights[0]} {lights[1]} "
+                     f"| Color Code={cc_str} | VC{k + 1}",
+                     "dmr", base, slot=s)
+            self._voice_payload(reader, base, invert, s, ctx)
+            if k <= 4:
+                frags.append(center[8:40])
+        if len(frags) == 4:
+            self._embedded_lc(np.concatenate(frags), s, ctx, hit)
+
+    def _looks_like_sync(self, reader: DibitReader, base: int) -> bool:
+        from dsdneo_tpu.symbols import framesync
+        if base + 24 > len(reader.dibits):
+            return True
+        seg = reader.soft[base:base + 24]
+        for d in framesync.patterns_for({"dmr"}):
+            ref = d.levels
+            if len(ref) == 24 and float(np.dot(seg, ref)) / (24 * 9) > 0.82:
+                return True
+        return False
+
+    def _embedded_lc(self, bits128: np.ndarray, s: int, ctx: DecoderContext,
+                     hit: SyncHit) -> None:
+        """4×32-bit fragments → BPTC 16×8 (column-major) → 7 rows of
+        Hamming(16,11,4) + column parity → 72-bit FLC + 5-bit checksum
+        (sum of 9 bytes mod 31).  Reference fec/bptc.c
+        BPTC_128x77_Extract_Data, dmr_utils.c ComputeCrc5Bit."""
+        mat = np.zeros((8, 16), dtype=np.uint8)
+        k = 0
+        for i in range(16):
+            for j in range(8):
+                mat[j][i] = bits128[k]
+                k += 1
+        ham = blockcodes.hamming_16_11_4()
+        bad = 0
+        for r in range(7):
+            msg, errs = ham.decode(mat[r])
+            if errs > 1:
+                bad += 1
+            mat[r][:11] = ham.codebook[msg][:11]
+        data = np.zeros(77, dtype=np.uint8)
+        k = 0
+        for r in range(2):
+            data[k:k + 11] = mat[r][:11]
+            k += 11
+        for r in range(2, 7):
+            data[k:k + 10] = mat[r][:10]
+            k += 10
+        for r in range(2, 7):
+            data[k] = mat[r][10]
+            k += 1
+        crc_rx = _bits_to_int(data[72:77])
+        total = sum(int(_bits_to_int(data[8 * i:8 * i + 8])) for i in range(9))
+        if total % 31 != crc_rx or bad:
+            return
+        self._flco(data[:72], s, ctx, hit, "Embedded LC")
+
+    # -- full link control ------------------------------------------------
+    def _flco(self, lc_bits: np.ndarray, s: int, ctx: DecoderContext,
+              hit: SyncHit, label: str) -> None:
+        """Full LC parse incl. talker alias + embedded GPS dispatch
+        (reference dmr_flco.c)."""
+        flco = _bits_to_int(lc_bits[2:8])
+        fid = _bits_to_int(lc_bits[8:16])
+        if flco == 0x00 or flco == 0x03:
+            tgt = _bits_to_int(lc_bits[24:48])
+            src = _bits_to_int(lc_bits[48:72])
+            ctx.state.last_tg, ctx.state.last_src = tgt, src
+            kind = "Group" if flco == 0 else "Private"
+            ctx.emit(f" Slot {s + 1} - {label} {kind} TGT={tgt} SRC={src}"
+                     f" FID=0x{fid:02X}", "dmr", hit.pos, tg=tgt, src=src)
+        elif flco == 0x04:            # talker alias header
+            fmt = _bits_to_int(lc_bits[16:18])
+            ln = _bits_to_int(lc_bits[18:23])
+            char_size = {0: 7, 1: 8, 2: 8}.get(fmt, 16)
+            start = 23 if char_size == 7 else 24
+            self.alias[s] = {"size": char_size, "len": ln,
+                             "bits": {0: list(lc_bits[start:72])}}
+            ctx.emit(f" Slot {s + 1} - Talker Alias LC Header; Format {fmt};"
+                     f" Char Len: {ln}; Char Size: {char_size};"
+                     f"{self._alias_text(s)}", "dmr", hit.pos)
+        elif 0x05 <= flco <= 0x07:    # talker alias blocks 1-3
+            blk = flco - 4
+            st = self.alias.get(s)
+            if st is None:
+                ctx.emit(f" Slot {s + 1} - Talker Alias Block Num: {blk + 1};"
+                         " Invalid Header;", "dmr", hit.pos)
+                return
+            st["bits"][blk] = list(lc_bits[16:72])
+            ctx.emit(f" Slot {s + 1} - Talker Alias Block Num: {blk + 1};"
+                     f" Valid Block;{self._alias_text(s)}", "dmr", hit.pos)
+        elif flco == 0x08:            # embedded GPS
+            from dsdneo_tpu.protocol.dmr.gps import decode_embedded_gps
+            line = decode_embedded_gps(lc_bits)
+            ctx.emit(f" Slot {s + 1} - {line}", "dmr", hit.pos)
+        else:
+            ctx.emit(f" Slot {s + 1} - {label} FLCO=0x{flco:02X}"
+                     f" FID=0x{fid:02X}", "dmr", hit.pos)
+
+    def _alias_text(self, s: int) -> str:
+        st = self.alias.get(s)
+        if not st:
+            return ""
+        bits = []
+        for blk in sorted(st["bits"]):
+            bits.extend(st["bits"][blk])
+        cs = st["size"]
+        chars = []
+        for i in range(0, len(bits) - cs + 1, cs):
+            v = _bits_to_int(bits[i:i + cs])
+            if cs == 16:
+                if v == 0:
+                    break
+                chars.append(chr(v) if 32 <= v < 0xD800 else "?")
+            else:
+                if v == 0:
+                    break
+                chars.append(chr(v) if 32 <= v < 127 else "?")
+            if st["len"] and len(chars) >= st["len"]:
+                break
+        text = "".join(chars).strip()
+        return f" Talker Alias: {text}" if text else ""
 
     def _synthesize(self, voice216: np.ndarray, slot: int,
                     ctx: DecoderContext) -> None:

@@ -169,3 +169,81 @@ def test_lrrp_parse():
     assert fix.heading_deg == 90
     assert abs(fix.radius_m - 1.0) < 0.01
     assert "Lat: 37.25000 Lon: -121.50000" in fix.describe()
+
+
+def _bptc_128x77_encode(data77):
+    """Inverse of the decoder's BPTC 128x77 extraction (test helper)."""
+    from dsdneo_tpu.fec.blockcodes import hamming_16_11_4
+    ham = hamming_16_11_4()
+    mat = np.zeros((8, 16), dtype=np.uint8)
+    k = 0
+    for r in range(2):
+        mat[r][:11] = data77[k:k + 11]; k += 11
+    for r in range(2, 7):
+        mat[r][:10] = data77[k:k + 10]; k += 10
+    for r in range(2, 7):
+        mat[r][10] = data77[k]; k += 1
+    for r in range(7):
+        msg = 0
+        for b in mat[r][:11]:
+            msg = (msg << 1) | int(b)
+        mat[r] = ham.codebook[msg]
+    for i in range(16):
+        mat[7][i] = int(mat[:7, i].sum()) & 1
+    out = np.zeros(128, dtype=np.uint8)
+    k = 0
+    for i in range(16):
+        for j in range(8):
+            out[k] = mat[j][i]; k += 1
+    return out
+
+
+def test_dmr_embedded_lc_superframe():
+    """Voice superframe with embedded LC: VC1 sync burst + VC2-6 EMB
+    bursts through the real decoder -> Group LC decoded."""
+    from dsdneo_tpu.fec.blockcodes import qr_16_7_6
+
+    lc = np.zeros(72, dtype=np.uint8)
+    lc[2:8] = _bits_of(0x00, 6)          # FLCO group voice
+    lc[24:48] = _bits_of(4321, 24)       # target
+    lc[48:72] = _bits_of(8765, 24)       # source
+    data77 = np.zeros(77, dtype=np.uint8)
+    data77[:72] = lc
+    ssum = 0
+    for i in range(9):
+        v = 0
+        for b in lc[8 * i:8 * i + 8]:
+            v = (v << 1) | int(b)
+        ssum += v
+    data77[72:77] = _bits_of(ssum % 31, 5)
+    frags = _bptc_128x77_encode(data77)
+
+    sync = "131111333113313313113313"     # +DMR BS voice
+    sync_d = np.array([1 if ch == "1" else 3 for ch in sync], dtype=np.uint8)
+    qr = qr_16_7_6()
+    cc = 7
+
+    def burst(center_dibits):
+        b = np.zeros(144, dtype=np.uint8)
+        b[66:90] = center_dibits
+        return b
+
+    # TDMA stream: same-slot bursts 288 dibits apart (other slot between)
+    tdma = [np.zeros(80, dtype=np.uint8)]
+    tdma.append(burst(sync_d))
+    for k in range(5):
+        tdma.append(np.zeros(144, dtype=np.uint8))    # other slot
+        lcss = 1 if k == 0 else (2 if k < 3 else 3)
+        emb16 = qr.codebook[(cc << 3) | (0 << 2) | lcss]
+        center = np.zeros(48, dtype=np.uint8)
+        center[0:8] = emb16[:8]
+        center[40:48] = emb16[8:]
+        if k < 4:
+            center[8:40] = frags[32 * k:32 * (k + 1)]
+        cd = ((center[0::2] << 1) | center[1::2]).astype(np.uint8)
+        tdma.append(burst(cd))
+    tdma.append(np.zeros(200, dtype=np.uint8))
+    ctx = _decode_stream(np.concatenate(tdma))
+    text = "\n".join(e.line for e in ctx.events)
+    assert "VC1" in text and "VC6" in text
+    assert "Embedded LC Group TGT=4321 SRC=8765" in text
