@@ -116,6 +116,7 @@ class NxdnDecoder(ProtocolDecoder):
         self.part_of_frame = -1
         self.last_ran = -1
         self.variant = None  # "NXDN48"/"NXDN96" (set from symbol rate)
+        self.alias_blocks = [""] * 4
 
     def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
         pos = hit.pos + 10                      # LICH starts after the FSW
@@ -266,4 +267,31 @@ class NxdnDecoder(ProtocolDecoder):
             detail = (f"\n {''.join(parts)}{ct} - {opt}"
                       f"Src={src & 0xFFFF} - Dst/TG={dst & 0xFFFF} ")
             out += detail
+        elif mtype == 0x3F:                      # proprietary form / alias
+            out = self._alias(msg, ctx) or " PROP_FORM"
         return out
+
+    def _alias(self, msg: np.ndarray, ctx: DecoderContext) -> str | None:
+        """Kenwood standard alias (MFID 0x68, subtype 0x8204): 4 blocks
+        of 4 ASCII chars (reference nxdn_alias_decode.c
+        nxdn_alias_decode_prop)."""
+        mfid = _bti(msg[8:16])
+        subtype = _bti(msg[16:32])
+        if mfid != 0x68 or subtype != 0x8204:
+            return None
+        block = _bti(msg[32:36])
+        total = _bti(msg[36:40])
+        if not (1 <= block <= 4):
+            return " ALIAS"
+        if not (1 <= total <= 4):
+            total = 4
+        chars = []
+        for i in range(4):
+            b = _bti(msg[40 + 8 * i:48 + 8 * i])
+            chars.append(chr(b) if 0x20 <= b <= 0x7E else " ")
+        self.alias_blocks[block - 1] = "".join(chars)
+        alias = "".join(self.alias_blocks[:total]).rstrip()
+        if alias:
+            ctx.state.last_alias = alias
+            return f" ALIAS\n Talker Alias: {alias}"
+        return " ALIAS"
