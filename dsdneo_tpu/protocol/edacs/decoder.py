@@ -46,7 +46,6 @@ LCN_STATUS = {28: "[Convert To Callee]", 29: "[Call Queued]",
               30: "[System Busy]", 31: "[Call Denied]",
               26: "[Reserved LCN Status]", 27: "[Reserved LCN Status]"}
 
-ADJ_DEF = {1: "[Adjacent System Definition]", 2: "[Adjacencies Table Length Definition]"}
 
 
 def _lcn_status(lcn: int) -> str:
@@ -147,9 +146,17 @@ class EdacsDecoder(ProtocolDecoder):
             lcn = (msg1 >> 12) & 0x1F
             idx = (msg1 >> 9) & 0x7
             site = (msg1 >> 4) & 0x1F
+            if site == 0 and idx == 0:
+                kind = "[Adjacency Table Reset]"
+            elif site != 0 and idx == 0:
+                kind = "[Priority System Definition]"
+            elif site == 0:
+                kind = "[Adjacencies Table Length Definition]"
+            else:
+                kind = "[Adjacent System Definition]"
             return (f" Adjacent Site Control Channel :: Site ID [{site:02X}]"
                     f"[{site:03d}] Index [{idx}] LCN [{lcn:02d}]"
-                    f"{_lcn_status(lcn)} {ADJ_DEF.get(idx, '[Adjacent System Definition]')}")
+                    f"{_lcn_status(lcn)} {kind}")
         if mt_d == 0x02:
             return " Extended Site Options"
         if mt_d == 0x04:
@@ -159,7 +166,11 @@ class EdacsDecoder(ProtocolDecoder):
         if mt_d == 0x06:
             return " Initiate Test Call Command"
         if mt_d == 0x07:
-            return " Unit Enable/Disable"
+            qual = {0: "[Temporary Disable]", 1: "[Corrupt Personality]",
+                    2: "[Revoke Logical ID]"}.get((msg1 >> 14) & 3,
+                                                  "[Re-enable Unit]")
+            return (f" Unit Enable/Disable :: {qual}"
+                    f" LID [{msg1 & 0x3FFF:05d}]")
         if mt_d in (0x08, 0x09, 0x0A, 0x0B):
             cc_lcn = (msg1 >> 12) & 0x1F
             priority = (msg1 >> 9) & 0x7
