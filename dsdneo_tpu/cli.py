@@ -175,7 +175,8 @@ def main(argv: list[str] | None = None) -> int:
                     n_syncs=getattr(ctx, "n_syncs", 0),
                     audio_s=audio_s,
                     lines=[e.line for e in ctx.events],
-                    soft=getattr(ctx, "debug_soft", None)))
+                    soft=getattr(ctx, "debug_soft", None),
+                    iq=getattr(ctx, "debug_iq", None)))
     if recorder is not None:
         recorder.finish_all()
         print(f"calls exported: {len(recorder.finished)} -> {args.calls_dir}",

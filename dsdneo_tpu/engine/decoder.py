@@ -53,6 +53,7 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
         ctx.state.p2_wacn, ctx.state.p2_sysid, ctx.state.p2_cc = p2_params
     ctx.mode_name = mode.name
     ctx.debug_soft = norm
+    ctx.debug_iq = samples[:16384]
     ctx.n_syncs = len(hits)
     registry = proto_base.registry()
     decoders: dict[str, proto_base.ProtocolDecoder] = {}

@@ -24,6 +24,7 @@ class UiModel:
     audio_s: float = 0.0
     lines: list = None
     soft: object = None     # np array of normalized symbols (optional)
+    iq: object = None       # complex samples (optional, for const/spectrum)
 
 
 def _eye_rows(soft, width: int, height: int = 7) -> list[str]:
@@ -37,6 +38,71 @@ def _eye_rows(soft, width: int, height: int = 7) -> list[str]:
         row = "".join("*" if abs(s - lv) < 0.5 else " " for s in seg)
         rows.append(row)
     return rows
+
+
+def _histogram_rows(soft, width: int, height: int = 7) -> list[str]:
+    """Symbol-level histogram (the reference's FSK histogram view)."""
+    import numpy as np
+    if soft is None or len(soft) < 64:
+        return []
+    s = np.asarray(soft)
+    hist, _ = np.histogram(np.clip(s, -4, 4), bins=min(width, 64),
+                           range=(-4, 4))
+    hist = hist / max(hist.max(), 1)
+    rows = []
+    for r in range(height):
+        thr = 1.0 - (r + 0.5) / height
+        rows.append("".join("#" if v >= thr else " " for v in hist))
+    return rows
+
+
+def _constellation_rows(iq, width: int, height: int = 7) -> list[str]:
+    """ASCII I/Q scatter (reference ncurses_visualizers.c constellation)."""
+    import numpy as np
+    if iq is None or len(iq) < 64:
+        return []
+    z = np.asarray(iq)[:4096]
+    scale = max(float(np.percentile(np.abs(z), 95)), 1e-6)
+    xi = np.clip(((z.real / scale) + 1) * 0.5 * (width - 1), 0, width - 1)
+    yi = np.clip(((-z.imag / scale) + 1) * 0.5 * (height - 1), 0, height - 1)
+    grid = np.zeros((height, width), dtype=np.int64)
+    np.add.at(grid, (yi.astype(int), xi.astype(int)), 1)
+    glyphs = " .:*#"
+    mx = max(grid.max(), 1)
+    return ["".join(glyphs[min(int(v * 4 / mx + (v > 0)), 4)] for v in row)
+            for row in grid]
+
+
+def _spectrum_rows(iq, width: int, height: int = 7) -> list[str]:
+    """Log-magnitude spectrum bars (reference spectrum snapshot view)."""
+    import numpy as np
+    if iq is None or len(iq) < 256:
+        return []
+    z = np.asarray(iq)[:16384]
+    n = 1 << int(np.log2(len(z)))
+    spec = np.fft.fftshift(np.abs(np.fft.fft(z[:n])))
+    bins = np.array_split(spec, width)
+    db = np.array([20 * np.log10(max(float(b.mean()), 1e-9)) for b in bins])
+    db -= db.max()
+    db = np.clip(db / 50.0 + 1.0, 0, 1)      # 50 dB range
+    rows = []
+    for r in range(height):
+        thr = 1.0 - (r + 0.5) / height
+        rows.append("".join("|" if v >= thr else " " for v in db))
+    return rows
+
+
+_VIEWS = ("eye", "histogram", "constellation", "spectrum")
+
+
+def _view_rows(model: UiModel, view: str, width: int) -> list[str]:
+    if view == "eye":
+        return _eye_rows(model.soft, width)
+    if view == "histogram":
+        return _histogram_rows(model.soft, width)
+    if view == "constellation":
+        return _constellation_rows(model.iq, width)
+    return _spectrum_rows(model.iq, width)
 
 
 def run(model: UiModel, max_idle_polls: int | None = None) -> None:
@@ -57,15 +123,16 @@ def _main(scr, model: UiModel, max_idle_polls: int | None = None) -> None:
     scr.timeout(100)
     offset = max(len(model.lines or []) - 1, 0)
     idle = 0
+    view_idx = 0
     while True:
         h, w = scr.getmaxyx()
         scr.erase()
         head = (f" dsd-neo-tpu | mode {model.mode} | {model.source} | "
                 f"events {model.n_events} | syncs {model.n_syncs} | "
-                f"audio {model.audio_s:.1f}s ")
+                f"audio {model.audio_s:.1f}s | view {_VIEWS[view_idx]} ")
         scr.addnstr(0, 0, head.ljust(w), w - 1, curses.A_REVERSE)
 
-        eye = _eye_rows(model.soft, min(w - 2, 120))
+        eye = _view_rows(model, _VIEWS[view_idx], min(w - 2, 120))
         y = 1
         for row in eye:
             if y >= h - 1:
@@ -82,8 +149,8 @@ def _main(scr, model: UiModel, max_idle_polls: int | None = None) -> None:
         for i, line in enumerate(lines[start:start + view_h]):
             scr.addnstr(y + i, 0, line.replace("\n", " | "), w - 1)
         scr.addnstr(h - 1, 0,
-                    " q quit   ↑/↓ PgUp/PgDn scroll ".ljust(w - 1), w - 1,
-                    curses.A_REVERSE)
+                    " q quit   v view   ↑/↓ PgUp/PgDn scroll ".ljust(w - 1),
+                    w - 1, curses.A_REVERSE)
         scr.refresh()
         ch = scr.getch()
         if ch == -1:
@@ -94,6 +161,8 @@ def _main(scr, model: UiModel, max_idle_polls: int | None = None) -> None:
         idle = 0
         if ch in (ord("q"), 27):
             break
+        elif ch == ord("v"):
+            view_idx = (view_idx + 1) % len(_VIEWS)
         elif ch == curses.KEY_UP:
             offset = max(offset - 1, 0)
         elif ch == curses.KEY_DOWN:

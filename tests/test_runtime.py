@@ -145,3 +145,24 @@ def test_perf_probe(tmp_path):
     probe.close()
     text = p.read_text()
     assert "device_ms" in text and len(text.splitlines()) >= 2
+
+
+def test_ui_visualizers_render():
+    import numpy as np
+    from dsdneo_tpu.ui.terminal import (_constellation_rows, _eye_rows,
+                                        _histogram_rows, _spectrum_rows)
+    rng = np.random.default_rng(0)
+    soft = np.concatenate([rng.normal(lv, 0.2, 400) for lv in (-3, -1, 1, 3)])
+    h = _histogram_rows(soft, 64)
+    assert len(h) == 7 and any("#" in r for r in h)
+    # 4-level histogram: bottom row has 4 separate clusters
+    assert len([g for g in "".join(
+        "1" if c == "#" else "0" for c in h[-1]).split("0") if g]) >= 4
+    z = (np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, 2048)))
+         + 0.05 * (rng.normal(size=2048) + 1j * rng.normal(size=2048)))
+    c = _constellation_rows(z.astype(np.complex64), 40)
+    assert len(c) == 7 and any("#" in r or "*" in r for r in c)
+    t = np.arange(4096)
+    sig = np.exp(2j * np.pi * 0.11 * t).astype(np.complex64)
+    s = _spectrum_rows(sig, 64)
+    assert len(s) == 7 and "|" in s[0]
