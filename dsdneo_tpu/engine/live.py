@@ -1,0 +1,97 @@
+"""Live engine: producer → ring → streaming decoder, with a control
+plane — the rebuild of the reference's thread model (src/io/radio/
+rtl_sdr_fm.cpp: producer thread fills the input ring, the demod thread
+drains it blockwise, the controller thread applies retunes with purge
++ generation gates; engine.c liveScanner drives the decode loop).
+
+The producer here is any callable that feeds CU8 bytes (a replay
+pacer, a UDP PCM source, an SDR process piping to us); retunes purge
+the ring (dropping stale pre-retune samples, like the reference's
+purge/mute gate), journal an event into the capture writer when one is
+attached, and reset the stream decoder's carry.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+from dsdneo_tpu.engine.stream import StreamDecoder
+
+
+class LiveEngine:
+    """Ring-fed streaming decode loop with retune control."""
+
+    def __init__(self, mode: str, fs: float = 48000.0,
+                 block_s: float = 0.25, ring=None, capture_writer=None,
+                 control_port: int = 0, on_event=None):
+        from dsdneo_tpu.runtime.native import IngestRing
+        self.mode = mode
+        self.fs = fs
+        self.block = int(fs * block_s)
+        self.ring = ring or IngestRing()
+        self.capture = capture_writer
+        self.on_event = on_event
+        self.decoder = StreamDecoder(mode, fs=fs)
+        self.freq_hz = 0.0
+        self.retunes = 0
+        self._stop = False
+        self._thread: threading.Thread | None = None
+        self._ctl = None
+        if control_port:
+            from dsdneo_tpu.io.net import UdpControlServer
+            self._ctl = UdpControlServer(self.tune, port=control_port)
+
+    # -- control plane (the reference's controller thread) -----------------
+    def tune(self, freq_hz: float) -> None:
+        """Retune: journal the event, purge stale ring contents, reset
+        the decode carry (reference rtl_stream_tune_impl purge+mute)."""
+        self.freq_hz = freq_hz
+        self.retunes += 1
+        if self.capture is not None:
+            self.capture.record_event("retune",
+                                      center_frequency_hz=int(freq_hz))
+        self.ring.purge()
+        self.decoder = StreamDecoder(self.mode, fs=self.fs,
+                                     ctx=self.decoder.ctx)
+
+    # -- producer side ------------------------------------------------------
+    def feed_cu8(self, data: bytes) -> int:
+        """Producer entry: raw CU8 interleaved I/Q bytes into the ring."""
+        return self.ring.write(data)
+
+    # -- consumer loop (the reference's demod thread) -----------------------
+    def run(self, max_blocks: int | None = None) -> int:
+        """Drain the ring blockwise until stopped; returns blocks decoded."""
+        n = 0
+        while not self._stop:
+            planes = self.ring.read_block_cu8(self.block, timeout_ms=300)
+            if planes is None:
+                if max_blocks is not None:
+                    break
+                continue
+            samples = (planes[:, 0] + 1j * planes[:, 1]).astype(np.complex64)
+            if self.capture is not None:
+                self.capture.submit(samples)
+            events = self.decoder.push(samples)
+            if self.on_event is not None:
+                for e in events:
+                    self.on_event(e)
+            n += 1
+            if max_blocks is not None and n >= max_blocks:
+                break
+        self.decoder.flush()
+        return n
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop = True
+        if self._ctl is not None:
+            self._ctl.close()
+        if self._thread is not None:
+            self._thread.join(timeout=3)

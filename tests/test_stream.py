@@ -46,3 +46,56 @@ def test_stream_matches_oneshot(fixture, mode, chunk_s):
     assert matched >= 0.9 * len(ref_lines), (
         f"streamed {len(got_lines)} lines matched {matched} of "
         f"{len(ref_lines)} one-shot lines")
+
+
+def test_live_engine_ring_decode_and_retune(tmp_path):
+    """Producer → C++ ring → LiveEngine streaming decode, with a UDP
+    retune mid-stream journalled into the capture writer."""
+    import socket
+    import threading
+    import time
+
+    import numpy as np
+
+    from dsdneo_tpu.engine.live import LiveEngine
+    from dsdneo_tpu.io import read_iq_capture
+    from dsdneo_tpu.io.iq import IqCaptureWriter, IqMetadata
+
+    path = os.path.join(FIXDIR, "m17.iq.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    meta, samples = read_iq_capture(path)
+
+    cap = IqCaptureWriter(str(tmp_path / "live.iq"),
+                          IqMetadata(sample_format="cf32"))
+    events = []
+    eng = LiveEngine("m17", fs=float(meta.sample_rate_hz), block_s=0.25,
+                     capture_writer=cap, control_port=45321,
+                     on_event=events.append)
+    eng.start()
+
+    # producer: feed the fixture as CU8
+    cu8 = np.empty(2 * len(samples), dtype=np.uint8)
+    cu8[0::2] = np.clip(samples.real * 127.5 + 127.5, 0, 255)
+    cu8[1::2] = np.clip(samples.imag * 127.5 + 127.5, 0, 255)
+    half = len(cu8) // 2
+    eng.feed_cu8(cu8[:half].tobytes())
+    time.sleep(1.5)
+    # mid-stream retune via the UDP control plane
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.settimeout(2)
+    sock.sendto(b"TUNE 433475000", ("127.0.0.1", 45321))
+    resp, _ = sock.recvfrom(16)
+    assert resp.strip() == b"OK"
+    eng.feed_cu8(cu8[half:].tobytes())
+    time.sleep(1.5)
+    eng.stop()
+    cap.close()
+
+    assert eng.retunes == 1
+    text = "\n".join(e.line for e in events)
+    assert "M17" in text
+    # the capture journal recorded the retune
+    meta2, _ = read_iq_capture(str(tmp_path / "live.iq"))
+    assert meta2.contains_retunes
+    assert meta2.extra["events"][0]["center_frequency_hz"] == 433475000
