@@ -29,6 +29,12 @@ def _demod_fm_jit(x: jax.Array, taps: jax.Array, sps: float, four_level: bool,
                   n_sym: int):
     y = frontend.fir_complex(x, taps)
     d = frontend.fm_discriminate(y)
+    # power gate: dead-air samples (numeric dust after resampling /
+    # channelizing) give full-scale random discriminator angles that
+    # poison timing and level estimation — the reference's squelch
+    # analogue (src/dsp/demod_pipeline.cpp squelch stage)
+    p = jnp.abs(y) ** 2
+    d = jnp.where(p > 0.02 * jnp.max(p, axis=-1, keepdims=True), d, 0.0)
     sym, pos = timing.recover_symbols(d, sps, win_symbols=256, max_symbols=n_sym)
     dibits, norm = slicer.slice_dibits(sym, win=512, four_level=four_level)
     power = frontend.iq_power(x)

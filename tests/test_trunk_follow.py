@@ -1,0 +1,153 @@
+"""End-to-end trunk following over a channelized multi-channel capture:
+a synthesized P25 control channel (IDEN_UP + voice grant TSBKs) on one
+channelizer bin steers the TrunkSM to the voice channel's bin, where
+TDULC link control decodes — the batched-serving flagship scenario
+(SURVEY §2.8 / BASELINE config 5)."""
+
+import numpy as np
+import pytest
+
+from tests.test_dsp import synth_c4fm
+
+
+def _bits_of(v, n):
+    return np.array([(v >> (n - 1 - i)) & 1 for i in range(n)], dtype=np.uint8)
+
+
+def _p25_frame(nac: int, duid: int, payload_dibits: np.ndarray) -> np.ndarray:
+    """FS + NID + payload with status dibits at ≡35 (mod 36)."""
+    from dsdneo_tpu.fec.blockcodes import bch_63_16
+    from dsdneo_tpu.symbols import framesync
+    sync = next(d for d in framesync.SYNC_DEFS if d.name == "+P25p1")
+    fs = np.array([1 if c == "1" else 3 for c in sync.pattern], dtype=np.uint8)
+    nid_bits = np.concatenate([bch_63_16().codebook[(nac << 4) | duid],
+                               np.zeros(1, dtype=np.uint8)])
+    nid = ((nid_bits[0::2] << 1) | nid_bits[1::2]).astype(np.uint8)
+    body = list(fs) + list(nid) + list(payload_dibits)
+    out = []
+    i = 0
+    k = 0
+    while k < len(body):
+        if i % 36 == 35:
+            out.append(0)          # status dibit (stripped by the reader)
+        else:
+            out.append(int(body[k]))
+            k += 1
+        i += 1
+    return np.array(out, dtype=np.uint8)
+
+
+def _tsbk_bits(b: list) -> np.ndarray:
+    from dsdneo_tpu.fec import crc
+    bits = np.zeros(96, dtype=np.uint8)
+    for i, v in enumerate(b[:10]):
+        bits[8 * i:8 * i + 8] = _bits_of(int(v), 8)
+    c = crc.crc16_bits(bits[:80], init=0, xorout=0xFFFF)
+    bits[80:96] = _bits_of(c, 16)
+    return bits
+
+
+def _tdulc_payload(lc_bits72: np.ndarray) -> np.ndarray:
+    from dsdneo_tpu.fec import rs
+    from dsdneo_tpu.fec.blockcodes import golay_24_12
+    hexwords = np.zeros(12, dtype=np.int64)
+    for i in range(12):
+        v = 0
+        for b in lc_bits72[6 * i:6 * i + 6]:
+            v = (v << 1) | int(b)
+        hexwords[i] = v
+    full = rs.rs_24_12_13().encode(hexwords)
+    g24 = golay_24_12()
+    dibits = []
+    for w in range(12):
+        msg = (int(full[2 * w]) << 6) | int(full[2 * w + 1])
+        cw = g24.codebook[msg]
+        dibits.extend(((cw[0::2] << 1) | cw[1::2]).tolist())
+    return np.array(dibits, dtype=np.uint8)
+
+
+def test_trunk_follow_channelized():
+    import jax
+    from dsdneo_tpu.dsp.channelizer import channel_frequencies, channelize
+    from dsdneo_tpu.dsp.resampler import resample
+    from dsdneo_tpu.engine import decode_samples
+    from dsdneo_tpu.engine.trunk import GrantEvent, TrunkSM
+    from dsdneo_tpu.fec import trellis
+
+    nac, tg, src = 0x140, 4321, 987654
+    rf_center = 851_000_000.0
+    vc_rf = 850_904_000.0           # −96 kHz from centre → bin 6 of 8
+
+    # control channel: one TSDU with IDEN_UP (standard) + group grant
+    base_units = int(vc_rf / 5)     # iden 1 channel 0 lands on vc_rf
+    iden_tsbk = _tsbk_bits([
+        0x3D, 0x00,
+        (1 << 4) | 0x0,                     # iden 1, bw hi nibble 0
+        0x04,                               # bw lo, sign 0, raw hi
+        0x00 | 0x00,                        # raw lo<<2 | spac hi
+        0x64,                               # spacing 100 (12.5 kHz)
+        (base_units >> 24) & 0xFF, (base_units >> 16) & 0xFF,
+        (base_units >> 8) & 0xFF, base_units & 0xFF])
+    grant_tsbk = _tsbk_bits([
+        0x80 | 0x00, 0x00, 0x00, 0x00,
+        (1 << 4) | 0x00, 0x00,              # channel = iden 1, chan 0
+        (tg >> 8) & 0xFF, tg & 0xFF,
+        (src >> 16) & 0xFF, (src >> 8) & 0xFF])  # b[10] src low in CRC area
+    payload = np.concatenate([trellis.p25_12_encode(iden_tsbk),
+                              trellis.p25_12_encode(grant_tsbk)])
+    pd = ((payload[0::2] << 1) | payload[1::2]).astype(np.uint8)
+    cc_frame = _p25_frame(nac, 0x7, pd)
+    cc_dibits = np.concatenate([np.zeros(60, np.uint8), cc_frame,
+                                np.zeros(60, np.uint8)])
+
+    # voice channel: TDULC frames with Group Voice Channel User LCW
+    lc = np.zeros(72, dtype=np.uint8)
+    lc[32:48] = _bits_of(tg, 16)
+    lc[48:72] = _bits_of(src, 24)
+    vc_frame = _p25_frame(nac, 0xF, _tdulc_payload(lc))
+    vc_dibits = np.concatenate([np.zeros(60, np.uint8), vc_frame,
+                                np.zeros(40, np.uint8), vc_frame,
+                                np.zeros(60, np.uint8)])
+
+    cc_bb = synth_c4fm(cc_dibits, snr_db=35, seed=1)
+    vc_bb = synth_c4fm(vc_dibits, snr_db=35, seed=2)
+    n = max(len(cc_bb), len(vc_bb)) + 400
+    cc_bb = np.pad(cc_bb, (200, n - len(cc_bb) - 200))
+    vc_bb = np.pad(vc_bb, (200, n - len(vc_bb) - 200))
+
+    # wideband assembly at 384 kHz: CC at +48 kHz (bin 1), VC at −96 kHz
+    n_ch, fs_ch = 8, 48000.0
+    fs_wb = n_ch * fs_ch
+    cc_wb = np.asarray(resample(cc_bb, 48000, 384000))
+    vc_wb = np.asarray(resample(vc_bb, 48000, 384000))
+    t = np.arange(len(cc_wb))
+    wb = (cc_wb * np.exp(2j * np.pi * 48000.0 * t / fs_wb)
+          + vc_wb * np.exp(2j * np.pi * (-96000.0) * t / fs_wb))
+    chans = np.asarray(channelize(wb.astype(np.complex64), n_ch))
+
+    # 1) decode the control channel bin
+    cc_ctx = decode_samples(chans[1], "p25p1")
+    cc_text = "\n".join(e.line for e in cc_ctx.events)
+    assert "Identifier Update (8.3.1.23)" in cc_text
+    assert f"TG [{tg}]" in cc_text
+    freq = cc_ctx.state.iden_table.channel_to_freq(0x1000)
+    assert freq == pytest.approx(vc_rf)
+
+    # 2) trunk SM maps the grant frequency to a channelizer bin and tunes
+    tuned = {}
+
+    def tune(freq_hz, kind):
+        rel = freq_hz - rf_center
+        tuned["bin"] = int(round(rel / fs_ch)) % n_ch
+        return True
+
+    sm = TrunkSM(tune)
+    sm.on_cc_activity(rf_center + 48000.0)
+    assert sm.on_grant(GrantEvent(freq_hz=freq, tg=tg, src=src))
+    assert sm.phase.name == "TUNED"
+    assert tuned["bin"] == 6
+
+    # 3) decode the voice channel bin the SM selected
+    vc_ctx = decode_samples(chans[tuned["bin"]], "p25p1")
+    vc_text = "\n".join(e.line for e in vc_ctx.events)
+    assert f"Group Voice Channel User - Group {tg} Source {src}" in vc_text
