@@ -39,6 +39,8 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
     descrambler (the reference's -X flag)."""
     if isinstance(mode, str):
         mode = MODES[mode]
+    if mode.name == "auto":
+        mode = detect_mode(samples, fs, sync_threshold)
     if cqpsk:
         from dsdneo_tpu.engine.demod import demod_cqpsk_path
         dibits, norm = demod_cqpsk_path(samples, mode, fs)
@@ -72,6 +74,47 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
             invert=hit.sync.inverted)
         consumed_until = dec.handle(reader, hit, ctx)
     return ctx
+
+
+def detect_mode(samples: np.ndarray, fs: float = 48000.0,
+                sync_threshold: float = 0.62) -> ModeConfig:
+    """Auto mode: run each demod configuration (symbol rate, slicing,
+    channel filter) over a probe slice and keep the one whose own
+    protocols' sync patterns correlate best — the rebuild of the
+    reference's modulation auto-switch hunt (src/dsp/dsd_frame_sync.c
+    getFrameSync with opts->mod_* auto)."""
+    # probe the middle of the capture (lead-ins are often dead air)
+    half = len(samples) // 2
+    w = int(fs * 2.0)
+    probe = samples[max(half - w, 0):half + w]
+    best, best_score = MODES["p25p1"], -1e9
+    for name, cfg in MODES.items():
+        if name in ("auto", "provoice", "x2tdma"):
+            continue          # duplicate configs of other rows
+        try:
+            ctx = decode_samples(probe, cfg, fs=fs,
+                                 sync_threshold=sync_threshold)
+        except Exception:
+            continue
+        # score FEC/CRC-validated content, not bare sync hits: noise
+        # trips short sync patterns and unvalidated voice labels freely
+        score = 0.0
+        for e in ctx.events:
+            line = e.line
+            if "ERR" in line or "FAIL" in line:
+                score -= 0.25
+                continue
+            if any(k in line for k in (
+                    "RAN 0", "RAN 1", "RAN 2", "RAN 3", "NAC", "TG=",
+                    "TGT=", "SRC", "CSBK", "LC:", "CAN:", "Site ID",
+                    "FICH", "SACCH", "VCALL", "Group", "Talker", "V/D",
+                    "RID", "Data Header", "Idle")):
+                score += 3.0
+            elif "Color Code=" in line and "Color Code=XX" not in line:
+                score += 1.0
+        if score > best_score:
+            best, best_score = cfg, score
+    return best
 
 
 def decode_capture(path: str, mode: ModeConfig | str, **kw

@@ -142,3 +142,24 @@ def test_p25p1_imbe_ecc_error_rate():
                 n += 1
     assert n >= 50
     assert errs / n < 0.5, f"avg {errs / n:.2f} corrections/frame"
+
+
+@pytest.mark.parametrize("fixture,marker", [
+    ("p25p1_c4fm_cc", r"NAC/CC: 140"),
+    ("dmr_voice", r"Color Code=01"),
+    ("nxdn48", r"RAN 01"),
+    ("nxdn96", r"RAN 00"),
+    ("ysf", r"V/D2 RID"),
+    ("edacs", r"Site ID \[02\]"),
+    ("m17", r"SRC: N0CALL"),
+    ("dstar", r"SRC: KB7WUK"),
+    ("dpmr", r"dPMR Frame Sync"),
+    ("p25p2_cc", r"P25p2"),
+])
+def test_auto_mode_detection(fixture, marker):
+    """-fa auto-detect must find each fixture's protocol unaided."""
+    path = os.path.join(FIXDIR, f"{fixture}.iq.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    text = _decode_text(fixture, "auto")
+    assert re.search(marker, text), text[:500]
