@@ -111,6 +111,8 @@ class P25P2Decoder(ProtocolDecoder):
                                     have_params=have_params, hit=hit, slot=slot)
             elif duid in (0, 6):
                 name = slot_label + ("4V" if duid == 0 else "2V")
+                if have_params:
+                    self._voice(ts_bits, 4 if duid == 0 else 2, slot, ctx)
             elif duid < 0:
                 name = slot_label + f" DUID ERR {received:02X}"
             else:
@@ -121,6 +123,26 @@ class P25P2Decoder(ProtocolDecoder):
                 self.sf_pos = (self.sf_pos + 1) % 12
             slot ^= 1
         return pos + 700
+
+    def _voice(self, ts_bits: np.ndarray, n_frames: int, slot: int,
+               ctx: DecoderContext) -> None:
+        """4V/2V: AMBE+2 frames at timeslot bit offsets {2,76,172,246}
+        after descrambling (reference p25p2_frame.c
+        p25p2_unpack_voice_frames); shares the DMR AMBE deinterleave."""
+        from dsdneo_tpu.protocol.dmr.ambe_frame import decode_ambe_ecc
+        from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
+        from dsdneo_tpu.vocoder.synth import synthesize_frames
+        p = self.sf_pos if self.sf_pos is not None else 0
+        lbit = self._scramble_bits(ctx.state)
+        x = ts_bits ^ lbit[360 * p + 20:360 * p + 380]
+        params = []
+        for off in (2, 76, 172, 246)[:n_frames]:
+            bits72 = x[off:off + 72]
+            bits49, _errs = decode_ambe_ecc(bits72)
+            params.append(decode_ambe_2450(bits49))
+        pcm = synthesize_frames(params)
+        if pcm.size:
+            ctx.emit_audio(pcm, slot=slot)
 
     def _isch(self, ts_bits: np.ndarray, fc: int) -> None:
         """Track superframe position from the ISCH field (reference

@@ -171,3 +171,73 @@ def test_p25_mpdu_loopback():
     assert "SAP: 04 [IP Data]" in text
     assert "DST LLID: 74565;" in text
     assert "P25 PDU Payload (24 bytes)" in text
+
+
+def test_p25p2_4v_voice_loopback():
+    """Synthesized 4V timeslot: scrambled AMBE frames decode and
+    synthesize through the real Phase 2 decoder."""
+    from dsdneo_tpu.protocol.base import DecoderContext, DibitReader
+    from dsdneo_tpu.protocol.dmr.ambe_frame import AMBE_MAP
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+    from dsdneo_tpu.protocol.p25.imbe_frame import golay_23_12, _pn_bits
+    from dsdneo_tpu.protocol.p25.phase2 import (DUID_CANONICAL, DUID_OFFSETS,
+                                                P25P2Decoder)
+    from dsdneo_tpu.symbols import framesync
+
+    wacn, sysid, nac = 0xBEE00, 0x14C, 0x140
+    g23 = golay_23_12()
+
+    def encode_ambe72(c0_msg, c1_msg, c2, c3):
+        fr = np.zeros((4, 24), dtype=np.uint8)
+        cw0 = g23.codebook[c0_msg]
+        fr[0][0:23] = cw0
+        fr[0][23] = int(cw0.sum()) & 1
+        pn = _pn_bits(c0_msg, 23)[::-1]
+        fr[1][0:23] = g23.codebook[c1_msg] ^ pn
+        fr[2][:11] = _bits_of(c2, 11)
+        fr[3][:14] = _bits_of(c3, 14)
+        bits = np.zeros(72, dtype=np.uint8)
+        for j, (hr, hc, lr, lc) in enumerate(AMBE_MAP):
+            bits[2 * j] = fr[hr][hc]
+            bits[2 * j + 1] = fr[lr][lc]
+        return bits
+
+    scr = p2_xcch.generate_scramble_bits(wacn, sysid, nac, 4800)
+    ts = np.zeros(360, dtype=np.uint8)
+    rng = np.random.default_rng(4)
+    for off in (2, 76, 172, 246):
+        ts[off:off + 72] = encode_ambe72(int(rng.integers(0, 4096)),
+                                         int(rng.integers(0, 4096)),
+                                         int(rng.integers(0, 2048)),
+                                         int(rng.integers(0, 16384)))
+    # scramble voice regions (position 0 in the superframe)
+    mask = scr[20:380]
+    keep = np.zeros(360, dtype=bool)
+    for off in (2, 76, 172, 246):
+        keep[off:off + 72] = True
+    ts = np.where(keep, ts ^ mask, ts)
+    cw = DUID_CANONICAL[0]                      # 4V
+    for k, off in enumerate(DUID_OFFSETS):
+        ts[off] = (cw >> (7 - k)) & 1
+    ts[320:360] = _bits_of(p2_xcch.isch_codeword((1 << 5) | 0), 40)
+    bits = np.concatenate([ts, np.zeros(3 * 360, np.uint8)])
+    dibits = ((bits[0::2] << 1) | bits[1::2]).astype(np.uint8)
+
+    ctx = DecoderContext()
+    ctx.state.p2_wacn, ctx.state.p2_sysid, ctx.state.p2_cc = wacn, sysid, nac
+    dec = P25P2Decoder()
+    sync_def = next(d for d in framesync.SYNC_DEFS
+                    if d.protocol == "p25p2" and not d.inverted)
+    sync_d = np.array([1 if c == "1" else 3 for c in sync_def.pattern],
+                      dtype=np.uint8)
+    stream = np.concatenate([sync_d, dibits])
+    lv = np.array([1.0, 3.0, -1.0, -3.0], dtype=np.float32)
+    hits = framesync.find_syncs(lv[stream], [sync_def], threshold=0.9)
+    r = DibitReader(stream, lv[stream], pos=hits[0].end,
+                    frame_start=hits[0].pos, invert=False)
+    dec.handle(r, hits[0], ctx)
+    text = "\n".join(e.line for e in ctx.events)
+    assert "4V" in text
+    assert 0 in ctx.audio and len(ctx.audio[0]) >= 1
+    total = sum(len(c) for c in ctx.audio[0])
+    assert total >= 4 * 160 and total % (4 * 160) == 0   # 160/frame
