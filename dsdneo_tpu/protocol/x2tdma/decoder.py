@@ -17,12 +17,33 @@ from dsdneo_tpu.protocol.base import (DecoderContext, DibitReader,
 from dsdneo_tpu.symbols.framesync import SyncHit
 
 
+# burst type table (reference x2tdma_data.c x2tdma_set_fsubtype_from_bursttype)
+BURST_TYPES = {
+    0b0000: "PI Header", 0b0001: "VOICE Header", 0b0010: "TLC",
+    0b0011: "CSBK", 0b0100: "MBC Header", 0b0101: "MBC",
+    0b0110: "DATA Header", 0b0111: "RATE 1/2 DATA", 0b1000: "RATE 3/4 DATA",
+    0b1001: "Slot idle", 0b1010: "Rate 1 DATA",
+}
+
+
 @register("x2tdma")
 class X2TdmaDecoder(ProtocolDecoder):
     protocol = "x2tdma"
 
     def __init__(self):
         self.vc = {0: 0, 1: 0}
+
+    def _slot_type(self, reader: DibitReader, pos: int) -> tuple[int, int] | None:
+        """Raw 3-bit colour code + 4-bit burst type at sync-5..sync
+        (reference x2tdma_data.c x2tdma_read_slot_type: no FEC, the
+        5th dibit carries a parity bit)."""
+        bits = self._bits(reader, pos - 5, 5)
+        if bits is None:
+            return None
+        cc = (int(bits[0]) << 2) | (int(bits[1]) << 1) | int(bits[2])
+        bt = (int(bits[4]) << 3) | (int(bits[5]) << 2) | \
+             (int(bits[6]) << 1) | int(bits[7])
+        return cc, bt
 
     def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
         pos = hit.pos
@@ -38,7 +59,14 @@ class X2TdmaDecoder(ProtocolDecoder):
             if h1 is not None and h2 is not None:
                 self._voice(np.concatenate([h1, h2]), ctx)
         else:
-            ctx.emit(f"Sync: {polarity}X2-TDMA {kind.replace('_', ' ').upper()}",
+            st = self._slot_type(reader, pos)
+            detail = ""
+            if st is not None:
+                cc, bt = st
+                name = BURST_TYPES.get(bt, f"Unknown burst type {bt:04b}")
+                detail = f" | CC={cc} | {name}"
+            ctx.emit(f"Sync: {polarity}X2-TDMA "
+                     f"{kind.replace('_', ' ').upper()}{detail}",
                      "x2tdma", pos)
         return pos + 29 + 49
 
