@@ -163,3 +163,29 @@ def test_auto_mode_detection(fixture, marker):
         pytest.skip("reference fixtures unavailable")
     text = _decode_text(fixture, "auto")
     assert re.search(marker, text), text[:500]
+
+
+def test_nxdn_ambe_ecc_error_rate():
+    """AMBE C0 convention + C1 PN descramble: near-zero corrections on
+    the NXDN fixtures' clean voice (wrong PN would give ~2.4/frame)."""
+    import numpy as np
+    path = os.path.join(FIXDIR, "nxdn48.iq.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    from dsdneo_tpu.engine import decode_capture
+    from dsdneo_tpu.protocol.dmr.ambe_frame import decode_ambe_ecc
+    ctx = decode_capture(path, "nxdn48")
+    errs = n = 0
+    for e in ctx.events:
+        vb = e.fields.get("voice_bits")
+        if vb is None:
+            continue
+        for k in range(4):
+            fr = np.asarray(vb[72 * k:72 * (k + 1)], dtype=np.uint8)
+            if len(fr) < 72:
+                continue
+            _, er = decode_ambe_ecc(fr)
+            errs += er
+            n += 1
+    assert n >= 100
+    assert errs / n < 1.5, f"avg {errs / n:.2f} corrections/frame"
