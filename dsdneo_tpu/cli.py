@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calls-dir", default="", metavar="DIR",
                    help="export per-call WAV+JSON records to DIR "
                         "(reference per-call WAV / rdio export)")
+    p.add_argument("--keys-dec", default="", metavar="CSV",
+                   help="import decimal key CSV (reference -k multi_key.csv)")
+    p.add_argument("--keys-hex", default="", metavar="CSV",
+                   help="import hex key CSV (reference -K multi_key_hex.csv)")
+    p.add_argument("--keys-aes", default="", metavar="CSV",
+                   help="import AES segment key CSV")
     return p
 
 
@@ -135,6 +141,17 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         p2 = (int(v[:5], 16), int(v[5:8], 16), int(v[8:], 16))
 
+    keyring = None
+    if args.keys_dec or args.keys_hex or args.keys_aes:
+        from dsdneo_tpu.crypto.keyring import KeyRing
+        keyring = KeyRing()
+        if args.keys_dec:
+            keyring.import_dec_csv(args.keys_dec)
+        if args.keys_hex:
+            keyring.import_hex_csv(args.keys_hex)
+        if args.keys_aes:
+            keyring.import_aes_csv(args.keys_aes)
+
     recorder = None
     if args.calls_dir:
         from dsdneo_tpu.core.calls import CallRecorder
@@ -149,6 +166,7 @@ def main(argv: list[str] | None = None) -> int:
             sd = StreamDecoder(args.mode, fs=float(meta.sample_rate_hz),
                                sync_threshold=args.sync_threshold)
             sd.ctx.call_recorder = recorder
+            sd.ctx.state.keyring = keyring
             if p2 is not None:
                 (sd.ctx.state.p2_wacn, sd.ctx.state.p2_sysid,
                  sd.ctx.state.p2_cc) = p2
@@ -161,7 +179,8 @@ def main(argv: list[str] | None = None) -> int:
             ctx = decode_capture(args.iq_replay, args.mode,
                                  sync_threshold=args.sync_threshold,
                                  verbose=args.verbose, cqpsk=args.cqpsk,
-                                 p2_params=p2, call_recorder=recorder)
+                                 p2_params=p2, call_recorder=recorder,
+                                 keyring=keyring)
     except (OSError, ValueError) as e:
         print(f"dsd-neo-tpu: cannot replay {args.iq_replay}: {e}", file=sys.stderr)
         return 1

@@ -31,8 +31,12 @@ def rc4_keystream(key: bytes, n: int, drop: int = 0) -> np.ndarray:
 
 
 def p25_adp_keystream(key40: int, mi: int, n: int = 469) -> np.ndarray:
-    """P25 ADP (RC4): key = 5-byte key ‖ 9-byte MI (72 bits), drop 256."""
-    key = key40.to_bytes(5, "big") + mi.to_bytes(9, "big")
+    """P25 ADP (RC4): key = 5-byte key ‖ top 8 bytes of the MI, drop 256
+    (reference dsd_mbe.c mbe_apply_p25p1_rc4: rckey[5..12] = the 64-bit
+    payload_miP; rc4_voice_decrypt discards 256 then ``drop`` bytes)."""
+    if mi >= (1 << 64):
+        mi >>= 8            # 72-bit MI → top 64 bits
+    key = key40.to_bytes(5, "big") + mi.to_bytes(8, "big")
     return rc4_keystream(key, n, drop=256)
 
 

@@ -456,17 +456,39 @@ class P25P1Decoder(ProtocolDecoder):
         self._voice(imbe, ctx)
 
     def _voice(self, imbe_frames: list[np.ndarray], ctx: DecoderContext) -> None:
-        """IMBE ECC + parameter decode + synthesis → 8 kHz PCM."""
+        """IMBE ECC (+ ADP/RC4 decrypt when keyed) + parameter decode +
+        synthesis → 8 kHz PCM."""
         from dsdneo_tpu.protocol.p25.imbe_frame import decode_imbe_ecc
         from dsdneo_tpu.vocoder.mbe import decode_imbe_4400
         from dsdneo_tpu.vocoder.synth import synthesize_frames
         params = []
         for fr in imbe_frames:
             bits88, _errs = decode_imbe_ecc(fr)
+            bits88 = self._decrypt_imbe(bits88, ctx)
             params.append(decode_imbe_4400(bits88))
         pcm = synthesize_frames(params)
         if pcm.size:
             ctx.emit_audio(pcm, slot=0)
+
+    def _decrypt_imbe(self, bits88: np.ndarray, ctx: DecoderContext) -> np.ndarray:
+        """ADP/RC4 (ALG 0xAA): XOR 11 keystream bytes per voice frame at
+        a rolling offset (reference dsd_mbe.c mbe_apply_p25p1_rc4:
+        rc4_voice_decrypt(dropL, ...), dropL += 11)."""
+        s = ctx.state
+        kr = getattr(s, "keyring", None)
+        algid = getattr(s, "payload_algid", 0)
+        if kr is None or algid != 0xAA:
+            return bits88
+        key = kr.scalar.get(getattr(s, "payload_kid", 0))
+        mi = getattr(s, "payload_mi", 0)
+        if key is None or mi == 0:
+            return bits88
+        from dsdneo_tpu.crypto.keystream import p25_adp_keystream
+        drop = getattr(s, "rc4_drop", 0)
+        ks = p25_adp_keystream(key, mi, drop + 11)[drop:drop + 11]
+        s.rc4_drop = drop + 11
+        ks_bits = np.unpackbits(np.asarray(ks, dtype=np.uint8))
+        return (np.asarray(bits88, dtype=np.uint8) ^ ks_bits[:88])
 
     def _lcw(self, bits: np.ndarray, hit: SyncHit, ctx: DecoderContext) -> None:
         """Link Control Word (reference p25_lcw.c formats)."""
@@ -517,6 +539,10 @@ class P25P1Decoder(ProtocolDecoder):
                     es_bits[i * 6 + j] = (dec[i] >> (5 - j)) & 1
             algid = _bits_to_int(es_bits[72:80])
             kid = _bits_to_int(es_bits[80:96])
+            mi = _bits_to_int(es_bits[0:72])
+            s2 = ctx.state
+            s2.payload_algid, s2.payload_kid, s2.payload_mi = algid, kid, mi
+            s2.rc4_drop = 0                  # new MI → reset keystream
             ctx.emit(f" LDU2 ALG ID [{algid:02X}] KEY ID [{kid:04X}]",
                      "p25p1", hit.pos, algid=algid, kid=kid)
         ctx.emit(" LDU2 VOICE (9 IMBE frames)", "p25p1", hit.pos,
@@ -545,5 +571,9 @@ class P25P1Decoder(ProtocolDecoder):
         algid = _bits_to_int(bits120[72:80])
         kid = _bits_to_int(bits120[80:96])
         tgid = _bits_to_int(bits120[104:120])
+        mi = _bits_to_int(bits120[0:72])
+        s2 = ctx.state
+        s2.payload_algid, s2.payload_kid, s2.payload_mi = algid, kid, mi
+        s2.rc4_drop = 0
         ctx.emit(f" HDU ALG ID [{algid:02X}] KEY ID [{kid:04X}] TG [{tgid}]",
                  "p25p1", hit.pos, algid=algid, tgid=tgid)

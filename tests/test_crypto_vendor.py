@@ -81,3 +81,38 @@ def test_keyring_imports_and_redaction(tmp_path):
     assert REDACTED in text and "0B57935150" not in text
     text = kr.describe(show_keys=True)
     assert "B57935150" in text
+
+
+def test_p25_adp_voice_decrypt_roundtrip():
+    """ADP/RC4 voice decrypt: keystream applies at rolling 11-byte
+    offsets per frame; decrypt(encrypt(x)) == x through the decoder's
+    state machinery."""
+    from types import SimpleNamespace
+
+    from dsdneo_tpu.crypto.keyring import KeyRing
+    from dsdneo_tpu.crypto.keystream import p25_adp_keystream
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+
+    key, kid, mi = 0x0123456789, 0x0001, 0x11223344556677 << 8
+    kr = KeyRing()
+    kr.scalar[kid] = key
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 2, 88).astype(np.uint8) for _ in range(9)]
+
+    # encrypt: same scheme, rolling offset
+    ks = p25_adp_keystream(key, mi, 9 * 11)
+    enc = []
+    for i, f in enumerate(frames):
+        kb = np.unpackbits(ks[11 * i:11 * i + 11])[:88]
+        enc.append(f ^ kb)
+
+    dec = P25P1Decoder()
+    ctx = SimpleNamespace(state=SimpleNamespace(
+        keyring=kr, payload_algid=0xAA, payload_kid=kid, payload_mi=mi,
+        rc4_drop=0))
+    out = [dec._decrypt_imbe(e, ctx) for e in enc]
+    for f, o in zip(frames, out):
+        assert np.array_equal(f, o)
+    # without a key: passthrough
+    ctx.state.keyring = None
+    assert np.array_equal(dec._decrypt_imbe(enc[0], ctx), enc[0])
