@@ -203,8 +203,21 @@ class DmrBsDecoder(ProtocolDecoder):
         mi = _bits_to_int(bits96[24:56])
         return f" | PI H- ALG ID: {alg:02X}; KEY ID: {kid:02X}; MI(32): {mi:08X};"
 
+    # Tier III channel-grant names (reference dmr_csbk_tables.c)
+    GRANT_NAMES = {
+        0x30: "PV_GRANT", 0x31: "TV_GRANT", 0x32: "BTV_GRANT",
+        0x33: "PD_GRANT", 0x34: "TD_GRANT", 0x35: "PV_GRANT_DX",
+        0x36: "PD_GRANT_DX", 0x37: "PD_GRANT_MI", 0x38: "TD_GRANT_MI",
+    }
+
+    BCAST_TYPES = {
+        0: "Ann_WD_TSCC", 1: "CallTimer_Parms", 2: "Vote_Now",
+        3: "Local_Time", 4: "MassReg", 5: "Chan_Freq",
+        6: "Adjacent_Site", 7: "Gen_Site_Params",
+    }
+
     def _csbk(self, bits96: np.ndarray, ctx: DecoderContext) -> str:
-        """Control Signalling Block (TS 102 361-2 7.1; CRC mask 0xA5A5)."""
+        """Control Signalling Block (TS 102 361-2/-4; CRC mask 0xA5A5)."""
         ccrc = crc.crc16_bits(bits96[:80], init=0, xorout=0xFFFF) ^ 0xA5A5
         rcrc = _bits_to_int(bits96[80:96])
         if ccrc != rcrc:
@@ -212,6 +225,25 @@ class DmrBsDecoder(ProtocolDecoder):
         opcode = _bits_to_int(bits96[2:8])
         fid = _bits_to_int(bits96[8:16])
         name = CSBK_OPCODES.get(opcode, f"CSBK {opcode:02X}")
+        if 0x30 <= opcode <= 0x38 and fid == 0:
+            # Tier III grant (reference dmr_csbk.c
+            # dmr_cspdu_pf0_handle_grants): LPCN + timeslot + addresses
+            lpcn = _bits_to_int(bits96[16:28])
+            ts = int(bits96[28])
+            emerg = int(bits96[30])
+            target = _bits_to_int(bits96[32:56])
+            source = _bits_to_int(bits96[56:80])
+            ctx.state.last_tg, ctx.state.last_src = target, source
+            return (f" | {self.GRANT_NAMES.get(opcode, name)}\n"
+                    f"  LPCN: {lpcn:04d}; TS: {ts + 1}; Target: {target:08d}"
+                    f" - Source: {source:08d} "
+                    + ("Emergency; " if emerg else ""))
+        if opcode == 0x28 and fid == 0:
+            # C_BCAST (opcode 40; reference dmr_cspdu_pf0_handle_c_bcast)
+            a_type = _bits_to_int(bits96[16:21])
+            syscode = _bits_to_int(bits96[40:54])
+            return (f" | C_BCAST {self.BCAST_TYPES.get(a_type, f'{a_type:02X}')}"
+                    f" SysCode: {syscode:04X}")
         dst = _bits_to_int(bits96[16:40])
         src = _bits_to_int(bits96[40:64])
         return f" | {name} FID {fid:02X} [{dst}] [{src}]"
