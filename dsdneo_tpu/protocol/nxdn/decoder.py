@@ -40,6 +40,10 @@ _SCRAMBLE_POS = _pn9_scramble_positions()
 # 12×5 block interleave for the 60-bit SACCH (OP25 PERM_12_5:
 # received bit i lands at deinterleaved position (i%5)*12 + i//5)
 _PERM_12_5 = np.array([(i % 5) * 12 + i // 5 for i in range(60)], dtype=np.int64)
+# FACCH1 / CAC permutations (same family; reference nxdn_const.h
+# PERM_16_9 / PERM_12_25)
+_PERM_16_9 = np.array([(i % 9) * 16 + i // 9 for i in range(144)], dtype=np.int64)
+_PERM_12_25 = np.array([(i % 25) * 12 + i // 25 for i in range(300)], dtype=np.int64)
 
 # LICH option → (voice_frames_mask, facch_mask, sacch, cac) profiles
 # (reference nxdn_frame.c k_nxdn_lich_profiles; voice/facch values are
@@ -97,6 +101,37 @@ def crc6_nxdn(bits: np.ndarray) -> int:
     for bit in s:
         v = (v << 1) | bit
     return v
+
+
+def crc12_nxdn(bits: np.ndarray) -> int:
+    """NXDN FACCH CRC12 shift-register form (reference nxdn_dcr_utils.c
+    crc12f)."""
+    s = [1] * 12
+    for b in bits:
+        a = int(b) ^ s[0]
+        s[0] = a ^ s[1]
+        s[1:8] = s[2:9]
+        s[8] = a ^ s[9]
+        s[9] = a ^ s[10]
+        s[10] = a ^ s[11]
+        s[11] = a
+    v = 0
+    for bit in s:
+        v = (v << 1) | bit
+    return v
+
+
+def crc16_cac(bits: np.ndarray) -> int:
+    """NXDN CAC CRC16: init 0xC3EE, poly x^16+x^12+x^5+1, xorout
+    0xFFFF; returns 0 for a valid 171-bit block (reference
+    nxdn_dcr_utils.c crc16cac)."""
+    crc = 0xC3EE
+    poly = (1 << 12) + (1 << 5) + 1
+    for b in bits:
+        crc = ((crc << 1) | int(b)) & 0x1FFFF
+        if crc & 0x10000:
+            crc = (crc & 0xFFFF) ^ poly
+    return (crc ^ 0xFFFF) & 0xFFFF
 
 
 def _bti(bits) -> int:
@@ -170,11 +205,66 @@ class NxdnDecoder(ProtocolDecoder):
         line = f"Sync: {variant}  {rf_name} {kind}"
         if sacch:
             line += self._sacch(bits[16:76], rel[16:76], ctx, hit)
+        if cac:
+            line += self._cac(bits[16:316], rel[16:316], ctx)
+        if facch and not voice:
+            for half in (0, 1):
+                if facch & (1 << half):
+                    lo = 76 + 144 * half
+                    line += self._facch1(bits[lo:lo + 144],
+                                         rel[lo:lo + 144], ctx)
         ctx.emit(line, "nxdn", hit.pos, lich=lich)
         if voice:
             ctx.events[-1].fields["voice_bits"] = bits[76:364]
             self._voice(dd, voice, ctx)
         return pos + 182
+
+    # -- FACCH1 / CAC -------------------------------------------------------
+    def _facch1(self, bits144, rel144, ctx: DecoderContext) -> str:
+        """FACCH1: PERM_16_9 depermute → 3:4 depuncture → K=5 Viterbi →
+        80 element bits + CRC12 (reference nxdn_deperm.c
+        nxdn_deperm_facch_soft, nxdn_dcr_utils.c crc12f)."""
+        deperm = np.zeros(144, dtype=np.float32)
+        deperm_rel = np.zeros(144, dtype=np.float32)
+        deperm[_PERM_16_9] = bits144
+        deperm_rel[_PERM_16_9] = rel144
+        sym = np.zeros(192, dtype=np.float32)
+        wt = np.zeros(192, dtype=np.float32)
+        for k in range(48):
+            sym[4 * k] = deperm[3 * k]
+            wt[4 * k] = deperm_rel[3 * k]
+            sym[4 * k + 2] = deperm[3 * k + 1]
+            wt[4 * k + 2] = deperm_rel[3 * k + 1]
+            sym[4 * k + 3] = deperm[3 * k + 2]
+            wt[4 * k + 3] = deperm_rel[3 * k + 2]
+        dec = conv.decode_soft(sym, wt, nbits=92)
+        if crc12_nxdn(dec[:80]) != _bti(dec[80:92]):
+            return " FACCH1 CRC ERR"
+        return " FACCH1" + self._message(dec[:80], ctx)
+
+    def _cac(self, bits300, rel300, ctx: DecoderContext) -> str:
+        """RCCH CAC: PERM_12_25 depermute → 12:14 depuncture → Viterbi →
+        171 bits incl. CRC16 (reference nxdn_deperm_cac_soft)."""
+        deperm = np.zeros(300, dtype=np.float32)
+        deperm_rel = np.zeros(300, dtype=np.float32)
+        deperm[_PERM_12_25] = bits300
+        deperm_rel[_PERM_12_25] = rel300
+        sym = np.zeros(350, dtype=np.float32)
+        wt = np.zeros(350, dtype=np.float32)
+        src = 0
+        mapping = [0, 1, 2, None, 3, 4, 5, 6, 7, 8, 9, None, 10, 11]
+        for grp in range(25):
+            for i, m in enumerate(mapping):
+                if m is not None:
+                    sym[grp * 14 + i] = deperm[grp * 12 + m]
+                    wt[grp * 14 + i] = deperm_rel[grp * 12 + m]
+        dec = conv.decode_soft(sym, wt, nbits=171)
+        if crc16_cac(dec[:171]) != 0:
+            return " CAC CRC ERR"
+        ran = _bti(dec[2:8])
+        self.last_ran = ran
+        ctx.state.nxdn_ran = ran
+        return f" CAC RAN {ran:02d}" + self._message(dec[8:155], ctx)
 
     def _voice(self, dd: np.ndarray, voice: int, ctx: DecoderContext) -> None:
         """AMBE frames at dibits 38+36k of the descrambled frame
@@ -239,7 +329,9 @@ class NxdnDecoder(ProtocolDecoder):
         return out
 
     def _full_sacch(self, ctx: DecoderContext, hit: SyncHit) -> str:
-        msg = self.segments.reshape(-1)          # 72 bits
+        return self._message(self.segments.reshape(-1), ctx)
+
+    def _message(self, msg: np.ndarray, ctx: DecoderContext) -> str:
         mtype = _bti(msg[2:8])
         label = MESSAGE_LABELS.get(mtype, f" MSG {mtype:02X}")
         out = label
@@ -269,6 +361,23 @@ class NxdnDecoder(ProtocolDecoder):
             out += detail
         elif mtype == 0x3F:                      # proprietary form / alias
             out = self._alias(msg, ctx) or " PROP_FORM"
+        elif mtype == 0x18 and len(msg) >= 144:  # SITE_INFO (RCCH)
+            loc = _bti(msg[8:32])
+            cs_info = _bti(msg[32:48])
+            svc = _bti(msg[48:64])
+            rst = _bti(msg[64:88])
+            ca = _bti(msg[88:112])
+            ver = _bti(msg[112:120])
+            adj = _bti(msg[120:124])
+            ch1 = _bti(msg[124:134])
+            out += (f"\n Location ID [{loc:06X}] CSC [{cs_info:04X}]"
+                    f" SVC [{svc:04X}] RST [{rst:06X}]"
+                    f"\n          CA [{ca:06X}] V[{ver:X}] ADJ [{adj:01X}]"
+                    f" CH1 [{ch1}]")
+        elif mtype == 0x1B and len(msg) >= 80:   # ADJ_SITE_INFO
+            loc = _bti(msg[8:32])
+            ch = _bti(msg[36:46])
+            out += f"\n Adjacent Location ID [{loc:06X}] CH [{ch}]"
         return out
 
     def _alias(self, msg: np.ndarray, ctx: DecoderContext) -> str | None:

@@ -189,3 +189,92 @@ def test_nxdn_ambe_ecc_error_rate():
             n += 1
     assert n >= 100
     assert errs / n < 1.5, f"avg {errs / n:.2f} corrections/frame"
+
+
+def test_nxdn_facch1_cac_loopback():
+    """FACCH1 and CAC encode→decode loopback through the NXDN channel
+    coding (permute + puncture + K=5 Viterbi + CRC)."""
+    import numpy as np
+    from dsdneo_tpu.fec import conv
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.nxdn.decoder import (NxdnDecoder, _PERM_12_25,
+                                                  _PERM_16_9, crc12_nxdn,
+                                                  crc16_cac, _bti)
+
+    rng = np.random.default_rng(0)
+    dec = NxdnDecoder()
+    ctx = DecoderContext()
+
+    # --- FACCH1: 80 element bits + CRC12 → 92 → conv → puncture → perm
+    el = np.zeros(80, dtype=np.uint8)
+    el[2:8] = [0, 1, 0, 0, 0, 1]   # VCALL_ASSGN-ish type; keep label only
+    el[8:80] = rng.integers(0, 2, 72)
+    c = crc12_nxdn(el)
+    full = np.concatenate([el, [(c >> (11 - i)) & 1 for i in range(12)]])
+    coded = conv.encode(full.astype(np.uint8))        # 192
+    kept = np.zeros(144, dtype=np.uint8)
+    for k in range(48):
+        kept[3 * k] = coded[4 * k]
+        kept[3 * k + 1] = coded[4 * k + 2]
+        kept[3 * k + 2] = coded[4 * k + 3]
+    tx = kept[_PERM_16_9]                             # invert deperm
+    soft = 1.0 - 2.0 * tx.astype(np.float32)          # rel only, sign unused
+    out = dec._facch1(tx, np.ones(144, np.float32), ctx)
+    assert "FACCH1" in out and "CRC ERR" not in out
+
+    # --- CAC: 155 element bits + CRC16 → 171 → conv → 12:14 puncture
+    cac = np.zeros(171, dtype=np.uint8)
+    cac[2:8] = [0, 0, 0, 0, 1, 1]   # RAN 3
+    cac[8 + 2:8 + 8] = [0, 1, 1, 0, 0, 0]  # SITE_INFO type 0x18
+    cac[16:155] = rng.integers(0, 2, 139)
+    # choose CRC16 so crc16_cac(cac)==0: brute the 16 tail bits linearly
+    base = cac.copy(); base[155:171] = 0
+    r0 = crc16_cac(base)
+    for i in range(16):
+        probe = base.copy(); probe[155 + i] = 1
+        cac[155 + i] = 0
+    # linearity: find tail t with crc(base ^ tail) == 0
+    cols = []
+    for i in range(16):
+        probe = base.copy(); probe[155 + i] = 1
+        cols.append(r0 ^ crc16_cac(probe))
+    # solve GF(2): r0 ^ sum(t_i * cols[i]) == 0
+    t = 0
+    rem = r0
+    basis = list(enumerate(cols))
+    # gaussian elimination over 16 unknowns
+    import itertools
+    solved = None
+    for comb_n in range(0, 5):
+        for comb in itertools.combinations(range(16), comb_n):
+            acc = 0
+            for i in comb:
+                acc ^= cols[i]
+            if acc == rem:
+                solved = comb
+                break
+        if solved is not None:
+            break
+    if solved is None:   # fall back to full search over matrix rank
+        for v in range(1 << 16):
+            acc = 0
+            for i in range(16):
+                if (v >> i) & 1:
+                    acc ^= cols[i]
+            if acc == rem:
+                solved = [i for i in range(16) if (v >> i) & 1]
+                break
+    for i in solved:
+        cac[155 + i] = 1
+    assert crc16_cac(cac) == 0
+    coded = conv.encode(cac)                          # 350
+    kept = np.zeros(300, dtype=np.uint8)
+    mapping = [0, 1, 2, None, 3, 4, 5, 6, 7, 8, 9, None, 10, 11]
+    for grp in range(25):
+        for i, m in enumerate(mapping):
+            if m is not None:
+                kept[grp * 12 + m] = coded[grp * 14 + i]
+    tx = kept[_PERM_12_25]
+    out = dec._cac(tx, np.ones(300, np.float32), ctx)
+    assert "CAC RAN 03" in out and "CRC ERR" not in out
+    assert "SITE_INFO" in out
