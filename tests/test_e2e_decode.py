@@ -29,6 +29,9 @@ CASES = [
     ("dmr_voice", "dmr", r"Color Code=01 \| CSBK"),
     ("dmr_t3_cc", "dmr", r"Color Code=01 \| (CSBK|Idle)"),
     ("nxdn48", "nxdn48", r"Src=901"),
+    # alias blocks from SACCH + FACCH1 assemble the full talker alias
+    # (the reference's oracle only labels the ALIAS frames)
+    ("nxdn48", "nxdn48", r"Talker Alias: REPEATER"),
     ("nxdn96", "nxdn96", r"RAN 00"),
     # Reference asserts "Src=1601621", but that ID comes from Hamming-only
     # reads at spurious sync positions in its own symbol stream; every
