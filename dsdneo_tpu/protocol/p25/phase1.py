@@ -471,21 +471,29 @@ class P25P1Decoder(ProtocolDecoder):
             ctx.emit_audio(pcm, slot=0)
 
     def _decrypt_imbe(self, bits88: np.ndarray, ctx: DecoderContext) -> np.ndarray:
-        """ADP/RC4 (ALG 0xAA): XOR 11 keystream bytes per voice frame at
-        a rolling offset (reference dsd_mbe.c mbe_apply_p25p1_rc4:
-        rc4_voice_decrypt(dropL, ...), dropL += 11)."""
+        """Keyed voice decrypt: ADP/RC4 (ALG 0xAA) or DES-OFB (0x81),
+        XORing 11 keystream bytes per voice frame at a rolling offset
+        (reference dsd_mbe.c mbe_apply_p25p1_rc4 /
+        mbe_init_p25p1_multicrypt_keystream: DES starts at octet 19 =
+        8 discard + 8 LC + 3 reserved)."""
         s = ctx.state
         kr = getattr(s, "keyring", None)
         algid = getattr(s, "payload_algid", 0)
-        if kr is None or algid != 0xAA:
+        if kr is None or algid not in (0xAA, 0x81):
             return bits88
         key = kr.scalar.get(getattr(s, "payload_kid", 0))
         mi = getattr(s, "payload_mi", 0)
         if key is None or mi == 0:
             return bits88
-        from dsdneo_tpu.crypto.keystream import p25_adp_keystream
         drop = getattr(s, "rc4_drop", 0)
-        ks = p25_adp_keystream(key, mi, drop + 11)[drop:drop + 11]
+        if algid == 0xAA:
+            from dsdneo_tpu.crypto.keystream import p25_adp_keystream
+            ks = p25_adp_keystream(key, mi, drop + 11)[drop:drop + 11]
+        else:
+            from dsdneo_tpu.crypto.keystream import des_ofb_keystream
+            mi64 = mi >> 8 if mi >= (1 << 64) else mi
+            start = 19 + drop
+            ks = des_ofb_keystream(key, mi64, start + 11)[start:start + 11]
         s.rc4_drop = drop + 11
         ks_bits = np.unpackbits(np.asarray(ks, dtype=np.uint8))
         return (np.asarray(bits88, dtype=np.uint8) ^ ks_bits[:88])

@@ -116,3 +116,29 @@ def test_p25_adp_voice_decrypt_roundtrip():
     # without a key: passthrough
     ctx.state.keyring = None
     assert np.array_equal(dec._decrypt_imbe(enc[0], ctx), enc[0])
+
+
+def test_p25_des_ofb_voice_decrypt_roundtrip():
+    from types import SimpleNamespace
+
+    from dsdneo_tpu.crypto.keyring import KeyRing
+    from dsdneo_tpu.crypto.keystream import des_ofb_keystream
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+
+    key, kid, mi = 0x0123456789ABCDEF, 0x0002, 0x1122334455667788
+    kr = KeyRing()
+    kr.scalar[kid] = key
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 2, 88).astype(np.uint8) for _ in range(4)]
+    ks = des_ofb_keystream(key, mi, 19 + 4 * 11)
+    enc = []
+    for i, f in enumerate(frames):
+        kb = np.unpackbits(ks[19 + 11 * i:19 + 11 * i + 11])[:88]
+        enc.append(f ^ kb)
+    dec = P25P1Decoder()
+    ctx = SimpleNamespace(state=SimpleNamespace(
+        keyring=kr, payload_algid=0x81, payload_kid=kid, payload_mi=mi,
+        rc4_drop=0))
+    out = [dec._decrypt_imbe(e, ctx) for e in enc]
+    for f, o in zip(frames, out):
+        assert np.array_equal(f, o)
