@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SMS text for the M17 packet encoder")
     p.add_argument("--tx-frames", type=int, default=25,
                    help="stream/BERT frames to transmit")
+    p.add_argument("--wideband", type=int, default=-1, metavar="N_CH",
+                   nargs="?", const=0,
+                   help="channelize a wideband capture into N_CH 48 kHz "
+                        "channels (0/omitted value = infer from the capture "
+                        "rate) and decode every active channel; the TPU "
+                        "whole-band answer to the reference's tuner "
+                        "time-sharing (src/engine/trunk_scan.c)")
     p.add_argument("--stream", type=float, default=0.0, metavar="SECONDS",
                    help="decode in streamed blocks of this many seconds "
                         "(the live-pipeline path) instead of one shot")
@@ -156,6 +163,31 @@ def main(argv: list[str] | None = None) -> int:
     if args.calls_dir:
         from dsdneo_tpu.core.calls import CallRecorder
         recorder = CallRecorder(args.calls_dir, mode=args.mode)
+
+    if args.wideband >= 0:
+        from dsdneo_tpu.engine.wideband import decode_wideband
+        from dsdneo_tpu.io import read_iq_capture
+        try:
+            meta, samples = read_iq_capture(args.iq_replay)
+            results = decode_wideband(
+                samples, float(meta.sample_rate_hz), mode=args.mode,
+                n_ch=args.wideband or None,
+                sync_threshold=args.sync_threshold, keyring=keyring,
+                p2_params=p2, call_recorder=recorder)
+        except (OSError, ValueError) as e:
+            print(f"dsd-neo-tpu: wideband decode failed: {e}", file=sys.stderr)
+            return 1
+        for r in results:
+            tag = f"[{r.freq_hz / 1e6:+.6f} MHz]"
+            print(f"{tag} channel {r.index}: {len(r.ctx.events)} events, "
+                  f"{r.power_db:+.1f} dB", file=sys.stderr)
+            for ev in r.ctx.events:
+                print(f"{tag} {ev.line}", file=sys.stderr)
+        if recorder is not None:
+            recorder.finish_all()
+            print(f"calls exported: {len(recorder.finished)} -> "
+                  f"{args.calls_dir}", file=sys.stderr)
+        return 0
 
     from dsdneo_tpu.engine import decode_capture
     try:

@@ -61,6 +61,30 @@ def channelize(x: jax.Array, n_ch: int, taps_per_branch: int = 8) -> jax.Array:
     return jnp.moveaxis(ch, -1, -2).astype(jnp.complex64)  # [n_ch, m]
 
 
+def channelize_os2(x: jax.Array, n_ch: int, taps_per_branch: int = 12
+                   ) -> jax.Array:
+    """2x-oversampled PFB: ``[B]`` wideband → ``[n_ch, 2B/n_ch]``.
+
+    Critical sampling aliases the channel edges back in-band; running
+    the bank twice with a half-stride offset (phase-corrected by
+    (-1)^k per bin, since an N/2 time shift is e^{-jπk} per channel)
+    and interleaving yields each channel at twice the spacing rate —
+    edge energy then sits above the eventual ±fs/2N band and a clean
+    decimation (dsp.frontend.decimate2_halfband) removes it.
+    """
+    d = n_ch // 2
+    b = x.shape[-1]
+    m = (b - d) // n_ch
+    n = m * n_ch
+    s0 = channelize(x[..., :n], n_ch, taps_per_branch)       # [n_ch, m]
+    s1 = channelize(x[..., d:d + n], n_ch, taps_per_branch)  # [n_ch, m]
+    k = jnp.arange(n_ch)
+    phase = jnp.where(k % 2 == 0, 1.0, -1.0).astype(jnp.complex64)
+    s1 = s1 * phase[:, None]
+    out = jnp.stack([s0, s1], axis=-1).reshape(*s0.shape[:-1], 2 * m)
+    return out.astype(jnp.complex64)
+
+
 def channel_frequencies(n_ch: int, fs: float) -> np.ndarray:
     """Center frequency of each channelizer output (Hz, signed)."""
     k = np.arange(n_ch)

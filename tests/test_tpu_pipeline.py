@@ -45,6 +45,43 @@ def test_channelizer_tone_mapping():
     assert abs(f - 5000) < 100
 
 
+def test_channelizer_os2_edge_rejection():
+    """2x-oversampled bank + halfband must suppress adjacent-channel
+    energy that critical sampling aliases in-band (reference analog:
+    rtl_stream channel filtering margins, src/io/radio/rtl_stream.c)."""
+    from dsdneo_tpu.dsp.channelizer import channelize, channelize_os2
+    from dsdneo_tpu.dsp import frontend, firdes
+
+    n_ch = 8
+    fs = n_ch * 48000.0
+    t = np.arange(300000)
+    # in-band tone at +6 kHz in channel 1, interferer at +0.55 spacing
+    # (26.4 kHz past channel-1 center: beyond the 24 kHz critical Nyquist)
+    x = (np.exp(2j * np.pi * 54000.0 * t / fs)
+         + np.exp(2j * np.pi * (48000.0 * 1.55) * t / fs)).astype(np.complex64)
+    hb = firdes.lowpass_taps(62, 2.0, 0.5, window="blackman-harris").astype(np.float32)
+
+    def band_frac(sig, rate, f0, bw=600.0):
+        s = np.asarray(sig)[3000:3000 + 16384]
+        sp = np.abs(np.fft.fft(s * np.hanning(len(s)))) ** 2
+        fr = np.fft.fftfreq(len(s), 1.0 / rate)
+        return float(np.sum(sp[np.abs(fr - f0) < bw]) / np.sum(sp))
+
+    alias = 0.55 * 48000.0 - 48000.0        # folds to -21.6 kHz at 48k
+    c1 = np.asarray(channelize(jnp.asarray(x), n_ch, 12))[1]
+    c2 = np.asarray(channelize_os2(jnp.asarray(x), n_ch, 12))[1]
+    # at 96k the interferer sits at its true +26.4 kHz, not the alias
+    assert band_frac(c2, 96000.0, 26400.0) > 0.2
+    assert band_frac(c2, 96000.0, alias) < 0.02
+    c2d = (np.asarray(frontend.decimate2_halfband(c2[None].real, hb))[0]
+           + 1j * np.asarray(frontend.decimate2_halfband(c2[None].imag, hb))[0])
+    a_crit = band_frac(c1, 48000.0, alias)
+    a_os2 = band_frac(c2d, 48000.0, alias)
+    assert a_crit > 0.2                      # critical sampling folds it in
+    assert a_os2 < 0.01                      # os2 + halfband rejects it
+    assert band_frac(c2d, 48000.0, 6000.0) > 0.95
+
+
 def test_mesh_sharded_step():
     from dsdneo_tpu.parallel.mesh import dryrun_multichip
     n = min(len(jax.devices()), 8)

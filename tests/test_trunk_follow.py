@@ -66,6 +66,33 @@ def _tdulc_payload(lc_bits72: np.ndarray) -> np.ndarray:
     return np.array(dibits, dtype=np.uint8)
 
 
+def test_decode_wideband_two_channels():
+    """engine.wideband must find both active channels in a 384 kHz band
+    (os2 bank + halfband) and decode each with the right content."""
+    from dsdneo_tpu.dsp.resampler import resample
+    from dsdneo_tpu.engine.wideband import decode_wideband
+
+    nac, tg, src = 0x140, 4321, 987654
+    lc = np.zeros(72, dtype=np.uint8)
+    lc[32:48] = _bits_of(tg, 16)
+    lc[48:72] = _bits_of(src, 24)
+    vc_frame = _p25_frame(nac, 0xF, _tdulc_payload(lc))
+    vc_dibits = np.concatenate([np.zeros(60, np.uint8), vc_frame,
+                                np.zeros(60, np.uint8)])
+    bb = synth_c4fm(vc_dibits, snr_db=35, seed=3)
+    bb = np.pad(bb, (200, 200))
+    wbv = np.asarray(resample(bb, 48000, 384000))
+    t = np.arange(len(wbv))
+    wb = (wbv * np.exp(2j * np.pi * 48000.0 * t / 384000.0)
+          + wbv * np.exp(2j * np.pi * (-96000.0) * t / 384000.0)
+          ).astype(np.complex64)
+    results = decode_wideband(wb, 384000.0, mode="p25p1")
+    assert [r.freq_hz for r in results] == [-96000.0, 48000.0]
+    for r in results:
+        text = "\n".join(e.line for e in r.ctx.events)
+        assert f"Group {tg} Source {src}" in text
+
+
 def test_trunk_follow_channelized():
     import jax
     from dsdneo_tpu.dsp.channelizer import channel_frequencies, channelize
