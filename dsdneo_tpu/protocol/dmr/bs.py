@@ -446,9 +446,16 @@ class DmrBsDecoder(ProtocolDecoder):
         from dsdneo_tpu.protocol.dmr.ambe_frame import decode_ambe_ecc
         from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
         from dsdneo_tpu.vocoder.synth import synthesize_frames
+        bp_id = int(getattr(ctx.state, "dmr_bp_key_id", 0) or 0)
+        bp_ks = None
+        if 0 < bp_id < 256:
+            from dsdneo_tpu.crypto.keystream import dmr_basic_keystream
+            bp_ks = dmr_basic_keystream(bp_id)
         params = []
         for k in range(3):
             bits49, _errs = decode_ambe_ecc(voice216[72 * k:72 * (k + 1)])
+            if bp_ks is not None:
+                bits49 = bits49 ^ bp_ks          # bit 48 untouched (ks=0)
             params.append(decode_ambe_2450(bits49))
         pcm = synthesize_frames(params)
         if pcm.size:

@@ -102,6 +102,77 @@ def _bti(bits) -> int:
     return v
 
 
+def imbe_h15_matrix() -> np.ndarray:
+    """The learned parity-check masks as a 4x15 GF(2) matrix."""
+    return np.array([[(h >> (14 - p)) & 1 for p in range(15)]
+                     for h in _IMBE_H15], dtype=np.uint8)
+
+
+def imbe_h15_data_constraint() -> np.ndarray:
+    """The induced pure-data parity (len-11 mask): the learned check
+    space has rank 3 over positions 11-14, so one check combination
+    constrains the 11 data bits alone.  Data satisfying mask·d == 0 is
+    encodable."""
+    M = imbe_h15_matrix()
+    # left null vector of the parity-column block
+    A = M[:, 11:15]
+    for c in range(1, 16):
+        cv = np.array([(c >> i) & 1 for i in range(4)], dtype=np.uint8)
+        if not np.any((cv @ A) % 2):
+            return (cv @ M[:, :11]) % 2
+    raise AssertionError("parity-column block unexpectedly full rank")
+
+
+def _imbe_hamming_encode(data11: np.ndarray) -> np.ndarray:
+    """11 data bits → 15-bit word satisfying the learned parity checks.
+
+    The learned code is not parity-last systematic (rank(H[:,11:15])=3),
+    so an induced data constraint exists; raises ValueError for data
+    outside the code's data projection."""
+    d = np.asarray(data11, dtype=np.uint8)
+    M = imbe_h15_matrix()
+    b = (M[:, :11] @ d) % 2
+    word = np.zeros(15, dtype=np.uint8)
+    word[:11] = d
+    for p in range(16):
+        par = np.array([(p >> 3) & 1, (p >> 2) & 1, (p >> 1) & 1, p & 1],
+                       dtype=np.uint8)
+        if np.array_equal((M[:, 11:15] @ par) % 2, b):
+            word[11:] = par
+            return word
+    raise ValueError("data violates the induced h15 data constraint")
+
+
+def encode_imbe_ecc(bits88: np.ndarray) -> np.ndarray:
+    """88 imbe_d parameter bits → 144 on-air bits (inverse of
+    ``decode_imbe_ecc``; used by tests and loopback tooling)."""
+    b = np.asarray(bits88, dtype=np.uint8)
+    g23 = golay_23_12()
+    fr = np.zeros((8, 23), dtype=np.uint8)
+    u0 = _bti(b[0:12])
+    c0 = g23.codebook[u0]
+    fr[0] = c0
+    foo = 0
+    for k in range(12):
+        foo |= int(c0[11 + k]) << k
+    pn = _pn_bits(foo, 114)
+    pos, k = 0, 12
+    for row in range(1, 4):
+        m = _bti(b[k:k + 12]); k += 12
+        fr[row] = g23.codebook[m] ^ pn[pos:pos + 23][::-1]
+        pos += 23
+    for row in range(4, 7):
+        cw = _imbe_hamming_encode(b[k:k + 11]); k += 11
+        fr[row][:15] = cw ^ pn[pos:pos + 15][::-1]
+        pos += 15
+    fr[7][:7] = b[k:k + 7]
+    bits144 = np.zeros(144, dtype=np.uint8)
+    for j in range(72):
+        bits144[2 * j] = fr[IMBE_W[j]][IMBE_X[j]]
+        bits144[2 * j + 1] = fr[IMBE_Y[j]][IMBE_Z[j]]
+    return bits144
+
+
 def decode_imbe_ecc(bits144: np.ndarray) -> tuple[np.ndarray, int]:
     """144 on-air bits → (88 imbe_d parameter bits, bit error count)."""
     fr = np.zeros((8, 23), dtype=np.uint8)

@@ -457,13 +457,20 @@ class P25P1Decoder(ProtocolDecoder):
 
     def _voice(self, imbe_frames: list[np.ndarray], ctx: DecoderContext) -> None:
         """IMBE ECC (+ ADP/RC4 decrypt when keyed) + parameter decode +
-        synthesis → 8 kHz PCM."""
+        synthesis → 8 kHz PCM.
+
+        Keystream discipline per the reference LDU layout: the two LSD
+        octets sit between voice frames 8 and 9 and consume 2 keystream
+        octets (p25p1_ldu1.c:185-186, p25p1_ldu2.c:207-208), so the
+        rolling offset skips 2 before the 9th frame."""
         from dsdneo_tpu.protocol.p25.imbe_frame import decode_imbe_ecc
         from dsdneo_tpu.vocoder.mbe import decode_imbe_4400
         from dsdneo_tpu.vocoder.synth import synthesize_frames
         params = []
-        for fr in imbe_frames:
+        for i, fr in enumerate(imbe_frames):
             bits88, _errs = decode_imbe_ecc(fr)
+            if i == 8:
+                ctx.state.ks_offset = getattr(ctx.state, "ks_offset", 0) + 2
             bits88 = self._decrypt_imbe(bits88, ctx)
             params.append(decode_imbe_4400(bits88))
         pcm = synthesize_frames(params)
@@ -472,10 +479,14 @@ class P25P1Decoder(ProtocolDecoder):
 
     def _decrypt_imbe(self, bits88: np.ndarray, ctx: DecoderContext) -> np.ndarray:
         """Keyed voice decrypt: ADP/RC4 (ALG 0xAA) or DES-OFB (0x81),
-        XORing 11 keystream bytes per voice frame at a rolling offset
-        (reference dsd_mbe.c mbe_apply_p25p1_rc4 /
-        mbe_init_p25p1_multicrypt_keystream: DES starts at octet 19 =
-        8 discard + 8 LC + 3 reserved)."""
+        XORing 11 keystream octets per voice frame at a rolling offset.
+
+        Reference parity (dsd_mbe.c / p25p1_hdu.c:429 / p25p1_ldu2.c:238):
+        the RC4 keystream position starts at absolute drop 267 per
+        superframe; DES-OFB starts at octet 19 (8 discard + 8 LC + 3
+        reserved).  Both advance 11 per frame and 2 extra across the LSD
+        (handled by ``_voice``); the offset resets only after LDU2's own
+        voice has been decrypted (ldu2_collect_voice_symbols)."""
         s = ctx.state
         kr = getattr(s, "keyring", None)
         algid = getattr(s, "payload_algid", 0)
@@ -485,16 +496,16 @@ class P25P1Decoder(ProtocolDecoder):
         mi = getattr(s, "payload_mi", 0)
         if key is None or mi == 0:
             return bits88
-        drop = getattr(s, "rc4_drop", 0)
+        off = getattr(s, "ks_offset", 0)
         if algid == 0xAA:
             from dsdneo_tpu.crypto.keystream import p25_adp_keystream
-            ks = p25_adp_keystream(key, mi, drop + 11)[drop:drop + 11]
+            ks = p25_adp_keystream(key, mi, 11, drop=267 + off)
         else:
             from dsdneo_tpu.crypto.keystream import des_ofb_keystream
-            mi64 = mi >> 8 if mi >= (1 << 64) else mi
-            start = 19 + drop
+            mi64 = (mi >> 8) & ((1 << 64) - 1)
+            start = 19 + off
             ks = des_ofb_keystream(key, mi64, start + 11)[start:start + 11]
-        s.rc4_drop = drop + 11
+        s.ks_offset = off + 11
         ks_bits = np.unpackbits(np.asarray(ks, dtype=np.uint8))
         return (np.asarray(bits88, dtype=np.uint8) ^ ks_bits[:88])
 
@@ -572,6 +583,7 @@ class P25P1Decoder(ProtocolDecoder):
         imbe.append(bits)
         code = rs.rs_24_16_9()
         dec, nerr = code.decode(hexwords)
+        ess_next = None
         if nerr >= 0:
             es_bits = np.zeros(96, dtype=np.uint8)
             for i in range(16):
@@ -580,14 +592,20 @@ class P25P1Decoder(ProtocolDecoder):
             algid = _bits_to_int(es_bits[72:80])
             kid = _bits_to_int(es_bits[80:96])
             mi = _bits_to_int(es_bits[0:72])
-            s2 = ctx.state
-            s2.payload_algid, s2.payload_kid, s2.payload_mi = algid, kid, mi
-            s2.rc4_drop = 0                  # new MI → reset keystream
+            ess_next = (algid, kid, mi)
             ctx.emit(f" LDU2 ALG ID [{algid:02X}] KEY ID [{kid:04X}]",
                      "p25p1", hit.pos, algid=algid, kid=kid)
         ctx.emit(" LDU2 VOICE (9 IMBE frames)", "p25p1", hit.pos,
                  imbe=np.stack(imbe))
+        # LDU2's own voice continues the PRIOR superframe keystream; the
+        # new ESS takes effect only afterwards, when the offset resets
+        # (reference ldu2_collect_voice_symbols: dropL=267/octet=0 set
+        # after the 9 frames, p25p1_ldu2.c:238-239).
         self._voice(imbe, ctx)
+        s2 = ctx.state
+        if ess_next is not None:
+            s2.payload_algid, s2.payload_kid, s2.payload_mi = ess_next
+        s2.ks_offset = 0
 
     def _hdu(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> None:
         """Header Data Unit: 36 Golay(18,6)-protected hexbits, RS(36,20,17)."""
@@ -614,6 +632,6 @@ class P25P1Decoder(ProtocolDecoder):
         mi = _bits_to_int(bits120[0:72])
         s2 = ctx.state
         s2.payload_algid, s2.payload_kid, s2.payload_mi = algid, kid, mi
-        s2.rc4_drop = 0
+        s2.ks_offset = 0            # superframe start (hdu.c:429 dropL=267)
         ctx.emit(f" HDU ALG ID [{algid:02X}] KEY ID [{kid:04X}] TG [{tgid}]",
                  "p25p1", hit.pos, algid=algid, tgid=tgid)

@@ -23,9 +23,10 @@ struct Ring {
     uint8_t* buf;
     size_t capacity;                 // power of two
     std::atomic<uint64_t> head;      // producer writes
-    std::atomic<uint64_t> tail;      // consumer reads
+    std::atomic<uint64_t> tail;      // consumer reads (sole writer)
     std::atomic<uint64_t> drops;     // bytes dropped when full
-    std::atomic<uint32_t> generation;  // bumped by purge (retune)
+    std::atomic<uint32_t> generation;   // bumped by purge (retune)
+    std::atomic<uint32_t> consumed_gen; // consumer's last-seen generation
     std::atomic<int> shutdown;
 };
 
@@ -47,6 +48,7 @@ Ring* dsd_ring_create(size_t capacity_pow2) {
     r->tail.store(0);
     r->drops.store(0);
     r->generation.store(0);
+    r->consumed_gen.store(0);
     r->shutdown.store(0);
     return r;
 }
@@ -76,15 +78,23 @@ size_t dsd_ring_write(Ring* r, const uint8_t* data, size_t n) {
 
 // Consumer: blocking read of exactly n bytes (or fewer on timeout /
 // shutdown / purge).  Returns bytes read.
+//
+// Purge discipline: the control plane only bumps `generation`
+// (dsd_ring_purge); the consumer itself advances tail to head when it
+// observes the change.  Keeping tail single-writer avoids the lost-store
+// race of a control-thread tail write colliding with the consumer's.
 size_t dsd_ring_read(Ring* r, uint8_t* out, size_t n, int timeout_ms) {
     using clock = std::chrono::steady_clock;
     auto deadline = clock::now() + std::chrono::milliseconds(timeout_ms);
-    uint32_t gen = r->generation.load(std::memory_order_acquire);
     size_t got = 0;
     while (got < n) {
         if (r->shutdown.load(std::memory_order_relaxed)) break;
-        if (r->generation.load(std::memory_order_acquire) != gen) {
-            // retune purge: abandon the partial block
+        uint32_t gen = r->generation.load(std::memory_order_acquire);
+        if (gen != r->consumed_gen.load(std::memory_order_relaxed)) {
+            // retune purge: drop everything buffered, abandon the block
+            r->tail.store(r->head.load(std::memory_order_acquire),
+                          std::memory_order_release);
+            r->consumed_gen.store(gen, std::memory_order_relaxed);
             return 0;
         }
         uint64_t tail = r->tail.load(std::memory_order_relaxed);
@@ -136,10 +146,11 @@ size_t dsd_ring_read_widen_cu8(Ring* r, float* out, size_t n_samples,
     return samples;
 }
 
+// Control plane: request a purge.  Only flags the generation change;
+// the consumer drains on its next dsd_ring_read (consumer-driven purge
+// keeps `tail` single-writer).
 void dsd_ring_purge(Ring* r) {
     r->generation.fetch_add(1, std::memory_order_acq_rel);
-    r->tail.store(r->head.load(std::memory_order_acquire),
-                  std::memory_order_release);
 }
 
 void dsd_ring_shutdown(Ring* r) { r->shutdown.store(1); }

@@ -83,62 +83,172 @@ def test_keyring_imports_and_redaction(tmp_path):
     assert "B57935150" in text
 
 
-def test_p25_adp_voice_decrypt_roundtrip():
-    """ADP/RC4 voice decrypt: keystream applies at rolling 11-byte
-    offsets per frame; decrypt(encrypt(x)) == x through the decoder's
-    state machinery."""
+def test_p25_adp_voice_decrypt_reference_offsets():
+    """ADP/RC4 voice decrypt must consume the keystream exactly like the
+    reference: absolute drop 267 at superframe start (p25p1_hdu.c:429),
+    +11 per frame, +2 across the LSD before frame 9 (p25p1_ldu1.c:185),
+    keyed by 5-byte key ‖ top-8-bytes-of-MI."""
     from types import SimpleNamespace
 
     from dsdneo_tpu.crypto.keyring import KeyRing
-    from dsdneo_tpu.crypto.keystream import p25_adp_keystream
+    from dsdneo_tpu.crypto.keystream import rc4_keystream
     from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
 
-    key, kid, mi = 0x0123456789, 0x0001, 0x11223344556677 << 8
+    key, kid, mi = 0x0123456789, 0x0001, 0x112233445566778800
     kr = KeyRing()
     kr.scalar[kid] = key
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 2, 88).astype(np.uint8) for _ in range(9)]
 
-    # encrypt: same scheme, rolling offset
-    ks = p25_adp_keystream(key, mi, 9 * 11)
+    # encrypt independently with the reference's exact layout
+    rckey = key.to_bytes(5, "big") + (mi >> 8).to_bytes(8, "big")
+    ks = rc4_keystream(rckey, 267 + 9 * 11 + 2)
     enc = []
     for i, f in enumerate(frames):
-        kb = np.unpackbits(ks[11 * i:11 * i + 11])[:88]
+        off = 267 + 11 * i + (2 if i == 8 else 0)
+        kb = np.unpackbits(ks[off:off + 11])[:88]
         enc.append(f ^ kb)
 
     dec = P25P1Decoder()
     ctx = SimpleNamespace(state=SimpleNamespace(
         keyring=kr, payload_algid=0xAA, payload_kid=kid, payload_mi=mi,
-        rc4_drop=0))
-    out = [dec._decrypt_imbe(e, ctx) for e in enc]
-    for f, o in zip(frames, out):
-        assert np.array_equal(f, o)
+        ks_offset=0))
+    for i, e in enumerate(enc):
+        if i == 8:
+            ctx.state.ks_offset += 2       # what _voice does across the LSD
+        o = dec._decrypt_imbe(e, ctx)
+        assert np.array_equal(frames[i], o), f"frame {i}"
     # without a key: passthrough
     ctx.state.keyring = None
     assert np.array_equal(dec._decrypt_imbe(enc[0], ctx), enc[0])
 
 
-def test_p25_des_ofb_voice_decrypt_roundtrip():
+def test_p25_des_ofb_voice_decrypt_reference_offsets():
+    """DES-OFB: octet counter starts at 19 (8 discard + 8 LC + 3
+    reserved, dsd_mbe.c:367), +11 per frame, +2 across the LSD."""
     from types import SimpleNamespace
 
     from dsdneo_tpu.crypto.keyring import KeyRing
     from dsdneo_tpu.crypto.keystream import des_ofb_keystream
     from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
 
-    key, kid, mi = 0x0123456789ABCDEF, 0x0002, 0x1122334455667788
+    key, kid, mi = 0x0123456789ABCDEF, 0x0002, 0x112233445566778800
     kr = KeyRing()
     kr.scalar[kid] = key
     rng = np.random.default_rng(1)
-    frames = [rng.integers(0, 2, 88).astype(np.uint8) for _ in range(4)]
-    ks = des_ofb_keystream(key, mi, 19 + 4 * 11)
+    frames = [rng.integers(0, 2, 88).astype(np.uint8) for _ in range(9)]
+    ks = des_ofb_keystream(key, mi >> 8, 19 + 9 * 11 + 2)
     enc = []
     for i, f in enumerate(frames):
-        kb = np.unpackbits(ks[19 + 11 * i:19 + 11 * i + 11])[:88]
+        off = 19 + 11 * i + (2 if i == 8 else 0)
+        kb = np.unpackbits(ks[off:off + 11])[:88]
         enc.append(f ^ kb)
     dec = P25P1Decoder()
     ctx = SimpleNamespace(state=SimpleNamespace(
         keyring=kr, payload_algid=0x81, payload_kid=kid, payload_mi=mi,
-        rc4_drop=0))
-    out = [dec._decrypt_imbe(e, ctx) for e in enc]
-    for f, o in zip(frames, out):
-        assert np.array_equal(f, o)
+        ks_offset=0))
+    for i, e in enumerate(enc):
+        if i == 8:
+            ctx.state.ks_offset += 2
+        o = dec._decrypt_imbe(e, ctx)
+        assert np.array_equal(frames[i], o), f"frame {i}"
+
+
+def test_p25_ldu2_ess_staged_until_after_voice():
+    """LDU2's newly decoded MI must NOT decrypt LDU2's own voice: the
+    prior superframe keystream continues through LDU2, and the new ESS
+    + offset reset apply afterwards (p25p1_ldu2.c:238-239 resets only
+    at the end of ldu2_collect_voice_symbols)."""
+    from dsdneo_tpu.crypto.keyring import KeyRing
+    from dsdneo_tpu.crypto.keystream import rc4_keystream
+    from dsdneo_tpu.protocol.p25 import imbe_frame as IF
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+    from dsdneo_tpu.protocol.base import DecoderContext
+
+    key, kid = 0x0123456789, 0x0001
+    mi_old, mi_new = 0xAABBCCDDEEFF112200, 0x99887766554433 << 16
+
+    # Build an LDU2 dibit stream: 9 encrypted IMBE frames + RS(24,16,9)
+    # ESS carrying mi_new, with voice encrypted under mi_old.
+    rng = np.random.default_rng(7)
+    cmask = IF.imbe_h15_data_constraint()
+    fix = int(np.flatnonzero(cmask)[0])
+    rckey = key.to_bytes(5, "big") + (mi_old >> 8).to_bytes(8, "big")
+    ks = rc4_keystream(rckey, 267 + 9 * 11 + 2)
+    frames, enc_ecc = [], []
+    for i in range(9):
+        off = 267 + 11 * i + (2 if i == 8 else 0)
+        kb = np.unpackbits(ks[off:off + 11])[:88]
+        enc = rng.integers(0, 2, 88).astype(np.uint8)
+        for blk in range(3):  # ciphertext u4-u6 must be h15-encodable
+            k = 48 + 11 * blk
+            if (cmask @ enc[k:k + 11]) % 2:
+                enc[k + fix] ^= 1
+        frames.append(enc ^ kb)            # expected plaintext
+        enc_ecc.append(IF.encode_imbe_ecc(enc))
+
+    from dsdneo_tpu.fec import rs as rsmod
+    es_bits = np.zeros(96, dtype=np.uint8)
+    for j in range(72):
+        es_bits[j] = (mi_new >> (71 - j)) & 1
+    for j in range(8):
+        es_bits[72 + j] = (0xAA >> (7 - j)) & 1
+    for j in range(16):
+        es_bits[80 + j] = (kid >> (15 - j)) & 1
+    data16 = [int(sum(es_bits[i * 6 + j] << (5 - j) for j in range(6)))
+              for i in range(16)]
+    code = rsmod.rs_24_16_9()
+    word24 = code.encode(np.asarray(data16, dtype=np.int64))
+
+    # serialize in the decoder's _ldu2 read order
+    from dsdneo_tpu.fec import blockcodes
+    ham = blockcodes.hamming_10_6_3()
+    dibits = []
+
+    def push_bits(bits):
+        for k in range(0, len(bits), 2):
+            dibits.append((int(bits[k]) << 1) | int(bits[k + 1]))
+
+    w = 0
+    for seg in range(8):
+        push_bits(enc_ecc[seg])
+        if 1 <= seg <= 6:
+            for _ in range(4):
+                push_bits(ham.encode(int(word24[w]))); w += 1
+        elif seg == 7:
+            push_bits(np.zeros(32, dtype=np.uint8))   # LSD placeholder
+    push_bits(enc_ecc[8])
+
+    from types import SimpleNamespace
+    from dsdneo_tpu.protocol.base import DibitReader
+    kr = KeyRing(); kr.scalar[kid] = key
+    ctx = DecoderContext()
+    ctx.state.keyring = kr
+    ctx.state.payload_algid, ctx.state.payload_kid = 0xAA, kid
+    ctx.state.payload_mi, ctx.state.ks_offset = mi_old, 0
+
+    decoded_params = []
+    import dsdneo_tpu.vocoder.mbe as mbe
+    orig_fn = mbe.decode_imbe_4400
+
+    def spy(bits88):
+        decoded_params.append(np.asarray(bits88).copy())
+        return orig_fn(bits88)
+
+    mbe.decode_imbe_4400 = spy
+    try:
+        dibits += [0] * (900 - len(dibits))   # pad past the 820-dibit gate
+        dd = np.asarray(dibits, dtype=np.uint8)
+        reader = DibitReader(dd, np.zeros(len(dd), dtype=np.float32), pos=0)
+        hit = SimpleNamespace(pos=0)
+        P25P1Decoder()._ldu2(reader, hit, ctx)
+    finally:
+        mbe.decode_imbe_4400 = orig_fn
+
+    # voice decrypted with the OLD mi → plaintext recovered
+    assert len(decoded_params) == 9
+    for i in range(9):
+        assert np.array_equal(decoded_params[i], frames[i]), f"frame {i}"
+    # new ESS installed + offset reset AFTER voice
+    assert ctx.state.payload_mi == mi_new
+    assert ctx.state.ks_offset == 0

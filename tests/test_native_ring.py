@@ -58,15 +58,62 @@ def test_ring_drop_accounting():
 
 
 def test_ring_purge_generation():
+    """Purge is consumer-driven: the control plane only bumps the
+    generation; the consumer drains on its next read (keeps `tail`
+    single-writer — no racing store from the control thread)."""
     r = _ring()
     r.write(bytes(4096))
     gen0 = r.generation
     r.purge()
     assert r.generation == gen0 + 1
-    assert r.fill == 0
-    # read after purge times out cleanly (no stale data)
+    # pre-purge data is abandoned by the consumer's next read
     blk = r.read_block_cu8(128, timeout_ms=50)
     assert blk is None
+    assert r.fill == 0
+    # post-purge writes flow normally
+    r.write(bytes(512))
+    blk = r.read_block_cu8(128, timeout_ms=200)
+    assert blk is not None
+    r.close()
+
+
+def test_ring_purge_concurrent_consumer():
+    """A purge racing an active consumer must not resurrect pre-purge
+    bytes: after the consumer observes the purge, only post-purge data
+    is ever returned."""
+    from dsdneo_tpu.runtime.native import IngestRing
+    r = IngestRing(1 << 16)
+    stop = threading.Event()
+
+    def producer():
+        junk = bytes([0xAA]) * 512
+        while not stop.is_set():
+            r.write(junk)
+            time.sleep(0.0002)
+
+    t = threading.Thread(target=producer)
+    t.start()
+    try:
+        for _ in range(20):
+            r.read_block_cu8(64, timeout_ms=20)
+            r.purge()
+            # first read after a purge abandons the block
+            while r.read_block_cu8(64, timeout_ms=20) is None:
+                if r.generation == 0:
+                    break
+    finally:
+        stop.set()
+        t.join()
+    stop.set()
+    # marker write after everything quiesced: purge, then only the
+    # fresh marker may surface
+    r.purge()
+    assert r.read_block_cu8(64, timeout_ms=20) is None   # drain purge
+    r.write(bytes([0x55]) * 128)
+    blk = r.read_block_cu8(64, timeout_ms=200)
+    assert blk is not None
+    expect = (0x55 / 127.5) - 1.0
+    np.testing.assert_allclose(blk[:, 0], expect, atol=1e-6)
     r.close()
 
 

@@ -131,9 +131,23 @@ def test_crypto_keystreams():
         bytes.fromhex("000102030405060708090a0b0c0d0e0f"
                       "101112131415161718191a1b1c1d1e1f"))
     assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
-    # DMR BP keystream repeats the 16-bit key
-    ks = K.dmr_basic_keystream(0xABCD, 32)
-    assert list(ks[:16]) == list(ks[16:32])
+    # DMR BP keystream: 48-bit pattern ((k&0xFF0F)<<32)|(k<<16)|k from the
+    # published key table, bit 48 untouched (crypt-etc.c frame49 apply)
+    ks = K.dmr_basic_keystream(1)
+    k = K.DMR_BP_KEYS[1]
+    assert k == 0x1F00
+    patt = ((k & 0xFF0F) << 32) | (k << 16) | k
+    expect = [(patt >> (47 - j)) & 1 for j in range(48)] + [0]
+    assert list(ks) == expect
+    # the masked nibble differs from a naive 16-bit repeat for keys with
+    # bits 4-7 set in the first repeat
+    k129 = K.DMR_BP_KEYS[129]
+    ks129 = K.dmr_basic_keystream(129)
+    naive_first16 = [(k129 >> (15 - j)) & 1 for j in range(16)]
+    assert list(ks129[:16]) != naive_first16
+    # out-of-range IDs are all-zero passthrough
+    assert not K.dmr_basic_keystream(0).any()
+    assert not K.dmr_basic_keystream(256).any()
 
 
 def test_perf_probe(tmp_path):
