@@ -103,54 +103,69 @@ def _bti(bits) -> int:
 
 
 def imbe_h15_matrix() -> np.ndarray:
-    """The learned parity-check masks as a 4x15 GF(2) matrix."""
+    """The learned parity-check masks as a 4x15 GF(2) matrix.  Columns
+    0-3 form a (permuted) identity: the code is systematic with parity
+    at positions 0-3 and data at positions 4-14."""
     return np.array([[(h >> (14 - p)) & 1 for p in range(15)]
                      for h in _IMBE_H15], dtype=np.uint8)
 
 
-def imbe_h15_data_constraint() -> np.ndarray:
-    """The induced pure-data parity (len-11 mask): the learned check
-    space has rank 3 over positions 11-14, so one check combination
-    constrains the 11 data bits alone.  Data satisfying mask·d == 0 is
-    encodable."""
-    M = imbe_h15_matrix()
-    # left null vector of the parity-column block
-    A = M[:, 11:15]
-    for c in range(1, 16):
-        cv = np.array([(c >> i) & 1 for i in range(4)], dtype=np.uint8)
-        if not np.any((cv @ A) % 2):
-            return (cv @ M[:, :11]) % 2
-    raise AssertionError("parity-column block unexpectedly full rank")
-
-
 def _imbe_hamming_encode(data11: np.ndarray) -> np.ndarray:
-    """11 data bits → 15-bit word satisfying the learned parity checks.
-
-    The learned code is not parity-last systematic (rank(H[:,11:15])=3),
-    so an induced data constraint exists; raises ValueError for data
-    outside the code's data projection."""
+    """11 data bits (positions 4-14) → 15-bit codeword (solve the 4
+    parity bits at positions 0-3; the parity columns are a permuted
+    identity so the solution is direct)."""
     d = np.asarray(data11, dtype=np.uint8)
     M = imbe_h15_matrix()
-    b = (M[:, :11] @ d) % 2
+    b = (M[:, 4:] @ d) % 2
     word = np.zeros(15, dtype=np.uint8)
-    word[:11] = d
-    for p in range(16):
-        par = np.array([(p >> 3) & 1, (p >> 2) & 1, (p >> 1) & 1, p & 1],
-                       dtype=np.uint8)
-        if np.array_equal((M[:, 11:15] @ par) % 2, b):
-            word[11:] = par
-            return word
-    raise ValueError("data violates the induced h15 data constraint")
+    word[4:] = d
+    for r in range(4):
+        col = int(np.flatnonzero(M[r, :4])[0])
+        word[col] = b[r]
+    return word
+
+
+@lru_cache(maxsize=1)
+def _golay_seedkey_lut() -> np.ndarray:
+    """codeword-bits-[11..22]-value → message index (positions 11-22 are
+    an information set of the Golay(23,12); verified exhaustive)."""
+    g23 = golay_23_12()
+    lut = np.zeros(4096, dtype=np.int32)
+    for m in range(4096):
+        c = g23.codebook[m]
+        key = 0
+        for i in range(12):
+            key |= int(c[11 + i]) << i
+        lut[key] = m
+    return lut
+
+
+def _row_param_bits(c: np.ndarray) -> list[int]:
+    """Golay codeword → its 12 parameter bits, MSB-first.
+
+    RECOVERED CONVENTION (fixture-validated): the parameter bits of each
+    Golay vector are codeword bits [22..11] — the same 12-bit value that
+    seeds the PN scrambler (û0); under it the fixtures' b0/gain/voicing
+    fields show clean significance ramps and smooth tracks, which the
+    data-first message bits do not."""
+    return [int(c[22 - i]) for i in range(12)]
 
 
 def encode_imbe_ecc(bits88: np.ndarray) -> np.ndarray:
-    """88 imbe_d parameter bits → 144 on-air bits (inverse of
+    """88 recovered-layout parameter bits → 144 on-air bits (inverse of
     ``decode_imbe_ecc``; used by tests and loopback tooling)."""
     b = np.asarray(bits88, dtype=np.uint8)
     g23 = golay_23_12()
+    lut = _golay_seedkey_lut()
     fr = np.zeros((8, 23), dtype=np.uint8)
-    u0 = _bti(b[0:12])
-    c0 = g23.codebook[u0]
+
+    def golay_from_param(bits12) -> np.ndarray:
+        key = 0
+        for i in range(12):
+            key |= int(bits12[11 - i]) << i       # param MSB = c[22]
+        return g23.codebook[int(lut[key])]
+
+    c0 = golay_from_param(b[0:12])
     fr[0] = c0
     foo = 0
     for k in range(12):
@@ -158,14 +173,15 @@ def encode_imbe_ecc(bits88: np.ndarray) -> np.ndarray:
     pn = _pn_bits(foo, 114)
     pos, k = 0, 12
     for row in range(1, 4):
-        m = _bti(b[k:k + 12]); k += 12
-        fr[row] = g23.codebook[m] ^ pn[pos:pos + 23][::-1]
+        fr[row] = golay_from_param(b[k:k + 12]) ^ pn[pos:pos + 23][::-1]
+        k += 12
         pos += 23
     for row in range(4, 7):
-        cw = _imbe_hamming_encode(b[k:k + 11]); k += 11
+        cw = _imbe_hamming_encode(b[k:k + 11][::-1])   # param MSB = w[14]
+        k += 11
         fr[row][:15] = cw ^ pn[pos:pos + 15][::-1]
         pos += 15
-    fr[7][:7] = b[k:k + 7]
+    fr[7][:7] = b[k:k + 7][::-1]                       # param MSB = fr7[6]
     bits144 = np.zeros(144, dtype=np.uint8)
     for j in range(72):
         bits144[2 * j] = fr[IMBE_W[j]][IMBE_X[j]]
@@ -174,7 +190,12 @@ def encode_imbe_ecc(bits88: np.ndarray) -> np.ndarray:
 
 
 def decode_imbe_ecc(bits144: np.ndarray) -> tuple[np.ndarray, int]:
-    """144 on-air bits → (88 imbe_d parameter bits, bit error count)."""
+    """144 on-air bits → (88 parameter bits, bit error count).
+
+    Output layout: û0..û3 contribute codeword bits [22..11] MSB-first
+    (12 each), û4..û6 bits [14..4] (11 each), û7 reversed (7, the frame
+    sync bit last) — the recovered parameter basis consumed by
+    dsdneo_tpu.vocoder.imbe.decode_frame."""
     fr = np.zeros((8, 23), dtype=np.uint8)
     b = np.asarray(bits144, dtype=np.uint8)
     for j in range(72):
@@ -195,7 +216,7 @@ def decode_imbe_ecc(bits144: np.ndarray) -> tuple[np.ndarray, int]:
     pn = _pn_bits(foo, 114)
     pos = 0
     out = np.zeros(88, dtype=np.uint8)
-    out[0:12] = [(u0 >> (11 - i)) & 1 for i in range(12)]
+    out[0:12] = _row_param_bits(c0)
     k = 12
     for row in range(1, 4):
         # PN applies in reverse bit order within each code vector
@@ -203,14 +224,14 @@ def decode_imbe_ecc(bits144: np.ndarray) -> tuple[np.ndarray, int]:
         pos += 23
         m, e = g23.decode(word)
         errs += e
-        out[k:k + 12] = [(m >> (11 - i)) & 1 for i in range(12)]
+        out[k:k + 12] = _row_param_bits(g23.codebook[m])
         k += 12
     for row in range(4, 7):
         word = fr[row][:15] ^ pn[pos:pos + 15][::-1]
         pos += 15
         corrected, e = _imbe_hamming_decode(word)
         errs += e
-        out[k:k + 11] = corrected[:11]
+        out[k:k + 11] = corrected[14:3:-1]
         k += 11
-    out[k:k + 7] = fr[7][:7]
+    out[k:k + 7] = fr[7][6::-1]
     return out, errs

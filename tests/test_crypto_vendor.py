@@ -171,8 +171,6 @@ def test_p25_ldu2_ess_staged_until_after_voice():
     # Build an LDU2 dibit stream: 9 encrypted IMBE frames + RS(24,16,9)
     # ESS carrying mi_new, with voice encrypted under mi_old.
     rng = np.random.default_rng(7)
-    cmask = IF.imbe_h15_data_constraint()
-    fix = int(np.flatnonzero(cmask)[0])
     rckey = key.to_bytes(5, "big") + (mi_old >> 8).to_bytes(8, "big")
     ks = rc4_keystream(rckey, 267 + 9 * 11 + 2)
     frames, enc_ecc = [], []
@@ -180,10 +178,6 @@ def test_p25_ldu2_ess_staged_until_after_voice():
         off = 267 + 11 * i + (2 if i == 8 else 0)
         kb = np.unpackbits(ks[off:off + 11])[:88]
         enc = rng.integers(0, 2, 88).astype(np.uint8)
-        for blk in range(3):  # ciphertext u4-u6 must be h15-encodable
-            k = 48 + 11 * blk
-            if (cmask @ enc[k:k + 11]) % 2:
-                enc[k + fix] ^= 1
         frames.append(enc ^ kb)            # expected plaintext
         enc_ecc.append(IF.encode_imbe_ecc(enc))
 
@@ -231,9 +225,9 @@ def test_p25_ldu2_ess_staged_until_after_voice():
     import dsdneo_tpu.vocoder.mbe as mbe
     orig_fn = mbe.decode_imbe_4400
 
-    def spy(bits88):
+    def spy(bits88, prev=None):
         decoded_params.append(np.asarray(bits88).copy())
-        return orig_fn(bits88)
+        return orig_fn(bits88, prev=prev)
 
     mbe.decode_imbe_4400 = spy
     try:

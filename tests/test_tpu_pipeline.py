@@ -141,20 +141,26 @@ def test_vocoder_synthesis_shape_and_energy():
     assert abs(pk - 64) <= 2
 
 
-def test_imbe_ecc_u0_roundtrip():
-    """Encode a synthetic IMBE ECC frame and decode it back (u0 path)."""
+def test_imbe_ecc_roundtrip_and_correction():
+    """encode_imbe_ecc/decode_imbe_ecc are exact inverses for arbitrary
+    88-bit parameter strings, and single bit errors per code vector are
+    corrected."""
     from dsdneo_tpu.protocol.p25 import imbe_frame as IF
     rng = np.random.default_rng(2)
-    g23 = IF.golay_23_12()
-    fr = np.zeros((8, 23), dtype=np.uint8)
-    u0 = 0x2A5
-    fr[0] = g23.encode(u0)
-    bits144 = np.zeros(144, dtype=np.uint8)
-    for j in range(72):
-        bits144[2 * j] = fr[IF.IMBE_W[j]][IF.IMBE_X[j]]
-        bits144[2 * j + 1] = fr[IF.IMBE_Y[j]][IF.IMBE_Z[j]]
-    out, errs = IF.decode_imbe_ecc(bits144)
-    got_u0 = 0
-    for b in out[:12]:
-        got_u0 = (got_u0 << 1) | int(b)
-    assert got_u0 == u0
+    for _ in range(20):
+        bits88 = rng.integers(0, 2, 88).astype(np.uint8)
+        on_air = IF.encode_imbe_ecc(bits88)
+        out, errs = IF.decode_imbe_ecc(on_air)
+        assert errs == 0
+        assert np.array_equal(out, bits88)
+        # flip one bit in a protected vector (u0-u6) → corrected
+        while True:
+            j = int(rng.integers(0, 144))
+            row = IF.IMBE_W[j // 2] if j % 2 == 0 else IF.IMBE_Y[j // 2]
+            if row < 7:
+                break
+        flipped = on_air.copy()
+        flipped[j] ^= 1
+        out2, errs2 = IF.decode_imbe_ecc(flipped)
+        assert np.array_equal(out2, bits88)
+        assert errs2 == 1
