@@ -1,18 +1,21 @@
 #!/usr/bin/env python3
-"""Headline benchmark: aggregate many-channel I/Q→symbols decode
+"""Headline benchmark: aggregate many-channel I/Q→AUDIO decode
 throughput per chip, as a multiple of realtime.
 
-Runs the batched device front-end (channel LPF → FM discriminator →
-feed-forward timing recovery → 4-level slicing — the per-channel chain
-of the reference's demod thread, src/dsp/demod_pipeline.cpp) on
-``[C, B]`` blocks of C channels × 1 s of 48 kHz I/Q on the default JAX
-device (the TPU when present).
+Primary metric (the BASELINE.json north star): the FULL chain — fused
+front end (channel LPF → FM discriminator → timing → slicing, Pallas on
+TPU), device frame-sync correlation, batched BCH NID decode, batched
+IMBE voice-frame ECC (Golay/PN/Hamming as MXU codebook matmuls),
+vectorized IMBE dequantization with per-channel prediction, and batched
+harmonic synthesis — driven by dsdneo_tpu.engine.voicebatch over C
+channels each carrying the real off-air P25p1 voice fixture.
 
-Methodology: K steps are chained inside one jitted lax.scan and the
-result is fetched to host, so the measurement reflects real device
-execution (the tunneled TPU runtime's block_until_ready does not
-actually synchronize, and per-call timing would instead measure the
-host↔device round trip).
+Timing is honest wall clock around the hybrid host+device pipeline: the
+block ends in a host fetch of the synthesized PCM, which is a true
+synchronization point (the tunneled TPU runtime's block_until_ready is
+not).  `detail` also reports the front-end-only symbols number
+(comparable to round 1) and the Pallas-vs-XLA max soft-symbol error on
+the same device.
 
 The reference's contract is 1× realtime for ONE channel on a desktop
 CPU (BASELINE.md), so `vs_baseline` is the realtime multiple itself.
@@ -25,61 +28,122 @@ import time
 
 import numpy as np
 
+FIXTURE = "/root/reference/tests/fixtures/iq/p25p1_c4fm_vc.iq.json"
 
-def main() -> int:
+
+def bench_frontend(C: int, K: int):
+    """Round-1 front-end-only measurement (symbols), kept for detail."""
     import jax
     import jax.numpy as jnp
-
-    C = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    FS = 48000
-    B = FS  # one second per channel per step
-
     from dsdneo_tpu.dsp import firdes
     from dsdneo_tpu.engine.batched import frontend_step
     from dsdneo_tpu.engine.modes import MODES
 
+    FS = 48000
+    B = FS
     mode = MODES["p25p1"]
     sps = FS / mode.symbol_rate
     n_sym = int(B // sps) - 2
     taps = firdes.channel_lpf(float(FS), mode.lpf_profile)
-
     use_pallas = jax.default_backend() not in ("cpu",)
 
     @jax.jit
     def chained(iq):
         def body(carry, _):
-            d, s, p = frontend_step(iq + carry * 1e-9, taps, sps, n_sym, True,
-                                    use_pallas=use_pallas)
+            d, s, p = frontend_step(iq + carry * 1e-9, taps, sps, n_sym,
+                                    True, use_pallas=use_pallas)
             return jnp.sum(s) + jnp.sum(p), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
         return acc
 
     rng = np.random.default_rng(0)
-    # float32 I/Q planes: the axon TPU runtime cannot transfer complex64
     iq = rng.normal(size=(C, B, 2)).astype(np.float32)
     x = jax.device_put(iq)
-
     float(chained(x))          # compile + warmup (forces a real fetch)
-
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chained(x))      # scalar fetch = true synchronization
+        float(chained(x))
         times.append(time.perf_counter() - t0)
     step_s = float(np.median(times)) / K
-    x_realtime = C * (B / FS) / step_s
+    return C * (B / FS) / step_s, step_s
+
+
+def bench_pallas_parity():
+    """Pallas kernel vs plain-XLA chain on the same device: max abs
+    soft-symbol difference (0.0 when Pallas is not in play, e.g. CPU)."""
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() in ("cpu",):
+        return 0.0
+    from dsdneo_tpu.dsp import firdes
+    from dsdneo_tpu.engine.batched import frontend_step
+    from dsdneo_tpu.engine.modes import MODES
+    FS, B, C = 48000, 48000, 8
+    mode = MODES["p25p1"]
+    sps = FS / mode.symbol_rate
+    n_sym = int(B // sps) - 2
+    taps = firdes.channel_lpf(float(FS), mode.lpf_profile)
+    rng = np.random.default_rng(1)
+    x = jax.device_put(rng.normal(size=(C, B, 2)).astype(np.float32))
+
+    @jax.jit
+    def both(iq):
+        _, s_p, _ = frontend_step(iq, taps, sps, n_sym, True,
+                                  use_pallas=True)
+        _, s_x, _ = frontend_step(iq, taps, sps, n_sym, True,
+                                  use_pallas=False)
+        return jnp.max(jnp.abs(s_p - s_x))
+    return float(both(x))
+
+
+def bench_full_chain(C: int, reps: int = 3):
+    """I/Q→audio for C channels of the real voice fixture."""
+    from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
+    from dsdneo_tpu.io import read_iq_capture
+
+    meta, samples = read_iq_capture(FIXTURE)
+    fs = float(meta.sample_rate_hz)
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+
+    pipe = BatchedP25VoicePipeline(C, fs=fs)
+    pcm = pipe.decode_block(iq)        # compile + warmup
+    assert pcm.shape[0] == C and pcm.shape[1] > 0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        pcm = pipe.decode_block(iq)
+        times.append(time.perf_counter() - t0)
+    step_s = float(np.median(times))
+    return C * block_s / step_s, step_s, block_s, int(pcm.shape[1] // 160)
+
+
+def main() -> int:
+    import jax
+
+    C_audio = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    C_fe = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    audio_x, audio_step_s, block_s, frames = bench_full_chain(C_audio)
+    fe_x, fe_step = bench_frontend(C_fe, 20)
+    parity = bench_pallas_parity()
 
     print(json.dumps({
-        "metric": "aggregate_iq_to_symbols_x_realtime_per_chip",
-        "value": round(x_realtime, 1),
+        "metric": "aggregate_iq_to_audio_x_realtime_per_chip",
+        "value": round(audio_x, 1),
         "unit": "x_realtime",
-        "vs_baseline": round(x_realtime, 1),
+        "vs_baseline": round(audio_x, 1),
         "detail": {
-            "channels": C,
-            "block_s": B / FS,
-            "step_ms": round(step_s * 1e3, 3),
-            "chained_steps": K,
+            "audio_channels": C_audio,
+            "audio_block_s": round(block_s, 3),
+            "audio_step_ms": round(audio_step_s * 1e3, 1),
+            "voice_frames_per_channel": frames,
+            "frontend_symbols_x_realtime": round(fe_x, 1),
+            "frontend_channels": C_fe,
+            "frontend_step_ms": round(fe_step * 1e3, 3),
+            "pallas_parity_max_err": parity,
             "device": str(jax.devices()[0]),
         },
     }))

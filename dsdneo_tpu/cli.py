@@ -75,7 +75,44 @@ def build_parser() -> argparse.ArgumentParser:
                    help="import hex key CSV (reference -K multi_key_hex.csv)")
     p.add_argument("--keys-aes", default="", metavar="CSV",
                    help="import AES segment key CSV")
+    p.add_argument("--frame-log", default=None, metavar="PATH",
+                   help="write a structured per-frame log (reference "
+                        "--frame-log; DSD_NEO_PDU_JSON upgrades entries "
+                        "to JSON objects with decoded fields)")
+    p.add_argument("--perf-csv", default=None, metavar="PATH",
+                   help="write per-step pipeline timing CSV (reference "
+                        "DSD_NEO_RTL_PERF_CSV, rtl_perf.cpp)")
     return p
+
+
+def _write_frame_log(path: str, events, as_json: bool) -> None:
+    """--frame-log sink: one line per decoded frame event; with
+    DSD_NEO_PDU_JSON set, entries are JSON objects carrying the decoded
+    fields (reference DSD_NEO_PDU_JSON, docs/cli.md:610)."""
+    import json as _json
+
+    import numpy as np
+
+    def clean(v):
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            return float(v)
+        if isinstance(v, np.ndarray):
+            return None          # bulk payloads stay out of the log
+        return v
+
+    with open(path, "a") as f:
+        for ev in events:
+            if as_json:
+                fields = {k: clean(v) for k, v in ev.fields.items()}
+                fields = {k: v for k, v in fields.items() if v is not None}
+                f.write(_json.dumps({
+                    "protocol": ev.protocol, "pos": ev.pos,
+                    "line": ev.line, **({"fields": fields} if fields else {}),
+                }) + "\n")
+            else:
+                f.write(f"{ev.pos}\t{ev.protocol}\t{ev.line}\n")
 
 
 def _run_m17_tx(args) -> int:
@@ -139,6 +176,11 @@ def main(argv: list[str] | None = None) -> int:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    from dsdneo_tpu.runtime import config as rtcfg
+    cfg = rtcfg.load_env()
+    frame_log = args.frame_log if args.frame_log is not None else cfg.frame_log
+    perf_csv = args.perf_csv if args.perf_csv is not None else cfg.perf_csv
+
     p2 = None
     if args.p2_params:
         v = args.p2_params
@@ -183,6 +225,9 @@ def main(argv: list[str] | None = None) -> int:
                   f"{r.power_db:+.1f} dB", file=sys.stderr)
             for ev in r.ctx.events:
                 print(f"{tag} {ev.line}", file=sys.stderr)
+            if frame_log:
+                _write_frame_log(frame_log, r.ctx.events,
+                                 as_json=cfg.pdu_json)
         if recorder is not None:
             recorder.finish_all()
             print(f"calls exported: {len(recorder.finished)} -> "
@@ -190,7 +235,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from dsdneo_tpu.engine import decode_capture
+    perf = None
+    if perf_csv:
+        from dsdneo_tpu.runtime.log import PerfProbe
+        perf = PerfProbe(perf_csv, interval_s=cfg.perf_interval_ms / 1e3)
     try:
+        import time as _time
         if args.stream > 0:
             from dsdneo_tpu.engine.stream import StreamDecoder
             from dsdneo_tpu.io import read_iq_capture
@@ -204,15 +254,24 @@ def main(argv: list[str] | None = None) -> int:
                  sd.ctx.state.p2_cc) = p2
             chunk = max(int(meta.sample_rate_hz * args.stream), 4800)
             for i in range(0, len(samples), chunk):
-                sd.push(samples[i:i + chunk])
+                t0 = _time.perf_counter()
+                evs = sd.push(samples[i:i + chunk])
+                if perf is not None:
+                    perf.add(decode_ms=(_time.perf_counter() - t0) * 1e3,
+                             channels=1,
+                             symbols=int(chunk / sd._sps))
             sd.flush()
             ctx = sd.ctx
         else:
+            t0 = _time.perf_counter()
             ctx = decode_capture(args.iq_replay, args.mode,
                                  sync_threshold=args.sync_threshold,
                                  verbose=args.verbose, cqpsk=args.cqpsk,
                                  p2_params=p2, call_recorder=recorder,
                                  keyring=keyring)
+            if perf is not None:
+                perf.add(decode_ms=(_time.perf_counter() - t0) * 1e3,
+                         channels=1, symbols=0)
     except (OSError, ValueError) as e:
         print(f"dsd-neo-tpu: cannot replay {args.iq_replay}: {e}", file=sys.stderr)
         return 1
@@ -234,6 +293,10 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
     for ev in ctx.events:
         print(ev.line, file=sys.stderr)
+    if frame_log:
+        _write_frame_log(frame_log, ctx.events, as_json=cfg.pdu_json)
+    if perf is not None:
+        perf.close()
 
     if args.audio_out.startswith("wav:"):
         from dsdneo_tpu.io.audio_files import write_wav

@@ -71,7 +71,8 @@ class TrunkSM:
                  policy: Optional[Callable[[int], bool]] = None,
                  hangtime_s: float = 1.0, vc_grace_s: float = 1.5,
                  cc_timeout_s: float = 5.0,
-                 now_fn: Callable[[], float] = time.monotonic):
+                 now_fn: Callable[[], float] = time.monotonic,
+                 cc_cache_path: str = ""):
         self.tune = tune
         self.policy = policy or (lambda tg: True)
         self.hangtime_s = hangtime_s
@@ -89,6 +90,36 @@ class TrunkSM:
         self.last_vc_activity = 0.0
         self.tuned_at = 0.0
         self.events: list[str] = []
+        # on-disk CC candidate cache (reference p25_cc_candidates.c +
+        # DSD_NEO_P25_CC_CACHE, docs/cli.md:642): warm-start the hunt
+        # list across runs
+        self.cc_cache_path = cc_cache_path
+        if cc_cache_path:
+            self._load_cc_cache()
+
+    # -- CC candidate disk cache -------------------------------------------
+    def _load_cc_cache(self) -> None:
+        import json
+        import os
+        if not os.path.exists(self.cc_cache_path):
+            return
+        try:
+            with open(self.cc_cache_path) as f:
+                data = json.load(f)
+            cands = [float(x) for x in data.get("cc_candidates", [])]
+            self.cc_candidates = cands[:16]
+        except (OSError, ValueError):
+            pass
+
+    def _save_cc_cache(self) -> None:
+        import json
+        if not self.cc_cache_path:
+            return
+        try:
+            with open(self.cc_cache_path, "w") as f:
+                json.dump({"cc_candidates": self.cc_candidates}, f)
+        except OSError:
+            pass
 
     # -- inputs -----------------------------------------------------------
     def on_cc_activity(self, freq_hz: float) -> None:
@@ -101,6 +132,7 @@ class TrunkSM:
         if freq_hz not in self.cc_candidates:
             self.cc_candidates.insert(0, freq_hz)
             del self.cc_candidates[16:]
+            self._save_cc_cache()
 
     def on_grant(self, ev: GrantEvent) -> bool:
         if self.phase == TrunkPhase.TUNED:

@@ -1,0 +1,255 @@
+"""Batched many-channel P25p1 voice pipeline: I/Q → PCM on device.
+
+The production-scale path the headline benchmark measures.  Per step a
+``[C, B]`` block of channels runs:
+
+  1. fused front end (channel LPF → discriminator → timing → slicing),
+     Pallas on TPU — dsdneo_tpu.engine.batched.frontend_step;
+  2. frame-sync matched filter on device (one conv over [C, T] soft
+     symbols; host does only thresholded peak picking) —
+     the device half of src/dsp/dsd_frame_sync.c:3102;
+  3. batched BCH(63,16) NID decode (MXU codebook matmul) —
+     src/protocol/p25/phase1/p25p1_check_nid.cpp;
+  4. batched IMBE voice-frame ECC for every LDU voice frame in the
+     block (fec.device.imbe_ecc_batch);
+  5. vectorized IMBE dequantization with per-channel prediction state
+     (vocoder.batch.BatchedImbeDecoder);
+  6. batched harmonic synthesis on device (vocoder.synth) with
+     per-channel phase continuity via vmap.
+
+Status symbols are stripped by precomputed index maps; everything
+data-dependent (peak picking, window indexing) is vectorized numpy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsdneo_tpu.fec import blockcodes, device as fdev
+from dsdneo_tpu.symbols import framesync
+from dsdneo_tpu.vocoder.batch import MAX_L, BatchedImbeDecoder
+
+
+# -- device sync correlation ------------------------------------------------
+@lru_cache(maxsize=None)
+def _sync_kernel(names: tuple[str, ...]):
+    """numpy only — this cache is shared between jit traces and host
+    code, so it must never hold traced values."""
+    defs = [d for d in framesync.SYNC_DEFS if d.name in names]
+    n_max = max(len(d.pattern) for d in defs)
+    k = np.zeros((len(defs), 1, n_max), dtype=np.float32)
+    norm = np.zeros(len(defs), dtype=np.float32)
+    for i, d in enumerate(defs):
+        k[i, 0, :len(d.levels)] = d.levels
+        norm[i] = 1.0 / (9.0 * len(d.levels))
+    return defs, k, norm, n_max
+
+
+@partial(jax.jit, static_argnames=("names",))
+def correlate_syncs_device(soft: jax.Array, names: tuple[str, ...]
+                           ) -> jax.Array:
+    """[C, T] soft symbols → [C, P, T-n+1] normalized correlations
+    (device conv; identical to framesync.correlate_syncs per pattern)."""
+    _, kern, norm, n_max = _sync_kernel(names)
+    out = jax.lax.conv_general_dilated(
+        soft[:, None, :], jnp.asarray(kern), window_strides=(1,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
+    return out * jnp.asarray(norm)[None, :, None]
+
+
+# -- P25p1 LDU layout -------------------------------------------------------
+def _ldu_imbe_offsets() -> list[int]:
+    """Data-dibit offset (post status-strip, from the end of the NID) of
+    each of the 9 IMBE frames inside an LDU (mirrors phase1._ldu1 /
+    _ldu2 read order: 72-dibit frames with 20-dibit hexword blocks after
+    frames 1-6 and the 16-dibit LSD after frame 7)."""
+    offs, at = [], 0
+    for seg in range(9):
+        offs.append(at)
+        at += 72
+        if 1 <= seg <= 6:
+            at += 20
+        elif seg == 7:
+            at += 16
+    return offs
+
+
+LDU_IMBE_OFFSETS = _ldu_imbe_offsets()
+LDU_DATA_DIBITS = 784
+
+
+@lru_cache(maxsize=None)
+def _status_strip_map(rel_start: int, count: int) -> np.ndarray:
+    """Absolute stream offsets (relative to frame start) of the first
+    ``count`` DATA dibits starting at data-offset 0 of a reader
+    positioned ``rel_start`` dibits after the frame start, skipping
+    status dibits at positions ≡ 35 (mod 36)."""
+    out = np.zeros(count, dtype=np.int64)
+    q = rel_start
+    for i in range(count):
+        while q % 36 == 35:
+            q += 1
+        out[i] = q
+        q += 1
+    return out
+
+
+@dataclass
+class ChannelVoiceState:
+    last_pos: int = -10 ** 9
+
+
+class BatchedP25VoicePipeline:
+    """Drives the batched chain over one [C, B] block (one-shot)."""
+
+    # both polarities correlate (matching the event hunter's candidate
+    # competition); only positive hits are voice-decoded here — inverted
+    # channels are handled by the event-driven path
+    SYNC_NAMES = ("+P25p1", "-P25p1")
+
+    def __init__(self, C: int, fs: float = 48000.0,
+                 sync_threshold: float = 0.62):
+        from dsdneo_tpu.engine.modes import MODES
+        from dsdneo_tpu.dsp import firdes
+        self.C = C
+        self.fs = fs
+        self.mode = MODES["p25p1"]
+        self.sps = fs / self.mode.symbol_rate
+        self.taps = firdes.channel_lpf(fs, self.mode.lpf_profile)
+        self.threshold = sync_threshold
+        self.imbe_dec = BatchedImbeDecoder(C)
+        self.bch = blockcodes.bch_63_16()
+
+    def frontend(self, iq: np.ndarray, use_pallas: bool | None = None):
+        # must run under jit: frontend_step builds a complex rotation
+        # tone that the axon TPU backend cannot execute eagerly
+        from dsdneo_tpu.engine.batched import frontend_step
+        B = iq.shape[1]
+        n_sym = int(B // self.sps) - 2
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        key = (B, n_sym, use_pallas)
+        fn = self._frontend_jits.get(key) if hasattr(self, "_frontend_jits") \
+            else None
+        if fn is None:
+            if not hasattr(self, "_frontend_jits"):
+                self._frontend_jits = {}
+            taps = self.taps
+
+            @jax.jit
+            def fn(x):
+                return frontend_step(x, taps, self.sps, n_sym,
+                                     self.mode.four_level,
+                                     use_pallas=use_pallas)
+            self._frontend_jits[key] = fn
+        return fn(jnp.asarray(iq))
+
+    def find_voice_frames(self, dibits: np.ndarray, soft: np.ndarray):
+        """Host+device hybrid hunt: device correlation, the same greedy
+        peak picking as the event-driven hunter, batched NID decode;
+        returns (frames144 [F, 144], frame_channel [F], frame_order [F])
+        for every LDU voice frame."""
+        C, T = soft.shape
+        scores = np.asarray(correlate_syncs_device(
+            jnp.asarray(soft), self.SYNC_NAMES))                # [C, P, T']
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        n_pat = len(defs[0].pattern)
+
+        # one strip map covers NID (32 data dibits) + the whole LDU,
+        # relative to the frame start (the sync position)
+        strip = _status_strip_map(n_pat, 32 + LDU_DATA_DIBITS)
+        need = int(strip[-1]) + 1
+        frames, fch, forder = [], [], []
+
+        nid_rows, nid_meta = [], []
+        for c in range(C):
+            hits = framesync.pick_syncs_from_scores(
+                scores[c], defs, self.threshold, limit=T)
+            for h in hits:
+                t = h.pos
+                if h.sync.inverted or t + need >= T:
+                    continue
+                nid_rows.append(dibits[c, t + strip[:32]])
+                nid_meta.append((c, t))
+        if not nid_rows:
+            return (np.zeros((0, 144), dtype=np.uint8),
+                    np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+
+        nid_d = np.stack(nid_rows).astype(np.int64)             # [H, 32]
+        bits64 = np.zeros((nid_d.shape[0], 64), dtype=np.uint8)
+        bits64[:, 0::2] = (nid_d >> 1) & 1
+        bits64[:, 1::2] = nid_d & 1
+        m, errs = fdev.bch_63_16_batch(bits64[:, :63])
+        m = np.asarray(m)
+        duid = m & 0xF
+
+        order_per_ch = {c: 0 for c in range(C)}
+        ldu_end = {c: -1 for c in range(C)}
+        for h, (c, t) in enumerate(nid_meta):
+            if t < ldu_end[c]:                  # inside a consumed LDU
+                continue
+            if int(duid[h]) not in (5, 10):     # LDU1 / LDU2
+                continue
+            ldu_end[c] = t + need
+            for off in LDU_IMBE_OFFSETS:
+                idx = t + strip[32 + off:32 + off + 72]
+                dd = dibits[c, idx].astype(np.uint8)
+                fb = np.zeros(144, dtype=np.uint8)
+                fb[0::2] = (dd >> 1) & 1
+                fb[1::2] = dd & 1
+                frames.append(fb)
+                fch.append(c)
+                forder.append(order_per_ch[c])
+                order_per_ch[c] += 1
+        if not frames:
+            return (np.zeros((0, 144), dtype=np.uint8),
+                    np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+        return (np.stack(frames), np.asarray(fch, dtype=np.int64),
+                np.asarray(forder, dtype=np.int64))
+
+    def decode_block(self, iq: np.ndarray) -> np.ndarray:
+        """Full chain for one [C, B] block → [C, n_frames*160] PCM."""
+        dibits_j, soft_j, _power = self.frontend(iq)
+        dibits = np.asarray(dibits_j)
+        soft = np.asarray(soft_j)
+        frames144, fch, forder = self.find_voice_frames(dibits, soft)
+        if frames144.shape[0] == 0:
+            return np.zeros((self.C, 0), dtype=np.float32)
+        bits88, _errs = fdev.imbe_ecc_batch(frames144)
+        bits88 = np.asarray(bits88)
+
+        n_steps = int(forder.max()) + 1
+        w0s = np.zeros((self.C, n_steps), dtype=np.float32)
+        amps = np.zeros((self.C, n_steps, MAX_L), dtype=np.float32)
+        voiced = np.zeros((self.C, n_steps, MAX_L), dtype=np.float32)
+        for t in range(n_steps):
+            sel = forder == t
+            S = np.zeros((self.C, 88), dtype=np.uint8)
+            act = np.zeros(self.C, dtype=bool)
+            S[fch[sel]] = bits88[sel]
+            act[fch[sel]] = True
+            w0_t, L_t, v_t, a_t = self.imbe_dec.step(S, act)
+            w0s[:, t] = w0_t
+            voiced[:, t] = v_t
+            amps[:, t] = a_t
+
+        pcm = _synth_multichannel(jnp.asarray(w0s), jnp.asarray(amps),
+                                  jnp.asarray(voiced))
+        return np.asarray(pcm).reshape(self.C, -1)
+
+
+@jax.jit
+def _synth_multichannel(w0: jax.Array, amps: jax.Array, voiced: jax.Array
+                        ) -> jax.Array:
+    """[C, F] / [C, F, L] → [C, F, 160]: per-channel phase-continuous
+    harmonic synthesis (vmap of the single-channel kernel)."""
+    from dsdneo_tpu.vocoder.synth import synthesize
+    C, F, L = amps.shape
+    noise = (jnp.mod(jnp.arange(C * F * L, dtype=jnp.float32) * 2.399963,
+                     2 * jnp.pi)).reshape(C, F, L)
+    return jax.vmap(synthesize)(w0, amps, voiced, noise)

@@ -110,3 +110,96 @@ def p25_12_decode(bits196: np.ndarray, llr196: np.ndarray | None = None
     bits[0::2] = (data_dibits >> 1) & 1
     bits[1::2] = data_dibits & 1
     return bits, cost
+
+
+MAX_CANDIDATES = 8
+
+
+def p25_12_decode_list(bits196: np.ndarray,
+                       llr196: np.ndarray | None = None,
+                       max_candidates: int = MAX_CANDIDATES
+                       ) -> list[tuple[np.ndarray, int]]:
+    """List Viterbi: ranked candidate decodes of one 196-bit block.
+
+    Keeps the ``max_candidates`` best survivors per trellis state (the
+    reference's p25_12_soft_llr_list, src/protocol/p25/p25_12.c:144-204,
+    with its exact ordering semantics: survivors insert before the first
+    strictly-worse metric, so equal metrics preserve generation order —
+    lower previous state, then lower rank).  Returns deduplicated
+    [(bits96, metric)] sorted best-first; consumers try candidates in
+    order until an outer CRC passes (p25p1_tsbk.c:128,
+    tsbk_select_crc_candidate).
+    """
+    if llr196 is None:
+        llr196 = (1 - 2 * np.asarray(bits196, dtype=np.int64)) * 64
+    M = min(max_candidates, MAX_CANDIDATES)
+    llr = np.zeros(196, dtype=np.int64)
+    il = interleave_98()
+    llr[il * 2] = llr196[0::2]
+    llr[il * 2 + 1] = llr196[1::2]
+    steps = llr.reshape(49, 4)
+    nibbles = ((np.arange(16)[:, None] >> np.arange(3, -1, -1)[None, :]) & 1)
+    pos = np.maximum(steps, 0)
+    neg = np.maximum(-steps, 0)
+    cost_table = (nibbles[None] * pos[:, None, :]
+                  + (1 - nibbles[None]) * neg[:, None, :]).sum(-1)  # [49,16]
+    expect = P25_DTM[(np.arange(4)[:, None] << 2) | np.arange(4)[None, :]]
+
+    INF = 1 << 62
+    prev = [[INF] * M for _ in range(4)]
+    for st in range(4):
+        prev[st][0] = 0 if st == 0 else 256
+    backptr = np.zeros((49, 4, M), dtype=np.int16)   # (prev_state<<3)|rank
+
+    for i in range(49):
+        cur = [[INF] * M for _ in range(4)]
+        for st_prev in range(4):
+            for st_next in range(4):
+                cost = int(cost_table[i][expect[st_prev, st_next]])
+                lst = cur[st_next]
+                bp = backptr[i, st_next]
+                for rank in range(M):
+                    pm = prev[st_prev][rank]
+                    if pm >= INF:
+                        continue
+                    cand = pm + cost
+                    # insert before the first strictly-worse survivor
+                    at = -1
+                    for k in range(M):
+                        if cand < lst[k]:
+                            at = k
+                            break
+                    if at < 0:
+                        continue
+                    lst[at + 1:] = lst[at:-1]
+                    bp[at + 1:] = bp[at:-1].copy()
+                    lst[at] = cand
+                    bp[at] = (st_prev << 3) | rank
+        prev = cur
+
+    out: list[tuple[np.ndarray, int]] = []
+    seen: set[bytes] = set()
+    entries = []
+    for st in range(4):
+        for rank in range(M):
+            if prev[st][rank] >= INF:
+                continue
+            states = np.zeros(49, dtype=np.uint8)
+            s, r = st, rank
+            for i in range(48, -1, -1):
+                states[i] = s
+                p = int(backptr[i, s, r])
+                s, r = (p >> 3) & 3, p & 7
+            key = states[:48].tobytes()
+            if key in seen:
+                continue
+            seen.add(key)
+            entries.append((prev[st][rank], len(entries), states[:48]))
+    # stable sort by metric (insertion order preserved on ties)
+    entries.sort(key=lambda e: (e[0], e[1]))
+    for metric, _, dd in entries[:max_candidates]:
+        bits = np.zeros(96, dtype=np.uint8)
+        bits[0::2] = (dd >> 1) & 1
+        bits[1::2] = dd & 1
+        out.append((bits, int(metric)))
+    return out

@@ -72,7 +72,7 @@ class P25P1Decoder(ProtocolDecoder):
         """Multi-block PDU: header + blocks, each a 1/2-rate trellis
         codeword (reference p25p1_mdpu.c processMPDU; header fields
         p25p1_pdu_data.c p25_read_pdu_header_fields)."""
-        hdr = self._mpdu_block(reader)
+        hdr = self._mpdu_block(reader, crc_gate=True)
         if hdr is None:
             return
         if crc.crc16_bits(hdr[:80], init=0, xorout=0xFFFF) != _bits_to_int(hdr[80:96]):
@@ -108,12 +108,31 @@ class P25P1Decoder(ProtocolDecoder):
             ctx.emit(f" P25 PDU Payload ({len(payload)} bytes) {hexs}",
                      "p25p1", hit.pos, payload=payload)
 
-    def _mpdu_block(self, reader: DibitReader) -> np.ndarray | None:
+    def _mpdu_block(self, reader: DibitReader,
+                    crc_gate: bool = False) -> np.ndarray | None:
         if reader.remaining() < 98:
             return None
         bits, rel = reader.read_bits(98)
         llr = ((1 - 2 * bits.astype(np.int32))
                * np.clip(rel * 64, 1, 127)).astype(np.int32)
+        if crc_gate:
+            return self._trellis_crc_select(bits, llr)
+        data96, _cost = trellis.p25_12_decode(bits, llr)
+        return data96
+
+    @staticmethod
+    def _trellis_crc_select(bits: np.ndarray, llr: np.ndarray) -> np.ndarray:
+        """Ranked-list trellis decode gated by the outer CRC16: try the
+        candidates best-first and return the first that passes, else the
+        best path (reference tsbk_select_crc_candidate, p25p1_tsbk.c:111
+        over p25_12_soft_llr_list)."""
+        cands = trellis.p25_12_decode_list(bits, llr)
+        for data96, _metric in cands:
+            if crc.crc16_bits(data96[:80], init=0,
+                              xorout=0xFFFF) == _bits_to_int(data96[80:96]):
+                return data96
+        if cands:
+            return cands[0][0]
         data96, _cost = trellis.p25_12_decode(bits, llr)
         return data96
 
@@ -171,7 +190,7 @@ class P25P1Decoder(ProtocolDecoder):
                 return
             bits, rel = reader.read_bits(98)
             llr = ((1 - 2 * bits.astype(np.int32)) * np.clip(rel * 64, 1, 127)).astype(np.int32)
-            data96, _cost = trellis.p25_12_decode(bits, llr)
+            data96 = self._trellis_crc_select(bits, llr)
             if crc.crc16_bits(data96[:80], init=0, xorout=0xFFFF) != _bits_to_int(data96[80:96]):
                 ctx.emit(" TSBK CRC ERR", "p25p1", hit.pos)
                 return

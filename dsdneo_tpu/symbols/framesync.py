@@ -127,6 +127,42 @@ def correlate_syncs(soft: np.ndarray, defs: list[SyncDef]) -> np.ndarray:
     return out
 
 
+def pick_syncs_from_scores(scores: np.ndarray, defs: list[SyncDef],
+                           threshold: float = 0.70,
+                           limit: int | None = None) -> list[SyncHit]:
+    """Greedy non-overlapping peak picking over precomputed ``[P, K]``
+    correlation scores (host or device produced — both hunters share
+    this exact logic).
+
+    Scan positions in order; at each position take the best-scoring
+    pattern above threshold, refined to the local maximum within the
+    next 3 positions."""
+    k = scores.shape[1] if limit is None else min(limit, scores.shape[1])
+    best_def = np.argmax(scores, axis=0)
+    idx = np.arange(scores.shape[1])
+    best_score = scores[best_def, idx]
+    # short patterns need a stricter score to keep the false-hit rate
+    # comparable to the 24-symbol syncs
+    thr = np.full(len(defs), threshold, dtype=np.float32)
+    for i, d in enumerate(defs):
+        if len(d.pattern) <= 8:
+            thr[i] = max(threshold, 0.88)
+    eff_thr = thr[best_def]
+    hits: list[SyncHit] = []
+    # sparse scan: only threshold crossings are visited
+    cands = np.flatnonzero(best_score[:k] >= eff_thr[:k])
+    pos = 0
+    for t in cands:
+        if t < pos:
+            continue
+        lo, hi = int(t), min(int(t) + 3, k)
+        p = lo + int(np.argmax(best_score[lo:hi]))
+        d = defs[int(best_def[p])]
+        hits.append(SyncHit(pos=p, score=float(best_score[p]), sync=d))
+        pos = p + len(d.pattern)
+    return hits
+
+
 def find_syncs(soft: np.ndarray, defs: list[SyncDef] | None = None,
                threshold: float = 0.70) -> list[SyncHit]:
     """Detect sync hits in a soft symbol stream.
@@ -136,26 +172,5 @@ def find_syncs(soft: np.ndarray, defs: list[SyncDef] | None = None,
     """
     defs = defs if defs is not None else SYNC_DEFS
     scores = correlate_syncs(soft, defs)
-    best_def = np.argmax(scores, axis=0)
-    best_score = scores[best_def, np.arange(scores.shape[1])]
-    # short patterns need a stricter score to keep the false-hit rate
-    # comparable to the 24-symbol syncs
-    thr = np.full(len(defs), threshold, dtype=np.float32)
-    for i, d in enumerate(defs):
-        if len(d.pattern) <= 8:
-            thr[i] = max(threshold, 0.88)
-    eff_thr = thr[best_def]
-    hits: list[SyncHit] = []
-    pos = 0
-    k = soft.shape[0]
-    while pos < k:
-        if best_score[pos] >= eff_thr[pos]:
-            # refine within a small neighborhood: local maximum wins
-            lo, hi = pos, min(pos + 3, k)
-            p = lo + int(np.argmax(best_score[lo:hi]))
-            d = defs[int(best_def[p])]
-            hits.append(SyncHit(pos=p, score=float(best_score[p]), sync=d))
-            pos = p + len(d.pattern)
-        else:
-            pos += 1
-    return hits
+    return pick_syncs_from_scores(scores, defs, threshold,
+                                  limit=soft.shape[0])

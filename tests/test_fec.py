@@ -143,3 +143,56 @@ def test_p25_trellis_encode_roundtrip():
         bad[[10, 11, 100]] ^= 1
         out, _ = trellis.p25_12_decode(bad)
         assert np.array_equal(out, data)
+
+
+def test_p25_12_list_decoder_recovers_marginal_blocks():
+    """Ranked-candidate list decode: on blocks where noise makes the
+    single best Viterbi path wrong, a lower-ranked candidate that
+    passes the outer CRC16 must appear in the list (reference
+    p25_12_soft_llr_list + tsbk_select_crc_candidate semantics)."""
+    from dsdneo_tpu.fec import crc, trellis
+
+    def make_block(rng):
+        bits80 = rng.integers(0, 2, 80).astype(np.uint8)
+        c = crc.crc16_bits(bits80, init=0, xorout=0xFFFF)
+        bits96 = np.concatenate([bits80, [(c >> (15 - i)) & 1
+                                          for i in range(16)]]
+                                ).astype(np.uint8)
+        return bits96, trellis.p25_12_encode(bits96)
+
+    rng = np.random.default_rng(5)
+    recovered_by_list = plain_failures = 0
+    for _ in range(120):
+        bits96, onair = make_block(rng)
+        llr = (1 - 2 * onair.astype(np.int64)) * 40
+        # confidently-wrong bits (strong flips) break the single best path
+        nflip = int(rng.integers(4, 8))
+        idx = rng.choice(196, nflip, replace=False)
+        llr[idx] = -llr[idx]
+        best, _ = trellis.p25_12_decode(onair, llr)
+        if np.array_equal(best, bits96):
+            continue
+        plain_failures += 1
+        cands = trellis.p25_12_decode_list(onair, llr)
+        # metrics sorted best-first
+        metrics = [m for _, m in cands]
+        assert metrics == sorted(metrics)
+        assert np.array_equal(cands[0][0], best)   # rank 0 == plain path
+        for data96, _m in cands:
+            if np.array_equal(data96, bits96):
+                recovered_by_list += 1
+                break
+    assert plain_failures >= 3
+    assert recovered_by_list >= 0.7 * plain_failures, (
+        f"list recovered {recovered_by_list} of {plain_failures}")
+
+
+def test_p25_12_list_matches_plain_on_clean_blocks():
+    from dsdneo_tpu.fec import trellis
+    rng = np.random.default_rng(6)
+    for _ in range(10):
+        bits96 = rng.integers(0, 2, 96).astype(np.uint8)
+        onair = trellis.p25_12_encode(bits96)
+        cands = trellis.p25_12_decode_list(onair)
+        assert np.array_equal(cands[0][0], bits96)
+        assert cands[0][1] == 0

@@ -180,3 +180,54 @@ def test_ui_visualizers_render():
     sig = np.exp(2j * np.pi * 0.11 * t).astype(np.complex64)
     s = _spectrum_rows(sig, 64)
     assert len(s) == 7 and "|" in s[0]
+
+
+def test_cc_cache_roundtrip(tmp_path):
+    """DSD_NEO_P25_CC_CACHE equivalent: candidates persist across SM
+    instances (reference p25_cc_candidates.c disk cache)."""
+    from dsdneo_tpu.engine.trunk import TrunkSM
+    cache = str(tmp_path / "cc.json")
+    sm = TrunkSM(tune=lambda f, why: True, cc_cache_path=cache)
+    sm.on_cc_activity(851_000_000.0)
+    sm.on_cc_activity(852_500_000.0)
+    sm2 = TrunkSM(tune=lambda f, why: True, cc_cache_path=cache)
+    assert 851_000_000.0 in sm2.cc_candidates
+    assert 852_500_000.0 in sm2.cc_candidates
+
+
+def test_frame_log_and_pdu_json(tmp_path, monkeypatch):
+    """--frame-log writes per-frame lines; DSD_NEO_PDU_JSON upgrades
+    them to JSON objects with decoded fields."""
+    import json
+    from dsdneo_tpu import cli
+
+    fx = "/root/reference/tests/fixtures/iq/p25p1_c4fm_cc.iq.json"
+    log = tmp_path / "frames.log"
+    rc = cli.main(["--frontend", "none", "-f1", "--iq-replay", fx,
+                   "-o", "null", "--frame-log", str(log)])
+    assert rc == 0
+    text = log.read_text().splitlines()
+    assert any("NAC/CC: 140" in ln for ln in text)
+    assert all(ln.split("\t")[1] == "p25p1" for ln in text if "\t" in ln)
+
+    logj = tmp_path / "frames.jsonl"
+    monkeypatch.setenv("DSD_NEO_PDU_JSON", "1")
+    rc = cli.main(["--frontend", "none", "-f1", "--iq-replay", fx,
+                   "-o", "null", "--frame-log", str(logj)])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in logj.read_text().splitlines()]
+    assert rows and all(r["protocol"] == "p25p1" for r in rows)
+    assert any(r.get("fields", {}).get("nac") == 0x140 for r in rows)
+
+
+def test_perf_csv_knob(tmp_path):
+    """--perf-csv / DSD_NEO_RTL_PERF_CSV writes per-step timing rows."""
+    from dsdneo_tpu import cli
+    fx = "/root/reference/tests/fixtures/iq/p25p1_c4fm_cc.iq.json"
+    p = tmp_path / "perf.csv"
+    rc = cli.main(["--frontend", "none", "-f1", "--iq-replay", fx,
+                   "-o", "null", "--stream", "0.25", "--perf-csv", str(p)])
+    assert rc == 0
+    lines = p.read_text().splitlines()
+    assert lines[0].startswith("ts,")
+    assert len(lines) >= 2

@@ -99,3 +99,47 @@ def test_live_engine_ring_decode_and_retune(tmp_path):
     meta2, _ = read_iq_capture(str(tmp_path / "live.iq"))
     assert meta2.contains_retunes
     assert meta2.extra["events"][0]["center_frequency_hz"] == 433475000
+
+
+@pytest.mark.parametrize("fixture,mode", [
+    ("p25p1_c4fm_cc", "p25p1"),
+])
+def test_stream_boundary_sweep(fixture, mode):
+    """Adversarial block boundaries: splitting the capture at offsets
+    that land mid-frame must not change what decodes.  Every sweep
+    offset must reproduce ≥95% of the one-shot event lines with no
+    spurious extras beyond 5%."""
+    path = os.path.join(FIXDIR, f"{fixture}.iq.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    from dsdneo_tpu.engine import decode_capture
+    from dsdneo_tpu.engine.stream import StreamDecoder
+    from dsdneo_tpu.io import read_iq_capture
+
+    meta, samples = read_iq_capture(path)
+    fs = float(meta.sample_rate_hz)
+    ref_lines = [e.line for e in decode_capture(path, mode).events]
+    assert ref_lines
+
+    chunk = int(fs * 0.2)
+    for k, frac in enumerate([0.0, 0.13, 0.31, 0.5, 0.77, 0.93]):
+        first = int(chunk * frac) or chunk
+        sd = StreamDecoder(mode, fs=fs)
+        sd.push(samples[:first])
+        for i in range(first, len(samples), chunk):
+            sd.push(samples[i:i + chunk])
+        sd.flush()
+        got = [e.line for e in sd.ctx.events]
+        counts = {}
+        for ln in ref_lines:
+            counts[ln] = counts.get(ln, 0) + 1
+        matched = 0
+        for ln in got:
+            if counts.get(ln, 0) > 0:
+                counts[ln] -= 1
+                matched += 1
+        assert matched >= 0.95 * len(ref_lines), (
+            f"offset {frac}: matched {matched}/{len(ref_lines)}, "
+            f"streamed {len(got)}")
+        assert len(got) - matched <= max(1, 0.05 * len(ref_lines)), (
+            f"offset {frac}: {len(got) - matched} spurious lines")
