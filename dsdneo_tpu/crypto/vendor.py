@@ -130,3 +130,44 @@ def hytera_bp_apply_frame49(ks882: np.ndarray, frame_idx: int,
     out = np.asarray(ambe49, dtype=np.uint8).copy()
     out ^= ks882[frame_idx * 49:frame_idx * 49 + 49]
     return out
+
+
+def csi72_keystream72(key9: bytes) -> np.ndarray:
+    """Connect Systems EE72: the 9-byte (72-bit) key XORs the on-air
+    interleaved AMBE codeword frame, bytes reversed and the bit stream
+    applied back-to-front (reference crypt-csi72.c
+    csi72_ambe2_codeword_keystream: ks_bytes[i] = key[8-i];
+    interleaved[i] ^= ks_bits[71-i])."""
+    if len(key9) != 9:
+        raise ValueError("EE72 key must be 9 bytes (72 bits)")
+    rev = bytes(key9[8 - i] for i in range(9))
+    bits = np.unpackbits(np.frombuffer(rev, dtype=np.uint8))
+    return bits[::-1].copy()
+
+
+def tyt16_keystream72(key16: int, fnum: int) -> np.ndarray:
+    """TYT 16-bit Basic: the 2-byte key repeats over 10 bytes; the
+    80-bit pattern applies back-to-front onto the interleaved codeword
+    frame starting at bit 79 for the first voice frame of a superframe
+    and 71 otherwise (reference crypt-tyt.c tyt16_ambe2_codeword_keystream)."""
+    ksb = bytes([(key16 >> 8) & 0xFF, key16 & 0xFF]) * 5
+    ks = np.unpackbits(np.frombuffer(ksb, dtype=np.uint8))
+    idx = 79 if fnum == 0 else 71
+    return np.array([ks[idx - i] for i in range(72)], dtype=np.uint8)
+
+
+# TYT EP wraps the user key in AES-128-OFB under a fixed vendor key
+# (reference crypt-tyt.c tyt_ep_aes_keystream_creation static_key)
+_TYT_EP_STATIC_KEY = bytes([0x6E, 0x02, 0x8D, 0x8A, 0xCA, 0xEB, 0x9B, 0xBE,
+                            0x42, 0x72, 0xFB, 0x82, 0x64, 0x56, 0x31, 0xFA])
+
+
+def tyt_ep_keystream49(user_key128: int) -> np.ndarray:
+    """TYT Enhanced (AES): one AES-128-OFB block keyed by the vendor
+    static key with the byte-reversed user key as IV; the first 49
+    keystream bits XOR each decoded 49-bit AMBE frame."""
+    from dsdneo_tpu.crypto.keystream import aes_ofb_keystream
+    ukey = user_key128.to_bytes(16, "big")
+    iv = bytes(ukey[15 - i] for i in range(16))
+    ks = aes_ofb_keystream(_TYT_EP_STATIC_KEY, iv, 16)
+    return np.unpackbits(np.asarray(ks, dtype=np.uint8))[:49].copy()

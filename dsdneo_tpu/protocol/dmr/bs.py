@@ -446,17 +446,39 @@ class DmrBsDecoder(ProtocolDecoder):
         from dsdneo_tpu.protocol.dmr.ambe_frame import decode_ambe_ecc
         from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
         from dsdneo_tpu.vocoder.synth import synthesize_frames
-        bp_id = int(getattr(ctx.state, "dmr_bp_key_id", 0) or 0)
+        s_obj = ctx.state
+        bp_id = int(getattr(s_obj, "dmr_bp_key_id", 0) or 0)
         bp_ks = None
         if 0 < bp_id < 256:
             from dsdneo_tpu.crypto.keystream import dmr_basic_keystream
             bp_ks = dmr_basic_keystream(bp_id)
+        csi_key = getattr(s_obj, "dmr_csi72_key", None)
+        csi_ks = None
+        if csi_key is not None:
+            from dsdneo_tpu.crypto.vendor import csi72_keystream72
+            csi_ks = csi72_keystream72(csi_key)
+        tyt16 = getattr(s_obj, "dmr_tyt16_key", None)
+        tyt_ep = getattr(s_obj, "dmr_tyt_ep_key", None)
+        tyt_ep_ks = None
+        if tyt_ep is not None:
+            from dsdneo_tpu.crypto.vendor import tyt_ep_keystream49
+            tyt_ep_ks = tyt_ep_keystream49(int(tyt_ep))
+        fcount = getattr(s_obj, "dmr_vc_frame_count", 0)
         params = []
         for k in range(3):
-            bits49, _errs = decode_ambe_ecc(voice216[72 * k:72 * (k + 1)])
+            fr72 = voice216[72 * k:72 * (k + 1)]
+            if csi_ks is not None:       # on-air codeword-frame XOR
+                fr72 = fr72 ^ csi_ks
+            if tyt16 is not None:
+                from dsdneo_tpu.crypto.vendor import tyt16_keystream72
+                fr72 = fr72 ^ tyt16_keystream72(int(tyt16), fcount + k)
+            bits49, _errs = decode_ambe_ecc(fr72)
             if bp_ks is not None:
                 bits49 = bits49 ^ bp_ks          # bit 48 untouched (ks=0)
+            if tyt_ep_ks is not None:
+                bits49 = bits49 ^ tyt_ep_ks
             params.append(decode_ambe_2450(bits49))
+        s_obj.dmr_vc_frame_count = fcount + 3
         pcm = synthesize_frames(params)
         if pcm.size:
             ctx.emit_audio(pcm, slot=slot)

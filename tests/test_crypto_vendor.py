@@ -1,6 +1,7 @@
 """Vendor keystreams, keyring import, secret redaction."""
 
 import numpy as np
+import pytest
 
 
 def test_kenwood_scrambler_period():
@@ -246,3 +247,45 @@ def test_p25_ldu2_ess_staged_until_after_voice():
     # new ESS installed + offset reset AFTER voice
     assert ctx.state.payload_mi == mi_new
     assert ctx.state.ks_offset == 0
+
+
+def test_csi72_keystream():
+    from dsdneo_tpu.crypto.vendor import csi72_keystream72
+    key = bytes(range(1, 10))
+    ks = csi72_keystream72(key)
+    assert ks.shape == (72,)
+    # independent derivation: bit i = bit (71-i) of reversed-byte key
+    rev = bytes(key[8 - i] for i in range(9))
+    bits = np.unpackbits(np.frombuffer(rev, dtype=np.uint8))
+    for i in range(72):
+        assert ks[i] == bits[71 - i]
+    # involution: applying twice restores the frame
+    rng = np.random.default_rng(0)
+    fr = rng.integers(0, 2, 72).astype(np.uint8)
+    assert np.array_equal((fr ^ ks) ^ ks, fr)
+    with pytest.raises(ValueError):
+        csi72_keystream72(b"short")
+
+
+def test_tyt16_keystream_frame_phase():
+    from dsdneo_tpu.crypto.vendor import tyt16_keystream72
+    k0 = tyt16_keystream72(0xABCD, 0)
+    k1 = tyt16_keystream72(0xABCD, 1)
+    assert k0.shape == (72,) and not np.array_equal(k0, k1)
+    # fnum 0 starts at bit 79 of the repeated 80-bit pattern
+    ksb = bytes([0xAB, 0xCD]) * 5
+    ks = np.unpackbits(np.frombuffer(ksb, dtype=np.uint8))
+    assert k0[0] == ks[79] and k0[71] == ks[8]
+    assert k1[0] == ks[71] and k1[71] == ks[0]
+
+
+def test_tyt_ep_keystream_is_aes_derived():
+    from dsdneo_tpu.crypto.keystream import aes_encrypt_block
+    from dsdneo_tpu.crypto.vendor import _TYT_EP_STATIC_KEY, tyt_ep_keystream49
+    user = 0x0123456789ABCDEF0011223344556677
+    ks = tyt_ep_keystream49(user)
+    assert ks.shape == (49,)
+    iv = bytes(user.to_bytes(16, "big")[15 - i] for i in range(16))
+    block = aes_encrypt_block(iv, _TYT_EP_STATIC_KEY)
+    bits = np.unpackbits(np.frombuffer(block, dtype=np.uint8))
+    assert np.array_equal(ks, bits[:49])
