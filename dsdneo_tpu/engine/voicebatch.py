@@ -166,7 +166,7 @@ class BatchedP25VoicePipeline:
         need = int(strip[-1]) + 1
         frames, fch, forder = [], [], []
 
-        nid_rows, nid_meta = [], []
+        nid_meta = []                           # (channel, sync pos)
         for c in range(C):
             hits = framesync.pick_syncs_from_scores(
                 scores[c], defs, self.threshold, limit=T)
@@ -174,42 +174,53 @@ class BatchedP25VoicePipeline:
                 t = h.pos
                 if h.sync.inverted or t + need >= T:
                     continue
-                nid_rows.append(dibits[c, t + strip[:32]])
                 nid_meta.append((c, t))
-        if not nid_rows:
+        if not nid_meta:
             return (np.zeros((0, 144), dtype=np.uint8),
                     np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
 
-        nid_d = np.stack(nid_rows).astype(np.int64)             # [H, 32]
+        # vectorized NID gather + batched BCH decode
+        mc = np.asarray([c for c, _ in nid_meta], dtype=np.int64)
+        mt = np.asarray([t for _, t in nid_meta], dtype=np.int64)
+        nid_d = dibits[mc[:, None], mt[:, None] + strip[None, :32]
+                       ].astype(np.int64)                        # [H, 32]
         bits64 = np.zeros((nid_d.shape[0], 64), dtype=np.uint8)
         bits64[:, 0::2] = (nid_d >> 1) & 1
         bits64[:, 1::2] = nid_d & 1
         m, errs = fdev.bch_63_16_batch(bits64[:, :63])
-        m = np.asarray(m)
-        duid = m & 0xF
+        duid = np.asarray(m) & 0xF
 
+        # accept LDU1/LDU2 hits outside any previously accepted LDU
         order_per_ch = {c: 0 for c in range(C)}
         ldu_end = {c: -1 for c in range(C)}
-        for h, (c, t) in enumerate(nid_meta):
-            if t < ldu_end[c]:                  # inside a consumed LDU
-                continue
-            if int(duid[h]) not in (5, 10):     # LDU1 / LDU2
+        acc_c, acc_t = [], []
+        fch, forder = [], []
+        for h in range(len(nid_meta)):
+            c, t = int(mc[h]), int(mt[h])
+            if t < ldu_end[c] or int(duid[h]) not in (5, 10):
                 continue
             ldu_end[c] = t + need
-            for off in LDU_IMBE_OFFSETS:
-                idx = t + strip[32 + off:32 + off + 72]
-                dd = dibits[c, idx].astype(np.uint8)
-                fb = np.zeros(144, dtype=np.uint8)
-                fb[0::2] = (dd >> 1) & 1
-                fb[1::2] = dd & 1
-                frames.append(fb)
-                fch.append(c)
-                forder.append(order_per_ch[c])
-                order_per_ch[c] += 1
-        if not frames:
+            acc_c.append(c)
+            acc_t.append(t)
+            fch.extend([c] * 9)
+            forder.extend(range(order_per_ch[c], order_per_ch[c] + 9))
+            order_per_ch[c] += 9
+        if not acc_c:
             return (np.zeros((0, 144), dtype=np.uint8),
                     np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
-        return (np.stack(frames), np.asarray(fch, dtype=np.int64),
+
+        # one gather for all voice frames: [L, 9, 72] dibits → [F, 144]
+        ac = np.asarray(acc_c, dtype=np.int64)
+        at = np.asarray(acc_t, dtype=np.int64)
+        offs = np.stack([strip[32 + o:32 + o + 72]
+                         for o in LDU_IMBE_OFFSETS])             # [9, 72]
+        dd = dibits[ac[:, None, None],
+                    at[:, None, None] + offs[None]].astype(np.uint8)
+        dd = dd.reshape(-1, 72)                                  # [F, 72]
+        frames = np.zeros((dd.shape[0], 144), dtype=np.uint8)
+        frames[:, 0::2] = (dd >> 1) & 1
+        frames[:, 1::2] = dd & 1
+        return (frames, np.asarray(fch, dtype=np.int64),
                 np.asarray(forder, dtype=np.int64))
 
     def decode_block(self, iq: np.ndarray) -> np.ndarray:

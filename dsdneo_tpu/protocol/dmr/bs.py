@@ -99,19 +99,101 @@ class DmrBsDecoder(ProtocolDecoder):
     def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
         kind = hit.sync.kind
         pos = hit.pos
-        is_voice_pattern = "voice" in kind
         base_invert = reader.invert
+        if kind == "ms_rc":
+            self._rc_burst(reader, hit, ctx, base_invert)
+            return pos + 36
+        # MS (mobile station) and DM (direct mode) bursts have no usable
+        # CACH and carry a single mono stream (reference dmr_ms.c dmrMS /
+        # dmrMSData, dmr_rc.c dmrRC)
+        mono = kind.startswith(("ms_", "dm_"))
+        is_voice_pattern = "voice" in kind
 
         # data hypothesis: voice-pattern hit on an inverted channel is data
         data_invert = base_invert ^ is_voice_pattern
         st = self._slot_type(reader, pos, data_invert)
         if st is not None:
             cc, dtype = st
-            self._data_burst(reader, hit, ctx, data_invert, cc, dtype)
+            self._data_burst(reader, hit, ctx, data_invert, cc, dtype,
+                             mono=mono)
         else:
             voice_invert = base_invert ^ (not is_voice_pattern)
-            self._voice_burst(reader, hit, ctx, voice_invert)
+            self._voice_burst(reader, hit, ctx, voice_invert, mono=mono)
         return pos + 29 + 49    # end of second payload half
+
+    # -- reverse channel (standalone RC burst) -----------------------------
+    # RC single-burst BPTC interleave tables (ETSI TS 102 361-1 B.2.2.2;
+    # reference copies src/fec/bptc.c:33-38)
+    _RC_DEINT = np.array([0, 17, 2, 19, 4, 21, 6, 23, 8, 25, 10, 27, 12, 29,
+                          14, 31, 16, 1, 18, 3, 20, 5, 22, 7, 24, 9, 26, 11,
+                          28, 13, 30, 15], dtype=np.int64)
+    _RC_PLACE = np.array([0, 16, 1, 17, 2, 18, 3, 19, 4, 20, 5, 21, 6, 22,
+                          7, 23, 8, 24, 9, 25, 10, 26, 11, 27, 12, 28, 13,
+                          29, 14, 30, 15, 31], dtype=np.int64)
+    _RC_NAMES = {0: "Increase Power By One Step",
+                 1: "Decrease Power By One Step",
+                 2: "Set Power To Highest", 3: "Set Power To Lowest",
+                 4: "Cease Transmission Command",
+                 5: "Cease Transmission Request"}
+
+    @staticmethod
+    def _crc7_rc(bits4) -> int:
+        """ETSI TS 102 361-1 B.3.12 CRC-7 (poly x^7+x^5+x^2+x+1) over the
+        4 RC command bits."""
+        buf = [int(b) for b in bits4] + [0] * 7
+        poly = (1, 0, 1, 0, 0, 1, 1, 1)
+        for i in range(len(bits4)):
+            if buf[i]:
+                for j in range(8):
+                    buf[i + j] ^= poly[j]
+        v = 0
+        for b in buf[len(bits4):len(bits4) + 7]:
+            v = (v << 1) | b
+        return v
+
+    def _rc_burst(self, reader: DibitReader, hit: SyncHit,
+                  ctx: DecoderContext, invert: bool) -> None:
+        """Standalone Reverse Channel burst: EMB (QR 16,7,6) either side
+        of sync, 32-bit RC PDU = Hamming(16,11,4) row + odd column parity
+        (reference dmr_rc.c dmrRC; geometry RC_a/EMB_a/SYNC/EMB_b/RC_b =
+        8/4/24/4/8 dibits)."""
+        pos = hit.pos
+        rc_a = self._slice_bits(reader, pos - 12, 8, invert)
+        emb_a = self._slice_bits(reader, pos - 4, 4, invert)
+        emb_b = self._slice_bits(reader, pos + 24, 4, invert)
+        rc_b = self._slice_bits(reader, pos + 28, 8, invert)
+        polarity = "-" if invert else "+"
+        if any(x is None for x in (rc_a, emb_a, emb_b, rc_b)):
+            return
+        emb16 = np.concatenate([emb_a, emb_b])
+        qr = blockcodes.qr_16_7_6()
+        msg, errs = qr.decode(emb16)
+        emb_ok = errs <= 1
+        cc_s = f"{(msg >> 3) & 0xF:02d}" if emb_ok else "XX"
+
+        # de-interleave the 32-bit RC BPTC matrix
+        inter = np.concatenate([rc_a, rc_b])
+        mat = np.zeros(32, dtype=np.uint8)
+        mat[self._RC_PLACE[self._RC_DEINT]] = inter
+        ham = blockcodes.hamming_16_11_4()
+        m, herr = ham.decode(mat[:16])
+        out = ham.codebook[m]
+        # odd column parity: row2 must be the complement of row1
+        parity_err = int(np.sum(out == mat[16:32]))
+        fec_ok = herr <= 1 and parity_err == 0
+        line = f"Sync: {polarity}DMR RC | Color Code={cc_s} "
+        if fec_ok:
+            cmd = _bits_to_int(out[0:4])
+            crc_got = _bits_to_int(out[4:11]) ^ 0x7A
+            if crc_got == self._crc7_rc(out[0:4]):
+                name = self._RC_NAMES.get(cmd, f"Reserved {cmd:02X}")
+                line += f"| RC: {name};"
+                ctx.emit(line, "dmr", pos, rc_command=cmd)
+                return
+            line += "| RC CRC ERR"
+        else:
+            line += "| RC FEC ERR"
+        ctx.emit(line, "dmr", pos)
 
     def _slot_type(self, reader: DibitReader, pos: int, invert: bool
                    ) -> tuple[int, int] | None:
@@ -131,17 +213,24 @@ class DmrBsDecoder(ProtocolDecoder):
 
     # -- data bursts ------------------------------------------------------
     def _data_burst(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext,
-                    invert: bool, cc: int, dtype: int) -> None:
+                    invert: bool, cc: int, dtype: int,
+                    mono: bool = False) -> None:
         pos = hit.pos
         self.color_code = cc
         ctx.state.dmr_color_code = cc
-        slot = self._cach_slot(reader, pos, invert)
-        s = slot if slot is not None else 0
         polarity = "-" if invert else "+"
-        lights = ["[slot1]", " slot2 "] if s == 0 else [" slot1 ", "[slot2]"]
         name = DATA_TYPES.get(dtype, f"DT{dtype:X}")
-        head = (f"Sync: {polarity}DMR {lights[0]} {lights[1]} "
-                f"| Color Code={cc:02d} | {name}")
+        if mono:
+            # MS/DM bursts: no usable CACH, one mono stream
+            s = 0
+            head = (f"Sync: {polarity}DMR MS/DM MODE/MONO "
+                    f"| Color Code={cc:02d} | {name}")
+        else:
+            slot = self._cach_slot(reader, pos, invert)
+            s = slot if slot is not None else 0
+            lights = ["[slot1]", " slot2 "] if s == 0 else [" slot1 ", "[slot2]"]
+            head = (f"Sync: {polarity}DMR {lights[0]} {lights[1]} "
+                    f"| Color Code={cc:02d} | {name}")
 
         h1 = self._slice_bits(reader, pos - 54, 49, invert)
         h2 = self._slice_bits(reader, pos + 29, 49, invert)
@@ -270,12 +359,16 @@ class DmrBsDecoder(ProtocolDecoder):
 
     # -- voice bursts -----------------------------------------------------
     def _voice_burst(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext,
-                     invert: bool) -> None:
+                     invert: bool, mono: bool = False) -> None:
         pos = hit.pos
-        slot = self._cach_slot(reader, pos, invert)
-        s = slot if slot is not None else 0
         polarity = "-" if invert else "+"
-        lights = ["[slot1]", " slot2 "] if s == 0 else [" slot1 ", "[slot2]"]
+        if mono:
+            s = 0
+            lights = ["MS/DM", "MODE/MONO"]
+        else:
+            slot = self._cach_slot(reader, pos, invert)
+            s = slot if slot is not None else 0
+            lights = ["[slot1]", " slot2 "] if s == 0 else [" slot1 ", "[slot2]"]
         cc = self.color_code if self.color_code >= 0 else ctx.state.dmr_color_code
         cc_str = f"{cc:02d}" if cc >= 0 else "XX"
         ctx.emit(f"Sync: {polarity}DMR {lights[0]} {lights[1]} "

@@ -247,3 +247,76 @@ def test_dmr_embedded_lc_superframe():
     text = "\n".join(e.line for e in ctx.events)
     assert "VC1" in text and "VC6" in text
     assert "Embedded LC Group TGT=4321 SRC=8765" in text
+
+
+def _sync_dibits(pattern: str) -> np.ndarray:
+    return np.array([1 if ch == "1" else 3 for ch in pattern], dtype=np.uint8)
+
+
+def test_dmr_rc_burst_decode():
+    """Standalone Reverse Channel burst: command + CRC7(^0x7A) through
+    Hamming(16,11,4)+odd-parity BPTC and the RC interleave, decoded via
+    the real sync hunt (reference dmr_rc.c dmrRC)."""
+    from dsdneo_tpu.fec.blockcodes import hamming_16_11_4, qr_16_7_6
+    from dsdneo_tpu.protocol.dmr.bs import DmrBsDecoder
+    from dsdneo_tpu.symbols import framesync
+
+    dec_cls = DmrBsDecoder
+    cmd = 4                                  # Cease Transmission Command
+    crc = dec_cls._crc7_rc(_bits_of(cmd, 4))
+    data11 = (cmd << 7) | (crc ^ 0x7A)
+    row1 = hamming_16_11_4().codebook[data11]
+    mat = np.concatenate([row1, 1 - row1])   # odd column parity
+    inter = np.zeros(32, dtype=np.uint8)
+    place = dec_cls._RC_PLACE[dec_cls._RC_DEINT]
+    for i in range(32):
+        inter[i] = mat[place[i]]
+    # EMB: CC=9, PI=0, LCSS=0
+    emb = qr_16_7_6().codebook[(9 << 3)]
+
+    def bits_to_dibits(bits):
+        return ((bits[0::2] << 1) | bits[1::2]).astype(np.uint8)
+
+    rc_a = bits_to_dibits(inter[:16])
+    emb_a = bits_to_dibits(emb[:8])
+    emb_b = bits_to_dibits(emb[8:])
+    rc_b = bits_to_dibits(inter[16:])
+    sync_d = _sync_dibits("131331111133133133311313")   # +DMR MS RC
+    gap = np.zeros(40, dtype=np.uint8)
+    dibits = np.concatenate([gap, rc_a, emb_a, sync_d, emb_b, rc_b, gap])
+
+    ctx = _decode_stream(dibits)
+    lines = [e.line for e in ctx.events]
+    assert any("DMR RC" in ln and "Cease Transmission Command" in ln
+               for ln in lines), lines
+    assert any("Color Code=09" in ln for ln in lines)
+
+
+def test_dmr_ms_data_burst_decode():
+    """MS/DM data burst (mono, no CACH) decodes CSBK content with the
+    MS/DM MODE/MONO label (reference dmr_ms.c dmrMSData)."""
+    from dsdneo_tpu.fec import crc
+    from dsdneo_tpu.fec.bptc import bptc_196_96_encode
+
+    # CSBK: BS Outbound Activation (0x3F)
+    bits = np.zeros(96, dtype=np.uint8)
+    bits[0] = 1                              # LB
+    bits[2:8] = _bits_of(0x3F, 6)
+    c = crc.crc16_bits(bits[:80], init=0, xorout=0xFFFF) ^ 0xA5A5
+    bits[80:96] = _bits_of(c, 16)
+    payload = bptc_196_96_encode(bits)
+
+    st = _golay_slot_type(11, 3)             # CC=11, CSBK
+    sync = _sync_dibits("311131133313133331131113")     # +DMR MS data
+    sync_bits = np.zeros(48, dtype=np.uint8)
+    sync_bits[0::2] = (sync >> 1) & 1
+    sync_bits[1::2] = sync & 1
+    burst_bits = np.concatenate([np.zeros(24, dtype=np.uint8),
+                                 payload[:98], st[:10], sync_bits,
+                                 st[10:], payload[98:]])
+    dd = ((burst_bits[0::2] << 1) | burst_bits[1::2]).astype(np.uint8)
+    gap = np.zeros(40, dtype=np.uint8)
+    ctx = _decode_stream(np.concatenate([gap, dd, gap]))
+    lines = [e.line for e in ctx.events]
+    assert any("MS/DM MODE/MONO" in ln and "CSBK" in ln
+               and "Color Code=11" in ln for ln in lines), lines
