@@ -27,6 +27,7 @@ class LiveEngine:
     def __init__(self, mode: str, fs: float = 48000.0,
                  block_s: float = 0.25, ring=None, capture_writer=None,
                  control_port: int = 0, on_event=None):
+        from dsdneo_tpu.app_control import CommandQueue, MetricsHub
         from dsdneo_tpu.runtime.native import IngestRing
         self.mode = mode
         self.fs = fs
@@ -37,6 +38,11 @@ class LiveEngine:
         self.decoder = StreamDecoder(mode, fs=fs)
         self.freq_hz = 0.0
         self.retunes = 0
+        self.muted = False
+        # app_control boundary: frontends poll `metrics.snapshot()` and
+        # enqueue into `commands`; the loop drains between blocks
+        self.metrics = MetricsHub()
+        self.commands = CommandQueue()
         self._stop = False
         self._thread: threading.Thread | None = None
         self._ctl = None
@@ -62,27 +68,54 @@ class LiveEngine:
         """Producer entry: raw CU8 interleaved I/Q bytes into the ring."""
         return self.ring.write(data)
 
+    # -- app_control command drain ------------------------------------------
+    def _drain_commands(self) -> None:
+        from dsdneo_tpu.app_control import AppCommand
+        for qc in self.commands.drain():
+            if qc.cmd == AppCommand.TUNE:
+                self.tune(float(qc.payload))
+            elif qc.cmd == AppCommand.SET_MODE:
+                self.mode = str(qc.payload)
+                self.decoder = StreamDecoder(self.mode, fs=self.fs,
+                                             ctx=self.decoder.ctx)
+            elif qc.cmd == AppCommand.TOGGLE_MUTE:
+                self.muted = not self.muted
+            elif qc.cmd == AppCommand.STOP:
+                self._stop = True
+
     # -- consumer loop (the reference's demod thread) -----------------------
     def run(self, max_blocks: int | None = None) -> int:
         """Drain the ring blockwise until stopped; returns blocks decoded."""
         n = 0
         while not self._stop:
+            self._drain_commands()
+            if self._stop:
+                break
             planes = self.ring.read_block_cu8(self.block, timeout_ms=300)
             if planes is None:
-                if max_blocks is not None:
+                # a just-applied purge also yields None; only stop when
+                # the ring is actually drained (bounded-run mode)
+                if max_blocks is not None and self.ring.fill < 2 * self.block:
                     break
                 continue
             samples = (planes[:, 0] + 1j * planes[:, 1]).astype(np.complex64)
             if self.capture is not None:
                 self.capture.submit(samples)
             events = self.decoder.push(samples)
-            if self.on_event is not None:
+            if self.on_event is not None and not self.muted:
                 for e in events:
                     self.on_event(e)
             n += 1
+            rms = float(np.sqrt(np.mean(np.abs(samples) ** 2)))
+            self.metrics.publish(
+                freq_hz=self.freq_hz, stream_active=True,
+                retunes=self.retunes, blocks=n,
+                input_level_rms=rms,
+                ring_fill=self.ring.fill, ring_drops=self.ring.drops)
             if max_blocks is not None and n >= max_blocks:
                 break
         self.decoder.flush()
+        self.metrics.publish(stream_active=False)
         return n
 
     def start(self) -> None:

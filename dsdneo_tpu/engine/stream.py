@@ -123,7 +123,8 @@ class StreamDecoder:
         self._total += len(block)
         self._tail = window[-self.overlap:] if len(window) > self.overlap \
             else window
-        if len(window) < int(self.fs * 0.05):
+        # need at least one 256-symbol timing-estimation window + margin
+        if len(window) < int(max(self.fs * 0.05, 272 * self._sps)):
             return []
         n_before = len(self.ctx.events)
         self._process(window, base, final=False)

@@ -27,6 +27,7 @@ struct Ring {
     std::atomic<uint64_t> drops;     // bytes dropped when full
     std::atomic<uint32_t> generation;   // bumped by purge (retune)
     std::atomic<uint32_t> consumed_gen; // consumer's last-seen generation
+    std::atomic<uint64_t> purge_upto;   // head position captured at purge
     std::atomic<int> shutdown;
 };
 
@@ -49,6 +50,7 @@ Ring* dsd_ring_create(size_t capacity_pow2) {
     r->drops.store(0);
     r->generation.store(0);
     r->consumed_gen.store(0);
+    r->purge_upto.store(0);
     r->shutdown.store(0);
     return r;
 }
@@ -91,9 +93,14 @@ size_t dsd_ring_read(Ring* r, uint8_t* out, size_t n, int timeout_ms) {
         if (r->shutdown.load(std::memory_order_relaxed)) break;
         uint32_t gen = r->generation.load(std::memory_order_acquire);
         if (gen != r->consumed_gen.load(std::memory_order_relaxed)) {
-            // retune purge: drop everything buffered, abandon the block
-            r->tail.store(r->head.load(std::memory_order_acquire),
-                          std::memory_order_release);
+            // retune purge: drop everything written BEFORE the purge was
+            // requested (the watermark), keep post-retune samples, and
+            // abandon the partial block
+            uint64_t upto = r->purge_upto.load(std::memory_order_acquire);
+            uint64_t tail = r->tail.load(std::memory_order_relaxed);
+            if (upto > tail) {
+                r->tail.store(upto, std::memory_order_release);
+            }
             r->consumed_gen.store(gen, std::memory_order_relaxed);
             return 0;
         }
@@ -146,10 +153,13 @@ size_t dsd_ring_read_widen_cu8(Ring* r, float* out, size_t n_samples,
     return samples;
 }
 
-// Control plane: request a purge.  Only flags the generation change;
-// the consumer drains on its next dsd_ring_read (consumer-driven purge
-// keeps `tail` single-writer).
+// Control plane: request a purge.  Captures the current head as the
+// drop watermark and flags the generation change; the consumer applies
+// it on its next dsd_ring_read (consumer-driven purge keeps `tail`
+// single-writer, and samples produced after the purge are preserved).
 void dsd_ring_purge(Ring* r) {
+    r->purge_upto.store(r->head.load(std::memory_order_acquire),
+                        std::memory_order_release);
     r->generation.fetch_add(1, std::memory_order_acq_rel);
 }
 

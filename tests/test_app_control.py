@@ -1,0 +1,68 @@
+"""app_control boundary: snapshot hub + command queue + engine wiring."""
+
+import threading
+import time
+
+import numpy as np
+
+
+def test_metrics_hub_generations_and_immutability():
+    from dsdneo_tpu.app_control import MetricsHub
+    hub = MetricsHub()
+    s0 = hub.snapshot()
+    assert s0.generation == 0
+    hub.publish(freq_hz=851e6, snr_db=12.5)
+    s1 = hub.snapshot()
+    assert s1.generation == 1 and s1.freq_hz == 851e6
+    # old snapshot unchanged (immutability)
+    assert s0.freq_hz == 0.0
+    hub.bump_health(p25p1_fec_ok=3, p25p1_fec_err=1)
+    hub.bump_health(p25p1_fec_ok=2)
+    h = hub.snapshot().health
+    assert h.p25p1_fec_ok == 5 and h.p25p1_fec_err == 1
+
+
+def test_command_queue_capacity_and_fifo():
+    from dsdneo_tpu.app_control import AppCommand, CommandQueue
+    q = CommandQueue(capacity=3)
+    assert q.put(AppCommand.TUNE, 1.0)
+    assert q.put(AppCommand.TUNE, 2.0)
+    assert q.put(AppCommand.TOGGLE_MUTE)
+    assert not q.put(AppCommand.TUNE, 3.0)       # full → dropped
+    assert q.dropped == 1
+    items = q.drain()
+    assert [i.cmd for i in items] == [AppCommand.TUNE, AppCommand.TUNE,
+                                      AppCommand.TOGGLE_MUTE]
+    assert len(q) == 0
+
+
+def test_live_engine_commands_and_snapshots():
+    """Frontend-side tune/stop commands drain between blocks; the hub
+    publishes per-block metrics (the reference's ui_snapshot contract)."""
+    from dsdneo_tpu.app_control import AppCommand
+    from dsdneo_tpu.engine.live import LiveEngine
+
+    eng = LiveEngine("p25p1", fs=48000.0, block_s=0.05)
+    rng = np.random.default_rng(0)
+    # a queued TUNE purges the ring (retune discipline), so it must
+    # drain before samples are fed
+    eng.commands.put(AppCommand.TUNE, 852_000_000.0)
+    eng._drain_commands()
+    raw = (rng.integers(0, 256, 2 * 4800 * 3, dtype=np.uint8)).tobytes()
+    eng.feed_cu8(raw)
+    t = threading.Thread(target=eng.run, kwargs={"max_blocks": 4})
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    snap = eng.metrics.snapshot()
+    assert snap.generation >= 4
+    assert snap.freq_hz == 852_000_000.0
+    assert eng.retunes == 1
+    assert snap.input_level_rms > 0
+
+    # STOP command halts the loop promptly
+    eng2 = LiveEngine("p25p1", fs=48000.0, block_s=0.05)
+    eng2.commands.put(AppCommand.STOP)
+    t0 = time.time()
+    n = eng2.run()
+    assert n == 0 and time.time() - t0 < 2.0

@@ -129,3 +129,18 @@ def test_ring_fs4_rotation():
     i = blk[:, 0]
     assert i[0] > 0.9 and abs(i[1]) < 0.02 and i[2] < -0.9
     r.close()
+
+
+def test_ring_purge_preserves_post_purge_writes():
+    """The purge watermark is the head at purge time: samples produced
+    AFTER the retune request must survive to the next read."""
+    r = _ring()
+    r.write(bytes([0xAA]) * 512)     # pre-purge: dropped
+    r.purge()
+    r.write(bytes([0x55]) * 128)     # post-purge: kept
+    assert r.read_block_cu8(64, timeout_ms=50) is None   # purge drain
+    blk = r.read_block_cu8(64, timeout_ms=200)
+    assert blk is not None
+    expect = (0x55 / 127.5) - 1.0
+    np.testing.assert_allclose(blk[:, 0], expect, atol=1e-6)
+    r.close()
