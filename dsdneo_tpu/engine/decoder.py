@@ -97,22 +97,23 @@ def detect_mode(samples: np.ndarray, fs: float = 48000.0,
                                  sync_threshold=sync_threshold)
         except Exception:
             continue
-        # score FEC/CRC-validated content, not bare sync hits: noise
-        # trips short sync patterns and unvalidated voice labels freely
+        # score on structured decode evidence, not display strings:
+        # events that carry parsed payload fields got there through
+        # FEC/CRC validation (NID BCH, slot-type Golay, CRC-gated
+        # headers), while noise-tripped syncs emit bare lines or only
+        # bookkeeping keys.  Error lines count against (failed FEC on a
+        # wrong-rate slicer is the common false-sync signature).
+        bookkeeping = {"slot", "voice", "imbe", "ambe216"}
         score = 0.0
         for e in ctx.events:
-            line = e.line
-            if "ERR" in line or "FAIL" in line:
+            is_err = "ERR" in e.line or "FAIL" in e.line
+            if is_err:
                 score -= 0.25
                 continue
-            if any(k in line for k in (
-                    "RAN 0", "RAN 1", "RAN 2", "RAN 3", "NAC", "TG=",
-                    "TGT=", "SRC", "CSBK", "LC:", "CAN:", "Site ID",
-                    "FICH", "SACCH", "VCALL", "Group", "Talker", "V/D",
-                    "RID", "Data Header", "Idle")):
-                score += 3.0
-            elif "Color Code=" in line and "Color Code=XX" not in line:
-                score += 1.0
+            nfields = sum(1 for k, v in e.fields.items()
+                          if k not in bookkeeping
+                          and not isinstance(v, np.ndarray))
+            score += min(nfields, 3)
         if score > best_score:
             best, best_score = cfg, score
     return best

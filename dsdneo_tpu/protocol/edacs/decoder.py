@@ -83,7 +83,10 @@ class EdacsDecoder(ProtocolDecoder):
                          "edacs", hit.pos)
                 return pos + 240
         line = self._standard(msg1 >> 12, msg2 >> 12, ctx)
-        ctx.emit(f"Sync: {'-' if inverted else '+'}EDACS {line}", "edacs", hit.pos)
+        # both 28-bit words passed BCH: carry the raw command as a
+        # structured field (validated-decode evidence for auto mode)
+        ctx.emit(f"Sync: {'-' if inverted else '+'}EDACS {line}", "edacs",
+                 hit.pos, mt=(msg1 >> 12) >> 23, word=(msg1 >> 12))
         return pos + 240
 
     @staticmethod

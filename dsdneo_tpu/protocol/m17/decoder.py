@@ -225,12 +225,14 @@ class M17Decoder(ProtocolDecoder):
             self.chunk_ok = [False] * 6
         # stream payload: FN(16) + voice(128) via P2
         payload = self._stream_payload(deframe[96:368])
+        fields = {"lich_cnt": cnt}
         if payload is not None:
             fn = _bti(payload[0:16])
             line += f"FN: {fn & 0x7FFF:04X} "
+            fields["fn"] = fn & 0x7FFF
             if fn & 0x8000:
                 line += "EOT "
-        ctx.emit(line + detail, "m17", hit.pos)
+        ctx.emit(line + detail, "m17", hit.pos, **fields)
         return hit.end + 184
 
     def _stream_payload(self, bits272: np.ndarray) -> np.ndarray | None:
