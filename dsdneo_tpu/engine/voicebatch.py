@@ -125,6 +125,38 @@ class BatchedP25VoicePipeline:
         self.imbe_dec = BatchedImbeDecoder(C)
         self.bch = blockcodes.bch_63_16()
 
+    def frontend_sync(self, iq, use_pallas: bool | None = None):
+        """Fused device step: front end + sync matched filter in ONE
+        dispatch, fetching only compact arrays (dibits uint8, per-
+        position best score float16 + best pattern uint8) — the
+        tunneled-TPU transfer cost dominates the chain, so the [C, T]
+        float32 soft symbols never leave the device."""
+        from dsdneo_tpu.engine.batched import frontend_step
+        B = iq.shape[1]
+        n_sym = int(B // self.sps) - 2
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        key = ("fs", B, n_sym, use_pallas)
+        if not hasattr(self, "_frontend_jits"):
+            self._frontend_jits = {}
+        fn = self._frontend_jits.get(key)
+        if fn is None:
+            taps = self.taps
+            names = self.SYNC_NAMES
+
+            @jax.jit
+            def fn(x):
+                dibits, soft, power = frontend_step(
+                    x, taps, self.sps, n_sym, self.mode.four_level,
+                    use_pallas=use_pallas)
+                sc = correlate_syncs_device(soft, names)   # [C, P, T']
+                best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
+                best_score = jnp.max(sc, axis=1).astype(jnp.float16)
+                return dibits, best_def, best_score
+            self._frontend_jits[key] = fn
+        d, bd, bs = fn(iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        return np.asarray(d), np.asarray(bd), np.asarray(bs)
+
     def frontend(self, iq: np.ndarray, use_pallas: bool | None = None):
         # must run under jit: frontend_step builds a complex rotation
         # tone that the axon TPU backend cannot execute eagerly
@@ -150,13 +182,23 @@ class BatchedP25VoicePipeline:
         return fn(jnp.asarray(iq))
 
     def find_voice_frames(self, dibits: np.ndarray, soft: np.ndarray):
-        """Host+device hybrid hunt: device correlation, the same greedy
-        peak picking as the event-driven hunter, batched NID decode;
-        returns (frames144 [F, 144], frame_channel [F], frame_order [F])
-        for every LDU voice frame."""
-        C, T = soft.shape
+        """Hunt from full soft symbols (test/parity path): device
+        correlation then the shared picking logic."""
         scores = np.asarray(correlate_syncs_device(
             jnp.asarray(soft), self.SYNC_NAMES))                # [C, P, T']
+        best_def = np.argmax(scores, axis=1).astype(np.uint8)
+        best_score = np.max(scores, axis=1)
+        return self.find_voice_frames_best(dibits, best_def, best_score,
+                                           soft.shape[1])
+
+    def find_voice_frames_best(self, dibits: np.ndarray,
+                               best_def: np.ndarray, best_score: np.ndarray,
+                               T: int):
+        """Hunt from per-position (best pattern, best score) arrays:
+        the same greedy peak picking as the event-driven hunter, batched
+        NID decode; returns (frames144 [F, 144], frame_channel [F],
+        frame_order [F]) for every LDU voice frame."""
+        C = dibits.shape[0]
         defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
         n_pat = len(defs[0].pattern)
 
@@ -168,8 +210,9 @@ class BatchedP25VoicePipeline:
 
         nid_meta = []                           # (channel, sync pos)
         for c in range(C):
-            hits = framesync.pick_syncs_from_scores(
-                scores[c], defs, self.threshold, limit=T)
+            hits = framesync.pick_syncs_from_best(
+                best_def[c], best_score[c].astype(np.float32), defs,
+                self.threshold, limit=T)
             for h in hits:
                 t = h.pos
                 if h.sync.inverted or t + need >= T:
@@ -223,12 +266,15 @@ class BatchedP25VoicePipeline:
         return (frames, np.asarray(fch, dtype=np.int64),
                 np.asarray(forder, dtype=np.int64))
 
-    def decode_block(self, iq: np.ndarray) -> np.ndarray:
-        """Full chain for one [C, B] block → [C, n_frames*160] PCM."""
-        dibits_j, soft_j, _power = self.frontend(iq)
-        dibits = np.asarray(dibits_j)
-        soft = np.asarray(soft_j)
-        frames144, fch, forder = self.find_voice_frames(dibits, soft)
+    def decode_block(self, iq) -> np.ndarray:
+        """Full chain for one [C, B] block → [C, n_frames*160] PCM.
+
+        ``iq`` may be host numpy or an already-device-resident array
+        (jax.device_put) — production feeds pre-transfer blocks so the
+        infeed overlaps compute."""
+        dibits, best_def, best_score = self.frontend_sync(iq)
+        frames144, fch, forder = self.find_voice_frames_best(
+            dibits, best_def, best_score, dibits.shape[1])
         if frames144.shape[0] == 0:
             return np.zeros((self.C, 0), dtype=np.float32)
         bits88, _errs = fdev.imbe_ecc_batch(frames144)

@@ -66,6 +66,20 @@ class DmrBsDecoder(ProtocolDecoder):
         self.vc_counter = {0: 0, 1: 0}
         self.assembler = {0: PduAssembler(), 1: PduAssembler()}
         self.alias = {}
+        self._emb_cc_votes: dict[int, int] = {}
+
+    def _emb_raw_cc(self, reader: DibitReader, pos: int,
+                    invert: bool) -> int | None:
+        """Raw EMB QR(16,7,6) color-code reading at the voice-hypothesis
+        positions (no validity gate beyond single-error correction)."""
+        a = self._slice_bits(reader, pos - 4, 4, invert)
+        b = self._slice_bits(reader, pos + 24, 4, invert)
+        if a is None or b is None:
+            return None
+        msg, errs = blockcodes.qr_16_7_6().decode(np.concatenate([a, b]))
+        if errs > 1:
+            return None
+        return (msg >> 3) & 0xF
 
     # -- helpers ----------------------------------------------------------
     @staticmethod
@@ -231,6 +245,19 @@ class DmrBsDecoder(ProtocolDecoder):
             lights = ["[slot1]", " slot2 "] if s == 0 else [" slot1 ", "[slot2]"]
             head = (f"Sync: {polarity}DMR {lights[0]} {lights[1]} "
                     f"| Color Code={cc:02d} | {name}")
+
+        # strict-compat observability: the reference prints the CC its
+        # EMB-confidence module locked (2 consistent QR(16,7,6) decodes
+        # at the voice-hypothesis read position).  Surface that raw
+        # reading as ctx.state.dmr_cc_emb_lock alongside the validated
+        # CC; on the misacquired fixtures it stays None because the
+        # reference's "02" only arises at misaligned positions of its
+        # serial re-acquisition (PARITY.md "Color Code=02").
+        cc_emb = self._emb_raw_cc(reader, pos, not invert)
+        if cc_emb is not None and cc_emb != cc:
+            self._emb_cc_votes[cc_emb] = self._emb_cc_votes.get(cc_emb, 0) + 1
+            if self._emb_cc_votes[cc_emb] >= 2:
+                ctx.state.dmr_cc_emb_lock = cc_emb
 
         h1 = self._slice_bits(reader, pos - 54, 49, invert)
         h2 = self._slice_bits(reader, pos + 29, 49, invert)

@@ -127,20 +127,18 @@ def correlate_syncs(soft: np.ndarray, defs: list[SyncDef]) -> np.ndarray:
     return out
 
 
-def pick_syncs_from_scores(scores: np.ndarray, defs: list[SyncDef],
-                           threshold: float = 0.70,
-                           limit: int | None = None) -> list[SyncHit]:
-    """Greedy non-overlapping peak picking over precomputed ``[P, K]``
-    correlation scores (host or device produced — both hunters share
-    this exact logic).
+def pick_syncs_from_best(best_def: np.ndarray, best_score: np.ndarray,
+                         defs: list[SyncDef], threshold: float = 0.70,
+                         limit: int | None = None) -> list[SyncHit]:
+    """Greedy non-overlapping peak picking over per-position
+    (best pattern, best score) arrays — the shared core of the host and
+    device hunters.
 
     Scan positions in order; at each position take the best-scoring
     pattern above threshold, refined to the local maximum within the
     next 3 positions."""
-    k = scores.shape[1] if limit is None else min(limit, scores.shape[1])
-    best_def = np.argmax(scores, axis=0)
-    idx = np.arange(scores.shape[1])
-    best_score = scores[best_def, idx]
+    k = best_score.shape[0] if limit is None else min(limit,
+                                                      best_score.shape[0])
     # short patterns need a stricter score to keep the false-hit rate
     # comparable to the 24-symbol syncs
     thr = np.full(len(defs), threshold, dtype=np.float32)
@@ -161,6 +159,17 @@ def pick_syncs_from_scores(scores: np.ndarray, defs: list[SyncDef],
         hits.append(SyncHit(pos=p, score=float(best_score[p]), sync=d))
         pos = p + len(d.pattern)
     return hits
+
+
+def pick_syncs_from_scores(scores: np.ndarray, defs: list[SyncDef],
+                           threshold: float = 0.70,
+                           limit: int | None = None) -> list[SyncHit]:
+    """Greedy peak picking over precomputed ``[P, K]`` correlation
+    scores (see pick_syncs_from_best)."""
+    best_def = np.argmax(scores, axis=0)
+    best_score = scores[best_def, np.arange(scores.shape[1])]
+    return pick_syncs_from_best(best_def, best_score, defs, threshold,
+                                limit)
 
 
 def find_syncs(soft: np.ndarray, defs: list[SyncDef] | None = None,
