@@ -82,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--perf-csv", default=None, metavar="PATH",
                    help="write per-step pipeline timing CSV (reference "
                         "DSD_NEO_RTL_PERF_CSV, rtl_perf.cpp)")
+    p.add_argument("--mbe-out", default="", metavar="PATH",
+                   help="save decoded MBE voice frames to an .imb/.amb "
+                        "data file (reference -d)")
+    p.add_argument("--mbe-in", default="", metavar="PATH",
+                   help="synthesize audio from an .imb/.amb MBE data "
+                        "file instead of decoding RF (reference -r)")
+    p.add_argument("--m17-udp", default="", metavar="HOST:PORT",
+                   help="blast decoded/encoded M17 frames as M17 UDP/IP "
+                        "datagrams (reference M17 UDP mode)")
     return p
 
 
@@ -168,6 +177,25 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if getattr(args, "tx_mode", None):
         return _run_m17_tx(args)
+    if args.mbe_in:
+        import jax
+        if args.platform != "default":
+            jax.config.update("jax_platforms", args.platform)
+        import numpy as np
+        from dsdneo_tpu.io.mbe_files import read_mbe_file, synthesize_mbe_file
+        try:
+            kind, frames = read_mbe_file(args.mbe_in)
+            pcm = synthesize_mbe_file(args.mbe_in)
+        except (OSError, ValueError) as e:
+            print(f"dsd-neo-tpu: cannot play {args.mbe_in}: {e}",
+                  file=sys.stderr)
+            return 1
+        print(f"MBE file: {kind} {len(frames)} frames "
+              f"-> {len(pcm) / 8000.0:.2f} s", file=sys.stderr)
+        if args.audio_out.startswith("wav:"):
+            from dsdneo_tpu.io.audio_files import write_wav
+            write_wav(args.audio_out[4:], pcm, 8000)
+        return 0
     if not args.iq_replay:
         print("dsd-neo-tpu: no input source (use --iq-replay)", file=sys.stderr)
         return 2
@@ -205,6 +233,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.calls_dir:
         from dsdneo_tpu.core.calls import CallRecorder
         recorder = CallRecorder(args.calls_dir, mode=args.mode)
+
+    mbe_sink = None
+    if args.mbe_out:
+        from dsdneo_tpu.io.mbe_files import MbeFileWriter
+        mbe_sink = MbeFileWriter(args.mbe_out)
+    m17_udp = None
+    if args.m17_udp:
+        from dsdneo_tpu.protocol.m17.ip import M17UdpOutput
+        host, _, port = args.m17_udp.rpartition(":")
+        m17_udp = M17UdpOutput(host or "127.0.0.1", int(port))
 
     if args.wideband >= 0:
         from dsdneo_tpu.engine.wideband import decode_wideband
@@ -268,7 +306,8 @@ def main(argv: list[str] | None = None) -> int:
                                  sync_threshold=args.sync_threshold,
                                  verbose=args.verbose, cqpsk=args.cqpsk,
                                  p2_params=p2, call_recorder=recorder,
-                                 keyring=keyring)
+                                 keyring=keyring, mbe_sink=mbe_sink,
+                                 m17_udp=m17_udp)
             if perf is not None:
                 perf.add(decode_ms=(_time.perf_counter() - t0) * 1e3,
                          channels=1, symbols=0)
@@ -297,6 +336,14 @@ def main(argv: list[str] | None = None) -> int:
         _write_frame_log(frame_log, ctx.events, as_json=cfg.pdu_json)
     if perf is not None:
         perf.close()
+    if mbe_sink is not None:
+        mbe_sink.close()
+        print(f"MBE out: {mbe_sink.frames} frames -> {args.mbe_out}",
+              file=sys.stderr)
+    if m17_udp is not None:
+        print(f"M17 UDP: {m17_udp.sent} datagrams -> {args.m17_udp}",
+              file=sys.stderr)
+        m17_udp.close()
 
     if args.audio_out.startswith("wav:"):
         from dsdneo_tpu.io.audio_files import write_wav

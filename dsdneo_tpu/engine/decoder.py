@@ -32,7 +32,8 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
                    fs: float = 48000.0, sync_threshold: float = 0.62,
                    verbose: int = 0, cqpsk: bool = False,
                    p2_params: tuple[int, int, int] | None = None,
-                   call_recorder=None, keyring=None) -> proto_base.DecoderContext:
+                   call_recorder=None, keyring=None,
+                   mbe_sink=None, m17_udp=None) -> proto_base.DecoderContext:
     """Decode one channel of complex baseband samples end to end.
 
     ``p2_params`` optionally seeds (WACN, SYSID, NAC) for the P25p2
@@ -52,6 +53,8 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
     ctx = proto_base.DecoderContext(verbose=verbose)
     ctx.call_recorder = call_recorder
     ctx.state.keyring = keyring
+    ctx.mbe_sink = mbe_sink
+    ctx.m17_udp = m17_udp
     if p2_params is not None:
         ctx.state.p2_wacn, ctx.state.p2_sysid, ctx.state.p2_cc = p2_params
     ctx.mode_name = mode.name

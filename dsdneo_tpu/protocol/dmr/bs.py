@@ -597,6 +597,9 @@ class DmrBsDecoder(ProtocolDecoder):
                 bits49 = bits49 ^ bp_ks          # bit 48 untouched (ks=0)
             if tyt_ep_ks is not None:
                 bits49 = bits49 ^ tyt_ep_ks
+            sink = getattr(ctx, "mbe_sink", None)
+            if sink is not None:
+                sink.write(bits49, _errs)
             params.append(decode_ambe_2450(bits49))
         s_obj.dmr_vc_frame_count = fcount + 3
         pcm = synthesize_frames(params)

@@ -103,6 +103,8 @@ class M17Decoder(ProtocolDecoder):
 
     def __init__(self):
         self.lsf_chunks = np.zeros((6, 40), dtype=np.uint8)
+        self._last_lsf: np.ndarray | None = None   # full 240-bit LSF
+        self._sid = 0x2950                          # session id for IP mode
         self.chunk_ok = [False] * 6
         self.polarity: bool | None = None
         self.pkt_chunks: dict[int, np.ndarray] = {}
@@ -168,6 +170,7 @@ class M17Decoder(ProtocolDecoder):
         if m17_crc16(packed) != 0:
             ctx.emit(f"Sync: {polarity}M17 {label}  CRC ERR", "m17", hit.pos)
             return hit.end + 184
+        self._last_lsf = np.asarray(lsf, dtype=np.uint8).copy()
         dst = _bti(lsf[0:48])
         src = _bti(lsf[48:96])
         t = _bti(lsf[96:112])
@@ -214,6 +217,7 @@ class M17Decoder(ProtocolDecoder):
             lsf = self.lsf_chunks.reshape(-1)
             packed = _pack_bytes(lsf)
             if m17_crc16(packed) == 0:
+                self._last_lsf = np.asarray(lsf, dtype=np.uint8).copy()
                 dst = _bti(lsf[0:48])
                 src = _bti(lsf[48:96])
                 tw = _bti(lsf[96:112])
@@ -232,6 +236,12 @@ class M17Decoder(ProtocolDecoder):
             fields["fn"] = fn & 0x7FFF
             if fn & 0x8000:
                 line += "EOT "
+            sink = getattr(ctx, "m17_udp", None)
+            if sink is not None and self._last_lsf is not None:
+                from dsdneo_tpu.protocol.m17.ip import pack_stream_frame
+                sink.send(pack_stream_frame(
+                    self._last_lsf, sid=self._sid, fn=fn & 0x7FFF,
+                    eot=bool(fn & 0x8000), voice128=payload[16:144]))
         ctx.emit(line + detail, "m17", hit.pos, **fields)
         return hit.end + 184
 

@@ -487,11 +487,14 @@ class P25P1Decoder(ProtocolDecoder):
         from dsdneo_tpu.vocoder.synth import synthesize_frames
         params = []
         prev = getattr(ctx.state, "imbe_prev", None)
+        sink = getattr(ctx, "mbe_sink", None)
         for i, fr in enumerate(imbe_frames):
             bits88, _errs = decode_imbe_ecc(fr)
             if i == 8:
                 ctx.state.ks_offset = getattr(ctx.state, "ks_offset", 0) + 2
             bits88 = self._decrypt_imbe(bits88, ctx)
+            if sink is not None:
+                sink.write(bits88, _errs)
             prev = decode_imbe_4400(bits88, prev=prev)
             params.append(prev)
         ctx.state.imbe_prev = prev
