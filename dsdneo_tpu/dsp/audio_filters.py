@@ -69,3 +69,57 @@ def upsample_8k_to_48k(pcm: jax.Array) -> jax.Array:
     upsample path), via the polyphase resampler."""
     from dsdneo_tpu.dsp.resampler import resample
     return resample(pcm, 8000, 48000)
+
+
+class AudioGate:
+    """Squelch-style voice gate (reference src/core/audio/dsd_audio_gate.c):
+    opens when short-term RMS exceeds the open threshold, holds for
+    ``hang_frames`` below the close threshold, then mutes.  Block-wise
+    and bounded-state for the streaming path."""
+
+    def __init__(self, open_rms: float = 0.01, close_rms: float = 0.004,
+                 hang_frames: int = 8):
+        self.open_rms = open_rms
+        self.close_rms = close_rms
+        self.hang_frames = hang_frames
+        self.open = False
+        self._below = 0
+
+    def process(self, pcm: np.ndarray) -> np.ndarray:
+        rms = float(np.sqrt(np.mean(np.square(pcm)))) if len(pcm) else 0.0
+        if rms >= self.open_rms:
+            self.open = True
+            self._below = 0
+        elif self.open and rms < self.close_rms:
+            self._below += 1
+            if self._below >= self.hang_frames:
+                self.open = False
+                self._below = 0
+        return pcm if self.open else np.zeros_like(pcm)
+
+
+class AudioConcealer:
+    """Underrun concealment: fade-repeat of the last good buffer, −6 dB
+    per consecutive underrun, silence after ``max_repeats`` (reference
+    src/platform/audio_concealment.c contract — bounded-time)."""
+
+    def __init__(self, max_repeats: int = 4, fade: float = 0.5):
+        self.max_repeats = max_repeats
+        self.fade = fade
+        self._last: np.ndarray | None = None
+        self._repeats = 0
+        self.concealed = 0
+
+    def feed(self, pcm: np.ndarray | None, n: int) -> np.ndarray:
+        """pcm = the available buffer or None on underrun; always
+        returns ``n`` samples."""
+        if pcm is not None and len(pcm) >= n:
+            self._last = np.asarray(pcm[:n], dtype=np.float32).copy()
+            self._repeats = 0
+            return self._last
+        self.concealed += 1
+        if self._last is None or self._repeats >= self.max_repeats:
+            return np.zeros(n, dtype=np.float32)
+        self._repeats += 1
+        self._last = self._last * self.fade
+        return self._last

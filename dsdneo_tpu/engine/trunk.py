@@ -239,3 +239,89 @@ class TrunkScanner:
         self.tune(t.freq_hz, t.mode)
         self.switched_at = now
         return t
+
+
+class ChannelMap:
+    """Explicit channel-number → frequency map imported from CSV
+    (reference csv importers, docs/csv-formats.md: DMR T3 / Cap+ /
+    Con+ / NXDN / EDACS '<number>,<frequency Hz>' files)."""
+
+    def __init__(self):
+        self.entries: dict[int, float] = {}
+
+    def import_csv(self, path: str) -> int:
+        """Header line is skipped; rows are 'channel,frequency_hz[,...]'.
+        Returns the number of imported rows."""
+        n = 0
+        with open(path, errors="replace") as f:
+            for i, row in enumerate(f):
+                parts = [p.strip() for p in row.split(",")]
+                if len(parts) < 2:
+                    continue
+                try:
+                    chan = int(parts[0])
+                    freq = float(parts[1])
+                except ValueError:
+                    continue          # header / comment rows
+                if freq <= 0:
+                    continue
+                self.entries[chan] = freq
+                n += 1
+        return n
+
+    def freq(self, chan: int) -> Optional[float]:
+        return self.entries.get(chan)
+
+
+@dataclass
+class TrunkScanTarget:
+    """One row of a trunk-scan rotation list (reference
+    examples/trunk_scan_targets.csv + src/engine/trunk_scan.c)."""
+    id: str
+    type: str
+    frequency_hz: float
+    chan_csv: str = ""
+    dwell_ms: int = 3000
+    activity_hold_ms: int = 0
+    modulation: str = "auto"
+
+
+def import_trunk_scan_targets(path: str, limit: int = 32
+                              ) -> list[TrunkScanTarget]:
+    """Parse the reference's trunk_scan_targets.csv format (≤32 targets,
+    engine/trunk_scan.h:23-30)."""
+    import csv as _csv
+    out: list[TrunkScanTarget] = []
+    with open(path, newline="", errors="replace") as f:
+        for row in _csv.DictReader(f):
+            try:
+                freq = float(row.get("frequency_hz", "") or 0)
+            except ValueError:
+                continue
+            if freq <= 0 or not row.get("id"):
+                continue
+            def _int(key, default):
+                try:
+                    return int(row.get(key, "") or default)
+                except ValueError:
+                    return default
+            out.append(TrunkScanTarget(
+                id=row["id"].strip(), type=(row.get("type") or "").strip(),
+                frequency_hz=freq,
+                chan_csv=(row.get("chan_csv") or "").strip(),
+                dwell_ms=_int("dwell_ms", 3000),
+                activity_hold_ms=_int("activity_hold_ms", 0),
+                modulation=(row.get("modulation") or "auto").strip() or "auto"))
+            if len(out) >= limit:
+                break
+    return out
+
+
+def load_scan_targets(scanner: "TrunkScanner", path: str) -> int:
+    """Import trunk_scan_targets.csv rows into a TrunkScanner."""
+    n = 0
+    for t in import_trunk_scan_targets(path, limit=scanner.MAX_TARGETS):
+        if scanner.add_target(ScanTarget(freq_hz=t.frequency_hz,
+                                         mode=t.modulation, label=t.id)):
+            n += 1
+    return n

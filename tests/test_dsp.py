@@ -85,3 +85,33 @@ def test_halfband_decimation_preserves_passband():
     # tone should appear at same absolute freq in the decimated signal
     spec = np.fft.fftfreq(len(y), d=2 / fs)[np.argmax(np.abs(np.fft.fft(y)))]
     assert abs(spec - f0) < 50
+
+
+def test_audio_gate_opens_and_hangs():
+    from dsdneo_tpu.dsp.audio_filters import AudioGate
+    g = AudioGate(open_rms=0.01, close_rms=0.004, hang_frames=2)
+    quiet = np.zeros(160, dtype=np.float32) + 1e-4
+    loud = (0.1 * np.sin(np.arange(160))).astype(np.float32)
+    assert not g.process(quiet).any()            # closed
+    out = g.process(loud)
+    assert out.any()                             # opens on voice
+    assert g.process(quiet).any()                # hang keeps it open
+    g.process(quiet)
+    assert not g.process(quiet).any()            # closes after hang
+
+
+def test_audio_concealment_fade_repeat():
+    from dsdneo_tpu.dsp.audio_filters import AudioConcealer
+    c = AudioConcealer(max_repeats=2, fade=0.5)
+    buf = np.ones(160, dtype=np.float32)
+    np.testing.assert_array_equal(c.feed(buf, 160), buf)
+    r1 = c.feed(None, 160)                       # first underrun: -6 dB
+    np.testing.assert_allclose(r1, 0.5)
+    r2 = c.feed(None, 160)
+    np.testing.assert_allclose(r2, 0.25)
+    r3 = c.feed(None, 160)                       # beyond max: silence
+    assert not r3.any()
+    assert c.concealed == 3
+    # recovery resets the fade chain
+    np.testing.assert_array_equal(c.feed(buf, 160), buf)
+    np.testing.assert_allclose(c.feed(None, 160), 0.5)

@@ -1,0 +1,121 @@
+"""Fuzz-style robustness: random/malformed inputs must never crash the
+parsers (the pytest equivalent of the reference's four libFuzzer
+harnesses — CSV import, IQ metadata JSON, DMR block, M17 LSF;
+tests/fuzz/fuzz_*.c)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_csv_import(tmp_path, seed):
+    from dsdneo_tpu.core.talkgroup import TalkgroupPolicy
+    from dsdneo_tpu.crypto.keyring import KeyRing
+    rng = np.random.default_rng(seed)
+    blob = bytes(rng.integers(0, 256, rng.integers(0, 4096),
+                              dtype=np.uint8))
+    p = tmp_path / f"fuzz{seed}.csv"
+    p.write_bytes(blob)
+    pol = TalkgroupPolicy()
+    try:
+        pol.import_group_csv(str(p))
+    except (ValueError, UnicodeDecodeError):
+        pass
+    kr = KeyRing()
+    for importer in (kr.import_dec_csv, kr.import_hex_csv,
+                     kr.import_aes_csv):
+        try:
+            importer(str(p))
+        except (ValueError, UnicodeDecodeError):
+            pass
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_iq_metadata_json(tmp_path, seed):
+    from dsdneo_tpu.io import read_iq_capture
+    rng = np.random.default_rng(100 + seed)
+    p = tmp_path / "fuzz.iq.json"
+    if seed % 2 == 0:
+        p.write_bytes(bytes(rng.integers(0, 256, 512, dtype=np.uint8)))
+    else:
+        # structurally-valid JSON with hostile values
+        doc = {"format": "dsd-neo-iq", "sample_format": "cu8",
+               "sample_rate_hz": int(rng.integers(-5, 5)) * 10 ** 9,
+               "data_file": "../" * seed + "nope.iq",
+               "data_bytes": -1, "junk": "x" * 1000}
+        p.write_text(json.dumps(doc))
+    with pytest.raises((OSError, ValueError, KeyError)):
+        read_iq_capture(str(p))
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_dmr_burst(seed):
+    """Random dibit streams through the DMR burst decoder: no crash,
+    bounded output."""
+    from dsdneo_tpu.protocol.base import DecoderContext, DibitReader, registry
+    import dsdneo_tpu.protocol.dmr  # noqa: F401
+    from dsdneo_tpu.symbols.framesync import SYNC_DEFS
+
+    rng = np.random.default_rng(200 + seed)
+    dibits = rng.integers(0, 4, 4000).astype(np.uint8)
+    soft = rng.normal(0, 3, 4000).astype(np.float32)
+    ctx = DecoderContext()
+    dec = registry()["dmr"]()
+    dmr_defs = [d for d in SYNC_DEFS if d.protocol == "dmr"]
+    for pos in (100, 700, 1500, 2500):
+        hit_def = dmr_defs[int(rng.integers(0, len(dmr_defs)))]
+        from dsdneo_tpu.symbols.framesync import SyncHit
+        hit = SyncHit(pos=pos, score=0.9, sync=hit_def)
+        reader = DibitReader(dibits, soft, pos=hit.end, frame_start=hit.pos,
+                             invert=hit_def.inverted)
+        dec.handle(reader, hit, ctx)
+    assert len(ctx.events) < 1000
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_m17_lsf(seed):
+    """Random/bit-flipped M17 frames: decoder survives, CRC gates."""
+    from dsdneo_tpu.protocol.base import DecoderContext, DibitReader, registry
+    import dsdneo_tpu.protocol.m17  # noqa: F401
+    from dsdneo_tpu.symbols.framesync import SYNC_DEFS, SyncHit
+
+    rng = np.random.default_rng(300 + seed)
+    dibits = rng.integers(0, 4, 2000).astype(np.uint8)
+    soft = rng.normal(0, 3, 2000).astype(np.float32)
+    ctx = DecoderContext()
+    dec = registry()["m17"]()
+    m17_defs = [d for d in SYNC_DEFS if d.protocol == "m17"]
+    for pos in (50, 400, 900, 1400):
+        hit_def = m17_defs[int(rng.integers(0, len(m17_defs)))]
+        hit = SyncHit(pos=pos, score=0.9, sync=hit_def)
+        reader = DibitReader(dibits, soft, pos=hit.end, frame_start=hit.pos,
+                             invert=hit_def.inverted)
+        dec.handle(reader, hit, ctx)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_m17_ip_frames(seed):
+    from dsdneo_tpu.protocol.m17.ip import parse_ip_frame
+    rng = np.random.default_rng(400 + seed)
+    for n in (0, 3, 4, 35, 54, 55, 200):
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        parse_ip_frame(data)                        # no crash
+        parse_ip_frame(b"M17 " + data)
+        parse_ip_frame(b"MPKT" + data)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_mbe_files(tmp_path, seed):
+    from dsdneo_tpu.io.mbe_files import read_mbe_file
+    rng = np.random.default_rng(500 + seed)
+    p = tmp_path / "fuzz.imb"
+    p.write_bytes(b".imb" + bytes(rng.integers(0, 256, seed * 7,
+                                               dtype=np.uint8)))
+    kind, frames = read_mbe_file(str(p))        # truncated tail ignored
+    assert kind == "imb"
+    p2 = tmp_path / "junk.bin"
+    p2.write_bytes(bytes(rng.integers(0, 256, 64, dtype=np.uint8)))
+    with pytest.raises(ValueError):
+        read_mbe_file(str(p2))

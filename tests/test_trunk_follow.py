@@ -178,3 +178,42 @@ def test_trunk_follow_channelized():
     vc_ctx = decode_samples(chans[tuned["bin"]], "p25p1")
     vc_text = "\n".join(e.line for e in vc_ctx.events)
     assert f"Group Voice Channel User - Group {tg} Source {src}" in vc_text
+
+
+def test_channel_map_csv(tmp_path):
+    from dsdneo_tpu.engine.trunk import ChannelMap
+    p = tmp_path / "chan.csv"
+    p.write_text("ChannelNumber(dec),frequency(Hz) (do not delete)\n"
+                 "999,456318750,default cc\n36,455756250\njunk,row\n")
+    m = ChannelMap()
+    assert m.import_csv(str(p)) == 2
+    assert m.freq(999) == 456318750.0
+    assert m.freq(36) == 455756250.0
+    assert m.freq(1) is None
+
+
+def test_trunk_scan_targets_csv(tmp_path):
+    from dsdneo_tpu.engine.trunk import (TrunkScanner,
+                                         import_trunk_scan_targets,
+                                         load_scan_targets)
+    p = tmp_path / "targets.csv"
+    p.write_text(
+        "id,type,frequency_hz,chan_csv,dwell_ms,activity_hold_ms,notes,"
+        "modulation,rtl_gain\n"
+        "county-p25,p25-trunk,851012500,,3000,,P25 CC,auto,\n"
+        "city-dmr,dmr-trunk,456318750,dmr.csv,3000,,DMR T3,auto,\n"
+        "bad,, not_a_freq,,,,,,\n")
+    ts = import_trunk_scan_targets(str(p))
+    assert [t.id for t in ts] == ["county-p25", "city-dmr"]
+    assert ts[1].chan_csv == "dmr.csv" and ts[0].dwell_ms == 3000
+
+    tunes = []
+    clock = [0.0]
+    sc = TrunkScanner(tune=lambda f, why: tunes.append((f, why)) or True,
+                      dwell_s=1.0, hold_s=0.0, now_fn=lambda: clock[0])
+    assert load_scan_targets(sc, str(p)) == 2
+    sc.tick()
+    assert tunes[-1][0] == 851012500.0
+    clock[0] = 1.5
+    sc.tick()
+    assert tunes[-1][0] == 456318750.0
