@@ -10,6 +10,7 @@ harness can regex the combined output.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from dsdneo_tpu.engine.modes import FLAG_TO_MODE
@@ -88,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mbe-in", default="", metavar="PATH",
                    help="synthesize audio from an .imb/.amb MBE data "
                         "file instead of decoding RF (reference -r)")
+    p.add_argument("--config", default="", metavar="INI",
+                   help="load an INI user config (reference config_user; "
+                        "DSD_NEO_CONFIG_AUTOSAVE=1 saves it back on exit)")
     p.add_argument("--m17-udp", default="", metavar="HOST:PORT",
                    help="blast decoded/encoded M17 frames as M17 UDP/IP "
                         "datagrams (reference M17 UDP mode)")
@@ -205,9 +209,22 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     from dsdneo_tpu.runtime import config as rtcfg
-    cfg = rtcfg.load_env()
+    cfg = rtcfg.RuntimeConfig()
+    if args.config:
+        cfg = rtcfg.load_ini(args.config, cfg)
+    cfg = rtcfg.load_env(cfg)
     frame_log = args.frame_log if args.frame_log is not None else cfg.frame_log
     perf_csv = args.perf_csv if args.perf_csv is not None else cfg.perf_csv
+
+    # sync warm-start calibration (reference sync_calibration.c /
+    # DSD_NEO_SYNC_WARMSTART): adopt the learned threshold when the
+    # user did not pass an explicit one
+    sync_cal = None
+    if cfg.sync_warmstart and cfg.sync_cal_path:
+        from dsdneo_tpu.runtime.calibration import SyncCalibration
+        sync_cal = SyncCalibration(cfg.sync_cal_path)
+        if args.sync_threshold == 0.62:
+            args.sync_threshold = sync_cal.threshold_for(args.mode, 0.62)
 
     p2 = None
     if args.p2_params:
@@ -336,6 +353,12 @@ def main(argv: list[str] | None = None) -> int:
         _write_frame_log(frame_log, ctx.events, as_json=cfg.pdu_json)
     if perf is not None:
         perf.close()
+    if sync_cal is not None:
+        sync_cal.record(args.mode, getattr(ctx, "sync_scores", []))
+        sync_cal.save()
+    if args.config and os.environ.get("DSD_NEO_CONFIG_AUTOSAVE", "") not in ("", "0"):
+        rtcfg.save_ini(cfg.with_overrides(
+            sync_threshold=args.sync_threshold), args.config)
     if mbe_sink is not None:
         mbe_sink.close()
         print(f"MBE out: {mbe_sink.frames} frames -> {args.mbe_out}",

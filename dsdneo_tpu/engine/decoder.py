@@ -61,6 +61,7 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
     ctx.debug_soft = norm
     ctx.debug_iq = samples[:16384]
     ctx.n_syncs = len(hits)
+    ctx.sync_scores = [h.score for h in hits]
     registry = proto_base.registry()
     decoders: dict[str, proto_base.ProtocolDecoder] = {}
     consumed_until = 0

@@ -141,8 +141,19 @@ class P25P2Decoder(ProtocolDecoder):
             bits49, _errs = decode_ambe_ecc(bits72)
             params.append(decode_ambe_2450(bits49))
         pcm = synthesize_frames(params)
-        if pcm.size:
-            ctx.emit_audio(pcm, slot=slot)
+        if not pcm.size:
+            return
+        # per-slot jitter ring smooths the irregular 4V/2V cadence into
+        # steady 160-sample frames (reference p25_p2_audio_ring.h)
+        if not hasattr(self, "jitter"):
+            from dsdneo_tpu.runtime.jitter import P2AudioJitterRing
+            self.jitter = P2AudioJitterRing()
+        self.jitter.push_pcm(slot, pcm)
+        out = []
+        while self.jitter.depth(slot) > 0:
+            fr, _ok = self.jitter.pop(slot)
+            out.append(fr)
+        ctx.emit_audio(np.concatenate(out), slot=slot)
 
     def _isch(self, ts_bits: np.ndarray, fc: int) -> None:
         """Track superframe position from the ISCH field (reference

@@ -28,6 +28,7 @@ class RuntimeConfig:
     # decode behavior
     sync_threshold: float = 0.62
     sync_warmstart: bool = False       # DSD_NEO_SYNC_WARMSTART
+    sync_cal_path: str = ""            # DSD_NEO_SYNC_CAL_PATH
     soft_erasure_threshold: int = 60   # DSD_NEO_P25 soft thresholds
     # trunking
     trunk_enable: bool = False
@@ -55,6 +56,7 @@ _ENV_MAP = {
     "PDU_JSON": ("pdu_json", lambda v: v not in ("0", "", "false")),
     "SYNC_THRESHOLD": ("sync_threshold", float),
     "SYNC_WARMSTART": ("sync_warmstart", lambda v: v not in ("0", "", "false")),
+    "SYNC_CAL_PATH": ("sync_cal_path", str),
     "TRUNK_ENABLE": ("trunk_enable", lambda v: v not in ("0", "", "false")),
     "TRUNK_HANGTIME_S": ("trunk_hangtime_s", float),
     "P25_WD_MS": ("p25_wd_ms", int),

@@ -241,3 +241,28 @@ def test_p25p2_4v_voice_loopback():
     assert 0 in ctx.audio and len(ctx.audio[0]) >= 1
     total = sum(len(c) for c in ctx.audio[0])
     assert total >= 4 * 160 and total % (4 * 160) == 0   # 160/frame
+
+
+def test_p2_audio_jitter_ring():
+    """Bounded-latency per-slot ring: drop-oldest when full, zero-fill
+    when empty (reference p25_p2_audio_ring.h contract)."""
+    import numpy as np
+    from dsdneo_tpu.runtime.jitter import P2AudioJitterRing
+    r = P2AudioJitterRing(capacity_frames=3)
+    for i in range(5):
+        assert r.push(0, np.full(160, float(i), dtype=np.float32))
+    assert r.depth(0) == 3 and r.dropped[0] == 2
+    fr, ok = r.pop(0)
+    assert ok and fr[0] == 2.0            # oldest two were dropped
+    # slot isolation
+    assert r.depth(1) == 0
+    fr, ok = r.pop(1)
+    assert not ok and not fr.any() and r.underruns[1] == 1
+    # push_pcm splits bursts into frames
+    assert r.push_pcm(1, np.ones(160 * 2 + 50, dtype=np.float32)) == 2
+    assert r.depth(1) == 2
+    # invalid inputs rejected
+    assert not r.push(2, np.zeros(160, dtype=np.float32))
+    assert not r.push(0, np.zeros(100, dtype=np.float32))
+    r.reset()
+    assert r.depth(0) == 0 and r.depth(1) == 0

@@ -231,3 +231,38 @@ def test_perf_csv_knob(tmp_path):
     lines = p.read_text().splitlines()
     assert lines[0].startswith("ts,")
     assert len(lines) >= 2
+
+
+def test_sync_calibration_warmstart(tmp_path):
+    """DSD_NEO_SYNC_WARMSTART: learned sync medians persist and derive a
+    warm-start threshold (reference sync_calibration.c)."""
+    from dsdneo_tpu.runtime.calibration import SyncCalibration
+    path = str(tmp_path / "cal.json")
+    cal = SyncCalibration(path)
+    assert cal.threshold_for("p25p1", 0.62) == 0.62   # no data yet
+    cal.record("p25p1", [0.80, 0.85, 0.90])
+    cal.save()
+    cal2 = SyncCalibration(path)
+    warm = cal2.threshold_for("p25p1", 0.62)
+    assert 0.62 <= warm <= 0.85 * 0.86
+    # blending across runs
+    cal2.record("p25p1", [0.7])
+    assert cal2.data["p25p1"]["runs"] == 2
+
+
+def test_cli_sync_warmstart_and_config_autosave(tmp_path, monkeypatch):
+    from dsdneo_tpu import cli
+    from dsdneo_tpu.runtime import config as C
+    fx = "/root/reference/tests/fixtures/iq/p25p1_c4fm_cc.iq.json"
+    cal = tmp_path / "cal.json"
+    ini = tmp_path / "user.ini"
+    ini.write_text("[dsdneo]\nlog_level = debug\n")
+    monkeypatch.setenv("DSD_NEO_SYNC_WARMSTART", "1")
+    monkeypatch.setenv("DSD_NEO_SYNC_CAL_PATH", str(cal))
+    monkeypatch.setenv("DSD_NEO_CONFIG_AUTOSAVE", "1")
+    rc = cli.main(["--frontend", "none", "-f1", "--iq-replay", fx,
+                   "-o", "null", "--config", str(ini)])
+    assert rc == 0
+    assert cal.exists()                      # calibration persisted
+    cfg = C.load_ini(str(ini))               # autosaved INI still loads
+    assert cfg.log_level == "debug"
