@@ -89,6 +89,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mbe-in", default="", metavar="PATH",
                    help="synthesize audio from an .imb/.amb MBE data "
                         "file instead of decoding RF (reference -r)")
+    p.add_argument("-b", dest="bp_key_id", type=int, default=0,
+                   metavar="ID", help="DMR Basic Privacy key ID 1-255 "
+                                      "(reference -b)")
+    p.add_argument("-G", dest="group_csv", default="", metavar="CSV",
+                   help="talkgroup allow/block list CSV (reference -G "
+                        "group.csv); blocked TGs are muted")
+    p.add_argument("-C", dest="chan_csv", default="", metavar="CSV",
+                   help="channel number -> frequency map CSV "
+                        "(reference -C)")
+    p.add_argument("--key-csi72", default="", metavar="HEX18",
+                   help="Connect Systems EE72 72-bit key (18 hex chars)")
+    p.add_argument("--key-tyt16", default="", metavar="HEX4",
+                   help="TYT 16-bit Basic Privacy key")
+    p.add_argument("--key-tyt-ep", default="", metavar="HEX32",
+                   help="TYT Enhanced Privacy (AES) 128-bit key")
     p.add_argument("--config", default="", metavar="INI",
                    help="load an INI user config (reference config_user; "
                         "DSD_NEO_CONFIG_AUTOSAVE=1 saves it back on exit)")
@@ -126,6 +141,25 @@ def _write_frame_log(path: str, events, as_json: bool) -> None:
                 }) + "\n")
             else:
                 f.write(f"{ev.pos}\t{ev.protocol}\t{ev.line}\n")
+
+
+def _state_attrs(args, tg_policy, chan_map) -> dict:
+    """Decoder-state knobs derived from CLI flags (BP/vendor keys,
+    talkgroup policy, channel map)."""
+    attrs = {}
+    if args.bp_key_id:
+        attrs["dmr_bp_key_id"] = args.bp_key_id
+    if tg_policy is not None:
+        attrs["tg_policy"] = tg_policy
+    if chan_map is not None:
+        attrs["chan_map"] = chan_map
+    if args.key_csi72:
+        attrs["dmr_csi72_key"] = bytes.fromhex(args.key_csi72)
+    if args.key_tyt16:
+        attrs["dmr_tyt16_key"] = int(args.key_tyt16, 16)
+    if args.key_tyt_ep:
+        attrs["dmr_tyt_ep_key"] = int(args.key_tyt_ep, 16)
+    return attrs
 
 
 def _run_m17_tx(args) -> int:
@@ -251,6 +285,21 @@ def main(argv: list[str] | None = None) -> int:
         from dsdneo_tpu.core.calls import CallRecorder
         recorder = CallRecorder(args.calls_dir, mode=args.mode)
 
+    tg_policy = None
+    if args.group_csv:
+        from dsdneo_tpu.core.talkgroup import TalkgroupPolicy
+        tg_policy = TalkgroupPolicy()
+        n = tg_policy.import_group_csv(args.group_csv)
+        print(f"group list: {n} entries from {args.group_csv}",
+              file=sys.stderr)
+    chan_map = None
+    if args.chan_csv:
+        from dsdneo_tpu.engine.trunk import ChannelMap
+        chan_map = ChannelMap()
+        n = chan_map.import_csv(args.chan_csv)
+        print(f"channel map: {n} entries from {args.chan_csv}",
+              file=sys.stderr)
+
     mbe_sink = None
     if args.mbe_out:
         from dsdneo_tpu.io.mbe_files import MbeFileWriter
@@ -304,6 +353,8 @@ def main(argv: list[str] | None = None) -> int:
                                sync_threshold=args.sync_threshold)
             sd.ctx.call_recorder = recorder
             sd.ctx.state.keyring = keyring
+            for k, v in _state_attrs(args, tg_policy, chan_map).items():
+                setattr(sd.ctx.state, k, v)
             if p2 is not None:
                 (sd.ctx.state.p2_wacn, sd.ctx.state.p2_sysid,
                  sd.ctx.state.p2_cc) = p2
@@ -324,7 +375,9 @@ def main(argv: list[str] | None = None) -> int:
                                  verbose=args.verbose, cqpsk=args.cqpsk,
                                  p2_params=p2, call_recorder=recorder,
                                  keyring=keyring, mbe_sink=mbe_sink,
-                                 m17_udp=m17_udp)
+                                 m17_udp=m17_udp,
+                                 state_attrs=_state_attrs(args, tg_policy,
+                                                          chan_map))
             if perf is not None:
                 perf.add(decode_ms=(_time.perf_counter() - t0) * 1e3,
                          channels=1, symbols=0)

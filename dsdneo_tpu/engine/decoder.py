@@ -33,7 +33,8 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
                    verbose: int = 0, cqpsk: bool = False,
                    p2_params: tuple[int, int, int] | None = None,
                    call_recorder=None, keyring=None,
-                   mbe_sink=None, m17_udp=None) -> proto_base.DecoderContext:
+                   mbe_sink=None, m17_udp=None,
+                   state_attrs: dict | None = None) -> proto_base.DecoderContext:
     """Decode one channel of complex baseband samples end to end.
 
     ``p2_params`` optionally seeds (WACN, SYSID, NAC) for the P25p2
@@ -55,6 +56,8 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
     ctx.state.keyring = keyring
     ctx.mbe_sink = mbe_sink
     ctx.m17_udp = m17_udp
+    for k, v in (state_attrs or {}).items():
+        setattr(ctx.state, k, v)
     if p2_params is not None:
         ctx.state.p2_wacn, ctx.state.p2_sysid, ctx.state.p2_cc = p2_params
     ctx.mode_name = mode.name

@@ -43,6 +43,10 @@ class DecoderContext:
         self.events.append(DecodeEvent(line, protocol, pos, fields))
 
     def emit_audio(self, pcm: np.ndarray, slot: int = 0) -> None:
+        pol = getattr(self.state, "tg_policy", None)
+        tg = getattr(self.state, "last_tg", 0) or 0
+        if pol is not None and tg and not pol.allows(tg, slot=slot):
+            return                      # blocked talkgroup: mute
         self.audio.setdefault(slot, []).append(pcm)
         if getattr(self, "call_recorder", None) is not None:
             t = sum(len(c) for c in self.audio[slot]) / 8000.0

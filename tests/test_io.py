@@ -157,3 +157,29 @@ def test_iq_capture_writer_max_bytes(tmp_path):
         assert w.submit(x[:50]) == 400
         assert w.submit(x[50:]) == 0      # over cap → dropped
         assert w.drops == 50
+
+
+def test_cli_group_policy_mutes_blocked_tg(tmp_path):
+    """-G group.csv: a blocked talkgroup's voice is muted (reference
+    talkgroup_policy + group list import)."""
+    import subprocess
+    import sys
+
+    fx = "/root/reference/tests/fixtures/iq/p25p1_c4fm_vc.iq.json"
+    # the fixture's voice call is Group 1
+    allow_csv = tmp_path / "allow.csv"
+    allow_csv.write_text("TG,Mode,Label\n1,A,Allowed\n")
+    block_csv = tmp_path / "block.csv"
+    block_csv.write_text("TG,Mode,Label\n1,B,Blocked\n")
+
+    from dsdneo_tpu import cli
+    wav_a = tmp_path / "a.wav"
+    rc = cli.main(["--frontend", "none", "-f1", "--iq-replay", fx,
+                   "-o", f"wav:{wav_a}", "-G", str(allow_csv)])
+    assert rc == 0 and wav_a.exists()
+
+    wav_b = tmp_path / "b.wav"
+    rc = cli.main(["--frontend", "none", "-f1", "--iq-replay", fx,
+                   "-o", f"wav:{wav_b}", "-G", str(block_csv)])
+    assert rc == 0
+    assert not wav_b.exists()       # all audio muted → nothing written
