@@ -23,12 +23,28 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 FIXTURE = "/root/reference/tests/fixtures/iq/p25p1_c4fm_vc.iq.json"
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-compile on the tunneled
+    TPU is minutes (the plain-XLA parity chain alone is ~6.5 min);
+    cached runs start in seconds."""
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except AttributeError:
+        pass
 
 
 def bench_frontend(C: int, K: int):
@@ -132,6 +148,7 @@ def bench_full_chain(C: int, reps: int = 3):
 
 def main() -> int:
     import jax
+    _enable_compile_cache()
 
     C_audio = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     C_fe = int(sys.argv[2]) if len(sys.argv) > 2 else 256

@@ -177,3 +177,43 @@ class UdpControlServer:
     def close(self):
         self._stop = True
         self.sock.close()
+
+
+class TcpQualityWatchdog:
+    """Throughput watchdog for TCP sample streams (reference
+    src/io/radio/tcp_quality_metrics.cpp): after a connection grace
+    period, a 3 s window whose received bytes fall below 25% of the
+    expected CU8 rate fires a reconnect recommendation (latched)."""
+
+    WINDOW_S = 3.0
+    GRACE_S = 5.0
+    THRESHOLD = 0.25
+
+    def __init__(self, sample_rate: int, now_fn=None):
+        import time as _t
+        self.now = now_fn or _t.monotonic
+        self.reset(sample_rate)
+        self.latched = False
+
+    def reset(self, sample_rate: int) -> None:
+        self.sample_rate = sample_rate
+        now = self.now()
+        self._window_start = now
+        self._connected_at = now
+        self._bytes = 0
+
+    def record_recv(self, n_bytes: int) -> bool:
+        """Returns True when sustained throughput is below threshold."""
+        self._bytes += n_bytes
+        now = self.now()
+        elapsed = now - self._window_start
+        if elapsed < self.WINDOW_S:
+            return False
+        fired = False
+        if now - self._connected_at > self.GRACE_S and self.sample_rate > 0:
+            expected = self.sample_rate * 2.0 * elapsed
+            fired = (self._bytes / expected) < self.THRESHOLD
+            self.latched = fired
+        self._bytes = 0
+        self._window_start = now
+        return fired

@@ -183,3 +183,43 @@ def test_cli_group_policy_mutes_blocked_tg(tmp_path):
                    "-o", f"wav:{wav_b}", "-G", str(block_csv)])
     assert rc == 0
     assert not wav_b.exists()       # all audio muted → nothing written
+
+
+def test_serial_control_pty():
+    """Serial control against a pty pair: raw mode set, resume-scan
+    command sequence delivered (reference dsd_serial.c)."""
+    import os
+    import pty
+
+    from dsdneo_tpu.io.serial_control import (RESUME_PACKET, RESUME_TEXT,
+                                              SerialControl)
+    master, slave = pty.openpty()
+    dev = os.ttyname(slave)
+    ctl = SerialControl(dev, baud=9600)
+    ctl.resume_scan()
+    got = os.read(master, 64)
+    assert RESUME_TEXT in got and RESUME_PACKET in got
+    ctl.close()
+    os.close(master)
+    os.close(slave)
+
+
+def test_tcp_quality_watchdog():
+    """Reconnect watchdog: grace period suppresses, then a starved 3 s
+    window below 25% of the expected CU8 rate fires (reference
+    tcp_quality_metrics.cpp thresholds)."""
+    from dsdneo_tpu.io.net import TcpQualityWatchdog
+    clock = [0.0]
+    wd = TcpQualityWatchdog(sample_rate=48000, now_fn=lambda: clock[0])
+    # healthy stream inside the grace period: never fires
+    clock[0] = 3.5
+    assert not wd.record_recv(10)          # starved but within grace
+    # past grace: healthy window does not fire
+    clock[0] = 6.0
+    wd.record_recv(int(48000 * 2 * 2.5))
+    clock[0] = 9.5
+    assert not wd.record_recv(int(48000 * 2 * 1.0))
+    # starved window fires and latches
+    clock[0] = 13.0
+    assert wd.record_recv(100)
+    assert wd.latched
