@@ -223,3 +223,55 @@ def test_tcp_quality_watchdog():
     clock[0] = 13.0
     assert wd.record_recv(100)
     assert wd.latched
+
+
+def test_rdio_uploader_multipart(tmp_path):
+    """Rdio HTTP export: multipart POST with key/system/audio/meta parts
+    against a local HTTP server; failed endpoints retry then count as
+    failed without blocking (reference rdio_export.c contract)."""
+    import http.server
+    import threading
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            received.append((self.headers.get("Content-Type", ""), body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+
+    from dsdneo_tpu.io.rdio import RdioUploader, write_rdio_meta
+    wav = tmp_path / "call.wav"
+    wav.write_bytes(b"RIFF" + b"\x00" * 60)
+    meta = tmp_path / "call.json"
+    write_rdio_meta(str(meta), start_time=100.0, stop_time=105.0,
+                    talkgroup=123, source=42, freq_hz=851_000_000,
+                    system="sys1", talkgroup_tag="Fire")
+    up = RdioUploader(f"http://127.0.0.1:{port}/api/call-upload",
+                      api_key="sekrit", system="sys1")
+    assert up.submit(str(wav), str(meta))
+    up.close()
+    srv.shutdown()
+    assert up.uploaded == 1 and up.failed == 0
+    ctype, body = received[0]
+    assert "multipart/form-data" in ctype
+    assert b'name="key"' in body and b"sekrit" in body
+    assert b'name="audio"' in body and b"RIFF" in body
+    assert b'name="meta"' in body and b'"talkgroup": 123' in body
+
+    # unreachable endpoint → failed, not hung
+    up2 = RdioUploader("http://127.0.0.1:1/api", api_key="k", system="s",
+                       retries=0, timeout_s=0.5)
+    up2.submit(str(wav), str(meta))
+    up2.close()
+    assert up2.failed == 1
