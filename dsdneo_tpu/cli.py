@@ -104,6 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TYT 16-bit Basic Privacy key")
     p.add_argument("--key-tyt-ep", default="", metavar="HEX32",
                    help="TYT Enhanced Privacy (AES) 128-bit key")
+    p.add_argument("--wizard", action="store_true",
+                   help="interactive setup wizard (reference bootstrap "
+                        "interactive mode)")
     p.add_argument("--config", default="", metavar="INI",
                    help="load an INI user config (reference config_user; "
                         "DSD_NEO_CONFIG_AUTOSAVE=1 saves it back on exit)")
@@ -234,6 +237,23 @@ def main(argv: list[str] | None = None) -> int:
             from dsdneo_tpu.io.audio_files import write_wav
             write_wav(args.audio_out[4:], pcm, 8000)
         return 0
+    if args.wizard:
+        from dsdneo_tpu.runtime.wizard import run_wizard
+
+        def ask(prompt, default):
+            try:
+                v = input(f"{prompt} [{default}]: ")
+            except EOFError:
+                return default
+            return v or default
+
+        w = run_wizard(ask, say=lambda ln: print(ln, file=sys.stderr))
+        args.mode = w.mode
+        args.iq_replay = args.iq_replay or w.iq_replay
+        if w.audio_out != "null":
+            args.audio_out = w.audio_out
+        if w.stream_s > 0:
+            args.stream = w.stream_s
     if not args.iq_replay:
         print("dsd-neo-tpu: no input source (use --iq-replay)", file=sys.stderr)
         return 2

@@ -266,3 +266,27 @@ def test_cli_sync_warmstart_and_config_autosave(tmp_path, monkeypatch):
     assert cal.exists()                      # calibration persisted
     cfg = C.load_ini(str(ini))               # autosaved INI still loads
     assert cfg.log_level == "debug"
+
+
+def test_bootstrap_wizard_flow(monkeypatch, tmp_path):
+    from dsdneo_tpu.runtime.wizard import run_wizard
+    answers = iter(["4", "", "wav:/tmp/x.wav", "0.5"])
+    w = run_wizard(lambda p, d: next(answers))
+    assert w.mode == "dmr" and w.audio_out == "wav:/tmp/x.wav"
+    assert w.stream_s == 0.5
+    # defaults survive junk
+    answers = iter(["zzz", "cap.iq", "", "junk"])
+    w = run_wizard(lambda p, d: next(answers))
+    assert w.mode == "auto" and w.iq_replay == "cap.iq"
+    assert w.audio_out == "null" and w.stream_s == 0.0
+
+    # end-to-end through the CLI with stdin answers
+    import io
+    import sys as _sys
+    from dsdneo_tpu import cli
+    fx = "/root/reference/tests/fixtures/iq/p25p1_c4fm_cc.iq.json"
+    monkeypatch.setattr("builtins.input",
+                        lambda prompt="": {0: "2"}.get(0) if False else next(ans))
+    ans = iter(["2", fx, "null", "0"])
+    rc = cli.main(["--frontend", "none", "--wizard", "-o", "null"])
+    assert rc == 0
