@@ -104,6 +104,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TYT 16-bit Basic Privacy key")
     p.add_argument("--key-tyt-ep", default="", metavar="HEX32",
                    help="TYT Enhanced Privacy (AES) 128-bit key")
+    p.add_argument("--key-retevis", default="", metavar="HEX",
+                   help="Retevis AP (RC2) key, 32 or 64 hex chars")
     p.add_argument("--wizard", action="store_true",
                    help="interactive setup wizard (reference bootstrap "
                         "interactive mode)")
@@ -162,6 +164,9 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
         attrs["dmr_tyt16_key"] = int(args.key_tyt16, 16)
     if args.key_tyt_ep:
         attrs["dmr_tyt_ep_key"] = int(args.key_tyt_ep, 16)
+    if args.key_retevis:
+        from dsdneo_tpu.crypto.retevis_rc2 import RetevisRC2
+        attrs["dmr_retevis_rc2"] = RetevisRC2.from_hex(args.key_retevis)
     return attrs
 
 

@@ -67,3 +67,34 @@ def decode_ambe_ecc(bits72: np.ndarray) -> tuple[np.ndarray, int]:
     out[24:35] = fr[2][:11]
     out[35:49] = fr[3][:14]
     return out, errs
+
+
+def encode_ambe_ecc(bits49: np.ndarray) -> np.ndarray:
+    """49 AMBE parameter bits → 72 on-air bits (inverse of
+    ``decode_ambe_ecc``; tests/loopback tooling)."""
+    b = np.asarray(bits49, dtype=np.uint8)
+    g23 = golay_23_12()
+    fr = np.zeros((4, 24), dtype=np.uint8)
+    m0 = 0
+    for i in range(12):
+        m0 = (m0 << 1) | int(b[i])
+    cw0 = g23.codebook[m0]
+    parity = int(cw0.sum()) & 1
+    fr[0][:23] = cw0
+    fr[0][23] = parity
+    foo = 0
+    for k in range(11):
+        foo |= int(cw0[12 + k]) << k
+    foo |= parity << 11
+    pn = _pn_bits(foo, 23)
+    m1 = 0
+    for i in range(12):
+        m1 = (m1 << 1) | int(b[12 + i])
+    fr[1][:23] = g23.codebook[m1] ^ pn[::-1]
+    fr[2][:11] = b[24:35]
+    fr[3][:14] = b[35:49]
+    out = np.zeros(72, dtype=np.uint8)
+    for j, (hr, hc, lr, lc) in enumerate(AMBE_MAP):
+        out[2 * j] = fr[hr][hc]
+        out[2 * j + 1] = fr[lr][lc]
+    return out

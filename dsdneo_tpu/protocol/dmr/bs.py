@@ -578,6 +578,7 @@ class DmrBsDecoder(ProtocolDecoder):
             from dsdneo_tpu.crypto.vendor import csi72_keystream72
             csi_ks = csi72_keystream72(csi_key)
         tyt16 = getattr(s_obj, "dmr_tyt16_key", None)
+        retevis = getattr(s_obj, "dmr_retevis_rc2", None)
         tyt_ep = getattr(s_obj, "dmr_tyt_ep_key", None)
         tyt_ep_ks = None
         if tyt_ep is not None:
@@ -597,6 +598,8 @@ class DmrBsDecoder(ProtocolDecoder):
                 bits49 = bits49 ^ bp_ks          # bit 48 untouched (ks=0)
             if tyt_ep_ks is not None:
                 bits49 = bits49 ^ tyt_ep_ks
+            if retevis is not None:
+                bits49 = retevis.decrypt_frame49(bits49)
             sink = getattr(ctx, "mbe_sink", None)
             if sink is not None:
                 sink.write(bits49, _errs)

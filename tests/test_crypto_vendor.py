@@ -289,3 +289,71 @@ def test_tyt_ep_keystream_is_aes_derived():
     block = aes_encrypt_block(iv, _TYT_EP_STATIC_KEY)
     bits = np.unpackbits(np.frombuffer(block, dtype=np.uint8))
     assert np.array_equal(ks, bits[:49])
+
+
+def test_md2ii_hash_properties():
+    from dsdneo_tpu.crypto.retevis_rc2 import md2ii_hash
+    a = md2ii_hash(b"key one")
+    b = md2ii_hash(b"key one")
+    c = md2ii_hash(b"key two")
+    assert len(a) == 264 and a == b and a != c
+    # multi-block input (> 264 bytes) works
+    d = md2ii_hash(b"x" * 600)
+    assert len(d) == 264 and d != a
+
+
+def test_retevis_rc2_roundtrip_and_determinism():
+    from dsdneo_tpu.crypto.retevis_rc2 import RetevisRC2
+    rc = RetevisRC2.from_hex("0123456789ABCDEF0123456789ABCDEF")
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        plain = rng.integers(0, 2, 49).astype(np.uint8)
+        enc = rc.encrypt_frame49(plain)
+        assert not np.array_equal(enc, plain)
+        dec = rc.decrypt_frame49(enc)
+        np.testing.assert_array_equal(dec, plain)
+    # per-frame keystream restarts from internal_zero: same plaintext →
+    # same ciphertext (the reference resets internal_state per frame)
+    p = rng.integers(0, 2, 49).astype(np.uint8)
+    assert np.array_equal(rc.encrypt_frame49(p), rc.encrypt_frame49(p))
+    # 64-hex keys hash the ASCII text (different from raw-byte path)
+    rc64 = RetevisRC2.from_hex("00" * 32)
+    assert rc64.xkey != rc.xkey
+    with pytest.raises(ValueError):
+        RetevisRC2.from_hex("1234")
+
+
+def test_retevis_rc2_in_dmr_voice_path():
+    """A Retevis-encrypted AMBE frame decrypts through the decoder's
+    voice path wiring."""
+    from types import SimpleNamespace
+
+    from dsdneo_tpu.crypto.retevis_rc2 import RetevisRC2
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.dmr import ambe_frame as AF
+    from dsdneo_tpu.protocol.dmr.bs import DmrBsDecoder
+
+    rc = RetevisRC2.from_hex("FEDCBA9876543210FEDCBA9876543210")
+    rng = np.random.default_rng(9)
+    plain = [rng.integers(0, 2, 49).astype(np.uint8) for _ in range(3)]
+    voice216 = np.concatenate(
+        [AF.encode_ambe_ecc(rc.encrypt_frame49(p)) for p in plain])
+
+    got = []
+    import dsdneo_tpu.vocoder.mbe as mbe
+    orig = mbe.decode_ambe_2450
+
+    def spy(bits49, *a, **k):
+        got.append(np.asarray(bits49).copy())
+        return orig(bits49, *a, **k)
+
+    ctx = DecoderContext()
+    ctx.state.dmr_retevis_rc2 = rc
+    mbe.decode_ambe_2450 = spy
+    try:
+        DmrBsDecoder()._synthesize(voice216, 0, ctx)
+    finally:
+        mbe.decode_ambe_2450 = orig
+    assert len(got) == 3
+    for p, g in zip(plain, got):
+        np.testing.assert_array_equal(g, p)
