@@ -106,6 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TYT Enhanced Privacy (AES) 128-bit key")
     p.add_argument("--key-retevis", default="", metavar="HEX",
                    help="Retevis AP (RC2) key, 32 or 64 hex chars")
+    p.add_argument("--key-tyt-ap", default="", metavar="HEX",
+                   help="TYT AP (PC4) key, 32 or 64 hex chars")
     p.add_argument("--wizard", action="store_true",
                    help="interactive setup wizard (reference bootstrap "
                         "interactive mode)")
@@ -167,6 +169,9 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
     if args.key_retevis:
         from dsdneo_tpu.crypto.retevis_rc2 import RetevisRC2
         attrs["dmr_retevis_rc2"] = RetevisRC2.from_hex(args.key_retevis)
+    if args.key_tyt_ap:
+        from dsdneo_tpu.crypto.pc4 import PC4
+        attrs["dmr_tyt_ap"] = PC4.from_hex(args.key_tyt_ap)
     return attrs
 
 

@@ -357,3 +357,52 @@ def test_retevis_rc2_in_dmr_voice_path():
     assert len(got) == 3
     for p, g in zip(plain, got):
         np.testing.assert_array_equal(g, p)
+
+
+def test_pc4_tyt_ap_roundtrip():
+    """PC4 (TYT AP): derived-table cipher round-trips 49-bit frames and
+    distinct keys diverge; key-parse rules match the reference (64-hex
+    keys hash the ASCII text, 32-hex keys the reversed raw bytes)."""
+    from dsdneo_tpu.crypto.pc4 import PC4
+    pc = PC4.from_hex("0123456789ABCDEF0123456789ABCDEF")
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        p = rng.integers(0, 2, 49).astype(np.uint8)
+        e = pc.encrypt_frame49(p)
+        assert not np.array_equal(e, p)
+        np.testing.assert_array_equal(pc.decrypt_frame49(e), p)
+    pc2 = PC4.from_hex("0123456789ABCDEF0123456789ABCDE0")
+    p = rng.integers(0, 2, 49).astype(np.uint8)
+    assert not np.array_equal(pc.encrypt_frame49(p), pc2.encrypt_frame49(p))
+    with pytest.raises(ValueError):
+        PC4.from_hex("123")
+
+
+def test_pc4_in_dmr_voice_path():
+    from dsdneo_tpu.crypto.pc4 import PC4
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.dmr import ambe_frame as AF
+    from dsdneo_tpu.protocol.dmr.bs import DmrBsDecoder
+
+    pc = PC4.from_hex("00112233445566778899AABBCCDDEEFF")
+    rng = np.random.default_rng(12)
+    plain = [rng.integers(0, 2, 49).astype(np.uint8) for _ in range(3)]
+    voice216 = np.concatenate(
+        [AF.encode_ambe_ecc(pc.encrypt_frame49(p)) for p in plain])
+    got = []
+    import dsdneo_tpu.vocoder.mbe as mbe
+    orig = mbe.decode_ambe_2450
+
+    def spy(bits49, *a, **k):
+        got.append(np.asarray(bits49).copy())
+        return orig(bits49, *a, **k)
+
+    ctx = DecoderContext()
+    ctx.state.dmr_tyt_ap = pc
+    mbe.decode_ambe_2450 = spy
+    try:
+        DmrBsDecoder()._synthesize(voice216, 0, ctx)
+    finally:
+        mbe.decode_ambe_2450 = orig
+    for p, g in zip(plain, got):
+        np.testing.assert_array_equal(g, p)
