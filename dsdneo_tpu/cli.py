@@ -108,6 +108,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Retevis AP (RC2) key, 32 or 64 hex chars")
     p.add_argument("--key-tyt-ap", default="", metavar="HEX",
                    help="TYT AP (PC4) key, 32 or 64 hex chars")
+    p.add_argument("--key-baofeng", default="", metavar="HEX",
+                   help="Baofeng AP (PC5) key, 32 or 64 hex chars")
     p.add_argument("--wizard", action="store_true",
                    help="interactive setup wizard (reference bootstrap "
                         "interactive mode)")
@@ -172,6 +174,9 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
     if args.key_tyt_ap:
         from dsdneo_tpu.crypto.pc4 import PC4
         attrs["dmr_tyt_ap"] = PC4.from_hex(args.key_tyt_ap)
+    if args.key_baofeng:
+        from dsdneo_tpu.crypto.pc5 import PC5
+        attrs["dmr_baofeng_pc5"] = PC5.from_hex(args.key_baofeng)
     return attrs
 
 

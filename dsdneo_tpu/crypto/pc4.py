@@ -210,3 +210,26 @@ class PC4:
             raw = bytes.fromhex(hexstr)
             return cls(bytes(raw[15 - i] for i in range(16)))
         raise ValueError("TYT AP key must be 32 or 64 hex characters")
+
+
+def pc4_kirisun_keystream(key32: bytes, initial_state48: int) -> bytes:
+    """Kirisun rolling keystream (reference crypt-pc4.c
+    pc4_kirisun_generate_keystream): 18 frames of 6 PC4-encrypted state
+    bytes (+1 gap byte), the 48-bit state rotating left by one between
+    frames."""
+    pc = PC4(key32)
+    out = bytearray(126)
+    state = initial_state48 & 0xFFFFFFFFFFFF
+    k = 0
+    for _ in range(18):
+        blk = [(state >> (40 - 8 * i)) & 0xFF for i in range(6)]
+        enc, _totb = pc._encrypt_block(blk)
+        state = 0
+        for b in enc:
+            state = (state << 8) | b
+        state = ((state << 1) | (state >> 47)) & 0xFFFFFFFFFFFF
+        for b in enc:
+            out[k] = b
+            k += 1
+        k += 1          # gap byte stays zero
+    return bytes(out)

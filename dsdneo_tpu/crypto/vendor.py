@@ -171,3 +171,20 @@ def tyt_ep_keystream49(user_key128: int) -> np.ndarray:
     iv = bytes(ukey[15 - i] for i in range(16))
     ks = aes_ofb_keystream(_TYT_EP_STATIC_KEY, iv, 16)
     return np.unpackbits(np.asarray(ks, dtype=np.uint8))[:49].copy()
+
+
+def kirisun_adv_keystream(user_key32: bytes, mi: int) -> bytes:
+    """Kirisun 'advanced' keystream derivation (reference
+    crypt-kirisun.c kirisun_adv_keystream_creation): real_key =
+    md2ii-32(user_key); state = first 48 bits of
+    md2ii-32(mi_be4 ‖ real_key); keystream = the PC4 rolling generator
+    over 18 voice frames."""
+    from dsdneo_tpu.crypto.pc4 import pc4_kirisun_keystream
+    from dsdneo_tpu.crypto.retevis_rc2 import md2ii_hash
+    real_key = md2ii_hash(bytes(user_key32[:32]), 32, 32)
+    mi_bytes = int(mi).to_bytes(4, "big")
+    hash32 = md2ii_hash(mi_bytes + real_key, 32, 32)
+    state = 0
+    for i in range(6):
+        state = (state << 8) | hash32[i]
+    return pc4_kirisun_keystream(bytes(user_key32[:32]), state)

@@ -580,6 +580,7 @@ class DmrBsDecoder(ProtocolDecoder):
         tyt16 = getattr(s_obj, "dmr_tyt16_key", None)
         retevis = getattr(s_obj, "dmr_retevis_rc2", None)
         tyt_ap = getattr(s_obj, "dmr_tyt_ap", None)
+        baofeng = getattr(s_obj, "dmr_baofeng_pc5", None)
         tyt_ep = getattr(s_obj, "dmr_tyt_ep_key", None)
         tyt_ep_ks = None
         if tyt_ep is not None:
@@ -603,6 +604,8 @@ class DmrBsDecoder(ProtocolDecoder):
                 bits49 = retevis.decrypt_frame49(bits49)
             if tyt_ap is not None:
                 bits49 = tyt_ap.decrypt_frame49(bits49)
+            if baofeng is not None:
+                bits49 = baofeng.decrypt_frame49(bits49)
             sink = getattr(ctx, "mbe_sink", None)
             if sink is not None:
                 sink.write(bits49, _errs)

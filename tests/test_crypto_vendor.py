@@ -406,3 +406,33 @@ def test_pc4_in_dmr_voice_path():
         mbe.decode_ambe_2450 = orig
     for p, g in zip(plain, got):
         np.testing.assert_array_equal(g, p)
+
+
+def test_pc5_baofeng_ap_roundtrip():
+    from dsdneo_tpu.crypto.pc5 import PC5
+    pc = PC5.from_hex("0123456789ABCDEF0123456789ABCDEF")
+    rng = np.random.default_rng(13)
+    for _ in range(3):
+        p = rng.integers(0, 2, 49).astype(np.uint8)
+        e = pc.encrypt_frame49(p)
+        assert not np.array_equal(e, p)
+        np.testing.assert_array_equal(pc.decrypt_frame49(e), p)
+    # tail mask covers bits 24-48 (block cipher only the first 24)
+    assert pc.tail.shape == (25,)
+    with pytest.raises(ValueError):
+        PC5.from_hex("zz")
+
+
+def test_kirisun_adv_keystream():
+    """Kirisun ADV: PC4-generated 126-byte rolling keystream, chained
+    6-byte blocks with the 48-bit state rotated between frames and a
+    gap byte per frame (reference crypt-kirisun.c + crypt-pc4.c
+    pc4_kirisun_generate_keystream)."""
+    from dsdneo_tpu.crypto.vendor import kirisun_adv_keystream
+    key = bytes(range(32))
+    ks1 = kirisun_adv_keystream(key, mi=0x12345678)
+    ks2 = kirisun_adv_keystream(key, mi=0x12345678)
+    ks3 = kirisun_adv_keystream(key, mi=0x12345679)
+    assert len(ks1) == 126 and ks1 == ks2 and ks1 != ks3
+    # one zero gap byte per 7-byte frame stride
+    assert all(ks1[7 * f + 6] == 0 for f in range(18))
