@@ -150,7 +150,10 @@ def main() -> int:
     import jax
     _enable_compile_cache()
 
-    C_audio = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # 128 audio channels is the measured sweet spot on the tunneled
+    # single chip (465x vs 377x at 64 and 138x at 256, where the
+    # host+transfer side goes superlinear)
+    C_audio = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     C_fe = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
     audio_x, audio_step_s, block_s, frames = bench_full_chain(C_audio)
