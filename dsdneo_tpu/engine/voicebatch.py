@@ -280,17 +280,32 @@ class BatchedP25VoicePipeline:
         bits88, _errs = fdev.imbe_ecc_batch(frames144)
         bits88 = np.asarray(bits88)
 
+        # two-pass dequantize: the heavy per-(L,K) transforms run over
+        # ALL frames at once; only the cheap inter-frame prediction
+        # recurrence walks time steps
+        from dsdneo_tpu.vocoder.batch import decode_transforms, run_prediction
+        T_all, w0_all, L_all, K_all = decode_transforms(bits88)
         n_steps = int(forder.max()) + 1
         w0s = np.zeros((self.C, n_steps), dtype=np.float32)
         amps = np.zeros((self.C, n_steps, MAX_L), dtype=np.float32)
         voiced = np.zeros((self.C, n_steps, MAX_L), dtype=np.float32)
         for t in range(n_steps):
             sel = forder == t
+            ch = fch[sel]
+            T = np.zeros((self.C, MAX_L))
+            w0c = np.zeros(self.C)
+            Lc = np.ones(self.C, dtype=np.int64)
+            Kc = np.ones(self.C, dtype=np.int64) * 3
             S = np.zeros((self.C, 88), dtype=np.uint8)
             act = np.zeros(self.C, dtype=bool)
-            S[fch[sel]] = bits88[sel]
-            act[fch[sel]] = True
-            w0_t, L_t, v_t, a_t = self.imbe_dec.step(S, act)
+            T[ch] = T_all[sel]
+            w0c[ch] = w0_all[sel]
+            Lc[ch] = L_all[sel]
+            Kc[ch] = K_all[sel]
+            S[ch] = bits88[sel]
+            act[ch] = True
+            w0_t, L_t, v_t, a_t = run_prediction(self.imbe_dec, T, w0c, Lc,
+                                                 Kc, S, act)
             w0s[:, t] = w0_t
             voiced[:, t] = v_t
             amps[:, t] = a_t

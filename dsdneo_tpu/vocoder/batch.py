@@ -173,3 +173,73 @@ class BatchedImbeDecoder:
         amps[idx_act] = (np.exp2(np.clip(logm, -4.0, 14.0)) * mask
                          * _IMBE_AMP_SCALE).astype(np.float32)
         return w0o, Lo, voiced, amps
+
+
+def decode_transforms(S_all: np.ndarray):
+    """Pass 1 (fully vectorized over ALL frames): extract headers and
+    apply the per-(L,K) amplitude transforms → (T_full [F, MAX_L],
+    w0 [F], L [F], K [F]).  Prediction is NOT applied here — pass 2
+    (:func:`run_prediction`) handles the sequential part."""
+    F = S_all.shape[0]
+    gain, b0 = _extract_header(S_all)
+    b0c = np.clip(b0, 0, 207)
+    w0 = 4.0 * np.pi / (b0c + 39.5)
+    L = (0.9254 * ((np.pi / w0) + 0.25).astype(np.int64)).astype(np.int64)
+    L = np.clip(L, 9, MAX_L)
+    K = np.minimum((L + 2) // 3, 12)
+    T_full = np.zeros((F, MAX_L))
+    for (Lg, Kg) in {(int(a), int(b)) for a, b in zip(L, K)}:
+        sel = np.flatnonzero((L == Lg) & (K == Kg))
+        pos, W, steps, offs, A = _group_tables(Lg, Kg)
+        bits = S_all[sel][:, pos].astype(np.int64)
+        codes = bits @ W.T
+        x = (codes - offs) * steps
+        G1 = imbe.GAIN_MIN + gain[sel] * imbe.GAIN_STEP
+        coef = np.concatenate([G1[:, None], x], axis=1)
+        T_full[sel, :Lg] = coef @ A.T
+    return T_full, w0, L, K
+
+
+def run_prediction(dec: "BatchedImbeDecoder", T: np.ndarray,
+                   w0: np.ndarray, L: np.ndarray, K: np.ndarray,
+                   S_all: np.ndarray, active: np.ndarray):
+    """Pass 2: the sequential inter-frame prediction recurrence for ONE
+    time step across all channels (cheap [C, MAX_L] numpy ops), exactly
+    matching BatchedImbeDecoder.step()."""
+    C = dec.C
+    w0o = np.zeros(C)
+    Lo = np.zeros(C, dtype=np.int64)
+    voiced = np.zeros((C, MAX_L), dtype=np.float32)
+    amps = np.zeros((C, MAX_L), dtype=np.float32)
+    idx = np.flatnonzero(active)
+    if idx.size == 0:
+        return w0o, Lo, voiced, amps
+    lidx = np.arange(1, MAX_L + 1)[None, :]
+    pl = dec.prev_L[idx][:, None]
+    k = np.where(pl > 0, lidx * pl / np.maximum(L[idx][:, None], 1), 1.0) - 1.0
+    k0 = np.clip(np.floor(k).astype(np.int64), 0, np.maximum(pl - 1, 0))
+    k1 = np.minimum(k0 + 1, np.maximum(pl - 1, 0))
+    frac = np.clip(k - k0, 0.0, 1.0)
+    src = dec.prev_logm[idx]
+    pred_full = (1 - frac) * np.take_along_axis(src, k0, axis=1) \
+        + frac * np.take_along_axis(src, k1, axis=1)
+    mask = lidx <= L[idx][:, None]
+    pvalid = np.where(mask, pred_full, 0.0)
+    pmean = pvalid.sum(axis=1) / L[idx]
+    pred = imbe.PRED_DECAY * (pvalid - pmean[:, None]) * mask
+    has_prev = (dec.prev_L[idx] > 0)[:, None]
+    logm = (T[idx] + np.where(has_prev, pred, 0.0)) * mask
+
+    band = np.minimum((lidx - 1) // 3, (K[idx] - 1)[:, None])
+    vbits = S_all[idx][:, imbe.VOICING_START:imbe.VOICING_START + 12]
+    v = np.take_along_axis(np.asarray(vbits, np.float32), band, axis=1) * mask
+
+    dec.prev_logm[idx] = logm
+    dec.prev_L[idx] = L[idx]
+    w0o[idx] = w0[idx]
+    Lo[idx] = L[idx]
+    voiced[idx] = v.astype(np.float32)
+    from dsdneo_tpu.vocoder.mbe import _IMBE_AMP_SCALE
+    amps[idx] = (np.exp2(np.clip(logm, -4.0, 14.0)) * mask
+                 * _IMBE_AMP_SCALE).astype(np.float32)
+    return w0o, Lo, voiced, amps

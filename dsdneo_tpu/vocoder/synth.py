@@ -57,10 +57,11 @@ def synthesize(w0: jax.Array, amps: jax.Array, voiced: jax.Array,
 
     phase = theta[:, :, None] * l_idx[None, None, :]            # [F,N,L]
     v = voiced[:, None, :]
-    # unvoiced: random phase + dither spreads the line spectrum
+    # unvoiced: random phase + dither spreads the line spectrum; select
+    # the PHASE per harmonic so cos evaluates once, not per branch
     uv_phase = (phase * (1.0 + 0.03 * jnp.sin(noise_phase[:, None, :] * 7.1))
                 + noise_phase[:, None, :])
-    wave = jnp.where(v > 0.5, jnp.cos(phase), jnp.cos(uv_phase))
+    wave = jnp.cos(jnp.where(v > 0.5, phase, uv_phase))
     pcm = 2.0 * jnp.sum(a_t * wave, axis=-1)                    # [F,N]
     return pcm
 

@@ -103,3 +103,23 @@ def test_pipeline_produces_pcm():
     assert pcm.shape[0] == C and pcm.shape[1] >= 60 * 160
     rms = np.sqrt((pcm ** 2).mean())
     assert np.isfinite(pcm).all() and rms > 1e-4
+
+
+def test_two_pass_dequant_matches_step():
+    """decode_transforms + run_prediction must equal the one-pass
+    BatchedImbeDecoder.step chain exactly."""
+    from dsdneo_tpu.vocoder.batch import (BatchedImbeDecoder,
+                                          decode_transforms, run_prediction)
+    rng = np.random.default_rng(4)
+    C, Tn = 6, 10
+    S_seq = [rng.integers(0, 2, (C, 88)).astype(np.uint8) for _ in range(Tn)]
+    acts = [rng.uniform(size=C) > 0.25 for _ in range(Tn)]
+
+    ref = BatchedImbeDecoder(C)
+    two = BatchedImbeDecoder(C)
+    for S, act in zip(S_seq, acts):
+        a = ref.step(S, act)
+        T_all, w0_all, L_all, K_all = decode_transforms(S)
+        b = run_prediction(two, T_all, w0_all, L_all, K_all, S, act)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, rtol=1e-12, atol=0)
