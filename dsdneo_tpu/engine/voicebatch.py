@@ -151,11 +151,30 @@ class BatchedP25VoicePipeline:
                     use_pallas=use_pallas)
                 sc = correlate_syncs_device(soft, names)   # [C, P, T']
                 best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
-                best_score = jnp.max(sc, axis=1).astype(jnp.float16)
-                return dibits, best_def, best_score
+                # score quantized to 1/128 steps (the picker thresholds
+                # at ~0.62; quantization noise ~0.008 is far below the
+                # pattern-correlation noise floor)
+                bs_q = jnp.clip(jnp.max(sc, axis=1) * 127.0, 0, 255
+                                ).astype(jnp.uint8)
+                # pack dibits 4-per-byte: the tunnel transfer dominates
+                # the warm chain, so every fetched byte counts
+                pad = (-dibits.shape[1]) % 4
+                dp = jnp.pad(dibits, ((0, 0), (0, pad)))
+                dp = (dp[:, 0::4] << 6) | (dp[:, 1::4] << 4) | \
+                     (dp[:, 2::4] << 2) | dp[:, 3::4]
+                return dp, best_def, bs_q
             self._frontend_jits[key] = fn
-        d, bd, bs = fn(iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
-        return np.asarray(d), np.asarray(bd), np.asarray(bs)
+        dp, bd, bs_q = fn(iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        dp = np.asarray(dp)
+        # unpack on host
+        T = n_sym
+        dib = np.zeros((dp.shape[0], dp.shape[1] * 4), dtype=np.uint8)
+        dib[:, 0::4] = (dp >> 6) & 3
+        dib[:, 1::4] = (dp >> 4) & 3
+        dib[:, 2::4] = (dp >> 2) & 3
+        dib[:, 3::4] = dp & 3
+        bs = np.asarray(bs_q).astype(np.float32) / 127.0
+        return dib[:, :T], np.asarray(bd), bs
 
     def frontend(self, iq: np.ndarray, use_pallas: bool | None = None):
         # must run under jit: frontend_step builds a complex rotation
@@ -310,18 +329,24 @@ class BatchedP25VoicePipeline:
             voiced[:, t] = v_t
             amps[:, t] = a_t
 
-        pcm = _synth_multichannel(jnp.asarray(w0s), jnp.asarray(amps),
-                                  jnp.asarray(voiced))
-        return np.asarray(pcm).reshape(self.C, -1)
+        pcm = _synth_multichannel(jnp.asarray(w0s),
+                                  jnp.asarray(amps.astype(np.float16)),
+                                  jnp.asarray(voiced.astype(np.float16)))
+        return np.asarray(pcm).astype(np.float32).reshape(self.C, -1)
 
 
 @jax.jit
 def _synth_multichannel(w0: jax.Array, amps: jax.Array, voiced: jax.Array
                         ) -> jax.Array:
-    """[C, F] / [C, F, L] → [C, F, 160]: per-channel phase-continuous
-    harmonic synthesis (vmap of the single-channel kernel)."""
+    """[C, F] / [C, F, L] → [C, F, 160] float16: per-channel
+    phase-continuous harmonic synthesis (vmap of the single-channel
+    kernel; f16 output halves the tunnel fetch, far above audio noise
+    floor)."""
     from dsdneo_tpu.vocoder.synth import synthesize
     C, F, L = amps.shape
     noise = (jnp.mod(jnp.arange(C * F * L, dtype=jnp.float32) * 2.399963,
                      2 * jnp.pi)).reshape(C, F, L)
-    return jax.vmap(synthesize)(w0, amps, voiced, noise)
+    out = jax.vmap(synthesize)(w0.astype(jnp.float32),
+                               amps.astype(jnp.float32),
+                               voiced.astype(jnp.float32), noise)
+    return out.astype(jnp.float16)
