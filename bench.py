@@ -153,7 +153,7 @@ def main() -> int:
     _enable_compile_cache()
 
     # 192 audio channels is the measured sweet spot on the tunneled
-    # single chip with packed transfers (807x vs 669x at 128 and 550x
+    # single chip with the single-dispatch device decode (1059x vs 891x
     # at 256, where the host+transfer side goes superlinear)
     C_audio = int(sys.argv[1]) if len(sys.argv) > 1 else 192
     C_fe = int(sys.argv[2]) if len(sys.argv) > 2 else 256

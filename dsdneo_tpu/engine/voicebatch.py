@@ -290,7 +290,41 @@ class BatchedP25VoicePipeline:
 
         ``iq`` may be host numpy or an already-device-resident array
         (jax.device_put) — production feeds pre-transfer blocks so the
-        infeed overlaps compute."""
+        infeed overlaps compute.  After the host sync hunt, ECC +
+        dequantization + prediction + synthesis run as ONE device
+        dispatch (vocoder.device.voice_decode_device); only the f16 PCM
+        crosses the tunnel back."""
+        from dsdneo_tpu.vocoder.device import voice_decode_device
+        dibits, best_def, best_score = self.frontend_sync(iq)
+        frames144, fch, forder = self.find_voice_frames_best(
+            dibits, best_def, best_score, dibits.shape[1])
+        F = frames144.shape[0]
+        if F == 0:
+            return np.zeros((self.C, 0), dtype=np.float32)
+        n_steps = int(forder.max()) + 1
+        # pad to shape buckets so repeated blocks reuse the compiled
+        # program (frames to 256s, steps to LDU multiples of 27)
+        Fp = -(-F // 256) * 256
+        Tp = -(-n_steps // 27) * 27
+        f144 = np.zeros((Fp, 144), dtype=np.uint8)
+        f144[:F] = frames144
+        fchp = np.full(Fp, self.C, dtype=np.int32)   # pad row C: dropped
+        fchp[:F] = fch
+        fordp = np.zeros(Fp, dtype=np.int32)
+        fordp[:F] = forder
+        pcm, f_logm, f_L, _aux = voice_decode_device(
+            jnp.asarray(f144), jnp.asarray(fchp), jnp.asarray(fordp),
+            jnp.asarray(self.imbe_dec.prev_logm.astype(np.float32)),
+            jnp.asarray(self.imbe_dec.prev_L.astype(np.int32)),
+            self.C, Tp)
+        self.imbe_dec.prev_logm = np.asarray(f_logm).astype(np.float64)
+        self.imbe_dec.prev_L = np.asarray(f_L).astype(np.int64)
+        return np.asarray(pcm).astype(np.float32).reshape(self.C, -1)
+
+    def decode_block_host(self, iq) -> np.ndarray:
+        """Host-dequant variant of decode_block (reference numerics for
+        the device path's parity test; same chain, numpy two-pass
+        dequantization + separate synth dispatch)."""
         dibits, best_def, best_score = self.frontend_sync(iq)
         frames144, fch, forder = self.find_voice_frames_best(
             dibits, best_def, best_score, dibits.shape[1])

@@ -229,18 +229,23 @@ def _imbe_ecc_jit():
     gather, pn, seed_of_msg, param_g, param_h, g23 = _imbe_consts()
     from dsdneo_tpu.protocol.p25 import imbe_frame as IF
     h15 = blockcodes_h15_codebook()
-    pm_g = jnp.asarray((1.0 - 2.0 * g23.codebook).astype(np.float32))
-    cb_g = jnp.asarray(g23.codebook)
-    pm_h = jnp.asarray((1.0 - 2.0 * h15).astype(np.float32))
-    cb_h = jnp.asarray(h15)
-    gth = jnp.asarray(gather.reshape(-1))
-    pn_t = jnp.asarray(pn)
-    seed_t = jnp.asarray(seed_of_msg)
-    pg = jnp.asarray(param_g)
-    ph = jnp.asarray(param_h)
+    # numpy-only in the closure: this cache outlives any single trace,
+    # and jnp constants created while tracing an OUTER jit (e.g.
+    # voice_decode_device) would leak that trace's tracers
+    pm_g_n = (1.0 - 2.0 * g23.codebook).astype(np.float32)
+    cb_g_n = g23.codebook
+    pm_h_n = (1.0 - 2.0 * h15).astype(np.float32)
+    cb_h_n = h15
+    gth_n = gather.reshape(-1)
+    pn_n, seed_n, pg_n, ph_n = pn, seed_of_msg, param_g, param_h
 
     @jax.jit
     def run(bits144):                 # [F, 144] uint8
+        pm_g, cb_g = jnp.asarray(pm_g_n), jnp.asarray(cb_g_n)
+        pm_h, cb_h = jnp.asarray(pm_h_n), jnp.asarray(cb_h_n)
+        gth, pn_t = jnp.asarray(gth_n), jnp.asarray(pn_n)
+        seed_t, pg, ph = (jnp.asarray(seed_n), jnp.asarray(pg_n),
+                          jnp.asarray(ph_n))
         F = bits144.shape[0]
         fr = bits144[:, gth].reshape(F, 8, 23)               # [F, 8, 23]
 
@@ -287,4 +292,8 @@ def imbe_ecc_batch(bits144: np.ndarray) -> tuple[jax.Array, jax.Array]:
     behavior identical to the host syndrome decode; ≥2-bit errors decode
     to the nearest codeword instead of being flagged, which can differ
     from the host's corrections counter by design)."""
-    return _imbe_ecc_jit()(jnp.asarray(np.asarray(bits144, dtype=np.uint8)))
+    if isinstance(bits144, jax.core.Tracer) or isinstance(bits144, jax.Array):
+        x = bits144.astype(jnp.uint8)       # already traced / on device
+    else:
+        x = jnp.asarray(np.asarray(bits144, dtype=np.uint8))
+    return _imbe_ecc_jit()(x)

@@ -1,0 +1,184 @@
+"""Single-dispatch device voice decode: ECC'd parameter bits → PCM.
+
+The batched pipeline's remaining host work (per-(L,K) amplitude
+transforms, the inter-frame prediction recurrence, and the synth
+upload/fetch round trips) all collapse into ONE jitted program here:
+
+  [F, 88] parameter bits ──(scatter by channel/step)──►
+  per-L table gather → dequant matmul → prediction lax.scan over time
+  → harmonic synthesis → [C, T, 160] f16 PCM
+
+K is a pure function of L (K = min((L+2)//3, 12)), so every per-(L,K)
+table from :mod:`dsdneo_tpu.vocoder.batch` stacks into dense [48, ...]
+constants indexed by L-9 on device — no data-dependent shapes.
+
+Numerics match the host two-pass path (decode_transforms +
+run_prediction + synth) to f32 rounding; asserted in
+tests/test_voicebatch.py.
+
+Reference behavior: the IMBE dequantizer contract of
+mbelib/imbe7200x4400.c as recovered in vocoder/imbe.py (PARITY.md
+"IMBE parameter-bit layout").
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsdneo_tpu.vocoder import imbe
+
+MAX_L = imbe.MAX_L          # 56
+L_MIN = 9
+N_L = MAX_L - L_MIN + 1     # 48 distinct L groups
+MAX_BITS = 70               # >= max amplitude bit count (73 - K_min)
+MAX_VALS = 55               # 5 gain PRBA values + (L-6) DCT coeffs, L<=56
+
+
+@lru_cache(maxsize=None)
+def _stacked_tables():
+    """Dense per-L constant tables, padded to fixed shapes:
+    POS [N_L, MAX_BITS], W [N_L, MAX_BITS, MAX_VALS] (codes = bits @ W),
+    STEPS/OFFS [N_L, MAX_VALS], A [N_L, MAX_VALS+1, MAX_L]
+    (T = [G1, x] @ A)."""
+    from dsdneo_tpu.vocoder.batch import _group_tables
+    POS = np.zeros((N_L, MAX_BITS), dtype=np.int32)
+    W = np.zeros((N_L, MAX_BITS, MAX_VALS), dtype=np.float32)
+    STEPS = np.zeros((N_L, MAX_VALS), dtype=np.float32)
+    OFFS = np.zeros((N_L, MAX_VALS), dtype=np.float32)
+    A = np.zeros((N_L, MAX_VALS + 1, MAX_L), dtype=np.float32)
+    for L in range(L_MIN, MAX_L + 1):
+        K = min((L + 2) // 3, 12)
+        pos, Wg, steps, offs, Ag = _group_tables(L, K)
+        i = L - L_MIN
+        nb, nv = len(pos), Wg.shape[0]
+        POS[i, :nb] = pos
+        W[i, :nb, :nv] = Wg.T
+        STEPS[i, :nv] = steps
+        OFFS[i, :nv] = offs
+        # coef layout [G1, x...]: A row 0 is the G1 column of Ag
+        A[i, 0, :L] = Ag[:, 0]
+        A[i, 1:nv + 1, :L] = Ag[:, 1:].T
+    return POS, W, STEPS, OFFS, A
+
+
+def _headers(S):
+    """[F, 88] float bits → (gain_code, b0, w0, L, K) on device,
+    mirroring batch._extract_header + decode_transforms."""
+    gshift = jnp.asarray([1 << (5 - i) for i in range(6)], jnp.float32)
+    gain = S[:, jnp.asarray(imbe.GAIN_POS)] @ gshift
+    bshift = jnp.asarray([1 << (7 - i) for i in range(6)], jnp.float32)
+    b0 = S[:, jnp.asarray(imbe.B0_HI_POS)] @ bshift
+    b0 += S[:, imbe.B0_LO_POS[0]] * 2.0 + S[:, imbe.B0_LO_POS[1]]
+    b0c = jnp.clip(b0, 0.0, 207.0)
+    w0 = 4.0 * jnp.pi / (b0c + 39.5)
+    # host: L = int(0.9254 * int(pi/w0 + 0.25))
+    L = jnp.floor(0.9254 * jnp.floor(jnp.pi / w0 + 0.25)).astype(jnp.int32)
+    L = jnp.clip(L, L_MIN, MAX_L)
+    K = jnp.minimum((L + 2) // 3, 12)
+    return gain, w0, L, K
+
+
+def _transforms(S):
+    """[F, 88] bits → (T_full [F, MAX_L], w0 [F], L [F], K [F]):
+    device equivalent of batch.decode_transforms."""
+    POS, W, STEPS, OFFS, A = (jnp.asarray(t) for t in _stacked_tables())
+    Sf = S.astype(jnp.float32)
+    gain, w0, L, K = _headers(Sf)
+    li = L - L_MIN                                        # [F] table index
+    bits = jnp.take_along_axis(Sf, POS[li], axis=1)       # [F, MAX_BITS]
+    codes = jnp.einsum("fb,fbv->fv", bits, W[li])         # [F, MAX_VALS]
+    x = (codes - OFFS[li]) * STEPS[li]
+    G1 = imbe.GAIN_MIN + gain * imbe.GAIN_STEP
+    coef = jnp.concatenate([G1[:, None], x], axis=1)      # [F, MAX_VALS+1]
+    T = jnp.einsum("fc,fcl->fl", coef, A[li])             # [F, MAX_L]
+    return T, w0, L, K
+
+
+def _prediction_scan(T, w0, L, K, V, act, prev_logm, prev_L):
+    """lax.scan over time of the inter-frame log-amplitude prediction
+    (device equivalent of batch.run_prediction).  Inputs are [C, T_n,
+    ...] scattered arrays; V is the 12 voicing band bits [C, T_n, 12].
+    Returns (w0s, voiced, amps) [C, T_n, ...] and final state."""
+    lidx = jnp.arange(1, MAX_L + 1, dtype=jnp.float32)[None, :]   # [1, L]
+
+    def body(carry, xs):
+        p_logm, p_L = carry
+        T_t, w0_t, L_t, K_t, V_t, a_t = xs
+        Lf = L_t.astype(jnp.float32)[:, None]
+        pl = p_L.astype(jnp.float32)[:, None]
+        k = jnp.where(pl > 0, lidx * pl / jnp.maximum(Lf, 1.0), 1.0) - 1.0
+        kmax = jnp.maximum(p_L - 1, 0)[:, None]
+        k0 = jnp.clip(jnp.floor(k).astype(jnp.int32), 0, kmax)
+        k1 = jnp.minimum(k0 + 1, kmax)
+        frac = jnp.clip(k - k0, 0.0, 1.0)
+        g0 = jnp.take_along_axis(p_logm, k0, axis=1)
+        g1 = jnp.take_along_axis(p_logm, k1, axis=1)
+        pred_full = (1.0 - frac) * g0 + frac * g1
+        mask = (lidx <= Lf).astype(jnp.float32)
+        pvalid = pred_full * mask
+        pmean = pvalid.sum(axis=1, keepdims=True) / jnp.maximum(Lf, 1.0)
+        pred = imbe.PRED_DECAY * (pvalid - pmean) * mask
+        has_prev = (p_L > 0)[:, None]
+        logm = (T_t + jnp.where(has_prev, pred, 0.0)) * mask
+
+        band = jnp.minimum((jnp.arange(MAX_L)[None, :] // 3),
+                           (K_t - 1)[:, None])
+        v = jnp.take_along_axis(V_t, band, axis=1) * mask
+
+        am = a_t[:, None].astype(jnp.float32)
+        n_logm = jnp.where(am > 0, logm, p_logm)
+        n_L = jnp.where(a_t > 0, L_t, p_L)
+        from dsdneo_tpu.vocoder.mbe import _IMBE_AMP_SCALE
+        amps = (jnp.exp2(jnp.clip(logm, -4.0, 14.0)) * mask
+                * _IMBE_AMP_SCALE) * am
+        return (n_logm, n_L), (w0_t * a_t, v * am, amps)
+
+    xs = tuple(jnp.swapaxes(a, 0, 1) for a in (T, w0, L, K, V, act))
+    (f_logm, f_L), (w0s, voiced, amps) = jax.lax.scan(
+        body, (prev_logm, prev_L), xs)
+    return (jnp.swapaxes(w0s, 0, 1), jnp.swapaxes(voiced, 0, 1),
+            jnp.swapaxes(amps, 0, 1), f_logm, f_L)
+
+
+@partial(jax.jit, static_argnames=("C", "n_steps"))
+def voice_decode_device(frames144, fch, forder, prev_logm, prev_L,
+                        C: int, n_steps: int):
+    """[F, 144] interleaved voice-frame bits (+ their channel/time-step
+    indices; pad frames use fch == C) → ([C, n_steps, 160] f16 PCM,
+    final prediction state, aux dequant outputs).
+
+    One device dispatch for ECC + dequant + prediction + synthesis —
+    the production fast path of BatchedP25VoicePipeline.decode_block.
+    """
+    from dsdneo_tpu.fec.device import imbe_ecc_batch
+    from dsdneo_tpu.vocoder.synth import synthesize
+
+    bits88, _errs = imbe_ecc_batch(frames144)             # [F, 88]
+    T, w0, L, K = _transforms(bits88)
+    V = bits88[:, imbe.VOICING_START:imbe.VOICING_START + 12
+               ].astype(jnp.float32)                       # [F, 12]
+
+    # scatter frames to [C+1, n_steps, ...] (row C swallows padding)
+    def scat(vals, shape, dtype):
+        z = jnp.zeros((C + 1, n_steps) + shape, dtype)
+        return z.at[fch, forder].set(vals.astype(dtype))[:C]
+
+    Ts = scat(T, (MAX_L,), jnp.float32)
+    w0s = scat(w0, (), jnp.float32)
+    Ls = scat(L, (), jnp.int32)
+    Ks = jnp.maximum(scat(K, (), jnp.int32), 1)
+    Vs = scat(V, (12,), jnp.float32)
+    act = scat(jnp.ones(frames144.shape[0], jnp.float32), (), jnp.float32)
+
+    w0o, voiced, amps, f_logm, f_L = _prediction_scan(
+        Ts, w0s, jnp.maximum(Ls, 1), Ks, Vs, act, prev_logm, prev_L)
+
+    F_ = n_steps
+    noise = (jnp.mod(jnp.arange(C * F_ * MAX_L, dtype=jnp.float32)
+                     * 2.399963, 2 * jnp.pi)).reshape(C, F_, MAX_L)
+    pcm = jax.vmap(synthesize)(w0o, amps, voiced, noise)
+    return pcm.astype(jnp.float16), f_logm, f_L, (w0o, voiced, amps)

@@ -105,6 +105,28 @@ def test_pipeline_produces_pcm():
     assert np.isfinite(pcm).all() and rms > 1e-4
 
 
+def test_device_decode_matches_host():
+    """The single-dispatch device decode (ECC+dequant+prediction+synth
+    in one jit) must match the host two-pass decode_block_host path on
+    the real fixture (tolerance covers the host path's f16 amps
+    quantization before synth)."""
+    from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
+    from dsdneo_tpu.io import read_iq_capture
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/p25p1_c4fm_vc.iq.json")
+    C = 2
+    iq = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq[None], (C,) + iq.shape).copy()
+    a = BatchedP25VoicePipeline(C).decode_block(iq)
+    b = BatchedP25VoicePipeline(C).decode_block_host(iq)
+    n = min(a.shape[1], b.shape[1])
+    assert n > 0 and a.shape[1] % n == 0
+    # padded tail (if any) must be silence
+    assert not np.abs(a[:, n:]).any() or np.abs(a[:, n:]).max() < 1e-6
+    scale = np.abs(b[:, :n]).max()
+    np.testing.assert_allclose(a[:, :n], b[:, :n], atol=2e-2 * scale)
+
+
 def test_two_pass_dequant_matches_step():
     """decode_transforms + run_prediction must equal the one-pass
     BatchedImbeDecoder.step chain exactly."""
