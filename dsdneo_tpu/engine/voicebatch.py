@@ -111,6 +111,9 @@ class BatchedP25VoicePipeline:
     # competition); only positive hits are voice-decoded here — inverted
     # channels are handled by the event-driven path
     SYNC_NAMES = ("+P25p1", "-P25p1")
+    # sync candidates fetched per channel per block (device top-k);
+    # a 3 s block carries ~17 LDU syncs + peak-shoulder neighbors
+    SYNC_TOPK = 512
 
     def __init__(self, C: int, fs: float = 48000.0,
                  sync_threshold: float = 0.62):
@@ -144,6 +147,12 @@ class BatchedP25VoicePipeline:
             taps = self.taps
             names = self.SYNC_NAMES
 
+            defs, _, _, n_max_pat = _sync_kernel(self.SYNC_NAMES)
+            k_cand = min(self.SYNC_TOPK, n_sym - n_max_pat + 1)
+            n_pat = len(defs[0].pattern)
+            nid_strip = _status_strip_map(n_pat, 32)       # [32] offsets
+            bch_pm = self.bch.pm.astype(np.float32)        # [65536, 63]
+
             @jax.jit
             def fn(x):
                 dibits, soft, power = frontend_step(
@@ -151,20 +160,45 @@ class BatchedP25VoicePipeline:
                     use_pallas=use_pallas)
                 sc = correlate_syncs_device(soft, names)   # [C, P, T']
                 best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
-                # score quantized to 1/128 steps (the picker thresholds
-                # at ~0.62; quantization noise ~0.008 is far below the
-                # pattern-correlation noise floor)
-                bs_q = jnp.clip(jnp.max(sc, axis=1) * 127.0, 0, 255
-                                ).astype(jnp.uint8)
+                bs = jnp.max(sc, axis=1)                   # [C, T']
+                # only the top-K candidate positions per channel cross
+                # the tunnel (the picker thresholds at ~0.62; anything
+                # beyond K sync-like peaks per block is pathological);
+                # scores quantized to 1/128 steps, far below the
+                # pattern-correlation noise floor
+                vals, idx = jax.lax.top_k(bs, k_cand)      # [C, K]
+                vq = jnp.clip(vals * 127.0, 0, 255).astype(jnp.uint8)
+                dq = jnp.take_along_axis(best_def, idx, axis=1)
+                # NID BCH(63,16) ML decode for the strongest candidates,
+                # on device: the positions are already known here, and
+                # the [C·Kn, 63]×[63, 65536] codebook matmul is MXU work
+                # (bf16 operands — products are ±1 so f32 accumulation
+                # is exact) — saves the hunt a third device round trip.
+                # Kn is capped to bound the [C·Kn, 65536] score tile.
+                k_nid = min(128, k_cand)
+                idx_n = idx[:, :k_nid]
+                Cn = dibits.shape[0]
+                gpos = jnp.clip(idx_n[:, :, None] + jnp.asarray(nid_strip),
+                                0, dibits.shape[1] - 1)     # [C, Kn, 32]
+                nd = dibits[jnp.arange(Cn)[:, None, None], gpos]
+                b64 = jnp.stack([(nd >> 1) & 1, nd & 1], axis=-1
+                                ).reshape(Cn, k_nid, 64)
+                s = (1.0 - 2.0 * b64[..., :63].astype(jnp.float32)
+                     ).astype(jnp.bfloat16)
+                msg = jnp.argmax(
+                    s.reshape(-1, 63) @ jnp.asarray(bch_pm).astype(
+                        jnp.bfloat16).T, axis=-1
+                    ).astype(jnp.uint16).reshape(Cn, k_nid)  # [C, Kn]
                 # pack dibits 4-per-byte: the tunnel transfer dominates
                 # the warm chain, so every fetched byte counts
                 pad = (-dibits.shape[1]) % 4
                 dp = jnp.pad(dibits, ((0, 0), (0, pad)))
                 dp = (dp[:, 0::4] << 6) | (dp[:, 1::4] << 4) | \
                      (dp[:, 2::4] << 2) | dp[:, 3::4]
-                return dp, best_def, bs_q
+                return dp, idx.astype(jnp.int32), vq, dq, msg, bs.shape[1]
             self._frontend_jits[key] = fn
-        dp, bd, bs_q = fn(iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        dp, idx, vq, dq, msg, Tp = fn(
+            iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
         dp = np.asarray(dp)
         # unpack on host
         T = n_sym
@@ -173,8 +207,21 @@ class BatchedP25VoicePipeline:
         dib[:, 1::4] = (dp >> 4) & 3
         dib[:, 2::4] = (dp >> 2) & 3
         dib[:, 3::4] = dp & 3
-        bs = np.asarray(bs_q).astype(np.float32) / 127.0
-        return dib[:, :T], np.asarray(bd), bs
+        # scatter the sparse candidates back to dense arrays (scores
+        # default 0.0 = below any threshold) so the greedy picker sees
+        # exactly what it would on the full score arrays
+        C = dp.shape[0]
+        idx, vq, dq = np.asarray(idx), np.asarray(vq), np.asarray(dq)
+        bs = np.zeros((C, int(Tp)), dtype=np.float32)
+        bd = np.zeros((C, int(Tp)), dtype=np.uint8)
+        # 0xFFFF = "not NID-decoded on device" (hunt falls back)
+        nm = np.full((C, int(Tp)), 0xFFFF, dtype=np.uint16)
+        rows = np.arange(C)[:, None]
+        bs[rows, idx] = vq.astype(np.float32) / 127.0
+        bd[rows, idx] = dq
+        msg = np.asarray(msg)
+        nm[rows, idx[:, :msg.shape[1]]] = msg
+        return dib[:, :T], bd, bs, nm
 
     def frontend(self, iq: np.ndarray, use_pallas: bool | None = None):
         # must run under jit: frontend_step builds a complex rotation
@@ -212,7 +259,7 @@ class BatchedP25VoicePipeline:
 
     def find_voice_frames_best(self, dibits: np.ndarray,
                                best_def: np.ndarray, best_score: np.ndarray,
-                               T: int):
+                               T: int, nid_msg: np.ndarray | None = None):
         """Hunt from per-position (best pattern, best score) arrays:
         the same greedy peak picking as the event-driven hunter, batched
         NID decode; returns (frames144 [F, 144], frame_channel [F],
@@ -241,16 +288,33 @@ class BatchedP25VoicePipeline:
             return (np.zeros((0, 144), dtype=np.uint8),
                     np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
 
-        # vectorized NID gather + batched BCH decode
+        # NID messages: either precomputed on device alongside the sync
+        # correlation (frontend_sync's fast path) or decoded here
         mc = np.asarray([c for c, _ in nid_meta], dtype=np.int64)
         mt = np.asarray([t for _, t in nid_meta], dtype=np.int64)
-        nid_d = dibits[mc[:, None], mt[:, None] + strip[None, :32]
-                       ].astype(np.int64)                        # [H, 32]
-        bits64 = np.zeros((nid_d.shape[0], 64), dtype=np.uint8)
-        bits64[:, 0::2] = (nid_d >> 1) & 1
-        bits64[:, 1::2] = nid_d & 1
-        m, errs = fdev.bch_63_16_batch(bits64[:, :63])
-        duid = np.asarray(m) & 0xF
+        if nid_msg is not None:
+            raw = nid_msg[mc, mt].astype(np.int64)
+            duid = raw & 0xF
+            unk = np.flatnonzero(raw == 0xFFFF)
+            if unk.size:
+                # hits outside the device NID set (beyond the top-Kn
+                # candidates): decode just those in one small batch
+                nid_d = dibits[mc[unk, None],
+                               mt[unk, None] + strip[None, :32]
+                               ].astype(np.int64)
+                bits64 = np.zeros((unk.size, 64), dtype=np.uint8)
+                bits64[:, 0::2] = (nid_d >> 1) & 1
+                bits64[:, 1::2] = nid_d & 1
+                m, _ = fdev.bch_63_16_batch(bits64[:, :63])
+                duid[unk] = np.asarray(m) & 0xF
+        else:
+            nid_d = dibits[mc[:, None], mt[:, None] + strip[None, :32]
+                           ].astype(np.int64)                    # [H, 32]
+            bits64 = np.zeros((nid_d.shape[0], 64), dtype=np.uint8)
+            bits64[:, 0::2] = (nid_d >> 1) & 1
+            bits64[:, 1::2] = nid_d & 1
+            m, errs = fdev.bch_63_16_batch(bits64[:, :63])
+            duid = np.asarray(m) & 0xF
 
         # accept LDU1/LDU2 hits outside any previously accepted LDU
         order_per_ch = {c: 0 for c in range(C)}
@@ -295,9 +359,9 @@ class BatchedP25VoicePipeline:
         dispatch (vocoder.device.voice_decode_device); only the f16 PCM
         crosses the tunnel back."""
         from dsdneo_tpu.vocoder.device import voice_decode_device
-        dibits, best_def, best_score = self.frontend_sync(iq)
+        dibits, best_def, best_score, nid_msg = self.frontend_sync(iq)
         frames144, fch, forder = self.find_voice_frames_best(
-            dibits, best_def, best_score, dibits.shape[1])
+            dibits, best_def, best_score, dibits.shape[1], nid_msg)
         F = frames144.shape[0]
         if F == 0:
             return np.zeros((self.C, 0), dtype=np.float32)
@@ -325,9 +389,9 @@ class BatchedP25VoicePipeline:
         """Host-dequant variant of decode_block (reference numerics for
         the device path's parity test; same chain, numpy two-pass
         dequantization + separate synth dispatch)."""
-        dibits, best_def, best_score = self.frontend_sync(iq)
+        dibits, best_def, best_score, nid_msg = self.frontend_sync(iq)
         frames144, fch, forder = self.find_voice_frames_best(
-            dibits, best_def, best_score, dibits.shape[1])
+            dibits, best_def, best_score, dibits.shape[1], nid_msg)
         if frames144.shape[0] == 0:
             return np.zeros((self.C, 0), dtype=np.float32)
         bits88, _errs = fdev.imbe_ecc_batch(frames144)
