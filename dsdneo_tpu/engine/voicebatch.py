@@ -175,7 +175,7 @@ class BatchedP25VoicePipeline:
                 # (bf16 operands — products are ±1 so f32 accumulation
                 # is exact) — saves the hunt a third device round trip.
                 # Kn is capped to bound the [C·Kn, 65536] score tile.
-                k_nid = min(128, k_cand)
+                k_nid = min(48, k_cand)
                 idx_n = idx[:, :k_nid]
                 Cn = dibits.shape[0]
                 gpos = jnp.clip(idx_n[:, :, None] + jnp.asarray(nid_strip),
@@ -195,14 +195,34 @@ class BatchedP25VoicePipeline:
                 dp = jnp.pad(dibits, ((0, 0), (0, pad)))
                 dp = (dp[:, 0::4] << 6) | (dp[:, 1::4] << 4) | \
                      (dp[:, 2::4] << 2) | dp[:, 3::4]
-                return dp, idx.astype(jnp.int32), vq, dq, msg, bs.shape[1]
+                # ONE fetched buffer: every extra output would cost a
+                # full host↔device round trip on the tunneled runtime,
+                # which dwarfs the bytes themselves
+                u8 = lambda a: jax.lax.bitcast_convert_type(
+                    a, jnp.uint8).reshape(a.shape[0], -1)
+                return jnp.concatenate(
+                    [dp, u8(idx.astype(jnp.uint16)), vq, dq, u8(msg)],
+                    axis=1)
             self._frontend_jits[key] = fn
-        dp, idx, vq, dq, msg, Tp = fn(
-            iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
-        dp = np.asarray(dp)
+        blob = np.asarray(fn(
+            iq if isinstance(iq, jax.Array) else jnp.asarray(iq)))
         # unpack on host
         T = n_sym
-        dib = np.zeros((dp.shape[0], dp.shape[1] * 4), dtype=np.uint8)
+        C = blob.shape[0]
+        defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
+        Tp = n_sym - n_max + 1
+        k_cand = min(self.SYNC_TOPK, Tp)
+        k_nid = min(48, k_cand)
+        n_dp = (n_sym + 3) // 4
+        o = 0
+        dp = blob[:, o:o + n_dp]; o += n_dp
+        idx = blob[:, o:o + 2 * k_cand].copy().view(np.uint16
+                                                    ).astype(np.int64)
+        o += 2 * k_cand
+        vq = blob[:, o:o + k_cand]; o += k_cand
+        dq = blob[:, o:o + k_cand]; o += k_cand
+        msg = blob[:, o:o + 2 * k_nid].copy().view(np.uint16)
+        dib = np.zeros((C, n_dp * 4), dtype=np.uint8)
         dib[:, 0::4] = (dp >> 6) & 3
         dib[:, 1::4] = (dp >> 4) & 3
         dib[:, 2::4] = (dp >> 2) & 3
@@ -210,17 +230,14 @@ class BatchedP25VoicePipeline:
         # scatter the sparse candidates back to dense arrays (scores
         # default 0.0 = below any threshold) so the greedy picker sees
         # exactly what it would on the full score arrays
-        C = dp.shape[0]
-        idx, vq, dq = np.asarray(idx), np.asarray(vq), np.asarray(dq)
-        bs = np.zeros((C, int(Tp)), dtype=np.float32)
-        bd = np.zeros((C, int(Tp)), dtype=np.uint8)
+        bs = np.zeros((C, Tp), dtype=np.float32)
+        bd = np.zeros((C, Tp), dtype=np.uint8)
         # 0xFFFF = "not NID-decoded on device" (hunt falls back)
-        nm = np.full((C, int(Tp)), 0xFFFF, dtype=np.uint16)
+        nm = np.full((C, Tp), 0xFFFF, dtype=np.uint16)
         rows = np.arange(C)[:, None]
         bs[rows, idx] = vq.astype(np.float32) / 127.0
         bd[rows, idx] = dq
-        msg = np.asarray(msg)
-        nm[rows, idx[:, :msg.shape[1]]] = msg
+        nm[rows, idx[:, :k_nid]] = msg
         return dib[:, :T], bd, bs, nm
 
     def frontend(self, iq: np.ndarray, use_pallas: bool | None = None):
@@ -376,13 +393,17 @@ class BatchedP25VoicePipeline:
         fchp[:F] = fch
         fordp = np.zeros(Fp, dtype=np.int32)
         fordp[:F] = forder
+        # prediction state stays device-resident between blocks (fetching
+        # it would cost two more tunnel round trips per block); the first
+        # block uploads the host state once
+        st = getattr(self, "_dev_pred_state", None)
+        if st is None:
+            st = (jnp.asarray(self.imbe_dec.prev_logm.astype(np.float32)),
+                  jnp.asarray(self.imbe_dec.prev_L.astype(np.int32)))
         pcm, f_logm, f_L, _aux = voice_decode_device(
             jnp.asarray(f144), jnp.asarray(fchp), jnp.asarray(fordp),
-            jnp.asarray(self.imbe_dec.prev_logm.astype(np.float32)),
-            jnp.asarray(self.imbe_dec.prev_L.astype(np.int32)),
-            self.C, Tp)
-        self.imbe_dec.prev_logm = np.asarray(f_logm).astype(np.float64)
-        self.imbe_dec.prev_L = np.asarray(f_L).astype(np.int64)
+            st[0], st[1], self.C, Tp)
+        self._dev_pred_state = (f_logm, f_L)
         return np.asarray(pcm).astype(np.float32).reshape(self.C, -1)
 
     def decode_block_host(self, iq) -> np.ndarray:
