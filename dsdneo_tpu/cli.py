@@ -119,6 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--m17-udp", default="", metavar="HOST:PORT",
                    help="blast decoded/encoded M17 frames as M17 UDP/IP "
                         "datagrams (reference M17 UDP mode)")
+    p.add_argument("-R", dest="m17_scrambler", default="", metavar="HEX",
+                   help="M17 scrambler seed (8/16/24-bit, reference -R)")
+    p.add_argument("--m17-aes", default="", metavar="HEX",
+                   help="M17 AES-CTR key (32/48/64 hex chars)")
     return p
 
 
@@ -177,6 +181,10 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
     if args.key_baofeng:
         from dsdneo_tpu.crypto.pc5 import PC5
         attrs["dmr_baofeng_pc5"] = PC5.from_hex(args.key_baofeng)
+    if args.m17_scrambler:
+        attrs["m17_scrambler_key"] = int(args.m17_scrambler, 16)
+    if args.m17_aes:
+        attrs["m17_aes_key"] = bytes.fromhex(args.m17_aes)
     return attrs
 
 

@@ -45,6 +45,36 @@ _P3 = np.array([1,1,1,1,1,1,1,0], dtype=np.uint8)
 BASE40 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-/."
 
 DT_NAMES = {0: " Reserved", 1: " Data", 2: " Voice (3200bps)", 3: " Voice (1600bps)"}
+ENC_NAMES = {1: " Scrambler", 2: " AES-CTR"}
+
+# stream-payload encryption (reference m17.c:600-640, m17_algorithms.c:170-270)
+_SCR_LFSR = {0: ((7, 5, 4, 3), 0xFF),
+             1: ((15, 14, 12, 3), 0xFFFF),
+             2: ((23, 22, 21, 16), 0xFFFFFF)}
+
+
+def scrambler_keystream(subtype: int, state: int, n: int) -> tuple[np.ndarray, int]:
+    """n M17 scrambler LFSR bits from ``state`` → (bits, new state)."""
+    taps, mask = _SCR_LFSR.get(subtype, ((0,), 0))
+    state &= mask
+    out = np.zeros(n, dtype=np.uint8)
+    if not mask or not state:
+        return out, state
+    for i in range(n):
+        bit = 0
+        for t in taps:
+            bit ^= (state >> t)
+        bit &= 1
+        state = ((state << 1) | bit) & mask
+        out[i] = bit
+    return out, state
+
+
+def aes_ctr_counter(meta14: bytes, fn: int) -> bytes:
+    """AES-CTR initial counter: 14-byte META nonce + masked frame number
+    (reference m17_aes_build_counter; EoT bit masked per gr-m17)."""
+    fn &= 0x7FFF
+    return bytes(meta14[:14]) + bytes([(fn >> 8) & 0x7F, fn & 0xFF])
 
 
 def m17_crc16(data: np.ndarray) -> int:
@@ -110,6 +140,12 @@ class M17Decoder(ProtocolDecoder):
         self.pkt_chunks: dict[int, np.ndarray] = {}
         self.bert = {"lfsr": 1, "lock": 0, "locked": False,
                      "bits": 0, "errors": 0}
+        self._dt: int | None = None        # data-type from a CRC-valid LSF
+        self._enc = 0                      # 0 none / 1 scrambler / 2 AES
+        self._enc_st = 0                   # subtype
+        self._meta = b"\x00" * 14          # LSF META (AES nonce)
+        self._c2 = None                    # lazy Codec2 instance
+        self._scr_cache: tuple[int, int] | None = None  # (next_fn, lfsr)
 
     def _payload_bits(self, reader: DibitReader, start: int) -> np.ndarray | None:
         if start + 184 > len(reader.dibits):
@@ -178,10 +214,17 @@ class M17Decoder(ProtocolDecoder):
         tw = t
         ps = tw & 1
         dt = (tw >> 1) & 3
+        enc = (tw >> 3) & 3
+        est = (tw >> 5) & 3
         cn = (tw >> 7) & 0xF
+        if ps:
+            self._dt, self._enc, self._enc_st = dt, enc, est
+            self._meta = bytes(_pack_bytes(lsf[112:224]))
+            self._scr_cache = None
         line = (f"Sync: {polarity}M17 {label} \n CAN: {cn}"
                 f" DST: {decode_callsign(dst)} SRC: {decode_callsign(src)}"
-                f"{DT_NAMES.get(dt, '') if ps else ' Packet'}")
+                f"{DT_NAMES.get(dt, '') if ps else ' Packet'}"
+                f"{ENC_NAMES.get(enc, '') if ps and enc else ''}")
         ctx.state.last_src = decode_callsign(src)
         ctx.emit(line, "m17", hit.pos, dst=dst, src=src, type=tw)
         return hit.end + 184
@@ -223,8 +266,14 @@ class M17Decoder(ProtocolDecoder):
                 tw = _bti(lsf[96:112])
                 dt = (tw >> 1) & 3
                 cn = (tw >> 7) & 0xF
+                if tw & 1:
+                    self._dt = dt
+                    self._enc = (tw >> 3) & 3
+                    self._enc_st = (tw >> 5) & 3
+                    self._meta = bytes(_pack_bytes(lsf[112:224]))
                 detail = (f"\n CAN: {cn} DST: {decode_callsign(dst)}"
-                          f" SRC: {decode_callsign(src)}{DT_NAMES.get(dt, '')}")
+                          f" SRC: {decode_callsign(src)}{DT_NAMES.get(dt, '')}"
+                          f"{ENC_NAMES.get(self._enc, '') if self._enc else ''}")
                 ctx.state.last_src = decode_callsign(src)
             self.chunk_ok = [False] * 6
         # stream payload: FN(16) + voice(128) via P2
@@ -242,8 +291,73 @@ class M17Decoder(ProtocolDecoder):
                 sink.send(pack_stream_frame(
                     self._last_lsf, sid=self._sid, fn=fn & 0x7FFF,
                     eot=bool(fn & 0x8000), voice128=payload[16:144]))
+            detail += self._voice(payload[16:144], fn & 0x7FFF, ctx)
         ctx.emit(line + detail, "m17", hit.pos, **fields)
         return hit.end + 184
+
+    # -- stream voice -------------------------------------------------------
+
+    def _decrypt(self, v128: np.ndarray, fn: int, ctx) -> np.ndarray | None:
+        """Stream-payload decrypt (reference m17_decrypt_stream_payload,
+        m17.c:600-640): scrambler keyed by -R seed, AES-CTR by META+FN."""
+        if self._enc == 0:
+            return v128
+        s = ctx.state
+        if self._enc == 1:
+            seed = int(getattr(s, "m17_scrambler_key", 0) or 0)
+            _, mask = _SCR_LFSR.get(self._enc_st, ((0,), 0))
+            seed &= mask
+            if not seed:
+                return None
+            if self._scr_cache is not None and self._scr_cache[0] == fn:
+                state = self._scr_cache[1]
+            else:
+                _, state = scrambler_keystream(self._enc_st, seed, fn * 128)
+            ks, state = scrambler_keystream(self._enc_st, state, 128)
+            self._scr_cache = (fn + 1, state)
+            return v128 ^ ks
+        if self._enc == 2:
+            key = getattr(s, "m17_aes_key", None)
+            if not key:
+                return None
+            from dsdneo_tpu.crypto.keystream import aes_ctr_keystream
+            ks = aes_ctr_keystream(bytes(key), aes_ctr_counter(self._meta, fn), 16)
+            return v128 ^ np.unpackbits(ks)
+        return None
+
+    def _voice(self, v128: np.ndarray, fn: int, ctx) -> str:
+        """Codec2 voice synthesis (reference M17processCodec2_3200/_1600,
+        m17.c:755-835): 3200 = two 8-byte frames per payload, 1600 = one
+        frame + 8 octets of arbitrary data. Encrypted payloads are only
+        synthesized once decrypted (m17_can_emit_audio)."""
+        plain = self._decrypt(v128, fn, ctx)
+        if plain is None:
+            return " *ENC*"
+        dt = self._dt if self._dt in (2, 3) else 2
+        v1 = np.packbits(plain[:64].astype(np.uint8))
+        v2 = np.packbits(plain[64:128].astype(np.uint8))
+        detail = ""
+        if getattr(ctx, "verbose", 0) >= 1:
+            h1 = " ".join(f"{b:02X}" for b in v1)
+            h2 = " ".join(f"{b:02X}" for b in v2)
+            if dt == 2:
+                detail = f"\n CODEC2: {h1} (3200)\n CODEC2: {h2} (3200)"
+            else:
+                detail = f"\n CODEC2: {h1} (1600)\n A_DATA: {h2}"
+        from dsdneo_tpu.vocoder import codec2 as c2
+        if c2.available():
+            mode = c2.MODE_3200 if dt == 2 else c2.MODE_1600
+            if self._c2 is None or self._c2.mode != mode:
+                self._c2 = c2.Codec2(mode)
+            pcm = (self._c2.decode(v1.tobytes()) if dt == 3 else
+                   np.concatenate([self._c2.decode(v1.tobytes()),
+                                   self._c2.decode(v2.tobytes())]))
+            ctx.emit_audio(pcm.astype(np.float32) / 32768.0)
+        if dt == 3 and v2.any():
+            text = bytes(v2).split(b"\0")[0].decode("utf-8", "replace")
+            if text and all(31 < ord(c) < 127 for c in text):
+                detail += f"\n A_DATA: {text}"
+        return detail
 
     def _stream_payload(self, bits272: np.ndarray) -> np.ndarray | None:
         sym, wt = _depuncture(bits272.astype(np.float32), _P2, 296)

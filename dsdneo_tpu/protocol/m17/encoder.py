@@ -51,12 +51,14 @@ def _bits_of_int(v: int, n: int) -> np.ndarray:
 
 
 def build_lsf(dst: str, src: str, can: int = 0, stream: bool = True,
-              dt: int = 2, meta: bytes = b"") -> np.ndarray:
+              dt: int = 2, meta: bytes = b"", enc: int = 0,
+              enc_st: int = 0) -> np.ndarray:
     """→ 240 LSF bits (DST, SRC, TYPE, META, CRC16)."""
     lsf = np.zeros(240, dtype=np.uint8)
     lsf[0:48] = _bits_of_int(encode_callsign(dst), 48)
     lsf[48:96] = _bits_of_int(encode_callsign(src), 48)
-    tw = (1 if stream else 0) | (dt << 1) | ((can & 0xF) << 7)
+    tw = ((1 if stream else 0) | (dt << 1) | ((enc & 3) << 3)
+          | ((enc_st & 3) << 5) | ((can & 0xF) << 7))
     lsf[96:112] = _bits_of_int(tw, 16)
     mb = (meta + bytes(14))[:14]
     for i, byte in enumerate(mb):
@@ -116,18 +118,38 @@ def _bits_to_dibits(bits: np.ndarray) -> np.ndarray:
 
 
 def encode_stream_transmission(dst: str, src: str, voice_frames: np.ndarray,
-                               can: int = 0) -> np.ndarray:
+                               can: int = 0, dt: int = 2, enc: int = 0,
+                               enc_st: int = 0, meta: bytes = b"",
+                               scrambler_seed: int = 0,
+                               aes_key: bytes | None = None) -> np.ndarray:
     """Full TX: preamble + LSF frame + stream frames → dibit array.
 
-    voice_frames: [F, 128] codec2 bit payloads (zeros for silence)."""
-    lsf = build_lsf(dst, src, can=can, stream=True, dt=2)
+    voice_frames: [F, 128] codec2 bit payloads (zeros for silence).
+    With enc=1/2 the payloads are scrambler/AES-CTR encrypted exactly
+    as the reference TX does (m17.c m17_str_encode → encrypt before
+    conv-encoding), so the RX decrypt path round-trips."""
+    lsf = build_lsf(dst, src, can=can, stream=True, dt=dt, meta=meta,
+                    enc=enc, enc_st=enc_st)
     out = [np.array([3, 1] * 24, dtype=np.uint8)]        # preamble dotting
     out.append(np.array(SYNC_LSF, dtype=np.uint8))
     out.append(encode_lsf_frame(lsf))
     fcount = voice_frames.shape[0]
     for i in range(fcount):
+        v = voice_frames[i].astype(np.uint8)
+        if enc == 1 and scrambler_seed:
+            from dsdneo_tpu.protocol.m17.decoder import scrambler_keystream
+            _, st = scrambler_keystream(enc_st, scrambler_seed, i * 128)
+            ks, _ = scrambler_keystream(enc_st, st, 128)
+            v = v ^ ks
+        elif enc == 2 and aes_key:
+            from dsdneo_tpu.crypto.keystream import aes_ctr_keystream
+            from dsdneo_tpu.protocol.m17.decoder import aes_ctr_counter
+            ks = aes_ctr_keystream(bytes(aes_key),
+                                   aes_ctr_counter((meta + bytes(14))[:14], i),
+                                   16)
+            v = v ^ np.unpackbits(ks)
         out.append(np.array(SYNC_STR, dtype=np.uint8))
-        out.append(encode_stream_frame(lsf, i % 6, i, voice_frames[i],
+        out.append(encode_stream_frame(lsf, i % 6, i, v,
                                        eot=(i == fcount - 1)))
     out.append(_eot_and_dead_air())
     return np.concatenate(out)

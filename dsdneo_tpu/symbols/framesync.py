@@ -136,7 +136,8 @@ def pick_syncs_from_best(best_def: np.ndarray, best_score: np.ndarray,
 
     Scan positions in order; at each position take the best-scoring
     pattern above threshold, refined to the local maximum within the
-    next 3 positions."""
+    next 8 positions (one short-sync length) so a marginal false hit a
+    few symbols before a perfect sync cannot shadow it."""
     k = best_score.shape[0] if limit is None else min(limit,
                                                       best_score.shape[0])
     # short patterns need a stricter score to keep the false-hit rate
@@ -153,7 +154,7 @@ def pick_syncs_from_best(best_def: np.ndarray, best_score: np.ndarray,
     for t in cands:
         if t < pos:
             continue
-        lo, hi = int(t), min(int(t) + 3, k)
+        lo, hi = int(t), min(int(t) + 8, k)
         p = lo + int(np.argmax(best_score[lo:hi]))
         d = defs[int(best_def[p])]
         hits.append(SyncHit(pos=p, score=float(best_score[p]), sync=d))
