@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from dsdneo_tpu.fec import rs
 from dsdneo_tpu.protocol.base import (DecoderContext, DibitReader,
                                       ProtocolDecoder, register)
 from dsdneo_tpu.protocol.p25 import p2_xcch
@@ -59,6 +60,14 @@ class P25P2Decoder(ProtocolDecoder):
         self.sf_pos: int | None = None   # superframe timeslot position 0-11
         self._scramble: np.ndarray | None = None
         self._scramble_key = None
+        # per-slot voice crypto state (reference p25p2_frame.c: payload_miP/
+        # miN, dropL/dropR=256 per superframe, ESS_B fragments + ESS_A parity)
+        self.fourv = {0: 0, 1: 0}
+        self.ess_b = {0: np.zeros(96, np.uint8), 1: np.zeros(96, np.uint8)}
+        self.crypto = {0: {"alg": 0, "kid": 0, "mi": 0, "drop": 256,
+                           "staged": None},
+                       1: {"alg": 0, "kid": 0, "mi": 0, "drop": 256,
+                           "staged": None}}
 
     def _scramble_bits(self, s) -> np.ndarray:
         key = (s.p2_wacn, s.p2_sysid, s.p2_cc)
@@ -112,7 +121,8 @@ class P25P2Decoder(ProtocolDecoder):
             elif duid in (0, 6):
                 name = slot_label + ("4V" if duid == 0 else "2V")
                 if have_params:
-                    self._voice(ts_bits, 4 if duid == 0 else 2, slot, ctx)
+                    detail = self._voice(ts_bits, 4 if duid == 0 else 2,
+                                         slot, ctx)
             elif duid < 0:
                 name = slot_label + f" DUID ERR {received:02X}"
             else:
@@ -125,24 +135,38 @@ class P25P2Decoder(ProtocolDecoder):
         return pos + 700
 
     def _voice(self, ts_bits: np.ndarray, n_frames: int, slot: int,
-               ctx: DecoderContext) -> None:
+               ctx: DecoderContext) -> str:
         """4V/2V: AMBE+2 frames at timeslot bit offsets {2,76,172,246}
         after descrambling (reference p25p2_frame.c
-        p25p2_unpack_voice_frames); shares the DMR AMBE deinterleave."""
+        p25p2_unpack_voice_frames); shares the DMR AMBE deinterleave.
+        4V bursts carry a 24-bit ESS_B fragment at bit 148, the 2V burst
+        carries the 168 ESS_A RS parity bits (p25p2_collect_ess_b_fragment
+        / p25p2_collect_ess_a); the decoded ESS rekeys the NEXT
+        superframe (p25p2_ess_stage_rekey + post_2v drop reset)."""
         from dsdneo_tpu.protocol.dmr.ambe_frame import decode_ambe_ecc
         from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
         from dsdneo_tpu.vocoder.synth import synthesize_frames
         p = self.sf_pos if self.sf_pos is not None else 0
         lbit = self._scramble_bits(ctx.state)
         x = ts_bits ^ lbit[360 * p + 20:360 * p + 380]
+        detail = ""
+        if n_frames == 4:
+            c = self.fourv[slot]
+            if c == 0:
+                self.ess_b[slot][:] = 0
+            self.ess_b[slot][24 * c:24 * (c + 1)] = x[148:172]
+            self.fourv[slot] = (c + 1) % 4
         params = []
         for off in (2, 76, 172, 246)[:n_frames]:
             bits72 = x[off:off + 72]
             bits49, _errs = decode_ambe_ecc(bits72)
+            bits49 = self._decrypt_ambe(bits49, slot, ctx)
             params.append(decode_ambe_2450(bits49))
+        if n_frames == 2:
+            detail = self._process_ess(x, slot, ctx)
         pcm = synthesize_frames(params)
         if not pcm.size:
-            return
+            return detail
         # per-slot jitter ring smooths the irregular 4V/2V cadence into
         # steady 160-sample frames (reference p25_p2_audio_ring.h)
         if not hasattr(self, "jitter"):
@@ -154,6 +178,65 @@ class P25P2Decoder(ProtocolDecoder):
             fr, _ok = self.jitter.pop(slot)
             out.append(fr)
         ctx.emit_audio(np.concatenate(out), slot=slot)
+        return detail
+
+    def _decrypt_ambe(self, bits49: np.ndarray, slot: int,
+                      ctx: DecoderContext) -> np.ndarray:
+        """ADP/RC4 P2 voice decrypt (reference dsd_mbe.c
+        mbeslot_left/right_apply_p25p2_rc4): rckey = 5-byte key ‖ 8-byte
+        MI, 7 keystream octets per frame from a rolling absolute drop
+        that resets to 256 each superframe."""
+        cs = self.crypto[slot]
+        if cs["alg"] != 0xAA or cs["mi"] == 0:
+            return bits49
+        kr = getattr(ctx.state, "keyring", None)
+        key = kr.scalar.get(cs["kid"]) if kr is not None else None
+        if key is None:
+            return bits49
+        from dsdneo_tpu.crypto.keystream import rc4_keystream
+        rckey = (int(key) & 0xFFFFFFFFFF).to_bytes(5, "big") \
+            + (cs["mi"] & (1 << 64) - 1).to_bytes(8, "big")
+        ks = rc4_keystream(rckey, 7, drop=cs["drop"])
+        cs["drop"] += 7
+        cipher = np.packbits(bits49.astype(np.uint8))
+        plain = cipher ^ ks
+        return np.unpackbits(plain)[:49]
+
+    def _process_ess(self, x: np.ndarray, slot: int,
+                     ctx: DecoderContext) -> str:
+        """ESS RS(44,16,29) over GF(64): 16 payload hexbits (ALG 8,
+        KID 16, MI 72) collected from the 4V ESS_B fragments + 28 parity
+        hexbits from the 2V ESS_A field (reference p25p2_ess_decode,
+        ez_rs28_ess).  A successful decode stages ALG/KID/MI for the
+        next superframe; the keystream drop resets to 256 either way
+        (p25p2_post_2v_reset_crypto_state)."""
+        parity_bits = np.concatenate([x[148:244], x[246:318]])
+        payload_bits = self.ess_b[slot]
+        self.fourv[slot] = 0
+        vec = np.zeros(63, dtype=np.int64)
+        vec[19:35] = p2_xcch._hexpack(payload_bits)
+        vec[35:63] = p2_xcch._hexpack(parity_bits)
+        dec, nerr = rs.rs_63_35().decode(vec, erasures=[])
+        cs = self.crypto[slot]
+        detail = ""
+        if 0 <= nerr < 15:
+            bits = np.zeros(96, dtype=np.uint8)
+            for i in range(16):
+                for j in range(6):
+                    bits[6 * i + j] = (int(dec[19 + i]) >> (5 - j)) & 1
+            alg = _bti(bits[0:8])
+            kid = _bti(bits[8:24])
+            mi64 = _bti(bits[24:88])
+            h1 = _bti(bits[0:32])
+            h2 = _bti(bits[32:96])
+            detail = f"\n ESS_B {h1:08X}{h2:016X} ERR = {nerr:02d}"
+            cs["staged"] = (alg, kid, mi64)
+        if cs["staged"] is not None:
+            cs["alg"], cs["kid"], cs["mi"] = cs["staged"]
+            cs["staged"] = None
+        if cs["alg"] == 0xAA:
+            cs["drop"] = 256
+        return detail
 
     def _isch(self, ts_bits: np.ndarray, fc: int) -> None:
         """Track superframe position from the ISCH field (reference
@@ -227,7 +310,15 @@ class P25P2Decoder(ProtocolDecoder):
             ctx.state.last_tg, ctx.state.last_src = tg, src
             detail += (f"\n VCH {slot + 1} - TG {tg} SRC {src} "
                        f"ALG {alg:02X} KEY {kid:04X}")
+            # install voice crypto for this slot (reference p25p2_xcch.c
+            # MAC_PTT handling: set MI + drop=256)
+            self.crypto[slot].update(alg=alg, kid=kid, mi=mi, drop=256,
+                                     staged=None)
+            self.fourv[slot] = 0
+            if alg not in (0, 0x80):
+                detail += f" MI: 0x{mi:016X}"
         elif opcode == 2:    # MAC_END
+            self.crypto[slot].update(alg=0, mi=0, staged=None)
             src = (int(mac[13]) << 16) | (int(mac[14]) << 8) | int(mac[15])
             tg = (int(mac[16]) << 8) | int(mac[17])
             detail += f" TG {tg} SRC {src}"

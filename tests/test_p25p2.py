@@ -266,3 +266,73 @@ def test_p2_audio_jitter_ring():
     assert not r.push(0, np.zeros(100, dtype=np.float32))
     r.reset()
     assert r.depth(0) == 0 and r.depth(1) == 0
+
+
+def test_p25p2_ess_rs_roundtrip_stages_rekey():
+    """ESS RS(44,16,29): ALG/KID/MI hexbits + RS(63,35) parity decode and
+    stage the next-superframe crypto (reference p25p2_ess_decode)."""
+    from dsdneo_tpu.fec import rs
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+    from dsdneo_tpu.protocol.p25.phase2 import P25P2Decoder
+
+    alg, kid, mi = 0xAA, 0x0001, 0x1234567890ABCDEF
+    bits = np.concatenate([_bits_of(alg, 8), _bits_of(kid, 16),
+                           _bits_of(mi, 64), _bits_of(0xA5, 8)])
+    vec = np.zeros(35, dtype=np.int64)
+    vec[19:35] = p2_xcch._hexpack(bits)
+    full = rs.rs_63_35().encode(vec)
+    parity_bits = np.zeros(168, dtype=np.uint8)
+    for i in range(28):
+        parity_bits[6 * i:6 * i + 6] = _bits_of(int(full[35 + i]), 6)
+
+    dec = P25P2Decoder()
+    dec.ess_b[0][:] = bits
+    x = np.zeros(360, dtype=np.uint8)
+    x[148:244] = parity_bits[:96]
+    x[246:318] = parity_bits[96:]
+    # corrupt a couple of payload bits -> RS must fix them
+    dec.ess_b[0][5] ^= 1
+    dec.ess_b[0][40] ^= 1
+    detail = dec._process_ess(x, 0, DecoderContext())
+    assert "ESS_B" in detail
+    cs = dec.crypto[0]
+    assert (cs["alg"], cs["kid"], cs["mi"]) == (alg, kid, mi)
+    assert cs["drop"] == 256
+
+
+def test_p25p2_rc4_voice_decrypt_roundtrip():
+    """P2 ADP/RC4 voice: 18-frame superframe keystream (drop 256, +7 per
+    frame, 5-byte key + 8-byte MI) decrypts what the same convention
+    encrypted (reference mbeslot_*_apply_p25p2_rc4)."""
+    from dsdneo_tpu.crypto.keyring import KeyRing
+    from dsdneo_tpu.crypto.keystream import rc4_keystream
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.p25.phase2 import P25P2Decoder
+
+    key, kid, mi = 0x0102030405, 0x21, 0xDEADBEEF12345678
+    rng = np.random.default_rng(7)
+    plain = rng.integers(0, 2, (18, 49)).astype(np.uint8)
+    rckey = key.to_bytes(5, "big") + mi.to_bytes(8, "big")
+    cipher = np.zeros_like(plain)
+    drop = 256
+    for i in range(18):
+        ks = rc4_keystream(rckey, 7, drop=drop)
+        drop += 7
+        cipher[i] = np.unpackbits(np.packbits(plain[i]) ^ ks)[:49]
+
+    ctx = DecoderContext()
+    kr = KeyRing()
+    kr.scalar[kid] = key
+    ctx.state.keyring = kr
+    dec = P25P2Decoder()
+    dec.crypto[0].update(alg=0xAA, kid=kid, mi=mi, drop=256)
+    got = np.stack([dec._decrypt_ambe(cipher[i], 0, ctx)
+                    for i in range(18)])
+    np.testing.assert_array_equal(got, plain)
+    # without the key in the ring: frames pass through untouched
+    ctx2 = DecoderContext()
+    dec2 = P25P2Decoder()
+    dec2.crypto[0].update(alg=0xAA, kid=kid, mi=mi, drop=256)
+    np.testing.assert_array_equal(dec2._decrypt_ambe(cipher[0], 0, ctx2),
+                                  cipher[0])
