@@ -33,6 +33,41 @@ def snr_qpsk_constellation(symbols: jax.Array) -> jax.Array:
     return 10.0 * jnp.log10(jnp.maximum(sig / jnp.maximum(err, 1e-9), 1e-9))
 
 
+# -- SNR bias correction (reference src/dsp/snr_bias.cpp) ------------------
+#
+# The variance-ratio estimators above are biased by (a) the statistics of
+# the clustering method and (b) the ratio of channel-filter noise
+# bandwidth to symbol rate.  bias_total = bias_est + 10 log10(Bn / Rs).
+
+_ESTIMATOR_BIAS_DB = {"c4fm": 5.73, "evm": 1.92}
+
+# Noise-equivalent bandwidth (Hz) per channel-LPF profile, computed as
+# Bn = (Fs/2)·Σh²/(Σh)² for the reference 24 kHz designs
+# (snr_bias.cpp kNoiseBw*).
+NOISE_BW_HZ = {"wide": 8415.0, "6k25": 3540.0, "12k5": 6665.0,
+               "provoice": 6665.0, "p25_c4fm": 6665.0, "p25_cqpsk": 7065.0}
+
+
+def snr_bias_db(kind: str, symbol_rate: float,
+                lpf_profile: str = "wide") -> float:
+    """Total bias (dB) to subtract from a raw eye/EVM SNR estimate.
+
+    kind: 'c4fm' (4-level eye) or 'evm' (QPSK/GFSK constellation).
+    Fallbacks match the reference's original empirical calibrations
+    (7.95 dB / 2.43 dB) when the symbol rate is unknown."""
+    est = _ESTIMATOR_BIAS_DB.get(kind, _ESTIMATOR_BIAS_DB["evm"])
+    if symbol_rate <= 0:
+        return est + (2.2 if kind == "c4fm" else 0.5)
+    bn = NOISE_BW_HZ.get(lpf_profile, NOISE_BW_HZ["wide"])
+    return est + 10.0 * float(np.log10(bn / symbol_rate))
+
+
+def snr_corrected_db(raw_db, kind: str, symbol_rate: float,
+                     lpf_profile: str = "wide"):
+    """Apply the bias correction to a raw SNR estimate."""
+    return raw_db - snr_bias_db(kind, symbol_rate, lpf_profile)
+
+
 def power_squelch(iq: jax.Array, threshold_db: float = -110.0) -> jax.Array:
     """Per-channel open/closed gate from mean input power (dBFS)."""
     p = jnp.mean(jnp.abs(iq) ** 2, axis=-1)

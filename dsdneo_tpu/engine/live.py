@@ -111,6 +111,7 @@ class LiveEngine:
                 freq_hz=self.freq_hz, stream_active=True,
                 retunes=self.retunes, blocks=n,
                 input_level_rms=rms,
+                snr_db=getattr(self.decoder, "last_snr_db", 0.0),
                 ring_fill=self.ring.fill, ring_drops=self.ring.drops)
             if max_blocks is not None and n >= max_blocks:
                 break

@@ -70,6 +70,7 @@ class StreamDecoder:
         self._decoders: dict[str, proto_base.ProtocolDecoder] = {}
         self._defs = framesync.patterns_for(set(self.mode.protocols))
         self._sps = fs / self.mode.symbol_rate
+        self.last_snr_db: float = 0.0   # bias-corrected eye/EVM SNR
         # dedup ledger: sync name -> sorted-ish list of global symbol
         # positions already dispatched (pruned as the stream advances)
         self._dispatched: dict[str, list[float]] = {}
@@ -91,6 +92,7 @@ class StreamDecoder:
     # -- window processing ----------------------------------------------
     def _process(self, window: np.ndarray, base: int, final: bool) -> None:
         dibits, norm = demod_fm(window, self.mode, self.fs)
+        self.last_snr_db = self._eye_snr_db(norm)
         hits = framesync.find_syncs(norm, self._defs,
                                     threshold=self.sync_threshold)
         registry = proto_base.registry()
@@ -114,6 +116,22 @@ class StreamDecoder:
             consumed_local = dec.handle(reader, hit, self.ctx)
             self._record(hit.sync.name, gsym)
         self._prune((base - 2 * self.overlap) / self._sps)
+
+    def _eye_snr_db(self, norm: np.ndarray) -> float:
+        """Bias-corrected symbol SNR (reference snr_estimator.cpp eye
+        method + snr_bias.cpp bandwidth/estimator correction)."""
+        from dsdneo_tpu.dsp.measure import snr_bias_db
+        if norm.size < 64:
+            return self.last_snr_db
+        lv = np.array([1.0, 3.0, -1.0, -3.0]) if self.mode.four_level \
+            else np.array([1.0, -1.0])
+        d = np.min(np.abs(norm[:, None] - lv[None, :]), axis=1)
+        noise = float(np.mean(d ** 2))
+        sig = float(np.mean(norm ** 2))
+        raw = 10.0 * np.log10(max(sig, 1e-9) / max(noise, 1e-9))
+        kind = "c4fm" if self.mode.four_level else "evm"
+        return raw - snr_bias_db(kind, float(self.mode.symbol_rate),
+                                 self.mode.lpf_profile)
 
     def push(self, block: np.ndarray) -> list:
         """Feed new complex samples; returns events emitted this push."""

@@ -115,3 +115,42 @@ def test_audio_concealment_fade_repeat():
     # recovery resets the fade chain
     np.testing.assert_array_equal(c.feed(buf, 160), buf)
     np.testing.assert_allclose(c.feed(None, 160), 0.5)
+
+
+def test_snr_bias_reference_values():
+    """Bias corrections match the reference's calibration identities
+    (snr_bias.cpp: C4FM 7.95 dB at 8 kHz Bn / 4800 sym/s, EVM 2.43 dB
+    at 5.4 kHz Bn / 4800 sym/s, and the per-profile Bn table)."""
+    from dsdneo_tpu.dsp.measure import NOISE_BW_HZ, snr_bias_db
+    # estimator-bias identities the reference derives its constants from
+    assert abs(snr_bias_db("c4fm", 8000.0 / (10 ** 0.222), "wide")
+               - (5.73 + 10 * np.log10(8415.0 / (8000.0 / 10 ** 0.222)))) < 1e-9
+    # fallback values (unknown symbol rate)
+    assert abs(snr_bias_db("c4fm", 0) - 7.93) < 0.03
+    assert abs(snr_bias_db("evm", 0) - 2.42) < 0.03
+    # profile table
+    assert NOISE_BW_HZ["p25_cqpsk"] == 7065.0
+    assert NOISE_BW_HZ["6k25"] == 3540.0
+
+
+def test_stream_decoder_reports_corrected_snr():
+    """A clean synthesized 4-level stream reports a high corrected SNR;
+    adding noise lowers it."""
+    from dsdneo_tpu.engine.stream import StreamDecoder
+    rng = np.random.default_rng(0)
+    sps = 10
+    sym = rng.choice([-3.0, -1.0, 1.0, 3.0], 3000)
+    base = np.repeat(sym, sps) * 0.25
+    # FM-modulate at 48 kHz so demod_fm round-trips the levels
+    phase = np.cumsum(base) * (2 * np.pi * 1200 / 48000.0)
+    iq = np.exp(1j * phase).astype(np.complex64)
+    sd = StreamDecoder("dmr", fs=48000.0)
+    sd.push(iq)
+    clean = sd.last_snr_db
+    sd2 = StreamDecoder("dmr", fs=48000.0)
+    noisy = iq + (0.20 * (rng.standard_normal(len(iq))
+                          + 1j * rng.standard_normal(len(iq)))
+                  ).astype(np.complex64)
+    sd2.push(noisy)
+    assert clean > sd2.last_snr_db
+    assert clean > 10.0
