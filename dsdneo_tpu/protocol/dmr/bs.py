@@ -67,6 +67,11 @@ class DmrBsDecoder(ProtocolDecoder):
         self.assembler = {0: PduAssembler(), 1: PduAssembler()}
         self.alias = {}
         self._emb_cc_votes: dict[int, int] = {}
+        # per-slot voice crypto (reference payload_algid/mi + dropL/R)
+        # and late-entry MI fragment store (dmr_le.c)
+        self.crypto = {0: {"alg": 0, "kid": 0, "mi": 0, "drop": 256},
+                       1: {"alg": 0, "kid": 0, "mi": 0, "drop": 256}}
+        self.le_frags = np.zeros((2, 7, 3), np.uint8)
 
     def _emb_raw_cc(self, reader: DibitReader, pos: int,
                     invert: bool) -> int | None:
@@ -282,7 +287,7 @@ class DmrBsDecoder(ProtocolDecoder):
                 elif dtype == 7:
                     detail = self._r12_block(payload, s)
                 elif dtype == 0:
-                    detail = self._pi_header(payload)
+                    detail = self._pi_header(payload, s)
         ctx.emit(head + detail, "dmr", pos, cc=cc, dtype=dtype, slot=s)
 
     def _data_header(self, bits96: np.ndarray, slot: int) -> str:
@@ -309,14 +314,16 @@ class DmrBsDecoder(ProtocolDecoder):
         tag = "" if metric == 0 else f" (metric {metric})"
         return done if done else f" | R34 block {self.assembler[slot].count}{tag}"
 
-    def _pi_header(self, bits96: np.ndarray) -> str:
-        """PI header (privacy indicator, CRC mask 0x6969)."""
+    def _pi_header(self, bits96: np.ndarray, slot: int = 0) -> str:
+        """PI header (privacy indicator, CRC mask 0x6969); installs the
+        slot's voice crypto (alg/key/MI, keystream drop 256)."""
         ccrc = crc.crc16_bits(bits96[:80], init=0, xorout=0xFFFF) ^ 0x6969
         if ccrc != _bits_to_int(bits96[80:96]):
             return " | PI Header CRC ERR"
         alg = _bits_to_int(bits96[0:8])
         kid = _bits_to_int(bits96[16:24])
         mi = _bits_to_int(bits96[24:56])
+        self.crypto[slot].update(alg=alg, kid=kid, mi=mi, drop=256)
         return f" | PI H- ALG ID: {alg:02X}; KEY ID: {kid:02X}; MI(32): {mi:08X};"
 
     # Tier III channel-grant names (reference dmr_csbk_tables.c)
@@ -401,19 +408,68 @@ class DmrBsDecoder(ProtocolDecoder):
         ctx.emit(f"Sync: {polarity}DMR {lights[0]} {lights[1]} "
                  f"| Color Code={cc_str} | VC1",
                  "dmr", pos, slot=s)
-        self._voice_payload(reader, pos, invert, s, ctx)
+        self._voice_payload(reader, pos, invert, s, ctx, vc=1)
         self._follow_superframe(reader, hit, ctx, invert, s, cc_str, lights,
                                 polarity)
 
     def _voice_payload(self, reader: DibitReader, pos: int, invert: bool,
-                       s: int, ctx: DecoderContext) -> None:
+                       s: int, ctx: DecoderContext, vc: int = 1) -> None:
         """AMBE frames: 108 bits either side of the centre field."""
         h1 = self._slice_bits(reader, pos - 54, 54, invert)
         h2 = self._slice_bits(reader, pos + 24, 54, invert)
         if h1 is not None and h2 is not None:
             voice216 = np.concatenate([h1, h2])
             ctx.events[-1].fields["ambe216"] = voice216
+            self._collect_late_entry(voice216, s, vc, ctx)
             self._synthesize(voice216, s, ctx)
+            if vc == 6:
+                self._alg_refresh(s, ctx)
+
+    def _collect_late_entry(self, voice216: np.ndarray, s: int, vc: int,
+                            ctx: DecoderContext) -> None:
+        """Store this burst's three 4-bit C3 MI fragments; at VC6,
+        Golay-verify the assembled MI (reference dmr_le.c
+        dmr_late_entry_mi_fragment / dmr_late_entry_mi)."""
+        from dsdneo_tpu.protocol.dmr.ambe_frame import deinterleave_ambe72
+        from dsdneo_tpu.protocol.dmr.late_entry import late_entry_decode
+        for k in range(3):
+            fr = deinterleave_ambe72(voice216[72 * k:72 * (k + 1)])
+            self.le_frags[s][vc % 7][k] = _bits_to_int(fr[3][0:4])
+        if vc != 6:
+            return
+        mi, crc_ok, golay_ok = late_entry_decode(self.le_frags[s])
+        if not golay_ok:
+            return
+        cs = self.crypto[s]
+        if cs["alg"] and cs["mi"] != mi:
+            ctx.emit(f" Slot {s + 1} PI/LFSR and Late Entry MI Mismatch"
+                     f" - {cs['mi']:08X} : {mi:08X} "
+                     + ("(CRC OK)" if crc_ok else "(CRC ERR)"),
+                     "dmr", 0, slot=s)
+            if crc_ok:
+                cs["mi"] = mi
+        elif not cs["alg"] and crc_ok:
+            # no PI header seen: adopt the late-entry MI; infer RC4 when
+            # a scalar key is loaded (reference
+            # dmr_maybe_infer_algid_from_key)
+            kr = getattr(ctx.state, "keyring", None)
+            if kr is not None and kr.scalar:
+                cs.update(alg=0x21, kid=0xFF, mi=mi, drop=256)
+                ctx.emit(f" Slot {s + 1} DMR Late Entry MI: {mi:08X};"
+                         " RC4 (inferred);", "dmr", 0, slot=s)
+
+    def _alg_refresh(self, s: int, ctx: DecoderContext) -> None:
+        """Per-superframe crypto refresh (reference
+        dmr_alg_refresh_slot): RC4 advances the MI through the 32-bit
+        LFSR and resets the keystream drop to 256."""
+        from dsdneo_tpu.protocol.dmr.late_entry import mi_advance32
+        cs = self.crypto[s]
+        if cs["alg"] == 0x21 and cs["mi"]:
+            cs["mi"] = mi_advance32(cs["mi"])
+            cs["drop"] = 256
+            ctx.emit(f" Slot {s + 1} DMR PI C- ALG ID: {cs['alg']:02X};"
+                     f" KEY ID: {cs['kid']:02X}; MI(32): {cs['mi']:08X};"
+                     " RC4;", "dmr", 0, slot=s)
 
     def _follow_superframe(self, reader: DibitReader, hit: SyncHit,
                            ctx: DecoderContext, invert: bool, s: int,
@@ -442,7 +498,7 @@ class DmrBsDecoder(ProtocolDecoder):
             ctx.emit(f"Sync: {polarity}DMR {lights[0]} {lights[1]} "
                      f"| Color Code={cc_str} | VC{k + 1}",
                      "dmr", base, slot=s)
-            self._voice_payload(reader, base, invert, s, ctx)
+            self._voice_payload(reader, base, invert, s, ctx, vc=k + 1)
             if k <= 4:
                 frags.append(center[8:40])
         if len(frags) == 4:
@@ -596,6 +652,7 @@ class DmrBsDecoder(ProtocolDecoder):
                 from dsdneo_tpu.crypto.vendor import tyt16_keystream72
                 fr72 = fr72 ^ tyt16_keystream72(int(tyt16), fcount + k)
             bits49, _errs = decode_ambe_ecc(fr72)
+            bits49 = self._decrypt_rc4(bits49, slot, ctx)
             if bp_ks is not None:
                 bits49 = bits49 ^ bp_ks          # bit 48 untouched (ks=0)
             if tyt_ep_ks is not None:
@@ -614,3 +671,27 @@ class DmrBsDecoder(ProtocolDecoder):
         pcm = synthesize_frames(params)
         if pcm.size:
             ctx.emit_audio(pcm, slot=slot)
+
+    def _decrypt_rc4(self, bits49: np.ndarray, slot: int,
+                     ctx: DecoderContext) -> np.ndarray:
+        """DMR RC4 (ALG 0x21) voice decrypt: rckey = 5-byte key ‖ 4-byte
+        MI, 7 keystream octets per frame at the rolling slot drop
+        (reference dsd_mbe.c mbeslot_left/right_apply_rc4)."""
+        cs = self.crypto[slot]
+        if cs["alg"] != 0x21 or not cs["mi"]:
+            return bits49
+        kr = getattr(ctx.state, "keyring", None)
+        key = None
+        if kr is not None:
+            key = kr.scalar.get(cs["kid"])
+            if key is None and len(kr.scalar) == 1:
+                key = next(iter(kr.scalar.values()))   # single-key -R case
+        if key is None:
+            return bits49
+        from dsdneo_tpu.crypto.keystream import rc4_keystream
+        rckey = (int(key) & 0xFFFFFFFFFF).to_bytes(5, "big") \
+            + (cs["mi"] & 0xFFFFFFFF).to_bytes(4, "big")
+        ks = rc4_keystream(rckey, 7, drop=cs["drop"])
+        cs["drop"] += 7
+        plain = np.packbits(bits49.astype(np.uint8)) ^ ks
+        return np.unpackbits(plain)[:49]
