@@ -105,17 +105,23 @@ def _view_rows(model: UiModel, view: str, width: int) -> list[str]:
     return _spectrum_rows(model.iq, width)
 
 
-def run(model: UiModel, max_idle_polls: int | None = None) -> None:
+def run(model: UiModel, max_idle_polls: int | None = None,
+        queue=None) -> None:
     """Blocking curses browser over a decoded capture (q quits,
-    arrows/PgUp/PgDn scroll).  When stdin is not a tty the view renders
-    and exits after a short idle period (headless/CI replay)."""
+    arrows/PgUp/PgDn scroll, m opens the menu).  When stdin is not a
+    tty the view renders and exits after a short idle period
+    (headless/CI replay).  ``queue`` is the app_control CommandQueue
+    that menu actions are sent to."""
     import sys
     if max_idle_polls is None and not sys.stdin.isatty():
         max_idle_polls = 10
-    curses.wrapper(_main, model, max_idle_polls)
+    curses.wrapper(_main, model, max_idle_polls, queue)
 
 
-def _main(scr, model: UiModel, max_idle_polls: int | None = None) -> None:
+def _main(scr, model: UiModel, max_idle_polls: int | None = None,
+          queue=None) -> None:
+    from dsdneo_tpu.ui.menu import MenuState
+    menu = MenuState(queue=queue)
     try:
         curses.curs_set(0)
     except curses.error:
@@ -148,9 +154,13 @@ def _main(scr, model: UiModel, max_idle_polls: int | None = None) -> None:
         start = max(min(offset, len(lines) - view_h), 0)
         for i, line in enumerate(lines[start:start + view_h]):
             scr.addnstr(y + i, 0, line.replace("\n", " | "), w - 1)
-        scr.addnstr(h - 1, 0,
-                    " q quit   v view   ↑/↓ PgUp/PgDn scroll ".ljust(w - 1),
-                    w - 1, curses.A_REVERSE)
+        # menu overlay (data-driven, non-blocking; reference menu_core.c)
+        for i, row in enumerate(menu.render_rows(min(44, w - 4))):
+            if 2 + i < h - 1:
+                scr.addnstr(2 + i, 2, row, w - 3, curses.A_REVERSE)
+        foot = (f" {menu.status} " if menu.status else
+                " q quit   m menu   v view   ↑/↓ PgUp/PgDn scroll ")
+        scr.addnstr(h - 1, 0, foot.ljust(w - 1), w - 1, curses.A_REVERSE)
         scr.refresh()
         ch = scr.getch()
         if ch == -1:
@@ -159,7 +169,11 @@ def _main(scr, model: UiModel, max_idle_polls: int | None = None) -> None:
                 break
             continue
         idle = 0
-        if ch in (ord("q"), 27):
+        if menu.handle_key(ch):
+            continue
+        if ch == ord("m"):
+            menu.toggle()
+        elif ch in (ord("q"), 27):
             break
         elif ch == ord("v"):
             view_idx = (view_idx + 1) % len(_VIEWS)

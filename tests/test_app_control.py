@@ -66,3 +66,70 @@ def test_live_engine_commands_and_snapshots():
     t0 = time.time()
     n = eng2.run()
     assert n == 0 and time.time() - t0 < 2.0
+
+
+def test_menu_navigation_and_input_dispatch():
+    """Data-driven menu machine: navigate to Tuning > Set frequency,
+    type a value, enter -> TUNE command lands in the app_control queue
+    (reference menu_core.c + app_command_queue.c shape)."""
+    from dsdneo_tpu.app_control.commands import AppCommand, CommandQueue
+    from dsdneo_tpu.ui.menu import (KEY_DOWN, KEY_ENTER, KEY_ESC,
+                                    MenuState)
+    q = CommandQueue()
+    m = MenuState(queue=q)
+    assert not m.handle_key(KEY_DOWN)       # closed menu ignores keys
+    m.toggle()
+    assert m.open and m.render_rows()
+    m.handle_key(KEY_ENTER)                 # enter Tuning
+    m.handle_key(KEY_ENTER)                 # Set frequency -> input mode
+    for c in "851.0125":
+        m.handle_key(ord(c))
+    m.handle_key(KEY_ENTER)
+    cmds = q.drain()
+    assert len(cmds) == 1
+    assert cmds[0].cmd == AppCommand.TUNE
+    assert abs(cmds[0].payload - 851.0125e6) < 1
+    assert not m.open                       # menu closes after dispatch
+
+    # toggle action with fixed payload
+    m.toggle()
+    m.handle_key(KEY_DOWN); m.handle_key(KEY_DOWN)   # Audio
+    m.handle_key(KEY_ENTER)
+    m.handle_key(KEY_ENTER)                 # Toggle mute
+    assert q.drain()[0].cmd == AppCommand.TOGGLE_MUTE
+
+    # bad input is rejected without enqueueing
+    m.toggle()
+    m.handle_key(KEY_ENTER)                 # Tuning
+    m.handle_key(KEY_ENTER)                 # Set frequency
+    for c in "not-a-number":
+        m.handle_key(ord(c))
+    m.handle_key(KEY_ENTER)
+    assert not q.drain()
+    assert "bad value" in m.status
+
+    # ESC walks back out
+    m.toggle()
+    m.handle_key(KEY_ENTER)
+    m.handle_key(KEY_ESC)
+    assert m.open
+    m.handle_key(KEY_ESC)
+    assert not m.open
+
+
+def test_menu_mode_submenu_lists_all_modes():
+    from dsdneo_tpu.app_control.commands import AppCommand, CommandQueue
+    from dsdneo_tpu.ui.menu import KEY_DOWN, KEY_ENTER, MenuState
+    q = CommandQueue()
+    m = MenuState(queue=q)
+    m.toggle()
+    m.handle_key(KEY_DOWN)                  # Decode
+    m.handle_key(KEY_ENTER)
+    m.handle_key(KEY_ENTER)                 # Mode submenu
+    rows = m.render_rows()
+    assert any("p25p1" in r for r in rows)
+    assert any("m17" in r for r in rows)
+    m.handle_key(KEY_DOWN)                  # p25p1
+    m.handle_key(KEY_ENTER)
+    c = q.drain()[0]
+    assert c.cmd == AppCommand.SET_MODE and c.payload == "p25p1"
