@@ -107,10 +107,9 @@ def test_menu_navigation_and_input_dispatch():
     m.handle_key(KEY_ENTER)
     assert not q.drain()
     assert "bad value" in m.status
+    assert m.open                           # menu stays open on bad input
 
-    # ESC walks back out
-    m.toggle()
-    m.handle_key(KEY_ENTER)
+    # ESC walks back out (currently inside Tuning)
     m.handle_key(KEY_ESC)
     assert m.open
     m.handle_key(KEY_ESC)
