@@ -137,14 +137,24 @@ def bench_full_chain(C: int, reps: int = 5):
     x = jax.device_put(iq)
     pcm = pipe.decode_block(x)         # compile + warmup
     assert pcm.shape[0] == C and pcm.shape[1] > 0
-    times = []
-    for _ in range(reps):
+
+    def pipelined(k: int) -> float:
+        """Steady-state streaming: block i+1 is dispatched before block
+        i's PCM is fetched, so the 5 MB DMA rides under the next
+        block's device compute (JAX async dispatch) — the production
+        shape of the demod-thread/output-ring decoupling."""
         t0 = time.perf_counter()
-        pcm = pipe.decode_block(x)
-        times.append(time.perf_counter() - t0)
-    # min-of-N: the tunneled host link adds multi-100ms jitter spikes
-    # unrelated to the chip; the best rep is the honest chip+host cost
-    step_s = float(np.min(times))
+        prev = pipe.decode_block_async(x)
+        for _ in range(k - 1):
+            nxt = pipe.decode_block_async(x)
+            pipe.fetch_pcm(prev)
+            prev = nxt
+        pipe.fetch_pcm(prev)
+        return (time.perf_counter() - t0) / k
+
+    # best-of-2 runs: the tunneled host link adds multi-100ms jitter
+    # spikes unrelated to the chip
+    step_s = min(pipelined(reps), pipelined(reps))
     return C * block_s / step_s, step_s, block_s, int(pcm.shape[1] // 160)
 
 

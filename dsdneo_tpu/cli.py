@@ -288,7 +288,12 @@ def main(argv: list[str] | None = None) -> int:
     from dsdneo_tpu.runtime import config as rtcfg
     cfg = rtcfg.RuntimeConfig()
     if args.config:
-        cfg = rtcfg.load_ini(args.config, cfg)
+        # "file.ini@profile" selects a [profile:<name>] section
+        path, _, prof = args.config.partition("@")
+        errs: list[str] = []
+        cfg = rtcfg.load_ini(path, cfg, profile=prof, errors=errs)
+        for e in errs:
+            print(f"dsd-neo-tpu: config: {e}", file=sys.stderr)
     cfg = rtcfg.load_env(cfg)
     frame_log = args.frame_log if args.frame_log is not None else cfg.frame_log
     perf_csv = args.perf_csv if args.perf_csv is not None else cfg.perf_csv

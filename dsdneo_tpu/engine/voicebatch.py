@@ -240,6 +240,135 @@ class BatchedP25VoicePipeline:
         nm[rows, idx[:, :k_nid]] = msg
         return dib[:, :T], bd, bs, nm
 
+    def frontend_sync_device(self, iq, use_pallas: bool | None = None):
+        """frontend_sync variant for the device-resident fast path: the
+        [C, T] dibit array STAYS on device (returned as a jax handle for
+        voice_decode_gather); only the compact candidate blob — top-K
+        positions, quantized scores, pattern ids, NID messages — crosses
+        the tunnel (~50 KB vs ~700 KB with the packed dibits)."""
+        from dsdneo_tpu.engine.batched import frontend_step
+        B = iq.shape[1]
+        n_sym = int(B // self.sps) - 2
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        key = ("fsd", B, n_sym, use_pallas)
+        if not hasattr(self, "_frontend_jits"):
+            self._frontend_jits = {}
+        fn = self._frontend_jits.get(key)
+        if fn is None:
+            taps = self.taps
+            names = self.SYNC_NAMES
+            defs, _, _, n_max_pat = _sync_kernel(self.SYNC_NAMES)
+            k_cand = min(self.SYNC_TOPK, n_sym - n_max_pat + 1)
+            n_pat = len(defs[0].pattern)
+            nid_strip = _status_strip_map(n_pat, 32)
+            bch_pm = self.bch.pm.astype(np.float32)
+
+            @jax.jit
+            def fn(x):
+                dibits, soft, power = frontend_step(
+                    x, taps, self.sps, n_sym, self.mode.four_level,
+                    use_pallas=use_pallas)
+                sc = correlate_syncs_device(soft, names)
+                best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
+                bs = jnp.max(sc, axis=1)
+                vals, idx = jax.lax.top_k(bs, k_cand)
+                vq = jnp.clip(vals * 127.0, 0, 255).astype(jnp.uint8)
+                dq = jnp.take_along_axis(best_def, idx, axis=1)
+                k_nid = min(48, k_cand)
+                idx_n = idx[:, :k_nid]
+                Cn = dibits.shape[0]
+                gpos = jnp.clip(idx_n[:, :, None] + jnp.asarray(nid_strip),
+                                0, dibits.shape[1] - 1)
+                nd = dibits[jnp.arange(Cn)[:, None, None], gpos]
+                b64 = jnp.stack([(nd >> 1) & 1, nd & 1], axis=-1
+                                ).reshape(Cn, k_nid, 64)
+                s = (1.0 - 2.0 * b64[..., :63].astype(jnp.float32)
+                     ).astype(jnp.bfloat16)
+                msg = jnp.argmax(
+                    s.reshape(-1, 63) @ jnp.asarray(bch_pm).astype(
+                        jnp.bfloat16).T, axis=-1
+                    ).astype(jnp.uint16).reshape(Cn, k_nid)
+                u8 = lambda a: jax.lax.bitcast_convert_type(
+                    a, jnp.uint8).reshape(a.shape[0], -1)
+                blob = jnp.concatenate(
+                    [u8(idx.astype(jnp.uint16)), vq, dq, u8(msg)], axis=1)
+                return dibits, blob
+            self._frontend_jits[key] = fn
+        dibits_dev, blob_dev = fn(
+            iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        blob = np.asarray(blob_dev)
+        defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
+        Tp = n_sym - n_max + 1
+        k_cand = min(self.SYNC_TOPK, Tp)
+        k_nid = min(48, k_cand)
+        o = 0
+        idx = blob[:, o:o + 2 * k_cand].copy().view(np.uint16
+                                                    ).astype(np.int64)
+        o += 2 * k_cand
+        vq = blob[:, o:o + k_cand]; o += k_cand
+        dq = blob[:, o:o + k_cand]; o += k_cand
+        msg = blob[:, o:o + 2 * k_nid].copy().view(np.uint16)
+        return dibits_dev, idx, vq, dq, msg, n_sym
+
+    def pick_ldus(self, idx, vq, dq, msg, T: int):
+        """Sparse greedy sync picking + LDU acceptance straight from the
+        candidate blob (no dense [C, T] score arrays, no dibits): same
+        semantics as pick_syncs_from_best — walk candidates by position,
+        refine to the local maximum within 8 positions, jump a pattern
+        length — then accept DUID 5/10 hits outside any previous LDU.
+        NID comes exclusively from the device's top-48-by-score set;
+        true LDU syncs correlate at ~1.0 and dominate that set."""
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        n_pat = len(defs[0].pattern)
+        strip = _status_strip_map(n_pat, 32 + LDU_DATA_DIBITS)
+        need = int(strip[-1]) + 1
+        k_nid = msg.shape[1]
+        C = idx.shape[0]
+        acc_c, acc_t, fch, forder = [], [], [], []
+        for c in range(C):
+            sc = vq[c].astype(np.float32) / 127.0
+            ok = sc >= self.threshold
+            if not ok.any():
+                continue
+            positions = idx[c][ok]
+            scores = sc[ok]
+            pdefs = dq[c][ok]
+            nid = {int(idx[c][j]): int(msg[c][j])
+                   for j in range(min(k_nid, idx.shape[1]))}
+            order = np.argsort(positions, kind="stable")
+            positions, scores, pdefs = (positions[order], scores[order],
+                                        pdefs[order])
+            pos = 0
+            n_order = 0
+            for j in range(len(positions)):
+                t = int(positions[j])
+                if t < pos:
+                    continue
+                # local-max refinement within the next 8 positions
+                w = j
+                for j2 in range(j + 1, len(positions)):
+                    if positions[j2] >= t + 8:
+                        break
+                    if scores[j2] > scores[w]:
+                        w = j2
+                p = int(positions[w])
+                d = defs[int(pdefs[w])]
+                pos = p + len(d.pattern)
+                if d.inverted or p + need >= T:
+                    continue
+                duid = nid.get(p, 0xFFFF) & 0xF
+                if duid not in (5, 10):
+                    continue
+                acc_c.append(c)
+                acc_t.append(p)
+                fch.extend([c] * 9)
+                forder.extend(range(n_order, n_order + 9))
+                n_order += 9
+                pos = p + need
+        return (np.asarray(acc_c, np.int32), np.asarray(acc_t, np.int32),
+                np.asarray(fch, np.int64), np.asarray(forder, np.int64))
+
     def frontend(self, iq: np.ndarray, use_pallas: bool | None = None):
         # must run under jit: frontend_step builds a complex rotation
         # tone that the axon TPU backend cannot execute eagerly
@@ -367,32 +496,55 @@ class BatchedP25VoicePipeline:
                 np.asarray(forder, dtype=np.int64))
 
     def decode_block(self, iq) -> np.ndarray:
-        """Full chain for one [C, B] block → [C, n_frames*160] PCM.
+        """Full chain for one [C, B] block → [C, n_frames*160] PCM."""
+        return self.fetch_pcm(self.decode_block_async(iq))
+
+    def decode_block_async(self, iq):
+        """Dispatch the full chain WITHOUT fetching the PCM: returns the
+        device-resident [C, T, 160] f16 array.  The streaming consumer
+        overlaps this block's device compute with the previous block's
+        PCM DMA (fetch_pcm) — JAX async dispatch queues the program and
+        returns immediately, so
+            h = pipe.decode_block_async(next_block)
+            pcm = pipe.fetch_pcm(prev_handle)     # DMA ∥ compute
+        is the production steady-state shape (the reference's demod
+        thread/output-ring decoupling, rtl_sdr_fm.cpp:296).
 
         ``iq`` may be host numpy or an already-device-resident array
         (jax.device_put) — production feeds pre-transfer blocks so the
-        infeed overlaps compute.  After the host sync hunt, ECC +
-        dequantization + prediction + synthesis run as ONE device
-        dispatch (vocoder.device.voice_decode_device); only the f16 PCM
+        infeed overlaps compute.  The dibit array never leaves the
+        device: the host sees only the ~50 KB candidate blob, picks the
+        LDU list, and uploads the accepted positions; frame gather +
+        ECC + dequantization + prediction + synthesis run as ONE device
+        dispatch (vocoder.device.voice_decode_gather); only the f16 PCM
         crosses the tunnel back."""
-        from dsdneo_tpu.vocoder.device import voice_decode_device
-        dibits, best_def, best_score, nid_msg = self.frontend_sync(iq)
-        frames144, fch, forder = self.find_voice_frames_best(
-            dibits, best_def, best_score, dibits.shape[1], nid_msg)
-        F = frames144.shape[0]
-        if F == 0:
+        from dsdneo_tpu.vocoder.device import voice_decode_gather
+        dibits_dev, idx, vq, dq, msg, n_sym = self.frontend_sync_device(iq)
+        ac, at, fch, forder = self.pick_ldus(idx, vq, dq, msg, n_sym)
+        L = ac.shape[0]
+        if L == 0:
             return np.zeros((self.C, 0), dtype=np.float32)
         n_steps = int(forder.max()) + 1
         # pad to shape buckets so repeated blocks reuse the compiled
-        # program (frames to 256s, steps to LDU multiples of 27)
-        Fp = -(-F // 256) * 256
+        # program (LDUs to 32s -> frames to 288s, steps to multiples
+        # of 27)
+        Lp = -(-L // 32) * 32
         Tp = -(-n_steps // 27) * 27
-        f144 = np.zeros((Fp, 144), dtype=np.uint8)
-        f144[:F] = frames144
-        fchp = np.full(Fp, self.C, dtype=np.int32)   # pad row C: dropped
-        fchp[:F] = fch
-        fordp = np.zeros(Fp, dtype=np.int32)
-        fordp[:F] = forder
+        acp = np.full(Lp, self.C, dtype=np.int32)    # pad row C: dropped
+        acp[:L] = ac
+        atp = np.zeros(Lp, dtype=np.int32)
+        atp[:L] = at
+        fchp = np.full(Lp * 9, self.C, dtype=np.int32)
+        fchp[:L * 9] = fch
+        fordp = np.zeros(Lp * 9, dtype=np.int32)
+        fordp[:L * 9] = forder
+        if not hasattr(self, "_frame_offs"):
+            defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+            strip = _status_strip_map(len(defs[0].pattern),
+                                      32 + LDU_DATA_DIBITS)
+            self._frame_offs = jnp.asarray(np.stack(
+                [strip[32 + o:32 + o + 72] for o in LDU_IMBE_OFFSETS]
+            ).astype(np.int32))
         # prediction state stays device-resident between blocks (fetching
         # it would cost two more tunnel round trips per block); the first
         # block uploads the host state once
@@ -400,11 +552,18 @@ class BatchedP25VoicePipeline:
         if st is None:
             st = (jnp.asarray(self.imbe_dec.prev_logm.astype(np.float32)),
                   jnp.asarray(self.imbe_dec.prev_L.astype(np.int32)))
-        pcm, f_logm, f_L, _aux = voice_decode_device(
-            jnp.asarray(f144), jnp.asarray(fchp), jnp.asarray(fordp),
+        pcm, f_logm, f_L, _aux = voice_decode_gather(
+            dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
+            self._frame_offs, jnp.asarray(fchp), jnp.asarray(fordp),
             st[0], st[1], self.C, Tp)
         self._dev_pred_state = (f_logm, f_L)
-        return np.asarray(pcm).astype(np.float32).reshape(self.C, -1)
+        return pcm
+
+    def fetch_pcm(self, handle) -> np.ndarray:
+        """Pull a decode_block_async result to host float32 PCM."""
+        if handle is None or getattr(handle, "size", 1) == 0:
+            return np.zeros((self.C, 0), dtype=np.float32)
+        return np.asarray(handle).astype(np.float32).reshape(self.C, -1)
 
     def decode_block_host(self, iq) -> np.ndarray:
         """Host-dequant variant of decode_block (reference numerics for

@@ -88,38 +88,70 @@ def load_env(base: RuntimeConfig | None = None,
     return cfg.with_overrides(**overrides)
 
 
-def load_ini(path: str, base: RuntimeConfig | None = None) -> RuntimeConfig:
+def load_ini(path: str, base: RuntimeConfig | None = None,
+             profile: str = "",
+             errors: list[str] | None = None) -> RuntimeConfig:
     """INI user config (``[dsdneo]`` section, keys = field names).
-    Supports ``include = other.ini`` chains like the reference's
-    profile/include system."""
+    Supports ``include = other.ini`` chains and named
+    ``[profile:<name>]`` sections layered over the base section,
+    like the reference's profile/include system
+    (docs/config-system.md).  Validation problems (unknown keys,
+    unparsable values, missing profiles) are appended to ``errors``
+    when given."""
     cfg = base or RuntimeConfig()
+    errs = errors if errors is not None else []
     cp = configparser.ConfigParser()
     read = cp.read(path)
     if not read:
+        errs.append(f"{path}: unreadable")
         return cfg
     sec = cp["dsdneo"] if cp.has_section("dsdneo") else cp["DEFAULT"]
     inc = sec.get("include", "")
     if inc:
         inc_path = os.path.join(os.path.dirname(path), inc)
-        cfg = load_ini(inc_path, cfg)
-    overrides = {}
-    valid = {f.name: f.type for f in fields(RuntimeConfig)}
-    for key, raw in sec.items():
-        if key == "include" or key not in valid:
-            continue
-        cur = getattr(cfg, key)
-        try:
-            if isinstance(cur, bool):
-                overrides[key] = raw.lower() in ("1", "true", "yes", "on")
-            elif isinstance(cur, int):
-                overrides[key] = int(raw)
-            elif isinstance(cur, float):
-                overrides[key] = float(raw)
-            else:
-                overrides[key] = raw
-        except ValueError:
-            continue
-    return cfg.with_overrides(**overrides)
+        cfg = load_ini(inc_path, cfg, errors=errs)
+
+    def apply(section, cfg):
+        overrides = {}
+        valid = {f.name: f.type for f in fields(RuntimeConfig)}
+        for key, raw in section.items():
+            if key == "include":
+                continue
+            if key not in valid:
+                errs.append(f"{path}: unknown key '{key}'")
+                continue
+            cur = getattr(cfg, key)
+            try:
+                if isinstance(cur, bool):
+                    overrides[key] = raw.lower() in ("1", "true", "yes",
+                                                     "on")
+                elif isinstance(cur, int):
+                    overrides[key] = int(raw)
+                elif isinstance(cur, float):
+                    overrides[key] = float(raw)
+                else:
+                    overrides[key] = raw
+            except ValueError:
+                errs.append(f"{path}: bad value for '{key}': {raw!r}")
+                continue
+        return cfg.with_overrides(**overrides)
+
+    cfg = apply(sec, cfg)
+    if profile:
+        pname = f"profile:{profile}"
+        if cp.has_section(pname):
+            cfg = apply(cp[pname], cfg)
+        else:
+            errs.append(f"{path}: no such profile '{profile}'")
+    return cfg
+
+
+def validate_ini(path: str, profile: str = "") -> list[str]:
+    """Schema check of an INI file; returns human-readable problems
+    (reference config validation, docs/config-system.md)."""
+    errors: list[str] = []
+    load_ini(path, profile=profile, errors=errors)
+    return errors
 
 
 def bootstrap(ini_path: str | None = None, **cli_overrides) -> RuntimeConfig:

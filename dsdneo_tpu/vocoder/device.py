@@ -138,22 +138,19 @@ def _prediction_scan(T, w0, L, K, V, act, prev_logm, prev_L):
         return (n_logm, n_L), (w0_t * a_t, v * am, amps)
 
     xs = tuple(jnp.swapaxes(a, 0, 1) for a in (T, w0, L, K, V, act))
+    # the per-step body is tiny ([C, 56] elementwise + two gathers), so
+    # the scan is kernel-launch-bound: unrolling 9 steps (n_steps pads
+    # to multiples of 27) amortizes the dispatch overhead
     (f_logm, f_L), (w0s, voiced, amps) = jax.lax.scan(
-        body, (prev_logm, prev_L), xs)
+        body, (prev_logm, prev_L), xs, unroll=9)
     return (jnp.swapaxes(w0s, 0, 1), jnp.swapaxes(voiced, 0, 1),
             jnp.swapaxes(amps, 0, 1), f_logm, f_L)
 
 
-@partial(jax.jit, static_argnames=("C", "n_steps"))
-def voice_decode_device(frames144, fch, forder, prev_logm, prev_L,
+def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
                         C: int, n_steps: int):
-    """[F, 144] interleaved voice-frame bits (+ their channel/time-step
-    indices; pad frames use fch == C) → ([C, n_steps, 160] f16 PCM,
-    final prediction state, aux dequant outputs).
-
-    One device dispatch for ECC + dequant + prediction + synthesis —
-    the production fast path of BatchedP25VoicePipeline.decode_block.
-    """
+    """Traced body shared by voice_decode_device (host-gathered frames)
+    and voice_decode_gather (device-gathered frames)."""
     from dsdneo_tpu.fec.device import imbe_ecc_batch
     from dsdneo_tpu.vocoder.synth import synthesize
 
@@ -182,3 +179,40 @@ def voice_decode_device(frames144, fch, forder, prev_logm, prev_L,
                      * 2.399963, 2 * jnp.pi)).reshape(C, F_, MAX_L)
     pcm = jax.vmap(synthesize)(w0o, amps, voiced, noise)
     return pcm.astype(jnp.float16), f_logm, f_L, (w0o, voiced, amps)
+
+
+@partial(jax.jit, static_argnames=("C", "n_steps"))
+def voice_decode_device(frames144, fch, forder, prev_logm, prev_L,
+                        C: int, n_steps: int):
+    """[F, 144] interleaved voice-frame bits (+ their channel/time-step
+    indices; pad frames use fch == C) → ([C, n_steps, 160] f16 PCM,
+    final prediction state, aux dequant outputs).
+
+    One device dispatch for ECC + dequant + prediction + synthesis —
+    the production fast path of BatchedP25VoicePipeline.decode_block.
+    """
+    return _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
+                               C, n_steps)
+
+
+@partial(jax.jit, static_argnames=("C", "n_steps"))
+def voice_decode_gather(dibits, ldu_ch, ldu_pos, offs, fch, forder,
+                        prev_logm, prev_L, C: int, n_steps: int):
+    """Device-resident variant: the [C, T] dibit array never leaves the
+    chip.  The host uploads only the accepted LDU list (ldu_ch/ldu_pos,
+    padded with ldu_ch == C) and the per-frame channel/step indices; the
+    9×72-dibit voice-frame gather (offs = status-stripped offsets
+    relative to each LDU's sync position) runs here, then the same
+    ECC → dequant → prediction → synthesis chain as
+    voice_decode_device.  Kills the largest host←device transfer of the
+    batched chain (the packed dibit blob)."""
+    Tn = dibits.shape[1]
+    pos = jnp.clip(ldu_pos[:, None, None] + offs[None], 0, Tn - 1)
+    ch = jnp.minimum(ldu_ch, dibits.shape[0] - 1)
+    dd = dibits[ch[:, None, None], pos]                  # [Lp, 9, 72]
+    dd = dd.reshape(-1, 72)
+    frames144 = jnp.zeros((dd.shape[0], 144), dtype=jnp.uint8)
+    frames144 = frames144.at[:, 0::2].set((dd >> 1) & 1)
+    frames144 = frames144.at[:, 1::2].set(dd & 1)
+    return _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
+                               C, n_steps)

@@ -290,3 +290,36 @@ def test_bootstrap_wizard_flow(monkeypatch, tmp_path):
     ans = iter(["2", fx, "null", "0"])
     rc = cli.main(["--frontend", "none", "--wizard", "-o", "null"])
     assert rc == 0
+
+
+def test_ini_profiles_and_validation(tmp_path):
+    """[profile:<name>] sections layer over [dsdneo]; validation
+    reports unknown keys, bad values, and missing profiles (reference
+    docs/config-system.md profile/include/validation)."""
+    from dsdneo_tpu.runtime import config as rtcfg
+    ini = tmp_path / "user.ini"
+    ini.write_text("""
+[dsdneo]
+sync_threshold = 0.5
+pdu_json = 0
+
+[profile:hot]
+sync_threshold = 0.9
+pdu_json = 1
+""")
+    base = rtcfg.load_ini(str(ini))
+    assert abs(base.sync_threshold - 0.5) < 1e-9 and not base.pdu_json
+    hot = rtcfg.load_ini(str(ini), profile="hot")
+    assert abs(hot.sync_threshold - 0.9) < 1e-9 and hot.pdu_json
+
+    bad = tmp_path / "bad.ini"
+    bad.write_text("""
+[dsdneo]
+sync_threshold = not-a-float
+no_such_knob = 1
+""")
+    errs = rtcfg.validate_ini(str(bad))
+    assert any("bad value" in e for e in errs)
+    assert any("unknown key" in e for e in errs)
+    assert rtcfg.validate_ini(str(ini), profile="nope")
+    assert not rtcfg.validate_ini(str(ini), profile="hot")
