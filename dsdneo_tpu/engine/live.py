@@ -39,6 +39,10 @@ class LiveEngine:
         self.freq_hz = 0.0
         self.retunes = 0
         self.muted = False
+        self.squelch_db = -200.0      # open
+        self.gain_db = 0.0
+        self.ppm = 0
+        self.on_ppm = None            # tuner hook (rtl_tcp set_ppm)
         # app_control boundary: frontends poll `metrics.snapshot()` and
         # enqueue into `commands`; the loop drains between blocks
         self.metrics = MetricsHub()
@@ -80,6 +84,24 @@ class LiveEngine:
                                              ctx=self.decoder.ctx)
             elif qc.cmd == AppCommand.TOGGLE_MUTE:
                 self.muted = not self.muted
+            elif qc.cmd == AppCommand.SET_SQUELCH:
+                self.squelch_db = float(qc.payload)
+            elif qc.cmd == AppCommand.GAIN_DELTA:
+                self.gain_db += 3.0 * int(qc.payload)
+                self.decoder.ctx.state.audio_gain_db = self.gain_db
+            elif qc.cmd == AppCommand.TG_HOLD:
+                pol = getattr(self.decoder.ctx.state, "tg_policy", None)
+                if pol is not None:
+                    slot, tg = qc.payload
+                    pol.hold(int(slot), int(tg))
+            elif qc.cmd == AppCommand.TG_RELEASE:
+                pol = getattr(self.decoder.ctx.state, "tg_policy", None)
+                if pol is not None:
+                    pol.release_hold(int(qc.payload))
+            elif qc.cmd == AppCommand.SET_PPM:
+                self.ppm = int(qc.payload)
+                if self.on_ppm is not None:
+                    self.on_ppm(self.ppm)
             elif qc.cmd == AppCommand.STOP:
                 self._stop = True
 
@@ -101,12 +123,15 @@ class LiveEngine:
             samples = (planes[:, 0] + 1j * planes[:, 1]).astype(np.complex64)
             if self.capture is not None:
                 self.capture.submit(samples)
-            events = self.decoder.push(samples)
+            rms = float(np.sqrt(np.mean(np.abs(samples) ** 2)))
+            # power squelch: below-threshold blocks aren't decoded at
+            # all (reference demod_pipeline.cpp squelch gate)
+            squelched = 20.0 * np.log10(max(rms, 1e-12)) < self.squelch_db
+            events = [] if squelched else self.decoder.push(samples)
             if self.on_event is not None and not self.muted:
                 for e in events:
                     self.on_event(e)
             n += 1
-            rms = float(np.sqrt(np.mean(np.abs(samples) ** 2)))
             self.metrics.publish(
                 freq_hz=self.freq_hz, stream_active=True,
                 retunes=self.retunes, blocks=n,

@@ -47,6 +47,9 @@ class DecoderContext:
         tg = getattr(self.state, "last_tg", 0) or 0
         if pol is not None and tg and not pol.allows(tg, slot=slot):
             return                      # blocked talkgroup: mute
+        gain_db = getattr(self.state, "audio_gain_db", 0.0)
+        if gain_db:
+            pcm = pcm * (10.0 ** (gain_db / 20.0))
         self.audio.setdefault(slot, []).append(pcm)
         if getattr(self, "call_recorder", None) is not None:
             t = sum(len(c) for c in self.audio[slot]) / 8000.0

@@ -132,3 +132,32 @@ def test_menu_mode_submenu_lists_all_modes():
     m.handle_key(KEY_ENTER)
     c = q.drain()[0]
     assert c.cmd == AppCommand.SET_MODE and c.payload == "p25p1"
+
+
+def test_live_engine_drains_all_menu_commands():
+    """Every AppCommand the menu can send has a real engine effect."""
+    from dsdneo_tpu.app_control.commands import AppCommand
+    from dsdneo_tpu.core.talkgroup import TalkgroupPolicy
+    from dsdneo_tpu.engine.live import LiveEngine
+    eng = LiveEngine("dmr")
+    eng.decoder.ctx.state.tg_policy = TalkgroupPolicy()
+    eng.on_ppm = lambda p: setattr(eng, "_ppm_seen", p)
+    q = eng.commands
+    q.put(AppCommand.SET_SQUELCH, -50.0)
+    q.put(AppCommand.GAIN_DELTA, +1)
+    q.put(AppCommand.TG_HOLD, (0, 123))
+    q.put(AppCommand.SET_PPM, 7)
+    eng._drain_commands()
+    assert eng.squelch_db == -50.0
+    assert eng.gain_db == 3.0
+    assert eng.decoder.ctx.state.audio_gain_db == 3.0
+    assert eng._ppm_seen == 7
+    pol = eng.decoder.ctx.state.tg_policy
+    assert not pol.allows(999, slot=0)      # hold mutes other TGs
+    assert pol.allows(123, slot=0)
+    q.put(AppCommand.TG_RELEASE, 0)
+    eng._drain_commands()
+    assert pol.allows(999, slot=0)
+    q.put(AppCommand.STOP)
+    eng._drain_commands()
+    assert eng._stop
