@@ -13,6 +13,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 from dsdneo_tpu.engine.modes import FLAG_TO_MODE
 
 
@@ -121,6 +123,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "datagrams (reference M17 UDP mode)")
     p.add_argument("-R", dest="m17_scrambler", default="", metavar="HEX",
                    help="M17 scrambler seed (8/16/24-bit, reference -R)")
+    p.add_argument("-i", dest="input", default="", metavar="SPEC",
+                   help="live input (reference -i): rtltcp:host:port[:freqHz]"
+                        " (CU8 I/Q from an rtl_tcp server), tcp:host:port or"
+                        " udp:port (48 kHz PCM16LE discriminator tap)")
+    p.add_argument("--duration", type=float, default=10.0,
+                   help="live-input run length in seconds (0 = until ^C)")
     p.add_argument("--m17-aes", default="", metavar="HEX",
                    help="M17 AES-CTR key (32/48/64 hex chars)")
     return p
@@ -186,6 +194,97 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
     if args.m17_aes:
         attrs["m17_aes_key"] = bytes.fromhex(args.m17_aes)
     return attrs
+
+
+def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
+    """Live-source decode (reference -i input specs):
+    ``rtltcp:host:port[:freqHz]`` pumps CU8 I/Q from an rtl_tcp server
+    through the native ingest ring into the LiveEngine;
+    ``tcp:host:port`` / ``udp[:bind]:port`` feed 48 kHz PCM16LE
+    discriminator audio straight into the symbolizer
+    (src/io/audio_backends/udp_input.c / tcp_input.c)."""
+    import time as _time
+
+    spec = args.input
+    duration = args.duration
+
+    def on_event(e):
+        print(e.line)
+
+    if spec.startswith("rtltcp:"):
+        from dsdneo_tpu.engine.live import LiveEngine
+        from dsdneo_tpu.io.rtl_tcp import RtlTcpClient
+        parts = spec.split(":")
+        host, port = parts[1], int(parts[2])
+        freq = int(parts[3]) if len(parts) > 3 else 851_000_000
+        eng = LiveEngine(args.mode, fs=48000.0, block_s=0.25,
+                         on_event=on_event)
+        st = eng.decoder.ctx.state
+        st.keyring = keyring
+        for k, v in _state_attrs(args, tg_policy, chan_map).items():
+            setattr(st, k, v)
+        eng.decoder.ctx.call_recorder = recorder
+        try:
+            dev = RtlTcpClient(host, port, eng.ring, sample_rate=48000,
+                               freq_hz=freq)
+        except OSError as e:
+            print(f"dsd-neo-tpu: rtl_tcp connect failed: {e}",
+                  file=sys.stderr)
+            return 1
+        eng.on_ppm = dev.set_ppm
+        dev.start()
+        eng.start()
+        try:
+            t0 = _time.time()
+            while duration <= 0 or _time.time() - t0 < duration:
+                _time.sleep(0.2)
+        except KeyboardInterrupt:
+            pass
+        eng.stop()
+        dev.close()
+        return 0
+
+    if spec.startswith(("tcp:", "udp:", "udp")):
+        from dsdneo_tpu.engine.stream import StreamDecoder
+        from dsdneo_tpu.io.net import TcpPcmInput, UdpPcmInput
+        sd = StreamDecoder(args.mode, fs=48000.0,
+                           sync_threshold=args.sync_threshold,
+                           input_kind="disc")
+        st = sd.ctx.state
+        st.keyring = keyring
+        for k, v in _state_attrs(args, tg_policy, chan_map).items():
+            setattr(st, k, v)
+        sd.ctx.call_recorder = recorder
+        try:
+            if spec.startswith("tcp:"):
+                _, host, port = spec.split(":")
+                src = TcpPcmInput(host, int(port))
+            else:
+                parts = spec.split(":")
+                bind = parts[1] if len(parts) > 2 else "127.0.0.1"
+                port = int(parts[-1])
+                src = UdpPcmInput(bind=bind, port=port)
+        except OSError as e:
+            print(f"dsd-neo-tpu: PCM input failed: {e}", file=sys.stderr)
+            return 1
+        chunk = 12000                       # 0.25 s at 48 kHz
+        t0 = _time.time()
+        try:
+            while duration <= 0 or _time.time() - t0 < duration:
+                pcm = src.read(chunk)
+                if pcm is None:
+                    break
+                for e in sd.push(pcm.astype(np.float32) / 32768.0):
+                    on_event(e)
+        except KeyboardInterrupt:
+            pass
+        for e in sd.flush():
+            on_event(e)
+        src.close()
+        return 0
+
+    print(f"dsd-neo-tpu: unknown input spec {spec!r}", file=sys.stderr)
+    return 2
 
 
 def _run_m17_tx(args) -> int:
@@ -277,8 +376,9 @@ def main(argv: list[str] | None = None) -> int:
             args.audio_out = w.audio_out
         if w.stream_s > 0:
             args.stream = w.stream_s
-    if not args.iq_replay:
-        print("dsd-neo-tpu: no input source (use --iq-replay)", file=sys.stderr)
+    if not args.iq_replay and not args.input:
+        print("dsd-neo-tpu: no input source (use --iq-replay or -i)",
+              file=sys.stderr)
         return 2
 
     if args.platform != "default":
@@ -357,6 +457,9 @@ def main(argv: list[str] | None = None) -> int:
         from dsdneo_tpu.protocol.m17.ip import M17UdpOutput
         host, _, port = args.m17_udp.rpartition(":")
         m17_udp = M17UdpOutput(host or "127.0.0.1", int(port))
+
+    if args.input:
+        return _run_live(args, keyring, tg_policy, chan_map, recorder)
 
     if args.wideband >= 0:
         from dsdneo_tpu.engine.wideband import decode_wideband

@@ -54,7 +54,21 @@ def frontend_step(iq: jax.Array, taps: jax.Array, sps: float, n_sym: int,
     else:
         y = frontend.fir_complex(jax.lax.complex(xr, xi), taps)
         d = frontend.fm_discriminate(y)
+    dibits, norm = symbolize_step(d, sps, n_sym, four_level)
+    power = jnp.mean(xr * xr + xi * xi, axis=-1)
+    return dibits, norm, power
 
+
+def symbolize_step(d: jax.Array, sps: float, n_sym: int,
+                   four_level: bool = True):
+    """Timing recovery + level tracking + slicing on a ``[C, B]`` batch
+    of DISCRIMINATOR samples → (dibits, soft symbols).
+
+    The entry point for demodulated-PCM inputs (the reference's UDP/TCP
+    discriminator-tap sources, src/io/audio_backends/udp_input.c /
+    tcp_input.c, which bypass the I/Q front end and feed getSymbol
+    directly); frontend_step routes its own discriminator output here.
+    """
     c, n = d.shape
     # -- timing: single coherent O&M estimate per block ------------------
     dc = jnp.mean(d, axis=-1, keepdims=True)
@@ -108,8 +122,7 @@ def frontend_step(iq: jax.Array, taps: jax.Array, sps: float, n_sym: int,
         dibits = jnp.where(neg, jnp.where(outer, 3, 2), jnp.where(outer, 1, 0))
     else:
         dibits = jnp.where(norm < 0.0, 3, 1)
-    power = jnp.mean(xr * xr + xi * xi, axis=-1)
-    return dibits.astype(jnp.uint8), norm, power
+    return dibits.astype(jnp.uint8), norm
 
 
 @lru_cache(maxsize=8)

@@ -84,3 +84,31 @@ def demod_fm(samples: np.ndarray, mode: ModeConfig | str, fs: float = 48000.0
     if squeeze:
         return dibits[0], norm[0]
     return dibits, norm
+
+
+@partial(jax.jit, static_argnames=("sps", "four_level", "n_sym"))
+def _symbolize_jit(d, sps, four_level, n_sym):
+    from dsdneo_tpu.engine.batched import symbolize_step
+    return symbolize_step(d, sps, n_sym, four_level)
+
+
+def demod_disc(samples: np.ndarray, mode: ModeConfig | str,
+               fs: float = 48000.0) -> tuple[np.ndarray, np.ndarray]:
+    """Demodulated-PCM (discriminator-tap) input → (dibits, soft):
+    timing + slicing only, no I/Q front end (the reference's UDP/TCP
+    PCM16LE sources, src/io/audio_backends/udp_input.c:1)."""
+    if isinstance(mode, str):
+        mode = MODES[mode]
+    x = np.asarray(samples, dtype=np.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    sps = fs / mode.symbol_rate
+    n_sym = int((x.shape[1] - 2 * sps) // sps)
+    dibits, norm = _symbolize_jit(jnp.asarray(x), sps, mode.four_level,
+                                  n_sym)
+    dibits = np.asarray(dibits)
+    norm = np.asarray(norm)
+    if squeeze:
+        return dibits[0], norm[0]
+    return dibits, norm

@@ -59,13 +59,18 @@ class StreamDecoder:
 
     def __init__(self, mode: ModeConfig | str, fs: float = 48000.0,
                  sync_threshold: float = 0.62, overlap_s: float = 0.45,
-                 ctx: proto_base.DecoderContext | None = None):
+                 ctx: proto_base.DecoderContext | None = None,
+                 input_kind: str = "iq"):
         self.mode = MODES[mode] if isinstance(mode, str) else mode
         self.fs = fs
         self.sync_threshold = sync_threshold
         self.overlap = int(fs * overlap_s)
         self.ctx = ctx or proto_base.DecoderContext()
-        self._tail = np.zeros(0, dtype=np.complex64)
+        # "iq" = complex baseband; "disc" = demodulated discriminator
+        # PCM (UDP/TCP sources) — timing+slicing only, no front end
+        self.input_kind = input_kind
+        self._dtype = np.complex64 if input_kind == "iq" else np.float32
+        self._tail = np.zeros(0, dtype=self._dtype)
         self._total = 0                 # global sample count pushed
         self._decoders: dict[str, proto_base.ProtocolDecoder] = {}
         self._defs = framesync.patterns_for(set(self.mode.protocols))
@@ -91,7 +96,11 @@ class StreamDecoder:
 
     # -- window processing ----------------------------------------------
     def _process(self, window: np.ndarray, base: int, final: bool) -> None:
-        dibits, norm = demod_fm(window, self.mode, self.fs)
+        if self.input_kind == "disc":
+            from dsdneo_tpu.engine.demod import demod_disc
+            dibits, norm = demod_disc(window, self.mode, self.fs)
+        else:
+            dibits, norm = demod_fm(window, self.mode, self.fs)
         self.last_snr_db = self._eye_snr_db(norm)
         hits = framesync.find_syncs(norm, self._defs,
                                     threshold=self.sync_threshold)
@@ -135,7 +144,7 @@ class StreamDecoder:
 
     def push(self, block: np.ndarray) -> list:
         """Feed new complex samples; returns events emitted this push."""
-        block = np.asarray(block, dtype=np.complex64)
+        block = np.asarray(block, dtype=self._dtype)
         window = np.concatenate([self._tail, block])
         base = self._total - len(self._tail)
         self._total += len(block)
@@ -152,6 +161,6 @@ class StreamDecoder:
         """Dispatch anything still held back (end of stream)."""
         n_before = len(self.ctx.events)
         if len(self._tail):
-            saved, self._tail = self._tail, np.zeros(0, np.complex64)
+            saved, self._tail = self._tail, np.zeros(0, self._dtype)
             self._process(saved, self._total - len(saved), final=True)
         return self.ctx.events[n_before:]
