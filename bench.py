@@ -158,17 +158,54 @@ def bench_full_chain(C: int, reps: int = 5):
     return C * block_s / step_s, step_s, block_s, int(pcm.shape[1] // 160)
 
 
+def bench_dmr_chain(C: int, reps: int = 5):
+    """DMR BS voice: I/Q→audio for C channels of sustained 2-slot TDMA
+    voice through the batched device pipeline (superframe gather + AMBE
+    ECC + dequant + synthesis on device).  The reference's dmr_voice
+    fixture is 2 s of mostly CSBK data with 5 voice bursts, so the
+    sustained-voice source is synthesized (every burst on both slots
+    carries AMBE frames through the real ECC; see
+    engine.dmrbatch.synth_voice_stream)."""
+    import jax
+    from dsdneo_tpu.engine.dmrbatch import (BatchedDmrVoicePipeline,
+                                            synth_voice_stream)
+
+    fs = 48000.0
+    samples, _dib, _bits = synth_voice_stream(n_superframes=8, seed=1)
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedDmrVoicePipeline(C, fs=fs)
+    x = jax.device_put(iq)
+    pcm = pipe.decode_block(x)
+    assert pcm.shape[1] > 0
+
+    def pipelined(k: int) -> float:
+        t0 = time.perf_counter()
+        prev = pipe.decode_block_async(x)
+        for _ in range(k - 1):
+            nxt = pipe.decode_block_async(x)
+            pipe.fetch_pcm(prev)
+            prev = nxt
+        pipe.fetch_pcm(prev)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(pipelined(reps), pipelined(reps))
+    return C * block_s / step_s, step_s
+
+
 def main() -> int:
     import jax
     _enable_compile_cache()
 
-    # 192 audio channels is the measured sweet spot on the tunneled
-    # single chip with the single-dispatch device decode (1059x vs 891x
-    # at 256, where the host+transfer side goes superlinear)
-    C_audio = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    # 320 audio channels is the measured sweet spot on the tunneled
+    # single chip with the device-resident dibit path (2602x vs 2483x
+    # at 256 and 2420x at 384, where the PCM DMA goes superlinear)
+    C_audio = int(sys.argv[1]) if len(sys.argv) > 1 else 320
     C_fe = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
     audio_x, audio_step_s, block_s, frames = bench_full_chain(C_audio)
+    dmr_x, dmr_step_s = bench_dmr_chain(C_audio)
     fe_x, fe_step = bench_frontend(C_fe, 20)
     parity = bench_pallas_parity()
 
@@ -182,6 +219,8 @@ def main() -> int:
             "audio_block_s": round(block_s, 3),
             "audio_step_ms": round(audio_step_s * 1e3, 1),
             "voice_frames_per_channel": frames,
+            "dmr_iq_to_audio_x_realtime": round(dmr_x, 1),
+            "dmr_step_ms": round(dmr_step_s * 1e3, 1),
             "frontend_symbols_x_realtime": round(fe_x, 1),
             "frontend_channels": C_fe,
             "frontend_step_ms": round(fe_step * 1e3, 3),

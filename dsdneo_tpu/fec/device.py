@@ -297,3 +297,82 @@ def imbe_ecc_batch(bits144: np.ndarray) -> tuple[jax.Array, jax.Array]:
     else:
         x = jnp.asarray(np.asarray(bits144, dtype=np.uint8))
     return _imbe_ecc_jit()(x)
+
+
+# -- AMBE+2 voice-frame ECC (DMR/NXDN/dPMR/YSF/P25p2/X2) --------------------
+
+@lru_cache(maxsize=1)
+def _ambe_consts():
+    """Constant tables for the batched AMBE ECC: the on-air dibit
+    de-interleave gather, the Golay(23,12) codebook, and the per-C0
+    PN scramble rows (the 173x+13849 recurrence seeded by the corrected
+    C0 bits [12..24) LSB-first incl. parity — protocol behavior
+    recovered in protocol/dmr/ambe_frame.py)."""
+    from dsdneo_tpu.protocol.dmr.ambe_frame import AMBE_MAP
+    from dsdneo_tpu.protocol.p25.imbe_frame import _pn_bits, golay_23_12
+    g23 = golay_23_12()
+    # gather[r, c] = index into the 72 on-air bits for fr[r][c]
+    gather = np.zeros((4, 24), dtype=np.int32)
+    for j, (hr, hc, lr, lc) in enumerate(AMBE_MAP):
+        gather[hr, hc] = 2 * j
+        gather[lr, lc] = 2 * j + 1
+    # PN row + parity per possible C0 message
+    pn_of_msg = np.zeros((4096, 23), dtype=np.uint8)
+    parity_of_msg = np.zeros(4096, dtype=np.uint8)
+    param_of_msg = np.zeros((4096, 12), dtype=np.uint8)
+    for m in range(4096):
+        cw = g23.codebook[m]
+        par = int(cw.sum()) & 1
+        foo = 0
+        for k in range(11):
+            foo |= int(cw[12 + k]) << k
+        foo |= par << 11
+        pn_of_msg[m] = _pn_bits(foo, 23)[::-1]
+        parity_of_msg[m] = par
+        for i in range(12):
+            param_of_msg[m, i] = (m >> (11 - i)) & 1
+    return gather, g23, pn_of_msg, parity_of_msg, param_of_msg
+
+
+@lru_cache(maxsize=1)
+def _ambe_ecc_jit():
+    gather, g23, pn_of_msg, parity_of_msg, param_of_msg = _ambe_consts()
+    pm_n = (1.0 - 2.0 * g23.codebook).astype(np.float32)
+    cb_n = g23.codebook
+    gth_n = gather.reshape(-1)
+
+    @jax.jit
+    def run(bits72):                  # [F, 72] uint8
+        pm, cb = jnp.asarray(pm_n), jnp.asarray(cb_n)
+        pn_t = jnp.asarray(pn_of_msg)
+        par_t = jnp.asarray(parity_of_msg)
+        prm = jnp.asarray(param_of_msg)
+        F = bits72.shape[0]
+        fr = bits72[:, jnp.asarray(gth_n)].reshape(F, 4, 24)
+
+        def golay_dec(words):
+            s = 1.0 - 2.0 * words.astype(jnp.float32)
+            m = jnp.argmax(s @ pm.T, axis=-1)
+            errs = jnp.sum(cb[m] != words, axis=-1)
+            return m, errs
+
+        m0, e0 = golay_dec(fr[:, 0, :23])
+        errs = e0.astype(jnp.int32)
+        errs += (par_t[m0] != fr[:, 0, 23]).astype(jnp.int32)
+        m1, e1 = golay_dec(fr[:, 1, :23] ^ pn_t[m0])
+        errs += e1.astype(jnp.int32)
+        out = jnp.concatenate(
+            [prm[m0], prm[m1], fr[:, 2, :11], fr[:, 3, :14]], axis=1)
+        return out.astype(jnp.uint8), errs
+    return run
+
+
+def ambe_ecc_batch(bits72) -> tuple[jax.Array, jax.Array]:
+    """Batched AMBE+2 voice-frame ECC: [F, 72] on-air bits →
+    ([F, 49] parameter bits, [F] error counts); device equivalent of
+    protocol/dmr/ambe_frame.decode_ambe_ecc."""
+    if isinstance(bits72, (jax.core.Tracer, jax.Array)):
+        x = bits72.astype(jnp.uint8)
+    else:
+        x = jnp.asarray(np.asarray(bits72, dtype=np.uint8))
+    return _ambe_ecc_jit()(x)

@@ -216,3 +216,70 @@ def voice_decode_gather(dibits, ldu_ch, ldu_pos, offs, fch, forder,
     frames144 = frames144.at[:, 1::2].set(dd & 1)
     return _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
                                C, n_steps)
+
+
+# -- batched AMBE+2 (2450) parameter decode ---------------------------------
+
+@lru_cache(maxsize=1)
+def _ambe_tables():
+    """Per-L constant tables for the AMBE dequantizer
+    (vocoder.mbe.decode_ambe_2450 vectorized): the 31 residual bits
+    split across harmonics 1..L-1 (per = max(31//(L-1), 1)), each
+    value mapping linearly bits→r∈[-1,1]; W[r_l] = Σ bits·w + c."""
+    n_rest = 31
+    W = np.zeros((N_L, n_rest, MAX_L), dtype=np.float32)
+    Cc = np.zeros((N_L, MAX_L), dtype=np.float32)
+    ASSIGNED = np.zeros((N_L, MAX_L), dtype=np.float32)
+    for L in range(L_MIN, MAX_L + 1):
+        i = L - L_MIN
+        per = max(n_rest // (L - 1), 1)
+        pos = 0
+        for l in range(1, L):
+            nbits = min(per, n_rest - pos)
+            if nbits <= 0:
+                break
+            denom = max((1 << nbits) - 1, 1)
+            for j in range(nbits):
+                W[i, pos + j, l] = (1 << (nbits - 1 - j)) * 2.0 / denom
+            Cc[i, l] = -1.0
+            ASSIGNED[i, l] = 1.0
+            pos += nbits
+    return W, Cc, ASSIGNED
+
+
+def ambe_decode_params(bits49):
+    """[F, 49] AMBE parameter bits → (w0 [F], L [F], voiced [F, MAX_L],
+    amps [F, MAX_L]) — device equivalent of
+    vocoder.mbe.decode_ambe_2450 (stateless, no inter-frame
+    prediction), traceable inside a jit."""
+    W, Cc, ASSIGNED = (jnp.asarray(t) for t in _ambe_tables())
+    S = bits49.astype(jnp.float32)
+    b0 = S[:, 0:7] @ jnp.asarray([1 << (6 - i) for i in range(7)],
+                                 jnp.float32)
+    pitch = 2.0 ** (4.312 - b0 * 0.0212)
+    w0 = 2.0 * jnp.pi / jnp.maximum(jnp.clip(pitch * 19.0, 19.0, 120.0),
+                                    19.0)
+    L = jnp.floor(0.9254 * jnp.floor(jnp.pi / w0 + 0.25)).astype(jnp.int32)
+    L = jnp.clip(L, L_MIN, MAX_L)
+    li = L - L_MIN
+    Lf = L.astype(jnp.float32)[:, None]
+
+    lidx = jnp.arange(MAX_L, dtype=jnp.float32)[None, :]
+    mask = (lidx < Lf).astype(jnp.float32)
+    band = jnp.minimum((jnp.arange(MAX_L)[None, :] * 5) // L[:, None], 4)
+    vband = S[:, 7:12]
+    voiced = jnp.take_along_axis(vband, band, axis=1) * mask
+
+    gain_idx = S[:, 12:18] @ jnp.asarray([1 << (5 - i) for i in range(6)],
+                                         jnp.float32)
+    gain = 10.0 ** ((gain_idx - 32.0) * 1.3 / 20.0)
+
+    rest = S[:, 18:49]                                   # [F, 31]
+    r = jnp.einsum("fb,fbl->fl", rest, W[li]) + Cc[li]   # [F, MAX_L]
+    amps = jnp.where(ASSIGNED[li] > 0, 10.0 ** (0.3 * r), 1.0)
+    tilt = jnp.exp(-0.02 * jnp.arange(MAX_L, dtype=jnp.float32))[None, :]
+    amps = amps * tilt * mask
+    rms = jnp.sqrt(jnp.sum(amps ** 2, axis=1, keepdims=True)
+                   / jnp.maximum(Lf, 1.0))
+    amps = amps / jnp.maximum(rms, 1e-9) * gain[:, None] * 0.02
+    return w0, L, voiced, amps * mask
