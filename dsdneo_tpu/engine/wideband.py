@@ -81,3 +81,42 @@ def decode_wideband(samples: np.ndarray, fs: float, mode="auto",
                                  power_db=10.0 * np.log10(pw[k] / ref),
                                  ctx=ctx))
     return out
+
+
+def channelize_band_device(samples: np.ndarray, fs: float,
+                           n_ch: int | None = None):
+    """channelize_band without the host round trip: returns the
+    ``[n_ch, B']`` 48 kHz basebands as a DEVICE array (complex64) for
+    the batched voice pipelines to consume in place."""
+    if n_ch is None:
+        n_ch = int(round(fs / CHANNEL_RATE))
+    if abs(fs - n_ch * CHANNEL_RATE) > 1.0:
+        raise ValueError(f"fs {fs:g} not a multiple of 48 kHz")
+    import jax
+    import jax.numpy as jnp
+    hb = firdes.lowpass_taps(62, 2.0, 0.5,
+                             window="blackman-harris").astype(np.float32)
+
+    @jax.jit
+    def run(x):
+        ch2 = channelize_os2(x, n_ch, taps_per_branch=12)
+        return frontend.decimate2_halfband(ch2, hb)
+
+    return run(jnp.asarray(np.ascontiguousarray(samples))), \
+        channel_frequencies(n_ch, fs)
+
+
+def decode_wideband_voice_batched(samples: np.ndarray, fs: float,
+                                  n_ch: int | None = None,
+                                  sync_threshold: float = 0.62):
+    """BASELINE config 5 end-to-end on device: a wideband capture
+    channelizes through the 2x-oversampled PFB and every channel runs
+    the batched P25 voice chain (front end + sync + NID + IMBE ECC +
+    dequant + synthesis) WITHOUT the basebands ever visiting the host.
+
+    Returns (pcm [n_ch, T] float32, channel offsets Hz)."""
+    from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
+    ch_dev, freqs = channelize_band_device(samples, fs, n_ch)
+    pipe = BatchedP25VoicePipeline(int(ch_dev.shape[0]), fs=CHANNEL_RATE,
+                                   sync_threshold=sync_threshold)
+    return pipe.decode_block(ch_dev), freqs
