@@ -158,7 +158,7 @@ def bench_full_chain(C: int, reps: int = 5):
     return C * block_s / step_s, step_s, block_s, int(pcm.shape[1] // 160)
 
 
-def bench_dmr_chain(C: int, reps: int = 5):
+def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "f16"):
     """DMR BS voice: I/Q→audio for C channels of sustained 2-slot TDMA
     voice through the batched device pipeline (superframe gather + AMBE
     ECC + dequant + synthesis on device).  The reference's dmr_voice
@@ -175,7 +175,7 @@ def bench_dmr_chain(C: int, reps: int = 5):
     iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
     iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
     block_s = iq1.shape[0] / fs
-    pipe = BatchedDmrVoicePipeline(C, fs=fs)
+    pipe = BatchedDmrVoicePipeline(C, fs=fs, pcm_fmt=pcm_fmt)
     x = jax.device_put(iq)
     pcm = pipe.decode_block(x)
     assert pcm.shape[1] > 0

@@ -102,9 +102,6 @@ def synth_voice_stream(n_superframes: int = 8, seed: int = 0,
                 center[40:48] = cw[8:]
                 center[8:40] = rng.integers(0, 2, 32)
                 put_bits(dib, s, center)
-    # C4FM-style pulse shaping: RRC the symbol impulses before the FM
-    # integrator so the channel LPF doesn't compress the outer levels
-    # (a rectangular-pulse stream loses ~14% outer deviation to ISI)
     # mild Gaussian edge smoothing of the rectangular frequency pulses:
     # symbol centers keep full deviation (the channel LPF then barely
     # compresses the outer levels) while the clock line stays strong
@@ -118,9 +115,10 @@ def synth_voice_stream(n_superframes: int = 8, seed: int = 0,
     return np.exp(1j * phase).astype(np.complex64), dib, bits49
 
 
-@partial(jax.jit, static_argnames=("C", "n_steps"))
+@partial(jax.jit, static_argnames=("C", "n_steps", "pcm_fmt"))
 def dmr_voice_decode_gather(dibits, sf_ch, sf_pos, sf_inv, offs, fch,
-                            forder, C: int, n_steps: int):
+                            forder, C: int, n_steps: int,
+                            pcm_fmt: str = "f16"):
     """Device program: superframe gather → AMBE ECC → dequant →
     scatter → synthesis.  Pad superframes use sf_ch == C; sf_inv flags
     inverted-polarity hits (dibit ^ 2)."""
@@ -134,8 +132,8 @@ def dmr_voice_decode_gather(dibits, sf_ch, sf_pos, sf_inv, offs, fch,
     dd = dibits[ch[:, None, None], pos]
     dd = (dd ^ (sf_inv[:, None, None] * 2)).reshape(-1, 36)  # [Sp*18, 36]
     bits72 = jnp.zeros((dd.shape[0], 72), dtype=jnp.uint8)
-    bits72 = bits72.at[:, 0::2].set((dd >> 1) & 1)
-    bits72 = bits72.at[:, 1::2].set(dd & 1)
+    bits72 = bits72.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
+    bits72 = bits72.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
 
     bits49, _errs = ambe_ecc_batch(bits72)
     w0, L, voiced, amps = ambe_decode_params(bits49)
@@ -154,7 +152,19 @@ def dmr_voice_decode_gather(dibits, sf_ch, sf_pos, sf_inv, offs, fch,
     # fixed output scaling (the host synthesize_frames normalizes each
     # call's peak; a static scale keeps the device program data-
     # independent), clipped to full scale
-    return jnp.clip(pcm * 0.02, -1.0, 1.0).astype(jnp.float16)
+    pcm = jnp.clip(pcm * 0.02, -1.0, 1.0)
+    if pcm_fmt == "mulaw":
+        # G.711 µ-law wire format: halves the PCM DMA, which dominates
+        # the tunneled chain at high channel counts
+        y = jnp.sign(pcm) * jnp.log1p(255.0 * jnp.abs(pcm)) / np.log1p(255.0)
+        return jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
+    return pcm.astype(jnp.float16)
+
+
+def mulaw_expand(q: np.ndarray) -> np.ndarray:
+    """Host-side G.711 µ-law expansion (inverse of the device encode)."""
+    y = q.astype(np.float32) / 127.5 - 1.0
+    return np.sign(y) * ((1.0 + 255.0) ** np.abs(y) - 1.0) / 255.0
 
 
 class BatchedDmrVoicePipeline:
@@ -164,7 +174,7 @@ class BatchedDmrVoicePipeline:
     SYNC_TOPK = 128             # ~17 superframes per slot in 3 s + slack
 
     def __init__(self, C: int, fs: float = 48000.0,
-                 sync_threshold: float = 0.62):
+                 sync_threshold: float = 0.62, pcm_fmt: str = "f16"):
         # acceptance = score threshold AND EMB confidence: the VC2/VC3
         # QR(16,7,6) EMBs after a true VC1 sync must ML-decode with ≤1
         # bit error each (2 total) — the reference's voice-acquisition
@@ -179,6 +189,7 @@ class BatchedDmrVoicePipeline:
         self.taps = firdes.channel_lpf(fs, self.mode.lpf_profile)
         self.threshold = sync_threshold
         self._offs = jnp.asarray(_sf_frame_offsets())
+        self.pcm_fmt = pcm_fmt
 
     def frontend_sync_device(self, iq, use_pallas: bool | None = None):
         """Fused front end + voice-sync correlation; dibits stay on
@@ -314,12 +325,16 @@ class BatchedDmrVoicePipeline:
         return dmr_voice_decode_gather(
             dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
             jnp.asarray(aip), self._offs,
-            jnp.asarray(fchp), jnp.asarray(fordp), self.C, Tp)
+            jnp.asarray(fchp), jnp.asarray(fordp), self.C, Tp,
+            pcm_fmt=self.pcm_fmt)
 
     def fetch_pcm(self, handle) -> np.ndarray:
         if handle is None:
             return np.zeros((self.C, 0), dtype=np.float32)
-        return np.asarray(handle).astype(np.float32).reshape(self.C, -1)
+        a = np.asarray(handle)
+        if a.dtype == np.uint8:
+            return mulaw_expand(a).reshape(self.C, -1)
+        return a.astype(np.float32).reshape(self.C, -1)
 
     def decode_block(self, iq) -> np.ndarray:
         return self.fetch_pcm(self.decode_block_async(iq))

@@ -212,8 +212,8 @@ def voice_decode_gather(dibits, ldu_ch, ldu_pos, offs, fch, forder,
     dd = dibits[ch[:, None, None], pos]                  # [Lp, 9, 72]
     dd = dd.reshape(-1, 72)
     frames144 = jnp.zeros((dd.shape[0], 144), dtype=jnp.uint8)
-    frames144 = frames144.at[:, 0::2].set((dd >> 1) & 1)
-    frames144 = frames144.at[:, 1::2].set(dd & 1)
+    frames144 = frames144.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
+    frames144 = frames144.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
     return _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
                                C, n_steps)
 

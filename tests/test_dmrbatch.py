@@ -94,3 +94,21 @@ def test_dmr_fixture_batched_vs_event_path():
     ctx = decode_capture(fx, "dmr")
     n_vc1 = sum(1 for e in ctx.events if "| VC1" in e.line)
     assert ac.size <= max(n_vc1, 1) + 1
+
+
+def test_dmr_mulaw_wire_format():
+    """G.711 µ-law wire format: half the PCM bytes, expansion error
+    bounded by the companding step."""
+    from dsdneo_tpu.engine.dmrbatch import (BatchedDmrVoicePipeline,
+                                            synth_voice_stream)
+    samples, _d, _b = synth_voice_stream(n_superframes=3, seed=5)
+    iq = np.stack([samples.real, samples.imag],
+                  axis=-1).astype(np.float32)[None]
+    a = BatchedDmrVoicePipeline(1, fs=48000.0).decode_block(iq)
+    b = BatchedDmrVoicePipeline(1, fs=48000.0,
+                                pcm_fmt="mulaw").decode_block(iq)
+    assert a.shape == b.shape
+    # µ-law SNR on speech-scale signals: fine-grained near zero
+    err = np.abs(a - b)
+    tol = np.abs(a) * 0.04 + 1.5e-2
+    assert (err <= tol).mean() > 0.995, err.max()
