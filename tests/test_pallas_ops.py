@@ -63,3 +63,17 @@ def test_band_matrix_is_fir():
         assert y[FRAME + j] == pytest.approx(want)
         want_prev = sum(taps[t] * x[n - 1 + 3 - t] for t in range(7))
         assert y[j] == pytest.approx(want_prev)
+
+
+def test_pallas_tpu_parity_when_tpu_present():
+    """On a real TPU backend (run outside the CPU-forced conftest, e.g.
+    `JAX_PLATFORMS='' pytest -p no:cacheprovider tests/test_pallas_ops.py -k tpu_parity`):
+    the fused Mosaic kernel must match the plain-XLA chain.  bench.py
+    reports the same number as pallas_parity_max_err every round."""
+    import jax
+    if jax.default_backend() in ("cpu",):
+        pytest.skip("no TPU in this session (conftest forces CPU)")
+    import numpy as np
+    from bench import bench_pallas_parity
+    err = bench_pallas_parity()
+    assert err < 1e-3, f"Pallas/Mosaic vs XLA soft-symbol mismatch: {err}"
