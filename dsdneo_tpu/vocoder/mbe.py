@@ -70,7 +70,16 @@ def decode_imbe_4400(bits88: np.ndarray, prev=None) -> MbeFrame:
 
 
 def decode_ambe_2450(bits49: np.ndarray) -> MbeFrame:
-    """Decode a 49-bit AMBE+2 parameter frame (DMR/NXDN/dPMR/YSF)."""
+    """Decode a 49-bit AMBE+2 parameter frame (DMR/NXDN/dPMR/YSF).
+
+    Fundamental (b0 pitch index), band voicing (5 bits) and gain
+    (6 bits) follow the AMBE+2 half-rate field layout; the residual 31
+    bits reconstruct per-harmonic log-amplitude deltas through a
+    deterministic uniform allocation (the trained PRBA vector codebooks
+    of the half-rate standard are not available in this environment),
+    mirrored by the device dequantizer (vocoder.device
+    ambe_decode_params) and exercised by the DMR/NXDN/P25p2/X2 voice
+    paths."""
     b = np.asarray(bits49, dtype=np.uint8)
     b0 = _bits_to_int(b[0:7])
     # AMBE pitch index → fundamental
