@@ -106,11 +106,60 @@ class PcmSink(AudioSink):
         self._f.close()
 
 
+class PlayerSink(AudioSink):
+    """Pipe s16le mono PCM into an external player process — the
+    stand-in for the reference's Pulse/PortAudio device backends
+    (src/platform/audio_pulse.c et al.) in environments without a sound
+    server.  ``cmd`` defaults to the first of paplay/aplay/ffplay found
+    on PATH; any command reading s16le 8 kHz mono on stdin works
+    (e.g. ``-o play:paplay --raw --rate=8000 --channels=1``)."""
+
+    DEFAULTS = (
+        "paplay --raw --format=s16le --rate={rate} --channels=1",
+        "aplay -q -f S16_LE -r {rate} -c 1",
+        "ffplay -nodisp -autoexit -f s16le -ar {rate} -i -",
+    )
+
+    def __init__(self, cmd: str = "", rate: int = 8000):
+        import shlex
+        import shutil
+        import subprocess
+        if not cmd:
+            for cand in self.DEFAULTS:
+                if shutil.which(cand.split()[0]):
+                    cmd = cand
+                    break
+            else:
+                raise RuntimeError("no audio player (paplay/aplay/ffplay)"
+                                   " on PATH; use -o play:<command>")
+        self._p = subprocess.Popen(shlex.split(cmd.format(rate=rate)),
+                                   stdin=subprocess.PIPE)
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        if self._p.stdin is None or self._p.poll() is not None:
+            return
+        x = (np.clip(np.asarray(pcm), -1, 1) * 32767).astype("<i2")
+        try:
+            self._p.stdin.write(x.tobytes())
+        except BrokenPipeError:
+            pass
+
+    def close(self) -> None:
+        if self._p.stdin is not None:
+            try:
+                self._p.stdin.close()
+            except BrokenPipeError:
+                pass
+        self._p.wait(timeout=5)
+
+
 def make_sink(spec: str) -> AudioSink | None:
     """Parse a '-o' style sink spec: null | wav:P | wav2:P | pcm:P |
-    udp:HOST:PORT.  Returns None for unknown specs."""
+    udp:HOST:PORT | play[:command].  Returns None for unknown specs."""
     if spec == "null":
         return NullSink()
+    if spec == "play" or spec.startswith("play:"):
+        return PlayerSink(spec[5:] if spec.startswith("play:") else "")
     if spec.startswith("wav2:"):
         return StereoWavSink(spec[5:])
     if spec.startswith("wav:"):

@@ -315,3 +315,24 @@ def test_audio_sinks(tmp_path):
     n.write(0, tone0)
     assert n.samples == 800
     assert make_sink("bogus:x") is None
+
+
+def test_player_sink_pipes_pcm(tmp_path):
+    """PlayerSink (the device-playback backend stand-in) pipes s16le
+    into any stdin-reading command."""
+    import numpy as np
+    from dsdneo_tpu.io.audio_out import PlayerSink, make_sink
+    out = tmp_path / "pcm.raw"
+    s = PlayerSink(cmd=f"dd of={out} status=none")
+    pcm = np.sin(np.linspace(0, 50, 1600)).astype(np.float32) * 0.5
+    s.write(0, pcm)
+    s.close()
+    data = np.frombuffer(out.read_bytes(), dtype="<i2")
+    assert len(data) == 1600
+    assert np.abs(data).max() > 8000
+    # unknown player -> clear error
+    import pytest as _pytest
+    import shutil
+    if not any(shutil.which(c) for c in ("paplay", "aplay", "ffplay")):
+        with _pytest.raises(RuntimeError):
+            make_sink("play")
