@@ -152,9 +152,9 @@ def bench_full_chain(C: int, reps: int = 5):
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
-    # best-of-2 runs: the tunneled host link adds multi-100ms jitter
+    # best-of-3 runs: the tunneled host link adds multi-100ms jitter
     # spikes unrelated to the chip
-    step_s = min(pipelined(reps), pipelined(reps))
+    step_s = min(pipelined(reps) for _ in range(3))
     return C * block_s / step_s, step_s, block_s, int(pcm.shape[1] // 160)
 
 
@@ -190,7 +190,7 @@ def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "f16"):
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
-    step_s = min(pipelined(reps), pipelined(reps))
+    step_s = min(pipelined(reps) for _ in range(3))
     return C * block_s / step_s, step_s
 
 
