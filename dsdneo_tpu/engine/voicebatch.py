@@ -116,7 +116,7 @@ class BatchedP25VoicePipeline:
     SYNC_TOPK = 512
 
     def __init__(self, C: int, fs: float = 48000.0,
-                 sync_threshold: float = 0.62):
+                 sync_threshold: float = 0.62, cqpsk: bool = False):
         from dsdneo_tpu.engine.modes import MODES
         from dsdneo_tpu.dsp import firdes
         self.C = C
@@ -125,8 +125,32 @@ class BatchedP25VoicePipeline:
         self.sps = fs / self.mode.symbol_rate
         self.taps = firdes.channel_lpf(fs, self.mode.lpf_profile)
         self.threshold = sync_threshold
+        # cqpsk=True swaps the C4FM front end for the feed-forward
+        # LSM/CQPSK chain (dsp.cqpsk: 4th-power CFO + RRC + O&M +
+        # differential phasor); everything after the soft symbols —
+        # sync, NID, LDU gather, voice decode — is modulation-agnostic
+        self.cqpsk = cqpsk
         self.imbe_dec = BatchedImbeDecoder(C)
         self.bch = blockcodes.bch_63_16()
+
+    def _front(self, x, n_sym: int, use_pallas: bool):
+        """Traced front end: [C, B(, 2)] → (dibits, soft, power)."""
+        from dsdneo_tpu.engine.batched import frontend_step
+        if not self.cqpsk:
+            return frontend_step(x, self.taps, self.sps, n_sym,
+                                 self.mode.four_level,
+                                 use_pallas=use_pallas)
+        from dsdneo_tpu.dsp.cqpsk import demod_cqpsk
+        xc = jax.lax.complex(x[..., 0], x[..., 1]) if x.ndim == 3 else x
+        soft, _cfo = demod_cqpsk(xc, self.fs,
+                                 float(self.mode.symbol_rate),
+                                 n_sym=n_sym)
+        neg = soft < 0.0
+        outer = jnp.abs(soft) > 2.0
+        dibits = jnp.where(neg, jnp.where(outer, 3, 2),
+                           jnp.where(outer, 1, 0)).astype(jnp.uint8)
+        power = jnp.mean(jnp.abs(xc) ** 2, axis=-1)
+        return dibits, soft, power
 
     def frontend_sync(self, iq, use_pallas: bool | None = None):
         """Fused device step: front end + sync matched filter in ONE
@@ -139,7 +163,7 @@ class BatchedP25VoicePipeline:
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        key = ("fs", B, n_sym, use_pallas)
+        key = ("fs", B, n_sym, use_pallas, self.cqpsk)
         if not hasattr(self, "_frontend_jits"):
             self._frontend_jits = {}
         fn = self._frontend_jits.get(key)
@@ -155,9 +179,7 @@ class BatchedP25VoicePipeline:
 
             @jax.jit
             def fn(x):
-                dibits, soft, power = frontend_step(
-                    x, taps, self.sps, n_sym, self.mode.four_level,
-                    use_pallas=use_pallas)
+                dibits, soft, power = self._front(x, n_sym, use_pallas)
                 sc = correlate_syncs_device(soft, names)   # [C, P, T']
                 best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
                 bs = jnp.max(sc, axis=1)                   # [C, T']
@@ -251,7 +273,7 @@ class BatchedP25VoicePipeline:
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        key = ("fsd", B, n_sym, use_pallas)
+        key = ("fsd", B, n_sym, use_pallas, self.cqpsk)
         if not hasattr(self, "_frontend_jits"):
             self._frontend_jits = {}
         fn = self._frontend_jits.get(key)
@@ -266,9 +288,7 @@ class BatchedP25VoicePipeline:
 
             @jax.jit
             def fn(x):
-                dibits, soft, power = frontend_step(
-                    x, taps, self.sps, n_sym, self.mode.four_level,
-                    use_pallas=use_pallas)
+                dibits, soft, power = self._front(x, n_sym, use_pallas)
                 sc = correlate_syncs_device(soft, names)
                 best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
                 bs = jnp.max(sc, axis=1)

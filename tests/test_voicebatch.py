@@ -145,3 +145,32 @@ def test_two_pass_dequant_matches_step():
         b = run_prediction(two, T_all, w0_all, L_all, K_all, S, act)
         for x, y in zip(a, b):
             np.testing.assert_allclose(x, y, rtol=1e-12, atol=0)
+
+
+def test_cqpsk_batched_voice_pipeline():
+    """The LSM/CQPSK voice fixture decodes through the batched pipeline
+    with the feed-forward CQPSK front end (cqpsk=True): same
+    sync/NID/LDU/vocoder machinery after the soft symbols."""
+    import os
+    fx = "/root/reference/tests/fixtures/iq/p25p1_cqpsk_vc.iq.json"
+    if not os.path.exists(fx):
+        import pytest
+        pytest.skip("reference fixtures unavailable")
+    from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
+    from dsdneo_tpu.io import read_iq_capture
+    meta, samples = read_iq_capture(fx)
+    iq = np.stack([samples.real, samples.imag],
+                  axis=-1).astype(np.float32)[None]
+    pipe = BatchedP25VoicePipeline(1, fs=float(meta.sample_rate_hz),
+                                   cqpsk=True)
+    dibits_dev, idx, vq, dq, msg, n_sym = pipe.frontend_sync_device(iq)
+    ac, at, fch, forder = pipe.pick_ldus(idx, vq, dq, msg, n_sym)
+    assert ac.size >= 2, f"only {ac.size} LDUs accepted on CQPSK"
+    pcm = pipe.decode_block(iq)
+    assert pcm.shape[1] >= ac.size * 9 * 160
+    assert np.abs(pcm).max() > 0
+    # the C4FM front end must NOT find LDUs in an LSM capture
+    c4 = BatchedP25VoicePipeline(1, fs=float(meta.sample_rate_hz))
+    d2, i2, v2, q2, m2, n2 = c4.frontend_sync_device(iq)
+    a2, *_ = c4.pick_ldus(i2, v2, q2, m2, n2)
+    assert a2.size <= ac.size
