@@ -323,41 +323,20 @@ class P25P2Decoder(ProtocolDecoder):
             tg = (int(mac[16]) << 8) | int(mac[17])
             detail += f" TG {tg} SRC {src}"
         elif opcode in (0, 3, 4, 6):
-            detail += self._mac_messages(mac, n_oct, ctx, hit)
+            detail += self._mac_messages(mac, n_oct, ctx, hit, slot)
         return detail
 
     def _mac_messages(self, mac: np.ndarray, n_oct: int, ctx: DecoderContext,
-                      hit) -> str:
-        """Walk MAC messages, bridging each to the shared trunking field
-        parsers (the P1 TSBK handlers; reference tsbk_build_mac_like_pdu
-        shows the two layouts coincide with MFID stripped)."""
-        from dsdneo_tpu.protocol.p25.mac_tables import mac_msg_len
-        from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
-        p1 = self._p1_bridge(ctx)
-        i = 1
-        out = ""
-        while i < n_oct:
-            op = int(mac[i])
-            if op == 0:
-                break
-            length = mac_msg_len(op)
-            if length == 0 or i + 1 >= n_oct:
-                break
-            b96 = np.zeros(96, dtype=np.uint8)
-            pseudo = np.zeros(12, dtype=np.int64)
-            pseudo[0] = op & 0x3F
-            for k in range(2, 12):
-                j = i + k - 1
-                pseudo[k] = mac[j] if j < n_oct else 0
-            for bi in range(96):
-                byte = pseudo[bi // 8]
-                b96[bi] = (int(byte) >> (7 - bi % 8)) & 1
-            p1._tsbk(b96, hit, ctx)
-            i += length
-        return out
+                      hit, slot: int = 0) -> str:
+        """Walk MAC messages through the native Phase 2 catalog
+        (p2_mac.P2MacWalker): P2-specific layouts (explicit/extended
+        grants, vendor partitions, multi-fragment LCCH) decode natively;
+        TSBK-coincident broadcast messages bridge to the P1 parsers."""
+        return self._walker().walk(mac, n_oct, slot, ctx, hit)
 
-    def _p1_bridge(self, ctx):
-        if not hasattr(self, "_p1"):
+    def _walker(self):
+        if not hasattr(self, "_mac_walker"):
+            from dsdneo_tpu.protocol.p25.p2_mac import P2MacWalker
             from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
-            self._p1 = P25P1Decoder()
-        return self._p1
+            self._mac_walker = P2MacWalker(P25P1Decoder)
+        return self._mac_walker
