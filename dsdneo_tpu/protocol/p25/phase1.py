@@ -535,58 +535,10 @@ class P25P1Decoder(ProtocolDecoder):
         return (np.asarray(bits88, dtype=np.uint8) ^ ks_bits[:88])
 
     def _lcw(self, bits: np.ndarray, hit: SyncHit, ctx: DecoderContext) -> None:
-        """Link Control Word (reference p25_lcw.c formats)."""
-        lcf = _bits_to_int(bits[0:8])
-        if lcf == 0x00:
-            group = _bits_to_int(bits[32:48])
-            src = _bits_to_int(bits[48:72])
-            ctx.state.last_tg, ctx.state.last_src = group, src
-            ctx.emit(f" Group Voice Channel User - Group {group} Source {src}",
-                     "p25p1", hit.pos, tg=group, src=src)
-        elif lcf == 0x03:
-            target = _bits_to_int(bits[24:48])
-            src = _bits_to_int(bits[48:72])
-            ctx.emit(f" Unit to Unit Voice Channel User - Target {target} Source {src}",
-                     "p25p1", hit.pos, src=src)
-        elif lcf == 0x42:
-            ch1 = _bits_to_int(bits[8:24])
-            g1 = _bits_to_int(bits[24:40])
-            ctx.emit(f" Group Voice Channel Update - Ch: {ch1:04X} TG: {g1}; ",
-                     "p25p1", hit.pos, tg=g1)
-        elif lcf == 0x44:
-            g1 = _bits_to_int(bits[24:40])
-            cht = _bits_to_int(bits[40:56])
-            ctx.emit(f" Group Voice Channel Update - Explicit"
-                     f" Ch: {cht:04X} TG: {g1}; "
-                     f"{self._chan_freq_note(ctx, cht)}",
-                     "p25p1", hit.pos, tg=g1, channel=cht)
-        elif lcf == 0x45:
-            ctx.emit(" Unit to Unit Answer Request", "p25p1", hit.pos)
-        elif lcf == 0x46:
-            timer = _bits_to_int(bits[32:48])
-            target = _bits_to_int(bits[48:72])
-            ctx.emit(f" Telephone Interconnect Voice Channel User -"
-                     f" Target {target} Timer {timer / 10.0:.1f}s",
-                     "p25p1", hit.pos)
-        elif lcf == 0x47:
-            ctx.emit(" Telephone Interconnect Answer Request",
-                     "p25p1", hit.pos)
-        elif lcf == 0x4A:
-            target = _bits_to_int(bits[24:48])
-            src = _bits_to_int(bits[48:72])
-            ctx.emit(f" Unit to Unit Voice Channel User - Extended"
-                     f" TGT: {target}; SRC: {src}; ", "p25p1", hit.pos,
-                     src=src)
-        elif lcf == 0x50:
-            group = _bits_to_int(bits[32:48])
-            src = _bits_to_int(bits[48:72])
-            ctx.emit(f" Group Affiliation Query - TG {group} SRC {src}",
-                     "p25p1", hit.pos)
-        elif lcf == 0x4F or lcf == 0x0F:
-            tgt = _bits_to_int(bits[48:72])
-            ctx.emit(f" Call Termination; TGT: {tgt};", "p25p1", hit.pos)
-        else:
-            ctx.emit(f" LCW LCF [{lcf:02X}]", "p25p1", hit.pos)
+        """Link Control Word: full TIA-102.AABF-D catalog in lcw.py
+        (reference p25_lcw.c formats + MFID90/A4/D8 vendor opcodes)."""
+        from dsdneo_tpu.protocol.p25.lcw import decode_lcw
+        decode_lcw(bits, hit, ctx, self)
 
     # -- LDU2 / HDU (voice continuation / header) -------------------------
     def _ldu2(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> None:

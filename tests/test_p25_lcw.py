@@ -1,0 +1,148 @@
+"""P25 LCW catalog: broadcast formats, iden updates, source-ID
+extension, protection parameters, MFID90/A4/D8 vendor opcodes
+(constructed 72-bit LCWs; layouts per reference p25_lcw.c)."""
+
+from types import SimpleNamespace
+
+import numpy as np
+
+from dsdneo_tpu.protocol.base import DecoderContext
+from dsdneo_tpu.protocol.p25.lcw import decode_lcw
+
+
+def _bits(*fields):
+    """Build a 72-bit LCW from (value, nbits) fields, MSB-first."""
+    out = []
+    for v, n in fields:
+        out.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+    out.extend([0] * (72 - len(out)))
+    return np.array(out[:72], dtype=np.uint8)
+
+
+def _decode(bits, ctx=None):
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+    ctx = ctx or DecoderContext()
+    decode_lcw(bits, SimpleNamespace(pos=0), ctx, P25P1Decoder())
+    return ctx, "\n".join(e.line for e in ctx.events)
+
+
+def test_group_voice_user_with_service_options():
+    bits = _bits((0x00, 8), (0x00, 8), (0xC1, 8), (0, 8),
+                 (1234, 16), (567890, 24))
+    ctx, text = _decode(bits)
+    assert "Group Voice Channel User - Group 1234 Source 567890" in text
+    assert "Emergency" in text and "Encrypted" in text and "Priority 1" in text
+    assert ctx.state.last_tg == 1234
+
+
+def test_network_status_broadcast_updates_state():
+    bits = _bits((0x64, 8), (0, 8), (0xBEE00, 20), (0x14C, 12),
+                 (0x2114, 16), (0x70, 8))
+    ctx, text = _decode(bits)
+    assert "Network Status Broadcast - WACN BEE00 SYS 14C CH 2114" in text
+    assert ctx.state.p2_wacn == 0xBEE00 and ctx.state.p2_sysid == 0x14C
+
+
+def test_network_status_explicit_lcnsbx():
+    bits = _bits((0x69, 8), (0x92065, 20), (0x0D5, 12),
+                 (0x100A, 16), (0x100B, 16))
+    ctx, text = _decode(bits)
+    assert "LCNSBX" in text and "WACN 92065" in text
+    assert "CH-T 100A CH-R 100B" in text
+    assert ctx.state.p2_wacn == 0x92065
+
+
+def test_adjacent_and_rfss_status():
+    bits = _bits((0x62, 8), (0x55, 8), (0xF, 4), (0x0D5, 12),
+                 (3, 8), (7, 8), (0x2114, 16), (0x70, 8))
+    _, text = _decode(bits)
+    assert "Adjacent Site Status Broadcast" in text
+    assert "LRA 55 SYS 0D5 RFSS 3 Site 7 CH 2114" in text
+    bits = _bits((0x63, 8), (0x55, 8), (0xF, 4), (0x0D5, 12),
+                 (3, 8), (7, 8), (0x2114, 16), (0x70, 8))
+    ctx, text = _decode(bits)
+    assert "RFSS Status Broadcast" in text
+    assert ctx.state.p2_rfssid == 3 and ctx.state.p2_siteid == 7
+
+
+def test_channel_identifier_update_feeds_iden_table():
+    # iden 1, bw 0x64, +offset sign, raw 0x19, spacing 0x64, base 851 MHz/5
+    base = 851_000_000 // 5
+    bits = _bits((0x58, 8), (1, 4), (0x64, 9), (1, 1), (0x19, 8),
+                 (0x64, 10), (base, 32))
+    ctx, text = _decode(bits)
+    assert "Channel Identifier Update; Iden: 1" in text
+    assert f"Base: {851_000_000}" in text
+    ev = ctx.events[-1]
+    assert ev.fields.get("iden") == 1
+
+
+def test_source_id_extension():
+    bits = _bits((0x49, 8), (0, 8), (0x92065, 20), (0x0D5, 12),
+                 (41183, 24))
+    _, text = _decode(bits)
+    assert "Source ID Extension" in text
+    assert "WACN 92065 SYSID 0D5 SRC 41183" in text
+
+
+def test_protection_parameter_broadcast():
+    bits = _bits((0x65, 8), (0, 8), (0, 8), (0xAA, 8), (0x1234, 16),
+                 (777, 24))
+    _, text = _decode(bits)
+    assert "Protection Parameter Broadcast" in text
+    assert "ALGID [AA]" in text and "KID [1234]" in text and "Target [777]" in text
+
+
+def test_call_termination_release():
+    bits = _bits((0x4F, 8), (0, 40), (0xFFFFFF, 24))
+    ctx, text = _decode(bits)
+    assert "Call Termination" in text
+    assert ctx.events[-1].fields.get("release")
+
+
+def test_mfid90_group_regroup_user():
+    # SF=0, format 0x00 with MFID 0x90 routes to the vendor catalog
+    bits = _bits((0x00, 8), (0x90, 8), (0, 16), (1500, 16), (99, 24))
+    ctx, text = _decode(bits)
+    assert "MFID90 (Moto) Group Regroup Channel User (LCGRGR)" in text
+    assert "SG: 1500; SRC: 99;" in text
+    assert ctx.state.last_tg == 1500
+
+
+def test_mfid90_emergency_alarm():
+    bits = _bits((0x0A, 8), (0x90, 8), (0, 16), (42, 16), (1000, 24))
+    ctx, text = _decode(bits)
+    assert "Emergency Alarm Activation" in text
+    assert "** EMERGENCY **" in text
+    assert ctx.events[-1].fields.get("emergency")
+
+
+def test_mfid90_talker_eot():
+    bits = _bits((0x0F, 8), (0x90, 8), (0, 32), (4242, 24))
+    ctx, text = _decode(bits)
+    assert "Talker EOT; SRC: 4242;" in text
+    assert ctx.events[-1].fields.get("release")
+
+
+def test_tait_fq_suid():
+    bits = _bits((0x01, 8), (0xD8, 8), (0x92065, 20), (0x0D5, 12),
+                 (31337, 24))
+    _, text = _decode(bits)
+    assert "MFIDD8 (Tait) Subscriber FQ-SUID: 92065.0D5.31337" in text
+
+
+def test_protected_lcw_not_parsed():
+    bits = _bits((0xC0, 8), (0, 8), (0, 8))   # PF bit set
+    _, text = _decode(bits)
+    assert "LCW Protected" in text
+
+
+def test_conventional_fallback_and_secondary_cc():
+    bits = _bits((0x6A, 8),)
+    _, text = _decode(bits)
+    assert "Conventional Fallback" in text
+    bits = _bits((0x61, 8), (3, 8), (7, 8), (0x100A, 16), (0x70, 8),
+                 (0x100B, 16), (0x71, 8))
+    _, text = _decode(bits)
+    assert "Secondary Control Channel Broadcast" in text
+    assert "CH A 100A SSC 70 CH B 100B SSC 71" in text
