@@ -37,16 +37,6 @@ DATA_TYPES = {
     9: "Idle", 10: "R1DATA", 11: "RAS", 12: "USB Data",
 }
 
-CSBK_OPCODES = {
-    0x01: "UU_V_Req", 0x04: "UU_Ans_Rsp", 0x05: "UU_V_Req (FOACSU)",
-    0x07: "Channel Timing", 0x19: "Aloha", 0x1A: "UU_Ans_Req",
-    0x1C: "Ackvitation", 0x1E: "Random Access Service",
-    0x20: "Ahoy", 0x26: "Ackd", 0x27: "Ackt", 0x28: "Ackn",
-    0x2E: "NACK Rsp", 0x30: "P_Grant", 0x31: "TV_Grant", 0x32: "TD_Grant",
-    0x33: "PV_Grant", 0x34: "PD_Grant", 0x38: "C_Move", 0x39: "C_Aloha",
-    0x3A: "P_Clear", 0x3B: "C_Bcast", 0x3C: "P_Protect", 0x3D: "PV_Grant DX",
-    0x3E: "PD_Grant DX", 0x3F: "BS Outbound Activation",
-}
 
 
 def _bits_to_int(bits) -> int:
@@ -277,7 +267,7 @@ class DmrBsDecoder(ProtocolDecoder):
             payload, errors = bptc.bptc_196_96_decode(burst)
             if errors == 0:
                 if dtype == 3:
-                    detail = self._csbk(payload, ctx)
+                    detail = self._csbk(payload, ctx, hit, s, mono)
                 elif dtype == 1:
                     detail = self._vlc_header(payload, ctx)
                 elif dtype == 2:
@@ -326,50 +316,16 @@ class DmrBsDecoder(ProtocolDecoder):
         self.crypto[slot].update(alg=alg, kid=kid, mi=mi, drop=256)
         return f" | PI H- ALG ID: {alg:02X}; KEY ID: {kid:02X}; MI(32): {mi:08X};"
 
-    # Tier III channel-grant names (reference dmr_csbk_tables.c)
-    GRANT_NAMES = {
-        0x30: "PV_GRANT", 0x31: "TV_GRANT", 0x32: "BTV_GRANT",
-        0x33: "PD_GRANT", 0x34: "TD_GRANT", 0x35: "PV_GRANT_DX",
-        0x36: "PD_GRANT_DX", 0x37: "PD_GRANT_MI", 0x38: "TD_GRANT_MI",
-    }
-
-    BCAST_TYPES = {
-        0: "Ann_WD_TSCC", 1: "CallTimer_Parms", 2: "Vote_Now",
-        3: "Local_Time", 4: "MassReg", 5: "Chan_Freq",
-        6: "Adjacent_Site", 7: "Gen_Site_Params",
-    }
-
-    def _csbk(self, bits96: np.ndarray, ctx: DecoderContext) -> str:
-        """Control Signalling Block (TS 102 361-2/-4; CRC mask 0xA5A5)."""
+    def _csbk(self, bits96: np.ndarray, ctx: DecoderContext,
+              hit=None, slot: int = 0, mono: bool = False) -> str:
+        """Control Signalling Block (TS 102 361-2/-4; CRC mask 0xA5A5);
+        catalog in csbk.py (Tier III + Cap+/Con+ vendor sets)."""
+        from dsdneo_tpu.protocol.dmr.csbk import decode_csbk
         ccrc = crc.crc16_bits(bits96[:80], init=0, xorout=0xFFFF) ^ 0xA5A5
         rcrc = _bits_to_int(bits96[80:96])
         if ccrc != rcrc:
             return " | CSBK CRC ERR"
-        opcode = _bits_to_int(bits96[2:8])
-        fid = _bits_to_int(bits96[8:16])
-        name = CSBK_OPCODES.get(opcode, f"CSBK {opcode:02X}")
-        if 0x30 <= opcode <= 0x38 and fid == 0:
-            # Tier III grant (reference dmr_csbk.c
-            # dmr_cspdu_pf0_handle_grants): LPCN + timeslot + addresses
-            lpcn = _bits_to_int(bits96[16:28])
-            ts = int(bits96[28])
-            emerg = int(bits96[30])
-            target = _bits_to_int(bits96[32:56])
-            source = _bits_to_int(bits96[56:80])
-            ctx.state.last_tg, ctx.state.last_src = target, source
-            return (f" | {self.GRANT_NAMES.get(opcode, name)}\n"
-                    f"  LPCN: {lpcn:04d}; TS: {ts + 1}; Target: {target:08d}"
-                    f" - Source: {source:08d} "
-                    + ("Emergency; " if emerg else ""))
-        if opcode == 0x28 and fid == 0:
-            # C_BCAST (opcode 40; reference dmr_cspdu_pf0_handle_c_bcast)
-            a_type = _bits_to_int(bits96[16:21])
-            syscode = _bits_to_int(bits96[40:54])
-            return (f" | C_BCAST {self.BCAST_TYPES.get(a_type, f'{a_type:02X}')}"
-                    f" SysCode: {syscode:04X}")
-        dst = _bits_to_int(bits96[16:40])
-        src = _bits_to_int(bits96[40:64])
-        return f" | {name} FID {fid:02X} [{dst}] [{src}]"
+        return decode_csbk(bits96, ctx, hit=hit, slot=slot, ms_sync=mono)
 
     def _vlc_header(self, bits96: np.ndarray, ctx: DecoderContext) -> str:
         """Voice LC header: 72-bit FLC + RS(12,9) (CRC mask 0x969696)."""

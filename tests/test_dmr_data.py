@@ -298,10 +298,10 @@ def test_dmr_ms_data_burst_decode():
     from dsdneo_tpu.fec import crc
     from dsdneo_tpu.fec.bptc import bptc_196_96_encode
 
-    # CSBK: BS Outbound Activation (0x3F)
+    # CSBK: BS Outbound Activation (BS_Dwn_Act, CSBKO 56 on MS sync)
     bits = np.zeros(96, dtype=np.uint8)
     bits[0] = 1                              # LB
-    bits[2:8] = _bits_of(0x3F, 6)
+    bits[2:8] = _bits_of(56, 6)
     c = crc.crc16_bits(bits[:80], init=0, xorout=0xFFFF) ^ 0xA5A5
     bits[80:96] = _bits_of(c, 16)
     payload = bptc_196_96_encode(bits)
@@ -320,3 +320,5 @@ def test_dmr_ms_data_burst_decode():
     lines = [e.line for e in ctx.events]
     assert any("MS/DM MODE/MONO" in ln and "CSBK" in ln
                and "Color Code=11" in ln for ln in lines), lines
+    assert any("BS Outbound Activation (BS_Dwn_Act)" in ln
+               for ln in lines), lines
