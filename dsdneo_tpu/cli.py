@@ -123,6 +123,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "datagrams (reference M17 UDP mode)")
     p.add_argument("-R", dest="m17_scrambler", default="", metavar="HEX",
                    help="M17 scrambler seed (8/16/24-bit, reference -R)")
+    p.add_argument("-T", "--trunk", dest="trunk", action="store_true",
+                   help="enable trunk following on live inputs: grants "
+                        "decoded off the control channel retune the tuner "
+                        "to the voice channel and return on release/"
+                        "hangtime (reference -T + p25_trunk_sm/dmr_trunk_sm)")
+    p.add_argument("--hangtime", type=float, default=1.0, metavar="S",
+                   help="voice-channel hangtime before returning to the "
+                        "control channel (reference trunk_hangtime)")
     p.add_argument("-i", dest="input", default="", metavar="SPEC",
                    help="live input (reference -i): rtltcp:host:port[:freqHz]"
                         " (CU8 I/Q from an rtl_tcp server), tcp:host:port or"
@@ -231,7 +239,22 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
             print(f"dsd-neo-tpu: rtl_tcp connect failed: {e}",
                   file=sys.stderr)
             return 1
+        if args.trunk:
+            from dsdneo_tpu.engine.trunk import TrunkFollower, TrunkSM
+
+            def _tune(f_hz, kind):
+                dev.set_freq(int(f_hz))
+                eng.tune(f_hz)
+                return True
+
+            sm = TrunkSM(_tune, hangtime_s=args.hangtime,
+                         policy=(tg_policy.allows if tg_policy else None))
+            eng.trunk = TrunkFollower(sm, eng.decoder.ctx,
+                                      chan_map=chan_map,
+                                      current_freq=lambda: eng.freq_hz
+                                      or float(freq))
         eng.on_ppm = dev.set_ppm
+        eng.freq_hz = float(freq)
         dev.start()
         eng.start()
         try:

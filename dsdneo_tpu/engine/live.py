@@ -26,11 +26,12 @@ class LiveEngine:
 
     def __init__(self, mode: str, fs: float = 48000.0,
                  block_s: float = 0.25, ring=None, capture_writer=None,
-                 control_port: int = 0, on_event=None):
+                 control_port: int = 0, on_event=None, trunk=None):
         from dsdneo_tpu.app_control import CommandQueue, MetricsHub
         from dsdneo_tpu.runtime.native import IngestRing
         self.mode = mode
         self.fs = fs
+        self.trunk = trunk            # TrunkFollower (events → TrunkSM)
         self.block = int(fs * block_s)
         self.ring = ring or IngestRing()
         self.capture = capture_writer
@@ -128,9 +129,14 @@ class LiveEngine:
             # all (reference demod_pipeline.cpp squelch gate)
             squelched = 20.0 * np.log10(max(rms, 1e-12)) < self.squelch_db
             events = [] if squelched else self.decoder.push(samples)
-            if self.on_event is not None and not self.muted:
-                for e in events:
+            for e in events:
+                if self.trunk is not None:
+                    self.trunk.on_event(e)
+                if self.on_event is not None and not self.muted:
                     self.on_event(e)
+            if self.trunk is not None:
+                # the reference's watchdog tick (p25_sm_watchdog.c)
+                self.trunk.tick()
             n += 1
             self.metrics.publish(
                 freq_hz=self.freq_hz, stream_active=True,

@@ -325,3 +325,68 @@ def load_scan_targets(scanner: "TrunkScanner", path: str) -> int:
                                          mode=t.modulation, label=t.id)):
             n += 1
     return n
+
+
+class TrunkFollower:
+    """Bridges decode events into the TrunkSM — the reference's engine
+    wiring (src/engine/engine.c: protocol handlers → p25_sm_event /
+    dmr_sm_event → trunk_tuning hook → retune).
+
+    Grant-tagged events resolve channel→frequency through the P25 iden
+    table learned off the control channel, then the imported channel
+    map (which also covers DMR LPCN/LCN numbering); release-tagged
+    events return to the control channel; any decoded frame refreshes
+    the CC timer (ON_CC) or the voice hangtime (TUNED)."""
+
+    def __init__(self, sm: TrunkSM, ctx, chan_map: Optional[ChannelMap] = None,
+                 current_freq: Callable[[], float] = lambda: 0.0):
+        self.sm = sm
+        self.ctx = ctx
+        self.chan_map = chan_map
+        self.current_freq = current_freq
+        self.grants = 0
+        self.releases = 0
+
+    def resolve_freq(self, fields: dict) -> float:
+        ch = int(fields.get("channel", 0) or 0)
+        if ch:
+            it = getattr(self.ctx.state, "iden_table", None)
+            if it is not None:
+                f = it.channel_to_freq(ch)
+                if f:
+                    return float(f)
+            if self.chan_map is not None:
+                f = self.chan_map.freq(ch)
+                if f:
+                    return float(f)
+        lpcn = int(fields.get("lpcn", 0) or 0)
+        if lpcn and self.chan_map is not None:
+            f = self.chan_map.freq(lpcn)
+            if f:
+                return float(f)
+        return 0.0
+
+    def on_event(self, ev) -> None:
+        f = ev.fields
+        if f.get("grant"):
+            freq = self.resolve_freq(f)
+            if freq > 0:
+                ok = self.sm.on_grant(GrantEvent(
+                    freq_hz=freq, tg=int(f.get("tg", 0) or 0),
+                    src=int(f.get("src", 0) or 0),
+                    channel=int(f.get("channel", f.get("lpcn", 0)) or 0)))
+                self.grants += ok
+            return
+        if f.get("release"):
+            self.releases += 1
+            self.sm.on_release()
+            return
+        if self.sm.phase == TrunkPhase.TUNED:
+            self.sm.on_voice_activity()
+        else:
+            cur = self.current_freq()
+            if cur > 0:
+                self.sm.on_cc_activity(cur)
+
+    def tick(self) -> None:
+        self.sm.tick()
