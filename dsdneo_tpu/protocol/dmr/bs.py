@@ -269,9 +269,9 @@ class DmrBsDecoder(ProtocolDecoder):
                 if dtype == 3:
                     detail = self._csbk(payload, ctx, hit, s, mono)
                 elif dtype == 1:
-                    detail = self._vlc_header(payload, ctx)
+                    detail = self._vlc_header(payload, ctx, hit, s)
                 elif dtype == 2:
-                    detail = self._tlc(payload, ctx)
+                    detail = self._tlc(payload, ctx, hit, s)
                 elif dtype == 6:
                     detail = self._data_header(payload, s)
                 elif dtype == 7:
@@ -327,8 +327,12 @@ class DmrBsDecoder(ProtocolDecoder):
             return " | CSBK CRC ERR"
         return decode_csbk(bits96, ctx, hit=hit, slot=slot, ms_sync=mono)
 
-    def _vlc_header(self, bits96: np.ndarray, ctx: DecoderContext) -> str:
-        """Voice LC header: 72-bit FLC + RS(12,9) (CRC mask 0x969696)."""
+    def _vlc_header(self, bits96: np.ndarray, ctx: DecoderContext,
+                    hit: SyncHit = None, s: int = 0,
+                    label: str = "VLC") -> str:
+        """Voice LC header: 72-bit FLC + RS(12,9) (CRC mask 0x969696);
+        the corrected FLC dispatches through the full FLCO catalog
+        (service options, vendor branding, alias/GPS headers)."""
         from dsdneo_tpu.fec import rs as rsmod
         code = rsmod.rs_12_9()
         syms = np.array([_bits_to_int(bits96[i * 8:(i + 1) * 8]) for i in range(12)],
@@ -336,16 +340,31 @@ class DmrBsDecoder(ProtocolDecoder):
         syms[9:12] ^= 0x96
         dec, nerr = code.decode(syms)
         if nerr < 0:
-            return " | VLC RS ERR"
+            return f" | {label} RS ERR"
+        lc_bits = np.zeros(72, dtype=np.uint8)
+        for i in range(9):
+            for j in range(8):
+                lc_bits[8 * i + j] = (int(dec[i]) >> (7 - j)) & 1
         flco = int(dec[0]) & 0x3F
         dst = (int(dec[3]) << 16) | (int(dec[4]) << 8) | int(dec[5])
         src = (int(dec[6]) << 16) | (int(dec[7]) << 8) | int(dec[8])
-        ctx.state.last_tg, ctx.state.last_src = dst, src
-        kind = "Group" if flco == 0 else ("Private" if flco == 3 else f"FLCO {flco:02X}")
-        return f" | VLC {kind} TGT={dst} SRC={src}"
+        if hit is not None:
+            self._flco(lc_bits, s, ctx, hit, label)
+        else:
+            ctx.state.last_tg, ctx.state.last_src = dst, src
+        kind = ("Group" if flco == 0
+                else ("Private" if flco == 3 else f"FLCO {flco:02X}"))
+        return f" | {label} {kind} TGT={dst} SRC={src}"
 
-    def _tlc(self, bits96: np.ndarray, ctx: DecoderContext) -> str:
-        return self._vlc_header(bits96, ctx).replace("VLC", "TLC")
+    def _tlc(self, bits96: np.ndarray, ctx: DecoderContext,
+             hit: SyncHit = None, s: int = 0) -> str:
+        """Terminator LC: same FLC body; a valid TLC ends the call
+        (reference dmr_flco terminator path)."""
+        out = self._vlc_header(bits96, ctx, hit, s, label="TLC")
+        if hit is not None and "RS ERR" not in out:
+            ctx.emit(f" Slot {s + 1} - Call End (TLC)", "dmr", hit.pos,
+                     release=True)
+        return out
 
     # -- voice bursts -----------------------------------------------------
     def _voice_burst(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext,
@@ -515,12 +534,34 @@ class DmrBsDecoder(ProtocolDecoder):
         flco = _bits_to_int(lc_bits[2:8])
         fid = _bits_to_int(lc_bits[8:16])
         if flco == 0x00 or flco == 0x03:
+            so = _bits_to_int(lc_bits[16:24])
             tgt = _bits_to_int(lc_bits[24:48])
             src = _bits_to_int(lc_bits[48:72])
             ctx.state.last_tg, ctx.state.last_src = tgt, src
             kind = "Group" if flco == 0 else "Private"
-            ctx.emit(f" Slot {s + 1} - {label} {kind} TGT={tgt} SRC={src}"
-                     f" FID=0x{fid:02X}", "dmr", hit.pos, tg=tgt, src=src)
+            # service options + vendor branding (reference dmr_flco.c
+            # print_service_options / print_branding / emergency flag)
+            opts_str = ""
+            if so & 0x80:
+                opts_str += " Emergency"
+            if so & 0x40:
+                opts_str += " Privacy"
+            if fid == 0x10 and so & 0x20:
+                opts_str += " TXI"
+            if fid == 0x10 and so & 0x10:
+                opts_str += " RPT"
+            if so & 0x08:
+                opts_str += " Broadcast"
+            if so & 0x04:
+                opts_str += " OVCM"
+            if so & 0x03:
+                opts_str += f" Priority {so & 0x03}"
+            brand = {0x68: " Hytera", 0x10: " Cap+", 0x06: " Con+",
+                     0x58: " Tait"}.get(fid, "")
+            ctx.emit(f" Slot {s + 1} - {label} {kind}{brand} TGT={tgt}"
+                     f" SRC={src} FID=0x{fid:02X}{opts_str}", "dmr",
+                     hit.pos, tg=tgt, src=src,
+                     emergency=bool(so & 0x80), encrypted=bool(so & 0x40))
         elif flco == 0x04:            # talker alias header
             fmt = _bits_to_int(lc_bits[16:18])
             ln = _bits_to_int(lc_bits[18:23])

@@ -193,3 +193,47 @@ def test_preamble():
                              (32, 777, 24), (56, 888, 24)])
     text, _ = _run(bits)
     assert "Preamble CSBK - Data - Group - Blocks: 4;" in text
+
+
+def test_vlc_header_flco_service_options():
+    """VLC header dispatches through the FLCO catalog: vendor branding
+    + service options (reference dmr_flco.c print_service_options)."""
+    from dsdneo_tpu.fec import rs as rsmod
+    from dsdneo_tpu.protocol.dmr.bs import DmrBsDecoder
+
+    dec = DmrBsDecoder()
+    ctx = DecoderContext()
+    code = rsmod.rs_12_9()
+    # FLCO 0 group, FID 0x10 (Cap+), SO = emergency | priority 2
+    data = np.array([0x00, 0x10, 0x82, 0, 0x01, 0x2C, 0, 0x30, 0x39],
+                    dtype=np.int64)
+    full = code.encode(data)
+    full[9:12] ^= 0x96
+    bits96 = np.zeros(96, np.uint8)
+    for i in range(12):
+        for j in range(8):
+            bits96[8 * i + j] = (int(full[i]) >> (7 - j)) & 1
+    out = dec._vlc_header(bits96, ctx, SimpleNamespace(pos=0), 0)
+    assert "VLC Group TGT=300 SRC=12345" in out
+    line = ctx.events[-1].line
+    assert "Cap+" in line and "Emergency" in line and "Priority 2" in line
+    assert ctx.events[-1].fields.get("emergency")
+
+
+def test_tlc_emits_release():
+    from dsdneo_tpu.fec import rs as rsmod
+    from dsdneo_tpu.protocol.dmr.bs import DmrBsDecoder
+
+    dec = DmrBsDecoder()
+    ctx = DecoderContext()
+    code = rsmod.rs_12_9()
+    data = np.array([0x00, 0, 0, 0, 0, 5, 0, 0, 9], dtype=np.int64)
+    full = code.encode(data)
+    full[9:12] ^= 0x96
+    bits96 = np.zeros(96, np.uint8)
+    for i in range(12):
+        for j in range(8):
+            bits96[8 * i + j] = (int(full[i]) >> (7 - j)) & 1
+    out = dec._tlc(bits96, ctx, SimpleNamespace(pos=0), 1)
+    assert "TLC Group" in out
+    assert any(e.fields.get("release") for e in ctx.events)
