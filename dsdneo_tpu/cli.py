@@ -267,6 +267,61 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
         dev.close()
         return 0
 
+    if spec.startswith(("rtlusb", "soapy:")):
+        from dsdneo_tpu.engine.live import LiveEngine
+        from dsdneo_tpu.io.sdr_device import (RtlUsbDevice, SdrUnavailable,
+                                              SoapyDevice)
+        eng = LiveEngine(args.mode, fs=48000.0, block_s=0.25,
+                         on_event=on_event)
+        st = eng.decoder.ctx.state
+        st.keyring = keyring
+        for k, v in _state_attrs(args, tg_policy, chan_map).items():
+            setattr(st, k, v)
+        eng.decoder.ctx.call_recorder = recorder
+        try:
+            if spec.startswith("rtlusb"):
+                # rtlusb[:index][:freqHz]
+                parts = spec.split(":")
+                index = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+                freq = int(parts[2]) if len(parts) > 2 else 851_000_000
+                dev = RtlUsbDevice(eng.ring, index=index, sample_rate=48000,
+                                   freq_hz=freq)
+            else:
+                # soapy:driver=...[:freqHz]
+                parts = spec.split(":")
+                freq = int(parts[2]) if len(parts) > 2 else 851_000_000
+                dev = SoapyDevice(eng.ring, driver_args=parts[1],
+                                  sample_rate=48000, freq_hz=freq)
+        except SdrUnavailable as e:
+            print(f"dsd-neo-tpu: SDR unavailable: {e}", file=sys.stderr)
+            return 1
+        if args.trunk:
+            from dsdneo_tpu.engine.trunk import TrunkFollower, TrunkSM
+
+            def _tune(f_hz, kind):
+                dev.set_freq(int(f_hz))
+                eng.tune(f_hz)
+                return True
+
+            sm = TrunkSM(_tune, hangtime_s=args.hangtime,
+                         policy=(tg_policy.allows if tg_policy else None))
+            eng.trunk = TrunkFollower(sm, eng.decoder.ctx,
+                                      chan_map=chan_map,
+                                      current_freq=lambda: eng.freq_hz
+                                      or float(freq))
+        eng.freq_hz = float(freq)
+        dev.start()
+        eng.start()
+        try:
+            t0 = _time.time()
+            while duration <= 0 or _time.time() - t0 < duration:
+                _time.sleep(0.2)
+        except KeyboardInterrupt:
+            pass
+        eng.stop()
+        dev.close()
+        return 0
+
     if spec.startswith(("tcp:", "udp:", "udp")):
         from dsdneo_tpu.engine.stream import StreamDecoder
         from dsdneo_tpu.io.net import TcpPcmInput, UdpPcmInput

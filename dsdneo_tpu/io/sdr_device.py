@@ -1,0 +1,192 @@
+"""SDR device layer: librtlsdr USB (ctypes) and SoapySDR bindings.
+
+The third leg of the reference's device triad (src/io/radio/
+rtl_device.cpp: librtlsdr USB async callback :2341, rtl_tcp client
+:2430 — ours in io/rtl_tcp.py — and SoapySDR).  Both backends pump CU8
+I/Q into the native ingest ring exactly like the rtl_tcp client, so
+LiveEngine/trunking are source-agnostic.
+
+librtlsdr is bound with ctypes against the system library (no compile
+step); ``DSDNEO_RTLSDR_LIB`` overrides the library path, which the
+tests use to drive the full binding against a compiled stub.  SoapySDR
+binds through its Python module when importable.  Both gate cleanly
+(raise ``SdrUnavailable``) when the dependency is absent — this
+environment has no SDR hardware, so everything below is exercised
+against stubs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import threading
+
+
+class SdrUnavailable(RuntimeError):
+    """The requested SDR backend's library/hardware is not present."""
+
+
+def _load_librtlsdr() -> ctypes.CDLL:
+    path = os.environ.get("DSDNEO_RTLSDR_LIB")
+    if not path:
+        path = ctypes.util.find_library("rtlsdr")
+    if not path:
+        for cand in ("librtlsdr.so.2", "librtlsdr.so.0", "librtlsdr.so"):
+            try:
+                return ctypes.CDLL(cand)
+            except OSError:
+                continue
+        raise SdrUnavailable("librtlsdr not found")
+    try:
+        return ctypes.CDLL(path)
+    except OSError as e:
+        raise SdrUnavailable(f"librtlsdr load failed: {e}")
+
+
+class RtlUsbDevice:
+    """librtlsdr USB tuner (reference rtl_device.cpp librtlsdr backend).
+
+    A reader thread pulls CU8 via ``rtlsdr_read_sync`` and writes into
+    the ingest ring (the reference uses the async callback API; the
+    sync loop is equivalent for our block-pipelined consumer and keeps
+    the ctypes surface minimal)."""
+
+    DEFAULT_BLOCK = 16384        # reference DEFAULT_BUF_LENGTH
+
+    def __init__(self, ring, index: int = 0, sample_rate: int = 2_400_000,
+                 freq_hz: int = 851_000_000, gain_tenth_db: int | None = None,
+                 ppm: int = 0, bias_tee: bool = False,
+                 direct_sampling: int = 0):
+        self._lib = _load_librtlsdr()
+        lib = self._lib
+        lib.rtlsdr_get_device_count.restype = ctypes.c_uint32
+        n = lib.rtlsdr_get_device_count()
+        if n <= index:
+            raise SdrUnavailable(f"rtlsdr device {index} not present ({n} found)")
+        self._dev = ctypes.c_void_p()
+        if lib.rtlsdr_open(ctypes.byref(self._dev), index) != 0:
+            raise SdrUnavailable(f"rtlsdr_open({index}) failed")
+        self.ring = ring
+        self._stop = False
+        self._thread: threading.Thread | None = None
+        self.sample_rate = sample_rate
+        self.freq_hz = freq_hz
+        lib.rtlsdr_set_sample_rate(self._dev, ctypes.c_uint32(sample_rate))
+        lib.rtlsdr_set_center_freq(self._dev, ctypes.c_uint32(freq_hz))
+        if ppm:
+            lib.rtlsdr_set_freq_correction(self._dev, ctypes.c_int(ppm))
+        if gain_tenth_db is None:
+            lib.rtlsdr_set_tuner_gain_mode(self._dev, 0)     # auto
+        else:
+            lib.rtlsdr_set_tuner_gain_mode(self._dev, 1)
+            lib.rtlsdr_set_tuner_gain(self._dev,
+                                      ctypes.c_int(gain_tenth_db))
+        if bias_tee and hasattr(lib, "rtlsdr_set_bias_tee"):
+            lib.rtlsdr_set_bias_tee(self._dev, 1)
+        if direct_sampling:
+            lib.rtlsdr_set_direct_sampling(self._dev,
+                                           ctypes.c_int(direct_sampling))
+        lib.rtlsdr_reset_buffer(self._dev)
+
+    # -- controls (reference rtl_stream C API subset) ---------------------
+    def set_freq(self, freq_hz: int) -> None:
+        self.freq_hz = int(freq_hz)
+        self._lib.rtlsdr_set_center_freq(self._dev,
+                                         ctypes.c_uint32(int(freq_hz)))
+
+    def set_ppm(self, ppm: int) -> None:
+        self._lib.rtlsdr_set_freq_correction(self._dev, ctypes.c_int(int(ppm)))
+
+    def set_gain(self, tenth_db: int) -> None:
+        self._lib.rtlsdr_set_tuner_gain_mode(self._dev, 1)
+        self._lib.rtlsdr_set_tuner_gain(self._dev, ctypes.c_int(int(tenth_db)))
+
+    # -- reader ------------------------------------------------------------
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._reader, daemon=True)
+        self._thread.start()
+
+    def _reader(self) -> None:
+        buf = (ctypes.c_ubyte * self.DEFAULT_BLOCK)()
+        got = ctypes.c_int(0)
+        while not self._stop:
+            rc = self._lib.rtlsdr_read_sync(self._dev, buf,
+                                            self.DEFAULT_BLOCK,
+                                            ctypes.byref(got))
+            if rc != 0 or got.value <= 0:
+                break
+            self.ring.write(bytes(buf[:got.value]))
+
+    def close(self) -> None:
+        self._stop = True
+        if hasattr(self._lib, "rtlsdr_cancel_async"):
+            try:
+                self._lib.rtlsdr_cancel_async(self._dev)
+            except OSError:
+                pass
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+        self._lib.rtlsdr_close(self._dev)
+
+
+class SoapyDevice:
+    """SoapySDR RX stream → ingest ring (reference
+    rtl_device_create_soapy, rtl_device.h:140).  Binds through the
+    SoapySDR Python module; absent module → SdrUnavailable."""
+
+    def __init__(self, ring, driver_args: str = "", sample_rate: int = 2_400_000,
+                 freq_hz: int = 851_000_000, gain_db: float | None = None,
+                 _module=None):
+        if _module is None:
+            try:
+                import SoapySDR as _module          # pragma: no cover
+            except ImportError:
+                raise SdrUnavailable("SoapySDR python module not installed")
+        self._soapy = _module
+        self.dev = _module.Device(driver_args)
+        self.ring = ring
+        self.sample_rate = sample_rate
+        self.freq_hz = freq_hz
+        self._stop = False
+        self._thread: threading.Thread | None = None
+        rx = getattr(_module, "SOAPY_SDR_RX", 1)
+        self._rx = rx
+        self.dev.setSampleRate(rx, 0, float(sample_rate))
+        self.dev.setFrequency(rx, 0, float(freq_hz))
+        if gain_db is not None:
+            self.dev.setGain(rx, 0, float(gain_db))
+        fmt = getattr(_module, "SOAPY_SDR_CU8", "CU8")
+        self.stream = self.dev.setupStream(rx, fmt)
+        self.dev.activateStream(self.stream)
+
+    def set_freq(self, freq_hz: int) -> None:
+        self.freq_hz = int(freq_hz)
+        self.dev.setFrequency(self._rx, 0, float(freq_hz))
+
+    def set_ppm(self, ppm: int) -> None:
+        try:
+            self.dev.setFrequencyCorrection(self._rx, 0, float(ppm))
+        except AttributeError:
+            pass
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._reader, daemon=True)
+        self._thread.start()
+
+    def _reader(self) -> None:
+        import numpy as np
+        buf = np.empty(16384 * 2, dtype=np.uint8)
+        while not self._stop:
+            sr = self.dev.readStream(self.stream, [buf], 16384)
+            n = sr.ret if hasattr(sr, "ret") else sr
+            if n is None or n <= 0:
+                break
+            self.ring.write(buf[:2 * n].tobytes())
+
+    def close(self) -> None:
+        self._stop = True
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+        self.dev.deactivateStream(self.stream)
+        self.dev.closeStream(self.stream)
