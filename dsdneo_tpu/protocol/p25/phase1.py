@@ -94,14 +94,27 @@ class P25P1Decoder(ProtocolDecoder):
         line += f" {'DST' if io else 'SRC'} LLID: {address};"
         ctx.emit(line, "p25p1", hit.pos, sap=sap, blocks=blks)
         data = []
+        raw_blocks = []
         for _ in range(min(blks, 32)):
             blk = self._mpdu_block(reader)
             if blk is None:
                 break
             data.append(np.packbits(blk[:96]))
-            if sap in (0x61, 0x63):
-                # MBT continuation: surface as a TSBK-style parse
-                self._tsbk(blk, hit, ctx)
+            raw_blocks.append(blk)
+        if sap in (0x61, 0x63) and raw_blocks:
+            if fmt in (0x15, 0x17):
+                # AMBTC/UMBTC: native multi-block trunking layouts
+                # (p25p1_pdu_trunking.c); fall back to the TSBK bridge
+                # for layouts that coincide with the single-block form
+                from dsdneo_tpu.protocol.p25.mbt import decode_mbt
+                mpdu = np.concatenate([b[:12].astype(np.int64)]
+                                      + [d.astype(np.int64) for d in data])
+                if not decode_mbt(mpdu, ctx, hit, self):
+                    for blk in raw_blocks:
+                        self._tsbk(blk, hit, ctx)
+            else:
+                for blk in raw_blocks:
+                    self._tsbk(blk, hit, ctx)
         if data and sap not in (0x61, 0x63):
             payload = np.concatenate(data)
             hexs = "".join(f"{int(x):02X}" for x in payload[:24])
