@@ -359,6 +359,52 @@ class NxdnDecoder(ProtocolDecoder):
             detail = (f"\n {''.join(parts)}{ct} - {opt}"
                       f"Src={src & 0xFFFF} - Dst/TG={dst & 0xFFFF} ")
             out += detail
+        elif mtype in (0x04, 0x05, 0x0E):        # VCALL/DCALL assignment
+            # (reference nxdn_element.c nxdn_vcall_assgn_parse: channel
+            # at bit 62, 10 bits; grant feeds the trunk follower)
+            cc_option = _bti(msg[8:16])
+            call_type = _bti(msg[16:19])
+            vco = _bti(msg[19:24])
+            src = _bti(msg[24:40])
+            dst = _bti(msg[40:56])
+            chan = _bti(msg[62:72]) if len(msg) >= 72 else 0
+            ctx.state.last_src, ctx.state.last_tg = src, dst
+            parts = []
+            if cc_option & 0x80:
+                parts.append("Emergency ")
+            if cc_option & 0x40:
+                parts.append("Visitor ")
+            ct = CALL_TYPES.get(call_type, "Unknown Call Type")
+            if mtype == 0x0E:
+                opt = f"   Data Call Assignment ({vco:02X}) - "
+            else:
+                vm = VOICE_MODES.get(vco & 0xF, f"Reserved {vco & 0xF:X}")
+                duplex = "Duplex" if vco & 0x10 else "Half Duplex"
+                opt = f"{duplex} {vm} ({vco:02X}) - "
+            out += (f"\n {''.join(parts)}{ct} - {opt}"
+                    f"Src={src & 0xFFFF} - Dst/TG={dst & 0xFFFF} "
+                    f"- Channel [{chan & 0x3FF:03X}][{chan & 0x3FF:04d}] ")
+            ctx.emit(f"       NXDN {label.strip()} CH {chan & 0x3FF}"
+                     f" TG {dst} SRC {src}", "nxdn", 0,
+                     tg=dst, src=src, lpcn=chan & 0x3FF,
+                     grant=chan not in (0, 0x3FF),
+                     data=mtype == 0x0E,
+                     emergency=bool(cc_option & 0x80))
+        elif mtype == 0x19 and len(msg) >= 72:   # SRV_INFO
+            loc = _bti(msg[8:32])
+            svc = _bti(msg[32:48])
+            rst = _bti(msg[48:72])
+            out += (f"\n Service Information - Location ID [{loc:06X}]"
+                    f" SVC [{svc:04X}] RST [{rst:06X}]")
+        elif mtype == 0x1A and len(msg) >= 64:   # CCH_INFO
+            loc = _bti(msg[8:32])
+            sts = _bti(msg[32:38])
+            ch1 = _bti(msg[38:48])
+            ch2 = _bti(msg[54:64])
+            out += (f"\n Control Channel Information - Location ID"
+                    f" [{loc:06X}] STS [{sts:02X}] CH1 [{ch1}] CH2 [{ch2}]")
+            ctx.emit(f"       NXDN CCH_INFO CH1 {ch1} CH2 {ch2}", "nxdn", 0,
+                     neighbors=[c for c in (ch1, ch2) if 0 < c < 0x3FF])
         elif mtype == 0x3F:                      # proprietary form / alias
             out = self._alias(msg, ctx) or " PROP_FORM"
         elif mtype == 0x18 and len(msg) >= 144:  # SITE_INFO (RCCH)

@@ -195,3 +195,54 @@ def test_segment_len_resolution():
     assert W.segment_len(mac, 1, 22) == 0x10
     mac[1], mac[2] = 0x10, 0x26                  # continuation: len in octet 2
     assert W.segment_len(mac, 1, 22) == 0x26 & 0x3F
+
+
+def test_nxdn_vcall_assgn_grant():
+    """NXDN VCALL_ASSGN decodes channel + emits a trunk grant event
+    (reference nxdn_element.c nxdn_vcall_assgn_parse: chan @62:10)."""
+    import numpy as np
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.nxdn.decoder import NxdnDecoder
+
+    msg = np.zeros(72, dtype=np.uint8)
+
+    def put(v, a, n):
+        for i in range(n):
+            msg[a + i] = (v >> (n - 1 - i)) & 1
+
+    put(0x04, 2, 6)          # VCALL_ASSGN
+    put(0x80, 8, 8)          # emergency
+    put(1, 16, 3)            # group call
+    put(0x02, 19, 5)
+    put(1234, 24, 16)        # src
+    put(300, 40, 16)         # dst
+    put(0x0AA, 62, 10)       # channel 170
+    ctx = DecoderContext()
+    dec = NxdnDecoder()
+    out = dec._message(msg, ctx)
+    assert "VCALL_ASSGN" in out
+    assert "Channel [0AA][0170]" in out and "Emergency" in out
+    ev = [e for e in ctx.events if e.fields.get("grant")]
+    assert ev and ev[0].fields["lpcn"] == 170 and ev[0].fields["tg"] == 300
+
+
+def test_nxdn_cch_info_neighbors():
+    import numpy as np
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.nxdn.decoder import NxdnDecoder
+
+    msg = np.zeros(64, dtype=np.uint8)
+
+    def put(v, a, n):
+        for i in range(n):
+            msg[a + i] = (v >> (n - 1 - i)) & 1
+
+    put(0x1A, 2, 6)
+    put(0x123456, 8, 24)
+    put(5, 38, 10)
+    put(9, 54, 10)
+    ctx = DecoderContext()
+    out = NxdnDecoder()._message(msg, ctx)
+    assert "Control Channel Information" in out
+    assert "[123456]" in out and "CH1 [5] CH2 [9]" in out
+    assert [e for e in ctx.events if e.fields.get("neighbors") == [5, 9]]
