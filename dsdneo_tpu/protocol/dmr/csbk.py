@@ -121,6 +121,10 @@ def decode_csbk(bits96: np.ndarray, ctx, hit=None, slot: int = 0,
         t = _con_plus(op, bits96, ctx, pos)
         if t:
             return t
+    if fid == 0x68:
+        t = _hytera_xpt(op, bits96, ctx, pos)
+        if t:
+            return t
 
     if 48 <= op <= 56:
         return _grant(op, bits96, ctx, pos, ms_sync)
@@ -382,4 +386,45 @@ def _con_plus(op, bits96, ctx, pos) -> str:
         ctx.emit("       DMR Connect Plus Call Termination", "dmr", pos,
                  release=True)
         return " | Connect Plus Call Termination;"
+    return ""
+
+
+def _hytera_xpt(op, bits96, ctx, pos) -> str:
+    """Hytera XPT FID 0x68 (dmr_csbk.c xpt handlers; the SN field lives
+    in the LB/PF bit positions, so the PF gate is bypassed for these)."""
+    if op == 0x0A:             # site status: free LCN + 6 LSN states
+        sn = _f(bits96, 0, 2)
+        free = _f(bits96, 16, 4)
+        bank = sn * 6 if 0 < sn <= 2 else 0
+        states = [_f(bits96, 20 + 2 * i, 2) for i in range(6)]
+        tgs = [_f(bits96, 32 + 8 * i, 8) for i in range(6)]
+        labels = {0: "Idle", 1: "-RES-", 2: "Private", 3: "Group"}
+        parts = []
+        active = []
+        for i, (st_, tg) in enumerate(zip(states, tgs)):
+            lsn = bank + i + 1
+            parts.append(f"LSN {lsn:02d}: ST-{st_:X}"
+                         + (f" {tg:03d} {labels.get(st_, '')};" if st_ else
+                            " Idle;"))
+            if st_ in (2, 3) and tg:
+                active.append((lsn, tg, st_ == 3))
+        ctx.state.dmr_branding = "Hytera XPT"
+        ctx.state.dmr_site_parms = f"Free LCN - {free} "
+        for lsn, tg, _group in active:
+            ctx.emit(f"       DMR XPT Active LSN {lsn} TG {tg}", "dmr", pos,
+                     tg=tg, lpcn=(lsn + 1) // 2, slot_sel=(lsn - 1) & 1,
+                     grant=True)
+        return (f" | Hytera XPT Site Status - Free LCN: {free} SN: {sn}\n  "
+                + " ".join(parts))
+    if op == 0x0B:             # adjacent sites
+        sn = _f(bits96, 0, 2)
+        sites = []
+        for i in range(4):
+            sid = _f(bits96, 16 + 16 * i, 5)
+            rp = _f(bits96, 24 + 16 * i, 4)
+            if sid:
+                sites.append(f"Site:{sid} Free:{rp};")
+        ctx.state.dmr_branding = "Hytera XPT"
+        return (f" | Hytera XPT CSBK 0x0B - SN: {sn}\n  XPT Adjacent "
+                + " ".join(sites))
     return ""

@@ -237,3 +237,24 @@ def test_tlc_emits_release():
     out = dec._tlc(bits96, ctx, SimpleNamespace(pos=0), 1)
     assert "TLC Group" in out
     assert any(e.fields.get("release") for e in ctx.events)
+
+
+def test_hytera_xpt_site_status():
+    bits = _csbk(0x0A, fid=0x68, fields=[(0, 1, 2), (16, 5, 4),
+                                         (20, 3, 2), (22, 2, 2),
+                                         (32, 101, 8), (40, 55, 8)])
+    text, ctx = _run(bits)
+    assert "Hytera XPT Site Status - Free LCN: 5 SN: 1" in text
+    assert "LSN 07: ST-3 101 Group;" in text
+    assert "LSN 08: ST-2 055 Private;" in text
+    assert ctx.state.dmr_branding == "Hytera XPT"
+    ev = [e for e in ctx.events if e.fields.get("grant")]
+    assert len(ev) == 2 and ev[0].fields["tg"] == 101
+
+
+def test_hytera_xpt_adjacent():
+    bits = _csbk(0x0B, fid=0x68, fields=[(16, 3, 5), (24, 7, 4),
+                                         (32, 4, 5), (40, 2, 4)])
+    text, _ = _run(bits)
+    assert "XPT Adjacent" in text
+    assert "Site:3 Free:7;" in text and "Site:4 Free:2;" in text
