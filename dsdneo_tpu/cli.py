@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(flag, dest="mode", action="store_const", const=mode,
                        help=f"decode mode: {mode}")
     p.set_defaults(mode="auto")
+    p.add_argument("-fH", dest="edacs_ea", action="store_true",
+                   help="EDACS Extended Addressing mode (with -fh; "
+                        "reference ea_mode)")
+    p.add_argument("--esk", default="", metavar="HEX",
+                   help="EDACS ESK scramble mask (8-bit hex; reference "
+                        "esk_mask)")
     # M17 encoders (reference src/runtime/cli/args.c:2289-2313 -fZ/-fB/-fP)
     p.add_argument("-fZ", dest="tx_mode", action="store_const", const="str",
                    help="M17 stream encoder")
@@ -201,6 +207,10 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
         attrs["m17_scrambler_key"] = int(args.m17_scrambler, 16)
     if args.m17_aes:
         attrs["m17_aes_key"] = bytes.fromhex(args.m17_aes)
+    if args.edacs_ea:
+        attrs["edacs_ea"] = True
+    if args.esk:
+        attrs["edacs_esk"] = int(args.esk, 16)
     return attrs
 
 
@@ -416,6 +426,8 @@ def _run_m17_tx(args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.edacs_ea and args.mode == "auto":
+        args.mode = "edacs"
     if getattr(args, "tx_mode", None):
         return _run_m17_tx(args)
     if args.mbe_in:

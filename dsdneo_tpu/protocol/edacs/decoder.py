@@ -82,12 +82,130 @@ class EdacsDecoder(ProtocolDecoder):
                 ctx.emit(f"Sync: {'-' if inverted else '+'}EDACS  BCH FAIL",
                          "edacs", hit.pos)
                 return pos + 240
-        line = self._standard(msg1 >> 12, msg2 >> 12, ctx)
+        m1, m2 = msg1 >> 12, msg2 >> 12
+        # ESK (Encryption Sync Key) scramble: 8-bit mask XORed over the
+        # top command bits (reference edacs_process_valid_frame
+        # fr_esk_mask = esk_mask << 20)
+        esk = int(getattr(ctx.state, "edacs_esk", 0) or 0)
+        if esk:
+            m1 ^= (esk & 0xFF) << 20
+            m2 ^= (esk & 0xFF) << 20
+        if getattr(ctx.state, "edacs_ea", False):
+            line = self._extended(m1, m2, ctx, hit)
+        else:
+            line = self._standard(m1, m2, ctx)
         # both 28-bit words passed BCH: carry the raw command as a
         # structured field (validated-decode evidence for auto mode)
         ctx.emit(f"Sync: {'-' if inverted else '+'}EDACS {line}", "edacs",
-                 hit.pos, mt=(msg1 >> 12) >> 23, word=(msg1 >> 12))
+                 hit.pos, mt=m1 >> 23, word=m1)
         return pos + 240
+
+    # -- extended addressing (EA) mode ------------------------------------
+    def _extended(self, msg1: int, msg2: int, ctx: DecoderContext,
+                  hit: SyncHit) -> str:
+        """EDACS EA message catalog (reference edacs-fme.c
+        edacs_handle_extended_mt1/mt2)."""
+        mt1 = (msg1 >> 23) & 0x1F
+        mt2 = (msg1 >> 19) & 0xF
+        s = ctx.state
+        if mt1 in (0x01, 0x02):
+            lcn = (msg1 >> 17) & 0x1F
+            group = msg1 & 0xFFFF
+            src = msg2 & 0xFFFFF
+            kind = "TDMA" if mt1 == 0x01 else "Data"
+            ctx.emit(f"       EDACS EA {kind} Group Call G {group}", "edacs",
+                     hit.pos, tg=group, src=src, lpcn=lcn,
+                     grant=lcn not in (0, 0x1F), data=mt1 == 0x02)
+            return (f" {kind} Group Call :: Group [{group:05d}]"
+                    f" Source [{src:08d}] LCN [{lcn:02d}]{_lcn_status(lcn)}")
+        if mt1 in (0x03, 0x06):
+            lcn = (msg1 >> 17) & 0x1F
+            update = (msg1 >> 16) & 1
+            group = msg1 & 0xFFFF
+            tx_trunk = (msg2 >> 21) & 1
+            emergency = (msg2 >> 20) & 1
+            src = msg2 & 0xFFFFF
+            s.last_tg, s.last_src = group, src
+            kind = "Digital" if mt1 == 0x03 else "Analog"
+            what = "Update" if update else "Assignment"
+            line = (f" {kind} Group Call {what} :: Group [{group:05d}]"
+                    f" Source [{src:08d}] LCN [{lcn:02d}]{_lcn_status(lcn)}")
+            if not tx_trunk:
+                line += " [Message Trunking]"
+            if emergency:
+                line += " [EMERGENCY]"
+            ctx.emit(f"       EDACS EA Voice Grant G {group} LCN {lcn}",
+                     "edacs", hit.pos, tg=group, src=src, lpcn=lcn,
+                     grant=lcn not in (0, 0x1F),
+                     emergency=bool(emergency))
+            return line
+        if mt1 == 0x10:
+            lcn = (msg2 >> 20) & 0x1F
+            digital = (msg1 >> 21) & 1
+            update = (msg1 >> 20) & 1
+            tgt = msg1 & 0xFFFFF
+            src = msg2 & 0xFFFFF
+            kind = "Digital" if digital else "Analog"
+            what = "Update" if update else "Assignment"
+            ctx.emit(f"       EDACS EA I-Call {what}", "edacs", hit.pos,
+                     src=src, lpcn=lcn, grant=lcn not in (0, 0x1F))
+            return (f" {kind} I-Call {what} :: Target [{tgt:08d}]"
+                    f" Source [{src:08d}] LCN [{lcn:02d}]{_lcn_status(lcn)}")
+        if mt1 == 0x12:
+            lcn = (msg2 >> 20) & 0x1F
+            src = msg2 & 0xFFFFF
+            return (f" Channel Assignment (Unknown Data) ::"
+                    f" Source [{src:08d}] LCN [{lcn:02d}]{_lcn_status(lcn)}")
+        if mt1 == 0x16:
+            lcn = (msg1 >> 17) & 0x1F
+            digital = (msg1 >> 16) & 1
+            src = msg2 & 0xFFFFF
+            kind = "Digital" if digital else "Analog"
+            return (f" {kind} System All-Call :: Source [{src:08d}]"
+                    f" LCN [{lcn:02d}]{_lcn_status(lcn)}")
+        if mt1 == 0x19:
+            group = msg1 & 0xFFFF
+            src = msg2 & 0xFFFFF
+            return f" Login :: Group [{group:05d}] Source [{src:08d}]"
+        if mt1 != 0x1F:
+            return f" Unknown EA Command (MT1: {mt1:02X})"
+        # MT2 space
+        if mt2 == 0x0:
+            return " Initiate Test Call Command"
+        if mt2 == 0x1:
+            lcn = (msg1 >> 12) & 0x1F
+            idx = (msg1 >> 8) & 0xF
+            site = msg1 & 0xFF
+            return (f" Adjacent Site :: Site ID [{site:02X}][{site:03d}]"
+                    f" Index [{idx}] on CC LCN [{lcn:02d}]{_lcn_status(lcn)}")
+        if mt2 == 0x4:
+            status = msg1 & 0xFF
+            src = msg2 & 0xFFFFF
+            return (f" Status/Message :: Status [{status:03d}]"
+                    f" Source [{src:08d}]")
+        if mt2 == 0x7:
+            qual = {0: "[Temporary Disable]", 1: "[Corrupt Personality]",
+                    2: "[Revoke Logical ID]"}.get((msg2 >> 26) & 3,
+                                                  "[Re-enable Unit]")
+            return f" Unit Enable/Disable :: {qual} Target [{msg2 & 0xFFFFF:08d}]"
+        if mt2 == 0x8:
+            system = msg1 & 0xFFFF
+            lcn = msg2 & 0x1F
+            s.edacs_sysid = system
+            return f" System Information :: System ID [{system:04X}] CC LCN [{lcn:02d}]"
+        if mt2 == 0xA:
+            site = ((msg1 & 0x7000) >> 7) | (msg1 & 0x1F)
+            area = (msg1 >> 5) & 0x7F
+            s.p2_siteid = site
+            return (f" Extended Addressing :: Site ID [{site:02X}][{site:03d}]"
+                    f" Area [{area:02X}][{area:03d}]")
+        if mt2 == 0xB:
+            return " System Dynamic Regroup Plan Bitmap"
+        if mt2 == 0xC:
+            return " Dynamic Regrouping"
+        if mt2 == 0xD:
+            return " Serial Number Request"
+        return f" Unknown EA Command (MT2: {mt2:X})"
 
     @staticmethod
     def _word(bits: np.ndarray) -> int:
