@@ -119,3 +119,67 @@ def test_fuzz_mbe_files(tmp_path, seed):
     p2.write_bytes(bytes(rng.integers(0, 256, 64, dtype=np.uint8)))
     with pytest.raises(ValueError):
         read_mbe_file(str(p2))
+
+
+def test_fuzz_p2_mac_walker():
+    """Random MAC PDU octets never crash the native P2 catalog."""
+    from types import SimpleNamespace
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.p25.p2_mac import P2MacWalker
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+    rng = np.random.default_rng(7)
+    w = P2MacWalker(P25P1Decoder)
+    for _ in range(200):
+        mac = rng.integers(0, 256, 24).astype(np.int64)
+        w.walk(mac, int(rng.integers(2, 23)), int(rng.integers(0, 2)),
+               DecoderContext(), SimpleNamespace(pos=0))
+
+
+def test_fuzz_dmr_csbk():
+    from types import SimpleNamespace
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.dmr.csbk import decode_csbk
+    rng = np.random.default_rng(8)
+    for _ in range(300):
+        bits = rng.integers(0, 2, 96).astype(np.uint8)
+        decode_csbk(bits, DecoderContext(), hit=SimpleNamespace(pos=0),
+                    ms_sync=bool(rng.integers(0, 2)))
+
+
+def test_fuzz_p25_lcw():
+    from types import SimpleNamespace
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.p25.lcw import decode_lcw
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+    rng = np.random.default_rng(9)
+    dec = P25P1Decoder()
+    for _ in range(300):
+        bits = rng.integers(0, 2, 72).astype(np.uint8)
+        decode_lcw(bits, SimpleNamespace(pos=0), DecoderContext(), dec)
+
+
+def test_fuzz_p25_mbt():
+    from types import SimpleNamespace
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.p25.mbt import decode_mbt
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+    rng = np.random.default_rng(10)
+    dec = P25P1Decoder()
+    for _ in range(200):
+        n_blocks = int(rng.integers(1, 4))
+        mpdu = rng.integers(0, 256, 12 * (1 + n_blocks)).astype(np.int64)
+        decode_mbt(mpdu, DecoderContext(), SimpleNamespace(pos=0), dec)
+
+
+def test_fuzz_edacs_ea():
+    from types import SimpleNamespace
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.edacs.decoder import EdacsDecoder
+    rng = np.random.default_rng(11)
+    d = EdacsDecoder()
+    for _ in range(300):
+        ctx = DecoderContext()
+        ctx.state.edacs_ea = True
+        d._extended(int(rng.integers(0, 1 << 28)),
+                    int(rng.integers(0, 1 << 28)), ctx,
+                    SimpleNamespace(pos=0))
