@@ -68,8 +68,16 @@ def test_channelizer_os2_edge_rejection():
         return float(np.sum(sp[np.abs(fr - f0) < bw]) / np.sum(sp))
 
     alias = 0.55 * 48000.0 - 48000.0        # folds to -21.6 kHz at 48k
-    c1 = np.asarray(channelize(jnp.asarray(x), n_ch, 12))[1]
-    c2 = np.asarray(channelize_os2(jnp.asarray(x), n_ch, 12))[1]
+    try:
+        c1 = np.asarray(channelize(jnp.asarray(x), n_ch, 12))[1]
+        c2 = np.asarray(channelize_os2(jnp.asarray(x), n_ch, 12))[1]
+    except jax.errors.JaxRuntimeError as e:
+        if "UNIMPLEMENTED" in str(e) and jax.default_backend() not in ("cpu",):
+            # complex-FFT channelizer path isn't implemented by the
+            # experimental axon TPU plugin; production wideband decode
+            # runs it on a supported backend
+            pytest.skip(f"channelizer op unsupported by this backend: {e}")
+        raise
     # at 96k the interferer sits at its true +26.4 kHz, not the alias
     assert band_frac(c2, 96000.0, 26400.0) > 0.2
     assert band_frac(c2, 96000.0, alias) < 0.02
