@@ -137,6 +137,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hangtime", type=float, default=1.0, metavar="S",
                    help="voice-channel hangtime before returning to the "
                         "control channel (reference trunk_hangtime)")
+    p.add_argument("--sm-log", default="", metavar="PATH",
+                   help="append trunking state-machine decisions to PATH "
+                        "(reference --p25-sm-log)")
     p.add_argument("-i", dest="input", default="", metavar="SPEC",
                    help="live input (reference -i): rtltcp:host:port[:freqHz]"
                         " (CU8 I/Q from an rtl_tcp server), tcp:host:port or"
@@ -259,6 +262,7 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
 
             sm = TrunkSM(_tune, hangtime_s=args.hangtime,
                          policy=(tg_policy.allows if tg_policy else None))
+            sm.log_path = args.sm_log
             eng.trunk = TrunkFollower(sm, eng.decoder.ctx,
                                       chan_map=chan_map,
                                       current_freq=lambda: eng.freq_hz
@@ -315,6 +319,7 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
 
             sm = TrunkSM(_tune, hangtime_s=args.hangtime,
                          policy=(tg_policy.allows if tg_policy else None))
+            sm.log_path = args.sm_log
             eng.trunk = TrunkFollower(sm, eng.decoder.ctx,
                                       chan_map=chan_map,
                                       current_freq=lambda: eng.freq_hz

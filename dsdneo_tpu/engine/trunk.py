@@ -94,6 +94,9 @@ class TrunkSM:
         # DSD_NEO_P25_CC_CACHE, docs/cli.md:642): warm-start the hunt
         # list across runs
         self.cc_cache_path = cc_cache_path
+        # SM decision log file (reference --p25-sm-log,
+        # src/core/file/p25_sm_log.c): every phase transition appended
+        self.log_path = ""
         if cc_cache_path:
             self._load_cc_cache()
 
@@ -191,6 +194,12 @@ class TrunkSM:
 
     def _log(self, msg: str) -> None:
         self.events.append(msg)
+        if self.log_path:
+            try:
+                with open(self.log_path, "a") as f:
+                    f.write(f"{self.now():.3f} {self.phase.name} {msg}\n")
+            except OSError:
+                self.log_path = ""
 
 
 @dataclass

@@ -113,3 +113,16 @@ def test_live_engine_integration():
     eng.run(max_blocks=1)
     # no sync in noise → no events; follower untouched but tick ran
     assert fo.sm.phase == TrunkPhase.IDLE
+
+
+def test_sm_decision_log(tmp_path):
+    """TrunkSM appends phase transitions to the decision log file
+    (reference --p25-sm-log)."""
+    clock = [0.0]
+    fo, tunes = _follower(clock, iden=True)
+    fo.sm.log_path = str(tmp_path / "sm.log")
+    fo.on_event(_ev())
+    fo.on_event(_ev(grant=True, channel=0x1001, tg=5))
+    fo.on_event(_ev(release=True))
+    text = (tmp_path / "sm.log").read_text()
+    assert "ON_CC" in text and "TUNED TG 5" in text and "CC (release" in text
