@@ -27,6 +27,18 @@ def test_batched_frontend_matches_offline_decode():
     assert match > 0.98, f"batched dibit accuracy {match}"
 
 
+def _skip_if_backend_unimplemented(fn, *args):
+    """Run a channelizer call, skipping when the experimental axon TPU
+    plugin lacks the complex-FFT ops it needs (production wideband
+    decode runs them on a supported backend)."""
+    try:
+        return np.asarray(fn(*args))
+    except jax.errors.JaxRuntimeError as e:
+        if "UNIMPLEMENTED" in str(e) and jax.default_backend() not in ("cpu",):
+            pytest.skip(f"channelizer op unsupported by this backend: {e}")
+        raise
+
+
 def test_channelizer_tone_mapping():
     from dsdneo_tpu.dsp.channelizer import channelize, channel_frequencies
     n_ch = 16
@@ -36,7 +48,7 @@ def test_channelizer_tone_mapping():
     freqs = channel_frequencies(n_ch, fs)
     x = (np.exp(2j * np.pi * (freqs[3] + 5000) * t)
          + 0.5 * np.exp(2j * np.pi * (freqs[12] - 3000) * t)).astype(np.complex64)
-    ch = np.asarray(channelize(jnp.asarray(x), n_ch))
+    ch = _skip_if_backend_unimplemented(channelize, jnp.asarray(x), n_ch)
     pw = (np.abs(ch) ** 2).mean(axis=1)
     top2 = set(np.argsort(pw)[-2:])
     assert top2 == {3, 12}
@@ -68,16 +80,8 @@ def test_channelizer_os2_edge_rejection():
         return float(np.sum(sp[np.abs(fr - f0) < bw]) / np.sum(sp))
 
     alias = 0.55 * 48000.0 - 48000.0        # folds to -21.6 kHz at 48k
-    try:
-        c1 = np.asarray(channelize(jnp.asarray(x), n_ch, 12))[1]
-        c2 = np.asarray(channelize_os2(jnp.asarray(x), n_ch, 12))[1]
-    except jax.errors.JaxRuntimeError as e:
-        if "UNIMPLEMENTED" in str(e) and jax.default_backend() not in ("cpu",):
-            # complex-FFT channelizer path isn't implemented by the
-            # experimental axon TPU plugin; production wideband decode
-            # runs it on a supported backend
-            pytest.skip(f"channelizer op unsupported by this backend: {e}")
-        raise
+    c1 = _skip_if_backend_unimplemented(channelize, jnp.asarray(x), n_ch, 12)[1]
+    c2 = _skip_if_backend_unimplemented(channelize_os2, jnp.asarray(x), n_ch, 12)[1]
     # at 96k the interferer sits at its true +26.4 kHz, not the alias
     assert band_frac(c2, 96000.0, 26400.0) > 0.2
     assert band_frac(c2, 96000.0, alias) < 0.02
