@@ -141,6 +141,24 @@ class DstarDecoder(ProtocolDecoder):
             for b in sd[i * 8:(i + 1) * 8]:
                 v = (v << 1) | int(b)
             sd_bytes[59 - i] = v
+        if sd_bytes[0] == 0x40:
+            # 20-char radio text in 5-byte blocks (reference
+            # dstar_sd_handle_text_message)
+            txt = self._sd_ascii(sd_bytes)
+            ctx.state.dstar_text = txt
+            return f"SLOW DATA TEXT: {txt}"
+        if sd_bytes[0] == 0x35:
+            # fixed form: type field "$$CRC" → DPRS/APRS position
+            # (reference dstar_sd_handle_fixed_form / handle_aprs)
+            kind = "".join(chr(b) if 0x19 < b < 0x7F else " "
+                           for b in sd_bytes[1:7])
+            if kind.startswith("$$CRC"):
+                gps = self._sd_aprs(sd_bytes)
+                if gps:
+                    ctx.state.dstar_gps = gps
+                    return f"SLOW DATA DATA: {self._sd_ascii(sd_bytes)}\n {gps}"
+                return f"SLOW DATA DATA: {self._sd_ascii(sd_bytes)}"
+            return f"SLOW DATA TEXT: {self._sd_ascii(sd_bytes)}"
         if sd_bytes[0] != 0x55:
             return "SLOW DATA"
         blk = int(sd_bytes[0] & 0xF) + 1
@@ -169,6 +187,56 @@ class DstarDecoder(ProtocolDecoder):
             if flags & bit:
                 flagstr += name
         return (f"RPT 2: {rpt2} RPT 1: {rpt1} DST: {dst} SRC: {src}{flagstr}")
+
+    @staticmethod
+    def _sd_ascii(sd_bytes) -> str:
+        """Printable payload chars, skipping every 6th (block header)
+        byte (reference dstar_sd_emit_truncated_ascii)."""
+        out = []
+        for i in range(1, 59):
+            if i % 6 == 0:
+                continue
+            b = int(sd_bytes[i])
+            if 0x19 < b < 0x7F:
+                out.append(chr(b))
+        return "".join(out).strip()
+
+    @staticmethod
+    def _sd_aprs(sd_bytes) -> str:
+        """DPRS position from a $$CRC sentence: '!' marker then
+        ddmm.ssh/dddmm.ssh (reference dstar_sd_handle_aprs +
+        print_aprs_lat/lon)."""
+        aprs = []
+        for i in range(1, 60):
+            if i % 6 == 0:
+                continue
+            aprs.append(int(sd_bytes[i]))
+        start = -1
+        for i in range(30, 40):
+            if i < len(aprs) and aprs[i] == 0x21:      # '!'
+                start = i + 1
+                break
+        if start < 0 or start + 18 >= len(aprs):
+            return ""
+
+        def take(n, skip=0):
+            nonlocal start
+            v = "".join(chr(c) if 0x19 < c < 0x7F else "?"
+                        for c in aprs[start:start + n])
+            start += n + skip
+            return v
+
+        lat_d = take(2)
+        lat_m = take(2, 1)
+        lat_s = take(2)
+        ns = chr(aprs[start]) if aprs[start] in (0x4E, 0x53) else "?"
+        start += 2                                 # hemisphere + '/'
+        lon_d = take(3)
+        lon_m = take(2, 1)
+        lon_s = take(2)
+        ew = chr(aprs[start]) if aprs[start] in (0x45, 0x57) else "?"
+        return (f"APRS - Lat: {lat_d}d {lat_m}m {lat_s}s {ns}"
+                f" ; Lon: {lon_d}d {lon_m}m {lon_s}s {ew} ;")
 
     def _header(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
         """RF header: 660 coded bits → descramble (x⁷+x⁴+1 LFSR seed
