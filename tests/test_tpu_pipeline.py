@@ -32,6 +32,8 @@ def _skip_if_backend_unimplemented(fn, *args):
     plugin lacks the complex-FFT ops it needs (production wideband
     decode runs them on a supported backend)."""
     try:
+        args = [jnp.asarray(a) if isinstance(a, np.ndarray) else a
+                for a in args]
         return np.asarray(fn(*args))
     except jax.errors.JaxRuntimeError as e:
         if "UNIMPLEMENTED" in str(e) and jax.default_backend() not in ("cpu",):
@@ -48,7 +50,7 @@ def test_channelizer_tone_mapping():
     freqs = channel_frequencies(n_ch, fs)
     x = (np.exp(2j * np.pi * (freqs[3] + 5000) * t)
          + 0.5 * np.exp(2j * np.pi * (freqs[12] - 3000) * t)).astype(np.complex64)
-    ch = _skip_if_backend_unimplemented(channelize, jnp.asarray(x), n_ch)
+    ch = _skip_if_backend_unimplemented(channelize, x, n_ch)
     pw = (np.abs(ch) ** 2).mean(axis=1)
     top2 = set(np.argsort(pw)[-2:])
     assert top2 == {3, 12}
@@ -80,8 +82,8 @@ def test_channelizer_os2_edge_rejection():
         return float(np.sum(sp[np.abs(fr - f0) < bw]) / np.sum(sp))
 
     alias = 0.55 * 48000.0 - 48000.0        # folds to -21.6 kHz at 48k
-    c1 = _skip_if_backend_unimplemented(channelize, jnp.asarray(x), n_ch, 12)[1]
-    c2 = _skip_if_backend_unimplemented(channelize_os2, jnp.asarray(x), n_ch, 12)[1]
+    c1 = _skip_if_backend_unimplemented(channelize, x, n_ch, 12)[1]
+    c2 = _skip_if_backend_unimplemented(channelize_os2, x, n_ch, 12)[1]
     # at 96k the interferer sits at its true +26.4 kHz, not the alias
     assert band_frac(c2, 96000.0, 26400.0) > 0.2
     assert band_frac(c2, 96000.0, alias) < 0.02
