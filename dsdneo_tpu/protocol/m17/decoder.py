@@ -225,9 +225,45 @@ class M17Decoder(ProtocolDecoder):
                 f" DST: {decode_callsign(dst)} SRC: {decode_callsign(src)}"
                 f"{DT_NAMES.get(dt, '') if ps else ' Packet'}"
                 f"{ENC_NAMES.get(enc, '') if ps and enc else ''}")
+        meta = _pack_bytes(lsf[112:224])
+        if enc != 2 and int(meta.sum()):
+            line += self._meta_decode(meta, ctx)
         ctx.state.last_src = decode_callsign(src)
         ctx.emit(line, "m17", hit.pos, dst=dst, src=src, type=tw)
         return hit.end + 184
+
+    @staticmethod
+    def _meta_decode(meta, ctx) -> str:
+        """LSF META field (14 octets, non-IV): GNSS v2 position
+        (meta[0] 0x81/0x91, reference m17_parse.c
+        m17_read_gnss_v2_fields), extended callsign (0x82), else raw
+        hex.  Signed 24-bit lat/lon scale to ±90°/±180° over 2²³−1."""
+        m = [int(b) for b in meta]
+        if m[0] in (0x81, 0x91):
+            def s24(v):
+                return v - (1 << 24) if v & 0x800000 else v
+            lat_raw = (m[4] << 16) | (m[5] << 8) | m[6]
+            lon_raw = (m[7] << 16) | (m[8] << 8) | m[9]
+            lat = s24(lat_raw) * 90.0 / 8388607.0
+            lon = s24(lon_raw) * 180.0 / 8388607.0
+            alt = (m[10] << 8) | m[11]
+            speed = (m[12] << 4) | (m[13] >> 4)
+            validity = m[2] >> 4
+            bearing = ((m[2] & 1) << 8) | m[3]
+            out = (f"\n Meta GNSS Position Data"
+                   f" Lat: {lat:.5f} Lon: {lon:.5f}")
+            if validity & 0x2:
+                out += f" Alt: {alt - 1500} m"
+            if validity & 0x4:
+                out += f" Speed: {speed / 4.0:.1f} km/h Bearing: {bearing}"
+            ctx.state.m17_gps = (lat, lon)
+            return out
+        if m[0] == 0x82:
+            txt = "".join(chr(b) if 0x19 < b < 0x7F else " "
+                          for b in m[1:]).strip()
+            return f"\n Meta Extended Callsign Data: {txt}"
+        hexs = "".join(f"{b:02X}" for b in m)
+        return f"\n META: {hexs}"
 
     def _stream(self, reader, hit, ctx, polarity) -> int:
         bits = self._payload_bits(reader, hit.end)

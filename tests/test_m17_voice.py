@@ -171,3 +171,32 @@ def test_m17_fixture_emits_voice():
     pcm = np.concatenate(ctx.audio[0])
     assert pcm.size >= 320
     assert np.abs(pcm).max() > 0
+
+
+def test_lsf_meta_gnss_position():
+    """META GNSS v2 (0x81): signed-24 lat/lon scaling + validity flags
+    (reference m17_parse.c m17_read_gnss_v2_fields)."""
+    import numpy as np
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.m17.decoder import M17Decoder
+
+    meta = np.zeros(14, dtype=np.uint8)
+    meta[0] = 0x81
+    meta[2] = (0x6 << 4)                     # altitude+velocity valid
+    lat = int(round(42.3 / 90.0 * 8388607))
+    lon = (-71.1 / 180.0 * 8388607)
+    lon = int(round(lon)) & 0xFFFFFF
+    meta[4:7] = [(lat >> 16) & 0xFF, (lat >> 8) & 0xFF, lat & 0xFF]
+    meta[7:10] = [(lon >> 16) & 0xFF, (lon >> 8) & 0xFF, lon & 0xFF]
+    meta[10:12] = [(1500 + 120) >> 8, (1500 + 120) & 0xFF]
+    meta[12] = (88 << 4) >> 8 if False else (88 >> 4)
+    meta[12] = (88 >> 4) & 0xFF
+    meta[13] = (88 & 0xF) << 4
+    ctx = DecoderContext()
+    out = M17Decoder._meta_decode(meta, ctx)
+    assert "Meta GNSS Position Data" in out
+    assert "Lat: 42.3" in out and "Lon: -71.1" in out
+    assert "Alt: 120 m" in out
+    assert "Speed: 22.0 km/h" in out
+    la, lo = ctx.state.m17_gps
+    assert abs(la - 42.3) < 1e-4 and abs(lo + 71.1) < 1e-4

@@ -29,8 +29,14 @@ def test_batched_frontend_matches_offline_decode():
 
 def _skip_if_backend_unimplemented(fn, *args):
     """Run a channelizer call, skipping when the experimental axon TPU
-    plugin lacks the complex-FFT ops it needs (production wideband
-    decode runs them on a supported backend)."""
+    plugin lacks the complex ops it needs (production wideband decode
+    runs them on a supported backend).  The skip must happen BEFORE
+    any complex transfer is attempted: a failed put leaves the axon
+    client unusable for the rest of the process."""
+    if jax.default_backend() not in ("cpu",) and any(
+            isinstance(a, np.ndarray) and np.iscomplexobj(a) for a in args):
+        pytest.skip("complex-sample channelizer path unsupported by the "
+                    "experimental axon TPU plugin")
     try:
         args = [jnp.asarray(a) if isinstance(a, np.ndarray) else a
                 for a in args]
