@@ -232,12 +232,14 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
     def on_event(e):
         print(e.line)
 
-    if spec.startswith("rtltcp:"):
+    def _drive_live(make_dev):
+        """Shared live-engine harness for the SDR device backends:
+        engine setup, device construction at a tuner-valid rate with
+        CU8 decimation into the 48 kHz ring, trunk wiring, run loop."""
         from dsdneo_tpu.engine.live import LiveEngine
-        from dsdneo_tpu.io.rtl_tcp import RtlTcpClient
-        parts = spec.split(":")
-        host, port = parts[1], int(parts[2])
-        freq = int(parts[3]) if len(parts) > 3 else 851_000_000
+        from dsdneo_tpu.io.sdr_device import (SdrUnavailable,
+                                              _DecimatingRing,
+                                              pick_device_rate)
         eng = LiveEngine(args.mode, fs=48000.0, block_s=0.25,
                          on_event=on_event)
         st = eng.decoder.ctx.state
@@ -246,10 +248,9 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
             setattr(st, k, v)
         eng.decoder.ctx.call_recorder = recorder
         try:
-            dev = RtlTcpClient(host, port, eng.ring, sample_rate=48000,
-                               freq_hz=freq)
-        except OSError as e:
-            print(f"dsd-neo-tpu: rtl_tcp connect failed: {e}",
+            dev, freq = make_dev(eng)
+        except (OSError, SdrUnavailable) as e:
+            print(f"dsd-neo-tpu: live source unavailable: {e}",
                   file=sys.stderr)
             return 1
         if args.trunk:
@@ -281,61 +282,54 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
         dev.close()
         return 0
 
+    if spec.startswith("rtltcp:"):
+        from dsdneo_tpu.io.rtl_tcp import RtlTcpClient
+        from dsdneo_tpu.io.sdr_device import (_DecimatingRing,
+                                              pick_device_rate)
+        parts = spec.split(":")
+        host, port = parts[1], int(parts[2])
+        freq = int(parts[3]) if len(parts) > 3 else 851_000_000
+        # DSDNEO_RTLTCP_RATE=48000 keeps the legacy direct-48k mode for
+        # servers (and the test fake) that accept arbitrary rates
+        rate = int(os.environ.get("DSDNEO_RTLTCP_RATE", 0) or 0)
+
+        def make_rtltcp(eng):
+            if rate:
+                dev_rate, factor = rate, rate // 48000
+            else:
+                dev_rate, factor = pick_device_rate(48000)
+            ring = (eng.ring if factor <= 1
+                    else _DecimatingRing(eng.ring, factor))
+            dev = RtlTcpClient(host, port, ring, sample_rate=dev_rate,
+                               freq_hz=freq)
+            return dev, freq
+
+        return _drive_live(make_rtltcp)
+
     if spec.startswith(("rtlusb", "soapy:")):
-        from dsdneo_tpu.engine.live import LiveEngine
-        from dsdneo_tpu.io.sdr_device import (RtlUsbDevice, SdrUnavailable,
-                                              SoapyDevice)
-        eng = LiveEngine(args.mode, fs=48000.0, block_s=0.25,
-                         on_event=on_event)
-        st = eng.decoder.ctx.state
-        st.keyring = keyring
-        for k, v in _state_attrs(args, tg_policy, chan_map).items():
-            setattr(st, k, v)
-        eng.decoder.ctx.call_recorder = recorder
-        try:
+        from dsdneo_tpu.io.sdr_device import (RtlUsbDevice, SoapyDevice,
+                                              _DecimatingRing,
+                                              pick_device_rate)
+
+        def make_sdr(eng):
+            dev_rate, factor = pick_device_rate(48000)
+            ring = (eng.ring if factor <= 1
+                    else _DecimatingRing(eng.ring, factor))
+            parts = spec.split(":")
             if spec.startswith("rtlusb"):
                 # rtlusb[:index][:freqHz]
-                parts = spec.split(":")
                 index = int(parts[1]) if len(parts) > 1 and parts[1] else 0
                 freq = int(parts[2]) if len(parts) > 2 else 851_000_000
-                dev = RtlUsbDevice(eng.ring, index=index, sample_rate=48000,
+                dev = RtlUsbDevice(ring, index=index, sample_rate=dev_rate,
                                    freq_hz=freq)
             else:
                 # soapy:driver=...[:freqHz]
-                parts = spec.split(":")
                 freq = int(parts[2]) if len(parts) > 2 else 851_000_000
-                dev = SoapyDevice(eng.ring, driver_args=parts[1],
-                                  sample_rate=48000, freq_hz=freq)
-        except SdrUnavailable as e:
-            print(f"dsd-neo-tpu: SDR unavailable: {e}", file=sys.stderr)
-            return 1
-        if args.trunk:
-            from dsdneo_tpu.engine.trunk import TrunkFollower, TrunkSM
+                dev = SoapyDevice(ring, driver_args=parts[1],
+                                  sample_rate=dev_rate, freq_hz=freq)
+            return dev, freq
 
-            def _tune(f_hz, kind):
-                dev.set_freq(int(f_hz))
-                eng.tune(f_hz)
-                return True
-
-            sm = TrunkSM(_tune, hangtime_s=args.hangtime,
-                         policy=(tg_policy.allows if tg_policy else None))
-            sm.log_path = args.sm_log
-            eng.trunk = TrunkFollower(sm, eng.decoder.ctx,
-                                      chan_map=chan_map,
-                                      current_freq=lambda: eng.freq_hz
-                                      or float(freq))
-        eng.freq_hz = float(freq)
-        dev.start()
-        eng.start()
-        try:
-            t0 = _time.time()
-            while duration <= 0 or _time.time() - t0 < duration:
-                _time.sleep(0.2)
-        except KeyboardInterrupt:
-            pass
-        eng.stop()
-        dev.close()
-        return 0
+        return _drive_live(make_sdr)
 
     if spec.startswith(("tcp:", "udp:", "udp")):
         from dsdneo_tpu.engine.stream import StreamDecoder

@@ -378,6 +378,14 @@ class TrunkFollower:
     def on_event(self, ev) -> None:
         f = ev.fields
         if f.get("grant"):
+            if self.sm.phase in (TrunkPhase.IDLE, TrunkPhase.HUNTING):
+                # the grant itself proves we are camped on a control
+                # channel: anchor cc_freq first so release/hangtime has
+                # somewhere to return to (reference dmr_cspdu
+                # init_cc_anchor / nxdn_anchor_control_channel)
+                cur = self.current_freq()
+                if cur > 0:
+                    self.sm.on_cc_activity(cur)
             freq = self.resolve_freq(f)
             if freq > 0:
                 ok = self.sm.on_grant(GrantEvent(

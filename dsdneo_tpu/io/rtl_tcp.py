@@ -121,7 +121,7 @@ class FakeRtlTcpServer:
     streams caller-provided CU8 bytes (fixture payloads)."""
 
     def __init__(self, payload: bytes, tuner_type: int = 5,
-                 gain_count: int = 29, chunk: int = 8192):
+                 gain_count: int = 29, chunk: int = 65536):
         self.payload = payload
         self.chunk = chunk
         self.commands: list[tuple[int, int]] = []
@@ -141,7 +141,7 @@ class FakeRtlTcpServer:
             conn, _ = self._srv.accept()
         except OSError:
             return
-        conn.settimeout(0.1)
+        conn.settimeout(0.01)
         conn.sendall(self._hdr)
         sent = 0
         cmdbuf = b""

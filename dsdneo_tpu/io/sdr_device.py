@@ -72,7 +72,12 @@ class RtlUsbDevice:
         self._thread: threading.Thread | None = None
         self.sample_rate = sample_rate
         self.freq_hz = freq_hz
-        lib.rtlsdr_set_sample_rate(self._dev, ctypes.c_uint32(sample_rate))
+        if lib.rtlsdr_set_sample_rate(self._dev,
+                                      ctypes.c_uint32(sample_rate)) != 0:
+            lib.rtlsdr_close(self._dev)
+            raise SdrUnavailable(
+                f"rtlsdr_set_sample_rate({sample_rate}) rejected "
+                "(valid ~225 kHz - 3.2 MHz)")
         lib.rtlsdr_set_center_freq(self._dev, ctypes.c_uint32(freq_hz))
         if ppm:
             lib.rtlsdr_set_freq_correction(self._dev, ctypes.c_int(ppm))
@@ -127,6 +132,12 @@ class RtlUsbDevice:
                 pass
         if self._thread is not None:
             self._thread.join(timeout=2)
+            if self._thread.is_alive():
+                # rtlsdr_read_sync cannot be interrupted; freeing the
+                # device under a blocked read is a use-after-free, so
+                # leak the handle instead (the daemon thread dies with
+                # the process)
+                return
         self._lib.rtlsdr_close(self._dev)
 
 
@@ -180,7 +191,13 @@ class SoapyDevice:
         while not self._stop:
             sr = self.dev.readStream(self.stream, [buf], 16384)
             n = sr.ret if hasattr(sr, "ret") else sr
-            if n is None or n <= 0:
+            if n is None:
+                break
+            if n <= 0:
+                # SOAPY_SDR_TIMEOUT (-1) / OVERFLOW (-4) are transient;
+                # only a genuine stream end (0 after stop) exits
+                if n in (-1, -4):
+                    continue
                 break
             self.ring.write(buf[:2 * n].tobytes())
 
@@ -188,5 +205,62 @@ class SoapyDevice:
         self._stop = True
         if self._thread is not None:
             self._thread.join(timeout=2)
+            if self._thread.is_alive():
+                return          # never tear down under a blocked read
         self.dev.deactivateStream(self.stream)
         self.dev.closeStream(self.stream)
+
+
+class Cu8Decimator:
+    """Integer-factor CU8 decimator for device rates the hardware can
+    actually run.  Real RTL dongles reject rates below ~225 kHz, so
+    live sources sample at ``device_rate = D × ring_rate`` and this
+    boxcar-averages D complex samples into one before the ring (a
+    CIC-1 prefilter; the channel LPF in the decode chain provides the
+    real selectivity, matching the reference's decimate-then-filter
+    cascade in rtl_sdr_fm.cpp)."""
+
+    def __init__(self, factor: int):
+        self.factor = max(int(factor), 1)
+        self._carry = b""
+
+    def __call__(self, data: bytes) -> bytes:
+        import numpy as np
+        if self.factor == 1:
+            return data
+        buf = self._carry + data
+        step = 2 * self.factor
+        n_out = len(buf) // step
+        if n_out == 0:
+            self._carry = buf
+            return b""
+        used = n_out * step
+        self._carry = buf[used:]
+        x = np.frombuffer(buf[:used], dtype=np.uint8).astype(np.float32)
+        x = x.reshape(n_out, self.factor, 2).mean(axis=1)
+        return np.clip(np.round(x), 0, 255).astype(np.uint8).tobytes()
+
+
+def pick_device_rate(ring_rate: int, minimum: int = 240_000,
+                     maximum: int = 3_200_000) -> tuple[int, int]:
+    """Smallest valid integer multiple of ``ring_rate`` the tuner
+    accepts → (device_rate, decimation factor)."""
+    d = -(-minimum // ring_rate)
+    rate = d * ring_rate
+    if rate > maximum:
+        raise SdrUnavailable(f"no valid device rate for {ring_rate}")
+    return rate, d
+
+
+class _DecimatingRing:
+    """Ring adapter applying a Cu8Decimator before writes."""
+
+    def __init__(self, ring, factor: int):
+        self._ring = ring
+        self._dec = Cu8Decimator(factor)
+
+    def write(self, data: bytes) -> int:
+        out = self._dec(data)
+        if out:
+            return self._ring.write(out)
+        return 0

@@ -325,14 +325,11 @@ def _cap_plus(op, bits96, ctx) -> str:
         return " | Capacity Plus CSBK 0x3A"
     if op == 0x3B:             # adjacent sites: site/rest nibble pairs
         pairs = []
-        rest = []
         for i in range(6):
             s_ = _f(bits96, 32 + 8 * i, 4)
             r = _f(bits96, 36 + 8 * i, 4)
             if s_:
                 pairs.append(f"Site: {s_} Rest: {r};")
-            if r:
-                rest.append(r)
         ctx.state.dmr_branding = "Motorola Cap+"
         return " | Capacity Plus Adjacent Sites " + " ".join(pairs)
     if op == 0x3E:             # channel status (single-block parse)

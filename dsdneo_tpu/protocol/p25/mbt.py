@@ -34,6 +34,10 @@ def _sysid(b, i):
     return ((int(b[i]) & 0x0F) << 8) | int(b[i + 1])
 
 
+def _chan_valid(ch: int) -> bool:
+    return ch not in (0, 0xFFFF)
+
+
 def decode_mbt(mpdu: np.ndarray, ctx, hit, decoder) -> bool:
     """Decode one assembled MPDU (header 12 bytes + blocks).  Returns
     True when handled natively; False → caller may fall back to the
@@ -66,7 +70,7 @@ def decode_mbt(mpdu: np.ndarray, ctx, hit, decoder) -> bool:
         emit(f" MFID90 Group Regroup Channel Grant - Explicit MBT\n"
              f"  RES/P [{svc:02X}] CHAN-T [{cht:04X}] CHAN-R [{chr_:04X}]"
              f" SG [{grp}][{grp:04X}]", tg=grp, src=src, channel=cht,
-             grant=True)
+             grant=_chan_valid(cht))
         return True
     emit(f" MFID {mfid:02X} MBT Opcode {op:02X}")
     return True
@@ -125,8 +129,8 @@ def _outbound_standard(op, b, n, ctx, emit, decoder) -> bool:
         emit(f" Group Voice Channel Grant MBT - Extended\n"
              f"  SVC [{svc:02X}] CHAN-T [{cht:04X}] CHAN-R [{chr_:04X}]"
              f" Group [{grp}][{grp:04X}] Source [{src}]",
-             tg=grp, src=src, channel=cht, grant=True,
-             encrypted=bool(svc & 0x40))
+             tg=grp, src=src, channel=cht,
+             grant=_chan_valid(cht), encrypted=bool(svc & 0x40))
         return True
     if op in (0x04, 0x06) and n >= 24:  # UU Voice Grant [Update] - Extended
         svc = int(b[8])
@@ -141,7 +145,7 @@ def _outbound_standard(op, b, n, ctx, emit, decoder) -> bool:
              f"  SVC [{svc:02X}] CHAN-T [{cht:04X}]"
              + (f" CHAN-R [{chr_:04X}]" if chr_ != 0xFFFF else "")
              + f" Source [{src_wacn:05X}:{src_sys:03X}.{src}] Target [{tgt}]",
-             src=src, channel=cht, grant=True)
+             src=src, channel=cht, grant=_chan_valid(cht))
         return True
     if op == 0x05 and n >= 20:     # UU Answer Request - Extended
         svc, tgt = int(b[8]), _u24(b, 3)
@@ -160,7 +164,7 @@ def _outbound_standard(op, b, n, ctx, emit, decoder) -> bool:
              f"{' Update' if op == 0x09 else ''} MBT - Explicit\n"
              f"  SVC [{svc:02X}] CHAN [{chan:04X}] Target [{tgt}]"
              f" Timer [{timer / 10.0:.1f}s]",
-             channel=chan, grant=True)
+             channel=chan, grant=_chan_valid(chan))
         return True
     if op in (0x10, 0x11) and n >= 20:  # data channel grants (obsolete)
         kind = "Individual" if op == 0x10 else "Group"

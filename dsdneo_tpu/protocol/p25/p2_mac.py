@@ -46,11 +46,10 @@ def _suid(m, i) -> str:
     return f"{_wacn(m, i):05X}:{_sysid(m, i):03X}"
 
 
-def _explicit_channel(m, i) -> int:
-    """Band(4) + number(12) channel field of multifrag grants."""
-    band = (int(m[i]) >> 4) & 0x0F
-    number = ((int(m[i]) & 0x0F) << 8) | int(m[i + 1])
-    return (band << 12) | number
+def _chan_valid(ch: int) -> bool:
+    """Filler channels 0/0xFFFF never dispatch a grant (reference
+    p25p2_vpdu_channel_is_valid)."""
+    return ch not in (0, 0xFFFF)
 
 
 _DENY_REASONS = {
@@ -219,7 +218,8 @@ class P2MacWalker:
     # -- grants (feed the trunk SM via event fields) ----------------------
     def _grant_event(self, ctx, hit, name, detail, tg=0, src=0, channel=0):
         ctx.emit(f"       P25p2 MAC{name}{detail}", "p25p2", hit.pos,
-                 tg=tg, src=src, channel=channel, grant=bool(channel))
+                 tg=tg, src=src, channel=channel,
+                 grant=_chan_valid(channel))
         return f"\n {name.strip()}{detail}"
 
     # ---- standard abbreviated / explicit / extended handlers ------------
@@ -264,8 +264,8 @@ class P2MacWalker:
         t = self._grant_event(
             ctx, hit, " Group Voice Channel Grant Update - Implicit",
             f"\n  Channel 1 [{ch1:04X}] Group 1 [{g1}][{g1:04X}]",
-            tg=g1, channel=ch1)
-        if ch2 != ch1 and ch2 not in (0, 0xFFFF):
+            tg=g1, channel=ch1 if _chan_valid(ch1) else 0)
+        if ch2 != ch1 and _chan_valid(ch2):
             t += self._grant_event(
                 ctx, hit, " Group Voice Channel Grant Update - Implicit",
                 f"\n  Channel 2 [{ch2:04X}] Group 2 [{g2}][{g2:04X}]",
@@ -487,8 +487,8 @@ class P2MacWalker:
             t = self._grant_event(
                 ctx, hit, " MFID90 Group Regroup Channel Grant Update",
                 f"\n  Channel 1 [{ch1:04X}] Group 1 [{g1}][{g1:04X}]",
-                tg=g1, channel=ch1)
-            if ch2 != ch1 and ch2 not in (0, 0xFFFF):
+                tg=g1, channel=ch1 if _chan_valid(ch1) else 0)
+            if ch2 != ch1 and _chan_valid(ch2):
                 t += self._grant_event(
                     ctx, hit, " MFID90 Group Regroup Channel Grant Update",
                     f"\n  Channel 2 [{ch2:04X}] Group 2 [{g2}][{g2:04X}]",

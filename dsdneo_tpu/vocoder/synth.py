@@ -32,7 +32,6 @@ def synthesize(w0: jax.Array, amps: jax.Array, voiced: jax.Array,
     """[F] ω0, [F, L] amps, [F, L] voiced, [F, L] random phases →
     [F, N] float PCM."""
     F = w0.shape[0]
-    l_idx = jnp.arange(1, MAX_L + 1, dtype=jnp.float32)        # [L]
     n_idx = jnp.arange(N, dtype=jnp.float32)                    # [N]
 
     w_prev = jnp.concatenate([w0[:1], w0[:-1]])
@@ -51,19 +50,6 @@ def synthesize(w0: jax.Array, amps: jax.Array, voiced: jax.Array,
     theta0 = jnp.mod(theta0, 2 * jnp.pi)
     theta = theta0[:, None] + cum                               # [F,N]
 
-    # Harmonic bank via the Chebyshev-style angle recurrence
-    #   cos((l+1)θ) = 2cosθ·cos(lθ) − cos((l−1)θ)   (sin likewise)
-    # instead of evaluating cos over the full [F,N,L] tensor: the
-    # transcendental count drops from 2·F·N·L to 2·F·N, which is the
-    # dominant cost of the batched voice chain on TPU (265→~35 ms at
-    # C=320).  Unvoiced harmonics get their per-frame random phase by
-    # angle addition: cos(lθ+φ) = cosφ·cos(lθ) − sinφ·sin(lθ).
-    #
-    # With amplitude interpolation a_t = a_prev·(1−α) + a·α separable
-    # in n, the harmonic sum splits into two accumulators:
-    #   pcm = (1−α)·Σ_l ap_l·w_l + α·Σ_l a_l·w_l,
-    #   w_l = P_l·cos(lθ) + Q_l·sin(lθ),
-    #   P_l = voiced ? 1 : cosφ_l,  Q_l = voiced ? 0 : −sinφ_l.
     v = voiced > 0.5                                            # [F,L]
     P = jnp.where(v, 1.0, jnp.cos(noise_phase))                 # [F,L]
     Q = jnp.where(v, 0.0, -jnp.sin(noise_phase))                # [F,L]

@@ -93,7 +93,10 @@ def test_unresolvable_grant_ignored():
     clock = [0.0]
     fo, tunes = _follower(clock)              # no iden table, no map
     fo.on_event(_ev(grant=True, channel=0x1001, tg=5))
-    assert fo.sm.phase == TrunkPhase.IDLE and not tunes
+    # the grant anchors the CC (we must be camped on one to decode it)
+    # but resolves no frequency, so no tune is dispatched
+    assert fo.sm.phase == TrunkPhase.ON_CC and not tunes
+    assert fo.sm.cc_freq == 852_000_000.0
 
 
 def test_live_engine_integration():
