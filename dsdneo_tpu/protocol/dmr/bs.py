@@ -61,6 +61,9 @@ class DmrBsDecoder(ProtocolDecoder):
         # and late-entry MI fragment store (dmr_le.c)
         self.crypto = {0: {"alg": 0, "kid": 0, "mi": 0, "drop": 256},
                        1: {"alg": 0, "kid": 0, "mi": 0, "drop": 256}}
+        # multi-block control assembly: header + continuation payloads
+        # per slot (reference dmr_block.c dmr_pdu_sf aggregation)
+        self.mbc = {0: None, 1: None}
         self.le_frags = np.zeros((2, 7, 3), np.uint8)
 
     def _emb_raw_cc(self, reader: DibitReader, pos: int,
@@ -268,6 +271,14 @@ class DmrBsDecoder(ProtocolDecoder):
             if errors == 0:
                 if dtype == 3:
                     detail = self._csbk(payload, ctx, hit, s, mono)
+                elif dtype == 4:
+                    # MBC header: start aggregation; decode completes
+                    # when the LB-flagged continuation arrives
+                    self.mbc[s] = [payload]
+                    detail = " | MBC Header"
+                elif dtype == 5:
+                    detail = self._mbc_continuation(payload, ctx, hit, s,
+                                                    mono)
                 elif dtype == 1:
                     detail = self._vlc_header(payload, ctx, hit, s)
                 elif dtype == 2:
@@ -279,6 +290,31 @@ class DmrBsDecoder(ProtocolDecoder):
                 elif dtype == 0:
                     detail = self._pi_header(payload, s)
         ctx.emit(head + detail, "dmr", pos, cc=cc, dtype=dtype, slot=s)
+
+    def _mbc_continuation(self, bits96: np.ndarray, ctx: DecoderContext,
+                          hit, s: int, mono: bool) -> str:
+        """MBC continuation: append to the slot's aggregate; the LB
+        flag (bit 0) closes it — CRC-CCITT16 over the continuation
+        payload gates the extended-CSBK decode, which exposes the
+        absolute-frequency CDEF fields at bits 112+ to C_MOVE/C_BCAST
+        (reference dmr_block.c MBC aggregation → dmr_cspdu)."""
+        st = self.mbc.get(s)
+        if st is None:
+            return " | MBC Continuation (no header)"
+        st.append(bits96)
+        if not bits96[0]:                     # not the last block yet
+            return f" | MBC Continuation {len(st) - 1}"
+        agg = np.concatenate(st)
+        self.mbc[s] = None
+        cont = agg[96:]
+        ccrc = crc.crc16_bits(cont[:len(cont) - 16], init=0x0000,
+                              xorout=0xFFFF)
+        rcrc = _bits_to_int(cont[len(cont) - 16:])
+        if ccrc != rcrc:
+            return " | MBC CRC ERR"
+        from dsdneo_tpu.protocol.dmr.csbk import decode_csbk
+        return " | MBC" + decode_csbk(agg, ctx, hit=hit, slot=s,
+                                      ms_sync=mono)
 
     def _data_header(self, bits96: np.ndarray, slot: int) -> str:
         from dsdneo_tpu.protocol.dmr.data import parse_data_header

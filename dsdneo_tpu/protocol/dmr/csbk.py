@@ -83,6 +83,20 @@ def _gateway(*ids) -> str:
     return out
 
 
+def _abs_freq_cdef(bits):
+    """MBC CDEF appendix (bits 112+ of an aggregated MBC): absolute
+    RX/TX frequency definition, CDEFTYPE 0
+    (dmr_cspdu_pf0_c_bcast_parse_abs_freqs / move_resolve_freq)."""
+    if len(bits) < 176:
+        return None
+    if _f(bits, 112, 4) != 0:          # unknown CDEFTYPE
+        return None
+    lpcn = _f(bits, 118, 12)
+    tx = _f(bits, 130, 10) * 1_000_000 + _f(bits, 140, 13) * 125
+    rx = _f(bits, 153, 10) * 1_000_000 + _f(bits, 163, 13) * 125
+    return lpcn, rx, tx
+
+
 def _syscode_fields(bits, at=40):
     """14-bit Tier III syscode → model/net/site/partition
     (dmr_decode_syscode + dmr_syscode_decode_model)."""
@@ -131,11 +145,20 @@ def decode_csbk(bits96: np.ndarray, ctx, hit=None, slot: int = 0,
     if op == 57:               # C_MOVE (dmr_csbk.c handle_move)
         lpcn, ts = _f(bits96, 16, 12), int(bits96[28])
         tgt, src = _f(bits96, 32, 24), _f(bits96, 56, 24)
+        detail = ""
+        if lpcn == 0xFFF:      # absolute parameters in the MBC appendix
+            cdef = _abs_freq_cdef(bits96)
+            if cdef is not None:
+                lpcn, rx, _tx = cdef
+                detail = f" RX Freq: {rx};"
+                cm = getattr(ctx.state, "chan_map", None)
+                if cm is not None and cm.freq(lpcn) is None:
+                    cm.entries[lpcn] = float(rx)
         ctx.emit(f"       DMR Move (C_MOVE) LPCN: {lpcn:04d}; TS: {ts + 1};"
                  f" Target: {tgt}; Source: {src};", "dmr", pos,
                  tg=tgt, src=src, lpcn=lpcn, grant=lpcn not in (0, 0xFFF))
         return (f" | Move (C_MOVE) LPCN: {lpcn:04d}; TS: {ts + 1};"
-                f" Target: {tgt}; Source: {src};")
+                f" Target: {tgt}; Source: {src};{detail}")
     if op == 25:               # C_ALOHA (handle_aloha + syscode_print_type0)
         return _aloha(bits96, fid, ctx)
     if op == 28:               # C_AHOY
@@ -306,11 +329,20 @@ def _c_bcast(bits96, fid, ctx, pos) -> str:
         addr = _f(bp2, 16, 8)
         detail += (f"\n  Reg Window: {window:X}; Aloha Mask: {mask:02X};"
                    f" Target: {addr};")
-    elif a_type == 5:          # chan/freq relationship (abs freq in MBC)
+    elif a_type == 5:          # chan/freq relationship
         a_chan = _f(bp2, 12, 12)
-        detail += (f"\n  LPCN: {'Null' if a_chan == 0 else a_chan};"
-                   + (" (absolute frequency in MBC continuation)"
-                      if a_chan else ""))
+        detail += f"\n  LPCN: {'Null' if a_chan == 0 else a_chan};"
+        cdef = _abs_freq_cdef(bits96)
+        if cdef is not None:
+            lpcn, rx, tx = cdef
+            detail += (f" APCN: {lpcn:04d}; RX Freq: {rx};"
+                       f" TX Freq: {tx};")
+            cm = getattr(ctx.state, "chan_map", None)
+            chan = a_chan if 0 < a_chan < 0xFFF else lpcn
+            if cm is not None and chan and cm.freq(chan) is None:
+                # learn the channel→frequency relationship
+                # (reference dmr_learn_chan_map)
+                cm.entries[chan] = float(rx)
     elif a_type == 7:          # general site parameters
         detail += (f"\n  Hibernate Flag: {int(bp2[1])};"
                    f" Reg Flag: {int(bp2[16])};")

@@ -258,3 +258,83 @@ def test_hytera_xpt_adjacent():
     text, _ = _run(bits)
     assert "XPT Adjacent" in text
     assert "Site:3 Free:7;" in text and "Site:4 Free:2;" in text
+
+
+def _mbc_decode(header96, cont96, ctx=None):
+    """Drive the per-slot MBC assembly: `cont96` is the continuation
+    block verbatim (LB at bit 0, CRC filled over the first 80 bits)."""
+    from dsdneo_tpu.fec import crc as crcmod
+    from dsdneo_tpu.protocol.dmr.bs import DmrBsDecoder
+
+    dec = DmrBsDecoder()
+    ctx = ctx or DecoderContext()
+    dec.mbc[0] = [header96]
+    cont = np.asarray(cont96, dtype=np.uint8).copy()
+    cont[0] = 1                               # LB
+    c = crcmod.crc16_bits(cont[:80], init=0x0000, xorout=0xFFFF)
+    for i in range(16):
+        cont[80 + i] = (c >> (15 - i)) & 1
+    out = dec._mbc_continuation(cont, ctx, SimpleNamespace(pos=0), 0, False)
+    return out, ctx
+
+
+def test_mbc_c_bcast_chan_freq_absolute():
+    """Aggregated MBC C_BCAST Chan_Freq resolves the absolute RX/TX
+    frequencies from the CDEF appendix and learns the channel map."""
+    hdr = _csbk(40, fields=[(16, 5, 5), (56, (160 << 12) | 0, 24)])
+    # CDEF bits live at aggregate offsets 112+: header contributes
+    # bits 0-95, continuation payload starts at 96
+    agg = np.zeros(176, dtype=np.uint8)
+
+    def put(v, a, n):
+        for i in range(n):
+            agg[a + i] = (v >> (n - 1 - i)) & 1
+
+    put(0, 112, 4)                   # CDEFTYPE 0
+    put(160, 118, 12)                # LPCN
+    put(451, 130, 10)                # TX 451 MHz
+    put(2500, 140, 13)               # + 312500 Hz
+    put(456, 153, 10)                # RX 456 MHz
+    put(2550, 163, 13)               # + 318750 Hz
+    cont = np.zeros(96, dtype=np.uint8)
+    cont[:80] = agg[96:176]
+    out, ctx = _mbc_decode(hdr, cont)
+    assert "MBC" in out
+    assert "RX Freq: 456318750" in out and "TX Freq: 451312500" in out
+
+
+def test_mbc_c_move_absolute_freq_learns_map():
+    from dsdneo_tpu.engine.trunk import ChannelMap
+    hdr = _csbk(57, fields=[(16, 0xFFF, 12), (32, 99, 24), (56, 88, 24)])
+    agg = np.zeros(176, dtype=np.uint8)
+
+    def put(v, a, n):
+        for i in range(n):
+            agg[a + i] = (v >> (n - 1 - i)) & 1
+
+    put(0, 112, 4)
+    put(21, 118, 12)
+    put(456, 153, 10)
+    put(2550, 163, 13)
+    ctx = DecoderContext()
+    cm = ChannelMap()
+    ctx.state.chan_map = cm
+    cont = np.zeros(96, dtype=np.uint8)
+    cont[:80] = agg[96:176]
+    out, ctx = _mbc_decode(hdr, cont, ctx=ctx)
+    assert "Move (C_MOVE) LPCN: 0021" in out
+    assert "RX Freq: 456318750" in out
+    assert cm.freq(21) == 456318750.0
+
+
+def test_mbc_crc_gate():
+    hdr = _csbk(40, fields=[(16, 5, 5)])
+    from dsdneo_tpu.protocol.dmr.bs import DmrBsDecoder
+    dec = DmrBsDecoder()
+    ctx = DecoderContext()
+    dec.mbc[0] = [hdr]
+    cont = np.zeros(96, dtype=np.uint8)
+    cont[0] = 1
+    cont[40] = 1                     # payload bit with a wrong CRC
+    out = dec._mbc_continuation(cont, ctx, SimpleNamespace(pos=0), 0, False)
+    assert "MBC CRC ERR" in out
