@@ -194,6 +194,39 @@ def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "f16"):
     return C * block_s / step_s, step_s
 
 
+def bench_nxdn_chain(C: int, reps: int = 5):
+    """NXDN48 narrowband I/Q→audio: the real nxdn48 fixture through the
+    batched device pipeline (LICH gather + AMBE ECC + dequant +
+    synthesis on device)."""
+    import jax
+    from dsdneo_tpu.engine.nxdnbatch import BatchedNxdnVoicePipeline
+    from dsdneo_tpu.io import read_iq_capture
+
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/nxdn48.iq.json")
+    fs = float(meta.sample_rate_hz)
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedNxdnVoicePipeline(C, fs=fs)
+    x = jax.device_put(iq)
+    pcm = pipe.decode_block(x)
+    assert pcm.shape[1] > 0
+
+    def pipelined(k: int) -> float:
+        t0 = time.perf_counter()
+        prev = pipe.decode_block_async(x)
+        for _ in range(k - 1):
+            nxt = pipe.decode_block_async(x)
+            pipe.fetch_pcm(prev)
+            prev = nxt
+        pipe.fetch_pcm(prev)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(pipelined(reps) for _ in range(3))
+    return C * block_s / step_s, step_s
+
+
 def main() -> int:
     import jax
     _enable_compile_cache()
@@ -206,6 +239,7 @@ def main() -> int:
 
     audio_x, audio_step_s, block_s, frames = bench_full_chain(C_audio)
     dmr_x, dmr_step_s = bench_dmr_chain(C_audio)
+    nxdn_x, nxdn_step_s = bench_nxdn_chain(C_audio)
     fe_x, fe_step = bench_frontend(C_fe, 20)
     parity = bench_pallas_parity()
 
@@ -221,6 +255,8 @@ def main() -> int:
             "voice_frames_per_channel": frames,
             "dmr_iq_to_audio_x_realtime": round(dmr_x, 1),
             "dmr_step_ms": round(dmr_step_s * 1e3, 1),
+            "nxdn48_iq_to_audio_x_realtime": round(nxdn_x, 1),
+            "nxdn48_step_ms": round(nxdn_step_s * 1e3, 1),
             "frontend_symbols_x_realtime": round(fe_x, 1),
             "frontend_channels": C_fe,
             "frontend_step_ms": round(fe_step * 1e3, 3),
