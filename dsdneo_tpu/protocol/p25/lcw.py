@@ -262,6 +262,13 @@ def _mfid90(op, bits, hit, ctx, s=None) -> None:
         sg = _f(bits, 16, 16)
         ga1, ga2 = _f(bits, 32, 16), _f(bits, 48, 16)
         act = "Add" if op == 0x03 else "Delete"
+        from dsdneo_tpu.core.affiliation import table_for
+        if op == 0x03:
+            for ga in (ga1, ga2):
+                if ga not in (0, sg):
+                    table_for(ctx).patch_add_wgid(sg, ga)
+        else:
+            table_for(ctx).patch_clear(sg)
         line = f" MFID90 (Moto) Group Regroup {act} SG: {sg};"
         if ga1 not in (0, sg):
             line += f" GA1: {ga1};"

@@ -196,6 +196,9 @@ def _outbound_standard(op, b, n, ctx, emit, decoder) -> bool:
         sysid = _sysid(b, 12)
         gid, aga, ga = _u16(b, 14), _u16(b, 16), _u16(b, 18)
         lg, gav = (int(b[20]) >> 7) & 1, int(b[20]) & 3
+        if gav == 0:
+            from dsdneo_tpu.core.affiliation import table_for
+            table_for(ctx).affiliate(ta, ga)
         emit(f" Group Affiliation Response MBT - Extended\n"
              f"  MFID [00] WACN [{wacn:05X}] SYSID [{sysid:03X}]"
              f" GID [{gid:04X}] LG [{lg}] GAV [{gav}] AGA [{aga}]"
@@ -217,6 +220,9 @@ def _outbound_standard(op, b, n, ctx, emit, decoder) -> bool:
         rv = int(b[17]) & 3
         verdict = {0: "REG_ACCEPT", 1: "REG_FAIL",
                    2: "REG_DENY"}.get(rv, "REG_REFUSED")
+        if rv == 0:
+            from dsdneo_tpu.core.affiliation import table_for
+            table_for(ctx).register(src)
         emit(f" Unit Registration Response MBT - Extended\n"
              f"  WACN [{wacn:05X}] SYSID [{sysid:03X}] SRC_ID [{sid:06X}]"
              f" SRC [{src}] {verdict}")

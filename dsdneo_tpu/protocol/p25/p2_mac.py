@@ -441,6 +441,9 @@ class P2MacWalker:
         local, rsp = (m[2] >> 7) & 1, m[2] & 3
         aga, ga = _u16(m, 3), _u16(m, 5)
         sgid, tgt = _u16(m, 11), _u24(m, 13)
+        if rsp == 0:
+            from dsdneo_tpu.core.affiliation import table_for
+            table_for(ctx).affiliate(tgt, ga)
         return (f"\n Group Affiliation Response - Extended"
                 f"\n  LG [{local}] Response [{rsp}] AGA [{aga}] GA [{ga}]"
                 f" SourceGID [{_suid(m, 7)}.{sgid}] Target [{tgt}]")
@@ -520,10 +523,16 @@ class P2MacWalker:
             d = (f"\n Motorola Group Regroup Extended Function Command"
                  f"\n  Class [{cls:02X}] Operand [{operand:02X}]"
                  f" Arg [{arg:06X}] Target [{tgt}]")
+            from dsdneo_tpu.core.affiliation import table_for
             if cls == 0x02 and operand == 0x00:
                 d += f" Create Supergroup [{arg & 0xFFFF}]"
+                sg = arg & 0xFFFF
+                table_for(ctx).patch_update(sg)
+                if tgt:
+                    table_for(ctx).patch_add_wuid(sg, tgt)
             elif cls == 0x02 and operand == 0x01:
                 d += f" Cancel Supergroup [{arg & 0xFFFF}]"
+                table_for(ctx).patch_clear(arg & 0xFFFF)
             return d
         if op == 0x85:       # System Broadcast (BSI callsign)
             packed = 0

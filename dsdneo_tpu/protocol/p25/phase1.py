@@ -398,10 +398,14 @@ class P25P1Decoder(ProtocolDecoder):
             tgt = (int(b[6]) << 16) | (int(b[7]) << 8) | int(b[8])
             ctx.emit(f" Group Affiliation Response\n  Announce Group [{aga}]"
                      f" Group [{ga}] Target [{tgt}]", "p25p1", hit.pos)
+            from dsdneo_tpu.core.affiliation import table_for
+            table_for(ctx).affiliate(tgt, ga)
         elif opcode == 0x2C:  # Unit Registration Response
             src = (int(b[6]) << 16) | (int(b[7]) << 8) | int(b[8])
             ctx.emit(f" Unit Registration Response\n  Source [{src}]",
                      "p25p1", hit.pos)
+            from dsdneo_tpu.core.affiliation import table_for
+            table_for(ctx).register(src)
         elif opcode == 0x1F:  # Call Alert
             tgt = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
             src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])

@@ -146,3 +146,29 @@ def test_conventional_fallback_and_secondary_cc():
     _, text = _decode(bits)
     assert "Secondary Control Channel Broadcast" in text
     assert "CH A 100A SSC 70 CH B 100B SSC 71" in text
+
+
+def test_affiliation_and_patch_tracking():
+    """Affiliation registry fed from TSBK/MAC/MBT/LCW handlers
+    (reference p25_aff.c / p25_patch.c)."""
+    from dsdneo_tpu.core.affiliation import AffiliationTable, table_for
+    ctx = DecoderContext()
+    t = table_for(ctx)
+    assert table_for(ctx) is t                  # lazily cached
+    t.register(101)
+    t.affiliate(101, 2000)
+    t.affiliate(102, 2000)
+    assert t.affiliated_units(2000) == [101, 102]
+    t.patch_update(900)
+    t.patch_add_wgid(900, 2000)
+    t.patch_add_wuid(900, 101)
+    assert "P:900[2000,u101]" in t.patch_summary()
+    t.patch_clear(900)
+    assert t.patch_summary() == ""
+    # MFID90 LCW regroup add feeds the patch table
+    bits = _bits((0x03, 8), (0x90, 8), (1500, 16), (2001, 16), (2002, 16))
+    decode_lcw(bits, SimpleNamespace(pos=0), ctx, None)
+    assert ctx.state.affiliations.patches[1500]["wgids"] == {2001, 2002}
+    bits = _bits((0x04, 8), (0x90, 8), (1500, 16))
+    decode_lcw(bits, SimpleNamespace(pos=0), ctx, None)
+    assert 1500 not in ctx.state.affiliations.patches
