@@ -146,6 +146,8 @@ class M17Decoder(ProtocolDecoder):
         self._meta = b"\x00" * 14          # LSF META (AES nonce)
         self._c2 = None                    # lazy Codec2 instance
         self._scr_cache: tuple[int, int] | None = None  # (next_fn, lfsr)
+        # META text assembly: expected/received block bitmaps + chars
+        self._txt = {"expect": 0, "got": 0, "chars": {}}
 
     def _payload_bits(self, reader: DibitReader, start: int) -> np.ndarray | None:
         if start + 184 > len(reader.dibits):
@@ -227,7 +229,11 @@ class M17Decoder(ProtocolDecoder):
                 f"{ENC_NAMES.get(enc, '') if ps and enc else ''}")
         meta = _pack_bytes(lsf[112:224])
         if enc != 2 and int(meta.sum()):
-            line += self._meta_decode(meta, ctx)
+            if int(meta[0]) in (0x81, 0x91, 0x82):
+                line += self._meta_decode(meta, ctx)
+            else:
+                line += (self._meta_text_block(meta)
+                         or self._meta_decode(meta, ctx))
         ctx.state.last_src = decode_callsign(src)
         ctx.emit(line, "m17", hit.pos, dst=dst, src=src, type=tw)
         return hit.end + 184
@@ -264,6 +270,31 @@ class M17Decoder(ProtocolDecoder):
             return f"\n Meta Extended Callsign Data: {txt}"
         hexs = "".join(f"{b:02X}" for b in m)
         return f"\n META: {hexs}"
+
+    _TXT_LEN = {0x1: 1, 0x3: 2, 0x7: 3, 0xF: 4}
+    _TXT_SEG = {0x1: 0, 0x2: 1, 0x4: 2, 0x8: 3}
+
+    def _meta_text_block(self, meta) -> str:
+        """META text blocks: meta[0] packs a length bitmap (high
+        nibble) + this block's bitmap (low nibble); 13 chars per block
+        assemble across LSFs (reference m17_parse.c
+        m17_meta_text_parse_block + assembler)."""
+        m0 = int(meta[0])
+        total = self._TXT_LEN.get(m0 >> 4)
+        idx = self._TXT_SEG.get(m0 & 0xF)
+        if total is None or idx is None or idx >= total:
+            return ""
+        expect = (1 << total) - 1
+        if self._txt["expect"] != expect:
+            self._txt = {"expect": expect, "got": 0, "chars": {}}
+        self._txt["got"] |= 1 << idx
+        self._txt["chars"][idx] = "".join(
+            chr(b) if 0x19 < b < 0x7F else " " for b in meta[1:14])
+        if self._txt["got"] != expect:
+            return f"\n Meta Text Block {idx + 1}/{total}"
+        text = "".join(self._txt["chars"][i] for i in range(total)).rstrip()
+        self._txt = {"expect": 0, "got": 0, "chars": {}}
+        return f"\n Meta Text Data: {text}"
 
     def _stream(self, reader, hit, ctx, polarity) -> int:
         bits = self._payload_bits(reader, hit.end)

@@ -200,3 +200,24 @@ def test_lsf_meta_gnss_position():
     assert "Speed: 22.0 km/h" in out
     la, lo = ctx.state.m17_gps
     assert abs(la - 42.3) < 1e-4 and abs(lo + 71.1) < 1e-4
+
+
+def test_lsf_meta_text_assembly():
+    """META text blocks assemble across LSFs via length/block bitmaps
+    (reference m17_parse.c meta text assembler)."""
+    import numpy as np
+    from dsdneo_tpu.protocol.m17.decoder import M17Decoder
+
+    dec = M17Decoder()
+    msg = "HELLO M17 FROM THE TPU SIDE"
+    blocks = [msg[i * 13:(i + 1) * 13].ljust(13) for i in range(2)]
+    m1 = np.zeros(14, dtype=np.uint8)
+    m1[0] = (0x3 << 4) | 0x1
+    m1[1:14] = [ord(c) for c in blocks[0]]
+    m2 = np.zeros(14, dtype=np.uint8)
+    m2[0] = (0x3 << 4) | 0x2
+    m2[1:14] = [ord(c) for c in blocks[1]]
+    out1 = dec._meta_text_block(m1)
+    assert "Meta Text Block 1/2" in out1
+    out2 = dec._meta_text_block(m2)
+    assert "Meta Text Data: HELLO M17 FROM THE TPU SID" in out2
