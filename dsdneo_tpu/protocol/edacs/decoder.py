@@ -93,7 +93,7 @@ class EdacsDecoder(ProtocolDecoder):
         if getattr(ctx.state, "edacs_ea", False):
             line = self._extended(m1, m2, ctx, hit)
         else:
-            line = self._standard(m1, m2, ctx)
+            line = self._standard(m1, m2, ctx, hit)
         # both 28-bit words passed BCH: carry the raw command as a
         # structured field (validated-decode evidence for auto mode)
         ctx.emit(f"Sync: {'-' if inverted else '+'}EDACS {line}", "edacs",
@@ -220,7 +220,8 @@ class EdacsDecoder(ProtocolDecoder):
         return (a & b) | (a & c) | (b & c)
 
     # -- standard mode ----------------------------------------------------
-    def _standard(self, msg1: int, msg2: int, ctx: DecoderContext) -> str:
+    def _standard(self, msg1: int, msg2: int, ctx: DecoderContext,
+                  hit: SyncHit = None) -> str:
         mt_a = (msg1 >> 25) & 0x7
         mt_b = (msg1 >> 22) & 0x7
         mt_d = (msg1 >> 17) & 0x1F
@@ -228,8 +229,15 @@ class EdacsDecoder(ProtocolDecoder):
         if mt_a in (0, 1, 2, 3):
             lcn = (msg1 >> 20) & 0x1F
             group = msg1 & 0x7FF
+            s.last_tg = group
+            emergency = mt_a in (1, 3)
+            ctx.emit(f"       EDACS Voice Grant G {group} LCN {lcn}",
+                     "edacs", hit.pos if hit else 0, tg=group, lpcn=lcn,
+                     grant=lcn not in (0, 0x1F) and lcn < 26,
+                     emergency=emergency)
             return (f" Voice Group Channel Assignment :: Group [{group:04d}]"
-                    f" LCN [{lcn:02d}]{_lcn_status(lcn)}")
+                    f" LCN [{lcn:02d}]{_lcn_status(lcn)}"
+                    + (" [EMERGENCY]" if emergency else ""))
         if mt_a == 5:
             return " Data Call Channel Assignment"
         if mt_a == 6:

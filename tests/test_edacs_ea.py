@@ -104,3 +104,13 @@ def test_standard_mode_regression():
     msg1 = (0x7 << 25) | (0x7 << 22) | (0x08 << 17) | (9 << 12) | (1 << 9) | 2
     ctx, text = _decode(msg1, 0, ea=False)
     assert "Standard/Networked :: Site ID [02][002]" in text
+
+
+def test_standard_voice_grant_emits_trunk_event():
+    msg1 = (0x1 << 25) | (9 << 20) | 123      # MT-A 1: emergency, LCN 9
+    ctx, text = _decode(msg1, 0, ea=False)
+    assert "Voice Group Channel Assignment :: Group [0123] LCN [09]" in text
+    assert "[EMERGENCY]" in text
+    ev = [e for e in ctx.events if e.fields.get("grant")]
+    assert ev and ev[0].fields["tg"] == 123 and ev[0].fields["lpcn"] == 9
+    assert ev[0].fields["emergency"]
