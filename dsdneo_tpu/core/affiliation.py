@@ -46,24 +46,32 @@ class AffiliationTable:
         return [rid for rid, tgs in self.groups.items() if tg in tgs]
 
     # -- patches / supergroups (dynamic regroup) --------------------------
+    def _patch_entry(self, sg: int) -> dict:
+        """Create-if-absent with defaults; adds never overwrite the
+        flags of an existing entry (reference p25_patch_add_wgid)."""
+        return self.patches.setdefault(
+            sg, {"is_patch": True, "active": True,
+                 "wgids": set(), "wuids": set()})
+
     def patch_update(self, sg: int, is_patch: bool = True,
                      active: bool = True) -> None:
         if not sg:
             return
-        p = self.patches.setdefault(
-            sg, {"is_patch": is_patch, "active": active,
-                 "wgids": set(), "wuids": set()})
+        p = self._patch_entry(sg)
         p["is_patch"], p["active"] = is_patch, active
 
     def patch_add_wgid(self, sg: int, wgid: int) -> None:
         if sg and wgid:
-            self.patch_update(sg)
-            self.patches[sg]["wgids"].add(wgid)
+            self._patch_entry(sg)["wgids"].add(wgid)
 
     def patch_add_wuid(self, sg: int, wuid: int) -> None:
         if sg and wuid:
-            self.patch_update(sg)
-            self.patches[sg]["wuids"].add(wuid)
+            self._patch_entry(sg)["wuids"].add(wuid)
+
+    def patch_remove_wgid(self, sg: int, wgid: int) -> None:
+        p = self.patches.get(sg)
+        if p is not None:
+            p["wgids"].discard(wgid)
 
     def patch_clear(self, sg: int) -> None:
         self.patches.pop(sg, None)

@@ -272,10 +272,17 @@ class DmrBsDecoder(ProtocolDecoder):
                 if dtype == 3:
                     detail = self._csbk(payload, ctx, hit, s, mono)
                 elif dtype == 4:
-                    # MBC header: start aggregation; decode completes
-                    # when the LB-flagged continuation arrives
-                    self.mbc[s] = [payload]
-                    detail = " | MBC Header"
+                    # MBC header (CRC mask 0xAAAA, reference
+                    # dmr_dburst.c): start aggregation; decode
+                    # completes when the LB-flagged continuation comes
+                    hcrc = crc.crc16_bits(payload[:80], init=0,
+                                          xorout=0xFFFF) ^ 0xAAAA
+                    if hcrc != _bits_to_int(payload[80:96]):
+                        self.mbc[s] = None
+                        detail = " | MBC Header CRC ERR"
+                    else:
+                        self.mbc[s] = [payload]
+                        detail = " | MBC Header"
                 elif dtype == 5:
                     detail = self._mbc_continuation(payload, ctx, hit, s,
                                                     mono)
@@ -301,6 +308,9 @@ class DmrBsDecoder(ProtocolDecoder):
         st = self.mbc.get(s)
         if st is None:
             return " | MBC Continuation (no header)"
+        if len(st) >= 6:            # reference bounds the aggregate at
+            self.mbc[s] = None      # six blocks (mbc_block_bits[12*8*6])
+            return " | MBC aggregate overflow"
         st.append(bits96)
         if not bits96[0]:                     # not the last block yet
             return f" | MBC Continuation {len(st) - 1}"

@@ -332,17 +332,20 @@ def _c_bcast(bits96, fid, ctx, pos) -> str:
     elif a_type == 5:          # chan/freq relationship
         a_chan = _f(bp2, 12, 12)
         detail += f"\n  LPCN: {'Null' if a_chan == 0 else a_chan};"
-        cdef = _abs_freq_cdef(bits96)
-        if cdef is not None:
-            lpcn, rx, tx = cdef
-            detail += (f" APCN: {lpcn:04d}; RX Freq: {rx};"
-                       f" TX Freq: {tx};")
-            cm = getattr(ctx.state, "chan_map", None)
-            chan = a_chan if 0 < a_chan < 0xFFF else lpcn
-            if cm is not None and chan and cm.freq(chan) is None:
-                # learn the channel→frequency relationship
-                # (reference dmr_learn_chan_map)
-                cm.entries[chan] = float(rx)
+        # reference handle_chan_freq: a_channel 0 → no CDEF parse at
+        # all, and only 0 < a_channel < 0xFFF entries are stored
+        if a_chan != 0:
+            cdef = _abs_freq_cdef(bits96)
+            if cdef is not None:
+                lpcn, rx, tx = cdef
+                detail += (f" APCN: {lpcn:04d}; RX Freq: {rx};"
+                           f" TX Freq: {tx};")
+                cm = getattr(ctx.state, "chan_map", None)
+                if (cm is not None and 0 < a_chan < 0xFFF
+                        and cm.freq(a_chan) is None):
+                    # learn the channel→frequency relationship
+                    # (reference dmr_cspdu_pf0_c_bcast_maybe_store_channel)
+                    cm.entries[a_chan] = float(rx)
     elif a_type == 7:          # general site parameters
         detail += (f"\n  Hibernate Flag: {int(bp2[1])};"
                    f" Reg Flag: {int(bp2[16])};")

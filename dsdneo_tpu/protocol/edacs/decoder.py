@@ -227,16 +227,21 @@ class EdacsDecoder(ProtocolDecoder):
         mt_d = (msg1 >> 17) & 0x1F
         s = ctx.state
         if mt_a in (0, 1, 2, 3):
-            lcn = (msg1 >> 20) & 0x1F
+            # reference edacs_handle_standard_mt_a_voice_group_assignment:
+            # lid spans msg1[24:18]|msg2[23:17], lcn msg1[16:12]
+            lid = ((msg1 & 0x1FC0000) >> 11) | ((msg2 & 0xFE0000) >> 17)
+            lcn = (msg1 >> 12) & 0x1F
             group = msg1 & 0x7FF
-            s.last_tg = group
+            s.last_tg, s.last_src = group, lid
+            digital = mt_a in (2, 3)
             emergency = mt_a in (1, 3)
             ctx.emit(f"       EDACS Voice Grant G {group} LCN {lcn}",
-                     "edacs", hit.pos if hit else 0, tg=group, lpcn=lcn,
-                     grant=lcn not in (0, 0x1F) and lcn < 26,
+                     "edacs", hit.pos if hit else 0, tg=group, src=lid,
+                     lpcn=lcn, grant=lcn not in (0, 0x1F) and lcn < 26,
                      emergency=emergency)
-            return (f" Voice Group Channel Assignment :: Group [{group:04d}]"
-                    f" LCN [{lcn:02d}]{_lcn_status(lcn)}"
+            return (f" {'Digital' if digital else 'Analog'} Voice Group"
+                    f" Channel Assignment :: Group [{group:04d}]"
+                    f" LID [{lid:05d}] LCN [{lcn:02d}]{_lcn_status(lcn)}"
                     + (" [EMERGENCY]" if emergency else ""))
         if mt_a == 5:
             return " Data Call Channel Assignment"

@@ -228,24 +228,31 @@ class M17Decoder(ProtocolDecoder):
                 f"{DT_NAMES.get(dt, '') if ps else ' Packet'}"
                 f"{ENC_NAMES.get(enc, '') if ps and enc else ''}")
         meta = _pack_bytes(lsf[112:224])
-        if enc != 2 and int(meta.sum()):
-            if int(meta[0]) in (0x81, 0x91, 0x82):
+        if enc == 0 and int(meta.sum()):
+            # ET=0: the encryption subtype selects the META protocol
+            # (reference m17_null_meta_protocol_for_subtype: 0→text,
+            # 1→GNSS 0x81, 2→extended callsign 0x82)
+            if est == 0:
+                line += (self._meta_text_block(meta)
+                         or self._meta_decode(meta, ctx, allow_gnss=False))
+            elif est == 1:
+                line += self._meta_decode(meta, ctx)
+            elif est == 2:
                 line += self._meta_decode(meta, ctx)
             else:
-                line += (self._meta_text_block(meta)
-                         or self._meta_decode(meta, ctx))
+                line += self._meta_decode(meta, ctx, allow_gnss=False)
         ctx.state.last_src = decode_callsign(src)
         ctx.emit(line, "m17", hit.pos, dst=dst, src=src, type=tw)
         return hit.end + 184
 
     @staticmethod
-    def _meta_decode(meta, ctx) -> str:
+    def _meta_decode(meta, ctx, allow_gnss: bool = True) -> str:
         """LSF META field (14 octets, non-IV): GNSS v2 position
         (meta[0] 0x81/0x91, reference m17_parse.c
         m17_read_gnss_v2_fields), extended callsign (0x82), else raw
         hex.  Signed 24-bit lat/lon scale to ±90°/±180° over 2²³−1."""
         m = [int(b) for b in meta]
-        if m[0] in (0x81, 0x91):
+        if allow_gnss and m[0] in (0x81, 0x91):
             def s24(v):
                 return v - (1 << 24) if v & 0x800000 else v
             lat_raw = (m[4] << 16) | (m[5] << 8) | m[6]
@@ -288,11 +295,14 @@ class M17Decoder(ProtocolDecoder):
         if self._txt["expect"] != expect:
             self._txt = {"expect": expect, "got": 0, "chars": {}}
         self._txt["got"] |= 1 << idx
-        self._txt["chars"][idx] = "".join(
-            chr(b) if 0x19 < b < 0x7F else " " for b in meta[1:14])
+        # raw bytes preserved; decode once assembled (UTF-8 text keeps
+        # its multi-byte chars — the reference copies blocks verbatim
+        # and trims only trailing spaces)
+        self._txt["chars"][idx] = bytes(int(b) for b in meta[1:14])
         if self._txt["got"] != expect:
             return f"\n Meta Text Block {idx + 1}/{total}"
-        text = "".join(self._txt["chars"][i] for i in range(total)).rstrip()
+        raw = b"".join(self._txt["chars"][i] for i in range(total))
+        text = raw.decode("utf-8", errors="replace").rstrip(" \x00")
         self._txt = {"expect": 0, "got": 0, "chars": {}}
         return f"\n Meta Text Data: {text}"
 

@@ -263,12 +263,13 @@ def _mfid90(op, bits, hit, ctx, s=None) -> None:
         ga1, ga2 = _f(bits, 32, 16), _f(bits, 48, 16)
         act = "Add" if op == 0x03 else "Delete"
         from dsdneo_tpu.core.affiliation import table_for
-        if op == 0x03:
-            for ga in (ga1, ga2):
-                if ga not in (0, sg):
+        for ga in (ga1, ga2):
+            if ga not in (0, sg):
+                if op == 0x03:
                     table_for(ctx).patch_add_wgid(sg, ga)
-        else:
-            table_for(ctx).patch_clear(sg)
+                else:
+                    # reference p25_patch_remove_wgid: named WGIDs only
+                    table_for(ctx).patch_remove_wgid(sg, ga)
         line = f" MFID90 (Moto) Group Regroup {act} SG: {sg};"
         if ga1 not in (0, sg):
             line += f" GA1: {ga1};"

@@ -393,13 +393,16 @@ class P25P1Decoder(ProtocolDecoder):
                      f" {flags.strip()}{self._chan_freq_note(ctx, channel)}",
                      "p25p1", hit.pos)
         elif opcode == 0x28:  # Group Affiliation Response
-            ga = (int(b[4]) << 8) | int(b[5])
-            aga = (int(b[2]) << 8) | int(b[3])
-            tgt = (int(b[6]) << 16) | (int(b[7]) << 8) | int(b[8])
-            ctx.emit(f" Group Affiliation Response\n  Announce Group [{aga}]"
-                     f" Group [{ga}] Target [{tgt}]", "p25p1", hit.pos)
-            from dsdneo_tpu.core.affiliation import table_for
-            table_for(ctx).affiliate(tgt, ga)
+            gav = int(b[2]) & 0x3       # LG bit7, GAV bits 1-0
+            aga = (int(b[3]) << 8) | int(b[4])
+            ga = (int(b[5]) << 8) | int(b[6])
+            tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" Group Affiliation Response\n  GAV [{gav}]"
+                     f" Announce Group [{aga}] Group [{ga}] Target [{tgt}]",
+                     "p25p1", hit.pos)
+            if gav == 0:                # accepted only
+                from dsdneo_tpu.core.affiliation import table_for
+                table_for(ctx).affiliate(tgt, ga)
         elif opcode == 0x2C:  # Unit Registration Response
             src = (int(b[6]) << 16) | (int(b[7]) << 8) | int(b[8])
             ctx.emit(f" Unit Registration Response\n  Source [{src}]",

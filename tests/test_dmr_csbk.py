@@ -280,8 +280,9 @@ def _mbc_decode(header96, cont96, ctx=None):
 
 def test_mbc_c_bcast_chan_freq_absolute():
     """Aggregated MBC C_BCAST Chan_Freq resolves the absolute RX/TX
-    frequencies from the CDEF appendix and learns the channel map."""
-    hdr = _csbk(40, fields=[(16, 5, 5), (56, (160 << 12) | 0, 24)])
+    frequencies from the CDEF appendix and learns the channel map
+    (a_channel in bparms2 low 12 bits selects the LPCN)."""
+    hdr = _csbk(40, fields=[(16, 5, 5), (56, 160 << 12 | 160, 24)])
     # CDEF bits live at aggregate offsets 112+: header contributes
     # bits 0-95, continuation payload starts at 96
     agg = np.zeros(176, dtype=np.uint8)

@@ -107,10 +107,15 @@ def test_standard_mode_regression():
 
 
 def test_standard_voice_grant_emits_trunk_event():
-    msg1 = (0x1 << 25) | (9 << 20) | 123      # MT-A 1: emergency, LCN 9
-    ctx, text = _decode(msg1, 0, ea=False)
-    assert "Voice Group Channel Assignment :: Group [0123] LCN [09]" in text
+    # MT-A 1 (analog, emergency): LCN 9 @ msg1[16:12], LID split across
+    # msg1[24:18] | msg2[23:17] (reference field extraction)
+    lid = 0x1234
+    msg1 = (0x1 << 25) | ((lid >> 7) << 18) | (9 << 12) | 123
+    msg2 = (lid & 0x7F) << 17
+    ctx, text = _decode(msg1, msg2, ea=False)
+    assert ("Analog Voice Group Channel Assignment :: Group [0123]"
+            f" LID [{lid:05d}] LCN [09]") in text
     assert "[EMERGENCY]" in text
     ev = [e for e in ctx.events if e.fields.get("grant")]
     assert ev and ev[0].fields["tg"] == 123 and ev[0].fields["lpcn"] == 9
-    assert ev[0].fields["emergency"]
+    assert ev[0].fields["src"] == lid and ev[0].fields["emergency"]

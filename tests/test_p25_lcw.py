@@ -169,6 +169,7 @@ def test_affiliation_and_patch_tracking():
     bits = _bits((0x03, 8), (0x90, 8), (1500, 16), (2001, 16), (2002, 16))
     decode_lcw(bits, SimpleNamespace(pos=0), ctx, None)
     assert ctx.state.affiliations.patches[1500]["wgids"] == {2001, 2002}
-    bits = _bits((0x04, 8), (0x90, 8), (1500, 16))
+    # delete removes only the named WGIDs (reference p25_patch_remove_wgid)
+    bits = _bits((0x04, 8), (0x90, 8), (1500, 16), (2001, 16))
     decode_lcw(bits, SimpleNamespace(pos=0), ctx, None)
-    assert 1500 not in ctx.state.affiliations.patches
+    assert ctx.state.affiliations.patches[1500]["wgids"] == {2002}
