@@ -441,6 +441,75 @@ class P25P1Decoder(ProtocolDecoder):
             src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
             ctx.emit(f" Status Update\n  Target [{tgt}] Source [{src}]",
                      "p25p1", hit.pos)
+        elif opcode == 0x1A:  # Status Query
+            tgt = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" Status Query\n  Target [{tgt}] Source [{src}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x1C:  # Message Update
+            msg = (int(b[2]) << 8) | int(b[3])
+            tgt = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" Message Update\n  Target [{tgt}] Source [{src}]"
+                     f" Message [{msg:04X}]", "p25p1", hit.pos)
+        elif opcode == 0x20:  # Acknowledge Response - FNE
+            svc = int(b[2]) & 0x3F
+            tgt = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" Acknowledge Response - FNE\n  Service [{svc:02X}]"
+                     f" Target [{tgt}] Source [{src}]", "p25p1", hit.pos)
+        elif opcode in (0x21, 0x27):  # Queued / Deny Response
+            from dsdneo_tpu.protocol.p25.p2_mac import (_DENY_REASONS,
+                                                        _QUEUED_REASONS)
+            is_deny = opcode == 0x27
+            svc = int(b[2]) & 0x3F
+            reason = int(b[3])
+            addl = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            reasons = _DENY_REASONS if is_deny else _QUEUED_REASONS
+            ctx.emit(f" {'Deny' if is_deny else 'Queued'} Response\n"
+                     f"  SVC [{svc:02X}]"
+                     f" Reason [{reasons.get(reason, f'{reason:02X}')}]"
+                     f" Addl [{addl:06X}] Target [{tgt}]", "p25p1", hit.pos,
+                     release=True, deny=is_deny)
+        elif opcode == 0x24:  # Extended Function Command
+            from dsdneo_tpu.protocol.p25.p2_mac import _EXT_FUNC_CLASS0
+            func = (int(b[2]) << 8) | int(b[3])
+            cls, operand = (func >> 8) & 0xFF, func & 0xFF
+            arg = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            d = (f" Extended Function Command\n  Class [{cls:02X}]"
+                 f" Operand [{operand:02X}] Arg [{arg:06X}] Target [{tgt}]")
+            if cls == 0 and operand in _EXT_FUNC_CLASS0:
+                d += f" {_EXT_FUNC_CLASS0[operand]}"
+            ctx.emit(d, "p25p1", hit.pos)
+        elif opcode == 0x2A:  # Group Affiliation Query
+            tgt = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" Group Affiliation Query\n  Target [{tgt}]"
+                     f" Source [{src}]", "p25p1", hit.pos)
+        elif opcode in (0x08, 0x09):  # Telephone Interconnect Grant [Update]
+            chan = (int(b[2]) << 8) | int(b[3])
+            timer = (int(b[4]) << 8) | int(b[5])
+            tgt = (int(b[6]) << 16) | (int(b[7]) << 8) | int(b[8])
+            ctx.emit(f" Telephone Interconnect Voice Channel Grant"
+                     f"{' Update' if opcode == 0x09 else ''}\n"
+                     f"  CHAN [{chan:04X}] Timer [{timer / 10.0:.1f}s]"
+                     f" Target [{tgt}]{self._chan_freq_note(ctx, chan)}",
+                     "p25p1", hit.pos, channel=chan,
+                     grant=chan not in (0, 0xFFFF))
+        elif opcode == 0x03:  # Group Voice Channel Grant Update - Explicit
+            svc = int(b[2])
+            cht = (int(b[4]) << 8) | int(b[5])
+            chr_ = (int(b[6]) << 8) | int(b[7])
+            grp = (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" Group Voice Channel Grant Update - Explicit\n"
+                     f"  SVC [{svc:02X}] CHAN-T [{cht:04X}]"
+                     f" CHAN-R [{chr_:04X}] Group [{grp}]"
+                     f"{self._chan_freq_note(ctx, cht)}", "p25p1", hit.pos,
+                     tg=grp, channel=cht, grant=cht not in (0, 0xFFFF))
+        elif opcode == 0x35:  # Time and Date Announcement
+            ctx.emit(" Time and Date Announcement", "p25p1", hit.pos)
         else:
             ctx.emit(f" TSBK OP [{opcode:02X}]", "p25p1", hit.pos)
         return bool(lb)

@@ -173,3 +173,36 @@ def test_affiliation_and_patch_tracking():
     bits = _bits((0x04, 8), (0x90, 8), (1500, 16), (2001, 16))
     decode_lcw(bits, SimpleNamespace(pos=0), ctx, None)
     assert ctx.state.affiliations.patches[1500]["wgids"] == {2002}
+
+
+def test_tsbk_catalog_breadth():
+    """The TSBK opcodes added in round 2 decode with reference layouts
+    (message update, deny/queued, extended function, telephone grant,
+    explicit grant update)."""
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+
+    def run(op, body):
+        bits = np.zeros(96, np.uint8)
+        byts = [op, 0] + body
+        for i, v in enumerate(byts[:12]):
+            for j in range(8):
+                bits[8 * i + j] = (v >> (7 - j)) & 1
+        ctx = DecoderContext()
+        P25P1Decoder()._tsbk(
+            bits, SimpleNamespace(pos=0, sync=SimpleNamespace(name="x")),
+            ctx)
+        return ctx, "\n".join(e.line for e in ctx.events)
+
+    _, out = run(0x1C, [0x12, 0x34, 0, 0, 7, 0, 0, 9])
+    assert "Message Update" in out and "Message [1234]" in out
+    ctx, out = run(0x27, [0x04, 0x40, 0, 0, 1, 0, 0x30, 0x39])
+    assert "Deny Response" in out and "Site Access Denied" in out
+    assert any(e.fields.get("deny") for e in ctx.events)
+    ctx, out = run(0x03, [0x40, 0, 0x10, 0x0A, 0x10, 0x0B, 0x04, 0xD2])
+    assert "Grant Update - Explicit" in out and "Group [1234]" in out
+    assert any(e.fields.get("grant") for e in ctx.events)
+    _, out = run(0x24, [0x00, 0x7D, 0, 0, 1, 0, 0, 5])
+    assert "Radio Inhibit" in out
+    ctx, out = run(0x08, [0x10, 0x0A, 0, 50, 0, 0, 7, 0])
+    assert "Telephone Interconnect Voice Channel Grant" in out
+    assert "Timer [5.0s]" in out
