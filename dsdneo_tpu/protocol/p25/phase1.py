@@ -290,17 +290,95 @@ class P25P1Decoder(ProtocolDecoder):
                      f"  Service [{int(b[2]) & 0x3F:02X}] Source [{src}] Target [{tgt}]",
                      "p25p1", hit.pos)
         elif opcode in (0x00, 0x01):
+            # Group Regroup Add/Delete: SG + up to three WGIDs feed the
+            # patch registry (reference tsbk_handle_mfid90_regroup_add_del)
+            from dsdneo_tpu.core.affiliation import table_for
             sg = (int(b[2]) << 8) | int(b[3])
-            ga1 = (int(b[4]) << 8) | int(b[5])
+            gas = [(int(b[4]) << 8) | int(b[5]),
+                   (int(b[6]) << 8) | int(b[7]),
+                   (int(b[8]) << 8) | int(b[9])]
             act = "Add" if opcode == 0x00 else "Delete"
-            ctx.emit(f" MFID90 (Moto) Group Regroup {act} Command\n  SG: {sg}"
-                     + (f" GA1: {ga1}" if ga1 else ""), "p25p1", hit.pos)
+            line = f" MFID90 (Moto) Group Regroup {act} Command\n  SG: {sg}"
+            for i, ga in enumerate(gas):
+                if ga:
+                    line += f" GA{i + 1}: {ga}"
+                    if opcode == 0x00:
+                        table_for(ctx).patch_add_wgid(sg, ga)
+                    else:
+                        table_for(ctx).patch_remove_wgid(sg, ga)
+            ctx.emit(line, "p25p1", hit.pos)
         elif opcode == 0x02:
-            channel = (int(b[4]) << 8) | int(b[5])
-            sg = (int(b[6]) << 8) | int(b[7])
+            # Group Regroup Channel Grant (reference
+            # tsbk_handle_mfid90_grant: svc@2, chan@3-4, sg@5-6, src@7-9)
+            svc = int(b[2])
+            channel = (int(b[3]) << 8) | int(b[4])
+            sg = (int(b[5]) << 8) | int(b[6])
+            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
             ctx.emit(f" MFID90 (Moto) Group Regroup Channel Grant\n"
-                     f"  CHAN [{channel:04X}] SG [{sg}]"
-                     f"{self._chan_freq_note(ctx, channel)}", "p25p1", hit.pos)
+                     f"  SVC [{svc:02X}] CHAN [{channel:04X}] SG [{sg}]"
+                     f" Source [{src}]{self._chan_freq_note(ctx, channel)}",
+                     "p25p1", hit.pos, tg=sg, src=src, channel=channel,
+                     grant=channel not in (0, 0xFFFF))
+        elif opcode == 0x03:
+            # Group Regroup Channel Grant Update: two chan/SG pairs
+            ch1 = (int(b[2]) << 8) | int(b[3])
+            sg1 = (int(b[4]) << 8) | int(b[5])
+            ch2 = (int(b[6]) << 8) | int(b[7])
+            sg2 = (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" MFID90 (Moto) Group Regroup Channel Grant Update\n"
+                     f"  CH1 [{ch1:04X}] SG1 [{sg1}] CH2 [{ch2:04X}]"
+                     f" SG2 [{sg2}]", "p25p1", hit.pos, tg=sg1, channel=ch1,
+                     grant=ch1 not in (0, 0xFFFF))
+        elif opcode == 0x04:
+            # Extended Function: class/operand/arg/target + supergroup
+            # create/cancel feeds the patch registry
+            from dsdneo_tpu.core.affiliation import table_for
+            cls, operand = int(b[2]), int(b[3])
+            arg = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            d = (f" MFID90 (Moto) Extended Function Command\n"
+                 f"  Class [{cls:02X}] Operand [{operand:02X}]"
+                 f" Arg [{arg:06X}] Target [{tgt}]")
+            sg = arg & 0xFFFF
+            if cls == 0x02 and operand == 0x00:
+                d += " Create Supergroup"
+                table_for(ctx).patch_update(sg)
+                if tgt:
+                    table_for(ctx).patch_add_wuid(sg, tgt)
+            elif cls == 0x02 and operand == 0x01:
+                d += " Cancel Supergroup"
+                table_for(ctx).patch_clear(sg)
+            ctx.emit(d, "p25p1", hit.pos)
+        elif opcode == 0x05:
+            msg = "".join(f"{int(b[k]):02X}" for k in range(2, 10))
+            ctx.emit(f" MFID90 (Moto) Traffic Channel ID\n  MSG: {msg}",
+                     "p25p1", hit.pos)
+        elif opcode in (0x06, 0x07):
+            from dsdneo_tpu.protocol.p25.p2_mac import (_DENY_REASONS,
+                                                        _QUEUED_REASONS)
+            is_deny = opcode == 0x07
+            svc = int(b[2]) & 0x3F
+            reason = int(b[3])
+            addl = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            reasons = _DENY_REASONS if is_deny else _QUEUED_REASONS
+            ctx.emit(f" MFID90 (Moto) {'Deny' if is_deny else 'Queued'}"
+                     f" Response\n  SVC [{svc:02X}]"
+                     f" Reason [{reasons.get(reason, f'{reason:02X}')}]"
+                     f" Addl [{addl:06X}] Target [{tgt}]", "p25p1", hit.pos,
+                     release=True, deny=is_deny)
+        elif opcode == 0x0E:
+            ctx.emit(" MFID90 (Moto) Control Channel Planned Shutdown",
+                     "p25p1", hit.pos)
+        elif opcode == 0x16:
+            chans = []
+            for off in (2, 4, 6, 8):
+                ch = (int(b[off]) << 8) | int(b[off + 1])
+                if ch not in (0, 0xFFFF):
+                    chans.append(f"[{ch:04X}]")
+            ctx.emit(" MFID90 (Moto) TDMA Data Channel "
+                     + (" ".join(chans) if chans else "Not Active"),
+                     "p25p1", hit.pos)
         else:
             ctx.emit(f" MFID90 (Moto) Opcode {opcode:02X}", "p25p1", hit.pos)
 
@@ -508,6 +586,28 @@ class P25P1Decoder(ProtocolDecoder):
                      f" CHAN-R [{chr_:04X}] Group [{grp}]"
                      f"{self._chan_freq_note(ctx, cht)}", "p25p1", hit.pos,
                      tg=grp, channel=cht, grant=cht not in (0, 0xFFFF))
+        elif opcode in (0x10, 0x11):  # Individual/Group Data Channel Grant
+            if opcode == 0x10:
+                chan = (int(b[2]) << 8) | int(b[3])
+                tgt = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+                src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+                d = (f" Individual Data Channel Grant - Obsolete\n"
+                     f"  CHAN [{chan:04X}] Target [{tgt}] Source [{src}]")
+            else:
+                svc = int(b[2])
+                chan = (int(b[3]) << 8) | int(b[4])
+                grp = (int(b[5]) << 8) | int(b[6])
+                src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+                d = (f" Group Data Channel Grant - Obsolete\n"
+                     f"  SVC [{svc:02X}] CHAN [{chan:04X}] Group [{grp}]"
+                     f" Source [{src}]")
+            ctx.emit(d + self._chan_freq_note(ctx, chan), "p25p1", hit.pos,
+                     channel=chan, data=True,
+                     grant=chan not in (0, 0xFFFF))
+        elif opcode in (0x12, 0x13):  # Group Data Channel Announcement
+            kind = " - Explicit" if opcode == 0x13 else ""
+            ctx.emit(f" Group Data Channel Announcement{kind}",
+                     "p25p1", hit.pos)
         elif opcode == 0x35:  # Time and Date Announcement
             ctx.emit(" Time and Date Announcement", "p25p1", hit.pos)
         else:
