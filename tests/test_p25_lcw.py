@@ -214,13 +214,15 @@ def test_mfid90_tsbk_catalog():
     tsbk_handle_mfid90_*)."""
     from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
 
-    def run(op, body):
+    shared = DecoderContext()
+
+    def run(op, body, ctx=None):
         bits = np.zeros(96, np.uint8)
         byts = [op, 0x90] + body
         for i, v in enumerate(byts[:12]):
             for j in range(8):
                 bits[8 * i + j] = (v >> (7 - j)) & 1
-        ctx = DecoderContext()
+        ctx = ctx or DecoderContext()
         P25P1Decoder()._tsbk(
             bits, SimpleNamespace(pos=0, sync=SimpleNamespace(name="x")),
             ctx)
@@ -229,9 +231,10 @@ def test_mfid90_tsbk_catalog():
     ctx, out = run(0x02, [0x40, 0x10, 0x0A, 0x05, 0xDC, 0, 0x30, 0x39])
     assert "CHAN [100A] SG [1500] Source [12345]" in out
     assert any(e.fields.get("grant") for e in ctx.events)
-    ctx, out = run(0x00, [0x05, 0xDC, 0x07, 0xD1, 0x07, 0xD2, 0, 0])
+    ctx, out = run(0x00, [0x05, 0xDC, 0x07, 0xD1, 0x07, 0xD2, 0, 0],
+                   ctx=shared)
     assert ctx.state.affiliations.patches[1500]["wgids"] == {2001, 2002}
-    ctx, out = run(0x01, [0x05, 0xDC, 0x07, 0xD1, 0, 0, 0, 0])
+    ctx, out = run(0x01, [0x05, 0xDC, 0x07, 0xD1, 0, 0, 0, 0], ctx=shared)
     assert ctx.state.affiliations.patches[1500]["wgids"] == {2002}
     _, out = run(0x07, [0x84, 0x40, 0, 0, 1, 0, 0x30, 0x39])
     assert "Deny Response" in out and "Site Access Denied" in out
