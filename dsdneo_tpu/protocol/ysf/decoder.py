@@ -103,6 +103,8 @@ class YsfDecoder(ProtocolDecoder):
             detail = self._dch2(payload, fn, cm, ctx)
         if payload is not None and dt == 2:
             self._voice_vd2(payload, ctx)
+        if payload is not None and dt == 0 and fi == 1:
+            self._voice_vd1(payload, ctx)
         ctx.emit(line + detail, "ysf", pos, dt=dt, fn=fn, cm=cm)
         return pos + 480
 
@@ -158,6 +160,26 @@ class YsfDecoder(ProtocolDecoder):
         if fn == 5:
             return f"RM3: {txt[:5]} RM4: {txt[5:]} "
         return ""
+
+    def _voice_vd1(self, payload: np.ndarray, ctx: DecoderContext) -> None:
+        """V/D1 voice: 5 blocks of 36 DCH + 36 VCH dibits; each VCH is
+        a 72-bit AMBE codeword through the standard 2450 ECC (the same
+        Golay/PN frame NXDN and DMR carry — reference ysf.c ysf_ehr
+        over dsd_ambe_2450_dibit_map)."""
+        from dsdneo_tpu.protocol.dmr.ambe_frame import decode_ambe_ecc
+        from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
+        from dsdneo_tpu.vocoder.synth import synthesize_frames
+        params = []
+        for blk in range(5):
+            seg = payload[blk * 72 + 36: blk * 72 + 72]
+            bits72 = np.empty(72, dtype=np.uint8)
+            bits72[0::2] = (seg >> 1) & 1
+            bits72[1::2] = seg & 1
+            bits49, _errs = decode_ambe_ecc(bits72)
+            params.append(decode_ambe_2450(bits49))
+        pcm = synthesize_frames(params)
+        if pcm.size:
+            ctx.emit_audio(pcm, slot=0)
 
     def _voice_vd2(self, payload: np.ndarray, ctx: DecoderContext) -> None:
         """V/D2 voice: 5 blocks of 52 dibits after each 20-dibit DCH

@@ -246,3 +246,23 @@ def test_nxdn_cch_info_neighbors():
     assert "Control Channel Information" in out
     assert "[123456]" in out and "CH1 [5] CH2 [9]" in out
     assert [e for e in ctx.events if e.fields.get("neighbors") == [5, 9]]
+
+
+def test_ysf_vd1_voice_roundtrip():
+    """V/D1 VCH blocks carry standard 72-bit AMBE codewords; a frame
+    built with encode path dequantizes through the V/D1 handler."""
+    import numpy as np
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.dmr.ambe_frame import encode_ambe_ecc
+    from dsdneo_tpu.protocol.ysf.decoder import YsfDecoder
+
+    rng = np.random.default_rng(3)
+    payload = np.zeros(360, dtype=np.uint8)
+    for blk in range(5):
+        bits49 = rng.integers(0, 2, 49).astype(np.uint8)
+        bits72 = encode_ambe_ecc(bits49)
+        dd = (bits72[0::2] << 1) | bits72[1::2]
+        payload[blk * 72 + 36: blk * 72 + 72] = dd
+    ctx = DecoderContext()
+    YsfDecoder()._voice_vd1(payload, ctx)
+    assert 0 in ctx.audio and len(ctx.audio[0][0]) == 5 * 160
