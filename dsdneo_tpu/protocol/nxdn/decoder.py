@@ -405,6 +405,36 @@ class NxdnDecoder(ProtocolDecoder):
                     f" [{loc:06X}] STS [{sts:02X}] CH1 [{ch1}] CH2 [{ch2}]")
             ctx.emit(f"       NXDN CCH_INFO CH1 {ch1} CH2 {ch2}", "nxdn", 0,
                      neighbors=[c for c in (ch1, ch2) if 0 < c < 0x3FF])
+        elif mtype in (0x09, 0x38):              # DCALL/SDCALL header
+            # short-data / data call header (reference nxdn_element.c
+            # nxdn_sdcall_header: cc@8, type@16:3, opt@19:5, src@24:16,
+            # dst@40:16, cipher@56:2, kid@58:6, blocks@68:4, pad@72:5)
+            cc_option = _bti(msg[8:16])
+            call_type = _bti(msg[16:19])
+            src = _bti(msg[24:40])
+            dst = _bti(msg[40:56])
+            cipher = _bti(msg[56:58])
+            kid = _bti(msg[58:64])
+            ctx.state.last_src, ctx.state.last_tg = src, dst
+            out += (f"\n {CALL_TYPES.get(call_type, '?')} -"
+                    f" Src={src} - Dst/TG={dst}")
+            if len(msg) >= 77:
+                blocks = _bti(msg[68:72])
+                pad = _bti(msg[72:77])
+                out += f" Blocks [{blocks}] Pad [{pad}]"
+            if cipher:
+                names = {1: "Scrambler", 2: "DES", 3: "AES"}
+                out += f" {names.get(cipher, '?')} Key [{kid:02X}]"
+            self._data_pad = _bti(msg[72:77]) if len(msg) >= 77 else 0
+        elif mtype in (0x0B, 0x39):              # DCALL/SDCALL data
+            # user data payload: printable ASCII + hex (full fragment
+            # reassembly with CRC32 is the reference's dcall_data; the
+            # per-message dump matches its payload print)
+            nbytes = (len(msg) - 8) // 8
+            data = [_bti(msg[8 + 8 * i:16 + 8 * i]) for i in range(nbytes)]
+            hexs = "".join(f"{b:02X}" for b in data)
+            txt = "".join(chr(b) if 0x19 < b < 0x7F else "." for b in data)
+            out += f"\n  DATA [{hexs}] [{txt}]"
         elif mtype == 0x3F:                      # proprietary form / alias
             out = self._alias(msg, ctx) or " PROP_FORM"
         elif mtype == 0x18 and len(msg) >= 144:  # SITE_INFO (RCCH)

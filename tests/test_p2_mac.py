@@ -266,3 +266,43 @@ def test_ysf_vd1_voice_roundtrip():
     ctx = DecoderContext()
     YsfDecoder()._voice_vd1(payload, ctx)
     assert 0 in ctx.audio and len(ctx.audio[0][0]) == 5 * 160
+
+
+def test_nxdn_sdcall_header_and_data():
+    """NXDN short-data call header fields + data payload dump
+    (reference nxdn_element.c nxdn_sdcall_header)."""
+    import numpy as np
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.nxdn.decoder import NxdnDecoder
+
+    msg = np.zeros(80, dtype=np.uint8)
+
+    def put(v, a, n):
+        for i in range(n):
+            msg[a + i] = (v >> (n - 1 - i)) & 1
+
+    put(0x38, 2, 6)
+    put(1, 16, 3)
+    put(1234, 24, 16)
+    put(300, 40, 16)
+    put(3, 56, 2)
+    put(0x11, 58, 6)
+    put(4, 68, 4)
+    ctx = DecoderContext()
+    out = NxdnDecoder()._message(msg, ctx)
+    assert "SDCALL_REQ_HEADER" in out
+    assert "Src=1234 - Dst/TG=300" in out
+    assert "AES Key [11]" in out and "Blocks [4]" in out
+    assert ctx.state.last_tg == 300
+
+    data = np.zeros(80, dtype=np.uint8)
+
+    def put2(v, a, n):
+        for i in range(n):
+            data[a + i] = (v >> (n - 1 - i)) & 1
+
+    put2(0x39, 2, 6)
+    for i, ch in enumerate(b"HELLO NX?"):
+        put2(ch, 8 + 8 * i, 8)
+    out = NxdnDecoder()._message(data, ctx)
+    assert "HELLO NX" in out
