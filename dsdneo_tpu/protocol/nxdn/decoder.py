@@ -418,6 +418,8 @@ class NxdnDecoder(ProtocolDecoder):
             ctx.state.last_src, ctx.state.last_tg = src, dst
             out += (f"\n {CALL_TYPES.get(call_type, '?')} -"
                     f" Src={src} - Dst/TG={dst}")
+            if cc_option:
+                out += f" CC [{cc_option:02X}]"
             if len(msg) >= 77:
                 blocks = _bti(msg[68:72])
                 pad = _bti(msg[72:77])
@@ -425,16 +427,18 @@ class NxdnDecoder(ProtocolDecoder):
             if cipher:
                 names = {1: "Scrambler", 2: "DES", 3: "AES"}
                 out += f" {names.get(cipher, '?')} Key [{kid:02X}]"
-            self._data_pad = _bti(msg[72:77]) if len(msg) >= 77 else 0
         elif mtype in (0x0B, 0x39):              # DCALL/SDCALL data
-            # user data payload: printable ASCII + hex (full fragment
-            # reassembly with CRC32 is the reference's dcall_data; the
-            # per-message dump matches its payload print)
-            nbytes = (len(msg) - 8) // 8
-            data = [_bti(msg[8 + 8 * i:16 + 8 * i]) for i in range(nbytes)]
+            # PF/BLK counters at bits 8-15, payload from bit 16
+            # (reference nxdn_dcall_prepare); printable ASCII + hex
+            # dump matches its payload print (full CRC32 fragment
+            # reassembly is the reference's dcall_data)
+            pf = _bti(msg[8:12])
+            blk = _bti(msg[12:16])
+            nbytes = (len(msg) - 16) // 8
+            data = [_bti(msg[16 + 8 * i:24 + 8 * i]) for i in range(nbytes)]
             hexs = "".join(f"{b:02X}" for b in data)
-            txt = "".join(chr(b) if 0x19 < b < 0x7F else "." for b in data)
-            out += f"\n  DATA [{hexs}] [{txt}]"
+            txt = "".join(chr(b) if 0x20 <= b <= 0x7E else "." for b in data)
+            out += f"\n  PF [{pf}] BLK [{blk}] DATA [{hexs}] [{txt}]"
         elif mtype == 0x3F:                      # proprietary form / alias
             out = self._alias(msg, ctx) or " PROP_FORM"
         elif mtype == 0x18 and len(msg) >= 144:  # SITE_INFO (RCCH)

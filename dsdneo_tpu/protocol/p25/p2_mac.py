@@ -52,17 +52,32 @@ def _chan_valid(ch: int) -> bool:
     return ch not in (0, 0xFFFF)
 
 
+# reference p25_response_reason.c tables
 _DENY_REASONS = {
-    0x10: "Unit Not Valid", 0x11: "Unit Not Authorized", 0x20: "TG Not Valid",
-    0x21: "TG Not Authorized", 0x2F: "TG Refused", 0x30: "Tgt Not Valid",
-    0x40: "Site Access Denied", 0x5A: "Sys Not Supported", 0x67: "No Network",
-    0xF0: "Call Options Not Valid", 0xF1: "Protection Not Valid",
-    0xF2: "Duplex Not Valid", 0xF3: "Circuit/Packet Not Valid",
+    0x10: "Requesting Unit Not Valid", 0x11: "Requesting Unit Not Authorized",
+    0x20: "Target Unit Not Valid", 0x21: "Target Unit Not Authorized",
+    0x2F: "Target Unit Refused Call", 0x30: "Target Group Not Valid",
+    0x31: "Target Group Not Authorized", 0x40: "Invalid Dialing",
+    0x41: "Telephone Number Not Authorized", 0x42: "PSTN Not Valid",
+    0x50: "Call Timeout", 0x51: "Landline Terminated Call",
+    0x52: "Subscriber Unit Terminated Call", 0x5F: "Call Preempted",
+    0x60: "Site Access Denial", 0x67: "PTT Collide", 0x77: "PTT Bonk",
+    0xF0: "Call Options Not Valid For Service",
+    0xF1: "Protection Service Option Not Valid",
+    0xF2: "Duplex Service Option Not Valid",
+    0xF3: "Circuit/Packet Mode Option Not Valid",
+    0xFF: "System Does Not Support Service",
 }
 
 _QUEUED_REASONS = {
-    0x10: "Unit Active", 0x20: "TG Active", 0x2F: "Channel Resources",
-    0x30: "Tgt Active", 0x40: "Busy", 0x7F: "Other",
+    0x10: "Requesting Unit Busy Other Service",
+    0x20: "Target Unit Busy Other Service",
+    0x2F: "Target Unit Queued This Call",
+    0x30: "Target Group Currently Active",
+    0x40: "Channel Resources Unavailable",
+    0x41: "Telephone Resources Unavailable",
+    0x42: "Data Resources Unavailable",
+    0x50: "Superseding Service Currently Active",
 }
 
 _EXT_FUNC_CLASS0 = {

@@ -266,6 +266,26 @@ class P25P1Decoder(ProtocolDecoder):
                    f" Base Frequency [{base:08X}] [{base * 5:09d}]")
         ctx.emit(detail, "p25p1", hit.pos, iden=iden)
 
+    def _queued_deny(self, b: np.ndarray, is_deny: bool, prefix: str,
+                     hit: SyncHit, ctx: DecoderContext) -> None:
+        """Queued/Deny response (reference p25_response_reason.c tables;
+        addl-info print gated on bit 7 of the service octet)."""
+        from dsdneo_tpu.protocol.p25.p2_mac import (_DENY_REASONS,
+                                                    _QUEUED_REASONS)
+        has_addl = bool(int(b[2]) & 0x80)
+        svc = int(b[2]) & 0x3F
+        reason = int(b[3])
+        addl = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+        tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+        reasons = _DENY_REASONS if is_deny else _QUEUED_REASONS
+        line = (f"{prefix} {'Deny' if is_deny else 'Queued'} Response\n"
+                f"  SVC [{svc:02X}]"
+                f" Reason [{reasons.get(reason, f'{reason:02X}')}]")
+        if has_addl:
+            line += f" Addl [{addl:06X}]"
+        line += f" Target [{tgt}]"
+        ctx.emit(line, "p25p1", hit.pos, release=True, deny=is_deny)
+
     def _mfid90(self, b: np.ndarray, opcode: int, hit: SyncHit,
                 ctx: DecoderContext) -> None:
         """Motorola (MFID 0x90) TSBKs (reference p25p1_tsbk.c:624-657)."""
@@ -354,28 +374,18 @@ class P25P1Decoder(ProtocolDecoder):
             ctx.emit(f" MFID90 (Moto) Traffic Channel ID\n  MSG: {msg}",
                      "p25p1", hit.pos)
         elif opcode in (0x06, 0x07):
-            from dsdneo_tpu.protocol.p25.p2_mac import (_DENY_REASONS,
-                                                        _QUEUED_REASONS)
-            is_deny = opcode == 0x07
-            svc = int(b[2]) & 0x3F
-            reason = int(b[3])
-            addl = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
-            tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
-            reasons = _DENY_REASONS if is_deny else _QUEUED_REASONS
-            ctx.emit(f" MFID90 (Moto) {'Deny' if is_deny else 'Queued'}"
-                     f" Response\n  SVC [{svc:02X}]"
-                     f" Reason [{reasons.get(reason, f'{reason:02X}')}]"
-                     f" Addl [{addl:06X}] Target [{tgt}]", "p25p1", hit.pos,
-                     release=True, deny=is_deny)
+            self._queued_deny(b, opcode == 0x07, " MFID90 (Moto)", hit, ctx)
         elif opcode == 0x0E:
             ctx.emit(" MFID90 (Moto) Control Channel Planned Shutdown",
                      "p25p1", hit.pos)
         elif opcode == 0x16:
+            # reference tsbk_handle_mfid90_tdma_data_channel: downlink
+            # @4-5, uplink @6-7 only
             chans = []
-            for off in (2, 4, 6, 8):
+            for name, off in (("DL", 4), ("UL", 6)):
                 ch = (int(b[off]) << 8) | int(b[off + 1])
                 if ch not in (0, 0xFFFF):
-                    chans.append(f"[{ch:04X}]")
+                    chans.append(f"{name} [{ch:04X}]")
             ctx.emit(" MFID90 (Moto) TDMA Data Channel "
                      + (" ".join(chans) if chans else "Not Active"),
                      "p25p1", hit.pos)
@@ -532,24 +542,12 @@ class P25P1Decoder(ProtocolDecoder):
                      f" Message [{msg:04X}]", "p25p1", hit.pos)
         elif opcode == 0x20:  # Acknowledge Response - FNE
             svc = int(b[2]) & 0x3F
-            tgt = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
-            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+            src = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
             ctx.emit(f" Acknowledge Response - FNE\n  Service [{svc:02X}]"
                      f" Target [{tgt}] Source [{src}]", "p25p1", hit.pos)
         elif opcode in (0x21, 0x27):  # Queued / Deny Response
-            from dsdneo_tpu.protocol.p25.p2_mac import (_DENY_REASONS,
-                                                        _QUEUED_REASONS)
-            is_deny = opcode == 0x27
-            svc = int(b[2]) & 0x3F
-            reason = int(b[3])
-            addl = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
-            tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
-            reasons = _DENY_REASONS if is_deny else _QUEUED_REASONS
-            ctx.emit(f" {'Deny' if is_deny else 'Queued'} Response\n"
-                     f"  SVC [{svc:02X}]"
-                     f" Reason [{reasons.get(reason, f'{reason:02X}')}]"
-                     f" Addl [{addl:06X}] Target [{tgt}]", "p25p1", hit.pos,
-                     release=True, deny=is_deny)
+            self._queued_deny(b, opcode == 0x27, "", hit, ctx)
         elif opcode == 0x24:  # Extended Function Command
             from dsdneo_tpu.protocol.p25.p2_mac import _EXT_FUNC_CLASS0
             func = (int(b[2]) << 8) | int(b[3])
@@ -567,12 +565,16 @@ class P25P1Decoder(ProtocolDecoder):
             ctx.emit(f" Group Affiliation Query\n  Target [{tgt}]"
                      f" Source [{src}]", "p25p1", hit.pos)
         elif opcode in (0x08, 0x09):  # Telephone Interconnect Grant [Update]
-            chan = (int(b[2]) << 8) | int(b[3])
-            timer = (int(b[4]) << 8) | int(b[5])
-            tgt = (int(b[6]) << 16) | (int(b[7]) << 8) | int(b[8])
+            # reference layout (vpdu telephone grant, k=0 for TSBK):
+            # svc@2, chan@3-4, timer@5-6, target@7-9
+            svc = int(b[2])
+            chan = (int(b[3]) << 8) | int(b[4])
+            timer = (int(b[5]) << 8) | int(b[6])
+            tgt = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
             ctx.emit(f" Telephone Interconnect Voice Channel Grant"
                      f"{' Update' if opcode == 0x09 else ''}\n"
-                     f"  CHAN [{chan:04X}] Timer [{timer / 10.0:.1f}s]"
+                     f"  SVC [{svc:02X}] CHAN [{chan:04X}]"
+                     f" Timer [{timer / 10.0:.1f}s]"
                      f" Target [{tgt}]{self._chan_freq_note(ctx, chan)}",
                      "p25p1", hit.pos, channel=chan,
                      grant=chan not in (0, 0xFFFF))
@@ -604,9 +606,22 @@ class P25P1Decoder(ProtocolDecoder):
             ctx.emit(d + self._chan_freq_note(ctx, chan), "p25p1", hit.pos,
                      channel=chan, data=True,
                      grant=chan not in (0, 0xFFFF))
-        elif opcode in (0x12, 0x13):  # Group Data Channel Announcement
-            kind = " - Explicit" if opcode == 0x13 else ""
-            ctx.emit(f" Group Data Channel Announcement{kind}",
+        elif opcode == 0x12:  # Group Data Channel Announcement
+            svc = int(b[2])
+            ch1 = (int(b[3]) << 8) | int(b[4])
+            g1 = (int(b[5]) << 8) | int(b[6])
+            ch2 = (int(b[7]) << 8) | int(b[8])
+            ctx.emit(f" Group Data Channel Announcement\n"
+                     f"  SVC [{svc:02X}] CHAN-A [{ch1:04X}] Group-A [{g1}]"
+                     f" CHAN-B [{ch2:04X}]", "p25p1", hit.pos)
+        elif opcode == 0x13:  # Group Data Channel Announcement - Explicit
+            svc = int(b[2])
+            cht = (int(b[4]) << 8) | int(b[5])
+            chr_ = (int(b[6]) << 8) | int(b[7])
+            grp = (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" Group Data Channel Announcement - Explicit\n"
+                     f"  SVC [{svc:02X}] CHAN-T [{cht:04X}]"
+                     f" CHAN-R [{chr_:04X}] Group [{grp}]",
                      "p25p1", hit.pos)
         elif opcode == 0x35:  # Time and Date Announcement
             ctx.emit(" Time and Date Announcement", "p25p1", hit.pos)

@@ -170,7 +170,8 @@ class YsfDecoder(ProtocolDecoder):
         from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
         from dsdneo_tpu.vocoder.synth import synthesize_frames
         params = []
-        for blk in range(5):
+        for blk in range(4):        # reference ysf_ehr(vbuf, 0, 4):
+            # the 5th VCH slot is not voice on V/D1 systems
             seg = payload[blk * 72 + 36: blk * 72 + 72]
             bits72 = np.empty(72, dtype=np.uint8)
             bits72[0::2] = (seg >> 1) & 1

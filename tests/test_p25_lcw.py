@@ -195,17 +195,20 @@ def test_tsbk_catalog_breadth():
 
     _, out = run(0x1C, [0x12, 0x34, 0, 0, 7, 0, 0, 9])
     assert "Message Update" in out and "Message [1234]" in out
-    ctx, out = run(0x27, [0x04, 0x40, 0, 0, 1, 0, 0x30, 0x39])
-    assert "Deny Response" in out and "Site Access Denied" in out
+    ctx, out = run(0x27, [0x84, 0x60, 0, 0, 1, 0, 0x30, 0x39])
+    assert "Deny Response" in out and "Site Access Denial" in out
+    assert "Addl [000001]" in out      # gated on svc bit 7
     assert any(e.fields.get("deny") for e in ctx.events)
+    _, out = run(0x27, [0x04, 0x60, 0, 0, 1, 0, 0x30, 0x39])
+    assert "Addl" not in out
     ctx, out = run(0x03, [0x40, 0, 0x10, 0x0A, 0x10, 0x0B, 0x04, 0xD2])
     assert "Grant Update - Explicit" in out and "Group [1234]" in out
     assert any(e.fields.get("grant") for e in ctx.events)
     _, out = run(0x24, [0x00, 0x7D, 0, 0, 1, 0, 0, 5])
     assert "Radio Inhibit" in out
-    ctx, out = run(0x08, [0x10, 0x0A, 0, 50, 0, 0, 7, 0])
+    ctx, out = run(0x08, [0x00, 0x10, 0x0A, 0, 50, 0, 0, 7])
     assert "Telephone Interconnect Voice Channel Grant" in out
-    assert "Timer [5.0s]" in out
+    assert "CHAN [100A]" in out and "Timer [5.0s]" in out and "Target [7]" in out
 
 
 def test_mfid90_tsbk_catalog():
@@ -236,7 +239,7 @@ def test_mfid90_tsbk_catalog():
     assert ctx.state.affiliations.patches[1500]["wgids"] == {2001, 2002}
     ctx, out = run(0x01, [0x05, 0xDC, 0x07, 0xD1, 0, 0, 0, 0], ctx=shared)
     assert ctx.state.affiliations.patches[1500]["wgids"] == {2002}
-    _, out = run(0x07, [0x84, 0x40, 0, 0, 1, 0, 0x30, 0x39])
-    assert "Deny Response" in out and "Site Access Denied" in out
-    _, out = run(0x16, [0x10, 0x0A, 0, 0, 0xFF, 0xFF, 0, 0])
-    assert "TDMA Data Channel [100A]" in out
+    _, out = run(0x07, [0x84, 0x60, 0, 0, 1, 0, 0x30, 0x39])
+    assert "Deny Response" in out and "Site Access Denial" in out
+    _, out = run(0x16, [0, 0, 0x10, 0x0A, 0xFF, 0xFF, 0, 0])
+    assert "TDMA Data Channel DL [100A]" in out

@@ -65,12 +65,12 @@ def test_mfid90_regroup_grant_implicit():
 
 
 def test_motorola_deny_response_releases():
-    # deny 0xA7: flags(addl)=0x80|svc, reason 0x40 Site Access Denied
-    msg = [0xA7, 0x90, 0x0B, 0x80, 0x40, 0x00, 0x00, 0x01,
+    # deny 0xA7: flags(addl)=0x80|svc, reason 0x60 Site Access Denial
+    msg = [0xA7, 0x90, 0x0B, 0x80, 0x60, 0x00, 0x00, 0x01,
            0x00, 0x30, 0x39]
     text, ctx, _ = _run([msg])
     assert "Motorola Deny Response" in text
-    assert "Site Access Denied" in text
+    assert "Site Access Denial" in text
     assert "Target [12345]" in text
     assert any(e.fields.get("release") and e.fields.get("deny")
                for e in ctx.events)
@@ -265,7 +265,8 @@ def test_ysf_vd1_voice_roundtrip():
         payload[blk * 72 + 36: blk * 72 + 72] = dd
     ctx = DecoderContext()
     YsfDecoder()._voice_vd1(payload, ctx)
-    assert 0 in ctx.audio and len(ctx.audio[0][0]) == 5 * 160
+    # the reference synthesizes 4 frames per V/D1 payload (ysf_ehr 0..4)
+    assert 0 in ctx.audio and len(ctx.audio[0][0]) == 4 * 160
 
 
 def test_nxdn_sdcall_header_and_data():
@@ -302,7 +303,8 @@ def test_nxdn_sdcall_header_and_data():
             data[a + i] = (v >> (n - 1 - i)) & 1
 
     put2(0x39, 2, 6)
-    for i, ch in enumerate(b"HELLO NX?"):
-        put2(ch, 8 + 8 * i, 8)
+    put2(0x12, 8, 8)                    # PF/BLK counters
+    for i, ch in enumerate(b"HELLO NX"):
+        put2(ch, 16 + 8 * i, 8)
     out = NxdnDecoder()._message(data, ctx)
-    assert "HELLO NX" in out
+    assert "PF [1] BLK [2]" in out and "HELLO NX" in out
