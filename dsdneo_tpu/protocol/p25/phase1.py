@@ -607,13 +607,16 @@ class P25P1Decoder(ProtocolDecoder):
                      channel=chan, data=True,
                      grant=chan not in (0, 0xFFFF))
         elif opcode == 0x12:  # Group Data Channel Announcement
-            svc = int(b[2])
-            ch1 = (int(b[3]) << 8) | int(b[4])
-            g1 = (int(b[5]) << 8) | int(b[6])
-            ch2 = (int(b[7]) << 8) | int(b[8])
-            ctx.emit(f" Group Data Channel Announcement\n"
-                     f"  SVC [{svc:02X}] CHAN-A [{ch1:04X}] Group-A [{g1}]"
-                     f" CHAN-B [{ch2:04X}]", "p25p1", hit.pos)
+            # chanA@2-3, grpA@4-5, chanB@6-7, grpB@8-9 (reference
+            # tsbk_handle_group_data_channel_announcement)
+            ch1 = (int(b[2]) << 8) | int(b[3])
+            g1 = (int(b[4]) << 8) | int(b[5])
+            ch2 = (int(b[6]) << 8) | int(b[7])
+            g2 = (int(b[8]) << 8) | int(b[9])
+            ctx.emit(f" Group Data Channel Announcement - Obsolete\n"
+                     f"  CHAN-A [{ch1:04X}] Group-A [{g1}]"
+                     f" CHAN-B [{ch2:04X}] Group-B [{g2}]",
+                     "p25p1", hit.pos)
         elif opcode == 0x13:  # Group Data Channel Announcement - Explicit
             svc = int(b[2])
             cht = (int(b[4]) << 8) | int(b[5])
