@@ -266,6 +266,75 @@ class P25P1Decoder(ProtocolDecoder):
                    f" Base Frequency [{base:08X}] [{base * 5:09d}]")
         ctx.emit(detail, "p25p1", hit.pos, iden=iden)
 
+    def _tsbk_isp(self, opcode: int, b: np.ndarray, hit: SyncHit,
+                  ctx: DecoderContext) -> bool:
+        """Inbound (subscriber→system) TSBK set (reference
+        tsbk_handle_isp_messages; field helpers tsbk_isp_print_*:
+        src@7-9, tgt@4-6, group@5-6, WACN b2<<12|b3<<4|b4>>4)."""
+        def u16(i):
+            return (int(b[i]) << 8) | int(b[i + 1])
+
+        def u24(i):
+            return (int(b[i]) << 16) | (int(b[i + 1]) << 8) | int(b[i + 2])
+
+        src = u24(7)
+        tgt = u24(4)
+        wacn = (int(b[2]) << 12) | (int(b[3]) << 4) | (int(b[4]) >> 4)
+        sysid = ((int(b[4]) & 0xF) << 8) | int(b[5])
+        svc = int(b[2])
+        SRC_TGT = {0x04: "Unit-to-Unit Voice Service Request",
+                   0x05: "Unit-to-Unit Answer Response",
+                   0x08: "Telephone Interconnect Explicit Dial Request",
+                   0x09: "Telephone Interconnect PSTN Request",
+                   0x0A: "Telephone Interconnect Answer Response",
+                   0x10: "Individual Data Service Request",
+                   0x1C: "Radio Unit Monitor Request",
+                   0x1F: "Call Alert Request",
+                   0x23: "Cancel Service Request",
+                   0x36: "Roaming Address Request",
+                   0x37: "Roaming Address Response"}
+        WACN_SYS = {0x2B: "Unit De-Registration Request",
+                    0x2C: "Unit Registration Request",
+                    0x30: "Protection Parameter Request",
+                    0x32: "Identifier/Frequency Band Update Request"}
+        STATUS = {0x18: ("Status Update Request", True),
+                  0x19: ("Status Query Response", True),
+                  0x1A: ("Status Query Request", False)}
+        suffix = " (ISP protected/inbound)"
+        if opcode == 0x00:
+            ctx.emit(f" Group Voice Service Request{suffix}"
+                     f" FM [{src}] Group [{u16(5)}] SVC [{svc:02X}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x11:
+            ctx.emit(f" Group Data Service Request{suffix}"
+                     f" FM [{src}] Group [{u16(5)}] SVC [{svc:02X}]",
+                     "p25p1", hit.pos)
+        elif opcode in SRC_TGT:
+            ctx.emit(f" {SRC_TGT[opcode]}{suffix} FM [{src}] TO [{tgt}]",
+                     "p25p1", hit.pos)
+        elif opcode in WACN_SYS:
+            ctx.emit(f" {WACN_SYS[opcode]}{suffix} FM [{src}]"
+                     f" WACN [{wacn:05X}] SYSID [{sysid:03X}]",
+                     "p25p1", hit.pos)
+        elif opcode in STATUS:
+            label, has_status = STATUS[opcode]
+            line = f" {label}{suffix} FM [{src}] TO [{tgt}]"
+            if has_status:
+                line += (f" UNIT STATUS [{int(b[2]):02X}]"
+                         f" USER STATUS [{int(b[3]):02X}]")
+            ctx.emit(line, "p25p1", hit.pos)
+        elif opcode == 0x28:
+            ctx.emit(f" Group Affiliation Request{suffix} FM [{src}]"
+                     f" SYSID [{((int(b[3]) & 0xF) << 8) | int(b[4]):03X}]"
+                     f" Group [{u16(5)}]", "p25p1", hit.pos)
+        elif opcode == 0x12:
+            ctx.emit(f" SNDCP Data Channel Request{suffix} FM [{src}]"
+                     f" DSO [{svc:02X}] DAC [{u16(3):04X}]",
+                     "p25p1", hit.pos)
+        else:
+            return False
+        return True
+
     def _queued_deny(self, b: np.ndarray, is_deny: bool, prefix: str,
                      hit: SyncHit, ctx: DecoderContext) -> None:
         """Queued/Deny response (reference p25_response_reason.c tables;
@@ -404,7 +473,15 @@ class P25P1Decoder(ProtocolDecoder):
         if mfid == 0x90:
             self._mfid90(b, opcode, hit, ctx)
             return bool(lb)
-        if protect or mfid >= 2:
+        if protect:
+            # protected TSBKs decode as ISP (inbound/subscriber)
+            # messages (reference tsbk_dispatch_message protectbit path)
+            if mfid < 2 and self._tsbk_isp(opcode, b, hit, ctx):
+                return bool(lb)
+            ctx.emit(f" TSBK MFID {mfid:02X} OP {opcode:02X} (protected)",
+                     "p25p1", hit.pos)
+            return bool(lb)
+        if mfid >= 2:
             ctx.emit(f" TSBK MFID {mfid:02X} OP {opcode:02X}", "p25p1", hit.pos)
             return bool(lb)
         if opcode == 0x3B:    # Network Status Broadcast

@@ -243,3 +243,34 @@ def test_mfid90_tsbk_catalog():
     assert "Deny Response" in out and "Site Access Denial" in out
     _, out = run(0x16, [0, 0, 0x10, 0x0A, 0xFF, 0xFF, 0, 0])
     assert "TDMA Data Channel DL [100A]" in out
+
+
+def test_tsbk_isp_catalog():
+    """Protected TSBKs decode as inbound subscriber requests
+    (reference tsbk_handle_isp_messages)."""
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+
+    def run(op, body):
+        bits = np.zeros(96, np.uint8)
+        byts = [op | 0x40, 0] + body       # protect flag set
+        for i, v in enumerate(byts[:12]):
+            for j in range(8):
+                bits[8 * i + j] = (v >> (7 - j)) & 1
+        ctx = DecoderContext()
+        P25P1Decoder()._tsbk(
+            bits, SimpleNamespace(pos=0, sync=SimpleNamespace(name="x")),
+            ctx)
+        return "\n".join(e.line for e in ctx.events)
+
+    out = run(0x00, [0x40, 0, 0, 0x04, 0xD2, 0, 0x30, 0x39])
+    assert ("Group Voice Service Request (ISP protected/inbound)"
+            " FM [12345] Group [1234] SVC [40]") in out
+    out = run(0x1F, [0, 0, 0, 0, 7, 0, 0x30, 0x39])
+    assert "Call Alert Request (ISP protected/inbound) FM [12345] TO [7]" in out
+    out = run(0x2C, [0x92, 0x06, 0x50, 0xD5, 0, 0, 0x30, 0x39])
+    assert "Unit Registration Request" in out and "WACN [92065]" in out
+    out = run(0x18, [0x11, 0x22, 0, 0, 7, 0, 0x30, 0x39])
+    assert "Status Update Request" in out
+    assert "UNIT STATUS [11] USER STATUS [22]" in out
+    out = run(0x3F, [0] * 8)               # unknown protected op
+    assert "(protected)" in out
