@@ -481,6 +481,37 @@ class P25P1Decoder(ProtocolDecoder):
             ctx.emit(f" TSBK MFID {mfid:02X} OP {opcode:02X} (protected)",
                      "p25p1", hit.pos)
             return bool(lb)
+        if mfid == 0xA4 and opcode == 0x30:
+            # Harris Group Regroup Explicit Encryption Command
+            # (reference tsbk_handle_mfid_a4): TGA flags select WGID vs
+            # WUID form; patch/simulselect + active state feed the
+            # patch registry
+            from dsdneo_tpu.core.affiliation import table_for
+            sg = (int(b[3]) << 8) | int(b[4])
+            key = (int(b[5]) << 8) | int(b[6])
+            tga = int(b[2]) >> 5
+            ssn = int(b[2]) & 0x1F
+            line = (f" MFID A4 (Harris) Group Regroup Explicit Encryption"
+                    f" Command\n  SG: {sg}; KEY ID: {key:04X}; ")
+            t = table_for(ctx)
+            t.patch_update(sg, is_patch=not (tga & 0x4),
+                           active=bool(tga & 0x1))
+            if tga & 0x2:
+                alg = int(b[7])
+                wgid = (int(b[8]) << 8) | int(b[9])
+                line += f"ALG: {alg:02X}; WGID: {wgid}; "
+                if wgid:
+                    t.patch_add_wgid(sg, wgid)
+            else:
+                wuid = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+                line += f"WUID: {wuid}; "
+                if wuid:
+                    t.patch_add_wuid(sg, wuid)
+            line += (" Simulselect" if tga & 0x4 else " Patch")
+            line += (" Active;" if tga & 0x1 else " Inactive;")
+            line += f" SSN: {ssn:02d}"
+            ctx.emit(line, "p25p1", hit.pos)
+            return bool(lb)
         if mfid >= 2:
             ctx.emit(f" TSBK MFID {mfid:02X} OP {opcode:02X}", "p25p1", hit.pos)
             return bool(lb)

@@ -274,3 +274,36 @@ def test_tsbk_isp_catalog():
     assert "UNIT STATUS [11] USER STATUS [22]" in out
     out = run(0x3F, [0] * 8)               # unknown protected op
     assert "(protected)" in out
+
+
+def test_harris_grg_explicit_encryption_tsbk():
+    """Harris A4 regroup command feeds the patch registry with KAS and
+    patch/simulselect state (reference tsbk_handle_mfid_a4)."""
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+
+    def run(body):
+        bits = np.zeros(96, np.uint8)
+        byts = [0x30, 0xA4] + body
+        for i, v in enumerate(byts[:12]):
+            for j in range(8):
+                bits[8 * i + j] = (v >> (7 - j)) & 1
+        ctx = DecoderContext()
+        P25P1Decoder()._tsbk(
+            bits, SimpleNamespace(pos=0, sync=SimpleNamespace(name="x")),
+            ctx)
+        return ctx, "\n".join(e.line for e in ctx.events)
+
+    # TGA=0b011 (patch, WGID form, active), SSN 5
+    ctx, out = run([(0b011 << 5) | 5, 0x05, 0xDC, 0x12, 0x34, 0xAA,
+                    0x07, 0xD1])
+    assert "MFID A4 (Harris) Group Regroup Explicit Encryption" in out
+    assert "SG: 1500; KEY ID: 1234;" in out
+    assert "ALG: AA; WGID: 2001;" in out and "Patch Active;" in out
+    p = ctx.state.affiliations.patches[1500]
+    assert p["is_patch"] and p["active"] and 2001 in p["wgids"]
+    # TGA=0b100 (simulselect, WUID form, inactive)
+    ctx, out = run([(0b100 << 5) | 1, 0x05, 0xDC, 0x12, 0x34, 0x00,
+                    0x30, 0x39])
+    assert "WUID: 12345;" in out and "Simulselect Inactive;" in out
+    p = ctx.state.affiliations.patches[1500]
+    assert not p["is_patch"] and not p["active"]
