@@ -118,6 +118,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TYT AP (PC4) key, 32 or 64 hex chars")
     p.add_argument("--key-baofeng", default="", metavar="HEX",
                    help="Baofeng AP (PC5) key, 32 or 64 hex chars")
+    p.add_argument("--calc-lcn", dest="calc_lcn", default="", metavar="CSV",
+                   help="one-shot DMR Tier III LCN calculator: map the "
+                        "frequencies in CSV to LCNs and print lcn,freq "
+                        "rows (reference oneshot_dmr_t3.c)")
+    p.add_argument("--calc-step", dest="calc_step", type=int, default=0,
+                   metavar="HZ", help="channel step in Hz for --calc-lcn "
+                        "(default: inferred on the 125 Hz grid)")
+    p.add_argument("--calc-cc-freq", dest="calc_cc_freq", type=float,
+                   default=0.0, metavar="MHZ",
+                   help="control-channel anchor frequency for --calc-lcn "
+                        "(MHz if < 1e5, else Hz)")
+    p.add_argument("--calc-cc-lcn", dest="calc_cc_lcn", type=int, default=0,
+                   metavar="N", help="LCN of the anchor control channel")
+    p.add_argument("--calc-start-lcn", dest="calc_start_lcn", type=int,
+                   default=0, metavar="N",
+                   help="LCN assigned to the lowest frequency (default 1)")
     p.add_argument("--wizard", action="store_true",
                    help="interactive setup wizard (reference bootstrap "
                         "interactive mode)")
@@ -425,6 +441,18 @@ def _run_m17_tx(args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.calc_lcn:
+        from dsdneo_tpu.engine.lcn_calc import calc_dmr_t3_lcn
+        ccf = args.calc_cc_freq
+        cc_freq_hz = (round(ccf * 1e6) if 0 < ccf < 1e5 else round(ccf)) \
+            if ccf > 0 else None
+        return calc_dmr_t3_lcn(
+            args.calc_lcn,
+            step_hz=args.calc_step or None,
+            cc_freq_hz=cc_freq_hz,
+            cc_lcn=args.calc_cc_lcn or None,
+            start_lcn=args.calc_start_lcn or None,
+        )
     if args.edacs_ea and args.mode == "auto":
         args.mode = "edacs"
     if getattr(args, "tx_mode", None):
