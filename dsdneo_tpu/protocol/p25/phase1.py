@@ -267,10 +267,13 @@ class P25P1Decoder(ProtocolDecoder):
         ctx.emit(detail, "p25p1", hit.pos, iden=iden)
 
     def _tsbk_isp(self, opcode: int, b: np.ndarray, hit: SyncHit,
-                  ctx: DecoderContext) -> bool:
+                  ctx: DecoderContext) -> None:
         """Inbound (subscriber→system) TSBK set (reference
-        tsbk_handle_isp_messages; field helpers tsbk_isp_print_*:
-        src@7-9, tgt@4-6, group@5-6, WACN b2<<12|b3<<4|b4>>4)."""
+        tsbk_handle_isp_messages p25p1_tsbk.c:917-944 and the four
+        tsbk_handle_isp_* groups :764-908; field helpers: src=u24@7,
+        tgt=u24@4, group=u16@5, WACN=b3<<12|b4<<4|b5>>4
+        tsbk_wacn_from_24 :714-717, SYSID=(b5&0xF)<<8|b6
+        tsbk_sys_from_44 :719-723)."""
         def u16(i):
             return (int(b[i]) << 8) | int(b[i + 1])
 
@@ -279,61 +282,143 @@ class P25P1Decoder(ProtocolDecoder):
 
         src = u24(7)
         tgt = u24(4)
-        wacn = (int(b[2]) << 12) | (int(b[3]) << 4) | (int(b[4]) >> 4)
-        sysid = ((int(b[4]) & 0xF) << 8) | int(b[5])
-        svc = int(b[2])
-        SRC_TGT = {0x04: "Unit-to-Unit Voice Service Request",
-                   0x05: "Unit-to-Unit Answer Response",
-                   0x08: "Telephone Interconnect Explicit Dial Request",
-                   0x09: "Telephone Interconnect PSTN Request",
-                   0x0A: "Telephone Interconnect Answer Response",
-                   0x10: "Individual Data Service Request",
-                   0x1C: "Radio Unit Monitor Request",
-                   0x1F: "Call Alert Request",
-                   0x23: "Cancel Service Request",
-                   0x36: "Roaming Address Request",
-                   0x37: "Roaming Address Response"}
+        wacn = (int(b[3]) << 12) | (int(b[4]) << 4) | (int(b[5]) >> 4)
+        sysid = ((int(b[5]) & 0xF) << 8) | int(b[6])
+        b2, b3 = int(b[2]), int(b[3])
+        sx = " (ISP protected/inbound)"
+        # src_tgt-form labels with optional SVC / SVC+RESPONSE tails
+        SRC_TGT = {0x04: ("Unit-to-Unit Voice Service Request", "svc"),
+                   0x05: ("Unit-to-Unit Answer Response", "svc_rsp"),
+                   0x08: ("Telephone Interconnect Explicit Dial Request",
+                          "svc"),
+                   0x09: ("Telephone Interconnect PSTN Request", "svc"),
+                   0x0A: ("Telephone Interconnect Answer Response",
+                          "svc_rsp"),
+                   0x10: ("Individual Data Service Request", "svc"),
+                   0x1F: ("Call Alert Request", ""),
+                   0x2E: ("Authentication Query (obsolete)", ""),
+                   0x2F: ("Authentication Response (obsolete)", ""),
+                   0x36: ("Roaming Address Request", "")}
         WACN_SYS = {0x2B: "Unit De-Registration Request",
                     0x2C: "Unit Registration Request",
                     0x30: "Protection Parameter Request",
-                    0x32: "Identifier/Frequency Band Update Request"}
+                    0x32: "Identifier/Frequency Band Update Request",
+                    0x37: "Roaming Address Response"}
         STATUS = {0x18: ("Status Update Request", True),
                   0x19: ("Status Query Response", True),
                   0x1A: ("Status Query Request", False)}
-        suffix = " (ISP protected/inbound)"
-        if opcode == 0x00:
-            ctx.emit(f" Group Voice Service Request{suffix}"
-                     f" FM [{src}] Group [{u16(5)}] SVC [{svc:02X}]",
-                     "p25p1", hit.pos)
-        elif opcode == 0x11:
-            ctx.emit(f" Group Data Service Request{suffix}"
-                     f" FM [{src}] Group [{u16(5)}] SVC [{svc:02X}]",
-                     "p25p1", hit.pos)
+        if opcode in (0x00, 0x11):
+            label = ("Group Voice Service Request" if opcode == 0x00
+                     else "Group Data Service Request")
+            g = u16(5)
+            ctx.emit(f" {label}{sx} FM [{src}] Group [{g}][{g:04X}]"
+                     f" SVC [{b2:02X}]", "p25p1", hit.pos)
         elif opcode in SRC_TGT:
-            ctx.emit(f" {SRC_TGT[opcode]}{suffix} FM [{src}] TO [{tgt}]",
-                     "p25p1", hit.pos)
+            label, tail = SRC_TGT[opcode]
+            line = f" {label}{sx} FM [{src}] TO [{tgt}]"
+            if tail:
+                line += f" SVC [{b2:02X}]"
+                if tail == "svc_rsp":
+                    line += f" RESPONSE [{b3:02X}]"
+            ctx.emit(line, "p25p1", hit.pos)
         elif opcode in WACN_SYS:
-            ctx.emit(f" {WACN_SYS[opcode]}{suffix} FM [{src}]"
-                     f" WACN [{wacn:05X}] SYSID [{sysid:03X}]",
-                     "p25p1", hit.pos)
+            line = (f" {WACN_SYS[opcode]}{sx} FM [{src}]"
+                    f" WACN [{wacn:05X}] SYSID [{sysid:03X}]")
+            if opcode == 0x2C:
+                line += (f" EMERGENCY [{(b2 >> 7) & 1}]"
+                         f" CAPABILITY [{b2 & 0x7F:02X}]")
+            elif opcode == 0x37:
+                line += f" MSN [{b2 & 0xF}] FINAL [{(b2 >> 7) & 1}]"
+            ctx.emit(line, "p25p1", hit.pos)
         elif opcode in STATUS:
             label, has_status = STATUS[opcode]
-            line = f" {label}{suffix} FM [{src}] TO [{tgt}]"
+            line = f" {label}{sx} FM [{src}] TO [{tgt}]"
             if has_status:
-                line += (f" UNIT STATUS [{int(b[2]):02X}]"
-                         f" USER STATUS [{int(b[3]):02X}]")
+                line += (f" UNIT STATUS [{b2:02X}]"
+                         f" USER STATUS [{b3:02X}]")
             ctx.emit(line, "p25p1", hit.pos)
-        elif opcode == 0x28:
-            ctx.emit(f" Group Affiliation Request{suffix} FM [{src}]"
-                     f" SYSID [{((int(b[3]) & 0xF) << 8) | int(b[4]):03X}]"
-                     f" Group [{u16(5)}]", "p25p1", hit.pos)
         elif opcode == 0x12:
-            ctx.emit(f" SNDCP Data Channel Request{suffix} FM [{src}]"
-                     f" DSO [{svc:02X}] DAC [{u16(3):04X}]",
+            ctx.emit(f" SNDCP Data Channel Request{sx} FM [{src}]"
+                     f" DSO [{b2:02X}] DAC [{u16(3):04X}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x13:
+            ctx.emit(f" SNDCP Data Page Response{sx} FM [{src}]"
+                     f" DSO [{b2:02X}] RESPONSE [{b3:02X}]"
+                     f" DAC [{u16(4):04X}]", "p25p1", hit.pos)
+        elif opcode == 0x14:
+            ctx.emit(f" SNDCP Reconnect Request{sx} FM [{src}]"
+                     f" DSO [{b2:02X}] DAC [{u16(3):04X}]"
+                     f" DATA_TO_SEND [{(int(b[5]) >> 7) & 1}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x1C:
+            ctx.emit(f" Message Update Request{sx} FM [{src}] TO [{tgt}]"
+                     f" SHORT DATA [{u16(2):04X}]", "p25p1", hit.pos)
+        elif opcode == 0x20:
+            ctx.emit(f" Unit Acknowledge Response{sx} FM [{src}]"
+                     f" TO [{tgt}] ACK SVC [{b2 & 0x3F:02X}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x23:
+            ctx.emit(f" Cancel Service Request{sx} FM [{src}]"
+                     f" VALID [{(b2 >> 7) & 1}] SVC [{b2 & 0x3F:02X}]"
+                     f" REASON [{b3:02X}] INFO [{u24(4):06X}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x24:
+            ctx.emit(f" Extended Function Response{sx} FM [{src}]"
+                     f" FUNC [{u16(2):04X}] ARG [{u24(4):06X}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x27:
+            g = u16(5)
+            ctx.emit(f" Emergency Alarm Request{sx} Source [{src}]"
+                     f" Group [{g}][{g:04X}] ** EMERGENCY **",
+                     "p25p1", hit.pos)
+        elif opcode == 0x28:
+            g = u16(5)
+            ctx.emit(f" Group Affiliation Request{sx} FM [{src}]"
+                     f" SYSID [{((b3 & 0xF) << 8) | int(b[4]):03X}]"
+                     f" Group [{g}][{g:04X}]", "p25p1", hit.pos)
+        elif opcode == 0x29:
+            ag, g = u16(3), u16(5)
+            ctx.emit(f" Group Affiliation Query Response{sx} FM [{src}]"
+                     f" Announcement Group [{ag}][{ag:04X}]"
+                     f" Group [{g}][{g:04X}]", "p25p1", hit.pos)
+        elif opcode == 0x2D:
+            g = u16(5)
+            ctx.emit(f" Location Registration Request{sx} FM [{src}]"
+                     f" EMERGENCY [{(b2 >> 7) & 1}]"
+                     f" CAPABILITY [{b2 & 0x7F:02X}] LRA [{int(b[4]):02X}]"
+                     f" Group [{g}][{g:04X}]", "p25p1", hit.pos)
+        elif opcode in (0x38, 0x39, 0x3A, 0x3B):
+            data = "".join(f"{int(b[i]):02X}" for i in range(2, 10))
+            ctx.emit(f" Authentication Message{sx} OP [{opcode:02X}]"
+                     f" SRC [{src}] DATA [{data}]", "p25p1", hit.pos)
+        else:
+            data = "".join(f"{int(b[i]):02X}" for i in range(2, 10))
+            ctx.emit(f" Unsupported ISP opcode (protected/inbound)"
+                     f" OP [{opcode:02X}] DATA [{data}]", "p25p1", hit.pos)
+
+    def _tsbk_isp_mfid90(self, opcode: int, b: np.ndarray, hit: SyncHit,
+                         ctx: DecoderContext) -> None:
+        """Protected MFID90 TSBKs are Motorola inbound requests
+        (reference tsbk_handle_mfid90_isp_messages
+        p25p1_tsbk.c:946-975)."""
+        src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+        if opcode == 0x00:
+            sg = (int(b[5]) << 8) | int(b[6])
+            ctx.emit(" MFID90 (Moto) Group Regroup Voice Request"
+                     f" (ISP protected/inbound) FM [{src}]"
+                     f" SG [{sg}][{sg:04X}] SVC [{int(b[2]):02X}]",
+                     "p25p1", hit.pos)
+        elif opcode == 0x01:
+            func = (int(b[2]) << 8) | int(b[3])
+            arg = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+            ctx.emit(" MFID90 (Moto) Extended Function Response"
+                     f" (ISP protected/inbound) FM [{src}]"
+                     f" FUNC [{func:04X}] ARG [{arg:06X}]",
                      "p25p1", hit.pos)
         else:
-            return False
-        return True
+            data = "".join(f"{int(b[i]):02X}" for i in range(2, 10))
+            ctx.emit(" Unsupported MFID90 ISP opcode (protected/inbound)"
+                     f" OP [{opcode:02X}] DATA [{data}]", "p25p1", hit.pos)
 
     def _queued_deny(self, b: np.ndarray, is_deny: bool, prefix: str,
                      hit: SyncHit, ctx: DecoderContext) -> None:
@@ -470,16 +555,21 @@ class P25P1Decoder(ProtocolDecoder):
         opcode = int(b[0] & 0x3F)
         mfid = int(b[1])
         s = ctx.state
-        if mfid == 0x90:
-            self._mfid90(b, opcode, hit, ctx)
-            return bool(lb)
         if protect:
             # protected TSBKs decode as ISP (inbound/subscriber)
-            # messages (reference tsbk_dispatch_message protectbit path)
-            if mfid < 2 and self._tsbk_isp(opcode, b, hit, ctx):
-                return bool(lb)
-            ctx.emit(f" TSBK MFID {mfid:02X} OP {opcode:02X} (protected)",
-                     "p25p1", hit.pos)
+            # messages; the protect bit is checked BEFORE any MFID
+            # routing (reference tsbk_dispatch_message protectbit path
+            # p25p1_tsbk.c:1022-1029)
+            if mfid < 2:
+                self._tsbk_isp(opcode, b, hit, ctx)
+            elif mfid == 0x90:
+                self._tsbk_isp_mfid90(opcode, b, hit, ctx)
+            else:
+                ctx.emit(f" TSBK MFID {mfid:02X} OP {opcode:02X}"
+                         " (protected)", "p25p1", hit.pos)
+            return bool(lb)
+        if mfid == 0x90:
+            self._mfid90(b, opcode, hit, ctx)
             return bool(lb)
         if mfid == 0xA4 and opcode == 0x30:
             # Harris Group Regroup Explicit Encryption Command

@@ -250,9 +250,9 @@ def test_tsbk_isp_catalog():
     (reference tsbk_handle_isp_messages)."""
     from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
 
-    def run(op, body):
+    def run(op, body, mfid=0):
         bits = np.zeros(96, np.uint8)
-        byts = [op | 0x40, 0] + body       # protect flag set
+        byts = [op | 0x40, mfid] + body    # protect flag set
         for i, v in enumerate(byts[:12]):
             for j in range(8):
                 bits[8 * i + j] = (v >> (7 - j)) & 1
@@ -264,16 +264,32 @@ def test_tsbk_isp_catalog():
 
     out = run(0x00, [0x40, 0, 0, 0x04, 0xD2, 0, 0x30, 0x39])
     assert ("Group Voice Service Request (ISP protected/inbound)"
-            " FM [12345] Group [1234] SVC [40]") in out
+            " FM [12345] Group [1234][04D2] SVC [40]") in out
     out = run(0x1F, [0, 0, 0, 0, 7, 0, 0x30, 0x39])
     assert "Call Alert Request (ISP protected/inbound) FM [12345] TO [7]" in out
-    out = run(0x2C, [0x92, 0x06, 0x50, 0xD5, 0, 0, 0x30, 0x39])
+    # WACN=b3<<12|b4<<4|b5>>4, SYSID=(b5&0xF)<<8|b6 (tsbk_wacn_from_24)
+    out = run(0x2C, [0x92, 0x92, 0x06, 0x5A, 0xBC, 0, 0x30, 0x39])
     assert "Unit Registration Request" in out and "WACN [92065]" in out
+    assert "SYSID [ABC]" in out
+    assert "EMERGENCY [1] CAPABILITY [12]" in out
+    out = run(0x37, [0x85, 0x92, 0x06, 0x5A, 0xBC, 0, 0x30, 0x39])
+    assert "Roaming Address Response" in out and "WACN [92065]" in out
+    assert "MSN [5] FINAL [1]" in out
     out = run(0x18, [0x11, 0x22, 0, 0, 7, 0, 0x30, 0x39])
     assert "Status Update Request" in out
     assert "UNIT STATUS [11] USER STATUS [22]" in out
+    out = run(0x1C, [0xBE, 0xEF, 0, 0, 7, 0, 0x30, 0x39])
+    assert ("Message Update Request (ISP protected/inbound) FM [12345]"
+            " TO [7] SHORT DATA [BEEF]") in out
+    out = run(0x27, [0, 0, 0, 0x04, 0xD2, 0, 0x30, 0x39])
+    assert "Emergency Alarm Request" in out and "** EMERGENCY **" in out
     out = run(0x3F, [0] * 8)               # unknown protected op
-    assert "(protected)" in out
+    assert "Unsupported ISP opcode (protected/inbound) OP [3F]" in out
+    # protected MFID90 routes to the Moto ISP set, not the OSP catalog
+    out = run(0x00, [0x40, 0, 0, 0x04, 0xD2, 0, 0x30, 0x39], mfid=0x90)
+    assert ("MFID90 (Moto) Group Regroup Voice Request"
+            " (ISP protected/inbound) FM [12345] SG [1234][04D2]"
+            " SVC [40]") in out
 
 
 def test_harris_grg_explicit_encryption_tsbk():
