@@ -68,6 +68,20 @@ class AffiliationTable:
         if sg and wuid:
             self._patch_entry(sg)["wuids"].add(wuid)
 
+    def patch_set_kas(self, sg: int, key: int = -1, alg: int = -1,
+                      ssn: int = -1) -> None:
+        """Key/algorithm/SSN for encrypted regroups (reference
+        p25_patch.c:377-398 p25_patch_set_kas; negative = leave as-is)."""
+        if not sg:
+            return
+        p = self._patch_entry(sg)
+        if key >= 0:
+            p["key"] = key
+        if alg >= 0:
+            p["alg"] = alg
+        if ssn >= 0:
+            p["ssn"] = ssn & 0x1F
+
     def patch_remove_wgid(self, sg: int, wgid: int) -> None:
         p = self.patches.get(sg)
         if p is not None:

@@ -592,11 +592,13 @@ class P25P1Decoder(ProtocolDecoder):
                 line += f"ALG: {alg:02X}; WGID: {wgid}; "
                 if wgid:
                     t.patch_add_wgid(sg, wgid)
+                t.patch_set_kas(sg, key, alg, ssn)
             else:
                 wuid = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
                 line += f"WUID: {wuid}; "
                 if wuid:
                     t.patch_add_wuid(sg, wuid)
+                t.patch_set_kas(sg, key, -1, ssn)
             line += (" Simulselect" if tga & 0x4 else " Patch")
             line += (" Active;" if tga & 0x1 else " Inactive;")
             line += f" SSN: {ssn:02d}"

@@ -317,6 +317,8 @@ def test_harris_grg_explicit_encryption_tsbk():
     assert "ALG: AA; WGID: 2001;" in out and "Patch Active;" in out
     p = ctx.state.affiliations.patches[1500]
     assert p["is_patch"] and p["active"] and 2001 in p["wgids"]
+    # KAS stored (reference p25_patch_set_kas)
+    assert p["key"] == 0x1234 and p["alg"] == 0xAA and p["ssn"] == 5
     # TGA=0b100 (simulselect, WUID form, inactive)
     ctx, out = run([(0b100 << 5) | 1, 0x05, 0xDC, 0x12, 0x34, 0x00,
                     0x30, 0x39])
