@@ -34,7 +34,7 @@ CACH_INTERLEAVE = np.array([0, 7, 8, 9, 1, 10, 11, 12, 2, 13, 14, 15, 3, 16,
 DATA_TYPES = {
     0: "PI Header", 1: "VLC Header", 2: "TLC", 3: "CSBK", 4: "MBC Header",
     5: "MBC Continuation", 6: "Data Header", 7: "R12DATA", 8: "R34DATA",
-    9: "Idle", 10: "R1DATA", 11: "RAS", 12: "USB Data",
+    9: "Idle", 10: "R1DATA", 11: "USBD",
 }
 
 
@@ -219,7 +219,7 @@ class DmrBsDecoder(ProtocolDecoder):
             return None
         cc = (msg >> 4) & 0xF
         dtype = msg & 0xF
-        if dtype > 12:
+        if dtype > 11:      # reference profiles end at 0x0B USBD
             return None
         return cc, dtype
 
@@ -296,7 +296,31 @@ class DmrBsDecoder(ProtocolDecoder):
                     detail = self._r12_block(payload, s)
                 elif dtype == 0:
                     detail = self._pi_header(payload, s)
+                elif dtype == 11:
+                    detail = self._usbd(payload)
         ctx.emit(head + detail, "dmr", pos, cc=cc, dtype=dtype, slot=s)
+
+    def _usbd(self, bits96: np.ndarray) -> str:
+        """Unified Single Block Data (dtype 0x0B, CRC16 mask 0x3333):
+        4-bit service + 92-bit payload; service 0 is a LIP location
+        (reference dmr_dburst.c dmr_dburst_handle_usbd)."""
+        ccrc = crc.crc16_bits(bits96[:80], init=0, xorout=0xFFFF) ^ 0x3333
+        if ccrc != _bits_to_int(bits96[80:96]):
+            return " | USBD CRC16 ERR"
+        service = _bits_to_int(bits96[0:4])
+        names = {0: "Location Information Protocol"}
+        name = names.get(service,
+                         "Standard Service" if service <= 8 else
+                         "Reserved (standard)" if service <= 15 else
+                         "Manufacturer Specific")
+        payload = "".join(
+            f"[{_bits_to_int(bits96[4 + 8 * i:12 + 8 * i]):02X}]"
+            for i in range(11)) + f"[{_bits_to_int(bits96[92:96]):X}]"
+        out = f" | USBD - Service: {name} ({service}) - Payload: {payload}"
+        if service == 0:
+            from dsdneo_tpu.protocol.dmr.gps import decode_lip
+            out += "\n  " + decode_lip(bits96)
+        return out
 
     def _mbc_continuation(self, bits96: np.ndarray, ctx: DecoderContext,
                           hit, s: int, mono: bool) -> str:
@@ -331,7 +355,7 @@ class DmrBsDecoder(ProtocolDecoder):
         hdr = parse_data_header(bits96)
         if hdr is None:
             return " | Data Header CRC ERR"
-        self.assembler[slot].start(hdr)
+        self.assembler[slot].start(hdr, header_bits=bits96)
         return " | " + hdr.describe()
 
     def _r12_block(self, bits96: np.ndarray, slot: int) -> str:

@@ -144,17 +144,21 @@ class PduAssembler:
     """Per-slot multi-block PDU accumulator (reference
     dmr_block.c dmr_block_assembler, type 1)."""
     header: DataHeader | None = None
+    header_bits: np.ndarray | None = None
     data: list = field(default_factory=list)     # decoded block bytes
     count: int = 0
 
-    def start(self, header: DataHeader) -> None:
+    def start(self, header: DataHeader,
+              header_bits: np.ndarray | None = None) -> None:
         self.header = header
+        self.header_bits = header_bits
         self.data = []
         self.count = 0
 
     def add_block(self, block_bytes: np.ndarray) -> str | None:
         """Append one block; returns a completion summary when the PDU
-        finishes (CRC32 verdict + any decodable text), else None."""
+        finishes (CRC32 verdict + any decodable text; UDT runs decode
+        per the UDT format field), else None."""
         if self.header is None:
             return None
         self.data.append(np.asarray(block_bytes, dtype=np.uint8))
@@ -162,7 +166,16 @@ class PduAssembler:
         if self.count < max(self.header.blocks, 1):
             return None
         payload = np.concatenate(self.data)
+        hdr, hdr_bits = self.header, self.header_bits
         self.header = None
+        if hdr.dpf == 0 and hdr_bits is not None:
+            # UDT: header + appended blocks decode as one short-data
+            # message (reference dmr_block.c dmr_udt_decoder)
+            from dsdneo_tpu.protocol.dmr.udt import decode_udt
+            bits = np.concatenate(
+                [np.asarray(hdr_bits, np.uint8)]
+                + [np.unpackbits(d) for d in self.data])
+            return decode_udt(bits, app_blocks=len(self.data))
         return self._finish(payload)
 
     def _finish(self, payload: np.ndarray) -> str:

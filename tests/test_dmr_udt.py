@@ -1,0 +1,160 @@
+"""DMR UDT short-data decode + USBD (reference dmr_block.c UDT path,
+dmr_dburst.c USBD, dsd_gps.c NMEA/LIP)."""
+
+import numpy as np
+
+from dsdneo_tpu.fec import crc
+from dsdneo_tpu.protocol.dmr.data import PduAssembler, parse_data_header
+from dsdneo_tpu.protocol.dmr.gps import decode_lip, decode_nmea_iec
+from dsdneo_tpu.protocol.dmr.udt import decode_udt
+
+
+def setb(arr, off, width, val):
+    for i in range(width):
+        arr[off + i] = (val >> (width - 1 - i)) & 1
+
+
+def make_udt_header(fmt2, source, target, padnib, uab):
+    """96-bit UDT header with a valid CRC16 (mask 0xCCCC)."""
+    h = np.zeros(96, np.uint8)
+    setb(h, 4, 4, 0)            # DPF 0 = UDT
+    setb(h, 12, 4, fmt2)
+    setb(h, 16, 24, target)
+    setb(h, 40, 24, source)
+    setb(h, 64, 5, padnib)
+    setb(h, 70, 2, uab)         # appended blocks - 1
+    c = crc.crc16_bits(h[:80], init=0, xorout=0xFFFF) ^ 0xCCCC
+    setb(h, 80, 16, c)
+    return h
+
+
+def seal_appended(app):
+    """Write the trailing CRC16 over the appended run."""
+    c = crc.crc16_bits(app[:len(app) - 16], init=0, xorout=0xFFFF)
+    setb(app, len(app) - 16, 16, c)
+    return app
+
+
+def run_udt(header, app_blocks_bits):
+    """Drive the assembler the way bs.py does (packed block bytes)."""
+    hdr = parse_data_header(header)
+    assert hdr is not None and hdr.dpf == 0
+    asm = PduAssembler()
+    asm.start(hdr, header_bits=header)
+    out = None
+    for blk in app_blocks_bits:
+        out = asm.add_block(np.packbits(blk))
+    return out
+
+
+def test_udt_iso8_text():
+    # "HELLO" = 40 bits; 1 appended block: 96-16 CRC = 80 payload bits,
+    # padnib 10 trims to 40
+    hdr = make_udt_header(0x04, source=1234, target=5678, padnib=10, uab=0)
+    app = np.zeros(96, np.uint8)
+    for i, ch in enumerate(b"HELLO"):
+        setb(app, 8 * i, 8, ch)
+    out = run_udt(hdr, [seal_appended(app)])
+    assert out == " | UDT SRC: 1234; TGT: 5678; ISO8 Text: HELLO"
+
+
+def test_udt_bcd_dialer():
+    # digits 911#: 4 nibbles = 16 bits; padnib (80-16)/4 = 16
+    hdr = make_udt_header(0x02, source=42, target=7, padnib=16, uab=0)
+    app = np.zeros(96, np.uint8)
+    for i, d in enumerate([9, 1, 1, 11]):
+        setb(app, 4 * i, 4, d)
+    out = run_udt(hdr, [seal_appended(app)])
+    assert out == " | UDT SRC: 42; TGT: 7; Dialer BCD: 911#"
+
+
+def test_udt_crc_error_flagged():
+    hdr = make_udt_header(0x04, source=1, target=2, padnib=10, uab=0)
+    app = np.zeros(96, np.uint8)   # CRC left invalid (payload all zero)
+    setb(app, 80, 16, 0xBAD)
+    out = run_udt(hdr, [app])
+    assert "CRC16 ERR" in out
+
+
+def test_udt_lip_location():
+    # 45.00000N 90.00000W, 20 km/h
+    hdr = make_udt_header(0x0B, source=99, target=0xFFFFFF, padnib=0, uab=0)
+    app = np.zeros(96, np.uint8)
+    setb(app, 8, 1, 1)                      # lon west
+    setb(app, 9, 24, 0x1000000 - 8388608)   # 90 deg west, 2's comp
+    setb(app, 34, 23, 4194304)              # 45 deg north
+    setb(app, 59, 7, 20)                    # 20 km/h
+    setb(app, 73, 8, 123)                   # source hash
+    out = run_udt(hdr, [seal_appended(app)])
+    assert "Location Information Protocol;" in out
+    assert "Lat: 45.00000N" in out and "Lon: 90.00000W" in out
+    # the 8-bit source hash straddles bit 80, which the appended-run
+    # CRC16 owns in a 1-block UDT (the reference reads it the same way)
+    assert "Spd: 20 km/h" in out and "Src(Hash);" in out
+
+
+def test_udt_nmea_short():
+    # 45.5N 90.25W, 10 knots, 12:34:50 UTC
+    hdr = make_udt_header(0x05, source=5, target=6, padnib=0, uab=0)
+    app = np.zeros(96, np.uint8)
+    setb(app, 1, 1, 1)        # north
+    setb(app, 2, 1, 0)        # west
+    setb(app, 3, 1, 1)        # fix valid
+    setb(app, 4, 7, 10)       # 10 knots
+    setb(app, 11, 7, 45)      # lat deg
+    setb(app, 18, 6, 30)      # lat min -> .5 deg
+    setb(app, 38, 8, 90)      # lon deg
+    setb(app, 46, 6, 15)      # lon min -> .25 deg
+    setb(app, 66, 5, 12)
+    setb(app, 71, 6, 34)
+    setb(app, 77, 3, 5)       # tens of seconds
+    out = run_udt(hdr, [seal_appended(app)])
+    assert "NMEA GPS: 45.5" in out and "-90.25" in out
+    assert "SPD: 10 knots" in out
+    assert "FIX: 1; 12:34:50 UTC; Short Format;" in out
+
+
+def test_udt_appended_addressing_two_blocks():
+    # format 1: OK flag + two 24-bit addresses; 2 appended blocks
+    # payload 2*96-16 = 176 bits; addresses need 8+2*24 = 56; pad 30
+    hdr = make_udt_header(0x01, source=10, target=20, padnib=30, uab=1)
+    app = np.zeros(192, np.uint8)
+    setb(app, 7, 1, 1)                      # OK
+    setb(app, 8, 24, 777)
+    setb(app, 32, 24, 888)
+    out = run_udt(hdr, [seal_appended(app)[:96], app[96:]])
+    assert "Appended Addressing; OK: 1; ADDR: 777; 888;" in out
+
+
+def test_decode_nmea_long_cog():
+    bits = np.zeros(192, np.uint8)
+    setb(bits, 1, 1, 1)
+    setb(bits, 2, 1, 1)
+    setb(bits, 11, 7, 10)
+    setb(bits, 38, 8, 20)
+    setb(bits, 77, 6, 42)
+    setb(bits, 103, 9, 270)
+    out = decode_nmea_iec(bits, 2)
+    assert "COG: 270; Long Format;" in out and ":42 UTC" in out
+
+
+def test_lip_velocity_curve():
+    from dsdneo_tpu.protocol.dmr.gps import _lip_velocity_kph
+    assert _lip_velocity_kph(28) == 28.0
+    assert abs(_lip_velocity_kph(29) - 16.0 * 1.038 ** 16) < 1e-6
+
+
+def test_usbd_lip_burst():
+    from dsdneo_tpu.protocol.dmr.bs import DmrBsDecoder
+    bits = np.zeros(96, np.uint8)
+    setb(bits, 0, 4, 0)                     # service 0 = LIP
+    setb(bits, 34, 23, 4194304)             # 45N (from USBD bit 0 base)
+    c = crc.crc16_bits(bits[:80], init=0, xorout=0xFFFF) ^ 0x3333
+    setb(bits, 80, 16, c)
+    out = DmrBsDecoder()._usbd(bits)
+    assert "USBD - Service: Location Information Protocol (0)" in out
+    assert "Lat: 45.00000N" in out
+
+    bad = bits.copy()
+    bad[0] ^= 1
+    assert "USBD CRC16 ERR" in DmrBsDecoder()._usbd(bad)
