@@ -63,6 +63,48 @@ def decode_lcw(bits: np.ndarray, hit, ctx, decoder) -> None:
             ctx.emit(f" MFIDA4 (Harris) 0x0A Data/Return-to-Control"
                      f" Indication; SRC: {src}; TGT: {tgt};",
                      "p25p1", hit.pos)
+        elif mfid == 0xA4 and lcf in (0x2A, 0x2B):
+            # Harris talker GPS split over two LCWs: block 1 carries
+            # the 16-bit header + first 56 GPS bits, block 2 the rest
+            # (reference p25_lcw_dispatch_mfid_a4 :909-929)
+            if lcf == 0x2A:
+                buf = np.zeros(192, np.uint8)
+                buf[0:16] = bits[0:16]
+                buf[40:96] = bits[16:72]
+                decoder._harris_gps = buf
+                ctx.emit(" MFIDA4 (Harris) GPS Block 1", "p25p1", hit.pos)
+            else:
+                buf = getattr(decoder, "_harris_gps", None)
+                if buf is not None and _f(buf, 0, 16) == 0x2AA4:
+                    buf[96:152] = bits[16:72]
+                    from dsdneo_tpu.protocol.p25.harris import \
+                        decode_harris_gps
+                    ctx.emit(" MFIDA4 (Harris) GPS Block 2\n "
+                             + decode_harris_gps(buf), "p25p1", hit.pos)
+                else:
+                    ctx.emit(" MFIDA4 (Harris) GPS Block 2"
+                             " Missing GPS Block 1", "p25p1", hit.pos)
+                decoder._harris_gps = None
+        elif mfid == 0xA4 and 0x32 <= lcf <= 0x35:
+            # Harris talker alias fragments (reference
+            # l3h_embedded_alias_blocks_phase1)
+            from dsdneo_tpu.protocol.p25.harris import HarrisAliasAssembler
+            asm = getattr(decoder, "_harris_alias", None)
+            if asm is None:
+                asm = decoder._harris_alias = HarrisAliasAssembler()
+            text = asm.add(lcf, bits)
+            line = " MFIDA4 (Harris) Talker Alias Blocks"
+            if text:
+                line += f" Talker Alias: {text}"
+            ctx.emit(line, "p25p1", hit.pos)
+        elif mfid == 0xD8 and lcf == 0x00:   # Tait ISO7 talker alias
+            # 8 chars x 7 bits from bit 16 (reference
+            # tait_iso7_embedded_alias_decode)
+            chars = [_f(bits, 16 + 7 * i, 7) for i in range(8)]
+            text = "".join("." if c == 0x2C else
+                           chr(c) if c >= 0x20 else " " for c in chars)
+            ctx.emit(f" MFIDD8 (Tait) Talker Alias: {text}",
+                     "p25p1", hit.pos)
         elif mfid == 0xD8 and lcf == 0x01:   # Tait subscriber FQ-SUID
             wacn, sysid = _f(bits, 16, 20), _f(bits, 36, 12)
             src = _f(bits, 48, 24)

@@ -596,8 +596,28 @@ class P2MacWalker:
                      channel=chan, src=src, grant=True, data=True)
             return d
         if op == 0xAA:           # GPS location payload
-            payload = "".join(f"{m[k]:02X}" for k in range(3, length))
-            return f"\n L3Harris GPS Location [{payload}]"
+            # payload octets (from message octet 3) are re-based to
+            # byte 5 of the GPS buffer so the fields sit at bit 40
+            # (reference p25p2_vpdu_handle_harris_gps_location
+            # :4958-4977 -> nmea_harris)
+            from dsdneo_tpu.protocol.p25.harris import decode_harris_gps
+            payload_octets = length - 3
+            if payload_octets <= 0:
+                return "\n L3Harris GPS Location invalid: short message"
+            bits = np.zeros(24 * 8, np.uint8)
+            for i in range(min(payload_octets, len(m) - 3, 19)):
+                v = int(m[3 + i])
+                for j in range(8):
+                    bits[8 * (5 + i) + j] = (v >> (7 - j)) & 1
+            return "\n L3Harris GPS Location" + decode_harris_gps(bits)
+        if op == 0xA8:           # self-contained talker alias
+            # alias text from message octet 3 through the vendor length
+            # octet (reference p25p2_vpdu.c :2350-2361, input[4..len]
+            # with input[i] = message octet i-1 -> l3h_embedded_alias)
+            from dsdneo_tpu.protocol.p25.harris import sanitize_alias_char
+            text = "".join(sanitize_alias_char(int(m[k]))
+                           for k in range(3, min(length, len(m)))).strip()
+            return f"\n MFID A4 (Harris) Talker Alias: {text}"
         return f"\n MFID A4 (Harris) OP {op:02X} len {length}"
 
     def _vendor_tait(self, op, m, length, slot, ctx, hit) -> str:

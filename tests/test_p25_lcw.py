@@ -325,3 +325,79 @@ def test_harris_grg_explicit_encryption_tsbk():
     assert "WUID: 12345;" in out and "Simulselect Inactive;" in out
     p = ctx.state.affiliations.patches[1500]
     assert not p["is_patch"] and not p["active"]
+
+
+def _harris_gps_buf():
+    """192-bit Harris GPS buffer: 33.5N 112.25W, 12:34:56 UTC, hdg 90."""
+    buf = np.zeros(192, np.uint8)
+
+    def setb(off, width, val):
+        for i in range(width):
+            buf[off + i] = (val >> (width - 1 - i)) & 1
+
+    setb(0, 16, 0x2AA4)
+    setb(57, 7, 30)        # lat min
+    setb(64, 8, 33)        # lat deg
+    setb(88, 1, 1)         # lon west
+    setb(89, 7, 15)        # lon min
+    setb(96, 8, 112)       # lon deg
+    setb(104, 16, 45296)   # 12:34:56
+    setb(135, 9, 90)       # heading
+    return buf
+
+
+def test_harris_gps_two_block_lcw():
+    """GPS split across LCW opcodes 0x2A/0x2B (reference
+    p25_lcw_dispatch_mfid_a4 + nmea_harris)."""
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+    buf = _harris_gps_buf()
+    dec = P25P1Decoder()
+    lcw1 = np.concatenate([buf[0:16], buf[40:96]]).astype(np.uint8)
+    lcw2 = np.zeros(72, np.uint8)
+    lcw2[0:8] = _bits((0x2B, 8))[:8]
+    lcw2[8:16] = _bits((0xA4, 8))[:8]
+    lcw2[16:72] = buf[96:152]
+    ctx = DecoderContext()
+    decode_lcw(lcw1, SimpleNamespace(pos=0), ctx, dec)
+    assert "GPS Block 1" in ctx.events[-1].line
+    decode_lcw(lcw2, SimpleNamespace(pos=0), ctx, dec)
+    out = ctx.events[-1].line
+    assert "Harris GPS: 33.500000, -112.250000;" in out
+    assert "HEADING: 090;" in out and "TIME: 12:34:56 UTC;" in out
+    # block 2 without block 1 on a fresh decoder
+    ctx2 = DecoderContext()
+    decode_lcw(lcw2, SimpleNamespace(pos=0), ctx2, P25P1Decoder())
+    assert "Missing GPS Block 1" in ctx2.events[-1].line
+
+
+def test_harris_alias_fragments_lcw():
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+    dec = P25P1Decoder()
+    ctx = DecoderContext()
+
+    def frag(op, chunk):
+        b = np.zeros(72, np.uint8)
+        b[0:8] = _bits((op, 8))[:8]
+        b[8:16] = _bits((0xA4, 8))[:8]
+        for i, ch in enumerate(chunk):
+            for j in range(8):
+                b[16 + 8 * i + j] = (ch >> (7 - j)) & 1
+        decode_lcw(b, SimpleNamespace(pos=0), ctx, dec)
+        return ctx.events[-1].line
+
+    out = frag(0x32, b"ENGINE5")
+    assert "Talker Alias Blocks" in out and "ENGINE5" not in out
+    out = frag(0x33, b"1\x00\x00\x00\x00\x00\x00")
+    assert "Talker Alias: ENGINE51" in out
+    # continuation without a fresh block 0 after completion is dropped
+    out2 = frag(0x35, b"XXXXXXX")
+    assert "Talker Alias:" in out2 or "Alias Blocks" in out2
+
+
+def test_tait_iso7_alias_lcw():
+    # 8 ISO7 chars from bit 16: "TAIT 123"
+    vals = [ord(c) for c in "TAIT 123"]
+    fields = [(0x00, 8), (0xD8, 8)] + [(v, 7) for v in vals]
+    bits = _bits(*fields)
+    _, text = _decode(bits)
+    assert "MFIDD8 (Tait) Talker Alias: TAIT 123" in text

@@ -308,3 +308,28 @@ def test_nxdn_sdcall_header_and_data():
         put2(ch, 16 + 8 * i, 8)
     out = NxdnDecoder()._message(data, ctx)
     assert "PF [1] BLK [2]" in out and "HELLO NX" in out
+
+
+def test_harris_mac_gps_location():
+    """Vendor 0xAA carries the talker GPS at bit 40 (reference
+    p25p2_vpdu_handle_harris_gps_location -> nmea_harris)."""
+    # fixed MAC length 17; payload from octet 3 re-bases to bit 40
+    msg = [0xAA, 0xA4, 0x11,
+           0, 0,                 # lat frac
+           30, 33,               # lat min / deg (33.5 N)
+           0, 0,                 # lon frac
+           0x8F, 112,            # west, 15 min / 112 deg
+           0xB0, 0xF0,           # 45296 s = 12:34:56
+           0, 0, 90]             # heading 90
+    text, _, _ = _run([msg])
+    assert "Harris GPS: 33.500000, -112.250000;" in text
+    assert "HEADING: 090;" in text and "TIME: 12:34:56 UTC;" in text
+
+
+def test_harris_mac_talker_alias():
+    """Vendor 0xA8: self-contained alias, text from octet 3 through
+    the length octet (reference p25p2_vpdu.c :2350-2361)."""
+    name = b"LADDER 7"
+    msg = [0xA8, 0xA4, 3 + len(name)] + list(name)
+    text, _, _ = _run([msg])
+    assert "MFID A4 (Harris) Talker Alias: LADDER 7" in text
