@@ -322,6 +322,22 @@ def _mfid90(op, bits, hit, ctx, s=None) -> None:
         data = " ".join(f"{_f(bits, bi, 8):02X}" for bi in range(16, 72, 8))
         ctx.emit(f" MFID90 (Moto) System Information (BSI) Data: {data}",
                  "p25p1", hit.pos)
+    elif op == 0x06:           # APX embedded GPS (dsd_gps.c
+        # apx_embedded_gps: lat 0-90 deg x sign, lon 0-180 deg with
+        # the west hemisphere encoded as a -180 offset)
+        lat = _f(bits, 25, 23) * (90.0 / 0x7FFFFF)
+        lon = _f(bits, 49, 23) * (180.0 / 0x7FFFFF)
+        latstr, lonstr = "N", "E"
+        if bits[24]:
+            lat, latstr = -lat, "S"
+        if bits[48]:
+            lon, lonstr = lon - 180.0, "W"
+        if abs(lat) > 90.0 or abs(lon) > 180.0:
+            return
+        line = (f" MFID90 (Moto) GPS: Lat: {lat:.5f}{latstr}"
+                f" Lon: {lon:.5f}{lonstr} ({lat:.5f}, {lon:.5f})")
+        line += " Last Fix;" if bits[23] else " Current Fix;"
+        ctx.emit(line, "p25p1", hit.pos)
     elif op == 0x0A:           # Emergency Alarm Activation
         group, src = _f(bits, 32, 16), _f(bits, 48, 24)
         ctx.emit(f" MFID90 (Moto) Emergency Alarm Activation"

@@ -401,3 +401,21 @@ def test_tait_iso7_alias_lcw():
     bits = _bits(*fields)
     _, text = _decode(bits)
     assert "MFIDD8 (Tait) Talker Alias: TAIT 123" in text
+
+
+def test_mfid90_apx_embedded_gps():
+    """MFID90 LCW opcode 0x06: APX GPS, lon west as -180 offset
+    (reference apx_embedded_gps)."""
+    lat_units = round(33.5 / (90.0 / 0x7FFFFF))
+    lon_units = round((112.25 - 180.0 + 180.0) / (180.0 / 0x7FFFFF))
+    # encode 67.75 raw so west offset yields -112.25
+    lon_units = round(67.75 / (180.0 / 0x7FFFFF))
+    bits = _bits((0x06, 8), (0x90, 8), (0, 8),
+                 (0, 1),              # lat sign north... bit 24
+                 (lat_units, 23),
+                 (1, 1),              # lon west
+                 (lon_units, 23))
+    _, text = _decode(bits)
+    assert "MFID90 (Moto) GPS: Lat: 33.50000N" in text
+    assert "Lon: -112.2500" in text and "W (" in text
+    assert "Current Fix;" in text
