@@ -176,9 +176,10 @@ class PduAssembler:
                 [np.asarray(hdr_bits, np.uint8)]
                 + [np.unpackbits(d) for d in self.data])
             return decode_udt(bits, app_blocks=len(self.data))
-        return self._finish(payload)
+        return self._finish(payload, hdr)
 
-    def _finish(self, payload: np.ndarray) -> str:
+    def _finish(self, payload: np.ndarray,
+                hdr: DataHeader | None = None) -> str:
         if len(payload) < 4:
             return " | PDU short"
         crc_ext = _bti(np.unpackbits(payload[-4:]))
@@ -190,6 +191,15 @@ class PduAssembler:
         crc_cmp = crc32_bits(np.unpackbits(swapped))
         verdict = "CRC32 OK" if crc_cmp == crc_ext else "CRC32 ERR"
         body = payload[:-4]
+        if hdr is not None and hdr.sap in (2, 3, 4):
+            # SAP routing on completed PDUs (reference
+            # dmr_block_type1_handle_sap: 4 = IPv4, 2/3 = compressed)
+            from dsdneo_tpu.protocol.dmr.ip_pdu import (decode_ip_pdu,
+                                                        decode_udp_comp_pdu)
+            d = (decode_ip_pdu(body) if hdr.sap == 4
+                 else decode_udp_comp_pdu(body))
+            if d:
+                return f" | IP PDU ({len(payload)} bytes) {verdict}" + d
         from dsdneo_tpu.protocol.dmr.lrrp import looks_like_lrrp, parse_lrrp
         if looks_like_lrrp(body):
             fix = parse_lrrp(body)
