@@ -63,10 +63,26 @@ class P25P1Decoder(ProtocolDecoder):
         return reader.pos
 
     # -- MPDU (packet data unit) ------------------------------------------
-    _SAP_NAMES = {0x00: "User Data", 0x01: "Enc User Data", 0x02: "Pkt Data",
-                  0x03: "ARP", 0x04: "IP Data", 0x1F: "Ext Addressing",
-                  0x20: "SNDCP Ctrl", 0x61: "Trunking Control",
-                  0x63: "Enc Trunking Control"}
+    # reference p25p1_pdu_data.c p25_sap_label (decimal SAPs)
+    _SAP_NAMES = {0: "User Data", 1: "Encrypted User Data",
+                  2: "Circuit Data", 3: "Circuit Data Control",
+                  4: "Packet Data", 5: "Address Resolution Protocol",
+                  6: "SNDCP Packet Data Control",
+                  15: "Packet Data Scan Preamble",
+                  29: "Packet Data Encryption Support",
+                  31: "Extended Address",
+                  32: "Registration and Authorization",
+                  33: "Channel Reassignment", 34: "System Configuration",
+                  35: "Mobile Radio Loopback",
+                  36: "Mobile Radio Statistics",
+                  37: "Mobile Radio Out of Service",
+                  38: "Mobile Radio Paging",
+                  39: "Mobile Radio Configuration",
+                  40: "Unencrypted Key Management",
+                  41: "Encrypted Key Management",
+                  48: "Location Service",
+                  61: "Trunking Control",
+                  63: "Encrypted Trunking Control"}
 
     def _mpdu(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> None:
         """Multi-block PDU: header + blocks, each a 1/2-rate trellis
@@ -101,7 +117,7 @@ class P25P1Decoder(ProtocolDecoder):
                 break
             data.append(np.packbits(blk[:96]))
             raw_blocks.append(blk)
-        if sap in (0x61, 0x63) and raw_blocks:
+        if sap in (61, 63) and raw_blocks:   # decimal (p25_sap_is_trunking_control)
             if fmt in (0x15, 0x17):
                 # AMBTC/UMBTC: native multi-block trunking layouts
                 # (p25p1_pdu_trunking.c); fall back to the TSBK bridge
@@ -115,11 +131,99 @@ class P25P1Decoder(ProtocolDecoder):
             else:
                 for blk in raw_blocks:
                     self._tsbk(blk, hit, ctx)
-        if data and sap not in (0x61, 0x63):
+        if data and sap not in (61, 63):
             payload = np.concatenate(data)
-            hexs = "".join(f"{int(x):02X}" for x in payload[:24])
-            ctx.emit(f" P25 PDU Payload ({len(payload)} bytes) {hexs}",
-                     "p25p1", hit.pos, payload=payload)
+            d = self._mpdu_data_sap(sap, payload, b, io, pad, ctx, hit)
+            if d is None:
+                hexs = "".join(f"{int(x):02X}" for x in payload[:24])
+                d = f" P25 PDU Payload ({len(payload)} bytes) {hexs}"
+            ctx.emit(d, "p25p1", hit.pos, payload=payload)
+
+    def _mpdu_data_sap(self, sap: int, payload: np.ndarray, b: np.ndarray,
+                       io: int, pad: int, ctx: DecoderContext,
+                       hit: SyncHit) -> str | None:
+        """Data-SAP routing on completed clear PDUs (reference
+        p25_decode_clear_pdu_payload p25p1_pdu_data.c:988-1006:
+        0 = IPv4, 4 = SNDCP packet data + IPv4, 6 = SNDCP control,
+        32 = RegAuth, 34 = SysCfg, 48 = location/NMEA)."""
+        off = int(b[9]) & 0x3F
+        plen = max(0, len(payload) - 4 - pad)   # strip CRC32 + pad
+        body = payload[off:plen]
+        if len(body) == 0:
+            return None
+        if sap in (0x00, 0x04):
+            from dsdneo_tpu.protocol.dmr.ip_pdu import decode_ip_pdu
+            pre = ""
+            if sap == 0x04 and off == 2 and len(payload) >= 2:
+                # SNDCP packet header nibbles ahead of the IP datagram
+                typ, nsapi = int(payload[0]) >> 4, int(payload[0]) & 0xF
+                pre = (f" SNDCP Packet Header"
+                       f" {self._sndcp_type(typ, io == 1)}"
+                       f" NSAPI:{nsapi} IPComp:{int(payload[1]) >> 4}"
+                       f" UDPComp:{int(payload[1]) & 0xF};")
+            ip = decode_ip_pdu(body)
+            return (pre + ip) if ip else (pre or None)
+        if sap == 0x06:
+            typ, nsapi = int(body[0]) >> 4, int(body[0]) & 0xF
+            return f" SNDCP {self._sndcp_type(typ, io == 1)} NSAPI:{nsapi}"
+        if sap == 0x20:
+            return (f" RegAuth subtype:{int(body[0])}"
+                    f" bytes:{len(body)}")
+        if sap == 0x22:
+            return (f" SysCfg subtype:{int(body[0])}"
+                    f" b1:{int(body[1]) if len(body) > 1 else 0}"
+                    f" b2:{int(body[2]) if len(body) > 2 else 0}"
+                    f" bytes:{len(body)}")
+        if sap == 0x30:
+            return self._location_data(body)
+        return None
+
+    @staticmethod
+    def _sndcp_type(typ: int, outbound: bool) -> str:
+        """SNDCP message types (p25p1_pdu_data.c
+        p25_sndcp_type_label)."""
+        if outbound:
+            return {0: "Activate TDS Context Accept",
+                    1: "Deactivate TDS Context Accept",
+                    2: "Deactivate TDS Context Request",
+                    3: "Activate TDS Context Reject",
+                    4: "RF Unconfirmed Data",
+                    5: "RF Confirmed Data"}.get(typ, "Outbound Unknown")
+        return {0: "Activate TDS Context Request",
+                1: "Deactivate TDS Context Accept",
+                2: "Deactivate TDS Context Request",
+                5: "RF Confirmed Data"}.get(typ, "Inbound Unknown")
+
+    @staticmethod
+    def _location_data(body: np.ndarray) -> str:
+        """SAP 48 location: validated ASCII NMEA sentence, else
+        best-effort UTF-8 text (reference
+        p25_handle_sap48_location_data + nmea_sentence_checker)."""
+        if int(body[0]) in (0x24, 0x21):        # '$' or '!'
+            csum, star = 0, -1
+            for i in range(1, len(body)):
+                v = int(body[i])
+                if v == 0x2A:                   # '*'
+                    star = i
+                    break
+                if 0x20 <= v < 0x7F:
+                    csum ^= v
+                else:
+                    break
+            if 0 < star < len(body) - 2:
+                try:
+                    ext = int(bytes(int(x) for x in
+                                    body[star + 1:star + 3]), 16)
+                except ValueError:
+                    ext = -1
+                if ext == csum:
+                    text = "".join(chr(int(v)) if 0x20 <= int(v) < 0x7F
+                                   else " " for v in body)
+                    return f" NMEA: {text.strip()}"
+            return " Possible NMEA Sentence, checksum/structure invalid;"
+        text = "".join(chr(int(v)) if 0x20 <= int(v) < 0x7F else " "
+                       for v in body).strip()
+        return f" Location Data Text: {text}" if text else " Location Data;"
 
     def _mpdu_block(self, reader: DibitReader,
                     crc_gate: bool = False) -> np.ndarray | None:

@@ -12,7 +12,7 @@ from dsdneo_tpu.protocol.p25.mbt import decode_mbt
 def _mpdu(op, blocks=1, fmt=0x17, mfid=0, outbound=True, setb=()):
     b = np.zeros(12 * (1 + blocks), dtype=np.int64)
     b[0] = (0x20 if outbound else 0) | fmt
-    b[1] = 0x61
+    b[1] = 61        # trunking-control SAP (decimal)
     b[2] = mfid
     b[6] = blocks
     if fmt == 0x17:
@@ -133,3 +133,46 @@ def test_unhandled_falls_back():
     m = _mpdu(0x21)        # not in the native catalog → TSBK bridge
     handled, _, _ = _run(m)
     assert not handled
+
+
+def test_mpdu_data_sap_routing():
+    """Data-SAP routing on completed clear PDUs (reference
+    p25_decode_clear_pdu_payload): SAP 0/4 IPv4, 6 SNDCP, 48 NMEA."""
+    import numpy as np
+    from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+    dec = P25P1Decoder()
+    hdr = np.zeros(12, np.int64)         # offset 0, pad 0
+    ctx = DecoderContext()
+    hit = SimpleNamespace(pos=0, sync=SimpleNamespace(name="x"))
+
+    # SAP 0: IPv4/UDP telemetry packet + CRC32 tail
+    ip = np.zeros(20, np.uint8)
+    ip[0] = 0x45
+    ip[2], ip[3] = 0, 28
+    ip[9] = 0x11
+    udp = np.array([0x0F, 0xA7, 0x0F, 0xA8, 0, 8, 0, 0], np.uint8)  # ->4008
+    payload = np.concatenate([ip, udp, np.zeros(4, np.uint8)])
+    out = dec._mpdu_data_sap(0, payload, hdr, 1, 0, ctx, hit)
+    assert out is not None and "Telemetry;" in out
+
+    # SAP 6: SNDCP control, outbound activate accept
+    body = np.concatenate([np.array([0x05], np.uint8), np.zeros(4, np.uint8)])
+    out = dec._mpdu_data_sap(6, body, hdr, 1, 0, ctx, hit)
+    assert out == " SNDCP Activate TDS Context Accept NSAPI:5"
+
+    # SAP 48: valid NMEA ASCII sentence (checksum of GPGLL body)
+    sent = b"$GPGLL,4530.00,N,11215.00,W*"
+    csum = 0
+    for c in sent[1:-1]:
+        csum ^= c
+    full = sent + f"{csum:02X}".encode() + b"\x00\x00\x00\x00"
+    out = dec._mpdu_data_sap(48, np.frombuffer(full, np.uint8), hdr,
+                             1, 0, ctx, hit)
+    assert out.startswith(" NMEA: $GPGLL,4530.00,N,11215.00,W*")
+
+    # SAP 48 with a broken checksum flags invalid
+    bad = bytearray(full)
+    bad[2] ^= 1
+    out = dec._mpdu_data_sap(48, np.frombuffer(bytes(bad), np.uint8),
+                             hdr, 1, 0, ctx, hit)
+    assert "invalid" in out
