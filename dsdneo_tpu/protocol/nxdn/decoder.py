@@ -439,6 +439,12 @@ class NxdnDecoder(ProtocolDecoder):
             hexs = "".join(f"{b:02X}" for b in data)
             txt = "".join(chr(b) if 0x20 <= b <= 0x7E else "." for b in data)
             out += f"\n  PF [{pf}] BLK [{blk}] DATA [{hexs}] [{txt}]"
+            if len(data) > 2 and data[0] == 0x06 and data[1] in (0x24, 0x21):
+                # opcode 0x06 + '$'/'!' = ASCII NMEA location
+                # (reference nxdn_dcall_handle_crc_ok)
+                from dsdneo_tpu.protocol.nmea import nmea_sentence_check
+                out += "\n " + nmea_sentence_check(
+                    np.asarray(data[1:], np.uint8))
         elif mtype == 0x3F:                      # proprietary form / alias
             out = self._alias(msg, ctx) or " PROP_FORM"
         elif mtype == 0x18 and len(msg) >= 144:  # SITE_INFO (RCCH)

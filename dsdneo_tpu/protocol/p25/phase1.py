@@ -200,27 +200,8 @@ class P25P1Decoder(ProtocolDecoder):
         best-effort UTF-8 text (reference
         p25_handle_sap48_location_data + nmea_sentence_checker)."""
         if int(body[0]) in (0x24, 0x21):        # '$' or '!'
-            csum, star = 0, -1
-            for i in range(1, len(body)):
-                v = int(body[i])
-                if v == 0x2A:                   # '*'
-                    star = i
-                    break
-                if 0x20 <= v < 0x7F:
-                    csum ^= v
-                else:
-                    break
-            if 0 < star < len(body) - 2:
-                try:
-                    ext = int(bytes(int(x) for x in
-                                    body[star + 1:star + 3]), 16)
-                except ValueError:
-                    ext = -1
-                if ext == csum:
-                    text = "".join(chr(int(v)) if 0x20 <= int(v) < 0x7F
-                                   else " " for v in body)
-                    return f" NMEA: {text.strip()}"
-            return " Possible NMEA Sentence, checksum/structure invalid;"
+            from dsdneo_tpu.protocol.nmea import nmea_sentence_check
+            return nmea_sentence_check(body)
         text = "".join(chr(int(v)) if 0x20 <= int(v) < 0x7F else " "
                        for v in body).strip()
         return f" Location Data Text: {text}" if text else " Location Data;"

@@ -158,3 +158,22 @@ def test_usbd_lip_burst():
     bad = bits.copy()
     bad[0] ^= 1
     assert "USBD CRC16 ERR" in DmrBsDecoder()._usbd(bad)
+
+
+def test_nxdn_dcall_nmea_sentence():
+    """NXDN DCALL data with opcode 0x06 + ASCII NMEA decodes the
+    sentence (reference nxdn_dcall_handle_crc_ok)."""
+    from dsdneo_tpu.protocol.nxdn.decoder import NxdnDecoder
+    sent = b"$GPGLL,4530.00,N*"
+    c = 0
+    for ch in sent[1:-1]:
+        c ^= ch
+    body = bytes([0x06]) + sent + f"{c:02X}".encode()
+    msg = np.zeros(16 + 8 * len(body), np.uint8)
+    setb(msg, 0, 8, 0x0B)
+    for i, v in enumerate(body):
+        setb(msg, 16 + 8 * i, 8, v)
+    from dsdneo_tpu.protocol.base import DecoderContext
+    dec = NxdnDecoder()
+    out = dec._message(msg, DecoderContext())
+    assert "NMEA: $GPGLL,4530.00,N*" in out

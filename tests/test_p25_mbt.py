@@ -175,4 +175,4 @@ def test_mpdu_data_sap_routing():
     bad[2] ^= 1
     out = dec._mpdu_data_sap(48, np.frombuffer(bytes(bad), np.uint8),
                              hdr, 1, 0, ctx, hit)
-    assert "invalid" in out
+    assert "NMEA Checksum Error" in out
