@@ -152,6 +152,7 @@ class NxdnDecoder(ProtocolDecoder):
         self.last_ran = -1
         self.variant = None  # "NXDN48"/"NXDN96" (set from symbol rate)
         self.alias_blocks = [""] * 4
+        self.dcall = None    # data-call assembly state (header → blocks)
 
     def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
         pos = hit.pos + 10                      # LICH starts after the FSW
@@ -424,6 +425,10 @@ class NxdnDecoder(ProtocolDecoder):
                 blocks = _bti(msg[68:72])
                 pad = _bti(msg[72:77])
                 out += f" Blocks [{blocks}] Pad [{pad}]"
+                # start data-call assembly (reference
+                # nxdn_dcall_header_apply)
+                self.dcall = {"blocks": max(blocks, 1), "pad": pad,
+                              "buf": np.zeros(24 * 128, np.uint8)}
             if cipher:
                 names = {1: "Scrambler", 2: "DES", 3: "AES"}
                 out += f" {names.get(cipher, '?')} Key [{kid:02X}]"
@@ -445,6 +450,7 @@ class NxdnDecoder(ProtocolDecoder):
                 from dsdneo_tpu.protocol.nmea import nmea_sentence_check
                 out += "\n " + nmea_sentence_check(
                     np.asarray(data[1:], np.uint8))
+            out += self._dcall_data(msg, pf, blk)
         elif mtype == 0x3F:                      # proprietary form / alias
             out = self._alias(msg, ctx) or " PROP_FORM"
         elif mtype == 0x18 and len(msg) >= 144:  # SITE_INFO (RCCH)
@@ -465,6 +471,63 @@ class NxdnDecoder(ProtocolDecoder):
             ch = _bti(msg[36:46])
             out += f"\n Adjacent Location ID [{loc:06X}] CH [{ch}]"
         return out
+
+    def _dcall_data(self, msg: np.ndarray, pf: int, blk: int) -> str:
+        """Data-call block reassembly + CRC32 dispatch (reference
+        nxdn_element.c nxdn_dcall_prepare/nxdn_dcall_data: blocks count
+        down, each contributes byte_len octets at
+        byte_len*(header_blocks-blk); block 0 closes the PDU with a
+        CRC32 over everything but the last 32 bits).  byte_len is 20
+        (non-Type-D systems, data_header_format 0)."""
+        st = self.dcall
+        if st is None:
+            return " Missing or Invalid Header;"
+        byte_len = 20
+        block_bits = 8 * byte_len
+        if blk > st["blocks"]:
+            self.dcall = None
+            return f" Block Num Exceeds Header Reported ({blk});"
+        if pf != blk:
+            self.dcall = None
+            return " Partial Selective Retry, Previous Delivery" \
+                   " Not Retained in Memory;"
+        if len(msg) < 16 + block_bits:
+            self.dcall = None
+            return f" Data Call Frame Too Short ({len(msg)} bits);"
+        ptr = block_bits * (st["blocks"] - blk)
+        if ptr + block_bits > len(st["buf"]):
+            self.dcall = None
+            return " PDU Assembly Pointer Out of Range;"
+        st["buf"][ptr:ptr + block_bits] = msg[16:16 + block_bits]
+        if pf != 0:
+            return ""
+        total_bytes = (st["blocks"] + 1) * byte_len - st["pad"]
+        self.dcall = None
+        if total_bytes < 4 or total_bytes * 8 > len(st["buf"]):
+            return " Total Bytes Out of Range;"
+        buf = st["buf"][:total_bytes * 8]
+        ext = _bti(buf[-32:])
+        chk = _nxdn_crc32(buf[:-32])
+        if ext != chk:
+            return f"\n  Data Call CRC32 ERR ({ext:08X}/{chk:08X})"
+        opcode = _bti(buf[0:8])
+        first = _bti(buf[8:16])
+        if opcode == 0x06 and first in (0x24, 0x21):
+            from dsdneo_tpu.protocol.nmea import nmea_sentence_check
+            data = np.array([_bti(buf[8 * i:8 * i + 8])
+                             for i in range(1, total_bytes)], np.uint8)
+            return "\n " + nmea_sentence_check(data)
+        if _bti(buf[0:24]) == 0:
+            # byte-reversed Kenwood position report (reference
+            # nxdn_dcall_handle_reverse_gps: bytes total-5 down to 0,
+            # 0xFFFC marker, fields after)
+            rev = []
+            for i in range(total_bytes - 5, -1, -1):
+                rev.append(_bti(buf[8 * i:8 * i + 8]))
+            bits = np.unpackbits(np.array(rev, np.uint8))
+            if len(bits) >= 16 and _bti(bits[0:16]) == 0xFFFC:
+                return "\n " + _nxdn_gps_report(bits[16:])
+        return "\n  Data Call complete; CRC32 OK"
 
     def _alias(self, msg: np.ndarray, ctx: DecoderContext) -> str | None:
         """Kenwood standard alias (MFID 0x68, subtype 0x8204): 4 blocks
@@ -490,3 +553,54 @@ class NxdnDecoder(ProtocolDecoder):
             ctx.state.last_alias = alias
             return f" ALIAS\n Talker Alias: {alias}"
         return " ALIAS"
+
+
+def _nxdn_crc32(bits: np.ndarray) -> int:
+    """NXDN data-call CRC32: MSB-first 0x04C11DB7, init 0xFFFFFFFF, no
+    final XOR (reference nxdn_crc.c nxdn_crc32_bits)."""
+    crc = 0xFFFFFFFF
+    for b in bits:
+        fb = ((crc >> 31) & 1) ^ int(b)
+        crc = (crc << 1) & 0xFFFFFFFF
+        if fb:
+            crc ^= 0x04C11DB7
+    return crc
+
+
+def _nxdn_gps_report(b: np.ndarray) -> str:
+    """Kenwood NXDN position report after the 0xFFFC marker
+    (reference dsd_gps.c nxdn_gps_report:865-931; DDMM.mmmm packed
+    lat/lon, 0.1-unit speed/heading, date+time fields)."""
+    if len(b) < 258:
+        b = np.concatenate([np.asarray(b, np.uint8),
+                            np.zeros(258 - len(b), np.uint8)])
+    elev = _bti(b[56:72])
+    if elev >= 0x8000:
+        elev -= 0x10000
+    speed = _bti(b[74:88]) / 10.0
+    heading = _bti(b[92:104]) / 10.0
+    year = _bti(b[136:143]) + 2000
+    month = _bti(b[143:147])
+    day = _bti(b[147:152]) + 1
+    hour = _bti(b[247:252])
+    minute = _bti(b[252:258])
+    lon_degmin = _bti(b[152:168])
+    lon_frac = _bti(b[16:31])
+    lon_hem = int(b[183])
+    lon_minutes = (lon_degmin % 100) + lon_frac / 10000.0
+    lon = lon_degmin / 100.0 + lon_minutes / 60.0
+    if lon_hem:
+        lon = -lon
+    lat_degmin = _bti(b[184:200])
+    lat_frac = _bti(b[200:215])
+    lat_hem = int(b[215])
+    lat_minutes = (lat_degmin % 100) + lat_frac / 10000.0
+    lat = lat_degmin / 100.0 + lat_minutes / 60.0
+    if lat_hem:
+        lat = -lat
+    if abs(lat) > 90.0 or abs(lon) > 180.0:
+        return " GPS: Invalid NXDN position report;"
+    return (f" GPS: ({lat:.6f}, {lon:.6f}) Speed: {speed:.1f} k/h;"
+            f" COG: {heading:.1f}; Elevation: {elev};"
+            f" Date: {year:04d}/{month:02d}/{day:02d};"
+            f" Time: {hour:02d}:{minute:02d};")

@@ -177,3 +177,86 @@ def test_nxdn_dcall_nmea_sentence():
     dec = NxdnDecoder()
     out = dec._message(msg, DecoderContext())
     assert "NMEA: $GPGLL,4530.00,N*" in out
+
+
+def test_nxdn_dcall_assembly_crc32_nmea():
+    """Full DCALL chain: header sets blocks/pad, data blocks count
+    down, block 0 closes with CRC32 and dispatches the NMEA payload
+    (reference nxdn_dcall_prepare/nxdn_dcall_data)."""
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.nxdn.decoder import NxdnDecoder, _nxdn_crc32
+
+    sent = b"$GPGLL,4530.00,N*"
+    c = 0
+    for ch in sent[1:-1]:
+        c ^= ch
+    content = bytes([0x06]) + sent + f"{c:02X}".encode()   # 20 bytes
+    total = len(content) + 4                               # + CRC32
+    pad = 40 - total                                       # blocks=1
+    payload = np.zeros(40 * 8, np.uint8)
+    for i, v in enumerate(content):
+        setb(payload, 8 * i, 8, v)
+    crc = _nxdn_crc32(payload[:total * 8 - 32])
+    setb(payload, total * 8 - 32, 32, crc)
+
+    dec = NxdnDecoder()
+    ctx = DecoderContext()
+    hdr = np.zeros(77, np.uint8)
+    setb(hdr, 0, 8, 0x09)          # DCALL header
+    setb(hdr, 68, 4, 1)            # 1 appended block
+    setb(hdr, 72, 5, pad)
+    out = dec._message(hdr, ctx)
+    assert "Blocks [1]" in out and dec.dcall is not None
+
+    def data_msg(pf, blk, chunk):
+        m = np.zeros(176, np.uint8)
+        setb(m, 0, 8, 0x0B)
+        setb(m, 8, 4, pf)
+        setb(m, 12, 4, blk)
+        m[16:176] = chunk
+        return m
+
+    out = dec._message(data_msg(1, 1, payload[:160]), ctx)
+    assert "CRC32" not in out                  # not complete yet
+    out = dec._message(data_msg(0, 0, payload[160:320]), ctx)
+    assert "NMEA: $GPGLL,4530.00,N*" in out
+    assert dec.dcall is None                   # state consumed
+
+
+def test_nxdn_dcall_crc32_error_flagged():
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.nxdn.decoder import NxdnDecoder
+    dec = NxdnDecoder()
+    ctx = DecoderContext()
+    hdr = np.zeros(77, np.uint8)
+    setb(hdr, 0, 8, 0x09)
+    setb(hdr, 68, 4, 1)
+    dec._message(hdr, ctx)
+    m = np.zeros(176, np.uint8)
+    setb(m, 0, 8, 0x0B)
+    setb(m, 8, 4, 1)
+    setb(m, 12, 4, 1)
+    dec._message(m, ctx)
+    m2 = np.zeros(176, np.uint8)
+    setb(m2, 0, 8, 0x0B)           # pf=0, blk=0, junk payload
+    out = dec._message(m2, ctx)
+    assert "Data Call CRC32 ERR" in out
+
+
+def test_nxdn_gps_report_fields():
+    from dsdneo_tpu.protocol.nxdn.decoder import _nxdn_gps_report
+    b = np.zeros(258, np.uint8)
+    setb(b, 74, 14, 505)           # 50.5 km/h
+    setb(b, 92, 12, 1800)          # 180.0 course
+    setb(b, 136, 7, 26)            # 2026
+    setb(b, 143, 4, 8)             # August
+    setb(b, 147, 5, 16)            # day 17
+    setb(b, 152, 16, 11230)        # lon 112 deg 30 min
+    setb(b, 184, 16, 4530)         # lat 45 deg 30 min
+    setb(b, 215, 1, 0)             # north
+    setb(b, 247, 5, 12)
+    setb(b, 252, 6, 34)
+    out = _nxdn_gps_report(b)
+    assert "Speed: 50.5 k/h;" in out and "COG: 180.0;" in out
+    assert "Date: 2026/08/17;" in out and "Time: 12:34;" in out
+    assert "GPS: (" in out
