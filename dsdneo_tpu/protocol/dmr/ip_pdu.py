@@ -93,8 +93,29 @@ def _tms(payload) -> str:
     return out + "Text: " + _utf16(payload[ptr:ptr + span])
 
 
+_CELLOCATOR_TYPES = {
+    1: "Platform Manifest Data", 2: "CAN Data", 3: "CAN Trigger Data",
+    4: "Time and Location Data", 5: "Accelerometer Data",
+    6: "PSP Alarm System Data", 7: "Usage Counter Data",
+    8: "Command Authentication Table Data", 9: "GSM Neighbor List Data",
+    10: "Maintenance Server Platform Manifest Data",
+}
+
+
+def _cellocator(payload) -> str:
+    """Port 231 Cellocator packet: 4-char magic + type octet
+    (reference dsd_gps.c decode_cellocator)."""
+    out = " Cellocator:"
+    if len(payload) >= 5:
+        magic = _utf8(payload, 4)
+        out = f" {magic} Cellocator:" if magic.strip() else out
+        out += " " + _CELLOCATOR_TYPES.get(int(payload[4]),
+                                           "Unknown Data") + ";"
+    return out
+
+
 _PORT_LABELS = {
-    231: "Cellocator;", 4004: "XCMP;", 4008: "Telemetry;",
+    4004: "XCMP;", 4008: "Telemetry;",
     4009: "OTAP;", 4012: "Battery Management;",
     4013: "Job Ticket Server;", 4069: "TRBOnet SCADA;",
     9361: "Atlas Data Registration Server;",
@@ -103,6 +124,8 @@ _PORT_LABELS = {
 
 def _udp_service(port, payload, data) -> str:
     from dsdneo_tpu.protocol.dmr.lrrp import parse_lrrp
+    if port == 231:
+        return _cellocator(payload)
     if port in _PORT_LABELS:
         return " " + _PORT_LABELS[port]
     if port in (4001, 49198):

@@ -45,13 +45,16 @@ def test_not_ipv4_returns_none():
 
 
 def test_udp_port_labels():
-    for port, label in [(231, "Cellocator;"), (4004, "XCMP;"),
+    for port, label in [(4004, "XCMP;"),
                         (4009, "OTAP;"), (4012, "Battery Management;"),
                         (4069, "TRBOnet SCADA;")]:
         out = decode_ip_pdu(make_ipv4(0x11, make_udp(port, [])))
         assert label in out, port
     out = decode_ip_pdu(make_ipv4(0x11, make_udp(12345, [])))
     assert "UDP Port 12345;" in out
+    data = list(b"MCGP") + [4]
+    out = decode_ip_pdu(make_ipv4(0x11, make_udp(231, data)))
+    assert "MCGP Cellocator: Time and Location Data;" in out
 
 
 def test_udp_ars_text():
