@@ -191,6 +191,28 @@ class PduAssembler:
         crc_cmp = crc32_bits(np.unpackbits(swapped))
         verdict = "CRC32 OK" if crc_cmp == crc_ext else "CRC32 ERR"
         body = payload[:-4]
+        if hdr is not None and hdr.sap == 1 and len(body) > 7 \
+                and int(body[1]) == 0x10:
+            # Motorola MNIS proprietary wrapper: type at byte 4,
+            # payload from byte 7 (reference
+            # dmr_block_type1_handle_mnis dmr_block.c:1287-1307)
+            mnis_type = int(body[4])
+            label = {0x01: "MNIS LOCN;", 0x11: "MNIS LRRP;",
+                     0x33: "MNIS ARS;", 0x88: "MNIS XCMP;"}.get(
+                         mnis_type, f"Unknown MNIS Type: {mnis_type:02X};")
+            d = f" | IP PDU ({len(payload)} bytes) {verdict} {label}"
+            inner = body[7:]
+            if mnis_type == 0x11:
+                from dsdneo_tpu.protocol.dmr.lrrp import parse_lrrp
+                fix = parse_lrrp(inner)
+                if fix is not None:
+                    d += "\n " + fix.describe()
+            elif mnis_type in (0x01, 0x33):
+                text = "".join(chr(int(c)) if 0x20 <= int(c) < 0x7F
+                               else " " for c in inner).strip()
+                if text:
+                    d += f" {text}"
+            return d
         if hdr is not None and hdr.sap in (2, 3, 4):
             # SAP routing on completed PDUs (reference
             # dmr_block_type1_handle_sap: 4 = IPv4, 2/3 = compressed)

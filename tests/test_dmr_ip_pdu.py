@@ -140,3 +140,34 @@ def test_sap4_routing_through_assembler():
     asm.add_block(body[12:24])
     out = asm.add_block(body[24:])
     assert out is not None and "XCMP;" in out and "IP PDU" in out
+
+
+def test_mnis_wrapper_routing():
+    """SAP 1 + pdu[1]==0x10 is the Motorola MNIS wrapper: type at
+    byte 4, payload at byte 7 (reference dmr_block_type1_handle_mnis)."""
+    from dsdneo_tpu.fec import crc as fec_crc
+    from dsdneo_tpu.protocol.dmr.data import (PduAssembler,
+                                              parse_data_header)
+    h = np.zeros(96, np.uint8)
+
+    def setb(off, width, val):
+        for i in range(width):
+            h[off + i] = (val >> (width - 1 - i)) & 1
+
+    setb(4, 4, 2)            # unconfirmed
+    setb(8, 4, 1)            # SAP 1
+    setb(65, 7, 2)           # 2 blocks
+    c = fec_crc.crc16_bits(h[:80], init=0, xorout=0xFFFF) ^ 0xCCCC
+    setb(80, 16, c)
+    hdr = parse_data_header(h)
+    assert hdr is not None and hdr.sap == 1
+
+    body = np.zeros(24, np.uint8)
+    body[1] = 0x10
+    body[4] = 0x33           # MNIS ARS
+    body[7:13] = np.frombuffer(b"UNIT42", np.uint8)
+    asm = PduAssembler()
+    asm.start(hdr, header_bits=h)
+    asm.add_block(body[:12])
+    out = asm.add_block(body[12:])
+    assert "MNIS ARS;" in out and "UNIT42" in out
