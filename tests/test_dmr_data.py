@@ -99,7 +99,7 @@ def test_dmr_data_call_r34_end_to_end():
     hb = np.zeros(96, dtype=np.uint8)
     hb[0] = 1
     hb[4:8] = [0, 0, 1, 0]           # DPF 2 unconfirmed
-    hb[8:12] = [0, 1, 0, 0]
+    hb[8:12] = [0, 0, 0, 0]          # SAP 0 user data (text payload)
     hb[16:40] = _bits_of(100, 24)
     hb[40:64] = _bits_of(200, 24)
     hb[65:72] = _bits_of(2, 7)

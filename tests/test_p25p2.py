@@ -168,7 +168,7 @@ def test_p25_mpdu_loopback():
     dec._mpdu(r, _Hit(), ctx)
     text = "\n".join(e.line for e in ctx.events)
     assert "P25 Data - AN: 0; IO: 1; FMT: 16;" in text
-    assert "SAP: 04 [IP Data]" in text
+    assert "SAP: 04 [Packet Data]" in text
     assert "DST LLID: 74565;" in text
     assert "P25 PDU Payload (24 bytes)" in text
 
