@@ -212,6 +212,11 @@ class PduAssembler:
                                else " " for c in inner).strip()
                 if text:
                     d += f" {text}"
+                if mnis_type == 0x01:
+                    from dsdneo_tpu.protocol.dmr.gps import decode_locn
+                    locn = decode_locn(inner)
+                    if locn:
+                        d += "\n" + locn
             return d
         if hdr is not None and hdr.sap in (2, 3, 4):
             # SAP routing on completed PDUs (reference

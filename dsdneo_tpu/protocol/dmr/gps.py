@@ -119,3 +119,50 @@ def decode_lip(bits: np.ndarray) -> str:
             f"Src(Hash); {add_hash:03d};  Lat: {latitude:.5f}{latstr}"
             f" Lon: {longitude:.5f}{lonstr};"
             f" Spd: {vt} km/h; Dir: {dt}")
+
+
+def decode_locn(payload) -> str | None:
+    """Motorola MNIS LOCN token stream (reference dmr_pdu.c dmr_locn):
+    'A' + 12 ASCII digits = hhmmss ddmmyy time, 'N'/'S' + latitude
+    (2-digit deg, 2-digit min, skip, 4-digit fractional min in 1e-4
+    units x 60), 'E'/'W' + longitude (3-digit deg).  Returns None when
+    no complete position is present."""
+    b = [int(x) for x in payload]
+    n = len(b)
+
+    def digits(i, k):
+        v = 0
+        for j in range(k):
+            v = v * 10 + (b[i + j] - 0x30)
+        return v
+
+    time_s = None
+    lat = lon = None
+    i = 0
+    while i < n:
+        adv = 1
+        t = b[i]
+        if t == 0x41 and i + 12 < n:                 # 'A'
+            hh, mi, ss = digits(i + 1, 2), digits(i + 3, 2), digits(i + 5, 2)
+            dd, mo, yy = digits(i + 7, 2), digits(i + 9, 2), digits(i + 11, 2)
+            if (1 <= mo <= 12 and 1 <= dd <= 31 and hh <= 23
+                    and mi <= 59 and ss <= 59):
+                time_s = f"20{yy:02d}/{mo:02d}/{dd:02d} {hh:02d}:{mi:02d}:{ss:02d}"
+            adv = 13
+        elif t in (0x4E, 0x53) and i + 9 < n:        # 'N'/'S'
+            sign = -1.0 if t == 0x53 else 1.0
+            lat = sign * (digits(i + 1, 2) + digits(i + 3, 2) / 60.0
+                          + digits(i + 6, 4) / 600000.0)
+            adv = 9
+        elif t in (0x45, 0x57) and i + 10 < n:       # 'E'/'W'
+            sign = -1.0 if t == 0x57 else 1.0
+            lon = sign * (digits(i + 1, 3) + digits(i + 4, 2) / 60.0
+                          + digits(i + 7, 4) / 600000.0)
+            adv = 9
+        i += adv
+    if lat is None or lon is None:
+        return None
+    out = " NMEA / LOCN;"
+    if time_s:
+        out += f" {time_s}"
+    return out + f" ({lat:.5f}, {lon:.5f});"

@@ -171,3 +171,15 @@ def test_mnis_wrapper_routing():
     asm.add_block(body[:12])
     out = asm.add_block(body[12:])
     assert "MNIS ARS;" in out and "UNIT42" in out
+
+
+def test_mnis_locn_token_stream():
+    """MNIS LOCN 'A'/'N'/'E' ASCII token decode (reference dmr_locn)."""
+    from dsdneo_tpu.protocol.dmr.gps import decode_locn
+    # 12:34:56 on 17/08/26, 45 deg 30.0000 min N, 112 deg 15.0000 min W
+    s = b"A123456170826" + b"N4530 0000" + b"W11215 0000"
+    out = decode_locn(np.frombuffer(s, np.uint8))
+    assert out is not None
+    assert "2026/08/17 12:34:56" in out
+    assert "(45.50000, -112.25000);" in out
+    assert decode_locn(np.frombuffer(b"no tokens here", np.uint8)) is None
