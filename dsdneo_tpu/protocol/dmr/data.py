@@ -79,6 +79,7 @@ class DataHeader:
     target: int = 0
     source: int = 0
     full_final: int = 0
+    sd_bp: int = 0
     blocks: int = 0        # blocks to follow
     fsn: int = 0
     dd_format: int = 0
@@ -128,6 +129,7 @@ def parse_data_header(bits96: np.ndarray) -> DataHeader | None:
     h.blocks = _bti(bits96[65:72])
     h.fsn = _bti(bits96[76:80])
     h.dd_format = _bti(bits96[64:70])
+    h.sd_bp = _bti(bits96[72:80])      # short-data bit padding
     h.udt_format = _bti(bits96[12:16])
     h.udt_blocks = _bti(bits96[70:72]) + 1
     h.confirmed = h.dpf == 3
@@ -191,6 +193,14 @@ class PduAssembler:
         crc_cmp = crc32_bits(np.unpackbits(swapped))
         verdict = "CRC32 OK" if crc_cmp == crc_ext else "CRC32 ERR"
         body = payload[:-4]
+        if hdr is not None and hdr.dpf == 13 and 0x12 <= hdr.dd_format <= 0x18:
+            # defined short data with a declared Unicode encoding
+            # (reference dmr_sd_pdu_process dmr_pdu.c:201-244 +
+            # dmr_decode_defined_short_data dmr_text.c:359-382)
+            d = decode_defined_short_data(
+                hdr.dd_format, body, hdr.sd_bp, verdict == "CRC32 OK")
+            if d:
+                return f" | Short Data ({len(payload)} bytes) {verdict}{d}"
         if hdr is not None and hdr.sap == 1 and len(body) > 7 \
                 and int(body[1]) == 0x10:
             # Motorola MNIS proprietary wrapper: type at byte 4,
@@ -251,3 +261,43 @@ def _printable(data: np.ndarray) -> str:
             return s[:96]
         return ""
     return ""
+
+
+_DD_ENCODINGS = {0x12: ("UTF-8", "utf-8"), 0x13: ("UTF-16", "utf-16"),
+                 0x14: ("UTF-16BE", "utf-16-be"),
+                 0x15: ("UTF-16LE", "utf-16-le"),
+                 0x16: ("UTF-32", "utf-32"), 0x17: ("UTF-32BE", "utf-32-be"),
+                 0x18: ("UTF-32LE", "utf-32-le")}
+
+
+def decode_defined_short_data(dd_format: int, body: np.ndarray,
+                              bit_padding: int, crc_ok: bool) -> str | None:
+    """Defined short data text (reference dmr_text.c
+    dmr_decode_defined_short_data): decode per the declared Unicode
+    encoding after stripping the header's bit padding; a malformed
+    UTF-32 payload with a good CRC retries as UTF-16BE (the
+    compatibility path for radios that mislabel the encoding)."""
+    declared, codec = _DD_ENCODINGS[dd_format]
+    total_bits = len(body) * 8 - bit_padding
+    if total_bits < 0 or total_bits % 8:
+        return f"\n Short Data Text: invalid bit padding ({bit_padding} bits)"
+    raw = bytes(int(x) for x in body[:total_bits // 8])
+
+    def try_decode(c):
+        try:
+            s = raw.decode(c)
+        except (UnicodeDecodeError, LookupError):
+            return None
+        return "".join(ch if ch.isprintable() or ch == " " else " "
+                       for ch in s).strip()
+
+    text = try_decode(codec)
+    effective = declared
+    if text is None and dd_format == 0x16 and crc_ok:
+        text = try_decode("utf-16-be")
+        effective = "UTF-16BE compatibility"
+    if text is None:
+        return (f"\n Short Data Text (declared {declared};"
+                " undecodable payload)")
+    return (f"\n Short Data Text (declared {declared};"
+            f" decoded {effective}): {text}")

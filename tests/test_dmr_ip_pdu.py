@@ -183,3 +183,46 @@ def test_mnis_locn_token_stream():
     assert "2026/08/17 12:34:56" in out
     assert "(45.50000, -112.25000);" in out
     assert decode_locn(np.frombuffer(b"no tokens here", np.uint8)) is None
+
+
+def _sd_header(dd_format, blocks, sd_bp):
+    from dsdneo_tpu.fec import crc as fec_crc
+    h = np.zeros(96, np.uint8)
+
+    def setb(off, width, val):
+        for i in range(width):
+            h[off + i] = (val >> (width - 1 - i)) & 1
+
+    setb(4, 4, 13)           # DPF 13 = short data: defined
+    setb(12, 4, blocks)      # AB low nibble
+    setb(64, 6, dd_format)
+    setb(72, 8, sd_bp)
+    c = fec_crc.crc16_bits(h[:80], init=0, xorout=0xFFFF) ^ 0xCCCC
+    setb(80, 16, c)
+    return h
+
+
+def test_defined_short_data_utf16be():
+    from dsdneo_tpu.protocol.dmr.data import PduAssembler, parse_data_header
+    hdr = parse_data_header(_sd_header(0x14, 2, 0))
+    assert hdr is not None and hdr.dpf == 13 and hdr.dd_format == 0x14
+    text = "SHORT MSG"
+    tb = [x for ch in text for x in (0, ord(ch))]
+    body = np.zeros(24, np.uint8)
+    body[:len(tb)] = tb
+    # pad bits cover the unused tail before the CRC32
+    hdr.sd_bp = (20 - len(tb)) * 8
+    asm = PduAssembler()
+    asm.start(hdr, header_bits=None)
+    asm.add_block(body[:12])
+    out = asm.add_block(body[12:])
+    assert "Short Data Text (declared UTF-16BE; decoded UTF-16BE): SHORT MSG" in out
+
+
+def test_defined_short_data_utf32_compat():
+    from dsdneo_tpu.protocol.dmr.data import decode_defined_short_data
+    tb = bytes(x for ch in "HI" for x in (0, ord(ch)))
+    # declared UTF-32 but really UTF-16BE; odd length for UTF-32
+    out = decode_defined_short_data(0x16, np.frombuffer(tb, np.uint8),
+                                    0, True)
+    assert "UTF-16BE compatibility" in out and "HI" in out
