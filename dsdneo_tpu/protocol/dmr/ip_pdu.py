@@ -63,8 +63,12 @@ def _tms(payload) -> str:
         ptr -= 1
         if adl < 4 or ptr + adl >= len(payload):
             return out + "TMS Truncated;"
+        # reference zeroes the length octet then reads adl-4 UTF-16
+        # bytes starting at it (decode_ip_pdu_parse_udp_tms_address)
         out += (f"Address Len: {adl}; Address: "
-                + _utf16(payload[ptr:ptr + adl][:adl - 4 + 1]) + "; ")
+                + _utf16(np.concatenate(
+                    [np.zeros(1, np.uint8),
+                     payload[ptr + 1:ptr + adl - 4]])) + "; ")
         ptr += adl + 1
     if ptr >= len(payload):
         return out + "TMS Truncated;"

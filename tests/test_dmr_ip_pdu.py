@@ -226,3 +226,19 @@ def test_defined_short_data_utf32_compat():
     out = decode_defined_short_data(0x16, np.frombuffer(tb, np.uint8),
                                     0, True)
     assert "UTF-16BE compatibility" in out and "HI" in out
+
+
+def test_udp_tms_with_address():
+    """TMS with a length-prefixed UTF-16 address before the text
+    (reference zeroes the length octet, reads adl-4 bytes from it)."""
+    addr = "911"
+    # chars land at even offsets after the zeroed length octet (the
+    # decoder's pair base is that octet)
+    ab = [x for ch in addr for x in (ord(ch), 0)]
+    adl = len(ab) + 4 + 1          # reference len covers pad + tail
+    body = [0, 0, 0x00, adl] + ab + [0, 0, 0, 0, 0]
+    tms_len = len(body) - 2
+    body[0], body[1] = tms_len >> 8, tms_len & 0xFF
+    out = decode_ip_pdu(make_ipv4(0x11, make_udp(4007, body)))
+    assert f"Address Len: {adl};" in out
+    assert "911" in out
