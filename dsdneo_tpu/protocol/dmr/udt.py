@@ -66,12 +66,17 @@ def decode_udt(cs_bits: np.ndarray, app_blocks: int) -> str:
         out += "CRC16 ERR; "
 
     if fmt2 == 0x00:
+        # reference renders binary payloads as filtered UTF-8 text
+        # (dmr_udt_handle_binary -> utf8_to_text)
         out += "Binary Data;"
-        nbytes = payload_bits // 8
+        nbytes = min(payload_bits // 8, 48)
         if nbytes > 0:
-            data = "".join(f"{_bti(b[96 + 8 * i:104 + 8 * i]):02X}"
-                           for i in range(min(nbytes, 48)))
-            out += f" {data}"
+            text = "".join(
+                chr(c) if 0x20 <= c < 0x7F else " "
+                for c in (_bti(b[96 + 8 * i:104 + 8 * i])
+                          for i in range(nbytes))).strip()
+            if text:
+                out += f" {text}"
     elif fmt2 == 0x01:
         res = _bti(b[96:103])
         ok = int(b[103])
