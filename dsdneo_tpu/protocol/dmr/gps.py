@@ -54,6 +54,8 @@ def decode_nmea_iec(bits: np.ndarray, fmt: int) -> str:
     fmt 2 = long (1s seconds + course over ground).  *bits* start at
     the UDT payload (appended block bit 0)."""
     b = np.asarray(bits, dtype=np.uint8)
+    if len(b) < 112:
+        b = np.concatenate([b, np.zeros(112 - len(b), np.uint8)])
     ns, ew, q = int(b[1]), int(b[2]), int(b[3])
     speed = _bti(b[4:11])                      # knots
     ndeg, nmin, nminf = _bti(b[11:18]), _bti(b[18:24]), _bti(b[24:38])
@@ -95,6 +97,8 @@ def decode_lip(bits: np.ndarray) -> str:
     lip_protocol_decoder; TS 102 361-4 p208).  *bits* start at the
     UDT payload."""
     b = np.asarray(bits, dtype=np.uint8)
+    if len(b) < 81:
+        b = np.concatenate([b, np.zeros(81 - len(b), np.uint8)])
     lon_sign = int(b[8])
     lon = _bti(b[9:33])
     lat_sign = int(b[33])

@@ -45,6 +45,9 @@ def decode_udt(cs_bits: np.ndarray, app_blocks: int) -> str:
     the detail string (reference prints the same fields to stderr)."""
     b = np.asarray(cs_bits, dtype=np.uint8)
     app_blocks = max(1, min(int(app_blocks), 4))
+    need = 96 + 96 * app_blocks
+    if len(b) < need:
+        b = np.concatenate([b, np.zeros(need - len(b), np.uint8)])
 
     # appended-run CRC16 (reference dmr_block_type2_update_crc)
     app = b[96:96 + 96 * app_blocks]

@@ -27,6 +27,8 @@ def decode_harris_gps(bits: np.ndarray) -> str:
     Degrees/minutes/1e-4-minutes with hemisphere flags, seconds since
     midnight UTC (17 bits), and a 9-bit heading."""
     b = np.asarray(bits, dtype=np.uint8)
+    if len(b) < 184:
+        b = np.concatenate([b, np.zeros(184 - len(b), np.uint8)])
     g = 40
     lat_frac = _f(b, g + 0, 16)
     lat_hemi = int(b[g + 16])

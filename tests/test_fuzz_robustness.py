@@ -183,3 +183,45 @@ def test_fuzz_edacs_ea():
         d._extended(int(rng.integers(0, 1 << 28)),
                     int(rng.integers(0, 1 << 28)), ctx,
                     SimpleNamespace(pos=0))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_data_payload_decoders(seed):
+    """Random bytes through the short-data/IP/GPS decoders must never
+    raise — they gate on CRCs and length checks, not trust."""
+    from dsdneo_tpu.protocol.dmr.gps import (decode_lip, decode_locn,
+                                             decode_nmea_iec)
+    from dsdneo_tpu.protocol.dmr.ip_pdu import (decode_ip_pdu,
+                                                decode_udp_comp_pdu)
+    from dsdneo_tpu.protocol.dmr.udt import decode_udt
+    from dsdneo_tpu.protocol.nmea import nmea_sentence_check
+    from dsdneo_tpu.protocol.p25.harris import decode_harris_gps
+    rng = np.random.default_rng(900 + seed)
+    for _ in range(40):
+        n = int(rng.integers(0, 80))
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        bits = rng.integers(0, 2, max(8 * n, 200)).astype(np.uint8)
+        decode_ip_pdu(data)
+        decode_udp_comp_pdu(data)
+        decode_locn(data)
+        nmea_sentence_check(data) if n else None
+        decode_lip(bits)
+        decode_nmea_iec(bits, 1 + int(rng.integers(0, 2)))
+        decode_harris_gps(bits)
+        decode_udt(bits[:96 * 5], app_blocks=int(rng.integers(0, 6)))
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_nxdn_dcall_and_assembler(seed):
+    from dsdneo_tpu.protocol.base import DecoderContext
+    from dsdneo_tpu.protocol.nxdn.decoder import NxdnDecoder
+    rng = np.random.default_rng(950 + seed)
+    dec = NxdnDecoder()
+    ctx = DecoderContext()
+    for _ in range(60):
+        n = int(rng.integers(8, 200))
+        msg = rng.integers(0, 2, n).astype(np.uint8)
+        try:
+            dec._message(msg, ctx)
+        except IndexError:
+            pass     # short messages may underrun fixed-layout fields
