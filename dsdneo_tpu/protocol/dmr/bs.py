@@ -56,6 +56,9 @@ class DmrBsDecoder(ProtocolDecoder):
         self.vc_counter = {0: 0, 1: 0}
         self.assembler = {0: PduAssembler(), 1: PduAssembler()}
         self.alias = {}
+        from dsdneo_tpu.protocol.dmr.slc import SlcAssembler
+        self.slc = SlcAssembler()
+        self._slc_line: str | None = None
         self._emb_cc_votes: dict[int, int] = {}
         # per-slot voice crypto (reference payload_algid/mi + dropL/R)
         # and late-entry MI fragment store (dmr_le.c)
@@ -95,7 +98,9 @@ class DmrBsDecoder(ProtocolDecoder):
         return bits
 
     def _cach_slot(self, reader: DibitReader, pos: int, invert: bool) -> int | None:
-        """Decode CACH TACT → slot (0/1) or None on FEC failure."""
+        """Decode CACH TACT → slot (0/1) or None on FEC failure; feeds
+        the 17 SLC payload bits to the short-LC assembler keyed by the
+        LCSS field (reference dmr_cach)."""
         bits = self._slice_bits(reader, pos - 66, 12, invert)
         if bits is None:
             return None
@@ -105,7 +110,10 @@ class DmrBsDecoder(ProtocolDecoder):
         msg, errs = h.decode(cach[:7])
         if errs > 1:
             return None
-        return int(h.codebook[msg][1])   # AT(1) TC(1) LCSS(2)
+        tact = h.codebook[msg]           # AT(1) TC(1) LCSS(2)
+        lcss = (int(tact[2]) << 1) | int(tact[3])
+        self._slc_line = self.slc.feed(lcss, cach[7:24])
+        return int(tact[1])
 
     # -- entry ------------------------------------------------------------
     def handle(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
@@ -298,7 +306,14 @@ class DmrBsDecoder(ProtocolDecoder):
                     detail = self._pi_header(payload, s)
                 elif dtype == 11:
                     detail = self._usbd(payload)
+        detail += self._take_slc()
         ctx.emit(head + detail, "dmr", pos, cc=cc, dtype=dtype, slot=s)
+
+    def _take_slc(self) -> str:
+        """Completed short-LC line from the last CACH, once."""
+        line = self._slc_line
+        self._slc_line = None
+        return f"\n {line.strip()}" if line else ""
 
     def _usbd(self, bits96: np.ndarray) -> str:
         """Unified Single Block Data (dtype 0x0B, CRC16 mask 0x3333):
@@ -451,7 +466,7 @@ class DmrBsDecoder(ProtocolDecoder):
         cc = self.color_code if self.color_code >= 0 else ctx.state.dmr_color_code
         cc_str = f"{cc:02d}" if cc >= 0 else "XX"
         ctx.emit(f"Sync: {polarity}DMR {lights[0]} {lights[1]} "
-                 f"| Color Code={cc_str} | VC1",
+                 f"| Color Code={cc_str} | VC1" + self._take_slc(),
                  "dmr", pos, slot=s)
         self._voice_payload(reader, pos, invert, s, ctx, vc=1)
         self._follow_superframe(reader, hit, ctx, invert, s, cc_str, lights,

