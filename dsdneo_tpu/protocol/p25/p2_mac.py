@@ -211,6 +211,8 @@ class P2MacWalker:
         h = _STANDARD_HANDLERS.get(op)
         if h is not None:
             return h(self, op, m, slot, ctx, hit)
+        if op == 0x5D:        # reference p25p2_vpdu.c:4698
+            return "\n Radio Unit Monitor Command - Obsolete"
         return f"\n MAC OP {op:02X} len {length}"
 
     def _p1_decoder(self):
