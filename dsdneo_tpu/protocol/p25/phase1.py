@@ -614,9 +614,11 @@ class P25P1Decoder(ProtocolDecoder):
                      "p25p1", hit.pos)
         elif opcode in (0x06, 0x07):
             self._queued_deny(b, opcode == 0x07, " MFID90 (Moto)", hit, ctx)
-        elif opcode == 0x0E:
-            ctx.emit(" MFID90 (Moto) Control Channel Planned Shutdown",
-                     "p25p1", hit.pos)
+        elif opcode in (0x0E, 0x0F):
+            label = ("Control Channel Planned Shutdown" if opcode == 0x0E
+                     else "Opcode 15")
+            data = "".join(f"{int(b[k]):02X}" for k in range(2, 10))
+            ctx.emit(f" MFID90 (Moto) {label} [{data}]", "p25p1", hit.pos)
         elif opcode == 0x16:
             # reference tsbk_handle_mfid90_tdma_data_channel: downlink
             # @4-5, uplink @6-7 only
