@@ -201,7 +201,13 @@ def decode_imbe_ecc(bits144: np.ndarray) -> tuple[np.ndarray, int]:
     for j in range(72):
         fr[IMBE_W[j]][IMBE_X[j]] = b[2 * j]
         fr[IMBE_Y[j]][IMBE_Z[j]] = b[2 * j + 1]
+    return decode_imbe_fr(fr)
 
+
+def decode_imbe_fr(fr: np.ndarray) -> tuple[np.ndarray, int]:
+    """ECC-decode an already de-interleaved 8x23 IMBE frame matrix
+    (the reference's ``char imbe_fr[8][23]`` convention; YSF wide/full
+    rate voice hands the matrix over directly)."""
     g23 = golay_23_12()
     errs = 0
 

@@ -105,6 +105,8 @@ class YsfDecoder(ProtocolDecoder):
             self._voice_vd2(payload, ctx)
         if payload is not None and dt == 0 and fi == 1:
             self._voice_vd1(payload, ctx)
+        if payload is not None and dt == 3 and fi == 1:
+            self._voice_fr(payload, fn, ft, ctx)
         ctx.emit(line + detail, "ysf", pos, dt=dt, fn=fn, cm=cm)
         return pos + 480
 
@@ -161,6 +163,35 @@ class YsfDecoder(ProtocolDecoder):
             return f"RM3: {txt[:5]} RM4: {txt[5:]} "
         return ""
 
+
+    def _voice_fr(self, payload: np.ndarray, fn: int, ft: int,
+                  ctx: DecoderContext) -> None:
+        """VWFR (dt 3) wide/full-rate voice: 5 slots of 72 VCH dibits
+        (2 slots after a 216-dibit DCH block on the CSD3 frame, ft==1
+        fn==0), each a P25-style IMBE 7200x4400 codeword (reference
+        ysf.c ysf_handle_full_rate_voice / ysf_decode_full_rate_voice
+        _slot -> processMbeFrame)."""
+        from dsdneo_tpu.protocol.p25.imbe_frame import decode_imbe_fr
+        from dsdneo_tpu.vocoder.mbe import decode_imbe_4400
+        from dsdneo_tpu.vocoder.synth import synthesize_frames
+        is_csd3 = ft == 1 and fn == 0
+        start = 216 if is_csd3 else 0
+        n_slots = 2 if is_csd3 else 5
+        params = []
+        prev = getattr(ctx.state, "ysf_fr_prev", None)
+        for i in range(n_slots):
+            seg = payload[start + 72 * i:start + 72 * (i + 1)]
+            if len(seg) < 72:
+                break
+            bits88, _errs = decode_imbe_fr(_fr_slot_to_matrix(seg))
+            prev = decode_imbe_4400(bits88, prev=prev)
+            params.append(prev)
+        ctx.state.ysf_fr_prev = prev
+        if params:
+            pcm = synthesize_frames(params)
+            if pcm.size:
+                ctx.emit_audio(pcm, slot=0)
+
     def _voice_vd1(self, payload: np.ndarray, ctx: DecoderContext) -> None:
         """V/D1 voice: 5 blocks of 36 DCH + 36 VCH dibits; each VCH is
         a 72-bit AMBE codeword through the standard 2450 ECC (the same
@@ -211,3 +242,39 @@ class YsfDecoder(ProtocolDecoder):
         pcm = synthesize_frames(params)
         if pcm.size:
             ctx.emit_audio(pcm, slot=0)
+
+
+# full-rate voice slot interleave (reference ysf_frame.c
+# DSD_YSF_FR_INTERLEAVE)
+_FR_INTERLEAVE = np.array([
+    0, 7, 12, 19, 24, 31, 36, 43, 48, 55, 60, 67, 72, 79, 84, 91, 96,
+    103, 108, 115, 120, 127, 132, 139,
+    1, 6, 13, 18, 25, 30, 37, 42, 49, 54, 61, 66, 73, 78, 85, 90, 97,
+    102, 109, 114, 121, 126, 133, 138,
+    2, 9, 14, 21, 26, 33, 38, 45, 50, 57, 62, 69, 74, 81, 86, 93, 98,
+    105, 110, 117, 122, 129, 134, 141,
+    3, 8, 15, 20, 27, 32, 39, 44, 51, 56, 63, 68, 75, 80, 87, 92, 99,
+    104, 111, 116, 123, 128, 135, 140,
+    4, 11, 16, 23, 28, 35, 40, 47, 52, 59, 64, 71, 76, 83, 88, 95, 100,
+    107, 112, 119, 124, 131, 136, 143,
+    5, 10, 17, 22, 29, 34, 41, 46, 53, 58, 65, 70, 77, 82, 89, 94, 101,
+    106, 113, 118, 125, 130, 137, 142], dtype=np.int64)
+
+_FR_ROW_LENS = (23, 23, 23, 23, 15, 15, 15, 7)
+
+
+def _fr_slot_to_matrix(seg72: np.ndarray) -> np.ndarray:
+    """72 VCH dibits → the 8x23 IMBE frame matrix (reference
+    dsd_ysf_unpack_full_rate_imbe: de-interleave then fill each row
+    from its top bit down)."""
+    raw = np.empty(144, dtype=np.uint8)
+    raw[0::2] = (seg72 >> 1) & 1
+    raw[1::2] = seg72 & 1
+    vch = raw[_FR_INTERLEAVE]
+    fr = np.zeros((8, 23), dtype=np.uint8)
+    k = 0
+    for n, mlen in enumerate(_FR_ROW_LENS):
+        for m in range(mlen - 1, -1, -1):
+            fr[n][m] = vch[k]
+            k += 1
+    return fr
