@@ -158,14 +158,21 @@ def bench_full_chain(C: int, reps: int = 5):
     return C * block_s / step_s, step_s, block_s, int(pcm.shape[1] // 160)
 
 
-def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "f16"):
+def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "mulaw"):
     """DMR BS voice: I/Q→audio for C channels of sustained 2-slot TDMA
     voice through the batched device pipeline (superframe gather + AMBE
     ECC + dequant + synthesis on device).  The reference's dmr_voice
     fixture is 2 s of mostly CSBK data with 5 voice bursts, so the
     sustained-voice source is synthesized (every burst on both slots
     carries AMBE frames through the real ECC; see
-    engine.dmrbatch.synth_voice_stream)."""
+    engine.dmrbatch.synth_voice_stream).
+
+    Wire format is G.711 µ-law (the standard 8 kHz narrowband voice
+    delivery codec): DMR's 2-slot TDMA yields 2× realtime audio per RF
+    second, and at fleet scale the tunneled d2h link (~45 MB/s for
+    incompressible data) is the binding constraint — µ-law halves the
+    PCM DMA at the telephony-standard ~38 dB SNDR.  Host expansion is a
+    256-entry LUT (counted in the timing)."""
     import jax
     from dsdneo_tpu.engine.dmrbatch import (BatchedDmrVoicePipeline,
                                             synth_voice_stream)

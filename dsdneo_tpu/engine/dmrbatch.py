@@ -161,10 +161,19 @@ def dmr_voice_decode_gather(dibits, sf_ch, sf_pos, sf_inv, offs, fch,
     return pcm.astype(jnp.float16)
 
 
+_MULAW_LUT: np.ndarray | None = None
+
+
 def mulaw_expand(q: np.ndarray) -> np.ndarray:
-    """Host-side G.711 µ-law expansion (inverse of the device encode)."""
-    y = q.astype(np.float32) / 127.5 - 1.0
-    return np.sign(y) * ((1.0 + 255.0) ** np.abs(y) - 1.0) / 255.0
+    """Host-side G.711 µ-law expansion (inverse of the device encode).
+    256-entry lookup: the naive per-sample pow() costs more than the
+    halved tunnel DMA saves at fleet scale."""
+    global _MULAW_LUT
+    if _MULAW_LUT is None:
+        y = np.arange(256, dtype=np.float32) / 127.5 - 1.0
+        _MULAW_LUT = (np.sign(y) * ((1.0 + 255.0) ** np.abs(y) - 1.0)
+                      / 255.0).astype(np.float32)
+    return _MULAW_LUT[q]
 
 
 class BatchedDmrVoicePipeline:
