@@ -234,6 +234,71 @@ def bench_nxdn_chain(C: int, reps: int = 5):
     return C * block_s / step_s, step_s
 
 
+def bench_p25_cc(C: int, reps: int = 5):
+    """P25p1 trunking control-channel monitoring at fleet scale: the
+    real c4fm CC fixture on C channels through the batched device
+    pipeline (front end + sync + NID + trellis + CRC16 screen on
+    device, host catalog parse of CRC-valid TSBKs with the payload-
+    keyed parse cache).  Returns (x_realtime, step_s, tsbk_per_s)."""
+    import jax
+    from dsdneo_tpu.engine.ccbatch import BatchedP25ControlPipeline
+    from dsdneo_tpu.io import read_iq_capture
+
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/p25p1_c4fm_cc.iq.json")
+    fs = float(meta.sample_rate_hz)
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedP25ControlPipeline(C, fs=fs)
+    x = jax.device_put(iq)
+    n = pipe.decode_block_events(x)       # compile + warmup
+    assert n > 0
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        total = 0
+        for _ in range(k):
+            for ctx in pipe.ctxs:
+                ctx.events.clear()
+            total += pipe.decode_block_events(x)
+        return (time.perf_counter() - t0) / k, total / k
+
+    best = min((run(reps) for _ in range(3)), key=lambda r: r[0])
+    step_s, tsbk_per_block = best
+    return C * block_s / step_s, step_s, tsbk_per_block / step_s
+
+
+def bench_dmr_cc(C: int, reps: int = 5):
+    """DMR Tier III CC monitoring (Connect Plus fixture): batched
+    slot-type + BPTC + CRC screen on device, host CSBK catalog."""
+    import jax
+    from dsdneo_tpu.engine.ccbatch import BatchedDmrControlPipeline
+    from dsdneo_tpu.io import read_iq_capture
+
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/dmr_t3_cc.iq.json")
+    fs = float(meta.sample_rate_hz)
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedDmrControlPipeline(C, fs=fs)
+    x = jax.device_put(iq)
+    n = pipe.decode_block_events(x)
+    assert n > 0
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(k):
+            for ctx in pipe.ctxs:
+                ctx.events.clear()
+            pipe.decode_block_events(x)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(run(reps) for _ in range(3))
+    return C * block_s / step_s, step_s
+
+
 def main() -> int:
     import jax
     _enable_compile_cache()
@@ -247,6 +312,8 @@ def main() -> int:
     audio_x, audio_step_s, block_s, frames = bench_full_chain(C_audio)
     dmr_x, dmr_step_s = bench_dmr_chain(C_audio)
     nxdn_x, nxdn_step_s = bench_nxdn_chain(C_audio)
+    cc_x, cc_step_s, tsbk_s = bench_p25_cc(C_audio)
+    dmrcc_x, dmrcc_step_s = bench_dmr_cc(C_audio)
     fe_x, fe_step = bench_frontend(C_fe, 20)
     parity = bench_pallas_parity()
 
@@ -264,6 +331,9 @@ def main() -> int:
             "dmr_step_ms": round(dmr_step_s * 1e3, 1),
             "nxdn48_iq_to_audio_x_realtime": round(nxdn_x, 1),
             "nxdn48_step_ms": round(nxdn_step_s * 1e3, 1),
+            "p25_cc_x_realtime": round(cc_x, 1),
+            "p25_cc_tsbk_per_s": round(tsbk_s, 0),
+            "dmr_cc_x_realtime": round(dmrcc_x, 1),
             "frontend_symbols_x_realtime": round(fe_x, 1),
             "frontend_channels": C_fe,
             "frontend_step_ms": round(fe_step * 1e3, 3),

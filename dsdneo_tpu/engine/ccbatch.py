@@ -1,0 +1,536 @@
+"""Batched many-channel CONTROL-CHANNEL decode: I/Q → trunking events.
+
+The trunked-monitoring counterpart of engine.voicebatch/dmrbatch: at
+fleet scale (256+ monitored control channels) the per-channel host
+event decoder dominates, so everything through the CRC screen runs on
+device and the host parses only CRC-valid payload blocks through the
+existing protocol catalogs:
+
+P25p1 TSDU (reference src/protocol/p25/phase1/p25p1_tsbk.c:1054):
+  fused front end + sync + batched BCH NID (engine.voicebatch) →
+  host picks DUID-7 hits from the candidate blob → device gather of
+  the 3×98-dibit TSBK blocks (status-strip index maps) →
+  fec.device.p25_12_decode_batch (lax.scan Viterbi over the whole
+  fleet's blocks) → CRC16 screen as a GF(2) parity matmul → the host
+  parses only the passing 12-byte payloads via phase1._tsbk.  Blocks
+  that fail the single-best screen fall back to the host soft-LLR list
+  decoder (fec.trellis.p25_12_decode_list) from the raw dibits carried
+  in the same blob — the reference's tsbk_select_crc_candidate
+  behavior at fleet scale.
+
+DMR Tier III CSBK (reference src/protocol/dmr/dmr_csbk.c:2793):
+  front end + data-sync correlation + batched Golay(20,8) slot-type
+  decode in one dispatch → host accepts dtype-3 (CSBK) hits → device
+  BPTC(196,96) decode (row Hamming(15,11) + column Hamming(13,9) as
+  codebook-ML matmuls over the deinterleave gather) + CRC16(0xA5A5)
+  screen → host parses passing payloads via dmr.csbk.decode_csbk.
+
+Both pipelines keep per-channel DecoderContexts so grants feed
+engine.trunk.TrunkFollower, and offer a payload-keyed parse cache:
+control channels repeat identical TSBK/CSBK payloads many times per
+second (ALOHA/iden/status spam), so repeats re-emit the first parse's
+events without re-walking the catalog (state side effects of repeated
+identical control blocks are idempotent).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsdneo_tpu.engine.voicebatch import (BatchedP25VoicePipeline,
+                                          _status_strip_map, _sync_kernel,
+                                          correlate_syncs_device)
+from dsdneo_tpu.fec import blockcodes, crc as crcmod
+from dsdneo_tpu.fec.device import p25_12_decode_batch
+from dsdneo_tpu.protocol.base import DecoderContext
+from dsdneo_tpu.symbols import framesync
+
+
+# -- CRC16 as GF(2) parity matmul ------------------------------------------
+@lru_cache(maxsize=None)
+def _crc16_contrib(nbits: int, poly: int = 0x1021) -> np.ndarray:
+    """[nbits, 16] contribution table: crc16(bits, init=0, xorout=0) =
+    XOR of rows at set bit positions (CRC is linear over GF(2))."""
+    tab = np.zeros((nbits, 16), dtype=np.int32)
+    e = np.zeros(nbits, dtype=np.uint8)
+    for i in range(nbits):
+        e[:] = 0
+        e[i] = 1
+        v = crcmod.crc16_bits(e, poly=poly, init=0, xorout=0)
+        tab[i] = [(v >> (15 - j)) & 1 for j in range(16)]
+    return tab
+
+
+def _crc16_screen(data96: jax.Array, xor_mask: int) -> jax.Array:
+    """[N, 96] payload bits → [N] bool: crc16(bits[:80], init=0) ^
+    xor_mask == bits[80:96] (one [N,80]×[80,16] matmul mod 2)."""
+    tab = jnp.asarray(_crc16_contrib(80))
+    par = (data96[:, :80].astype(jnp.int32) @ tab) % 2        # [N, 16]
+    mask = jnp.asarray([(xor_mask >> (15 - j)) & 1 for j in range(16)],
+                       dtype=jnp.int32)
+    return jnp.all((par ^ mask).astype(jnp.uint8)
+                   == data96[:, 80:96], axis=-1)
+
+
+def _pack_bits(bits: jax.Array) -> jax.Array:
+    """[N, 8k] 0/1 → [N, k] bytes (msb-first)."""
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.int32)
+    N = bits.shape[0]
+    return (bits.reshape(N, -1, 8).astype(jnp.int32) @ w).astype(jnp.uint8)
+
+
+# -- P25p1 TSDU -------------------------------------------------------------
+TSDU_BLOCKS = 3          # TSBKs per TSDU (reference p25p1_tsbk.c loop)
+TSDU_DATA_DIBITS = 32 + 3 * 98
+
+
+@lru_cache(maxsize=1)
+def _tsdu_offsets() -> np.ndarray:
+    """[3, 98] stream dibit offsets (relative to sync start) of the
+    three TSBK trellis blocks, status dibits stripped."""
+    defs, _, _, _ = _sync_kernel(("+P25p1", "-P25p1"))
+    n_pat = len(defs[0].pattern)
+    strip = _status_strip_map(n_pat, TSDU_DATA_DIBITS)
+    return strip[32:].reshape(3, 98).astype(np.int32)
+
+
+@jax.jit
+def p25_tsdu_decode_device(dibits: jax.Array, ch: jax.Array,
+                           pos: jax.Array) -> jax.Array:
+    """Device TSDU program: gather the 3 TSBK blocks of every accepted
+    hit, batch trellis-decode, CRC16-screen; returns one compact blob
+    [H, 3*(12+1+25)] = per block 12 payload bytes + ok flag + 25 bytes
+    of raw packed dibits (for the host list-decode fallback on the few
+    CRC-failed blocks)."""
+    offs = jnp.asarray(_tsdu_offsets())
+    Tn = dibits.shape[1]
+    H = ch.shape[0]
+    gp = jnp.clip(pos[:, None, None] + offs[None], 0, Tn - 1)  # [H, 3, 98]
+    chc = jnp.minimum(ch, dibits.shape[0] - 1)
+    dd = dibits[chc[:, None, None], gp].reshape(-1, 98)        # [H*3, 98]
+    bits196 = jnp.zeros((dd.shape[0], 196), dtype=jnp.uint8)
+    bits196 = bits196.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
+    bits196 = bits196.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
+    data96, _cost = p25_12_decode_batch(bits196)               # [H*3, 96]
+    ok = _crc16_screen(data96, 0xFFFF)                         # [H*3]
+    payload = _pack_bits(data96)                               # [H*3, 12]
+    # raw dibits packed 4/byte for the host fallback path
+    ddp = jnp.pad(dd, ((0, 0), (0, 2)))                        # 98 → 100
+    raw = ((ddp[:, 0::4] << 6) | (ddp[:, 1::4] << 4)
+           | (ddp[:, 2::4] << 2) | ddp[:, 3::4]).astype(jnp.uint8)
+    blk = jnp.concatenate([payload, ok[:, None].astype(jnp.uint8), raw],
+                          axis=1)                              # [H*3, 38]
+    return blk.reshape(H, -1)
+
+
+class BatchedP25ControlPipeline(BatchedP25VoicePipeline):
+    """Batched P25p1 trunking control monitor over [C, B] blocks.
+
+    Inherits the fused front-end + sync + NID dispatch from the voice
+    pipeline (the chain is identical through the NID); picks TSDU
+    (DUID 7) hits instead of LDUs and runs the TSBK path on device.
+    """
+
+    NID_TOPK = 128      # CCs carry ~13 TSDU/s plus peak shoulders
+
+    def __init__(self, C: int, fs: float = 48000.0,
+                 sync_threshold: float = 0.62, parse_cache: bool = True):
+        super().__init__(C, fs=fs, sync_threshold=sync_threshold)
+        from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
+        self.ctxs = [DecoderContext() for _ in range(C)]
+        self.decs = [P25P1Decoder() for _ in range(C)]
+        self.parse_cache = parse_cache
+        self._pcache: list[dict] = [dict() for _ in range(C)]
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        self._hit_def = defs[0]
+        self.crc_fallbacks = 0
+        self.crc_errors = 0
+
+    def pick_tsdus(self, idx, vq, dq, msg, T: int, dibits_dev=None):
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        n_pat = len(defs[0].pattern)
+        strip = _status_strip_map(n_pat, TSDU_DATA_DIBITS)
+        need = int(strip[-1]) + 1
+        ac, at, am, _fch, _ford = self.pick_frames_by_duid(
+            idx, vq, dq, msg, T, (7,), need, 1, dibits_dev)
+        return ac, at, am
+
+    def _parse_tsbk(self, c: int, pos: int, payload12: np.ndarray) -> bool:
+        """Host catalog parse of one CRC-valid TSBK payload; returns the
+        Last Block flag.  With parse_cache, repeats of an identical
+        payload re-emit the first parse's events."""
+        ctx = self.ctxs[c]
+        # the iden-table version joins the key: freq-note lines change
+        # once iden_up populates the channel→frequency math
+        iden_v = getattr(getattr(ctx.state, "iden_table", None),
+                         "version", 0)
+        key = (payload12.tobytes(), iden_v)
+        if self.parse_cache:
+            hitv = self._pcache[c].get(key)
+            if hitv is not None:
+                lb, events = hitv
+                for line, fields in events:
+                    ctx.emit(line, "p25p1", pos, **fields)
+                return lb
+        bits96 = np.unpackbits(payload12)
+        hit = framesync.SyncHit(pos=pos, score=1.0, sync=self._hit_def)
+        n0 = len(ctx.events)
+        lb = self.decs[c]._tsbk(bits96, hit, ctx)
+        if self.parse_cache:
+            self._pcache[c][key] = (
+                lb, [(e.line, dict(e.fields)) for e in ctx.events[n0:]])
+        return lb
+
+    def decode_block_events(self, iq) -> int:
+        """Run one [C, B] block end to end; events land in
+        ``self.ctxs[c].events``.  Returns the number of CRC-valid TSBKs
+        parsed."""
+        dibits_dev, idx, vq, dq, msg, n_sym = self.frontend_sync_device(iq)
+        ac, at, am = self.pick_tsdus(idx, vq, dq, msg, n_sym,
+                                     dibits_dev=dibits_dev)
+        H = ac.shape[0]
+        if H == 0:
+            return 0
+        Hp = -(-H // 64) * 64
+        acp = np.full(Hp, self.C, dtype=np.int32)
+        acp[:H] = ac
+        atp = np.zeros(Hp, dtype=np.int32)
+        atp[:H] = at
+        blob = np.asarray(p25_tsdu_decode_device(
+            dibits_dev, jnp.asarray(acp), jnp.asarray(atp)))
+        blk = blob[:H].reshape(H, 3, 38)
+        payloads = blk[:, :, :12]
+        oks = blk[:, :, 12] != 0
+        raws = blk[:, :, 13:38]
+        n_parsed = 0
+        for h in range(H):
+            c, t = int(ac[h]), int(at[h])
+            ctx = self.ctxs[c]
+            nac = (int(am[h]) >> 4) & 0xFFF
+            if nac not in (0, 0xFFF):
+                ctx.state.nac = nac
+                ctx.state.p2_cc = nac
+            ctx.emit(f"Sync: +P25p1 | {ctx.frame_info()}TSDU",
+                     "p25p1", t, nac=nac, duid=7)
+            for b in range(TSDU_BLOCKS):
+                if oks[h, b]:
+                    data = payloads[h, b]
+                else:
+                    data = self._crc_fallback(raws[h, b])
+                    if data is None:
+                        self.crc_errors += 1
+                        self.ctxs[c].emit(" TSBK CRC ERR", "p25p1", t)
+                        break
+                    self.crc_fallbacks += 1
+                n_parsed += 1
+                if self._parse_tsbk(c, t, data):
+                    break
+        return n_parsed
+
+    @staticmethod
+    def _crc_fallback(raw25: np.ndarray) -> np.ndarray | None:
+        """Host ranked-list trellis decode of one CRC-failed block from
+        its packed raw dibits (reference tsbk_select_crc_candidate)."""
+        from dsdneo_tpu.fec import trellis
+        dd = np.zeros(100, dtype=np.uint8)
+        dd[0::4] = (raw25 >> 6) & 3
+        dd[1::4] = (raw25 >> 4) & 3
+        dd[2::4] = (raw25 >> 2) & 3
+        dd[3::4] = raw25 & 3
+        bits = np.zeros(196, dtype=np.uint8)
+        bits[0::2] = (dd[:98] >> 1) & 1
+        bits[1::2] = dd[:98] & 1
+        for data96, _m in trellis.p25_12_decode_list(bits):
+            got = crcmod.crc16_bits(data96[:80], init=0, xorout=0xFFFF)
+            want = 0
+            for v in data96[80:96]:
+                want = (want << 1) | int(v)
+            if got == want:
+                return np.packbits(data96)
+        return None
+
+    def events(self, c: int):
+        return self.ctxs[c].events
+
+
+# -- DMR Tier III CSBK ------------------------------------------------------
+@lru_cache(maxsize=1)
+def _bptc_consts():
+    """Deinterleave gather [13, 15] into the 196 on-air bits, plus the
+    row/column codebooks (fec.bptc host tables)."""
+    # deinterleaved d[(i*13) % 196] = bits[i]  ⇒  d[j] = bits[(j*181) % 196]
+    inv = (np.arange(196) * 181) % 196
+    mat_idx = inv[1:].reshape(13, 15).astype(np.int32)
+    h15 = blockcodes.hamming_15_11()
+    h13 = blockcodes.hamming_13_9()
+    return mat_idx, h15, h13
+
+
+@jax.jit
+def bptc_196_96_decode_batch(bits196: jax.Array
+                             ) -> tuple[jax.Array, jax.Array]:
+    """Batched BPTC(196,96): [N, 196] on-air bits → ([N, 96] payload,
+    [N] error count).  Bit-identical to fec.bptc.bptc_196_96_decode:
+    row Hamming(15,11) ML decode corrects data columns of rows 0-8,
+    then column Hamming(13,9) ML over the partially corrected matrix
+    corrects rows 0-8 of every column; errors counts codewords needing
+    >1-bit correction."""
+    mat_idx, h15, h13 = _bptc_consts()
+    N = bits196.shape[0]
+    mat = bits196[:, jnp.asarray(mat_idx.reshape(-1))].reshape(N, 13, 15)
+
+    pm15 = jnp.asarray((1.0 - 2.0 * h15.codebook).astype(np.float32))
+    cb15 = jnp.asarray(h15.codebook)
+    rows = mat[:, :9].reshape(N * 9, 15)
+    s = 1.0 - 2.0 * rows.astype(jnp.float32)
+    m = jnp.argmax(s @ pm15.T, axis=-1)
+    rerr = jnp.sum(cb15[m] != rows, axis=-1).reshape(N, 9)
+    mat = mat.at[:, :9, :11].set(cb15[m][:, :11].reshape(N, 9, 11))
+
+    pm13 = jnp.asarray((1.0 - 2.0 * h13.codebook).astype(np.float32))
+    cb13 = jnp.asarray(h13.codebook)
+    cols = jnp.swapaxes(mat, 1, 2).reshape(N * 15, 13)
+    s = 1.0 - 2.0 * cols.astype(jnp.float32)
+    m = jnp.argmax(s @ pm13.T, axis=-1)
+    cerr = jnp.sum(cb13[m] != cols, axis=-1).reshape(N, 15)
+    fixed = jnp.swapaxes(cb13[m][:, :9].reshape(N, 15, 9), 1, 2)
+    mat = mat.at[:, :9, :].set(fixed)
+
+    payload = jnp.concatenate(
+        [mat[:, 0, 3:11], mat[:, 1:9, :11].reshape(N, 88)], axis=1)
+    errors = (jnp.sum(rerr > 1, axis=-1) + jnp.sum(cerr > 1, axis=-1)
+              ).astype(jnp.int32)
+    return payload.astype(jnp.uint8), errors
+
+
+# slot-type field: 5 dibits before the 24-dibit sync + 5 after
+_ST_OFFS = np.array([-5, -4, -3, -2, -1, 24, 25, 26, 27, 28],
+                    dtype=np.int32)
+# CSBK payload: 49 dibits ending 5 dibits before sync + 49 starting
+# 5 dibits after it (protocol/dmr/bs.py _data_burst geometry)
+_PAYLOAD_OFFS = np.concatenate([np.arange(-54, -5), np.arange(29, 78)]
+                               ).astype(np.int32)
+DMR_BURST_EXTENT = 78
+
+
+@jax.jit
+def dmr_csbk_decode_device(dibits: jax.Array, ch: jax.Array,
+                           pos: jax.Array, inv: jax.Array
+                           ) -> jax.Array:
+    """Device CSBK program: gather each accepted data burst's 196
+    payload bits, batched BPTC decode, CRC16(0xA5A5) screen; blob
+    [H, 14] = 12 payload bytes + ok flag + BPTC error count."""
+    Tn = dibits.shape[1]
+    gp = jnp.clip(pos[:, None] + jnp.asarray(_PAYLOAD_OFFS), 0, Tn - 1)
+    chc = jnp.minimum(ch, dibits.shape[0] - 1)
+    dd = dibits[chc[:, None], gp]                              # [H, 98]
+    dd = dd ^ (inv[:, None] * 2).astype(dd.dtype)
+    bits196 = jnp.zeros((dd.shape[0], 196), dtype=jnp.uint8)
+    bits196 = bits196.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
+    bits196 = bits196.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
+    payload, errors = bptc_196_96_decode_batch(bits196)
+    ok = _crc16_screen(payload, 0xFFFF ^ 0xA5A5)
+    pb = _pack_bits(payload)                                   # [H, 12]
+    return jnp.concatenate(
+        [pb, ok[:, None].astype(jnp.uint8),
+         jnp.clip(errors, 0, 255)[:, None].astype(jnp.uint8)], axis=1)
+
+
+class BatchedDmrControlPipeline:
+    """Batched DMR Tier III CSBK monitor over [C, B] blocks (reference
+    dmr_csbk.c catalog at fleet scale): data-sync correlation + batched
+    Golay(20,8) slot-type decode in the front-end dispatch, device
+    BPTC + CRC screen, host catalog parse of CRC-valid CSBKs."""
+
+    # DMR data and voice syncs are exact symbol complements, so a
+    # voice-pattern hit on an inverted channel is really a data burst:
+    # pattern 0 = upright data, pattern 1 (the voice pattern) = the
+    # inverted-data hypothesis, disambiguated by the slot-type Golay
+    # confidence gate — the serial decoder's exact logic
+    # (protocol/dmr/bs.py handle: data_invert = base ^ is_voice_pattern)
+    SYNC_NAMES = ("+DMR BS data", "+DMR BS voice")
+    SYNC_TOPK = 192          # ~16.7 data bursts/s per slot + shoulders
+
+    def __init__(self, C: int, fs: float = 48000.0,
+                 sync_threshold: float = 0.62, parse_cache: bool = True):
+        from dsdneo_tpu.dsp import firdes
+        from dsdneo_tpu.engine.modes import MODES
+        self.C = C
+        self.fs = fs
+        self.mode = MODES["dmr"]
+        self.sps = fs / self.mode.symbol_rate
+        self.taps = firdes.channel_lpf(fs, self.mode.lpf_profile)
+        self.threshold = sync_threshold
+        self.ctxs = [DecoderContext() for _ in range(C)]
+        self.parse_cache = parse_cache
+        self._pcache: list[dict] = [dict() for _ in range(C)]
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        self._hit_def = defs[0]
+        self.crc_errors = 0
+        self._jits = {}
+
+    def frontend_sync_device(self, iq, use_pallas: bool | None = None):
+        """Fused front end + data-sync correlation + slot-type Golay:
+        dibits stay on device; the blob carries top-K candidate
+        positions, scores, pattern ids, and slot-type (msg, errs)."""
+        from dsdneo_tpu.engine.batched import frontend_step
+        B = iq.shape[1]
+        n_sym = int(B // self.sps) - 2
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        key = ("dmrcc", B, n_sym, use_pallas)
+        fn = self._jits.get(key)
+        if fn is None:
+            taps = self.taps
+            names = self.SYNC_NAMES
+            defs, _, _, n_max_pat = _sync_kernel(names)
+            k_cand = min(self.SYNC_TOPK, n_sym - n_max_pat + 1)
+            g20 = blockcodes.golay_20_8()
+            pm20_n = (1.0 - 2.0 * g20.codebook).astype(np.float32)
+            cb20_n = g20.codebook
+
+            @jax.jit
+            def fn(x):
+                dibits, soft, _power = frontend_step(
+                    x, taps, self.sps, n_sym, self.mode.four_level,
+                    use_pallas=use_pallas)
+                sc = correlate_syncs_device(soft, names)
+                best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
+                bs = jnp.max(sc, axis=1)
+                vals, idx = jax.lax.top_k(bs, k_cand)
+                vq = jnp.clip(vals * 127.0, 0, 255).astype(jnp.uint8)
+                dq = jnp.take_along_axis(best_def, idx, axis=1)
+                # batched slot-type decode at every candidate
+                Cn = dibits.shape[0]
+                Tn = dibits.shape[1]
+                gp = jnp.clip(idx[:, :, None] + jnp.asarray(_ST_OFFS),
+                              0, Tn - 1)
+                dd = dibits[jnp.arange(Cn)[:, None, None], gp]
+                # pattern 1 (voice) = inverted-data hypothesis
+                invq = (dq & 1).astype(jnp.uint8)
+                dd = dd ^ (invq[:, :, None] * 2)
+                b20 = jnp.stack([(dd >> 1) & 1, dd & 1],
+                                axis=-1).reshape(Cn, k_cand, 20)
+                s = 1.0 - 2.0 * b20.astype(jnp.float32)
+                scores = jnp.einsum("ckb,eb->cke", s, jnp.asarray(pm20_n))
+                m = jnp.argmax(scores, axis=-1)
+                errs = jnp.sum(jnp.asarray(cb20_n)[m] != b20, axis=-1)
+                u8 = lambda a: jax.lax.bitcast_convert_type(
+                    a, jnp.uint8).reshape(a.shape[0], -1)
+                blob = jnp.concatenate(
+                    [u8(idx.astype(jnp.uint16)), vq, dq,
+                     m.astype(jnp.uint8),
+                     jnp.clip(errs, 0, 255).astype(jnp.uint8)], axis=1)
+                return dibits, blob
+            self._jits[key] = fn
+        dibits_dev, blob_dev = fn(
+            iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        blob = np.asarray(blob_dev)
+        defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
+        k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)
+        o = 0
+        idx = blob[:, o:o + 2 * k_cand].copy().view(np.uint16
+                                                    ).astype(np.int64)
+        o += 2 * k_cand
+        vq = blob[:, o:o + k_cand]; o += k_cand
+        dq = blob[:, o:o + k_cand]; o += k_cand
+        st = blob[:, o:o + k_cand]; o += k_cand
+        se = blob[:, o:o + k_cand]
+        return dibits_dev, idx, vq, dq, st, se, n_sym
+
+    def pick_csbks(self, idx, vq, dq, st, se, n_sym: int):
+        """Data-sync hits → accepted (channel, pos, inverted, cc) for
+        dtype-3 CSBK bursts: correlation threshold, slot-type Golay
+        confidence ≤2 bit errors (host _slot_type gate), shoulder
+        suppression.  Pattern 1 hits are the inverted-data hypothesis."""
+        acc_c, acc_t, acc_i, acc_cc = [], [], [], []
+        for c in range(idx.shape[0]):
+            sc = vq[c].astype(np.float32) / 127.0
+            ok = (sc >= self.threshold) & (se[c] <= 2)
+            if not ok.any():
+                continue
+            order = np.argsort(idx[c][ok], kind="stable")
+            positions = idx[c][ok][order]
+            pdefs = dq[c][ok][order]
+            types = st[c][ok][order]
+            last = -10 ** 9
+            for t, dfi, m in zip(positions, pdefs, types):
+                t = int(t)
+                if t - last < 24 or t < 54 or t + DMR_BURST_EXTENT >= n_sym:
+                    continue
+                last = t
+                dtype = int(m) & 0xF
+                if dtype != 3:          # CSBK only on the batched path
+                    continue
+                acc_c.append(c)
+                acc_t.append(t)
+                acc_i.append(int(dfi) & 1)
+                acc_cc.append((int(m) >> 4) & 0xF)
+        return (np.asarray(acc_c, np.int32), np.asarray(acc_t, np.int32),
+                np.asarray(acc_i, np.int32), np.asarray(acc_cc, np.int32))
+
+    def _parse_csbk(self, c: int, pos: int, cc: int,
+                    payload12: np.ndarray) -> None:
+        from dsdneo_tpu.protocol.dmr.csbk import decode_csbk
+        ctx = self.ctxs[c]
+        key = payload12.tobytes()
+        if self.parse_cache:
+            hitv = self._pcache[c].get(key)
+            if hitv is not None:
+                for line, fields in hitv:
+                    ctx.emit(line, "dmr", pos, **fields)
+                return
+        bits96 = np.unpackbits(payload12)
+        hit = framesync.SyncHit(pos=pos, score=1.0, sync=self._hit_def)
+        n0 = len(ctx.events)
+        detail = decode_csbk(bits96, ctx, hit=hit, slot=0)
+        ctx.emit(f"Sync: +DMR CC | Color Code={cc:02d} | CSBK{detail}",
+                 "dmr", pos, cc=cc)
+        if self.parse_cache:
+            self._pcache[c][key] = [(e.line, dict(e.fields))
+                                    for e in ctx.events[n0:]]
+
+    def decode_block_events(self, iq) -> int:
+        """One [C, B] block → CSBK events in self.ctxs; returns the
+        number of CRC-valid CSBKs parsed."""
+        dibits_dev, idx, vq, dq, st, se, n_sym = \
+            self.frontend_sync_device(iq)
+        ac, at, ai, acc = self.pick_csbks(idx, vq, dq, st, se, n_sym)
+        H = ac.shape[0]
+        if H == 0:
+            return 0
+        Hp = -(-H // 64) * 64
+        acp = np.full(Hp, self.C, dtype=np.int32)
+        acp[:H] = ac
+        atp = np.zeros(Hp, dtype=np.int32)
+        atp[:H] = at
+        aip = np.zeros(Hp, dtype=np.int32)
+        aip[:H] = ai
+        blob = np.asarray(dmr_csbk_decode_device(
+            dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
+            jnp.asarray(aip)))[:H]
+        n_parsed = 0
+        for h in range(H):
+            c, t = int(ac[h]), int(at[h])
+            if blob[h, 13] > 0 and not blob[h, 12]:
+                # unrecovered BPTC burst: the serial path emits the
+                # burst head with no detail (bs.py errors==0 gate)
+                self.ctxs[c].emit(
+                    f"Sync: +DMR CC | Color Code={int(acc[h]):02d}"
+                    " | CSBK", "dmr", t)
+            elif blob[h, 12]:
+                self._parse_csbk(c, t, int(acc[h]), blob[h, :12])
+                n_parsed += 1
+            else:
+                self.crc_errors += 1
+                self.ctxs[c].emit(
+                    f"Sync: +DMR CC | Color Code={int(acc[h]):02d}"
+                    " | CSBK CRC ERR", "dmr", t)
+        return n_parsed
+
+    def events(self, c: int):
+        return self.ctxs[c].events

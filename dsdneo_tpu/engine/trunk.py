@@ -42,10 +42,14 @@ class IdenTable:
     """P25 channel-number → frequency math (reference
     src/protocol/p25/p25_frequency.c iden_up records)."""
     entries: dict = field(default_factory=dict)  # iden -> (base_hz, spacing_hz, offset_hz, tdma_slots)
+    version: int = 0        # bumped on change: parse caches key on it
 
     def add(self, iden: int, base_hz: float, spacing_hz: float,
             offset_hz: float = 0.0, tdma_slots: int = 1) -> None:
-        self.entries[iden] = (base_hz, spacing_hz, offset_hz, max(tdma_slots, 1))
+        ent = (base_hz, spacing_hz, offset_hz, max(tdma_slots, 1))
+        if self.entries.get(iden) != ent:
+            self.version += 1
+        self.entries[iden] = ent
 
     def channel_to_freq(self, channel16: int) -> Optional[float]:
         iden = (channel16 >> 12) & 0xF

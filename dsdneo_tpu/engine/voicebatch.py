@@ -114,6 +114,10 @@ class BatchedP25VoicePipeline:
     # sync candidates fetched per channel per block (device top-k);
     # a 3 s block carries ~17 LDU syncs + peak-shoulder neighbors
     SYNC_TOPK = 512
+    # candidates NID-decoded on device alongside the sync correlation
+    # (top-K by score); anything beyond falls back to a second small
+    # device dispatch in pick_ldus — nothing is silently dropped
+    NID_TOPK = 48
 
     def __init__(self, C: int, fs: float = 48000.0,
                  sync_threshold: float = 0.62, cqpsk: bool = False):
@@ -197,7 +201,7 @@ class BatchedP25VoicePipeline:
                 # (bf16 operands — products are ±1 so f32 accumulation
                 # is exact) — saves the hunt a third device round trip.
                 # Kn is capped to bound the [C·Kn, 65536] score tile.
-                k_nid = min(48, k_cand)
+                k_nid = min(self.NID_TOPK, k_cand)
                 idx_n = idx[:, :k_nid]
                 Cn = dibits.shape[0]
                 gpos = jnp.clip(idx_n[:, :, None] + jnp.asarray(nid_strip),
@@ -234,7 +238,7 @@ class BatchedP25VoicePipeline:
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         Tp = n_sym - n_max + 1
         k_cand = min(self.SYNC_TOPK, Tp)
-        k_nid = min(48, k_cand)
+        k_nid = min(self.NID_TOPK, k_cand)
         n_dp = (n_sym + 3) // 4
         o = 0
         dp = blob[:, o:o + n_dp]; o += n_dp
@@ -295,7 +299,7 @@ class BatchedP25VoicePipeline:
                 vals, idx = jax.lax.top_k(bs, k_cand)
                 vq = jnp.clip(vals * 127.0, 0, 255).astype(jnp.uint8)
                 dq = jnp.take_along_axis(best_def, idx, axis=1)
-                k_nid = min(48, k_cand)
+                k_nid = min(self.NID_TOPK, k_cand)
                 idx_n = idx[:, :k_nid]
                 Cn = dibits.shape[0]
                 gpos = jnp.clip(idx_n[:, :, None] + jnp.asarray(nid_strip),
@@ -321,7 +325,7 @@ class BatchedP25VoicePipeline:
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         Tp = n_sym - n_max + 1
         k_cand = min(self.SYNC_TOPK, Tp)
-        k_nid = min(48, k_cand)
+        k_nid = min(self.NID_TOPK, k_cand)
         o = 0
         idx = blob[:, o:o + 2 * k_cand].copy().view(np.uint16
                                                     ).astype(np.int64)
@@ -331,22 +335,15 @@ class BatchedP25VoicePipeline:
         msg = blob[:, o:o + 2 * k_nid].copy().view(np.uint16)
         return dibits_dev, idx, vq, dq, msg, n_sym
 
-    def pick_ldus(self, idx, vq, dq, msg, T: int):
-        """Sparse greedy sync picking + LDU acceptance straight from the
-        candidate blob (no dense [C, T] score arrays, no dibits): same
-        semantics as pick_syncs_from_best — walk candidates by position,
-        refine to the local maximum within 8 positions, jump a pattern
-        length — then accept DUID 5/10 hits outside any previous LDU.
-        NID comes exclusively from the device's top-48-by-score set;
-        true LDU syncs correlate at ~1.0 and dominate that set."""
+    def _peak_hits(self, idx, vq, dq):
+        """Pass 1 of the sparse picker: per-channel greedy peak walk over
+        the candidate blob — sorted by position, refine to the local
+        maximum within 8 positions, jump a pattern length (the same
+        semantics as framesync.pick_syncs_from_best).  Returns
+        [(channel, position, def_index)] without any DUID decision."""
         defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
-        n_pat = len(defs[0].pattern)
-        strip = _status_strip_map(n_pat, 32 + LDU_DATA_DIBITS)
-        need = int(strip[-1]) + 1
-        k_nid = msg.shape[1]
-        C = idx.shape[0]
-        acc_c, acc_t, fch, forder = [], [], [], []
-        for c in range(C):
+        hits = []
+        for c in range(idx.shape[0]):
             sc = vq[c].astype(np.float32) / 127.0
             ok = sc >= self.threshold
             if not ok.any():
@@ -354,18 +351,14 @@ class BatchedP25VoicePipeline:
             positions = idx[c][ok]
             scores = sc[ok]
             pdefs = dq[c][ok]
-            nid = {int(idx[c][j]): int(msg[c][j])
-                   for j in range(min(k_nid, idx.shape[1]))}
             order = np.argsort(positions, kind="stable")
             positions, scores, pdefs = (positions[order], scores[order],
                                         pdefs[order])
             pos = 0
-            n_order = 0
             for j in range(len(positions)):
                 t = int(positions[j])
                 if t < pos:
                     continue
-                # local-max refinement within the next 8 positions
                 w = j
                 for j2 in range(j + 1, len(positions)):
                     if positions[j2] >= t + 8:
@@ -375,19 +368,110 @@ class BatchedP25VoicePipeline:
                 p = int(positions[w])
                 d = defs[int(pdefs[w])]
                 pos = p + len(d.pattern)
-                if d.inverted or p + need >= T:
-                    continue
-                duid = nid.get(p, 0xFFFF) & 0xF
-                if duid not in (5, 10):
-                    continue
-                acc_c.append(c)
-                acc_t.append(p)
-                fch.extend([c] * 9)
-                forder.extend(range(n_order, n_order + 9))
-                n_order += 9
-                pos = p + need
+                hits.append((c, p, int(pdefs[w])))
+        return hits
+
+    def nid_decode_positions(self, dibits_dev, ch: np.ndarray,
+                             pos: np.ndarray) -> np.ndarray:
+        """Second-chance device NID decode for sync hits outside the
+        fused dispatch's top-K-by-score set: upload (channel, position)
+        pairs, gather the 32 status-stripped NID dibits from the
+        device-resident dibit array, BCH(63,16) ML decode, fetch the
+        [H] uint16 messages.  Keeps pick_ldus lossless on channels with
+        pathological candidate counts (>NID_TOPK sync-quality peaks —
+        co-channel interference), matching find_voice_frames_best's
+        host fallback."""
+        H = ch.shape[0]
+        if H == 0:
+            return np.zeros(0, dtype=np.uint16)
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        n_pat = len(defs[0].pattern)
+        nid_strip = _status_strip_map(n_pat, 32).astype(np.int32)
+        bch_pm = self.bch.pm.astype(np.float32)
+        if not hasattr(self, "_nid_jit"):
+            @jax.jit
+            def _nid_fn(dibits, chv, posv):
+                Tn = dibits.shape[1]
+                gp = jnp.clip(posv[:, None] + jnp.asarray(nid_strip),
+                              0, Tn - 1)
+                chc = jnp.minimum(chv, dibits.shape[0] - 1)
+                nd = dibits[chc[:, None], gp]                 # [H, 32]
+                b64 = jnp.stack([(nd >> 1) & 1, nd & 1], axis=-1
+                                ).reshape(nd.shape[0], 64)
+                s = (1.0 - 2.0 * b64[:, :63].astype(jnp.float32)
+                     ).astype(jnp.bfloat16)
+                return jnp.argmax(
+                    s @ jnp.asarray(bch_pm).astype(jnp.bfloat16).T,
+                    axis=-1).astype(jnp.uint16)
+            self._nid_jit = _nid_fn
+        Hp = -(-H // 64) * 64                  # shape bucket
+        chp = np.zeros(Hp, dtype=np.int32)
+        chp[:H] = ch
+        posp = np.zeros(Hp, dtype=np.int32)
+        posp[:H] = pos
+        out = np.asarray(self._nid_jit(dibits_dev, jnp.asarray(chp),
+                                       jnp.asarray(posp)))
+        return out[:H]
+
+    def pick_frames_by_duid(self, idx, vq, dq, msg, T: int,
+                            duids: tuple[int, ...], need: int,
+                            frames_per_hit: int, dibits_dev=None):
+        """Sparse greedy sync picking + frame acceptance from the
+        candidate blob: peak walk (pass 1), NID lookup — device top-K
+        map with a second-dispatch fallback for uncovered hits when
+        ``dibits_dev`` is given — then accept hits whose DUID is in
+        ``duids`` outside any previously accepted frame extent."""
+        k_nid = msg.shape[1]
+        hits = self._peak_hits(idx, vq, dq)
+        nid_map = {}
+        for c in range(idx.shape[0]):
+            for j in range(min(k_nid, idx.shape[1])):
+                nid_map[(c, int(idx[c][j]))] = int(msg[c][j])
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        pending = [(c, p) for (c, p, di) in hits
+                   if (c, p) not in nid_map and not defs[di].inverted
+                   and p + need < T]
+        if pending and dibits_dev is not None:
+            pc = np.asarray([c for c, _ in pending], dtype=np.int32)
+            pp = np.asarray([p for _, p in pending], dtype=np.int32)
+            extra = self.nid_decode_positions(dibits_dev, pc, pp)
+            for (c, p), m in zip(pending, extra):
+                nid_map[(c, p)] = int(m)
+        acc_c, acc_t, acc_m, fch, forder = [], [], [], [], []
+        frame_end = {}
+        n_order = {}
+        for c, p, di in hits:
+            if defs[di].inverted or p + need >= T:
+                continue
+            if p < frame_end.get(c, -1):
+                continue
+            m = nid_map.get((c, p), 0xFFFF)
+            if (m & 0xF) not in duids:
+                continue
+            frame_end[c] = p + need
+            base = n_order.get(c, 0)
+            acc_c.append(c)
+            acc_t.append(p)
+            acc_m.append(m)
+            fch.extend([c] * frames_per_hit)
+            forder.extend(range(base, base + frames_per_hit))
+            n_order[c] = base + frames_per_hit
         return (np.asarray(acc_c, np.int32), np.asarray(acc_t, np.int32),
+                np.asarray(acc_m, np.int64),
                 np.asarray(fch, np.int64), np.asarray(forder, np.int64))
+
+    def pick_ldus(self, idx, vq, dq, msg, T: int, dibits_dev=None):
+        """LDU picking from the candidate blob: accept DUID 5/10 hits
+        outside any previous LDU (9 IMBE frames each).  NID comes from
+        the device's top-K-by-score set, with a device-dispatch
+        fallback for uncovered hits when ``dibits_dev`` is passed."""
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        n_pat = len(defs[0].pattern)
+        strip = _status_strip_map(n_pat, 32 + LDU_DATA_DIBITS)
+        need = int(strip[-1]) + 1
+        ac, at, _am, fch, forder = self.pick_frames_by_duid(
+            idx, vq, dq, msg, T, (5, 10), need, 9, dibits_dev)
+        return ac, at, fch, forder
 
     def frontend(self, iq: np.ndarray, use_pallas: bool | None = None):
         # must run under jit: frontend_step builds a complex rotation
@@ -540,7 +624,8 @@ class BatchedP25VoicePipeline:
         crosses the tunnel back."""
         from dsdneo_tpu.vocoder.device import voice_decode_gather
         dibits_dev, idx, vq, dq, msg, n_sym = self.frontend_sync_device(iq)
-        ac, at, fch, forder = self.pick_ldus(idx, vq, dq, msg, n_sym)
+        ac, at, fch, forder = self.pick_ldus(idx, vq, dq, msg, n_sym,
+                                             dibits_dev=dibits_dev)
         L = ac.shape[0]
         if L == 0:
             return np.zeros((self.C, 0), dtype=np.float32)
