@@ -234,6 +234,43 @@ def bench_nxdn_chain(C: int, reps: int = 5):
     return C * block_s / step_s, step_s
 
 
+def bench_p25p2_chain(C: int, reps: int = 5):
+    """P25p2 2-slot TDMA voice: I/Q→audio for C channels of sustained
+    dense voice (both slots 4V×4+2V per superframe) through the batched
+    device pipeline (frame walk from the candidate blob, voice gather +
+    LFSR descramble + AMBE ECC + dequant + synthesis on device).  The
+    reference ships only a P2 control-channel fixture, so the source is
+    synthesized through the real ECC/scramble (engine.p2batch).  µ-law
+    wire format (see bench_dmr_chain — same 2× realtime audio per RF
+    second)."""
+    import jax
+    from dsdneo_tpu.engine.p2batch import (BatchedP2VoicePipeline,
+                                           synth_p2_voice_stream)
+
+    fs = 48000.0
+    samples, _dib, _bits = synth_p2_voice_stream(n_superframes=8, seed=1)
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedP2VoicePipeline(C, fs=fs, pcm_fmt="mulaw")
+    x = jax.device_put(iq)
+    pcm = pipe.decode_block(x)
+    assert pcm.shape[1] > 0
+
+    def pipelined(k: int) -> float:
+        t0 = time.perf_counter()
+        prev = pipe.decode_block_async(x)
+        for _ in range(k - 1):
+            nxt = pipe.decode_block_async(x)
+            pipe.fetch_pcm(prev)
+            prev = nxt
+        pipe.fetch_pcm(prev)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(pipelined(reps) for _ in range(3))
+    return C * block_s / step_s, step_s
+
+
 def bench_p25_cc(C: int, reps: int = 5):
     """P25p1 trunking control-channel monitoring at fleet scale: the
     real c4fm CC fixture on C channels through the batched device
@@ -312,6 +349,7 @@ def main() -> int:
     audio_x, audio_step_s, block_s, frames = bench_full_chain(C_audio)
     dmr_x, dmr_step_s = bench_dmr_chain(C_audio)
     nxdn_x, nxdn_step_s = bench_nxdn_chain(C_audio)
+    p2_x, p2_step_s = bench_p25p2_chain(C_audio)
     cc_x, cc_step_s, tsbk_s = bench_p25_cc(C_audio)
     dmrcc_x, dmrcc_step_s = bench_dmr_cc(C_audio)
     fe_x, fe_step = bench_frontend(C_fe, 20)
@@ -331,6 +369,8 @@ def main() -> int:
             "dmr_step_ms": round(dmr_step_s * 1e3, 1),
             "nxdn48_iq_to_audio_x_realtime": round(nxdn_x, 1),
             "nxdn48_step_ms": round(nxdn_step_s * 1e3, 1),
+            "p25p2_iq_to_audio_x_realtime": round(p2_x, 1),
+            "p25p2_step_ms": round(p2_step_s * 1e3, 1),
             "p25_cc_x_realtime": round(cc_x, 1),
             "p25_cc_tsbk_per_s": round(tsbk_s, 0),
             "dmr_cc_x_realtime": round(dmrcc_x, 1),

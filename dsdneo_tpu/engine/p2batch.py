@@ -1,0 +1,582 @@
+"""Batched P25 Phase 2 TDMA voice: [C, B] I/Q → per-slot PCM on device.
+
+The P25p2 counterpart of engine.voicebatch/dmrbatch (BASELINE.md names
+"P25p2 trunk-follow" among the configs; reference frame walk
+src/protocol/p25/phase2/p25p2_frame.c:1757):
+
+  1. fused front end at 6000 sym/s + frame-sync correlation on device;
+     per top-K candidate the blob also carries each of the 4 timeslots'
+     DUID dibits and raw ISCH field, so the host can type bursts and
+     track the superframe position without touching the dibit stream;
+  2. host frame walk: DUID nearest-codeword typing + ISCH superframe
+     tracking (phase2.P25P2Decoder.handle semantics) selects the 4V/2V
+     voice timeslots and assigns each AMBE frame its descrambling row
+     and (channel, slot) output stream;
+  3. optional ESS staging: with a keyring, a small device gather
+     fetches the ESS_B fragments/ESS_A parity, the host runs the
+     RS(63,35) ESS decode (phase2._process_ess) and generates the
+     per-frame RC4 keystream bytes (reference mbe_dequantize ADP path);
+  4. one device dispatch: voice-frame gather → LFSR descramble (XOR
+     against the device-resident scramble table) → batched AMBE ECC →
+     RC4 keystream application → dequantization → scatter by
+     (channel·2+slot, frame order) → batched harmonic synthesis.
+
+A sustained 2-slot voice stream generator (``synth_p2_voice_stream``)
+provides the bench source and the ground truth for the ECC/descramble
+roundtrip test: the reference ships only a P25p2 control-channel
+fixture, no voice capture.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsdneo_tpu.engine.voicebatch import _sync_kernel, correlate_syncs_device
+
+FRAME_DIBITS = 720            # 20-dibit sync + 4 × 180-dibit timeslots
+TS_DIBITS = 180
+MAX_L = 56
+# voice-frame bit offsets inside a descrambled timeslot
+VOICE_BIT_OFFS = (2, 76, 172, 246)
+# DUID codeword dibits inside a timeslot (bit pairs 0/1, 74/75,
+# 244/245, 318/319 → dibits 0, 37, 122, 159)
+DUID_DIBITS = np.array([0, 37, 122, 159], dtype=np.int32)
+ISCH_DIBIT0 = 160             # bits 320:360 → dibits 160..180
+
+
+def synth_p2_voice_stream(n_superframes: int = 8, seed: int = 0,
+                          wacn: int = 0xBEE00, sysid: int = 0x14C,
+                          nac: int = 0x140, sps: int = 8,
+                          alg: int = 0, kid: int = 0, key: int = 0,
+                          mi: int = 0):
+    """Dense 2-slot P25p2 voice stream: every superframe carries the
+    12-timeslot TDMA cadence with both slots running the 4V×4 + 2V
+    voice pattern (18 AMBE frames per slot per superframe), correct
+    ISCH location words, DUID codewords, ESS fields, and the WACN/SYS/
+    NAC LFSR scramble.  With ``alg=0xAA`` the AMBE parameter bits are
+    RC4-encrypted exactly as the reference applies the ADP keystream.
+
+    Returns (complex baseband at sps·6000 Hz, dibits, bits49
+    [2, n_superframes·18, 49] ground-truth parameter bits per slot).
+    """
+    from dsdneo_tpu.protocol.dmr.ambe_frame import encode_ambe_ecc
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+    from dsdneo_tpu.protocol.p25.phase2 import (DUID_CANONICAL,
+                                                DUID_OFFSETS)
+    from dsdneo_tpu.symbols import framesync
+    rng = np.random.default_rng(seed)
+    scr = p2_xcch.generate_scramble_bits(wacn, sysid, nac, 12 * 360 + 380)
+    sync = next(d for d in framesync.SYNC_DEFS if d.name == "+P25p2")
+    sync_d = np.array([1 if c == "1" else 3 for c in sync.pattern],
+                      dtype=np.uint8)
+
+    bits49 = np.zeros((2, n_superframes * 18, 49), dtype=np.uint8)
+    nvoice = {0: 0, 1: 0}
+    # per-slot ESS payload: ALG ‖ KID ‖ MI ‖ reserved (96 bits)
+    ess_payload = np.zeros(96, dtype=np.uint8)
+    for i in range(8):
+        ess_payload[i] = (alg >> (7 - i)) & 1
+    for i in range(16):
+        ess_payload[8 + i] = (kid >> (15 - i)) & 1
+    for i in range(64):
+        ess_payload[24 + i] = (mi >> (63 - i)) & 1
+    # RS(63,35) systematic parity over the padded hexbit vector
+    from dsdneo_tpu.fec import rs
+    vec = np.zeros(63, dtype=np.int64)
+    vec[19:35] = p2_xcch._hexpack(ess_payload)
+    enc = rs.rs_63_35().encode(vec[:35])
+    parity_hex = enc[35:63]
+    ess_parity = np.zeros(168, dtype=np.uint8)
+    for i in range(28):
+        for j in range(6):
+            ess_parity[6 * i + j] = (int(parity_hex[i]) >> (5 - j)) & 1
+
+    ks_all = None
+    if alg == 0xAA and key:
+        from dsdneo_tpu.crypto.keystream import rc4_keystream
+        rckey = (key & 0xFFFFFFFFFF).to_bytes(5, "big") \
+            + (mi & (1 << 64) - 1).to_bytes(8, "big")
+        # one superframe per slot needs 18 frames × 7 bytes from drop 256
+        ks_all = rc4_keystream(rckey, 18 * 7, drop=256)
+
+    dibs = [np.zeros(40, np.uint8)]          # lead-in
+    for sf in range(n_superframes):
+        fourv = {0: 0, 1: 0}
+        for frame in range(3):               # 3 frames per superframe
+            dibs.append(sync_d)
+            loc = frame
+            for k in range(4):
+                g = 4 * frame + k            # global TS index 0..11
+                slot = g % 2
+                j = g // 2                   # slot-local burst index 0..5
+                ts = np.zeros(360, dtype=np.uint8)
+                if j < 5:                    # 4V×4 then 2V
+                    n_fr = 4 if j < 4 else 2
+                    duid_cw = DUID_CANONICAL[0 if j < 4 else 6]
+                    for f in range(n_fr):
+                        b = rng.integers(0, 2, 49).astype(np.uint8)
+                        fi = nvoice[slot]
+                        bits49[slot, fi] = b
+                        tx = b.copy()
+                        if ks_all is not None:
+                            fr_in_sf = fi % 18
+                            ks = ks_all[7 * fr_in_sf:7 * fr_in_sf + 7]
+                            by = np.packbits(tx)
+                            by = by ^ ks
+                            tx = np.unpackbits(by)[:49]
+                        nvoice[slot] += 1
+                        off = VOICE_BIT_OFFS[f]
+                        ts[off:off + 72] = encode_ambe_ecc(tx)
+                    if j < 4:                # ESS_B fragment
+                        c4 = fourv[slot]
+                        ts[148:172] = ess_payload[24 * c4:24 * (c4 + 1)]
+                        fourv[slot] = c4 + 1
+                    else:                    # 2V: ESS_A parity fields
+                        ts[148:244] = ess_parity[:96]
+                        ts[246:318] = ess_parity[96:]
+                        fourv[slot] = 0
+                    # scramble voice + ESS field regions
+                    mask = scr[360 * g + 20:360 * g + 380]
+                    keep = np.zeros(360, dtype=bool)
+                    for f in range(n_fr):
+                        off = VOICE_BIT_OFFS[f]
+                        keep[off:off + 72] = True
+                    keep[148:244] = True
+                    keep[246:318] = True
+                    ts = np.where(keep, ts ^ mask, ts)
+                else:
+                    duid_cw = DUID_CANONICAL[13]   # unscrambled LCCH
+                    ts[:320] = rng.integers(0, 2, 320)
+                for b_i, off in enumerate(DUID_OFFSETS):
+                    ts[off] = (duid_cw >> (7 - b_i)) & 1
+                if k == 0:
+                    isch = p2_xcch.isch_codeword((1 << 5) | (loc << 3))
+                else:
+                    isch = p2_xcch.ISCH_SYNC
+                for i in range(40):
+                    ts[320 + i] = (isch >> (39 - i)) & 1
+                if k == 3:
+                    # the 4th burst is 320 bits: its trailing ISCH slot
+                    # IS the next frame sync (the +P25p2 sync pattern is
+                    # the dibit form of ISCH_SYNC)
+                    ts = ts[:320]
+                dibs.append(((ts[0::2] << 1) | ts[1::2]).astype(np.uint8))
+    dibs.append(np.zeros(60, np.uint8))
+    dib = np.concatenate(dibs)
+
+    # C4FM-style pulse shaping (half-symbol moving average, ±1800 Hz
+    # deviation — the tests' synth_c4fm waveform the demod is tuned for)
+    lv = np.array([1.0, 3.0, -1.0, -3.0])[dib]
+    inst = np.repeat(lv, sps) * (1800.0 / 3.0)
+    k = max(sps // 2, 1)
+    inst = np.convolve(inst, np.ones(k) / k, mode="same")
+    phase = 2 * np.pi * np.cumsum(inst) / (sps * 6000.0)
+    return np.exp(1j * phase).astype(np.complex64), dib, bits49
+
+
+@partial(jax.jit, static_argnames=("C2", "n_steps", "pcm_fmt"))
+def p2_voice_decode_gather(dibits, scr_tab, f_ch, f_tpos, f_row, f_offidx,
+                           f_out, f_ord, ks_bytes, C2: int, n_steps: int,
+                           pcm_fmt: str = "f16"):
+    """Device program: voice-frame gather → LFSR descramble → AMBE ECC
+    → RC4 keystream XOR → dequant → scatter by (out stream, order) →
+    synthesis.  Pad frames use f_out == C2.  ``scr_tab`` is the
+    [12·360+380] scramble bit table for the channel's WACN/SYS/NAC;
+    ``ks_bytes`` [F, 7] is the per-frame RC4 keystream (zeros = clear).
+    """
+    from dsdneo_tpu.fec.device import ambe_ecc_batch
+    from dsdneo_tpu.vocoder.device import ambe_decode_params
+    from dsdneo_tpu.vocoder.synth import synthesize
+
+    Tn = dibits.shape[1]
+    off_d = jnp.asarray([o // 2 for o in VOICE_BIT_OFFS], jnp.int32)
+    base = f_tpos + off_d[f_offidx]                       # [F] dibit base
+    gp = jnp.clip(base[:, None] + jnp.arange(36), 0, Tn - 1)
+    ch = jnp.minimum(f_ch, dibits.shape[0] - 1)
+    dd = dibits[ch[:, None], gp]                          # [F, 36]
+    bits72 = jnp.zeros((dd.shape[0], 72), dtype=jnp.uint8)
+    bits72 = bits72.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
+    bits72 = bits72.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
+    off_b = jnp.asarray(VOICE_BIT_OFFS, jnp.int32)
+    sidx = (360 * f_row + 20 + off_b[f_offidx])[:, None] + jnp.arange(72)
+    bits72 = bits72 ^ scr_tab[jnp.clip(sidx, 0, scr_tab.shape[0] - 1)]
+
+    bits49, _errs = ambe_ecc_batch(bits72)
+    # keystream application: unpack [F, 7] bytes → 56 bits, XOR low 49
+    ksb = ((ks_bytes[:, :, None] >> jnp.arange(7, -1, -1)) & 1
+           ).reshape(ks_bytes.shape[0], 56).astype(jnp.uint8)
+    bits49 = bits49 ^ ksb[:, :49]
+    w0, L, voiced, amps = ambe_decode_params(bits49)
+
+    def scat(vals, shape, dtype):
+        z = jnp.zeros((C2 + 1, n_steps) + shape, dtype)
+        return z.at[f_out, f_ord].set(vals.astype(dtype))[:C2]
+
+    w0s = scat(w0, (), jnp.float32)
+    Vs = scat(voiced, (MAX_L,), jnp.float32)
+    As = scat(amps, (MAX_L,), jnp.float32)
+    noise = (jnp.mod(jnp.arange(C2 * n_steps * MAX_L, dtype=jnp.float32)
+                     * 2.399963, 2 * jnp.pi)).reshape(C2, n_steps, MAX_L)
+    pcm = jax.vmap(synthesize)(w0s, As, Vs, noise)
+    pcm = jnp.clip(pcm * 0.02, -1.0, 1.0)
+    if pcm_fmt == "mulaw":
+        y = jnp.sign(pcm) * jnp.log1p(255.0 * jnp.abs(pcm)) / np.log1p(255.0)
+        return jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
+    return pcm.astype(jnp.float16)
+
+
+class BatchedP2VoicePipeline:
+    """Drives the batched P25p2 2-slot TDMA voice chain over [C, B]
+    blocks.  All channels share one WACN/SYS/NAC scramble (the fleet
+    case: many voice channels of ONE trunked system; per-system
+    sub-fleets run separate pipeline instances)."""
+
+    SYNC_NAMES = ("+P25p2",)
+    SYNC_TOPK = 64                # ~8.3 frames/s + shoulders
+
+    def __init__(self, C: int, fs: float = 48000.0,
+                 wacn: int = 0xBEE00, sysid: int = 0x14C, nac: int = 0x140,
+                 sync_threshold: float = 0.62, keyring=None,
+                 pcm_fmt: str = "f16"):
+        from dsdneo_tpu.dsp import firdes
+        from dsdneo_tpu.engine.modes import MODES
+        from dsdneo_tpu.protocol.p25 import p2_xcch
+        self.C = C
+        self.fs = fs
+        self.mode = MODES["p25p2"]
+        self.sps = fs / self.mode.symbol_rate
+        self.taps = firdes.channel_lpf(fs, self.mode.lpf_profile)
+        self.threshold = sync_threshold
+        self.keyring = keyring
+        self.pcm_fmt = pcm_fmt
+        self.params = (wacn, sysid, nac)
+        self._scr = p2_xcch.generate_scramble_bits(wacn, sysid, nac,
+                                                   12 * 360 + 380)
+        self._scr_dev = None
+        self._jits = {}
+        # per-(channel, slot) crypto state across blocks
+        self.crypto = [{"alg": 0, "kid": 0, "mi": 0, "staged": None}
+                       for _ in range(2 * C)]
+
+    def frontend_sync_device(self, iq, use_pallas: bool | None = None):
+        """Fused front end + frame-sync correlation; per candidate the
+        blob carries the 4 timeslots' DUID dibits and raw ISCH dibits
+        so the host can walk frames without the dibit stream."""
+        from dsdneo_tpu.engine.batched import frontend_step
+        B = iq.shape[1]
+        n_sym = int(B // self.sps) - 2
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        key = ("p2", B, n_sym, use_pallas)
+        fn = self._jits.get(key)
+        if fn is None:
+            taps = self.taps
+            names = self.SYNC_NAMES
+            defs, _, _, n_max_pat = _sync_kernel(names)
+            n_pat = len(defs[0].pattern)
+            k_cand = min(self.SYNC_TOPK, n_sym - n_max_pat + 1)
+            # per-TS gather offsets relative to sync START
+            duid_offs = (n_pat + TS_DIBITS * np.arange(4)[:, None]
+                         + DUID_DIBITS[None]).astype(np.int32)   # [4, 4]
+            isch_offs = (n_pat + TS_DIBITS * np.arange(4)[:, None]
+                         + ISCH_DIBIT0
+                         + np.arange(20)[None]).astype(np.int32)  # [4, 20]
+
+            @jax.jit
+            def fn(x):
+                dibits, soft, _power = frontend_step(
+                    x, taps, self.sps, n_sym, self.mode.four_level,
+                    use_pallas=use_pallas)
+                sc = correlate_syncs_device(soft, names)
+                bs = jnp.max(sc, axis=1)
+                vals, idx = jax.lax.top_k(bs, k_cand)
+                vq = jnp.clip(vals * 127.0, 0, 255).astype(jnp.uint8)
+                Cn = dibits.shape[0]
+                Tn = dibits.shape[1]
+                rows = jnp.arange(Cn)[:, None, None, None]
+                gp_d = jnp.clip(idx[:, :, None, None]
+                                + jnp.asarray(duid_offs)[None, None],
+                                0, Tn - 1)
+                dq4 = dibits[rows, gp_d]                  # [C, K, 4, 4]
+                duid_oct = ((dq4[..., 0] << 6) | (dq4[..., 1] << 4)
+                            | (dq4[..., 2] << 2) | dq4[..., 3]
+                            ).astype(jnp.uint8)           # [C, K, 4]
+                gp_i = jnp.clip(idx[:, :, None, None]
+                                + jnp.asarray(isch_offs)[None, None],
+                                0, Tn - 1)
+                di = dibits[rows, gp_i]                   # [C, K, 4, 20]
+                isch5 = ((di[..., 0::4] << 6) | (di[..., 1::4] << 4)
+                         | (di[..., 2::4] << 2) | di[..., 3::4]
+                         ).astype(jnp.uint8)              # [C, K, 4, 5]
+                u8 = lambda a: jax.lax.bitcast_convert_type(
+                    a, jnp.uint8).reshape(a.shape[0], -1)
+                blob = jnp.concatenate(
+                    [u8(idx.astype(jnp.uint16)), vq,
+                     duid_oct.reshape(Cn, -1),
+                     isch5.reshape(Cn, -1)], axis=1)
+                return dibits, blob
+            self._jits[key] = fn
+        dibits_dev, blob_dev = fn(
+            iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        blob = np.asarray(blob_dev)
+        defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
+        k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)
+        o = 0
+        idx = blob[:, o:o + 2 * k_cand].copy().view(np.uint16
+                                                    ).astype(np.int64)
+        o += 2 * k_cand
+        vq = blob[:, o:o + k_cand]; o += k_cand
+        duid = blob[:, o:o + 4 * k_cand].reshape(-1, k_cand, 4)
+        o += 4 * k_cand
+        isch = blob[:, o:o + 20 * k_cand].reshape(-1, k_cand, 4, 5)
+        return dibits_dev, idx, vq, duid, isch, n_sym
+
+    @staticmethod
+    def _isch_word(b5: np.ndarray) -> int:
+        """5 packed-dibit bytes → the 40-bit ISCH word."""
+        v = 0
+        for by in b5:
+            v = (v << 8) | int(by)
+        return v
+
+    def walk_frames(self, idx, vq, duid, isch, n_sym: int):
+        """Host frame walk (phase2.handle semantics): threshold + frame
+        extent, DUID typing, ISCH superframe tracking → the per-frame
+        device upload lists.  Returns (frame arrays, ess_jobs) where
+        ess_jobs describe the ESS field positions per voice timeslot
+        for the optional crypto path."""
+        from dsdneo_tpu.protocol.p25 import p2_xcch
+        from dsdneo_tpu.protocol.p25.phase2 import duid_lookup
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        n_pat = len(defs[0].pattern)
+        f_ch, f_tpos, f_row, f_offidx, f_out, f_ord = ([] for _ in range(6))
+        ess_jobs = []           # (c, ts_pos, row, slot, kind, frag_idx)
+        for c in range(idx.shape[0]):
+            sc = vq[c].astype(np.float32) / 127.0
+            ok = sc >= self.threshold
+            if not ok.any():
+                continue
+            order = np.argsort(idx[c][ok], kind="stable")
+            positions = idx[c][ok][order]
+            duids = duid[c][ok][order]
+            ischs = isch[c][ok][order]
+            sf_pos = None
+            fourv = {0: 0, 1: 0}
+            n_ord = {0: 0, 1: 0}
+            last = -10 ** 9
+            for w in range(len(positions)):
+                t = int(positions[w])
+                if t - last < FRAME_DIBITS - 8 \
+                        or t + FRAME_DIBITS >= n_sym:
+                    continue
+                last = t
+                slot = 0
+                for ts in range(4):
+                    word = self._isch_word(ischs[w, ts])
+                    if word != p2_xcch.ISCH_SYNC:
+                        v = p2_xcch.isch_lookup(word)
+                        if v >= 0 and (v >> 5) & 3 == 1 \
+                                and (v >> 3) & 3 in (0, 1, 2):
+                            sf_pos = {0: 0, 1: 4, 2: 8}[(v >> 3) & 3]
+                    d = duid_lookup(int(duids[w, ts]))
+                    row = sf_pos if sf_pos is not None else 0
+                    ts_pos = t + n_pat + TS_DIBITS * ts
+                    if d in (0, 6):
+                        n_fr = 4 if d == 0 else 2
+                        outch = 2 * c + slot
+                        for f in range(n_fr):
+                            f_ch.append(c)
+                            f_tpos.append(ts_pos)
+                            f_row.append(row)
+                            f_offidx.append(f)
+                            f_out.append(outch)
+                            f_ord.append(n_ord[slot])
+                            n_ord[slot] += 1
+                        if d == 0:
+                            ess_jobs.append((c, ts_pos, row, slot, "4v",
+                                             fourv[slot]))
+                            fourv[slot] = (fourv[slot] + 1) % 4
+                        else:
+                            ess_jobs.append((c, ts_pos, row, slot, "2v", 0))
+                            fourv[slot] = 0
+                    if sf_pos is not None:
+                        sf_pos = (sf_pos + 1) % 12
+                    slot ^= 1
+        arrs = (np.asarray(f_ch, np.int32), np.asarray(f_tpos, np.int32),
+                np.asarray(f_row, np.int32), np.asarray(f_offidx, np.int32),
+                np.asarray(f_out, np.int32), np.asarray(f_ord, np.int32))
+        return arrs, ess_jobs
+
+    def _ess_keystreams(self, dibits_dev, ess_jobs, F: int,
+                        f_out, f_ord) -> np.ndarray:
+        """Crypto path: gather the ESS fields of every voice timeslot,
+        run the host RS(63,35) ESS decode per (channel, slot) stream in
+        time order, stage ALG/KID/MI, and emit per-frame RC4 keystream
+        bytes (reference p25p2_ess_decode + mbe ADP application).
+        Returns [F, 7] uint8 (zeros where clear/no key)."""
+        ks = np.zeros((F, 7), dtype=np.uint8)
+        if self.keyring is None or not ess_jobs:
+            return ks
+        from dsdneo_tpu.crypto.keystream import rc4_keystream
+        from dsdneo_tpu.fec import rs
+        from dsdneo_tpu.protocol.p25 import p2_xcch
+        # gather bits 148:318 (dibits 74..159) of each voice TS
+        jc = np.asarray([j[0] for j in ess_jobs], np.int32)
+        jt = np.asarray([j[1] for j in ess_jobs], np.int32)
+        H = jc.shape[0]
+        Hp = -(-H // 32) * 32
+        jcp = np.zeros(Hp, np.int32)
+        jcp[:H] = jc
+        jtp = np.zeros(Hp, np.int32)
+        jtp[:H] = jt
+
+        if "essgather" not in self._jits:
+            @jax.jit
+            def _gather(dd, chv, posv):
+                gp = jnp.clip(posv[:, None] + 74 + jnp.arange(86),
+                              0, dd.shape[1] - 1)
+                ch = jnp.minimum(chv, dd.shape[0] - 1)
+                return dd[ch[:, None], gp]
+            self._jits["essgather"] = _gather
+        raw = np.asarray(self._jits["essgather"](
+            dibits_dev, jnp.asarray(jcp), jnp.asarray(jtp)))[:H]
+        bits = np.zeros((H, 172), dtype=np.uint8)
+        bits[:, 0::2] = (raw >> 1) & 1
+        bits[:, 1::2] = raw & 1
+
+        ess_b = {}
+        frame_at = {}
+        for h, (c, ts_pos, row, slot, kind, frag) in enumerate(ess_jobs):
+            key = 2 * c + slot
+            x = bits[h] ^ self._scr[360 * row + 20 + 148:
+                                    360 * row + 20 + 320][:172]
+            cs = self.crypto[key]
+            if kind == "4v":
+                ess_b.setdefault(key, np.zeros(96, np.uint8))
+                ess_b[key][24 * frag:24 * (frag + 1)] = x[:24]
+                nf = 4
+            else:
+                parity = np.concatenate([x[0:96], x[98:170]])
+                vec = np.zeros(63, dtype=np.int64)
+                vec[19:35] = p2_xcch._hexpack(
+                    ess_b.get(key, np.zeros(96, np.uint8)))
+                vec[35:63] = p2_xcch._hexpack(parity)
+                dec, nerr = rs.rs_63_35().decode(vec, erasures=[])
+                if 0 <= nerr < 15:
+                    eb = np.zeros(96, dtype=np.uint8)
+                    for i in range(16):
+                        for j in range(6):
+                            eb[6 * i + j] = (int(dec[19 + i]) >> (5 - j)) & 1
+                    alg = int(eb[:8] @ (1 << np.arange(7, -1, -1)))
+                    kid = int(eb[8:24] @ (1 << np.arange(15, -1, -1)))
+                    mi64 = 0
+                    for b in eb[24:88]:
+                        mi64 = (mi64 << 1) | int(b)
+                    cs["staged"] = (alg, kid, mi64)
+                if cs["staged"] is not None:
+                    cs["alg"], cs["kid"], cs["mi"] = cs["staged"]
+                    cs["staged"] = None
+                nf = 2
+            # keystream for this timeslot's frames
+            if cs["alg"] == 0xAA and cs["mi"]:
+                k = self.keyring.scalar.get(cs["kid"]) \
+                    if self.keyring is not None else None
+                if k is not None:
+                    base = frame_at.get(key, 0)
+                    rckey = (int(k) & 0xFFFFFFFFFF).to_bytes(5, "big") \
+                        + (cs["mi"] & (1 << 64) - 1).to_bytes(8, "big")
+                    kbytes = rc4_keystream(rckey, 7 * nf,
+                                           drop=256 + 7 * (base % 18))
+                    sel = np.flatnonzero(
+                        (f_out == key)
+                        & (f_ord >= base) & (f_ord < base + nf))
+                    for m, fi in enumerate(sel):
+                        ks[fi] = kbytes[7 * m:7 * (m + 1)]
+            frame_at[key] = frame_at.get(key, 0) + nf
+        return ks
+
+    def decode_block_async(self, iq):
+        """Dispatch one [C, B] block; returns the device PCM handle
+        ([C·2, n_steps·160] per-slot streams)."""
+        dibits_dev, idx, vq, duid, isch, n_sym = \
+            self.frontend_sync_device(iq)
+        arrs, ess_jobs = self.walk_frames(idx, vq, duid, isch, n_sym)
+        f_ch, f_tpos, f_row, f_offidx, f_out, f_ord = arrs
+        F = f_ch.shape[0]
+        if F == 0:
+            return None
+        ks = self._ess_keystreams(dibits_dev, ess_jobs, F, f_out, f_ord)
+        n_steps = int(f_ord.max()) + 1
+        Fp = -(-F // 64) * 64
+        Tp = -(-n_steps // 36) * 36
+        C2 = 2 * self.C
+
+        def pad(a, fill=0):
+            out = np.full(Fp, fill, dtype=a.dtype)
+            out[:F] = a
+            return jnp.asarray(out)
+
+        ksp = np.zeros((Fp, 7), dtype=np.uint8)
+        ksp[:F] = ks
+        if self._scr_dev is None:
+            self._scr_dev = jnp.asarray(self._scr.astype(np.uint8))
+        return p2_voice_decode_gather(
+            dibits_dev, self._scr_dev, pad(f_ch), pad(f_tpos),
+            pad(f_row), pad(f_offidx),
+            pad(f_out, fill=C2), pad(f_ord), jnp.asarray(ksp),
+            C2, Tp, pcm_fmt=self.pcm_fmt)
+
+    def fetch_pcm(self, handle) -> np.ndarray:
+        if handle is None:
+            return np.zeros((2 * self.C, 0), dtype=np.float32)
+        a = np.asarray(handle)
+        if a.dtype == np.uint8:
+            from dsdneo_tpu.engine.dmrbatch import mulaw_expand
+            return mulaw_expand(a).reshape(2 * self.C, -1)
+        return a.astype(np.float32).reshape(2 * self.C, -1)
+
+    def decode_block(self, iq) -> np.ndarray:
+        return self.fetch_pcm(self.decode_block_async(iq))
+
+    def decode_block_bits49(self, iq):
+        """Test/parity hook: run the chain up to the AMBE parameter
+        bits and return ([F, 49] bits in dispatch order, f_out, f_ord)
+        — compares against synth_p2_voice_stream's ground truth."""
+        dibits_dev, idx, vq, duid, isch, n_sym = \
+            self.frontend_sync_device(iq)
+        arrs, ess_jobs = self.walk_frames(idx, vq, duid, isch, n_sym)
+        f_ch, f_tpos, f_row, f_offidx, f_out, f_ord = arrs
+        F = f_ch.shape[0]
+        if F == 0:
+            return (np.zeros((0, 49), np.uint8), f_out, f_ord)
+        ks = self._ess_keystreams(dibits_dev, ess_jobs, F, f_out, f_ord)
+
+        from dsdneo_tpu.fec.device import ambe_ecc_batch
+        if self._scr_dev is None:
+            self._scr_dev = jnp.asarray(self._scr.astype(np.uint8))
+
+        @jax.jit
+        def _bits(dd, scr_tab, chv, tposv, rowv, offv):
+            Tn = dd.shape[1]
+            off_d = jnp.asarray([o // 2 for o in VOICE_BIT_OFFS], jnp.int32)
+            base = tposv + off_d[offv]
+            gp = jnp.clip(base[:, None] + jnp.arange(36), 0, Tn - 1)
+            ch = jnp.minimum(chv, dd.shape[0] - 1)
+            d2 = dd[ch[:, None], gp]
+            b72 = jnp.zeros((d2.shape[0], 72), dtype=jnp.uint8)
+            b72 = b72.at[:, 0::2].set(((d2 >> 1) & 1).astype(jnp.uint8))
+            b72 = b72.at[:, 1::2].set((d2 & 1).astype(jnp.uint8))
+            off_b = jnp.asarray(VOICE_BIT_OFFS, jnp.int32)
+            sidx = (360 * rowv + 20 + off_b[offv])[:, None] + jnp.arange(72)
+            b72 = b72 ^ scr_tab[jnp.clip(sidx, 0, scr_tab.shape[0] - 1)]
+            b49, _e = ambe_ecc_batch(b72)
+            return b49
+        out = np.asarray(_bits(dibits_dev, self._scr_dev,
+                               jnp.asarray(f_ch), jnp.asarray(f_tpos),
+                               jnp.asarray(f_row), jnp.asarray(f_offidx)))
+        ksb = np.unpackbits(ks, axis=1)[:, :49]
+        return out ^ ksb, f_out, f_ord

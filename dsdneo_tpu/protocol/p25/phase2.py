@@ -97,10 +97,16 @@ class P25P2Decoder(ProtocolDecoder):
 
         slot = 0
         for ts in range(4):
-            if ts * 360 + 360 > 1400:
-                break
-            ts_bits = bits[ts * 360:(ts + 1) * 360]
-            self._isch(ts_bits, ts)
+            if ts < 3:
+                ts_bits = bits[ts * 360:(ts + 1) * 360]
+                self._isch(ts_bits, ts)
+            else:
+                # the 4th burst is 320 bits — its trailing ISCH slot is
+                # the NEXT frame sync (the +P25p2 pattern is the dibit
+                # form of ISCH_SYNC), so there is no ISCH to process
+                # (reference p25p2_frame.c burst walk)
+                ts_bits = np.zeros(360, dtype=np.uint8)
+                ts_bits[:320] = bits[1080:1400]
             received = 0
             for off in DUID_OFFSETS:
                 received = (received << 1) | int(ts_bits[off])
