@@ -234,6 +234,40 @@ def bench_nxdn_chain(C: int, reps: int = 5):
     return C * block_s / step_s, step_s
 
 
+def bench_cqpsk_chain(C: int, reps: int = 5):
+    """LSM/CQPSK full chain (the harder DSP: 4th-power CFO + RRC + O&M
+    timing + differential phasor instead of the FM discriminator) over
+    the real cqpsk voice fixture — reference equivalent
+    src/dsp/costas.cpp:805-1176."""
+    import jax
+    from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
+    from dsdneo_tpu.io import read_iq_capture
+
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/p25p1_cqpsk_vc.iq.json")
+    fs = float(meta.sample_rate_hz)
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedP25VoicePipeline(C, fs=fs, cqpsk=True)
+    x = jax.device_put(iq)
+    pcm = pipe.decode_block(x)
+    assert pcm.shape[0] == C and pcm.shape[1] > 0
+
+    def pipelined(k: int) -> float:
+        t0 = time.perf_counter()
+        prev = pipe.decode_block_async(x)
+        for _ in range(k - 1):
+            nxt = pipe.decode_block_async(x)
+            pipe.fetch_pcm(prev)
+            prev = nxt
+        pipe.fetch_pcm(prev)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(pipelined(reps) for _ in range(3))
+    return C * block_s / step_s, step_s
+
+
 def bench_p25p2_chain(C: int, reps: int = 5):
     """P25p2 2-slot TDMA voice: I/Q→audio for C channels of sustained
     dense voice (both slots 4V×4+2V per superframe) through the batched
@@ -349,6 +383,7 @@ def main() -> int:
     audio_x, audio_step_s, block_s, frames = bench_full_chain(C_audio)
     dmr_x, dmr_step_s = bench_dmr_chain(C_audio)
     nxdn_x, nxdn_step_s = bench_nxdn_chain(C_audio)
+    cqpsk_x, cqpsk_step_s = bench_cqpsk_chain(C_audio)
     p2_x, p2_step_s = bench_p25p2_chain(C_audio)
     cc_x, cc_step_s, tsbk_s = bench_p25_cc(C_audio)
     dmrcc_x, dmrcc_step_s = bench_dmr_cc(C_audio)
@@ -369,6 +404,8 @@ def main() -> int:
             "dmr_step_ms": round(dmr_step_s * 1e3, 1),
             "nxdn48_iq_to_audio_x_realtime": round(nxdn_x, 1),
             "nxdn48_step_ms": round(nxdn_step_s * 1e3, 1),
+            "cqpsk_iq_to_audio_x_realtime": round(cqpsk_x, 1),
+            "cqpsk_step_ms": round(cqpsk_step_s * 1e3, 1),
             "p25p2_iq_to_audio_x_realtime": round(p2_x, 1),
             "p25p2_step_ms": round(p2_step_s * 1e3, 1),
             "p25_cc_x_realtime": round(cc_x, 1),

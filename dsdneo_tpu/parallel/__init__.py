@@ -1,4 +1,6 @@
-from dsdneo_tpu.parallel.mesh import (make_sharded_frontend, training_step,
-                                      dryrun_multichip)
+from dsdneo_tpu.parallel.mesh import (dryrun_multichip,
+                                      make_sharded_frontend,
+                                      make_sharded_voice_step)
 
-__all__ = ["make_sharded_frontend", "training_step", "dryrun_multichip"]
+__all__ = ["make_sharded_frontend", "make_sharded_voice_step",
+           "dryrun_multichip"]
