@@ -13,7 +13,10 @@ channels each carrying the real off-air P25p1 voice fixture.
 Timing is honest wall clock around the hybrid host+device pipeline: the
 block ends in a host fetch of the synthesized PCM, which is a true
 synchronization point (the tunneled TPU runtime's block_until_ready is
-not).  `detail` also reports the front-end-only symbols number
+not).  Voice PCM ships in G.711 µ-law (the standard 8 kHz narrowband
+delivery codec, ~38 dB SNDR): the tunneled d2h link (~45 MB/s for
+computed data) binds the chain at fleet scale, and the host LUT
+expansion is counted in the timing.  `detail` also reports the front-end-only symbols number
 (comparable to round 1) and the Pallas-vs-XLA max soft-symbol error on
 the same device.
 
@@ -130,7 +133,7 @@ def bench_full_chain(C: int, reps: int = 5):
     block_s = iq1.shape[0] / fs
 
     import jax
-    pipe = BatchedP25VoicePipeline(C, fs=fs)
+    pipe = BatchedP25VoicePipeline(C, fs=fs, pcm_fmt="mulaw")
     # pre-transfer the block: a production infeed overlaps the sample
     # DMA with compute (and re-transferring host numpy per call would
     # measure the tunnel, not the chip)
@@ -215,7 +218,7 @@ def bench_nxdn_chain(C: int, reps: int = 5):
     iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
     iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
     block_s = iq1.shape[0] / fs
-    pipe = BatchedNxdnVoicePipeline(C, fs=fs)
+    pipe = BatchedNxdnVoicePipeline(C, fs=fs, pcm_fmt="mulaw")
     x = jax.device_put(iq)
     pcm = pipe.decode_block(x)
     assert pcm.shape[1] > 0
@@ -249,7 +252,8 @@ def bench_cqpsk_chain(C: int, reps: int = 5):
     iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
     iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
     block_s = iq1.shape[0] / fs
-    pipe = BatchedP25VoicePipeline(C, fs=fs, cqpsk=True)
+    pipe = BatchedP25VoicePipeline(C, fs=fs, cqpsk=True,
+                                   pcm_fmt="mulaw")
     x = jax.device_put(iq)
     pcm = pipe.decode_block(x)
     assert pcm.shape[0] == C and pcm.shape[1] > 0

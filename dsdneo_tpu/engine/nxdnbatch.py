@@ -55,9 +55,10 @@ def _voice_tables():
     return offs.reshape(-1), flips.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("C", "n_steps"))
+@partial(jax.jit, static_argnames=("C", "n_steps", "pcm_fmt"))
 def nxdn_voice_decode_gather(dibits, f_ch, f_pos, f_inv, offs, flips,
-                             fch, forder, C: int, n_steps: int):
+                             fch, forder, C: int, n_steps: int,
+                             pcm_fmt: str = "f16"):
     """Device program: frame gather + descramble → AMBE ECC → dequant →
     scatter → synthesis.  Pad frames use f_ch == C."""
     from dsdneo_tpu.fec.device import ambe_ecc_batch
@@ -87,7 +88,11 @@ def nxdn_voice_decode_gather(dibits, f_ch, f_pos, f_inv, offs, flips,
     noise = (jnp.mod(jnp.arange(C * n_steps * MAX_L, dtype=jnp.float32)
                      * 2.399963, 2 * jnp.pi)).reshape(C, n_steps, MAX_L)
     pcm = jax.vmap(synthesize)(w0s, As, Vs, noise)
-    return jnp.clip(pcm * 0.02, -1.0, 1.0).astype(jnp.float16)
+    pcm = jnp.clip(pcm * 0.02, -1.0, 1.0)
+    if pcm_fmt == "mulaw":
+        y = jnp.sign(pcm) * jnp.log1p(255.0 * jnp.abs(pcm)) / np.log1p(255.0)
+        return jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
+    return pcm.astype(jnp.float16)
 
 
 class BatchedNxdnVoicePipeline:
@@ -97,7 +102,7 @@ class BatchedNxdnVoicePipeline:
     SYNC_TOPK = 128
 
     def __init__(self, C: int, fs: float = 48000.0,
-                 sync_threshold: float = 0.55):
+                 sync_threshold: float = 0.55, pcm_fmt: str = "f16"):
         # the 10-symbol FSW is short and correlates ~0.65 on real
         # captures, so the correlation is only a pre-filter; acceptance
         # requires a parity-valid full-voice LICH (decoded from
@@ -113,6 +118,7 @@ class BatchedNxdnVoicePipeline:
         offs, flips = _voice_tables()
         self._offs = jnp.asarray(offs)
         self._flips = jnp.asarray(flips)
+        self.pcm_fmt = pcm_fmt
 
     def frontend_sync_device(self, iq, use_pallas: bool | None = None):
         """Fused front end + FSW correlation; per-candidate LICH bytes
@@ -238,12 +244,17 @@ class BatchedNxdnVoicePipeline:
         return nxdn_voice_decode_gather(
             dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
             jnp.asarray(aip), self._offs, self._flips,
-            jnp.asarray(fchp), jnp.asarray(fordp), self.C, Tp)
+            jnp.asarray(fchp), jnp.asarray(fordp), self.C, Tp,
+            pcm_fmt=self.pcm_fmt)
 
     def fetch_pcm(self, handle) -> np.ndarray:
         if handle is None:
             return np.zeros((self.C, 0), dtype=np.float32)
-        return np.asarray(handle).astype(np.float32).reshape(self.C, -1)
+        a = np.asarray(handle)
+        if a.dtype == np.uint8:
+            from dsdneo_tpu.engine.dmrbatch import mulaw_expand
+            return mulaw_expand(a).reshape(self.C, -1)
+        return a.astype(np.float32).reshape(self.C, -1)
 
     def decode_block(self, iq) -> np.ndarray:
         return self.fetch_pcm(self.decode_block_async(iq))

@@ -120,7 +120,8 @@ class BatchedP25VoicePipeline:
     NID_TOPK = 48
 
     def __init__(self, C: int, fs: float = 48000.0,
-                 sync_threshold: float = 0.62, cqpsk: bool = False):
+                 sync_threshold: float = 0.62, cqpsk: bool = False,
+                 pcm_fmt: str = "f16"):
         from dsdneo_tpu.engine.modes import MODES
         from dsdneo_tpu.dsp import firdes
         self.C = C
@@ -136,6 +137,9 @@ class BatchedP25VoicePipeline:
         self.cqpsk = cqpsk
         self.imbe_dec = BatchedImbeDecoder(C)
         self.bch = blockcodes.bch_63_16()
+        # "mulaw" = G.711 wire format (engine.dmrbatch): halves the
+        # tunneled PCM DMA at the telephony-standard ~38 dB SNDR
+        self.pcm_fmt = pcm_fmt
 
     def _front(self, x, n_sym: int, use_pallas: bool):
         """Traced front end: [C, B(, 2)] → (dibits, soft, power)."""
@@ -660,7 +664,7 @@ class BatchedP25VoicePipeline:
         pcm, f_logm, f_L, _aux = voice_decode_gather(
             dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
             self._frame_offs, jnp.asarray(fchp), jnp.asarray(fordp),
-            st[0], st[1], self.C, Tp)
+            st[0], st[1], self.C, Tp, pcm_fmt=self.pcm_fmt)
         self._dev_pred_state = (f_logm, f_L)
         return pcm
 
@@ -668,7 +672,11 @@ class BatchedP25VoicePipeline:
         """Pull a decode_block_async result to host float32 PCM."""
         if handle is None or getattr(handle, "size", 1) == 0:
             return np.zeros((self.C, 0), dtype=np.float32)
-        return np.asarray(handle).astype(np.float32).reshape(self.C, -1)
+        a = np.asarray(handle)
+        if a.dtype == np.uint8:
+            from dsdneo_tpu.engine.dmrbatch import mulaw_expand
+            return mulaw_expand(a).reshape(self.C, -1)
+        return a.astype(np.float32).reshape(self.C, -1)
 
     def decode_block_host(self, iq) -> np.ndarray:
         """Host-dequant variant of decode_block (reference numerics for

@@ -148,7 +148,7 @@ def _prediction_scan(T, w0, L, K, V, act, prev_logm, prev_L):
 
 
 def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
-                        C: int, n_steps: int):
+                        C: int, n_steps: int, pcm_fmt: str = "f16"):
     """Traced body shared by voice_decode_device (host-gathered frames)
     and voice_decode_gather (device-gathered frames)."""
     from dsdneo_tpu.fec.device import imbe_ecc_batch
@@ -178,6 +178,13 @@ def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
     noise = (jnp.mod(jnp.arange(C * F_ * MAX_L, dtype=jnp.float32)
                      * 2.399963, 2 * jnp.pi)).reshape(C, F_, MAX_L)
     pcm = jax.vmap(synthesize)(w0o, amps, voiced, noise)
+    if pcm_fmt == "mulaw":
+        # G.711 u-law wire format (see engine.dmrbatch): halves the
+        # tunnel DMA; fixed scale keeps the program data-independent
+        p = jnp.clip(pcm * 0.02, -1.0, 1.0)
+        y = jnp.sign(p) * jnp.log1p(255.0 * jnp.abs(p)) / np.log1p(255.0)
+        q = jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
+        return q, f_logm, f_L, (w0o, voiced, amps)
     return pcm.astype(jnp.float16), f_logm, f_L, (w0o, voiced, amps)
 
 
@@ -195,9 +202,10 @@ def voice_decode_device(frames144, fch, forder, prev_logm, prev_L,
                                C, n_steps)
 
 
-@partial(jax.jit, static_argnames=("C", "n_steps"))
+@partial(jax.jit, static_argnames=("C", "n_steps", "pcm_fmt"))
 def voice_decode_gather(dibits, ldu_ch, ldu_pos, offs, fch, forder,
-                        prev_logm, prev_L, C: int, n_steps: int):
+                        prev_logm, prev_L, C: int, n_steps: int,
+                        pcm_fmt: str = "f16"):
     """Device-resident variant: the [C, T] dibit array never leaves the
     chip.  The host uploads only the accepted LDU list (ldu_ch/ldu_pos,
     padded with ldu_ch == C) and the per-frame channel/step indices; the
@@ -215,7 +223,7 @@ def voice_decode_gather(dibits, ldu_ch, ldu_pos, offs, fch, forder,
     frames144 = frames144.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
     frames144 = frames144.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
     return _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
-                               C, n_steps)
+                               C, n_steps, pcm_fmt)
 
 
 # -- batched AMBE+2 (2450) parameter decode ---------------------------------

@@ -112,3 +112,22 @@ def test_dmr_mulaw_wire_format():
     err = np.abs(a - b)
     tol = np.abs(a) * 0.04 + 1.5e-2
     assert (err <= tol).mean() > 0.995, err.max()
+
+
+def test_mulaw_wire_format_quality():
+    """G.711 µ-law roundtrip: the wire format's quantization SNR on
+    speech-scale PCM must exceed the telephony-standard ~35 dB."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dsdneo_tpu.engine.dmrbatch import mulaw_expand
+    rng = np.random.default_rng(0)
+    t = np.arange(8000) / 8000.0
+    x = (0.4 * np.sin(2 * np.pi * 300 * t)
+         + 0.2 * np.sin(2 * np.pi * 1100 * t + 1.0)
+         + 0.02 * rng.normal(size=t.size)).astype(np.float32)
+    x = np.clip(x, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(255.0 * np.abs(x)) / np.log1p(255.0)
+    q = np.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
+    x2 = mulaw_expand(q)
+    snr = 10 * np.log10(np.mean(x ** 2) / np.mean((x - x2) ** 2))
+    assert snr > 35.0, f"mu-law roundtrip SNR {snr:.1f} dB"
