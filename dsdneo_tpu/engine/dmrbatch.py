@@ -137,6 +137,8 @@ def dmr_voice_decode_gather(dibits, sf_ch, sf_pos, sf_inv, offs, fch,
 
     bits49, _errs = ambe_ecc_batch(bits72)
     w0, L, voiced, amps = ambe_decode_params(bits49)
+    from dsdneo_tpu.vocoder.device import ambe_frame_mask
+    amps = amps * ambe_frame_mask(bits49, _errs)[:, None]
 
     def scat(vals, shape, dtype):
         z = jnp.zeros((C + 1, n_steps) + shape, dtype)

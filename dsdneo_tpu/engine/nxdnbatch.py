@@ -77,6 +77,8 @@ def nxdn_voice_decode_gather(dibits, f_ch, f_pos, f_inv, offs, flips,
 
     bits49, _errs = ambe_ecc_batch(bits72)
     w0, L, voiced, amps = ambe_decode_params(bits49)
+    from dsdneo_tpu.vocoder.device import ambe_frame_mask
+    amps = amps * ambe_frame_mask(bits49, _errs)[:, None]
 
     def scat(vals, shape, dtype):
         z = jnp.zeros((C + 1, n_steps) + shape, dtype)

@@ -211,6 +211,8 @@ def p2_voice_decode_gather(dibits, scr_tab, f_ch, f_tpos, f_row, f_offidx,
            ).reshape(ks_bytes.shape[0], 56).astype(jnp.uint8)
     bits49 = bits49 ^ ksb[:, :49]
     w0, L, voiced, amps = ambe_decode_params(bits49)
+    from dsdneo_tpu.vocoder.device import ambe_frame_mask
+    amps = amps * ambe_frame_mask(bits49, _errs)[:, None]
 
     def scat(vals, shape, dtype):
         z = jnp.zeros((C2 + 1, n_steps) + shape, dtype)

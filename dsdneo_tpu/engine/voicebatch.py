@@ -689,6 +689,16 @@ class BatchedP25VoicePipeline:
             return np.zeros((self.C, 0), dtype=np.float32)
         bits88, _errs = fdev.imbe_ecc_batch(frames144)
         bits88 = np.asarray(bits88)
+        errs = np.asarray(_errs)
+        # fleet-path mute mask (mirrors vocoder.device.imbe_frame_good):
+        # non-voice codes and over-threshold frames deactivate
+        from dsdneo_tpu.vocoder.imbe import B0_HI_POS, B0_LO_POS
+        b0 = np.zeros(bits88.shape[0], dtype=np.int64)
+        for i, p in enumerate(B0_HI_POS):
+            b0 |= bits88[:, p].astype(np.int64) << (7 - i)
+        b0 |= (bits88[:, B0_LO_POS[0]].astype(np.int64) << 1) \
+            | bits88[:, B0_LO_POS[1]].astype(np.int64)
+        good = (errs <= 5) & (b0 <= 207)
 
         # two-pass dequantize: the heavy per-(L,K) transforms run over
         # ALL frames at once; only the cheap inter-frame prediction
@@ -713,7 +723,7 @@ class BatchedP25VoicePipeline:
             Lc[ch] = L_all[sel]
             Kc[ch] = K_all[sel]
             S[ch] = bits88[sel]
-            act[ch] = True
+            act[ch] = good[sel]
             w0_t, L_t, v_t, a_t = run_prediction(self.imbe_dec, T, w0c, Lc,
                                                  Kc, S, act)
             w0s[:, t] = w0_t

@@ -703,7 +703,6 @@ class DmrBsDecoder(ProtocolDecoder):
                     ctx: DecoderContext) -> None:
         from dsdneo_tpu.protocol.dmr.ambe_frame import decode_ambe_ecc
         from dsdneo_tpu.vocoder.mbe import decode_ambe_2450
-        from dsdneo_tpu.vocoder.synth import synthesize_frames
         s_obj = ctx.state
         bp_id = int(getattr(s_obj, "dmr_bp_key_id", 0) or 0)
         bp_ks = None
@@ -748,9 +747,26 @@ class DmrBsDecoder(ProtocolDecoder):
             sink = getattr(ctx, "mbe_sink", None)
             if sink is not None:
                 sink.write(bits49, _errs)
-            params.append(decode_ambe_2450(bits49))
+            params.append((bits49, _errs))
         s_obj.dmr_vc_frame_count = fcount + 3
-        pcm = synthesize_frames(params)
+        # MBE glue contract (vocoder.glue): tone frames synthesize the
+        # OP25 tone, over-threshold frames repeat-then-mute
+        from dsdneo_tpu.vocoder.glue import (AMBE_ERR_THRESHOLD, MbeGlue,
+                                             ambe_tone_info)
+        glues = getattr(s_obj, "ambe_glue", None)
+        if glues is None:
+            glues = s_obj.ambe_glue = {0: MbeGlue(AMBE_ERR_THRESHOLD),
+                                       1: MbeGlue(AMBE_ERR_THRESHOLD)}
+        glue = glues[slot]
+        directives = []
+        for bits49, errs in params:
+            tone = ambe_tone_info(bits49)
+            if tone is not None:
+                directives.append(glue.condition(None, errs, tone))
+            else:
+                directives.append(glue.condition(decode_ambe_2450(bits49),
+                                                 errs, None))
+        pcm = glue.render(directives)
         if pcm.size:
             ctx.emit_audio(pcm, slot=slot)
 

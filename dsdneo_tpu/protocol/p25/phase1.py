@@ -977,24 +977,50 @@ class P25P1Decoder(ProtocolDecoder):
         octets (p25p1_ldu1.c:185-186, p25p1_ldu2.c:207-208), so the
         rolling offset skips 2 before the 9th frame."""
         from dsdneo_tpu.protocol.p25.imbe_frame import decode_imbe_ecc
+        from dsdneo_tpu.vocoder.glue import MbeGlue, imbe_tone_info
         from dsdneo_tpu.vocoder.mbe import decode_imbe_4400
-        from dsdneo_tpu.vocoder.synth import synthesize_frames
-        params = []
+        glue = getattr(ctx.state, "imbe_glue", None)
+        if glue is None:
+            glue = ctx.state.imbe_glue = MbeGlue()
         prev = getattr(ctx.state, "imbe_prev", None)
         sink = getattr(ctx, "mbe_sink", None)
+        directives = []
         for i, fr in enumerate(imbe_frames):
-            bits88, _errs = decode_imbe_ecc(fr)
+            bits88, errs = decode_imbe_ecc(fr)
             if i == 8:
                 ctx.state.ks_offset = getattr(ctx.state, "ks_offset", 0) + 2
             bits88 = self._decrypt_imbe(bits88, ctx)
             if sink is not None:
-                sink.write(bits88, _errs)
-            prev = decode_imbe_4400(bits88, prev=prev)
-            params.append(prev)
+                sink.write(bits88, errs)
+            # the MBE glue contract (vocoder.glue, reference dsd_mbe.c /
+            # mbelib process semantics): tone codes synthesize tones,
+            # invalid non-voice codes and over-threshold frames repeat
+            # the last good parameters a bounded number of times, then
+            # mute
+            from dsdneo_tpu.vocoder.glue import imbe_raw_b0
+            tone = imbe_tone_info(bits88)
+            frame = decode_imbe_4400(bits88, prev=prev)
+            if tone is not None:
+                directives.append(glue.condition(None, errs, tone))
+                continue
+            if imbe_raw_b0(bits88) > 207:
+                # invalid non-voice code: process-failure path
+                directives.append(glue.condition(
+                    None, glue.err_threshold + 1 + errs, None))
+                continue
+            kind, arg = glue.condition(frame, errs, None)
+            if kind == "voice":
+                prev = frame
+            directives.append((kind, arg))
         ctx.state.imbe_prev = prev
-        pcm = synthesize_frames(params)
+        pcm = glue.render(directives)
         if pcm.size:
             ctx.emit_audio(pcm, slot=0)
+        if ctx.events:
+            # per-call error accounting on the owning LDU event
+            # (reference p25_p1_voice_err_hist rolling average)
+            ctx.events[-1].fields.setdefault("voice_err_avg",
+                                             round(glue.err_avg(), 2))
 
     def _decrypt_imbe(self, bits88: np.ndarray, ctx: DecoderContext) -> np.ndarray:
         """Keyed voice decrypt: ADP/RC4 (ALG 0xAA) or DES-OFB (0x81),

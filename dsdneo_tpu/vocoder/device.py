@@ -154,10 +154,11 @@ def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
     from dsdneo_tpu.fec.device import imbe_ecc_batch
     from dsdneo_tpu.vocoder.synth import synthesize
 
-    bits88, _errs = imbe_ecc_batch(frames144)             # [F, 88]
+    bits88, errs = imbe_ecc_batch(frames144)              # [F, 88]
     T, w0, L, K = _transforms(bits88)
     V = bits88[:, imbe.VOICING_START:imbe.VOICING_START + 12
                ].astype(jnp.float32)                       # [F, 12]
+    good = imbe_frame_good(bits88, errs)                   # [F] 0/1
 
     # scatter frames to [C+1, n_steps, ...] (row C swallows padding)
     def scat(vals, shape, dtype):
@@ -169,7 +170,7 @@ def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
     Ls = scat(L, (), jnp.int32)
     Ks = jnp.maximum(scat(K, (), jnp.int32), 1)
     Vs = scat(V, (12,), jnp.float32)
-    act = scat(jnp.ones(frames144.shape[0], jnp.float32), (), jnp.float32)
+    act = scat(good, (), jnp.float32)
 
     w0o, voiced, amps, f_logm, f_L = _prediction_scan(
         Ts, w0s, jnp.maximum(Ls, 1), Ks, Vs, act, prev_logm, prev_L)
@@ -224,6 +225,33 @@ def voice_decode_gather(dibits, ldu_ch, ldu_pos, offs, fch, forder,
     frames144 = frames144.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
     return _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
                                C, n_steps, pcm_fmt)
+
+
+def imbe_frame_good(bits88, errs) -> "jax.Array":
+    """Fleet-path mute mask (the MBE glue contract, vocoder.glue):
+    non-voice codes (raw b0 > 207) and frames whose ECC error count
+    exceeds the IMBE threshold are muted — act=0 also freezes the
+    prediction state, like the host path's last-good discipline.  The
+    bounded frame-REPEAT and tone synthesis live on the host event
+    path (phase1._voice); the batch path mutes instead."""
+    from dsdneo_tpu.vocoder.imbe import B0_HI_POS, B0_LO_POS
+    hi = bits88[:, jnp.asarray(B0_HI_POS)].astype(jnp.int32)
+    b0 = hi @ jnp.asarray([1 << (7 - i) for i in range(6)], jnp.int32)
+    b0 = b0 | (bits88[:, B0_LO_POS[0]].astype(jnp.int32) << 1) \
+            | bits88[:, B0_LO_POS[1]].astype(jnp.int32)
+    return ((errs <= 5) & (b0 <= 207)).astype(jnp.float32)
+
+
+def ambe_frame_mask(bits49, errs, thr: int = 3) -> "jax.Array":
+    """AMBE fleet-path mute mask: tone frames (pitch field 0x7F with
+    the tone ID repeated, see vocoder.glue.ambe_tone_info) and
+    over-threshold frames are muted in the batched pipelines."""
+    w7 = jnp.asarray([1 << (6 - i) for i in range(7)], jnp.int32)
+    b0 = bits49[:, :7].astype(jnp.int32) @ w7
+    id1 = bits49[:, 7:14].astype(jnp.int32) @ w7
+    id2 = bits49[:, 21:28].astype(jnp.int32) @ w7
+    tone = (b0 == 0x7F) & (id1 == id2)
+    return ((errs <= thr) & ~tone).astype(jnp.float32)
 
 
 # -- batched AMBE+2 (2450) parameter decode ---------------------------------

@@ -199,8 +199,8 @@ def test_mesh_voice_chain_matches_unsharded():
     meta, samples = read_iq_capture(
         "/root/reference/tests/fixtures/iq/p25p1_c4fm_vc.iq.json")
     fs = float(meta.sample_rate_hz)
-    B = int(fs)                       # 1 s slice: several LDUs
-    sl = samples[:B]
+    B = int(fs)                       # 1 s slice; voice starts ~1.22 s
+    sl = samples[int(1.2 * fs):int(1.2 * fs) + B]
     iq1 = np.stack([sl.real, sl.imag], axis=-1).astype(np.float32)
     C = n
     iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
