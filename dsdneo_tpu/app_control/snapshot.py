@@ -39,6 +39,10 @@ class FrontendMetrics:
     blocks: int = 0
     ring_fill: int = 0
     ring_drops: int = 0
+    # retune discipline (engine/live): blocks inside the post-retune
+    # mute window, and the generation of the last completed tune
+    retune_muted: bool = False
+    tune_complete_generation: int = 0
     health: DecodeHealth = field(default_factory=DecodeHealth)
     # small visualizer buffers (copies, decimated)
     eye_symbols: np.ndarray = field(

@@ -26,7 +26,9 @@ class LiveEngine:
 
     def __init__(self, mode: str, fs: float = 48000.0,
                  block_s: float = 0.25, ring=None, capture_writer=None,
-                 control_port: int = 0, on_event=None, trunk=None):
+                 control_port: int = 0, on_event=None, trunk=None,
+                 retune_mute_s: float = 0.075, scanner=None,
+                 hop_s: float = 0.5):
         from dsdneo_tpu.app_control import CommandQueue, MetricsHub
         from dsdneo_tpu.runtime.native import IngestRing
         self.mode = mode
@@ -48,6 +50,22 @@ class LiveEngine:
         # enqueue into `commands`; the loop drains between blocks
         self.metrics = MetricsHub()
         self.commands = CommandQueue()
+        # retune discipline (reference rtl_sdr_fm.cpp:4665 retune mute
+        # window + tagged async tune completion):
+        # - a mute window after each retune drops the transient samples
+        #   a mid-burst retune would otherwise splice into the demod
+        # - feeds carry an optional tune generation; samples produced
+        #   against a stale generation are dropped before the ring
+        self.retune_mute_s = retune_mute_s
+        self.tune_generation = 0
+        self.tune_pending = False     # cleared by first fresh feed
+        self.stale_feeds = 0
+        self._mute_samples = 0
+        # squelch-hop (reference squelch-driven scanner hop): when the
+        # squelch stays closed for hop_s, rotate the scanner
+        self.scanner = scanner
+        self.hop_s = hop_s
+        self._squelched_s = 0.0
         self._stop = False
         self._thread: threading.Thread | None = None
         self._ctl = None
@@ -58,9 +76,14 @@ class LiveEngine:
     # -- control plane (the reference's controller thread) -----------------
     def tune(self, freq_hz: float) -> None:
         """Retune: journal the event, purge stale ring contents, reset
-        the decode carry (reference rtl_stream_tune_impl purge+mute)."""
+        the decode carry, open the post-retune mute window, and bump
+        the tune generation (reference rtl_stream_tune_impl purge+mute,
+        tagged completion rtl_sdr_fm.cpp:4665)."""
         self.freq_hz = freq_hz
         self.retunes += 1
+        self.tune_generation += 1
+        self.tune_pending = True
+        self._mute_samples = int(self.fs * self.retune_mute_s)
         if self.capture is not None:
             self.capture.record_event("retune",
                                       center_frequency_hz=int(freq_hz))
@@ -69,8 +92,21 @@ class LiveEngine:
                                      ctx=self.decoder.ctx)
 
     # -- producer side ------------------------------------------------------
-    def feed_cu8(self, data: bytes) -> int:
-        """Producer entry: raw CU8 interleaved I/Q bytes into the ring."""
+    def feed_cu8(self, data: bytes, generation: int | None = None) -> int:
+        """Producer entry: raw CU8 interleaved I/Q bytes into the ring.
+
+        ``generation`` tags the data with the tune generation it was
+        produced under (read ``engine.tune_generation`` after applying
+        a retune to the hardware): stale-generation samples are dropped
+        before the ring, and the first fresh feed completes the pending
+        tune (tagged async completion)."""
+        if generation is not None and generation != self.tune_generation:
+            self.stale_feeds += 1
+            return 0
+        if self.tune_pending and (generation is None
+                                  or generation == self.tune_generation):
+            self.tune_pending = False
+            self.metrics.publish(tune_complete_generation=self.tune_generation)
         return self.ring.write(data)
 
     # -- app_control command drain ------------------------------------------
@@ -125,9 +161,31 @@ class LiveEngine:
             if self.capture is not None:
                 self.capture.submit(samples)
             rms = float(np.sqrt(np.mean(np.abs(samples) ** 2)))
+            # post-retune mute window: drop the transient samples so a
+            # mid-burst retune never splices stale and fresh signal
+            # into one demod window (reference retune mute)
+            if self._mute_samples > 0:
+                self._mute_samples -= len(samples)
+                n += 1
+                self.metrics.publish(freq_hz=self.freq_hz,
+                                     retune_muted=True, blocks=n)
+                if max_blocks is not None and n >= max_blocks:
+                    break
+                continue
             # power squelch: below-threshold blocks aren't decoded at
             # all (reference demod_pipeline.cpp squelch gate)
             squelched = 20.0 * np.log10(max(rms, 1e-12)) < self.squelch_db
+            if squelched:
+                self._squelched_s += len(samples) / self.fs
+                if (self.scanner is not None
+                        and self._squelched_s >= self.hop_s):
+                    # squelch-hop: rotate to the scanner's next target
+                    self._squelched_s = 0.0
+                    self.scanner.tick()
+            else:
+                self._squelched_s = 0.0
+                if self.scanner is not None:
+                    self.scanner.on_activity()
             events = [] if squelched else self.decoder.push(samples)
             for e in events:
                 if self.trunk is not None:
@@ -140,7 +198,7 @@ class LiveEngine:
             n += 1
             self.metrics.publish(
                 freq_hz=self.freq_hz, stream_active=True,
-                retunes=self.retunes, blocks=n,
+                retunes=self.retunes, blocks=n, retune_muted=False,
                 input_level_rms=rms,
                 snr_db=getattr(self.decoder, "last_snr_db", 0.0),
                 ring_fill=self.ring.fill, ring_drops=self.ring.drops)

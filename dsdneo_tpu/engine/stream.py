@@ -11,13 +11,21 @@ Dispatch discipline (deterministic, reference carry analog
 rtl_sdr_fm.cpp:3484-3488):
 
 - **dedup ledger**: every dispatched frame is recorded as
-  (sync name, global symbol position); a hit is a duplicate iff the
-  same sync name was dispatched within ±2 symbol periods of its global
+  (protocol, global symbol position); a hit is a duplicate iff the
+  same protocol was dispatched within ±2 symbol periods of its global
   position (re-demodulating a longer window can shift the recovered
-  symbol grid by a symbol).
-- **holdback by frame extent**: a hit waits for the next push when its
-  protocol's maximum frame extent crosses the end of the current
+  symbol grid by a symbol, and a marginal frame can correlate under a
+  different sync variant of the same protocol in the next window).
+- **holdback by frame extent**: a hit waits for the next window when
+  its protocol's maximum frame extent crosses the end of the current
   window, so partially received frames are never parsed early.
+- **canonical windows**: processing advances in absolute segments of
+  0.2 s — window k covers samples [k·S − overlap, (k+1)·S), boundaries
+  independent of how the caller splits pushes.  Since the demodulator
+  estimates timing/gain per window, canonical boundaries make every
+  decode decision split-invariant: pushing the capture in any block
+  sizes yields EXACTLY the same events (asserted by the boundary-sweep
+  test).
 
 The overlap must cover the longest protocol frame extent (a DMR voice
 superframe read-ahead ≈ 0.32 s) plus filter warm-up; 0.45 s is used.
@@ -37,18 +45,18 @@ from dsdneo_tpu.symbols import framesync
 # how much stream a decoder may consume for one frame (P25 LDU: 24 sync
 # + 32 NID + 784 data + status ≈ 870; others far less)
 _FRAME_EXTENT = {
-    "p25p1": 900,
-    "p25p2": 400,
+    "p25p1": 900,               # LDU: 24 sync + 32 NID + 784 data + status
+    "p25p2": 740,               # 20 sync + 700 dibits (4-burst frame)
     # a DMR voice superframe is read ahead from the VC1 sync:
     # 5 × 288-dibit bursts + the trailing half payload ≈ 1520
     "dmr": 1550,
     "nxdn48": 200, "nxdn96": 200,
-    "dpmr": 220,
-    "dstar": 250,
-    "ysf": 250,
+    "dpmr": 400,                # FS2 payload walk (measured 384)
+    "dstar": 2050,              # voice super-sequence consume (2016)
+    "ysf": 500,                 # 480-dibit FICH+payload frame
     "m17": 200,
-    "edacs": 150,
-    "provoice": 150,
+    "edacs": 300,               # measured 288
+    "provoice": 300,
     "x2tdma": 200,
 }
 _DEFAULT_EXTENT = 900
@@ -70,15 +78,21 @@ class StreamDecoder:
         # PCM (UDP/TCP sources) — timing+slicing only, no front end
         self.input_kind = input_kind
         self._dtype = np.complex64 if input_kind == "iq" else np.float32
-        self._tail = np.zeros(0, dtype=self._dtype)
+        # protocol decoders read the active mode for rate-dependent
+        # labels (e.g. NXDN48 vs NXDN96) — same as decode_samples
+        self.ctx.mode_name = self.mode.name
         self._total = 0                 # global sample count pushed
         self._decoders: dict[str, proto_base.ProtocolDecoder] = {}
         self._defs = framesync.patterns_for(set(self.mode.protocols))
         self._sps = fs / self.mode.symbol_rate
         self.last_snr_db: float = 0.0   # bias-corrected eye/EVM SNR
-        # dedup ledger: sync name -> sorted-ish list of global symbol
+        # dedup ledger: protocol -> sorted-ish list of global symbol
         # positions already dispatched (pruned as the stream advances)
         self._dispatched: dict[str, list[float]] = {}
+        # global consumed-until (symbol position): alias hits inside an
+        # already-decoded frame span must not re-dispatch from a later
+        # window (the one-shot path's consumed_until, made global)
+        self._consumed_gsym = -1e18
 
     # -- dedup ledger -------------------------------------------------------
     def _is_dup(self, name: str, gsym: float) -> bool:
@@ -113,8 +127,10 @@ class StreamDecoder:
             extent = _FRAME_EXTENT.get(hit.sync.protocol, _DEFAULT_EXTENT)
             if not final and hit.pos + extent > len(dibits):
                 break                    # frame may be cut: wait for data
-            if self._is_dup(hit.sync.name, gsym):
+            if self._is_dup(hit.sync.protocol, gsym):
                 continue
+            if gsym < self._consumed_gsym - 2.0:
+                continue                 # inside an already-decoded frame
             factory = registry.get(hit.sync.protocol)
             if factory is None:
                 continue
@@ -123,7 +139,9 @@ class StreamDecoder:
                 dibits, norm, pos=hit.end, frame_start=hit.pos,
                 invert=hit.sync.inverted)
             consumed_local = dec.handle(reader, hit, self.ctx)
-            self._record(hit.sync.name, gsym)
+            self._record(hit.sync.protocol, gsym)
+            self._consumed_gsym = max(self._consumed_gsym,
+                                      base / self._sps + consumed_local)
         self._prune((base - 2 * self.overlap) / self._sps)
 
     def _eye_snr_db(self, norm: np.ndarray) -> float:
@@ -142,25 +160,48 @@ class StreamDecoder:
         return raw - snr_bias_db(kind, float(self.mode.symbol_rate),
                                  self.mode.lpf_profile)
 
+    @property
+    def _seg(self) -> int:
+        return int(self.fs * 0.2)       # canonical segment hop
+
     def push(self, block: np.ndarray) -> list:
-        """Feed new complex samples; returns events emitted this push."""
+        """Feed new complex samples; returns events emitted this push.
+        Processing happens at canonical absolute-segment boundaries, so
+        any split of the same stream produces identical events."""
         block = np.asarray(block, dtype=self._dtype)
-        window = np.concatenate([self._tail, block])
-        base = self._total - len(self._tail)
+        # buffer holds samples from self._buf_base onward
+        if not hasattr(self, "_buf"):
+            self._buf = np.zeros(0, self._dtype)
+            self._buf_base = 0
+            self._next_k = 0
+        self._buf = np.concatenate([self._buf, block])
         self._total += len(block)
-        self._tail = window[-self.overlap:] if len(window) > self.overlap \
-            else window
-        # need at least one 256-symbol timing-estimation window + margin
-        if len(window) < int(max(self.fs * 0.05, 272 * self._sps)):
-            return []
         n_before = len(self.ctx.events)
-        self._process(window, base, final=False)
+        S = self._seg
+        while self._total >= (self._next_k + 1) * S:
+            k = self._next_k
+            start = max(0, k * S - self.overlap)
+            end = (k + 1) * S
+            window = self._buf[start - self._buf_base:end - self._buf_base]
+            # need one 256-symbol timing-estimation window + margin
+            if len(window) >= int(max(self.fs * 0.05, 272 * self._sps)):
+                self._process(window, start, final=False)
+            self._next_k += 1
+            # prune buffer to what the next window needs
+            keep_from = max(0, self._next_k * S - self.overlap)
+            if keep_from > self._buf_base:
+                self._buf = self._buf[keep_from - self._buf_base:]
+                self._buf_base = keep_from
         return self.ctx.events[n_before:]
 
     def flush(self) -> list:
         """Dispatch anything still held back (end of stream)."""
         n_before = len(self.ctx.events)
-        if len(self._tail):
-            saved, self._tail = self._tail, np.zeros(0, self._dtype)
-            self._process(saved, self._total - len(saved), final=True)
+        if hasattr(self, "_buf") and self._total > self._buf_base:
+            start = max(0, self._next_k * self._seg - self.overlap)
+            window = self._buf[start - self._buf_base:]
+            if len(window):
+                self._process(window, start, final=True)
+            self._buf = np.zeros(0, self._dtype)
+            self._buf_base = self._total
         return self.ctx.events[n_before:]

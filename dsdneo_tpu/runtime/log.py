@@ -95,7 +95,19 @@ class PerfProbe:
             self._last_flush = now
             self.reset()
 
+    def flush_now(self) -> None:
+        """Write the accumulated row regardless of the interval (end of
+        a run: short replays must still record their totals)."""
+        if self._writer and self._acc.get("steps"):
+            self._acc["ts"] = round(time.time(), 3)
+            self._writer.writerow({k: round(self._acc.get(k, 0), 3)
+                                   for k in self.fields_})
+            self._f.flush()
+            self._last_flush = time.monotonic()
+            self.reset()
+
     def close(self):
         if self._f:
+            self.flush_now()
             self._f.close()
             self._f = None

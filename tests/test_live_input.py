@@ -71,3 +71,60 @@ def test_cli_udp_pcm_live_input(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "NAC/CC: 140" in out
+
+
+def test_retune_mute_window_and_tagged_completion():
+    """After tune(): the mute window drops transient blocks, stale-
+    generation feeds are rejected, and the first fresh feed completes
+    the pending tune (reference retune discipline)."""
+    import numpy as np
+    from dsdneo_tpu.engine.live import LiveEngine
+
+    eng = LiveEngine("p25p1", fs=48000.0, block_s=0.05,
+                     retune_mute_s=0.075)
+    blank = bytes(2 * 4800)             # 0.05 s of cu8 zeros
+    assert eng.feed_cu8(blank) > 0
+    g0 = eng.tune_generation
+    eng.tune(851_000_000.0)
+    assert eng.tune_generation == g0 + 1
+    assert eng.tune_pending
+    # stale-generation data (produced before the hardware retuned)
+    assert eng.feed_cu8(blank, generation=g0) == 0
+    assert eng.stale_feeds == 1
+    assert eng.tune_pending
+    # fresh data completes the tune
+    assert eng.feed_cu8(blank, generation=eng.tune_generation) > 0
+    assert not eng.tune_pending
+    for _ in range(5):
+        eng.feed_cu8(blank, generation=eng.tune_generation)
+    n = eng.run(max_blocks=2)
+    assert n == 2
+    # the first ceil(0.075/0.05)=2 blocks were muted
+    assert eng.metrics.snapshot().retune_muted is True
+    eng._stop = False
+    eng.run(max_blocks=2)
+    assert eng.metrics.snapshot().retune_muted is False
+
+
+def test_squelch_hop_rotates_scanner():
+    from dsdneo_tpu.engine.live import LiveEngine
+    from dsdneo_tpu.engine.trunk import ScanTarget, TrunkScanner
+
+    tunes = []
+    fake_now = [0.0]
+    sc = TrunkScanner(tune=lambda f, m: tunes.append(f) or True,
+                      dwell_s=0.0, hold_s=0.0,
+                      now_fn=lambda: fake_now[0])
+    sc.add_target(ScanTarget(851e6, "p25p1"))
+    sc.add_target(ScanTarget(852e6, "p25p1"))
+    eng = LiveEngine("p25p1", fs=48000.0, block_s=0.05, scanner=sc,
+                     hop_s=0.1, retune_mute_s=0.0)
+    eng.squelch_db = 10.0               # force squelch closed
+    blank = bytes(2 * 4800)
+    for _ in range(8):
+        eng.feed_cu8(blank)
+        fake_now[0] += 0.05
+    eng.run(max_blocks=8)
+    # squelched for >hop_s repeatedly -> scanner rotated targets
+    assert len(tunes) >= 2
+    assert set(tunes) <= {851e6, 852e6}
