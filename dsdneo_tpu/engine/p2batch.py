@@ -345,6 +345,17 @@ class BatchedP2VoicePipeline:
             v = (v << 8) | int(by)
         return v
 
+    @staticmethod
+    @lru_cache(maxsize=1)
+    def _duid_lut() -> np.ndarray:
+        """[256] received-octet → DUID (or -1) lookup: the nearest-
+        codeword decode is a pure function of the 8-bit received word,
+        so the fleet walk replaces per-hit popcount loops with one
+        table index (host-walk hot path at C=320)."""
+        from dsdneo_tpu.protocol.p25.phase2 import duid_lookup
+        return np.asarray([duid_lookup(v) for v in range(256)],
+                          dtype=np.int8)
+
     def walk_frames(self, idx, vq, duid, isch, n_sym: int):
         """Host frame walk (phase2.handle semantics): threshold + frame
         extent, DUID typing, ISCH superframe tracking → the per-frame
@@ -352,9 +363,10 @@ class BatchedP2VoicePipeline:
         ess_jobs describe the ESS field positions per voice timeslot
         for the optional crypto path."""
         from dsdneo_tpu.protocol.p25 import p2_xcch
-        from dsdneo_tpu.protocol.p25.phase2 import duid_lookup
         defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
         n_pat = len(defs[0].pattern)
+        duid_lut = self._duid_lut()
+        isch_tab = p2_xcch._isch_table()
         f_ch, f_tpos, f_row, f_offidx, f_out, f_ord = ([] for _ in range(6))
         ess_jobs = []           # (c, ts_pos, row, slot, kind, frag_idx)
         for c in range(idx.shape[0]):
@@ -380,11 +392,19 @@ class BatchedP2VoicePipeline:
                 for ts in range(4):
                     word = self._isch_word(ischs[w, ts])
                     if word != p2_xcch.ISCH_SYNC:
-                        v = p2_xcch.isch_lookup(word)
+                        v = isch_tab.get(word)
+                        if v is None:
+                            memo = getattr(self, "_isch_memo", None)
+                            if memo is None:
+                                memo = self._isch_memo = {}
+                            v = memo.get(word)
+                            if v is None:
+                                v = p2_xcch.isch_lookup(word)
+                                memo[word] = v
                         if v >= 0 and (v >> 5) & 3 == 1 \
                                 and (v >> 3) & 3 in (0, 1, 2):
                             sf_pos = {0: 0, 1: 4, 2: 8}[(v >> 3) & 3]
-                    d = duid_lookup(int(duids[w, ts]))
+                    d = int(duid_lut[int(duids[w, ts])])
                     row = sf_pos if sf_pos is not None else 0
                     ts_pos = t + n_pat + TS_DIBITS * ts
                     if d in (0, 6):
