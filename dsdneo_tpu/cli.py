@@ -150,7 +150,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "decoded off the control channel retune the tuner "
                         "to the voice channel and return on release/"
                         "hangtime (reference -T + p25_trunk_sm/dmr_trunk_sm)")
-    p.add_argument("--hangtime", type=float, default=1.0, metavar="S",
+    p.add_argument("-t", "--hangtime", type=float, default=1.0, metavar="S",
                    help="voice-channel hangtime before returning to the "
                         "control channel (reference trunk_hangtime)")
     p.add_argument("--sm-log", default="", metavar="PATH",
@@ -164,6 +164,87 @@ def build_parser() -> argparse.ArgumentParser:
                    help="live-input run length in seconds (0 = until ^C)")
     p.add_argument("--m17-aes", default="", metavar="HEX",
                    help="M17 AES-CTR key (32/48/64 hex chars)")
+    # trunking tune policy + encryption lockout (reference -E/-p/-e,
+    # --enc-lockout/--enc-follow; consumed by engine.trunk.TrunkFollower)
+    p.add_argument("-E", dest="no_group_calls", action="store_true",
+                   help="disable tuning group voice grants (reference -E)")
+    p.add_argument("-p", dest="no_private_calls", action="store_true",
+                   help="disable tuning private voice grants (reference -p)")
+    p.add_argument("-e", dest="data_calls", action="store_true",
+                   help="enable tuning data channel grants (reference -e)")
+    p.add_argument("--enc-lockout", action="store_true",
+                   help="lock out talkgroups whose grants carry the "
+                        "encryption service bit (session ledger; "
+                        "reference --enc-lockout)")
+    p.add_argument("--enc-follow", action="store_true",
+                   help="follow encrypted grants without lockout "
+                        "(default; reference --enc-follow)")
+    p.add_argument("-I", dest="tg_hold", type=int, default=0, metavar="TG",
+                   help="hold this talkgroup: all others are muted "
+                        "(reference -I)")
+    p.add_argument("-W", dest="whitelist", action="store_true",
+                   help="treat the -G group list as an allow/whitelist "
+                        "(reference -W)")
+    p.add_argument("-F", dest="relax_crc", action="store_true",
+                   help="relax CRC checks (P25p2 SACCH/FACCH MAC parse "
+                        "proceeds on CRC12 failure; reference -F)")
+    # external tuner + scanning
+    p.add_argument("-U", dest="rigctl_port", type=int, default=0,
+                   metavar="PORT",
+                   help="retune through a rigctl TCP server on this port "
+                        "(SDR++ default 4532; reference -U)")
+    p.add_argument("--rigctl-host", default="127.0.0.1",
+                   help="rigctl server host for -U")
+    p.add_argument("--trunk-scan", default="", metavar="CSV",
+                   help="single-tuner trunk scan target CSV "
+                        "(reference --trunk-scan, docs/trunk-scan.md)")
+    p.add_argument("--trunk-scan-dwell-ms", type=int, default=3000,
+                   help="idle dwell per scan target (reference default "
+                        "3000)")
+    p.add_argument("--trunk-scan-activity-hold-ms", type=int, default=1200,
+                   help="activity hold before rotating (reference 1200)")
+    # capture / replay shaping
+    p.add_argument("--iq-capture", default="", metavar="PATH",
+                   help="journal the live input to an .iq capture with "
+                        "sidecar metadata (reference --iq-capture)")
+    p.add_argument("--iq-loop", type=int, default=1, metavar="N",
+                   help="replay the capture N times (reference --iq-loop)")
+    p.add_argument("--iq-replay-rate", type=float, default=0.0,
+                   metavar="X", help="pace streamed replay at X times "
+                        "realtime (0 = as fast as possible; reference "
+                        "--iq-replay-rate)")
+    p.add_argument("--auto-ppm", action="store_true",
+                   help="automatic tuner PPM correction from the measured "
+                        "CFO (reference --auto-ppm)")
+    p.add_argument("--auto-ppm-snr", type=float, default=9.0, metavar="DB",
+                   help="minimum SNR before auto-PPM acts (reference "
+                        "--auto-ppm-snr)")
+    p.add_argument("--input-volume", type=float, default=1.0, metavar="X",
+                   help="input sample multiplier (reference "
+                        "--input-volume)")
+    p.add_argument("--input-level-warn-db", type=float, default=-200.0,
+                   metavar="DB", help="warn when the input RMS falls "
+                        "below this level (reference "
+                        "--input-level-warn-db)")
+    # rdio-scanner call upload (io.rdio.RdioUploader behind CallRecorder)
+    p.add_argument("--rdio-api-url", default="", metavar="URL",
+                   help="rdio-scanner API endpoint for per-call upload")
+    p.add_argument("--rdio-api-key", default="", metavar="KEY")
+    p.add_argument("--rdio-system-id", default="", metavar="ID")
+    p.add_argument("--show-keys", action="store_true",
+                   help="print key material unredacted (reference "
+                        "--show-keys)")
+    # trunking SM timing (reference --p25-vc-grace/--p25-cc-grace)
+    p.add_argument("--p25-vc-grace", type=float, default=1.5, metavar="S",
+                   help="grace period on the voice channel before "
+                        "hangtime logic engages")
+    p.add_argument("--p25-cc-grace", type=float, default=5.0, metavar="S",
+                   help="control-channel silence timeout before hunting")
+    p.add_argument("--probe", action="store_true",
+                   help="probe the input: print detected mode + SNR and "
+                        "exit (reference --probe)")
+    p.add_argument("--print-config", action="store_true",
+                   help="print the effective runtime config and exit")
     return p
 
 
@@ -205,6 +286,10 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
         attrs["dmr_bp_key_id"] = args.bp_key_id
     if tg_policy is not None:
         attrs["tg_policy"] = tg_policy
+    if getattr(args, "relax_crc", False):
+        attrs["relax_crc"] = True
+    if getattr(args, "show_keys", False):
+        attrs["show_keys"] = True
     if chan_map is not None:
         attrs["chan_map"] = chan_map
     if args.key_csi72:
@@ -258,6 +343,13 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
                                               pick_device_rate)
         eng = LiveEngine(args.mode, fs=48000.0, block_s=0.25,
                          on_event=on_event)
+        eng.level_warn_db = args.input_level_warn_db
+        eng.input_volume = args.input_volume
+        if args.iq_capture:
+            from dsdneo_tpu.io.iq import IqCaptureWriter, IqMetadata
+            eng.capture = IqCaptureWriter(
+                args.iq_capture, IqMetadata(sample_format="cf32",
+                                            sample_rate_hz=48000))
         st = eng.decoder.ctx.state
         st.keyring = keyring
         for k, v in _state_attrs(args, tg_policy, chan_map).items():
@@ -269,21 +361,65 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
             print(f"dsd-neo-tpu: live source unavailable: {e}",
                   file=sys.stderr)
             return 1
-        if args.trunk:
+        rig = None
+        if args.rigctl_port:
+            # external tuner control through a rigctl TCP server
+            # (reference -U; SDR++ default 4532)
+            from dsdneo_tpu.io.net import RigctlClient
+            try:
+                rig = RigctlClient(args.rigctl_host, args.rigctl_port)
+            except OSError as e:
+                print(f"dsd-neo-tpu: rigctl unavailable: {e}",
+                      file=sys.stderr)
+
+        def _retune_hw(f_hz: float) -> None:
+            if rig is not None:
+                rig.set_freq(f_hz)
+            else:
+                dev.set_freq(int(f_hz))
+
+        if args.trunk or args.trunk_scan:
             from dsdneo_tpu.engine.trunk import TrunkFollower, TrunkSM
 
             def _tune(f_hz, kind):
-                dev.set_freq(int(f_hz))
+                _retune_hw(f_hz)
                 eng.tune(f_hz)
                 return True
 
             sm = TrunkSM(_tune, hangtime_s=args.hangtime,
+                         vc_grace_s=args.p25_vc_grace,
+                         cc_timeout_s=args.p25_cc_grace,
                          policy=(tg_policy.allows if tg_policy else None))
             sm.log_path = args.sm_log
-            eng.trunk = TrunkFollower(sm, eng.decoder.ctx,
-                                      chan_map=chan_map,
-                                      current_freq=lambda: eng.freq_hz
-                                      or float(freq))
+            fol = TrunkFollower(sm, eng.decoder.ctx,
+                                chan_map=chan_map,
+                                current_freq=lambda: eng.freq_hz
+                                or float(freq))
+            fol.tune_group = not args.no_group_calls
+            fol.tune_private = not args.no_private_calls
+            fol.tune_data = args.data_calls
+            fol.enc_lockout = args.enc_lockout and not args.enc_follow
+            eng.trunk = fol
+        if args.trunk_scan:
+            from dsdneo_tpu.engine.trunk import (TrunkScanner,
+                                                 load_scan_targets)
+
+            def _scan_tune(f_hz, mode):
+                _retune_hw(f_hz)
+                eng.tune(f_hz)
+                return True
+
+            sc = TrunkScanner(_scan_tune,
+                              dwell_s=args.trunk_scan_dwell_ms / 1e3,
+                              hold_s=args.trunk_scan_activity_hold_ms / 1e3)
+            n = load_scan_targets(sc, args.trunk_scan)
+            print(f"trunk-scan: {n} targets from {args.trunk_scan}",
+                  file=sys.stderr)
+            eng.scanner = sc
+        if args.auto_ppm:
+            from dsdneo_tpu.io.auto_ppm import AutoPpm
+            eng.auto_ppm = AutoPpm(dev.set_ppm, float(freq),
+                                   snr_gate_db=args.auto_ppm_snr)
         eng.on_ppm = dev.set_ppm
         eng.freq_hz = float(freq)
         dev.start()
@@ -461,7 +597,6 @@ def main(argv: list[str] | None = None) -> int:
         import jax
         if args.platform != "default":
             jax.config.update("jax_platforms", args.platform)
-        import numpy as np
         from dsdneo_tpu.io.mbe_files import read_mbe_file, synthesize_mbe_file
         try:
             kind, frames = read_mbe_file(args.mbe_in)
@@ -512,6 +647,11 @@ def main(argv: list[str] | None = None) -> int:
         for e in errs:
             print(f"dsd-neo-tpu: config: {e}", file=sys.stderr)
     cfg = rtcfg.load_env(cfg)
+    if args.print_config:
+        from dataclasses import fields as _dc_fields
+        for fld in _dc_fields(cfg):
+            print(f"{fld.name} = {getattr(cfg, fld.name)}")
+        return 0
     frame_log = args.frame_log if args.frame_log is not None else cfg.frame_log
     perf_csv = args.perf_csv if args.perf_csv is not None else cfg.perf_csv
 
@@ -544,11 +684,18 @@ def main(argv: list[str] | None = None) -> int:
             keyring.import_hex_csv(args.keys_hex)
         if args.keys_aes:
             keyring.import_aes_csv(args.keys_aes)
+        # key summary (redacted unless --show-keys; reference behavior)
+        print(keyring.describe(show_keys=args.show_keys), file=sys.stderr)
 
     recorder = None
     if args.calls_dir:
         from dsdneo_tpu.core.calls import CallRecorder
         recorder = CallRecorder(args.calls_dir, mode=args.mode)
+        if args.rdio_api_url:
+            from dsdneo_tpu.io.rdio import RdioUploader
+            recorder.uploader = RdioUploader(
+                args.rdio_api_url, args.rdio_api_key,
+                args.rdio_system_id or "1")
 
     tg_policy = None
     if args.group_csv:
@@ -557,6 +704,14 @@ def main(argv: list[str] | None = None) -> int:
         n = tg_policy.import_group_csv(args.group_csv)
         print(f"group list: {n} entries from {args.group_csv}",
               file=sys.stderr)
+    if args.tg_hold or args.whitelist:
+        if tg_policy is None:
+            from dsdneo_tpu.core.talkgroup import TalkgroupPolicy
+            tg_policy = TalkgroupPolicy()
+        tg_policy.whitelist_mode = bool(args.whitelist)
+        if args.tg_hold:
+            tg_policy.hold(0, args.tg_hold)
+            tg_policy.hold(1, args.tg_hold)
     chan_map = None
     if args.chan_csv:
         from dsdneo_tpu.engine.trunk import ChannelMap
@@ -606,6 +761,28 @@ def main(argv: list[str] | None = None) -> int:
                   f"{args.calls_dir}", file=sys.stderr)
         return 0
 
+    if args.probe:
+        # input probe: detected mode + SNR summary, then exit
+        from dsdneo_tpu.engine.decoder import detect_mode
+        from dsdneo_tpu.engine.stream import StreamDecoder
+        from dsdneo_tpu.io import read_iq_capture
+        try:
+            meta, samples = read_iq_capture(args.iq_replay)
+        except (OSError, ValueError) as e:
+            print(f"dsd-neo-tpu: cannot probe {args.iq_replay}: {e}",
+                  file=sys.stderr)
+            return 1
+        mode = detect_mode(samples, float(meta.sample_rate_hz),
+                           args.sync_threshold) if args.mode == "auto"             else args.mode
+        name = mode if isinstance(mode, str) else mode.name
+        sd = StreamDecoder(name, fs=float(meta.sample_rate_hz))
+        sd.push(samples)
+        sd.flush()
+        print(f"probe: mode={name} snr={sd.last_snr_db:.1f} dB "
+              f"events={len(sd.ctx.events)} "
+              f"duration={len(samples) / meta.sample_rate_hz:.2f} s")
+        return 0
+
     from dsdneo_tpu.engine import decode_capture
     perf = None
     if perf_csv:
@@ -626,14 +803,26 @@ def main(argv: list[str] | None = None) -> int:
             if p2 is not None:
                 (sd.ctx.state.p2_wacn, sd.ctx.state.p2_sysid,
                  sd.ctx.state.p2_cc) = p2
+            if args.input_volume != 1.0:
+                samples = samples * np.complex64(args.input_volume) \
+                    if np.iscomplexobj(samples) else \
+                    samples * np.float32(args.input_volume)
             chunk = max(int(meta.sample_rate_hz * args.stream), 4800)
-            for i in range(0, len(samples), chunk):
-                t0 = _time.perf_counter()
-                evs = sd.push(samples[i:i + chunk])
-                if perf is not None:
-                    perf.add(decode_ms=(_time.perf_counter() - t0) * 1e3,
-                             channels=1,
-                             symbols=int(chunk / sd._sps))
+            for _rep in range(max(args.iq_loop, 1)):
+                for i in range(0, len(samples), chunk):
+                    t0 = _time.perf_counter()
+                    evs = sd.push(samples[i:i + chunk])
+                    if perf is not None:
+                        perf.add(decode_ms=(_time.perf_counter() - t0) * 1e3,
+                                 channels=1,
+                                 symbols=int(chunk / sd._sps))
+                    if args.iq_replay_rate > 0:
+                        # paced replay (reference --iq-replay-rate)
+                        want = chunk / meta.sample_rate_hz \
+                            / args.iq_replay_rate
+                        left = want - (_time.perf_counter() - t0)
+                        if left > 0:
+                            _time.sleep(left)
             sd.flush()
             ctx = sd.ctx
         else:
@@ -653,17 +842,19 @@ def main(argv: list[str] | None = None) -> int:
         print(f"dsd-neo-tpu: cannot replay {args.iq_replay}: {e}", file=sys.stderr)
         return 1
     if args.frontend == "terminal":
-        import numpy as np
         from dsdneo_tpu.ui.terminal import UiModel, run
         audio_s = sum(len(c) for chunks in ctx.audio.values()
                       for c in chunks) / 8000.0
+        from dsdneo_tpu.ui.panes import history_from_events
         run(UiModel(mode=args.mode, source=args.iq_replay,
                     n_events=len(ctx.events),
                     n_syncs=getattr(ctx, "n_syncs", 0),
                     audio_s=audio_s,
                     lines=[e.line for e in ctx.events],
                     soft=getattr(ctx, "debug_soft", None),
-                    iq=getattr(ctx, "debug_iq", None)))
+                    iq=getattr(ctx, "debug_iq", None),
+                    history=history_from_events(ctx.events),
+                    state=ctx.state))
     if recorder is not None:
         recorder.finish_all()
         print(f"calls exported: {len(recorder.finished)} -> {args.calls_dir}",
@@ -690,7 +881,6 @@ def main(argv: list[str] | None = None) -> int:
         m17_udp.close()
 
     if args.audio_out != "null":
-        import numpy as np
         from dsdneo_tpu.io.audio_out import make_sink
         sink = make_sink(args.audio_out)
         if sink is None:

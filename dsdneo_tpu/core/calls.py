@@ -86,6 +86,10 @@ class CallRecorder:
             "duration_s": round(call.duration_s(), 3),
             "audio_file": os.path.basename(wav),
         }
-        with open(os.path.join(self.out_dir, stem + ".json"), "w") as f:
+        meta_path = os.path.join(self.out_dir, stem + ".json")
+        with open(meta_path, "w") as f:
             json.dump(meta, f, indent=2)
             f.write("\n")
+        # optional rdio-scanner upload hook (io.rdio.RdioUploader)
+        if getattr(self, "uploader", None) is not None:
+            self.uploader.submit(wav, meta_path)

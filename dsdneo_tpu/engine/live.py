@@ -66,6 +66,12 @@ class LiveEngine:
         self.scanner = scanner
         self.hop_s = hop_s
         self._squelched_s = 0.0
+        # input conditioning (reference --input-volume /
+        # --input-level-warn-db) + auto PPM correction hook
+        self.input_volume = 1.0
+        self.level_warn_db = -200.0
+        self.level_warnings = 0
+        self.auto_ppm = None          # io.auto_ppm.AutoPpm
         self._stop = False
         self._thread: threading.Thread | None = None
         self._ctl = None
@@ -158,9 +164,19 @@ class LiveEngine:
                     break
                 continue
             samples = (planes[:, 0] + 1j * planes[:, 1]).astype(np.complex64)
+            if self.input_volume != 1.0:
+                samples = samples * np.float32(self.input_volume)
             if self.capture is not None:
                 self.capture.submit(samples)
             rms = float(np.sqrt(np.mean(np.abs(samples) ** 2)))
+            rms_db = 20.0 * np.log10(max(rms, 1e-12))
+            if rms_db < self.level_warn_db:
+                self.level_warnings += 1
+            if self.auto_ppm is not None:
+                from dsdneo_tpu.io.auto_ppm import estimate_cfo_hz
+                self.auto_ppm.update(
+                    estimate_cfo_hz(samples, self.fs),
+                    getattr(self.decoder, "last_snr_db", 0.0))
             # post-retune mute window: drop the transient samples so a
             # mid-burst retune never splices stale and fresh signal
             # into one demod window (reference retune mute)

@@ -357,6 +357,17 @@ class TrunkFollower:
         self.ctx = ctx
         self.chan_map = chan_map
         self.current_freq = current_freq
+        # tune policy (reference -E/-p/-e flags): which grant kinds
+        # the follower acts on
+        self.tune_group = True
+        self.tune_private = True
+        self.tune_data = False
+        # encryption lockout (reference --enc-lockout, simplified: a
+        # grant whose service options carry the encryption bit locks
+        # its talkgroup for the session; --enc-follow leaves this off)
+        self.enc_lockout = False
+        self.enc_locked: set = set()
+        self.enc_skips = 0
         self.grants = 0
         self.releases = 0
 
@@ -379,9 +390,31 @@ class TrunkFollower:
                 return float(f)
         return 0.0
 
+    def clear_enc_lockouts(self) -> None:
+        """Menu action: purge the session encryption-lockout ledger."""
+        self.enc_locked.clear()
+
     def on_event(self, ev) -> None:
         f = ev.fields
         if f.get("grant"):
+            # tune policy gates (reference -E/-p/-e)
+            if f.get("data"):
+                if not self.tune_data:
+                    return
+            elif f.get("private"):
+                if not self.tune_private:
+                    return
+            elif not self.tune_group:
+                return
+            tg = int(f.get("tg", 0) or 0)
+            if self.enc_lockout and tg:
+                if tg in self.enc_locked:
+                    self.enc_skips += 1
+                    return
+                if int(f.get("svc", 0) or 0) & 0x40:
+                    self.enc_locked.add(tg)
+                    self.enc_skips += 1
+                    return
             if self.sm.phase in (TrunkPhase.IDLE, TrunkPhase.HUNTING):
                 # the grant itself proves we are camped on a control
                 # channel: anchor cc_freq first so release/hangtime has

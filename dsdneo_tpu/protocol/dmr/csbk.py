@@ -235,7 +235,8 @@ def _grant(op, bits96, ctx, pos, ms_sync) -> str:
     ctx.emit(f"       DMR {name} LPCN {lpcn} TS {ts + 1}"
              f" TG {tgt} SRC {src}", "dmr", pos, tg=tgt, src=src,
              lpcn=lpcn, slot_sel=ts, grant=lpcn not in (0, 0xFFF),
-             data=data_call, emergency=bool(emerg))
+             data=data_call, private=op in (48, 53),
+             emergency=bool(emerg))
     return detail
 
 

@@ -577,7 +577,7 @@ class P25P1Decoder(ProtocolDecoder):
                      f"  SVC [{svc:02X}] CHAN [{channel:04X}] SG [{sg}]"
                      f" Source [{src}]{self._chan_freq_note(ctx, channel)}",
                      "p25p1", hit.pos, tg=sg, src=src, channel=channel,
-                     grant=channel not in (0, 0xFFFF))
+                     svc=svc, grant=channel not in (0, 0xFFFF))
         elif opcode == 0x03:
             # Group Regroup Channel Grant Update: two chan/SG pairs
             ch1 = (int(b[2]) << 8) | int(b[3])
@@ -721,7 +721,8 @@ class P25P1Decoder(ProtocolDecoder):
             ctx.emit(f" Group Voice Channel Grant Update\n"
                      f"  CHAN [{channel:04X}] TG [{group}] SRC [{src}]"
                      f"{self._chan_freq_note(ctx, channel)}",
-                     "p25p1", hit.pos, tg=group, src=src, channel=channel)
+                     "p25p1", hit.pos, tg=group, src=src, channel=channel,
+                     grant=channel not in (0, 0xFFFF))
         elif opcode == 0x02:  # Group Voice Channel Grant Update
             ch1 = (int(b[2]) << 8) | int(b[3])
             g1 = (int(b[4]) << 8) | int(b[5])
@@ -737,7 +738,10 @@ class P25P1Decoder(ProtocolDecoder):
             name = ("Unit to Unit Voice Channel Grant" if opcode == 0x04
                     else "Unit to Unit Answer Request")
             ctx.emit(f" {name}\n  CHAN [{channel:04X}] Target [{tgt}] Source [{src}]"
-                     f"{self._chan_freq_note(ctx, channel)}", "p25p1", hit.pos)
+                     f"{self._chan_freq_note(ctx, channel)}", "p25p1", hit.pos,
+                     tg=tgt, src=src, channel=channel, private=True,
+                     grant=(opcode == 0x04
+                            and channel not in (0, 0xFFFF)))
         elif opcode in (0x33, 0x34, 0x3D):  # IDEN_UP family
             self._iden_update(b, opcode, ctx, hit)
         elif opcode == 0x39:  # Secondary CC Broadcast
@@ -874,7 +878,8 @@ class P25P1Decoder(ProtocolDecoder):
                      f"  SVC [{svc:02X}] CHAN-T [{cht:04X}]"
                      f" CHAN-R [{chr_:04X}] Group [{grp}]"
                      f"{self._chan_freq_note(ctx, cht)}", "p25p1", hit.pos,
-                     tg=grp, channel=cht, grant=cht not in (0, 0xFFFF))
+                     tg=grp, channel=cht, svc=svc,
+                     grant=cht not in (0, 0xFFFF))
         elif opcode in (0x10, 0x11):  # Individual/Group Data Channel Grant
             if opcode == 0x10:
                 chan = (int(b[2]) << 8) | int(b[3])

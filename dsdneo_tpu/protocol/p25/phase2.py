@@ -290,6 +290,11 @@ class P25P2Decoder(ProtocolDecoder):
         else:
             crc_ok = p2_xcch.crc12_ok(corrected, n - 12)
         if not crc_ok:
+            # -F relax-CRC (reference): proceed to the MAC parse with
+            # the failure noted instead of discarding the burst
+            if getattr(ctx.state, "relax_crc", False):
+                return (" CRC12 ERR (relaxed)"
+                        + self._mac_pdu(corrected, kind, ctx, hit, slot))
             return " CRC12 ERR"
         return self._mac_pdu(corrected, kind, ctx, hit, slot)
 

@@ -1,0 +1,149 @@
+"""Terminal panes: call history, channel grid, trunking status.
+
+Pure string renderers (no curses dependency — unit-testable headless)
+for the reference's ncurses frontend panes:
+
+- call history (src/ui/terminal/dsd_ncurses_printer.c call-history
+  table): TIME | KIND | TG | SRC | SLOT | DUR | FLAGS per CallEvent;
+- channel grid (the trunked-fleet view): one cell per monitored
+  channel showing id / frequency / state / last talkgroup, fed from
+  app_control metric snapshots or the batched CC pipelines' contexts;
+- trunking status (site pane): WACN/SYS/NAC, iden table rows, patch
+  and affiliation summaries from the decode context state.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def _fmt_dur(s: float) -> str:
+    return f"{int(s // 60):d}:{s % 60:04.1f}" if s >= 60 else f"{s:4.1f}s"
+
+
+def call_history_rows(history, width: int, height: int = 12,
+                      slot: int | None = None,
+                      now: float | None = None) -> list[str]:
+    """Render the most recent CallEvents of an EventHistory as a
+    fixed-column table (newest last)."""
+    from dsdneo_tpu.core.events import CallKind
+    now = now if now is not None else time.time()
+    rows = [" TIME     KIND      TG        SRC        S  DUR     INFO"[:width]]
+    evs = []
+    slots = [slot] if slot is not None else sorted(history.rings)
+    for s in slots:
+        evs.extend(history.snapshot(s, n=height))
+    evs.sort(key=lambda e: e.when)
+    kind_names = {CallKind.GROUP_VOICE: "Group", CallKind.PRIVATE_VOICE:
+                  "Private", CallKind.DATA: "Data", CallKind.CONTROL:
+                  "Control", CallKind.ENCRYPTED: "Enc", CallKind.UNKNOWN:
+                  "?"}
+    for e in evs[-(height - 1):]:
+        t = time.strftime("%H:%M:%S", time.localtime(e.when))
+        end = e.ended if e.ended is not None else now
+        dur = _fmt_dur(max(end - e.when, 0.0))
+        line = (f" {t} {kind_names.get(e.kind, '?'):<9}"
+                f"{e.tg:<10d}{e.src:<11d}{e.slot:<3d}{dur:<8}{e.text}")
+        rows.append(line[:width])
+    return rows
+
+
+def channel_grid_rows(channels: list[dict], width: int,
+                      cell_w: int = 23) -> list[str]:
+    """Fleet channel grid: ``channels`` is a list of dicts with keys
+    id, freq_hz, state ('cc'|'voice'|'idle'|'mute'), tg (optional),
+    rssi_db (optional).  Cells wrap to the terminal width."""
+    per_row = max(width // cell_w, 1)
+    glyph = {"cc": "C", "voice": "V", "idle": ".", "mute": "m"}
+    rows = []
+    line = ""
+    for i, ch in enumerate(channels):
+        st = glyph.get(ch.get("state", "idle"), "?")
+        f_mhz = ch.get("freq_hz", 0.0) / 1e6
+        tg = ch.get("tg", 0)
+        cell = f"[{ch.get('id', i):>3}:{f_mhz:8.4f} {st}"
+        cell += f" {tg:>5}]" if tg else "      ]"
+        line += cell.ljust(cell_w)
+        if (i + 1) % per_row == 0:
+            rows.append(line[:width])
+            line = ""
+    if line:
+        rows.append(line[:width])
+    return rows
+
+
+def channels_from_contexts(ctxs, freqs=None) -> list[dict]:
+    """Adapter: per-channel DecoderContexts (the batched CC pipelines'
+    ``ctxs``) → channel-grid dicts.  A channel shows 'voice' while its
+    last events carry an active talkgroup, 'cc' when control traffic is
+    flowing, else 'idle'."""
+    out = []
+    for i, ctx in enumerate(ctxs):
+        st = "idle"
+        tg = getattr(ctx.state, "last_tg", 0) or 0
+        if ctx.events:
+            tail = ctx.events[-8:]
+            if any("VOICE" in e.line or "4V" in e.line for e in tail):
+                st = "voice"
+            elif any(("TSBK" in e.line) or ("CSBK" in e.line)
+                     or ("TSDU" in e.line) for e in tail):
+                st = "cc"
+        out.append({"id": i, "state": st, "tg": tg if st == "voice" else 0,
+                    "freq_hz": (freqs[i] if freqs is not None else 0.0)})
+    return out
+
+
+def history_from_events(events, fs_sym: float = 4800.0):
+    """Adapter: decode events (DecodeEvent list) → an EventHistory for
+    the call-history pane.  Grant/voice/release events become call
+    begin/end markers with symbol positions converted to stream time."""
+    from dsdneo_tpu.core.events import CallEvent, CallKind, EventHistory
+    h = EventHistory(slots=2)
+    t0 = time.time()
+    for e in events:
+        when = t0 + e.pos / fs_sym
+        f = e.fields
+        slot = int(f.get("slot", 0) or 0) % 2
+        if "grant" in f or "trunk_grant" in f:
+            h.begin_call(CallEvent(when, e.protocol, CallKind.GROUP_VOICE,
+                                   slot=slot, tg=int(f.get("tg", 0) or 0),
+                                   src=int(f.get("src", 0) or 0),
+                                   freq_hz=float(f.get("freq_hz", 0) or 0)))
+        elif "VOICE" in e.line or "4V" in e.line or "voice" in f:
+            if h.active.get(slot) is None:
+                h.begin_call(CallEvent(when, e.protocol,
+                                       CallKind.GROUP_VOICE, slot=slot,
+                                       tg=int(f.get("tg", 0) or 0),
+                                       src=int(f.get("src", 0) or 0)))
+        elif f.get("release") or "Call End" in e.line:
+            h.end_call(slot, when=when)
+    return h
+
+
+def trunk_status_rows(state, width: int) -> list[str]:
+    """Site / trunking pane from decode-context state: identity, iden
+    table, affiliation + patch summary (reference printer site pane)."""
+    rows = []
+    wacn = getattr(state, "p2_wacn", 0)
+    sysid = getattr(state, "p2_sysid", 0)
+    nac = getattr(state, "nac", 0)
+    rows.append(f" SYS  WACN {wacn:05X}  SYSID {sysid:03X}  NAC {nac:03X}"
+                [:width])
+    it = getattr(state, "iden_table", None)
+    if it is not None and it.entries:
+        for iden, (base, spacing, off, slots) in sorted(it.entries.items()):
+            rows.append(f" IDEN {iden:X}: base {base/1e6:9.4f} MHz  "
+                        f"spacing {spacing/1e3:5.1f} kHz  slots {slots}"
+                        [:width])
+    aff = getattr(state, "affiliations", None)
+    if aff is not None:
+        n_units = len(getattr(aff, "units", {}) or {})
+        patches = getattr(aff, "patches", {}) or {}
+        rows.append(f" AFF  {n_units} units registered; "
+                    f"{len(patches)} patch/simulselect groups"[:width])
+        for sg, p in list(sorted(patches.items()))[:4]:
+            wg = ",".join(str(w) for w in sorted(p.get("wgids", []))[:4])
+            rows.append(f"  SG {sg}: {'patch' if p.get('is_patch') else 'sim'}"
+                        f" {'on' if p.get('active') else 'off'} [{wg}]"
+                        [:width])
+    return rows

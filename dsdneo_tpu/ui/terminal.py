@@ -25,6 +25,9 @@ class UiModel:
     lines: list = None
     soft: object = None     # np array of normalized symbols (optional)
     iq: object = None       # complex samples (optional, for const/spectrum)
+    history: object = None  # core.events.EventHistory (call-history pane)
+    channels: list = None   # channel-grid dicts (ui.panes.channel_grid_rows)
+    state: object = None    # decode-context state (trunking site pane)
 
 
 def _eye_rows(soft, width: int, height: int = 7) -> list[str]:
@@ -92,16 +95,30 @@ def _spectrum_rows(iq, width: int, height: int = 7) -> list[str]:
     return rows
 
 
-_VIEWS = ("eye", "histogram", "constellation", "spectrum")
+_VIEWS = ("eye", "histogram", "constellation", "spectrum", "calls",
+          "grid", "trunk")
 
 
 def _view_rows(model: UiModel, view: str, width: int) -> list[str]:
+    from dsdneo_tpu.ui import panes
     if view == "eye":
         return _eye_rows(model.soft, width)
     if view == "histogram":
         return _histogram_rows(model.soft, width)
     if view == "constellation":
         return _constellation_rows(model.iq, width)
+    if view == "calls":
+        if model.history is None:
+            return [" (no call history)"]
+        return panes.call_history_rows(model.history, width)
+    if view == "grid":
+        if not model.channels:
+            return [" (no channels)"]
+        return panes.channel_grid_rows(model.channels, width)
+    if view == "trunk":
+        if model.state is None:
+            return [" (no trunk state)"]
+        return panes.trunk_status_rows(model.state, width)
     return _spectrum_rows(model.iq, width)
 
 

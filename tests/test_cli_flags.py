@@ -1,0 +1,142 @@
+"""Round-3 CLI breadth: tune policy, enc lockout, probe, replay
+shaping, relax-CRC, print-config (reference docs/cli.md flags)."""
+
+import numpy as np
+import pytest
+
+FX = "/root/reference/tests/fixtures/iq/p25p1_c4fm_cc.iq.json"
+
+
+def test_parser_accepts_new_flags():
+    from dsdneo_tpu.cli import build_parser
+    p = build_parser()
+    a = p.parse_args(["-f1", "--iq-replay", "x", "-E", "-p", "-e",
+                      "--enc-lockout", "-I", "123", "-W", "-F",
+                      "-U", "4532", "--trunk-scan", "t.csv",
+                      "--iq-loop", "3", "--iq-replay-rate", "2.0",
+                      "--auto-ppm", "--input-volume", "0.5",
+                      "--show-keys", "-t", "2.5",
+                      "--p25-vc-grace", "2.0", "--p25-cc-grace", "7.0"])
+    assert a.no_group_calls and a.no_private_calls and a.data_calls
+    assert a.enc_lockout and a.tg_hold == 123 and a.whitelist
+    assert a.relax_crc and a.rigctl_port == 4532
+    assert a.iq_loop == 3 and a.iq_replay_rate == 2.0
+    assert a.auto_ppm and a.input_volume == 0.5 and a.show_keys
+    assert a.hangtime == 2.5
+    assert a.p25_vc_grace == 2.0 and a.p25_cc_grace == 7.0
+
+
+def test_probe_prints_mode_and_snr(capsys):
+    from dsdneo_tpu import cli
+    rc = cli.main(["--frontend", "none", "--probe", "--iq-replay", FX])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mode=p25p1" in out and "snr=" in out and "events=" in out
+
+
+def test_print_config(capsys):
+    from dsdneo_tpu import cli
+    rc = cli.main(["--print-config", "--iq-replay", FX, "-f1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "perf_csv" in out or "frame_log" in out
+
+
+def test_follower_tune_policy_gates():
+    from dsdneo_tpu.engine.trunk import TrunkFollower, TrunkSM
+    from dsdneo_tpu.protocol.base import DecodeEvent, DecoderContext
+
+    from dsdneo_tpu.engine.trunk import ChannelMap
+    tunes = []
+    ctx = DecoderContext()
+    sm = TrunkSM(tune=lambda f, why: tunes.append(f) or True)
+    cm = ChannelMap()
+    cm.entries[1] = 852e6
+    fol = TrunkFollower(sm, ctx, chan_map=cm,
+                        current_freq=lambda: 851e6)
+
+    def grant(**fields):
+        fields.setdefault("grant", True)
+        fields.setdefault("channel", 1)
+        return DecodeEvent("g", "p25p1", 0, fields)
+
+    fol.tune_group = False
+    fol.on_event(grant(tg=100))
+    assert not tunes                      # group grants gated off
+    fol.tune_group = True
+    fol.on_event(grant(tg=100))
+    assert len(tunes) == 1
+    fol.tune_private = False
+    fol.on_event(grant(tg=0, private=True))
+    assert len(tunes) == 1                # private gated off
+    fol.tune_data = False
+    fol.on_event(grant(tg=7, data=True))
+    assert len(tunes) == 1                # data gated off (default)
+
+
+def test_follower_enc_lockout():
+    from dsdneo_tpu.engine.trunk import TrunkFollower, TrunkSM
+    from dsdneo_tpu.protocol.base import DecodeEvent, DecoderContext
+    from dsdneo_tpu.engine.trunk import ChannelMap
+    tunes = []
+    ctx = DecoderContext()
+    sm = TrunkSM(tune=lambda f, why: tunes.append(f) or True,
+                 hangtime_s=0.0)
+    cm = ChannelMap()
+    cm.entries[1] = 852e6
+    fol = TrunkFollower(sm, ctx, chan_map=cm,
+                        current_freq=lambda: 851e6)
+    fol.enc_lockout = True
+
+    def grant(**fields):
+        fields.setdefault("grant", True)
+        fields.setdefault("channel", 1)
+        return DecodeEvent("g", "p25p1", 0, fields)
+
+    # encrypted grant (svc bit 0x40): locked out, not tuned
+    fol.on_event(grant(tg=500, svc=0x40))
+    assert not tunes and 500 in fol.enc_locked
+    # subsequent clear-looking grants for the same TG stay locked
+    fol.on_event(grant(tg=500, svc=0x00))
+    assert not tunes and fol.enc_skips == 2
+    # other TGs unaffected
+    fol.on_event(grant(tg=501, svc=0x00))
+    assert len(tunes) == 1
+    fol.clear_enc_lockouts()
+    assert not fol.enc_locked
+
+
+def test_iq_loop_and_volume_stream(tmp_path):
+    """--iq-loop replays the capture N times through the stream path;
+    --input-volume scales the samples without losing decode."""
+    from dsdneo_tpu import cli
+    import contextlib, io as _io
+    err = _io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rc = cli.main(["--frontend", "none", "-f1", "--iq-replay", FX,
+                       "-o", "null", "--stream", "0.25",
+                       "--iq-loop", "2", "--input-volume", "0.7"])
+    assert rc == 0
+    text = err.getvalue()
+    # two replay passes decode roughly twice the events of one
+    assert text.count("NAC/CC: 140") >= 2
+
+
+def test_relax_crc_state_attr():
+    from dsdneo_tpu.cli import _state_attrs, build_parser
+    a = build_parser().parse_args(["-f1", "--iq-replay", "x", "-F",
+                                   "--show-keys"])
+    attrs = _state_attrs(a, None, None)
+    assert attrs.get("relax_crc") is True
+    assert attrs.get("show_keys") is True
+
+
+def test_tg_hold_builds_policy(tmp_path):
+    """-I without -G creates a hold-only policy."""
+    from dsdneo_tpu import cli
+    import contextlib, io as _io
+    err = _io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rc = cli.main(["--frontend", "none", "-f1", "--iq-replay", FX,
+                       "-o", "null", "-I", "999"])
+    assert rc == 0

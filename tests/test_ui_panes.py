@@ -1,0 +1,99 @@
+"""Terminal panes: call history, channel grid, trunking status
+(reference ncurses printer panes, rendered headless)."""
+
+import numpy as np
+
+from dsdneo_tpu.core.events import CallEvent, CallKind, EventHistory
+from dsdneo_tpu.ui import panes
+
+
+def test_call_history_rows():
+    h = EventHistory(slots=2)
+    ev = h.begin_call(CallEvent(1000.0, "p25p1", CallKind.GROUP_VOICE,
+                                slot=0, tg=1234, src=567890,
+                                text="ALG 84"))
+    h.end_call(0, when=1004.2)
+    h.begin_call(CallEvent(1010.0, "p25p1", CallKind.ENCRYPTED,
+                           slot=1, tg=99, src=42))
+    rows = panes.call_history_rows(h, width=78, now=1012.0)
+    assert rows[0].lstrip().startswith("TIME")
+    body = "\n".join(rows[1:])
+    assert "1234" in body and "567890" in body and "ALG 84" in body
+    assert "Group" in body and "Enc" in body
+    assert " 4.2s" in body          # ended call duration
+    assert all(len(r) <= 78 for r in rows)
+
+
+def test_channel_grid_rows():
+    chans = [{"id": i, "freq_hz": 851e6 + i * 12500,
+              "state": ("voice" if i % 7 == 3 else
+                        "cc" if i == 0 else "idle"),
+              "tg": 4000 + i if i % 7 == 3 else 0}
+             for i in range(24)]
+    rows = panes.channel_grid_rows(chans, width=80)
+    text = "\n".join(rows)
+    assert "V" in text and "C" in text and "." in text
+    assert "851.0375" in text         # channel 3 frequency
+    assert "4003" in text             # its talkgroup
+    assert all(len(r) <= 80 for r in rows)
+
+
+def test_channels_from_contexts_and_grid():
+    """Adapter over the batched CC pipeline's per-channel contexts."""
+    from dsdneo_tpu.protocol.base import DecoderContext
+    ctxs = [DecoderContext() for _ in range(3)]
+    ctxs[0].emit(" TSBK something", "p25p1", 10)
+    ctxs[1].emit(" LDU1 VOICE (9 IMBE frames)", "p25p1", 10)
+    ctxs[1].state.last_tg = 777
+    chans = panes.channels_from_contexts(ctxs, freqs=[851e6, 852e6, 853e6])
+    assert chans[0]["state"] == "cc"
+    assert chans[1]["state"] == "voice" and chans[1]["tg"] == 777
+    assert chans[2]["state"] == "idle"
+    rows = panes.channel_grid_rows(chans, width=70)
+    assert "777" in "\n".join(rows)
+
+
+def test_trunk_status_rows():
+    from types import SimpleNamespace
+    from dsdneo_tpu.core.affiliation import AffiliationTable
+    from dsdneo_tpu.engine.trunk import IdenTable
+    it = IdenTable()
+    it.add(2, 851_000_000.0, 12_500.0, tdma_slots=2)
+    aff = AffiliationTable()
+    aff.register(1001)
+    aff.affiliate(1001, 123)
+    aff.patch_update(900, is_patch=True, active=True)
+    aff.patch_add_wgid(900, 123)
+    st = SimpleNamespace(p2_wacn=0xBEE00, p2_sysid=0x14C, nac=0x140,
+                         iden_table=it, affiliations=aff)
+    rows = panes.trunk_status_rows(st, width=70)
+    text = "\n".join(rows)
+    assert "BEE00" in text and "14C" in text and "140" in text
+    assert "IDEN 2" in text and "851.0000" in text and "slots 2" in text
+    assert "1 units" in text and "SG 900" in text and "123" in text
+
+
+def test_history_from_events_fixture():
+    """The decode-event adapter builds a browsable call history from a
+    real fixture's events."""
+    import jax
+    from dsdneo_tpu.engine.decoder import decode_samples
+    from dsdneo_tpu.io import read_iq_capture
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/p25p1_c4fm_vc.iq.json")
+    ctx = decode_samples(samples, "p25p1", fs=float(meta.sample_rate_hz))
+    h = panes.history_from_events(ctx.events)
+    rows = panes.call_history_rows(h, width=100)
+    assert len(rows) >= 2            # header + at least one call
+    assert "Group" in "\n".join(rows)
+
+
+def test_terminal_view_rows_dispatch():
+    from dsdneo_tpu.ui.terminal import UiModel, _view_rows
+    h = EventHistory(slots=2)
+    h.begin_call(CallEvent(0.0, "dmr", CallKind.GROUP_VOICE, tg=5))
+    m = UiModel(history=h,
+                channels=[{"id": 0, "freq_hz": 851e6, "state": "cc"}])
+    assert any("5" in r for r in _view_rows(m, "calls", 80))
+    assert any("C" in r for r in _view_rows(m, "grid", 80))
+    assert _view_rows(m, "trunk", 80) == [" (no trunk state)"]
