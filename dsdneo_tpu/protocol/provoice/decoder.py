@@ -83,8 +83,25 @@ class ProVoiceDecoder(ProtocolDecoder):
         frames += [f3, f4]
         take(2)
 
-        ctx.emit(line, "provoice", hit.pos, lid=lid, bf=bf)
+        # IMBE-7100 ECC hypothesis pass (protocol/provoice/imbe7100.py):
+        # per-frame corrected-bit counts; ~0 marks a clean decode under
+        # the hypothesis convention, the random floor (~11/frame) marks
+        # it unverified (no off-air ProVoice material exists to grade
+        # the convention — see PARITY.md round-3 notes)
+        from dsdneo_tpu.protocol.provoice.imbe7100 import decode_imbe7100_ecc
+        errs = []
+        params = []
+        for fr in frames:
+            b90, e = decode_imbe7100_ecc(fr)
+            params.append(b90)
+            errs.append(e)
+        verified = float(np.mean(errs)) <= 3.0
+        line += (f"\n IMBE7100 ERRS: {errs}"
+                 + ("" if verified else " (ECC hypothesis unverified)"))
+        ctx.emit(line, "provoice", hit.pos, lid=lid, bf=bf,
+                 imbe7100_errs=errs)
         ctx.events[-1].fields["imbe7100_frames"] = np.stack(frames)
+        ctx.events[-1].fields["imbe7100_params"] = np.stack(params)
         return pos + cur[0]
 
     @staticmethod
