@@ -470,6 +470,35 @@ class BatchedP2VoicePipeline:
         bits[:, 0::2] = (raw >> 1) & 1
         bits[:, 1::2] = raw & 1
 
+        # pass 1: accumulate ESS_B fragments in walk order and build
+        # every 2V job's RS(63,35) vector; a batched device syndrome
+        # screen (fec.device.rs_syndromes_batch) then lets the common
+        # clean case skip the host Berlekamp-Massey entirely
+        ess_b = {}
+        vecs = {}
+        for h, (c, ts_pos, row, slot, kind, frag) in enumerate(ess_jobs):
+            key = 2 * c + slot
+            x = bits[h] ^ self._scr[360 * row + 20 + 148:
+                                    360 * row + 20 + 320][:172]
+            if kind == "4v":
+                ess_b.setdefault(key, np.zeros(96, np.uint8))
+                ess_b[key][24 * frag:24 * (frag + 1)] = x[:24]
+            else:
+                parity = np.concatenate([x[0:96], x[98:170]])
+                vec = np.zeros(63, dtype=np.int64)
+                vec[19:35] = p2_xcch._hexpack(
+                    ess_b.get(key, np.zeros(96, np.uint8)))
+                vec[35:63] = p2_xcch._hexpack(parity)
+                vecs[h] = vec
+        clean = {}
+        if vecs:
+            from dsdneo_tpu.fec.device import rs_syndromes_batch
+            hs = sorted(vecs)
+            syn = rs_syndromes_batch(
+                np.stack([vecs[h] for h in hs]), nroots=28, fcr=1)
+            for h, s in zip(hs, syn):
+                clean[h] = not s.any()
+
         ess_b = {}
         frame_at = {}
         for h, (c, ts_pos, row, slot, kind, frag) in enumerate(ess_jobs):
@@ -482,12 +511,11 @@ class BatchedP2VoicePipeline:
                 ess_b[key][24 * frag:24 * (frag + 1)] = x[:24]
                 nf = 4
             else:
-                parity = np.concatenate([x[0:96], x[98:170]])
-                vec = np.zeros(63, dtype=np.int64)
-                vec[19:35] = p2_xcch._hexpack(
-                    ess_b.get(key, np.zeros(96, np.uint8)))
-                vec[35:63] = p2_xcch._hexpack(parity)
-                dec, nerr = rs.rs_63_35().decode(vec, erasures=[])
+                vec = vecs[h]
+                if clean.get(h):
+                    dec, nerr = vec, 0        # screened clean on device
+                else:
+                    dec, nerr = rs.rs_63_35().decode(vec, erasures=[])
                 if 0 <= nerr < 15:
                     eb = np.zeros(96, dtype=np.uint8)
                     for i in range(16):
