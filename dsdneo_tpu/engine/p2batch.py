@@ -376,8 +376,13 @@ class BatchedP2VoicePipeline:
                 continue
             order = np.argsort(idx[c][ok], kind="stable")
             positions = idx[c][ok][order]
-            duids = duid[c][ok][order]
-            ischs = isch[c][ok][order]
+            # vectorized field decode: DUID through the 256-entry LUT,
+            # the 5 packed ISCH bytes assembled into one int64 word
+            duids_v = duid_lut[duid[c][ok][order]]       # [W, 4] int8
+            ib = isch[c][ok][order].astype(np.int64)     # [W, 4, 5]
+            words_v = ((ib[..., 0] << 32) | (ib[..., 1] << 24)
+                       | (ib[..., 2] << 16) | (ib[..., 3] << 8)
+                       | ib[..., 4])                     # [W, 4]
             sf_pos = None
             fourv = {0: 0, 1: 0}
             n_ord = {0: 0, 1: 0}
@@ -390,7 +395,7 @@ class BatchedP2VoicePipeline:
                 last = t
                 slot = 0
                 for ts in range(4):
-                    word = self._isch_word(ischs[w, ts])
+                    word = int(words_v[w, ts])
                     if word != p2_xcch.ISCH_SYNC:
                         v = isch_tab.get(word)
                         if v is None:
@@ -404,7 +409,7 @@ class BatchedP2VoicePipeline:
                         if v >= 0 and (v >> 5) & 3 == 1 \
                                 and (v >> 3) & 3 in (0, 1, 2):
                             sf_pos = {0: 0, 1: 4, 2: 8}[(v >> 3) & 3]
-                    d = int(duid_lut[int(duids[w, ts])])
+                    d = int(duids_v[w, ts])
                     row = sf_pos if sf_pos is not None else 0
                     ts_pos = t + n_pat + TS_DIBITS * ts
                     if d in (0, 6):
