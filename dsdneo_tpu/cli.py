@@ -318,7 +318,8 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
     return attrs
 
 
-def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
+def _run_live(args, keyring, tg_policy, chan_map, recorder,
+              cfg=None) -> int:
     """Live-source decode (reference -i input specs):
     ``rtltcp:host:port[:freqHz]`` pumps CU8 I/Q from an rtl_tcp server
     through the native ingest ring into the LiveEngine;
@@ -341,8 +342,10 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder) -> int:
         from dsdneo_tpu.io.sdr_device import (SdrUnavailable,
                                               _DecimatingRing,
                                               pick_device_rate)
-        eng = LiveEngine(args.mode, fs=48000.0, block_s=0.25,
-                         on_event=on_event)
+        eng = LiveEngine(
+            args.mode, fs=48000.0, block_s=0.25, on_event=on_event,
+            retune_mute_s=(cfg.retune_mute_ms / 1e3 if cfg else 0.075),
+            hop_s=(cfg.squelch_hop_s if cfg else 0.5))
         eng.level_warn_db = args.input_level_warn_db
         eng.input_volume = args.input_volume
         if args.iq_capture:
@@ -654,6 +657,34 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     frame_log = args.frame_log if args.frame_log is not None else cfg.frame_log
     perf_csv = args.perf_csv if args.perf_csv is not None else cfg.perf_csv
+    # env-knob fallbacks for flags left at parser defaults (reference
+    # DSD_NEO_* parity; every knob has the same consumer as its flag)
+    if not args.enc_lockout:
+        args.enc_lockout = cfg.enc_lockout
+    if not args.auto_ppm:
+        args.auto_ppm = cfg.auto_ppm
+    if args.auto_ppm_snr == 9.0:
+        args.auto_ppm_snr = cfg.auto_ppm_snr
+    if args.input_volume == 1.0:
+        args.input_volume = cfg.input_volume
+    if args.input_level_warn_db == -200.0:
+        args.input_level_warn_db = cfg.input_level_warn_db
+    if args.trunk_scan_dwell_ms == 3000:
+        args.trunk_scan_dwell_ms = cfg.trunk_scan_dwell_ms
+    if args.trunk_scan_activity_hold_ms == 1200:
+        args.trunk_scan_activity_hold_ms = cfg.trunk_scan_hold_ms
+    if not args.rdio_api_url:
+        args.rdio_api_url = cfg.rdio_api_url
+        args.rdio_api_key = args.rdio_api_key or cfg.rdio_api_key
+        args.rdio_system_id = args.rdio_system_id or cfg.rdio_system_id
+    if args.p25_vc_grace == 1.5:
+        args.p25_vc_grace = cfg.p25_vc_grace_s
+    if args.p25_cc_grace == 5.0:
+        args.p25_cc_grace = cfg.p25_cc_grace_s
+    if args.iq_replay_rate == 0.0:
+        args.iq_replay_rate = cfg.iq_replay_rate
+    if not args.show_keys:
+        args.show_keys = cfg.show_keys
 
     # sync warm-start calibration (reference sync_calibration.c /
     # DSD_NEO_SYNC_WARMSTART): adopt the learned threshold when the
@@ -731,7 +762,8 @@ def main(argv: list[str] | None = None) -> int:
         m17_udp = M17UdpOutput(host or "127.0.0.1", int(port))
 
     if args.input:
-        return _run_live(args, keyring, tg_policy, chan_map, recorder)
+        return _run_live(args, keyring, tg_policy, chan_map, recorder,
+                         cfg=cfg)
 
     if args.wideband >= 0:
         from dsdneo_tpu.engine.wideband import decode_wideband

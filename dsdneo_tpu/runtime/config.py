@@ -42,6 +42,23 @@ class RuntimeConfig:
     # audio
     audio_gain: float = 0.0            # 0 = auto
     audio_out_rate: int = 8000
+    # round-3 live/trunking surface (each mirrors a CLI flag consumer)
+    enc_lockout: bool = False          # DSD_NEO_ENC_LOCKOUT
+    auto_ppm: bool = False             # DSD_NEO_AUTO_PPM
+    auto_ppm_snr: float = 9.0          # DSD_NEO_AUTO_PPM_SNR
+    input_volume: float = 1.0          # DSD_NEO_INPUT_VOLUME
+    input_level_warn_db: float = -200.0  # DSD_NEO_INPUT_LEVEL_WARN_DB
+    trunk_scan_dwell_ms: int = 3000    # DSD_NEO_TRUNK_SCAN_DWELL_MS
+    trunk_scan_hold_ms: int = 1200     # DSD_NEO_TRUNK_SCAN_ACTIVITY_HOLD_MS
+    rdio_api_url: str = ""             # DSD_NEO_RDIO_API_URL
+    rdio_api_key: str = ""             # DSD_NEO_RDIO_API_KEY
+    rdio_system_id: str = ""           # DSD_NEO_RDIO_SYSTEM_ID
+    p25_vc_grace_s: float = 1.5        # DSD_NEO_P25_VC_GRACE
+    p25_cc_grace_s: float = 5.0        # DSD_NEO_P25_CC_GRACE
+    iq_replay_rate: float = 0.0        # DSD_NEO_IQ_REPLAY_RATE
+    show_keys: bool = False            # DSD_NEO_SHOW_KEYS
+    retune_mute_ms: float = 75.0       # DSD_NEO_RETUNE_MUTE_MS
+    squelch_hop_s: float = 0.5         # DSD_NEO_SQUELCH_HOP_S
 
     def with_overrides(self, **kw) -> "RuntimeConfig":
         kw = {k: v for k, v in kw.items() if v is not None}
@@ -64,6 +81,22 @@ _ENV_MAP = {
     "PLATFORM": ("platform", str),
     "CHANNELS": ("channels", int),
     "AUDIO_GAIN": ("audio_gain", float),
+    "ENC_LOCKOUT": ("enc_lockout", lambda v: v not in ("0", "", "false")),
+    "AUTO_PPM": ("auto_ppm", lambda v: v not in ("0", "", "false")),
+    "AUTO_PPM_SNR": ("auto_ppm_snr", float),
+    "INPUT_VOLUME": ("input_volume", float),
+    "INPUT_LEVEL_WARN_DB": ("input_level_warn_db", float),
+    "TRUNK_SCAN_DWELL_MS": ("trunk_scan_dwell_ms", int),
+    "TRUNK_SCAN_ACTIVITY_HOLD_MS": ("trunk_scan_hold_ms", int),
+    "RDIO_API_URL": ("rdio_api_url", str),
+    "RDIO_API_KEY": ("rdio_api_key", str),
+    "RDIO_SYSTEM_ID": ("rdio_system_id", str),
+    "P25_VC_GRACE": ("p25_vc_grace_s", float),
+    "P25_CC_GRACE": ("p25_cc_grace_s", float),
+    "IQ_REPLAY_RATE": ("iq_replay_rate", float),
+    "SHOW_KEYS": ("show_keys", lambda v: v not in ("0", "", "false")),
+    "RETUNE_MUTE_MS": ("retune_mute_ms", float),
+    "SQUELCH_HOP_S": ("squelch_hop_s", float),
 }
 
 _PREFIXES = ("DSDNEO_TPU_", "DSD_NEO_")

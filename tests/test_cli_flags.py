@@ -140,3 +140,23 @@ def test_tg_hold_builds_policy(tmp_path):
         rc = cli.main(["--frontend", "none", "-f1", "--iq-replay", FX,
                        "-o", "null", "-I", "999"])
     assert rc == 0
+
+
+def test_env_knobs_for_round3_surface(monkeypatch):
+    """DSD_NEO_* env knobs mirror the new flags (reference env parity;
+    each knob shares its flag's consumer)."""
+    from dsdneo_tpu.runtime import config as rtcfg
+    env = {"DSD_NEO_ENC_LOCKOUT": "1", "DSD_NEO_AUTO_PPM": "1",
+           "DSD_NEO_AUTO_PPM_SNR": "12.5", "DSD_NEO_INPUT_VOLUME": "0.5",
+           "DSD_NEO_TRUNK_SCAN_DWELL_MS": "4500",
+           "DSD_NEO_RDIO_API_URL": "http://x/api",
+           "DSD_NEO_P25_VC_GRACE": "2.25", "DSD_NEO_SHOW_KEYS": "1",
+           "DSD_NEO_RETUNE_MUTE_MS": "120",
+           "DSD_NEO_SQUELCH_HOP_S": "0.8"}
+    cfg = rtcfg.load_env(rtcfg.RuntimeConfig(), environ=env)
+    assert cfg.enc_lockout and cfg.auto_ppm
+    assert cfg.auto_ppm_snr == 12.5 and cfg.input_volume == 0.5
+    assert cfg.trunk_scan_dwell_ms == 4500
+    assert cfg.rdio_api_url == "http://x/api"
+    assert cfg.p25_vc_grace_s == 2.25 and cfg.show_keys
+    assert cfg.retune_mute_ms == 120 and cfg.squelch_hop_s == 0.8
