@@ -134,7 +134,9 @@ class P25P2Decoder(ProtocolDecoder):
             else:
                 name = slot_label + f"DUID {duid}"
             ctx.emit(f"       P25p2 {name}{detail}", "p25p2", hit.pos,
-                     ts=ts, duid=duid)
+                     ts=ts, duid=duid,
+                     sf_pos=(self.sf_pos if self.sf_pos is not None
+                             else -1))
             if self.sf_pos is not None:
                 self.sf_pos = (self.sf_pos + 1) % 12
             slot ^= 1
