@@ -383,9 +383,11 @@ class BatchedP2VoicePipeline:
             words_v = ((ib[..., 0] << 32) | (ib[..., 1] << 24)
                        | (ib[..., 2] << 16) | (ib[..., 3] << 8)
                        | ib[..., 4])                     # [W, 4]
-            sf_pos = None
-            fourv = {0: 0, 1: 0}
-            n_ord = {0: 0, 1: 0}
+            # greedy frame acceptance (small python loop over ~25 hits)
+            # + per-TS ISCH/superframe tracking; the per-FRAME array
+            # emission below is fully vectorized — at fleet scale the
+            # old per-frame append loop dominated the host step
+            acc_w = []
             last = -10 ** 9
             for w in range(len(positions)):
                 t = int(positions[w])
@@ -393,7 +395,13 @@ class BatchedP2VoicePipeline:
                         or t + FRAME_DIBITS >= n_sym:
                     continue
                 last = t
-                slot = 0
+                acc_w.append(w)
+            if not acc_w:
+                continue
+            A = len(acc_w)
+            rows = np.zeros((A, 4), np.int32)
+            sf_pos = None
+            for ai, w in enumerate(acc_w):
                 for ts in range(4):
                     word = int(words_v[w, ts])
                     if word != p2_xcch.ISCH_SYNC:
@@ -409,33 +417,58 @@ class BatchedP2VoicePipeline:
                         if v >= 0 and (v >> 5) & 3 == 1 \
                                 and (v >> 3) & 3 in (0, 1, 2):
                             sf_pos = {0: 0, 1: 4, 2: 8}[(v >> 3) & 3]
-                    d = int(duids_v[w, ts])
-                    row = sf_pos if sf_pos is not None else 0
-                    ts_pos = t + n_pat + TS_DIBITS * ts
-                    if d in (0, 6):
-                        n_fr = 4 if d == 0 else 2
-                        outch = 2 * c + slot
-                        for f in range(n_fr):
-                            f_ch.append(c)
-                            f_tpos.append(ts_pos)
-                            f_row.append(row)
-                            f_offidx.append(f)
-                            f_out.append(outch)
-                            f_ord.append(n_ord[slot])
-                            n_ord[slot] += 1
-                        if d == 0:
-                            ess_jobs.append((c, ts_pos, row, slot, "4v",
-                                             fourv[slot]))
-                            fourv[slot] = (fourv[slot] + 1) % 4
-                        else:
-                            ess_jobs.append((c, ts_pos, row, slot, "2v", 0))
-                            fourv[slot] = 0
+                    rows[ai, ts] = sf_pos if sf_pos is not None else 0
                     if sf_pos is not None:
                         sf_pos = (sf_pos + 1) % 12
-                    slot ^= 1
-        arrs = (np.asarray(f_ch, np.int32), np.asarray(f_tpos, np.int32),
-                np.asarray(f_row, np.int32), np.asarray(f_offidx, np.int32),
-                np.asarray(f_out, np.int32), np.asarray(f_ord, np.int32))
+            aw = np.asarray(acc_w)
+            d4 = duids_v[aw]                             # [A, 4]
+            tpos4 = (positions[aw][:, None].astype(np.int64)
+                     + n_pat + TS_DIBITS * np.arange(4))  # [A, 4]
+            voice = (d4 == 0) | (d4 == 6)
+            nf4 = np.where(d4 == 0, 4, np.where(d4 == 6, 2, 0))
+            # flatten accepted voice TS in (frame, ts) walk order
+            sel = np.nonzero(voice)                      # row-major ✓
+            nf = nf4[sel]                                # [V]
+            V = nf.size
+            if V == 0:
+                continue
+            ts_sel = sel[1]
+            slot_sel = (ts_sel % 2).astype(np.int32)
+            rep = np.repeat(np.arange(V), nf)            # frame→TS index
+            f_ch.append(np.full(rep.size, c, np.int32))
+            f_tpos.append(tpos4[sel][rep].astype(np.int32))
+            f_row.append(rows[sel][rep].astype(np.int32))
+            # per-TS frame index 0..nf-1
+            starts = np.concatenate([[0], np.cumsum(nf)[:-1]])
+            f_offidx.append((np.arange(rep.size)
+                             - starts[rep]).astype(np.int32))
+            f_out.append((2 * c + slot_sel[rep]).astype(np.int32))
+            # per-slot running frame order
+            ords = np.zeros(rep.size, np.int64)
+            for s in (0, 1):
+                m = slot_sel[rep] == s
+                ords[m] = np.arange(int(m.sum()))
+            f_ord.append(ords.astype(np.int32))
+            if self.keyring is not None:
+                # ESS job list (crypto path only): small loop over the
+                # accepted voice timeslots
+                fourv = {0: 0, 1: 0}
+                for vi in range(V):
+                    s = int(slot_sel[vi])
+                    if nf[vi] == 4:
+                        ess_jobs.append((c, int(tpos4[sel][vi]),
+                                         int(rows[sel][vi]), s, "4v",
+                                         fourv[s]))
+                        fourv[s] = (fourv[s] + 1) % 4
+                    else:
+                        ess_jobs.append((c, int(tpos4[sel][vi]),
+                                         int(rows[sel][vi]), s, "2v", 0))
+                        fourv[s] = 0
+        if f_ch:
+            arrs = tuple(np.concatenate(a) for a in
+                         (f_ch, f_tpos, f_row, f_offidx, f_out, f_ord))
+        else:
+            arrs = tuple(np.zeros(0, np.int32) for _ in range(6))
         return arrs, ess_jobs
 
     def _ess_keystreams(self, dibits_dev, ess_jobs, F: int,
