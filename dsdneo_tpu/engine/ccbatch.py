@@ -138,8 +138,10 @@ class BatchedP25ControlPipeline(BatchedP25VoicePipeline):
     NID_TOPK = 128      # CCs carry ~13 TSDU/s plus peak shoulders
 
     def __init__(self, C: int, fs: float = 48000.0,
-                 sync_threshold: float = 0.62, parse_cache: bool = True):
-        super().__init__(C, fs=fs, sync_threshold=sync_threshold)
+                 sync_threshold: float = 0.62, parse_cache: bool = True,
+                 cqpsk: bool = False):
+        super().__init__(C, fs=fs, sync_threshold=sync_threshold,
+                         cqpsk=cqpsk)
         from dsdneo_tpu.protocol.p25.phase1 import P25P1Decoder
         self.ctxs = [DecoderContext() for _ in range(C)]
         self.decs = [P25P1Decoder() for _ in range(C)]
@@ -151,9 +153,15 @@ class BatchedP25ControlPipeline(BatchedP25VoicePipeline):
         self.crc_errors = 0
 
     def pick_tsdus(self, idx, vq, dq, msg, T: int, dibits_dev=None):
+        # acceptance extent is the MINIMUM TSDU (one trellis block):
+        # a Last-Block-flagged single-TSBK TSDU is only ~106 dibits, so
+        # LSM control channels run TSDUs at a 180-dibit stride — the
+        # full 3-block extent would suppress every other one.  False
+        # syncs inside a longer TSDU are already rejected by the
+        # BCH-validated DUID gate.
         defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
         n_pat = len(defs[0].pattern)
-        strip = _status_strip_map(n_pat, TSDU_DATA_DIBITS)
+        strip = _status_strip_map(n_pat, 32 + 98)
         need = int(strip[-1]) + 1
         ac, at, am, _fch, _ford = self.pick_frames_by_duid(
             idx, vq, dq, msg, T, (7,), need, 1, dibits_dev)

@@ -153,13 +153,112 @@ class PlayerSink(AudioSink):
         self._p.wait(timeout=5)
 
 
+class PulseSimpleSink(AudioSink):
+    """Native PulseAudio playback through libpulse-simple (ctypes) —
+    the reference's Pulse backend (src/platform/audio_pulse.c) without
+    an external player process.  ``_lib`` injects a stub for tests."""
+
+    _PA_STREAM_PLAYBACK = 1
+    _PA_SAMPLE_S16LE = 3
+
+    def __init__(self, rate: int = 8000, _lib=None):
+        import ctypes
+        import ctypes.util
+        self._ct = ctypes
+        if _lib is None:
+            name = ctypes.util.find_library("pulse-simple")
+            if not name:
+                raise RuntimeError("libpulse-simple not available")
+            _lib = ctypes.CDLL(name)
+        self._lib = _lib
+
+        class SampleSpec(ctypes.Structure):
+            _fields_ = [("format", ctypes.c_int),
+                        ("rate", ctypes.c_uint32),
+                        ("channels", ctypes.c_uint8)]
+
+        ss = SampleSpec(self._PA_SAMPLE_S16LE, rate, 1)
+        err = ctypes.c_int(0)
+        _lib.pa_simple_new.restype = ctypes.c_void_p
+        self._s = _lib.pa_simple_new(
+            None, b"dsd-neo-tpu", self._PA_STREAM_PLAYBACK, None,
+            b"voice", ctypes.byref(ss), None, None, ctypes.byref(err))
+        if not self._s:
+            raise RuntimeError(f"pa_simple_new failed (err {err.value})")
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        x = (np.clip(np.asarray(pcm), -1, 1) * 32767).astype("<i2")
+        err = self._ct.c_int(0)
+        buf = x.tobytes()
+        self._lib.pa_simple_write(self._ct.c_void_p(self._s), buf,
+                                  len(buf), self._ct.byref(err))
+
+    def close(self) -> None:
+        if self._s:
+            err = self._ct.c_int(0)
+            self._lib.pa_simple_drain(self._ct.c_void_p(self._s),
+                                      self._ct.byref(err))
+            self._lib.pa_simple_free(self._ct.c_void_p(self._s))
+            self._s = None
+
+
+class AlsaSink(AudioSink):
+    """Native ALSA playback through libasound (ctypes) — the
+    reference's ALSA-family backend.  ``_lib`` injects a stub for
+    tests."""
+
+    _SND_PCM_STREAM_PLAYBACK = 0
+    _SND_PCM_FORMAT_S16_LE = 2
+    _SND_PCM_ACCESS_RW_INTERLEAVED = 3
+
+    def __init__(self, rate: int = 8000, device: str = "default",
+                 _lib=None):
+        import ctypes
+        import ctypes.util
+        self._ct = ctypes
+        if _lib is None:
+            name = ctypes.util.find_library("asound")
+            if not name:
+                raise RuntimeError("libasound not available")
+            _lib = ctypes.CDLL(name)
+        self._lib = _lib
+        pcm = ctypes.c_void_p()
+        rc = _lib.snd_pcm_open(ctypes.byref(pcm), device.encode(),
+                               self._SND_PCM_STREAM_PLAYBACK, 0)
+        if rc < 0:
+            raise RuntimeError(f"snd_pcm_open failed ({rc})")
+        self._pcm = pcm
+        rc = _lib.snd_pcm_set_params(
+            pcm, self._SND_PCM_FORMAT_S16_LE,
+            self._SND_PCM_ACCESS_RW_INTERLEAVED, 1, rate, 1, 500000)
+        if rc < 0:
+            _lib.snd_pcm_close(pcm)
+            raise RuntimeError(f"snd_pcm_set_params failed ({rc})")
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        x = (np.clip(np.asarray(pcm), -1, 1) * 32767).astype("<i2")
+        self._lib.snd_pcm_writei(self._pcm, x.tobytes(), len(x))
+
+    def close(self) -> None:
+        if self._pcm:
+            self._lib.snd_pcm_drain(self._pcm)
+            self._lib.snd_pcm_close(self._pcm)
+            self._pcm = None
+
+
 def make_sink(spec: str) -> AudioSink | None:
     """Parse a '-o' style sink spec: null | wav:P | wav2:P | pcm:P |
-    udp:HOST:PORT | play[:command].  Returns None for unknown specs."""
+    udp:HOST:PORT | play[:command] | pulse | alsa[:device].  Returns
+    None for unknown specs."""
     if spec == "null":
         return NullSink()
     if spec == "play" or spec.startswith("play:"):
         return PlayerSink(spec[5:] if spec.startswith("play:") else "")
+    if spec == "pulse":
+        return PulseSimpleSink()
+    if spec == "alsa" or spec.startswith("alsa:"):
+        return AlsaSink(device=spec[5:] or "default"
+                        if spec.startswith("alsa:") else "default")
     if spec.startswith("wav2:"):
         return StereoWavSink(spec[5:])
     if spec.startswith("wav:"):

@@ -152,3 +152,25 @@ def test_cc_events_feed_trunk_follower():
     # depends on fixture content — the contract here is no crashes and
     # the follower consumed every event
     assert isinstance(tuned, list)
+
+
+def test_p25_cc_pipeline_cqpsk():
+    """LSM/CQPSK control channel through the batched CC pipeline: the
+    cqpsk front end swaps in (the chain after the soft symbols is
+    modulation-agnostic) and the TSBK catalog decodes the cqpsk CC
+    fixture, matching the serial path's payload set."""
+    from dsdneo_tpu.engine.ccbatch import BatchedP25ControlPipeline
+    fs, iq1 = _fixture_iq("p25p1_cqpsk_cc")
+    pipe = BatchedP25ControlPipeline(1, fs=fs, cqpsk=True)
+    n = pipe.decode_block_events(iq1[None])
+    assert n > 10
+    from dsdneo_tpu.engine.decoder import decode_samples
+    ctx = decode_samples(iq1[:, 0] + 1j * iq1[:, 1], "p25p1", fs=fs,
+                         cqpsk=True)
+    serial_payload = [e.line for e in ctx.events
+                      if not e.line.startswith("Sync:")
+                      and "CRC ERR" not in e.line]
+    lines = [e.line for e in pipe.events(0)]
+    missing = [l for l in serial_payload if l not in lines]
+    assert not missing, f"missing: {missing[:3]}"
+    assert any("WACN" in l for l in lines)   # Network Status decoded

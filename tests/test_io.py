@@ -336,3 +336,77 @@ def test_player_sink_pipes_pcm(tmp_path):
     if not any(shutil.which(c) for c in ("paplay", "aplay", "ffplay")):
         with _pytest.raises(RuntimeError):
             make_sink("play")
+
+
+def test_native_audio_backends_protocol():
+    """Pulse/ALSA native sinks (ctypes): correct library call protocol
+    against stub libraries, graceful RuntimeError when the system
+    library is absent (this image has no sound server)."""
+    import ctypes
+    import numpy as np
+    import pytest
+    from dsdneo_tpu.io.audio_out import AlsaSink, PulseSimpleSink, make_sink
+
+    class PulseStub:
+        def __init__(self):
+            self.calls = []
+            self.pa_simple_new = lambda *a: self.calls.append("new") or 0xBEEF
+            self.pa_simple_new.restype = None
+
+        def pa_simple_write(self, s, buf, n, err):
+            self.calls.append(("write", n))
+
+        def pa_simple_drain(self, s, err):
+            self.calls.append("drain")
+
+        def pa_simple_free(self, s):
+            self.calls.append("free")
+
+    class _PaNew:
+        restype = None
+
+    stub = PulseStub()
+    sink = PulseSimpleSink(_lib=stub)
+    sink.write(0, np.zeros(160, np.float32))
+    sink.close()
+    assert ("write", 320) in stub.calls
+    assert "drain" in stub.calls and "free" in stub.calls
+
+    class AlsaStub:
+        def __init__(self):
+            self.calls = []
+
+        def snd_pcm_open(self, pcm, dev, stream, mode):
+            self.calls.append(("open", dev))
+            return 0
+
+        def snd_pcm_set_params(self, pcm, fmt, access, ch, rate, resample,
+                               latency):
+            self.calls.append(("params", fmt, rate))
+            return 0
+
+        def snd_pcm_writei(self, pcm, buf, n):
+            self.calls.append(("writei", n))
+            return n
+
+        def snd_pcm_drain(self, pcm):
+            self.calls.append("drain")
+
+        def snd_pcm_close(self, pcm):
+            self.calls.append("close")
+
+    astub = AlsaStub()
+    sink = AlsaSink(_lib=astub)
+    sink.write(0, np.zeros(160, np.float32))
+    sink.close()
+    assert ("open", b"default") in astub.calls
+    assert ("params", 2, 8000) in astub.calls
+    assert ("writei", 160) in astub.calls
+
+    # graceful unavailability on this image
+    if ctypes.util.find_library("pulse-simple") is None:
+        with pytest.raises(RuntimeError):
+            make_sink("pulse")
+    if ctypes.util.find_library("asound") is None:
+        with pytest.raises(RuntimeError):
+            make_sink("alsa")
