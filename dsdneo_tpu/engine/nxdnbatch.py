@@ -1,4 +1,4 @@
-"""Batched NXDN48 voice: [C, B] I/Q blocks → PCM, device-resident.
+"""Batched NXDN48/NXDN96 voice: [C, B] I/Q blocks → PCM, device-resident.
 
 The narrowband entry of the batched family (BASELINE config "NXDN48 +
 dPMR narrowband"): NXDN frames carry their FSW sync every 192 dibits,
@@ -104,7 +104,8 @@ class BatchedNxdnVoicePipeline:
     SYNC_TOPK = 128
 
     def __init__(self, C: int, fs: float = 48000.0,
-                 sync_threshold: float = 0.55, pcm_fmt: str = "f16"):
+                 sync_threshold: float = 0.55, pcm_fmt: str = "f16",
+                 mode: str = "nxdn48"):
         # the 10-symbol FSW is short and correlates ~0.65 on real
         # captures, so the correlation is only a pre-filter; acceptance
         # requires a parity-valid full-voice LICH (decoded from
@@ -113,7 +114,10 @@ class BatchedNxdnVoicePipeline:
         from dsdneo_tpu.engine.modes import MODES
         self.C = C
         self.fs = fs
-        self.mode = MODES["nxdn48"]
+        # nxdn48 and nxdn96 share the 192-dibit frame geometry, LICH
+        # conventions and AMBE payload layout — only the symbol rate
+        # (and therefore the channel filter) differs
+        self.mode = MODES[mode]
         self.sps = fs / self.mode.symbol_rate
         self.taps = firdes.channel_lpf(fs, self.mode.lpf_profile)
         self.threshold = sync_threshold

@@ -1,0 +1,273 @@
+"""Batched YSF V/D2 voice: [C, B] I/Q blocks → PCM, device-resident.
+
+System Fusion's DN (V/D2) mode carries 5 AMBE+2 frames per 480-dibit
+frame (reference src/protocol/ysf/ysf.c ysf_read_type2_vech_bits /
+ysf_build_type2_ambe, rebuilt in protocol/ysf/decoder.py _voice_vd2):
+each 52-dibit voice block de-interleaves (4×26), PN-dewhitens, and
+majority-votes the tripled 27-bit protected prefix into a 49-bit AMBE
+frame.  All of that is static index/mask arithmetic — one device
+gather per block.
+
+Frame acceptance runs on sync score + shoulder suppression only; the
+per-frame MAJORITY-VOTE DISAGREEMENT count gates synthesis on device
+(clean V/D2 voice votes ~unanimously; data/DCH frames or noise
+disagree on most triplets and are muted) — the YSF analog of the DMR
+pipeline's EMB-confidence gate.  FICH typing/DCH callsign decode stay
+on the event-driven path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsdneo_tpu.engine.voicebatch import _sync_kernel, correlate_syncs_device
+
+FRAME_DIBITS = 480              # sync 20 + FICH 100 + payload 360
+MAX_L = 56
+VOTE_ERR_MAX = 5                # ≤5 disagreeing triplets of 27 = voice
+
+
+@lru_cache(maxsize=1)
+def _vd2_tables():
+    """Static per-block tables: [5, 52] dibit offsets from the sync
+    start, the bit-level inverse de-interleave [104], and the PN mask
+    [104] (protocol/ysf/decoder.py conventions)."""
+    from dsdneo_tpu.protocol.ysf.decoder import _PN95_512
+    offs = np.zeros((5, 52), dtype=np.int32)
+    for blk in range(5):
+        offs[blk] = 120 + 72 * blk + 20 + np.arange(52)
+    out_idx = (np.arange(104) % 4) * 26 + np.arange(104) // 4
+    inv = np.argsort(out_idx).astype(np.int32)    # bits104[i] = raw[inv[i]]
+    pn = np.asarray(_PN95_512[:104], dtype=np.uint8)
+    return offs, inv, pn
+
+
+@partial(jax.jit, static_argnames=("C", "n_steps", "pcm_fmt"))
+def ysf_voice_decode_gather(dibits, f_ch, f_pos, fch, forder,
+                            C: int, n_steps: int, pcm_fmt: str = "f16"):
+    """Device program: V/D2 block gather → de-interleave + PN → tripled
+    majority vote → AMBE dequant (vote-gated) → scatter → synthesis.
+    ``f_pos`` is the frame's SYNC position; each accepted frame expands
+    to 5 AMBE steps (fch/forder are per-AMBE-frame)."""
+    from dsdneo_tpu.vocoder.device import ambe_decode_params
+    from dsdneo_tpu.vocoder.synth import synthesize
+    offs, inv, pn = _vd2_tables()
+    Tn = dibits.shape[1]
+    pos = jnp.clip(f_pos[:, None, None] + jnp.asarray(offs)[None],
+                   0, Tn - 1)                            # [F, 5, 52]
+    ch = jnp.minimum(f_ch, dibits.shape[0] - 1)
+    dd = dibits[ch[:, None, None], pos].reshape(-1, 52)  # [F*5, 52]
+    raw = jnp.zeros((dd.shape[0], 104), dtype=jnp.uint8)
+    raw = raw.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
+    raw = raw.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
+    bits = raw[:, jnp.asarray(inv)] ^ jnp.asarray(pn)    # [F*5, 104]
+    # tripled-bit majority vote over the protected 27-bit prefix
+    tri = bits[:, :81].reshape(-1, 27, 3)
+    s = tri.sum(axis=-1)
+    ambe = jnp.concatenate([(s >= 2).astype(jnp.uint8),
+                            bits[:, 81:103]], axis=1)    # [F*5, 49]
+    vote_errs = jnp.sum((s != 0) & (s != 3), axis=-1)    # [F*5]
+
+    w0, L, voiced, amps = ambe_decode_params(ambe)
+    from dsdneo_tpu.vocoder.device import ambe_frame_mask
+    good = (ambe_frame_mask(ambe, vote_errs, thr=VOTE_ERR_MAX))
+    amps = amps * good[:, None]
+
+    def scat(vals, shape, dtype):
+        z = jnp.zeros((C + 1, n_steps) + shape, dtype)
+        return z.at[fch, forder].set(vals.astype(dtype))[:C]
+
+    w0s = scat(w0, (), jnp.float32)
+    Vs = scat(voiced, (MAX_L,), jnp.float32)
+    As = scat(amps, (MAX_L,), jnp.float32)
+    noise = (jnp.mod(jnp.arange(C * n_steps * MAX_L, dtype=jnp.float32)
+                     * 2.399963, 2 * jnp.pi)).reshape(C, n_steps, MAX_L)
+    pcm = jax.vmap(synthesize)(w0s, As, Vs, noise)
+    pcm = jnp.clip(pcm * 0.02, -1.0, 1.0)
+    if pcm_fmt == "mulaw":
+        y = jnp.sign(pcm) * jnp.log1p(255.0 * jnp.abs(pcm)) / np.log1p(255.0)
+        return jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
+    return pcm.astype(jnp.float16)
+
+
+class BatchedYsfVoicePipeline:
+    """Drives the batched YSF V/D2 chain over one [C, B] block."""
+
+    SYNC_NAMES = ("+YSF",)
+    SYNC_TOPK = 64              # 10 frames/s + shoulders
+
+    # off-air YSF deviation compresses the soft symbols, so the 20-
+    # dibit sync correlates ~0.59; the correlation is only a pre-filter
+    # here — acceptance is the per-frame majority-vote gate
+    def __init__(self, C: int, fs: float = 48000.0,
+                 sync_threshold: float = 0.5, pcm_fmt: str = "f16"):
+        from dsdneo_tpu.dsp import firdes
+        from dsdneo_tpu.engine.modes import MODES
+        self.C = C
+        self.fs = fs
+        self.mode = MODES["ysf"]
+        self.sps = fs / self.mode.symbol_rate
+        self.taps = firdes.channel_lpf(fs, self.mode.lpf_profile)
+        self.threshold = sync_threshold
+        self.pcm_fmt = pcm_fmt
+        self._jits = {}
+
+    def frontend_sync_device(self, iq, use_pallas: bool | None = None):
+        """Front end + sync dispatch.  YSF transmissions burst with
+        dead-air gaps, so this pipeline uses the power-gated demod
+        chain (engine.demod semantics: discriminator samples below 2%
+        of peak power are zeroed before timing/level estimation) — the
+        min/max level windows of the fused frontend_step blow up on
+        silence."""
+        from dsdneo_tpu.dsp import frontend as fe
+        from dsdneo_tpu.symbols import slicer, timing
+        B = iq.shape[1]
+        n_sym = int(B // self.sps) - 2
+        key = ("ysf", B, n_sym)
+        fn = self._jits.get(key)
+        if fn is None:
+            taps = jnp.asarray(self.taps)
+            names = self.SYNC_NAMES
+            defs, _, _, n_max_pat = _sync_kernel(names)
+            k_cand = min(self.SYNC_TOPK, n_sym - n_max_pat + 1)
+            sps = self.sps
+
+            @jax.jit
+            def fn(x):
+                xc = jax.lax.complex(x[..., 0], x[..., 1]) \
+                    if x.ndim == 3 else x
+                y = fe.fir_complex(xc, taps)
+                d = fe.fm_discriminate(y)
+                p = jnp.abs(y) ** 2
+                d = jnp.where(p > 0.02 * jnp.max(p, axis=-1,
+                                                 keepdims=True), d, 0.0)
+                sym, _pos = timing.recover_symbols(
+                    d, sps, win_symbols=256, max_symbols=n_sym)
+                dibits, soft = slicer.slice_dibits(
+                    sym, win=512, four_level=self.mode.four_level)
+                sc = correlate_syncs_device(soft, names)
+                bs = jnp.max(sc, axis=1)
+                vals, idx = jax.lax.top_k(bs, k_cand)
+                vq = jnp.clip(vals * 127.0, 0, 255).astype(jnp.uint8)
+                u8 = lambda a: jax.lax.bitcast_convert_type(
+                    a, jnp.uint8).reshape(a.shape[0], -1)
+                return dibits, jnp.concatenate(
+                    [u8(idx.astype(jnp.uint16)), vq], axis=1)
+            self._jits[key] = fn
+        dibits_dev, blob_dev = fn(
+            iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        blob = np.asarray(blob_dev)
+        defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
+        k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)
+        idx = blob[:, :2 * k_cand].copy().view(np.uint16).astype(np.int64)
+        vq = blob[:, 2 * k_cand:3 * k_cand]
+        return dibits_dev, idx, vq, n_sym
+
+    def pick_frames(self, idx, vq, n_sym: int):
+        """Score threshold + 480-dibit shoulder suppression; every
+        accepted frame expands to 5 AMBE steps (the vote gate mutes
+        non-voice frames on device)."""
+        acc_c, acc_t, fch, forder = [], [], [], []
+        for c in range(idx.shape[0]):
+            sc = vq[c].astype(np.float32) / 127.0
+            ok = sc >= self.threshold
+            if not ok.any():
+                continue
+            order = np.argsort(idx[c][ok], kind="stable")
+            positions = idx[c][ok][order]
+            scores = sc[ok][order]
+            last = -10 ** 9
+            n_ord = 0
+            j = 0
+            while j < len(positions):
+                t = int(positions[j])
+                if t - last < FRAME_DIBITS - 8 \
+                        or t + FRAME_DIBITS >= n_sym:
+                    j += 1
+                    continue
+                # local-max refinement: a ±1 sync offset garbles the
+                # whole V/D2 extraction, so take the best-scoring
+                # candidate within the peak's 8-position shoulder
+                w = j
+                k = j + 1
+                while k < len(positions) and positions[k] < t + 8:
+                    if scores[k] > scores[w]:
+                        w = k
+                    k += 1
+                t = int(positions[w])
+                j = k
+                last = t
+                acc_c.append(c)
+                acc_t.append(t)
+                fch.extend([c] * 5)
+                forder.extend(range(n_ord, n_ord + 5))
+                n_ord += 5
+        return (np.asarray(acc_c, np.int32), np.asarray(acc_t, np.int32),
+                np.asarray(fch, np.int64), np.asarray(forder, np.int64))
+
+    def decode_block_async(self, iq):
+        dibits_dev, idx, vq, n_sym = self.frontend_sync_device(iq)
+        ac, at, fch, forder = self.pick_frames(idx, vq, n_sym)
+        F = ac.shape[0]
+        if F == 0:
+            return None
+        n_steps = int(forder.max()) + 1
+        Fp = -(-F // 16) * 16
+        Tp = -(-n_steps // 20) * 20
+        acp = np.full(Fp, self.C, dtype=np.int32)
+        acp[:F] = ac
+        atp = np.zeros(Fp, dtype=np.int32)
+        atp[:F] = at
+        fchp = np.full(Fp * 5, self.C, dtype=np.int32)
+        fchp[:F * 5] = fch
+        fordp = np.zeros(Fp * 5, dtype=np.int32)
+        fordp[:F * 5] = forder
+        return ysf_voice_decode_gather(
+            dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
+            jnp.asarray(fchp), jnp.asarray(fordp), self.C, Tp,
+            pcm_fmt=self.pcm_fmt)
+
+    def fetch_pcm(self, handle) -> np.ndarray:
+        if handle is None:
+            return np.zeros((self.C, 0), dtype=np.float32)
+        a = np.asarray(handle)
+        if a.dtype == np.uint8:
+            from dsdneo_tpu.engine.dmrbatch import mulaw_expand
+            return mulaw_expand(a).reshape(self.C, -1)
+        return a.astype(np.float32).reshape(self.C, -1)
+
+    def decode_block(self, iq) -> np.ndarray:
+        return self.fetch_pcm(self.decode_block_async(iq))
+
+    def decode_block_bits49(self, iq):
+        """Parity hook: the extracted 49-bit AMBE frames + vote-error
+        counts in dispatch order (compares against the serial
+        _voice_vd2 extraction)."""
+        dibits_dev, idx, vq, n_sym = self.frontend_sync_device(iq)
+        ac, at, fch, forder = self.pick_frames(idx, vq, n_sym)
+        if ac.size == 0:
+            return np.zeros((0, 49), np.uint8), np.zeros(0, np.int64)
+        offs, inv, pn = _vd2_tables()
+
+        @jax.jit
+        def _bits(dd, chv, posv):
+            Tn = dd.shape[1]
+            gp = jnp.clip(posv[:, None, None] + jnp.asarray(offs)[None],
+                          0, Tn - 1)
+            ch = jnp.minimum(chv, dd.shape[0] - 1)
+            d2 = dd[ch[:, None, None], gp].reshape(-1, 52)
+            raw = jnp.zeros((d2.shape[0], 104), dtype=jnp.uint8)
+            raw = raw.at[:, 0::2].set(((d2 >> 1) & 1).astype(jnp.uint8))
+            raw = raw.at[:, 1::2].set((d2 & 1).astype(jnp.uint8))
+            bits = raw[:, jnp.asarray(inv)] ^ jnp.asarray(pn)
+            tri = bits[:, :81].reshape(-1, 27, 3)
+            s = tri.sum(axis=-1)
+            ambe = jnp.concatenate([(s >= 2).astype(jnp.uint8),
+                                    bits[:, 81:103]], axis=1)
+            return ambe, jnp.sum((s != 0) & (s != 3), axis=-1)
+        ambe, verr = _bits(dibits_dev, jnp.asarray(ac), jnp.asarray(at))
+        return np.asarray(ambe), np.asarray(verr)

@@ -72,3 +72,28 @@ def test_nxdn_batched_frame_bits_match_host():
             hb, he = decode_ambe_ecc(b72[k])
             assert np.array_equal(dev_bits[k], hb)
             assert dev_errs[k] == he
+
+
+def test_nxdn96_batched_voice_fixture():
+    """NXDN96 (9600 bps) through the same batched pipeline: the real
+    nxdn96 fixture's full-voice frames (LICH 0x56) decode to non-silent
+    PCM with the event decoder's frame census as the bound."""
+    import numpy as np
+    from dsdneo_tpu.engine.decoder import decode_capture
+    from dsdneo_tpu.engine.nxdnbatch import BatchedNxdnVoicePipeline
+    from dsdneo_tpu.io import read_iq_capture
+    fx = "/root/reference/tests/fixtures/iq/nxdn96.iq.json"
+    meta, samples = read_iq_capture(fx)
+    iq = np.stack([samples.real, samples.imag],
+                  axis=-1).astype(np.float32)[None]
+    pipe = BatchedNxdnVoicePipeline(1, fs=float(meta.sample_rate_hz),
+                                    mode="nxdn96")
+    dibits_dev, idx, vq, dq, lich, n_sym = pipe.frontend_sync_device(iq)
+    ac, at, ai, fch, forder = pipe.pick_frames(idx, vq, dq, lich, n_sym)
+    ctx = decode_capture(fx, "nxdn96")
+    n_voice_events = sum(1 for e in ctx.events if "RDCH Voice" in e.line)
+    assert ac.size >= max(n_voice_events - 2, 1), (
+        f"batched accepted {ac.size} vs serial {n_voice_events}")
+    assert ac.size <= n_voice_events + 2
+    pcm = pipe.decode_block(iq)
+    assert pcm.shape[1] > 0 and np.abs(pcm).max() > 1e-4
