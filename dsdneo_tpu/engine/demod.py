@@ -41,6 +41,28 @@ def _demod_fm_jit(x: jax.Array, taps: jax.Array, sps: float, four_level: bool,
     return dibits, norm, power
 
 
+def gated_frontend_step(x, taps, sps: float, n_sym: int,
+                        four_level: bool = True):
+    """Traceable power-gated front end for BURSTY protocols (YSF, dPMR
+    transmissions have dead-air gaps): the _demod_fm_jit chain —
+    discriminator samples under 2% of peak power are zeroed before
+    timing/level estimation, and slicing uses the windowed robust
+    levels (win=512) — as a composable piece for the batched
+    pipelines.  ``x`` is complex [C, B] or float [C, B, 2] planes."""
+    from dsdneo_tpu.dsp import frontend as fe
+    from dsdneo_tpu.symbols import slicer as slc
+    from dsdneo_tpu.symbols import timing as tmg
+    xc = jax.lax.complex(x[..., 0], x[..., 1]) if x.ndim == 3 else x
+    y = fe.fir_complex(xc, taps)
+    d = fe.fm_discriminate(y)
+    p = jnp.abs(y) ** 2
+    d = jnp.where(p > 0.02 * jnp.max(p, axis=-1, keepdims=True), d, 0.0)
+    sym, _pos = tmg.recover_symbols(d, sps, win_symbols=256,
+                                    max_symbols=n_sym)
+    dibits, soft = slc.slice_dibits(sym, win=512, four_level=four_level)
+    return dibits, soft
+
+
 def demod_cqpsk_path(samples: np.ndarray, mode: ModeConfig | str,
                      fs: float = 48000.0) -> tuple[np.ndarray, np.ndarray]:
     """CQPSK/LSM demod → (dibits, soft) in the shared ±1/±3 alphabet."""

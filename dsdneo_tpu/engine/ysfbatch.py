@@ -123,8 +123,7 @@ class BatchedYsfVoicePipeline:
         of peak power are zeroed before timing/level estimation) — the
         min/max level windows of the fused frontend_step blow up on
         silence."""
-        from dsdneo_tpu.dsp import frontend as fe
-        from dsdneo_tpu.symbols import slicer, timing
+        from dsdneo_tpu.engine.demod import gated_frontend_step
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         key = ("ysf", B, n_sym)
@@ -138,18 +137,13 @@ class BatchedYsfVoicePipeline:
 
             @jax.jit
             def fn(x):
-                xc = jax.lax.complex(x[..., 0], x[..., 1]) \
-                    if x.ndim == 3 else x
-                y = fe.fir_complex(xc, taps)
-                d = fe.fm_discriminate(y)
-                p = jnp.abs(y) ** 2
-                d = jnp.where(p > 0.02 * jnp.max(p, axis=-1,
-                                                 keepdims=True), d, 0.0)
-                sym, _pos = timing.recover_symbols(
-                    d, sps, win_symbols=256, max_symbols=n_sym)
-                dibits, soft = slicer.slice_dibits(
-                    sym, win=512, four_level=self.mode.four_level)
-                sc = correlate_syncs_device(soft, names)
+                dibits, soft = gated_frontend_step(
+                    x, taps, sps, n_sym, self.mode.four_level)
+                # clip the correlation input: residual dead-air spikes
+                # (huge discriminator excursions the power gate missed)
+                # would otherwise crowd the top-k with junk positions
+                sc = correlate_syncs_device(
+                    jnp.clip(soft, -3.5, 3.5), names)
                 bs = jnp.max(sc, axis=1)
                 vals, idx = jax.lax.top_k(bs, k_cand)
                 vq = jnp.clip(vals * 127.0, 0, 255).astype(jnp.uint8)
