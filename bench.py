@@ -309,6 +309,55 @@ def bench_p25p2_chain(C: int, reps: int = 5):
     return C * block_s / step_s, step_s
 
 
+def _bench_pipeline(pipe, iq1, fs, C, reps: int = 5):
+    """Shared pipelined-loop measurement for a batched voice pipeline."""
+    import jax
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    x = jax.device_put(iq)
+    pcm = pipe.decode_block(x)
+    assert pcm.shape[1] > 0
+
+    def pipelined(k: int) -> float:
+        t0 = time.perf_counter()
+        prev = pipe.decode_block_async(x)
+        for _ in range(k - 1):
+            nxt = pipe.decode_block_async(x)
+            pipe.fetch_pcm(prev)
+            prev = nxt
+        pipe.fetch_pcm(prev)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(pipelined(reps) for _ in range(3))
+    return C * block_s / step_s, step_s
+
+
+def bench_ysf_chain(C: int):
+    """YSF V/D2 voice over the real off-air fixture (first 3 s)."""
+    from dsdneo_tpu.engine.ysfbatch import BatchedYsfVoicePipeline
+    from dsdneo_tpu.io import read_iq_capture
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/ysf.iq.json")
+    fs = float(meta.sample_rate_hz)
+    sl = samples[:int(3 * fs)]
+    iq1 = np.stack([sl.real, sl.imag], axis=-1).astype(np.float32)
+    pipe = BatchedYsfVoicePipeline(C, fs=fs, pcm_fmt="mulaw")
+    return _bench_pipeline(pipe, iq1, fs, C)
+
+
+def bench_dpmr_chain(C: int):
+    """dPMR voice over the real off-air fixture (first 3 s)."""
+    from dsdneo_tpu.engine.dpmrbatch import BatchedDpmrVoicePipeline
+    from dsdneo_tpu.io import read_iq_capture
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/dpmr.iq.json")
+    fs = float(meta.sample_rate_hz)
+    sl = samples[:int(3 * fs)]
+    iq1 = np.stack([sl.real, sl.imag], axis=-1).astype(np.float32)
+    pipe = BatchedDpmrVoicePipeline(C, fs=fs, pcm_fmt="mulaw")
+    return _bench_pipeline(pipe, iq1, fs, C)
+
+
 def bench_p25_cc(C: int, reps: int = 5):
     """P25p1 trunking control-channel monitoring at fleet scale: the
     real c4fm CC fixture on C channels through the batched device
@@ -389,6 +438,8 @@ def main() -> int:
     nxdn_x, nxdn_step_s = bench_nxdn_chain(C_audio)
     cqpsk_x, cqpsk_step_s = bench_cqpsk_chain(C_audio)
     p2_x, p2_step_s = bench_p25p2_chain(C_audio)
+    ysf_x, ysf_step_s = bench_ysf_chain(C_audio)
+    dpmr_x, dpmr_step_s = bench_dpmr_chain(C_audio)
     cc_x, cc_step_s, tsbk_s = bench_p25_cc(C_audio)
     dmrcc_x, dmrcc_step_s = bench_dmr_cc(C_audio)
     fe_x, fe_step = bench_frontend(C_fe, 20)
@@ -412,6 +463,8 @@ def main() -> int:
             "cqpsk_step_ms": round(cqpsk_step_s * 1e3, 1),
             "p25p2_iq_to_audio_x_realtime": round(p2_x, 1),
             "p25p2_step_ms": round(p2_step_s * 1e3, 1),
+            "ysf_iq_to_audio_x_realtime": round(ysf_x, 1),
+            "dpmr_iq_to_audio_x_realtime": round(dpmr_x, 1),
             "p25_cc_x_realtime": round(cc_x, 1),
             "p25_cc_tsbk_per_s": round(tsbk_s, 0),
             "dmr_cc_x_realtime": round(dmrcc_x, 1),
