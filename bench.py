@@ -157,7 +157,7 @@ def bench_full_chain(C: int, reps: int = 5):
 
     # best-of-3 runs: the tunneled host link adds multi-100ms jitter
     # spikes unrelated to the chip
-    step_s = min(pipelined(reps) for _ in range(3))
+    step_s = min(pipelined(reps) for _ in range(5))
     return C * block_s / step_s, step_s, block_s, int(pcm.shape[1] // 160)
 
 
@@ -200,7 +200,7 @@ def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "mulaw"):
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
-    step_s = min(pipelined(reps) for _ in range(3))
+    step_s = min(pipelined(reps) for _ in range(5))
     return C * block_s / step_s, step_s
 
 
@@ -233,7 +233,7 @@ def bench_nxdn_chain(C: int, reps: int = 5):
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
-    step_s = min(pipelined(reps) for _ in range(3))
+    step_s = min(pipelined(reps) for _ in range(5))
     return C * block_s / step_s, step_s
 
 
@@ -268,7 +268,7 @@ def bench_cqpsk_chain(C: int, reps: int = 5):
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
-    step_s = min(pipelined(reps) for _ in range(3))
+    step_s = min(pipelined(reps) for _ in range(5))
     return C * block_s / step_s, step_s
 
 
@@ -305,7 +305,7 @@ def bench_p25p2_chain(C: int, reps: int = 5):
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
-    step_s = min(pipelined(reps) for _ in range(3))
+    step_s = min(pipelined(reps) for _ in range(5))
     return C * block_s / step_s, step_s
 
 
@@ -328,7 +328,7 @@ def _bench_pipeline(pipe, iq1, fs, C, reps: int = 5):
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
-    step_s = min(pipelined(reps) for _ in range(3))
+    step_s = min(pipelined(reps) for _ in range(5))
     return C * block_s / step_s, step_s
 
 
