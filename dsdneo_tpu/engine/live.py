@@ -151,6 +151,10 @@ class LiveEngine:
     # -- consumer loop (the reference's demod thread) -----------------------
     def run(self, max_blocks: int | None = None) -> int:
         """Drain the ring blockwise until stopped; returns blocks decoded."""
+        # env-gated SCHED_FIFO + CPU affinity (reference rt_sched.cpp);
+        # degrades gracefully without privileges
+        from dsdneo_tpu.runtime.rt_sched import apply_rt_policy
+        self.rt_report = apply_rt_policy()
         n = 0
         while not self._stop:
             self._drain_commands()
@@ -212,12 +216,26 @@ class LiveEngine:
                 # the reference's watchdog tick (p25_sm_watchdog.c)
                 self.trunk.tick()
             n += 1
+            # visualizer buffers every 8th block (reference
+            # rtl_metrics spectrum/eye snapshots): decimated spectrum
+            # from the raw block + the decoder's last soft symbols
+            extra = {}
+            if n % 8 == 1:
+                z = samples[:4096]
+                if z.size >= 256:
+                    sp = np.abs(np.fft.fftshift(np.fft.fft(z)))
+                    extra["spectrum_db"] = (20.0 * np.log10(
+                        np.maximum(sp, 1e-9))).astype(np.float32)[::16]
+                soft = getattr(self.decoder, "last_soft", None)
+                if soft is not None and soft.size:
+                    extra["eye_symbols"] = soft[:512].astype(np.float32)
             self.metrics.publish(
                 freq_hz=self.freq_hz, stream_active=True,
                 retunes=self.retunes, blocks=n, retune_muted=False,
                 input_level_rms=rms,
                 snr_db=getattr(self.decoder, "last_snr_db", 0.0),
-                ring_fill=self.ring.fill, ring_drops=self.ring.drops)
+                ring_fill=self.ring.fill, ring_drops=self.ring.drops,
+                **extra)
             if max_blocks is not None and n >= max_blocks:
                 break
         self.decoder.flush()

@@ -116,6 +116,7 @@ class StreamDecoder:
         else:
             dibits, norm = demod_fm(window, self.mode, self.fs)
         self.last_snr_db = self._eye_snr_db(norm)
+        self.last_soft = norm[-2048:]      # visualizer eye buffer
         hits = framesync.find_syncs(norm, self._defs,
                                     threshold=self.sync_threshold)
         registry = proto_base.registry()

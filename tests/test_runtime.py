@@ -323,3 +323,37 @@ no_such_knob = 1
     assert any("unknown key" in e for e in errs)
     assert rtcfg.validate_ini(str(ini), profile="nope")
     assert not rtcfg.validate_ini(str(ini), profile="hot")
+
+
+def test_rt_sched_policy_graceful():
+    """DSD_NEO_RT_SCHED / DSD_NEO_CPU_AFFINITY (reference rt_sched.cpp):
+    parsing, application attempt, graceful degradation without
+    privileges."""
+    from dsdneo_tpu.runtime.rt_sched import apply_rt_policy, parse_cpu_list
+    assert parse_cpu_list("0,2-3,7") == {0, 2, 3, 7}
+    assert parse_cpu_list("") == set()
+    assert parse_cpu_list("bad,1") == {1}
+    rep = apply_rt_policy({"DSD_NEO_RT_SCHED": "1",
+                           "DSD_NEO_RT_PRIO": "5",
+                           "DSD_NEO_CPU_AFFINITY": "0"})
+    assert rep["rt_requested"]
+    # applied OR gracefully reported (no exception either way)
+    assert rep["rt_applied"] or rep["errors"]
+    assert rep["affinity_requested"] == {0}
+    rep2 = apply_rt_policy({})
+    assert not rep2["rt_requested"] and not rep2["errors"]
+
+
+def test_live_metrics_visualizer_buffers():
+    """The live loop publishes decimated spectrum + eye buffers for the
+    terminal visualizers (reference rtl_metrics snapshots)."""
+    import numpy as np
+    from dsdneo_tpu.engine.live import LiveEngine
+    eng = LiveEngine("p25p1", fs=48000.0, block_s=0.1)
+    rng = np.random.default_rng(0)
+    data = (rng.integers(0, 256, 2 * 48000)).astype(np.uint8).tobytes()
+    eng.feed_cu8(data)
+    eng.run(max_blocks=3)
+    snap = eng.metrics.snapshot()
+    assert snap.spectrum_db.size > 0
+    assert hasattr(eng, "rt_report")
