@@ -35,7 +35,7 @@ def cmd_sweep(counts):
     from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
     for C in counts:
         fs, block_s, x = _fixture(C)
-        pipe = BatchedP25VoicePipeline(C, fs=fs)
+        pipe = BatchedP25VoicePipeline(C, fs=fs, pcm_fmt="mulaw")
         pipe.decode_block(x)
         ts = []
         for _ in range(3):
