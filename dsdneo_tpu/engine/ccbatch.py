@@ -348,6 +348,183 @@ def dmr_csbk_decode_device(dibits: jax.Array, ch: jax.Array,
          jnp.clip(errors, 0, 255)[:, None].astype(jnp.uint8)], axis=1)
 
 
+# -- NXDN RCCH CAC ----------------------------------------------------------
+@lru_cache(maxsize=1)
+def _cac_consts():
+    """Static CAC decode tables: payload gather offsets (descramble
+    flips included), the PERM_12_25 depermute → 12:14 depuncture index
+    map into the 350-symbol Viterbi input, and the affine CRC16-CAC
+    screen tables (protocol/nxdn/decoder.py _cac / crc16_cac)."""
+    from dsdneo_tpu.protocol.nxdn.decoder import (_PERM_12_25, crc16_cac,
+                                                  _pn9_scramble_positions)
+    # CAC field = descrambled frame dibits 8..158 (bits[16:316]);
+    # stream offset = FSW start + 10 (sync) + payload dibit index
+    scram = np.zeros(182, dtype=np.uint8)
+    scram[_pn9_scramble_positions()] = 1
+    p = np.arange(8, 158)
+    offs = (10 + p).astype(np.int32)             # [150] dibit offsets
+    flips = scram[p].astype(np.uint8)            # [150]
+    # deperm[_PERM_12_25] = bits300  ⇒  deperm[j] = bits300[inv[j]]
+    inv = np.argsort(_PERM_12_25).astype(np.int32)
+    # 12:14 depuncture: group g symbol i ← deperm[g*12 + m]
+    mapping = [0, 1, 2, None, 3, 4, 5, 6, 7, 8, 9, None, 10, 11]
+    src_idx = np.zeros(350, dtype=np.int32)
+    wt = np.zeros(350, dtype=np.float32)
+    for g in range(25):
+        for i, m in enumerate(mapping):
+            if m is not None:
+                src_idx[g * 14 + i] = inv[g * 12 + m]
+                wt[g * 14 + i] = 1.0
+    # affine CRC16-CAC screen: crc(bits) = A ^ XOR(C_i over set bits)
+    zero = np.zeros(171, dtype=np.uint8)
+    A = crc16_cac(zero)
+    tab = np.zeros((171, 16), dtype=np.int32)
+    e = zero.copy()
+    for i in range(171):
+        e[:] = 0
+        e[i] = 1
+        v = crc16_cac(e) ^ A
+        tab[i] = [(v >> (15 - j)) & 1 for j in range(16)]
+    a_bits = np.asarray([(A >> (15 - j)) & 1 for j in range(16)],
+                        dtype=np.int32)
+    return offs, flips, src_idx, wt, a_bits, tab
+
+
+@jax.jit
+def nxdn_cac_decode_device(dibits: jax.Array, ch: jax.Array,
+                           pos: jax.Array) -> jax.Array:
+    """Device CAC program: gather + descramble the 150 CAC dibits of
+    every accepted RCCH frame, depermute/depuncture, batched K=5
+    Viterbi (fec.device.conv_k5_decode_batch), CRC16-CAC screen; blob
+    [H, 23] = 22 packed payload bytes (171 bits + pad) + ok flag."""
+    from dsdneo_tpu.fec.device import conv_k5_decode_batch
+    offs, flips, src_idx, wt, a_bits, tab = _cac_consts()
+    Tn = dibits.shape[1]
+    gp = jnp.clip(pos[:, None] + jnp.asarray(offs), 0, Tn - 1)
+    chc = jnp.minimum(ch, dibits.shape[0] - 1)
+    dd = dibits[chc[:, None], gp] ^ (jnp.asarray(flips) * 2)  # [H, 150]
+    bits300 = jnp.zeros((dd.shape[0], 300), dtype=jnp.uint8)
+    bits300 = bits300.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
+    bits300 = bits300.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
+    sym = bits300[:, jnp.asarray(src_idx)].astype(jnp.float32)
+    wts = jnp.broadcast_to(jnp.asarray(wt), sym.shape)
+    dec = conv_k5_decode_batch(sym, wts)[:, :171]            # [H, 171]
+    par = (dec.astype(jnp.int32) @ jnp.asarray(tab)) % 2
+    ok = jnp.all(par == jnp.asarray(a_bits), axis=-1)
+    pad = jnp.zeros((dec.shape[0], 5), dtype=jnp.uint8)
+    pb = _pack_bits(jnp.concatenate([dec.astype(jnp.uint8), pad], axis=1))
+    return jnp.concatenate([pb, ok[:, None].astype(jnp.uint8)], axis=1)
+
+
+class BatchedNxdnControlPipeline:
+    """Batched NXDN RCCH monitor (reference nxdn CAC path at fleet
+    scale): the nxdnbatch fused front end supplies the per-candidate
+    LICH bytes; CAC frames (LICH profile flag) decode on device through
+    the batched K=5 Viterbi + CRC16-CAC screen; the host parses only
+    valid payloads through the NXDN message catalog."""
+
+    # CAC-bearing LICH values (protocol/nxdn/decoder _LICH_PROFILES)
+    _CAC_LICH = {0x01, 0x05}
+
+    def __init__(self, C: int, fs: float = 48000.0,
+                 sync_threshold: float = 0.55, mode: str = "nxdn48"):
+        from dsdneo_tpu.engine.nxdnbatch import BatchedNxdnVoicePipeline
+        from dsdneo_tpu.protocol.nxdn.decoder import NxdnDecoder
+        self._fe = BatchedNxdnVoicePipeline(C, fs=fs,
+                                            sync_threshold=sync_threshold,
+                                            mode=mode)
+        self.C = C
+        self.threshold = sync_threshold
+        self.ctxs = [DecoderContext() for _ in range(C)]
+        for ctx in self.ctxs:
+            ctx.mode_name = mode
+        self.decs = [NxdnDecoder() for _ in range(C)]
+        self.crc_errors = 0
+
+    def pick_cacs(self, idx, vq, dq, lich, n_sym: int):
+        """Threshold + shoulder suppression + LICH parity/profile gate
+        → accepted (channel, FSW position, lich) lists."""
+        from dsdneo_tpu.engine.nxdnbatch import (FRAME_DIBITS,
+                                                 _lich_parity_ok)
+        acc_c, acc_t, acc_l = [], [], []
+        for c in range(idx.shape[0]):
+            sc = vq[c].astype(np.float32) / 127.0
+            ok = sc >= self.threshold
+            if not ok.any():
+                continue
+            order = np.argsort(idx[c][ok], kind="stable")
+            positions = idx[c][ok][order]
+            scores = sc[ok][order]
+            lichs = lich[c][ok][order]
+            last = -10 ** 9
+            j = 0
+            while j < len(positions):
+                t = int(positions[j])
+                # shoulder refinement: best score within 8 positions
+                w = j
+                k = j + 1
+                while k < len(positions) and positions[k] < t + 8:
+                    if scores[k] > scores[w]:
+                        w = k
+                    k += 1
+                t = int(positions[w])
+                lf = int(lichs[w])
+                j = k
+                # stride only from ACCEPTED frames: random candidates
+                # with accidentally-valid parity must not suppress a
+                # true frame behind them
+                if t - last < FRAME_DIBITS - 8 \
+                        or t + FRAME_DIBITS >= n_sym:
+                    continue
+                if not _lich_parity_ok(lf):
+                    continue
+                if (lf >> 1) in self._CAC_LICH:
+                    last = t
+                    acc_c.append(c)
+                    acc_t.append(t)
+                    acc_l.append(lf >> 1)
+        return (np.asarray(acc_c, np.int32), np.asarray(acc_t, np.int32),
+                np.asarray(acc_l, np.int32))
+
+    def decode_block_events(self, iq) -> int:
+        """One [C, B] block → RCCH events in self.ctxs; returns the
+        number of CRC-valid CACs parsed."""
+        dibits_dev, idx, vq, dq, lich, n_sym = \
+            self._fe.frontend_sync_device(iq)
+        ac, at, al = self.pick_cacs(idx, vq, dq, lich, n_sym)
+        H = ac.shape[0]
+        if H == 0:
+            return 0
+        Hp = -(-H // 32) * 32
+        acp = np.full(Hp, self.C, dtype=np.int32)
+        acp[:H] = ac
+        atp = np.zeros(Hp, dtype=np.int32)
+        atp[:H] = at
+        blob = np.asarray(nxdn_cac_decode_device(
+            dibits_dev, jnp.asarray(acp), jnp.asarray(atp)))[:H]
+        n = 0
+        for h in range(H):
+            c, t = int(ac[h]), int(at[h])
+            ctx = self.ctxs[c]
+            if not blob[h, 22]:
+                self.crc_errors += 1
+                ctx.emit(" CAC CRC ERR", "nxdn", t)
+                continue
+            dec = np.unpackbits(blob[h, :22])[:171]
+            ran = 0
+            for b in dec[2:8]:
+                ran = (ran << 1) | int(b)
+            ctx.state.nxdn_ran = ran
+            detail = self.decs[c]._message(dec[8:155], ctx)
+            ctx.emit(f"Sync: NXDN CC  RCCH CAC RAN {ran:02d}{detail}",
+                     "nxdn", t, ran=ran)
+            n += 1
+        return n
+
+    def events(self, c: int):
+        return self.ctxs[c].events
+
+
 class BatchedDmrControlPipeline:
     """Batched DMR Tier III CSBK monitor over [C, B] blocks (reference
     dmr_csbk.c catalog at fleet scale): data-sync correlation + batched

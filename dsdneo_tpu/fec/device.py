@@ -164,6 +164,57 @@ def p25_12_decode_batch(bits196: jax.Array, llr196: jax.Array | None = None
     return bits, cost
 
 
+# -- K=5 rate-1/2 convolutional Viterbi (NXDN FACCH/CAC/SACCH) -------------
+@jax.jit
+def conv_k5_decode_batch(sym: jax.Array, wt: jax.Array) -> jax.Array:
+    """Batched K=5 rate-1/2 Viterbi: [N, 2n] soft symbols (values in
+    [0, 1]) + per-symbol weights (0 = punctured) → [N, n] decoded bits
+    (flush bits included; callers slice).  Identical lattice and
+    tie-breaking to the host fec.conv.decode_soft (strict-less keeps
+    the t>>1 predecessor on ties).  Lane-major like
+    p25_12_decode_batch: the batch axis N rides the TPU lanes."""
+    from dsdneo_tpu.fec.conv import _O1, _O2
+    n = sym.shape[1] // 2
+    s0 = jnp.transpose(sym[:, 0::2].astype(jnp.float32))     # [n, N]
+    s1 = jnp.transpose(sym[:, 1::2].astype(jnp.float32))
+    w0 = jnp.transpose(wt[:, 0::2].astype(jnp.float32))
+    w1 = jnp.transpose(wt[:, 1::2].astype(jnp.float32))
+    N = sym.shape[0]
+    INF = jnp.float32(1e30)
+    metric0 = jnp.where(jnp.arange(16)[:, None] == 0, 0.0, INF)
+    metric0 = jnp.broadcast_to(metric0, (16, N)).astype(jnp.float32)
+
+    def body(metric, x):
+        s0i, s1i, w0i, w1i = x
+        news, bps = [], []
+        for t in range(16):
+            pa, pb = t >> 1, (t >> 1) | 8
+            b = t & 1
+            ca = metric[pa] + (jnp.abs(float(_O1[pa, b]) - s0i) * w0i
+                               + jnp.abs(float(_O2[pa, b]) - s1i) * w1i)
+            cb = metric[pb] + (jnp.abs(float(_O1[pb, b]) - s0i) * w0i
+                               + jnp.abs(float(_O2[pb, b]) - s1i) * w1i)
+            take_b = cb < ca
+            news.append(jnp.where(take_b, cb, ca))
+            bps.append(jnp.where(take_b, jnp.int8(pb), jnp.int8(pa)))
+        return jnp.stack(news), jnp.stack(bps)
+
+    _metric, bps = jax.lax.scan(body, metric0, (s0, s1, w0, w1),
+                                unroll=5)                    # bps [n,16,N]
+
+    st0 = jnp.zeros(N, jnp.int32)          # flushed end state
+
+    def back(st, bp):                      # bp [16, N]
+        bit = (st & 1).astype(jnp.uint8)
+        prev = jnp.zeros_like(st)
+        for k in range(16):
+            prev = jnp.where(st == k, bp[k].astype(jnp.int32), prev)
+        return prev, bit
+
+    _, bits = jax.lax.scan(back, st0, bps, reverse=True, unroll=5)
+    return jnp.transpose(bits)             # [N, n]
+
+
 # -- RS syndrome screen ----------------------------------------------------
 @lru_cache(maxsize=None)
 def _rs_syndrome_fn(nroots: int, fcr: int):
