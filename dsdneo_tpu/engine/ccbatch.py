@@ -348,6 +348,199 @@ def dmr_csbk_decode_device(dibits: jax.Array, ch: jax.Array,
          jnp.clip(errors, 0, 255)[:, None].astype(jnp.uint8)], axis=1)
 
 
+# -- EDACS control channel --------------------------------------------------
+@lru_cache(maxsize=1)
+def _edacs_consts():
+    from dsdneo_tpu.protocol.edacs.decoder import _bch_basis
+    return _bch_basis().astype(np.int32)        # [28, 12] parity rows
+
+
+@jax.jit
+def edacs_cc_decode_device(dibits: jax.Array, ch: jax.Array,
+                           pos: jax.Array) -> jax.Array:
+    """Device EDACS program: gather each frame's 240 message dibits
+    (2-level: the sign bit is the data bit), bitwise 2-of-3 majority
+    vote over the three copies of each 40-bit word, BCH(40,28) parity
+    screen for BOTH polarities (an inverted channel complements every
+    word — protocol/edacs/decoder.py handle); blob [H, 12] = msg1 4B +
+    msg2 4B (28-bit, post-polarity) + ok + inv + 2 pad."""
+    basis = jnp.asarray(_edacs_consts())
+    Tn = dibits.shape[1]
+    gp = jnp.clip(pos[:, None] + jnp.arange(240), 0, Tn - 1)
+    chc = jnp.minimum(ch, dibits.shape[0] - 1)
+    bits = ((dibits[chc[:, None], gp] >> 1) & 1).astype(jnp.int32)
+    fr = bits.reshape(-1, 6, 40)
+    m1 = (fr[:, 0] + fr[:, 1] + fr[:, 2] >= 2).astype(jnp.int32)  # [H, 40]
+    m2 = (fr[:, 3] + fr[:, 4] + fr[:, 5] >= 2).astype(jnp.int32)
+
+    def bch_ok(w):                               # [H, 40] → [H] bool
+        par = (w[:, :28] @ basis) % 2
+        return jnp.all(par == w[:, 28:40], axis=-1)
+
+    ok_n = bch_ok(m1) & bch_ok(m2)
+    ok_c = bch_ok(1 - m1) & bch_ok(1 - m2)
+    inv = (~ok_n) & ok_c
+    ok = ok_n | ok_c
+    m1f = jnp.where(inv[:, None], 1 - m1, m1)
+    m2f = jnp.where(inv[:, None], 1 - m2, m2)
+    w28 = jnp.asarray([1 << (27 - i) for i in range(28)], jnp.int32)
+    v1 = (m1f[:, :28] * w28).sum(axis=1)
+    v2 = (m2f[:, :28] * w28).sum(axis=1)
+    u8 = lambda a: jax.lax.bitcast_convert_type(
+        a.astype(jnp.uint32), jnp.uint8).reshape(a.shape[0], -1)
+    return jnp.concatenate(
+        [u8(v1), u8(v2), ok[:, None].astype(jnp.uint8),
+         inv[:, None].astype(jnp.uint8),
+         jnp.zeros((v1.shape[0], 2), jnp.uint8)], axis=1)
+
+
+class BatchedEdacsControlPipeline:
+    """Batched EDACS trunking control monitor (reference
+    edacs_process_valid_frame at fleet scale): front end + sync
+    correlation on device, 2-of-3 vote + dual-polarity BCH(40,28)
+    screen on device, host parses only valid message pairs through the
+    standard/EA catalogs."""
+
+    SYNC_NAMES = ("+EDACS", "-EDACS")
+    SYNC_TOPK = 96              # ~33 frames/s + shoulders
+    FRAME_EXTENT = 48 + 240
+
+    def __init__(self, C: int, fs: float = 48000.0,
+                 sync_threshold: float = 0.62, ea_mode: bool = False,
+                 esk_mask: int = 0):
+        from dsdneo_tpu.dsp import firdes
+        from dsdneo_tpu.engine.modes import MODES
+        from dsdneo_tpu.protocol.edacs.decoder import EdacsDecoder
+        self.C = C
+        self.fs = fs
+        self.mode = MODES["edacs"]
+        self.sps = fs / self.mode.symbol_rate
+        self.taps = firdes.channel_lpf(fs, self.mode.lpf_profile)
+        self.threshold = sync_threshold
+        self.ctxs = [DecoderContext() for _ in range(C)]
+        for ctx in self.ctxs:
+            ctx.state.edacs_ea = ea_mode
+            ctx.state.edacs_esk = esk_mask
+        self.decs = [EdacsDecoder() for _ in range(C)]
+        self.bch_errors = 0
+        self._jits = {}
+
+    def frontend_sync_device(self, iq, use_pallas: bool | None = None):
+        """Power-gated front end (the windowed-robust slicing the
+        serial demod path uses — see engine.demod.gated_frontend_step;
+        EDACS 2-level GFSK needs the same level discipline as the
+        bursty protocols)."""
+        from dsdneo_tpu.engine.demod import gated_frontend_step
+        B = iq.shape[1]
+        n_sym = int(B // self.sps) - 2
+        key = ("edacs", B, n_sym)
+        fn = self._jits.get(key)
+        if fn is None:
+            taps = jnp.asarray(self.taps)
+            names = self.SYNC_NAMES
+            defs, _, _, n_max_pat = _sync_kernel(names)
+            k_cand = min(self.SYNC_TOPK, n_sym - n_max_pat + 1)
+            sps = self.sps
+
+            @jax.jit
+            def fn(x):
+                dibits, soft = gated_frontend_step(
+                    x, taps, sps, n_sym, self.mode.four_level)
+                sc = correlate_syncs_device(
+                    jnp.clip(soft, -3.5, 3.5), names)
+                bs = jnp.max(sc, axis=1)
+                vals, idx = jax.lax.top_k(bs, k_cand)
+                vq = jnp.clip(vals * 127.0, 0, 255).astype(jnp.uint8)
+                u8 = lambda a: jax.lax.bitcast_convert_type(
+                    a, jnp.uint8).reshape(a.shape[0], -1)
+                return dibits, jnp.concatenate(
+                    [u8(idx.astype(jnp.uint16)), vq], axis=1)
+            self._jits[key] = fn
+        dibits_dev, blob_dev = fn(
+            iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        blob = np.asarray(blob_dev)
+        defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
+        k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)
+        idx = blob[:, :2 * k_cand].copy().view(np.uint16).astype(np.int64)
+        vq = blob[:, 2 * k_cand:3 * k_cand]
+        return dibits_dev, idx, vq, n_sym
+
+    def pick_frames(self, idx, vq, n_sym: int):
+        n_pat = len(_sync_kernel(self.SYNC_NAMES)[0][0].pattern)
+        acc_c, acc_t = [], []
+        for c in range(idx.shape[0]):
+            sc = vq[c].astype(np.float32) / 127.0
+            ok = sc >= self.threshold
+            if not ok.any():
+                continue
+            order = np.argsort(idx[c][ok], kind="stable")
+            positions = idx[c][ok][order]
+            scores = sc[ok][order]
+            last = -10 ** 9
+            j = 0
+            while j < len(positions):
+                t = int(positions[j])
+                w = j
+                k = j + 1
+                while k < len(positions) and positions[k] < t + 8:
+                    if scores[k] > scores[w]:
+                        w = k
+                    k += 1
+                t = int(positions[w])
+                j = k
+                if t - last < self.FRAME_EXTENT - 8 \
+                        or t + n_pat + 240 >= n_sym:
+                    continue
+                last = t
+                acc_c.append(c)
+                acc_t.append(t + n_pat)          # message start
+        return np.asarray(acc_c, np.int32), np.asarray(acc_t, np.int32)
+
+    def decode_block_events(self, iq) -> int:
+        dibits_dev, idx, vq, n_sym = self.frontend_sync_device(iq)
+        ac, at = self.pick_frames(idx, vq, n_sym)
+        H = ac.shape[0]
+        if H == 0:
+            return 0
+        Hp = -(-H // 32) * 32
+        acp = np.full(Hp, self.C, dtype=np.int32)
+        acp[:H] = ac
+        atp = np.zeros(Hp, dtype=np.int32)
+        atp[:H] = at
+        blob = np.asarray(edacs_cc_decode_device(
+            dibits_dev, jnp.asarray(acp), jnp.asarray(atp)))[:H]
+        n = 0
+        for h in range(H):
+            c, t = int(ac[h]), int(at[h])
+            ctx = self.ctxs[c]
+            if not blob[h, 8]:
+                self.bch_errors += 1
+                ctx.emit("Sync: +EDACS  BCH FAIL", "edacs", t)
+                continue
+            v1 = int(blob[h, 0:4].copy().view(np.uint32)[0])
+            v2 = int(blob[h, 4:8].copy().view(np.uint32)[0])
+            esk = int(getattr(ctx.state, "edacs_esk", 0) or 0)
+            if esk:
+                v1 ^= (esk & 0xFF) << 20
+                v2 ^= (esk & 0xFF) << 20
+            dec = self.decs[c]
+            hit = framesync.SyncHit(
+                pos=t, score=1.0,
+                sync=_sync_kernel(self.SYNC_NAMES)[0][0])
+            if getattr(ctx.state, "edacs_ea", False):
+                line = dec._extended(v1, v2, ctx, hit)
+            else:
+                line = dec._standard(v1, v2, ctx, hit)
+            pol = "-" if blob[h, 9] else "+"
+            ctx.emit(f"Sync: {pol}EDACS {line}", "edacs", t,
+                     mt=v1 >> 23, word=v1)
+            n += 1
+        return n
+
+    def events(self, c: int):
+        return self.ctxs[c].events
+
+
 # -- NXDN RCCH CAC ----------------------------------------------------------
 @lru_cache(maxsize=1)
 def _cac_consts():

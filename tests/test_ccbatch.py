@@ -332,3 +332,26 @@ def test_nxdn_cc_synthetic_cac_roundtrip():
     assert n == 1, f"parsed {n} CACs (errors {pipe.crc_errors})"
     ev = [e for e in pipe.events(0) if "CAC RAN 05" in e.line]
     assert ev, [e.line for e in pipe.events(0)]
+
+
+def test_edacs_cc_pipeline_matches_serial():
+    """Batched EDACS monitor vs the serial decoder on the edacs
+    fixture: the device vote + dual-polarity BCH screen parses the
+    same message set."""
+    from dsdneo_tpu.engine.ccbatch import BatchedEdacsControlPipeline
+    from dsdneo_tpu.engine.decoder import decode_samples
+    fs, iq1 = _fixture_iq("edacs")
+    ctx = decode_samples(iq1[:, 0] + 1j * iq1[:, 1], "edacs", fs=fs)
+    serial = [e.line for e in ctx.events
+              if "EDACS" in e.line and "BCH FAIL" not in e.line]
+    serial_words = {e.fields.get("word") for e in ctx.events
+                    if "word" in e.fields}
+    assert serial, "serial path decoded nothing"
+    pipe = BatchedEdacsControlPipeline(1, fs=fs)
+    n = pipe.decode_block_events(iq1[None])
+    assert n > 5
+    got_words = {e.fields.get("word") for e in pipe.events(0)
+                 if "word" in e.fields}
+    missing = serial_words - got_words
+    assert len(missing) <= max(1, 0.1 * len(serial_words)), (
+        f"missing {len(missing)}/{len(serial_words)} words")
