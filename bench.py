@@ -393,6 +393,67 @@ def bench_p25_cc(C: int, reps: int = 5):
     return C * block_s / step_s, step_s, tsbk_per_block / step_s
 
 
+def bench_nxdn_cc(C: int, reps: int = 5):
+    """NXDN RCCH monitoring: the off-air fixtures carry no RCCH, so
+    the source is a spec-built CAC stream (CRC16-CAC-valid messages
+    through conv encode + puncture + interleave + PN scramble); the
+    chain measured is the production one — device K=5 Viterbi + CRC
+    screen + host catalog parse."""
+    import jax
+    from dsdneo_tpu.engine.ccbatch import BatchedNxdnControlPipeline
+    from tests.test_ccbatch import _build_cac_stream
+
+    samples = _build_cac_stream(n_frames=20, seed=1)
+    fs = 48000.0
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedNxdnControlPipeline(C, fs=fs)
+    x = jax.device_put(iq)
+    n = pipe.decode_block_events(x)
+    assert n > 0
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(k):
+            for ctx in pipe.ctxs:
+                ctx.events.clear()
+            pipe.decode_block_events(x)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(run(reps) for _ in range(3))
+    return C * block_s / step_s, step_s
+
+
+def bench_edacs_cc(C: int, reps: int = 5):
+    """EDACS trunking CC monitoring over the real edacs fixture."""
+    import jax
+    from dsdneo_tpu.engine.ccbatch import BatchedEdacsControlPipeline
+    from dsdneo_tpu.io import read_iq_capture
+
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/edacs.iq.json")
+    fs = float(meta.sample_rate_hz)
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedEdacsControlPipeline(C, fs=fs)
+    x = jax.device_put(iq)
+    n = pipe.decode_block_events(x)
+    assert n > 0
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(k):
+            for ctx in pipe.ctxs:
+                ctx.events.clear()
+            pipe.decode_block_events(x)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(run(reps) for _ in range(3))
+    return C * block_s / step_s, step_s
+
+
 def bench_dmr_cc(C: int, reps: int = 5):
     """DMR Tier III CC monitoring (Connect Plus fixture): batched
     slot-type + BPTC + CRC screen on device, host CSBK catalog."""
@@ -442,6 +503,8 @@ def main() -> int:
     dpmr_x, dpmr_step_s = bench_dpmr_chain(C_audio)
     cc_x, cc_step_s, tsbk_s = bench_p25_cc(C_audio)
     dmrcc_x, dmrcc_step_s = bench_dmr_cc(C_audio)
+    nxdncc_x, _nxdncc_step = bench_nxdn_cc(C_audio)
+    edacscc_x, _edacscc_step = bench_edacs_cc(C_audio)
     fe_x, fe_step = bench_frontend(C_fe, 20)
     parity = bench_pallas_parity()
 
@@ -468,6 +531,8 @@ def main() -> int:
             "p25_cc_x_realtime": round(cc_x, 1),
             "p25_cc_tsbk_per_s": round(tsbk_s, 0),
             "dmr_cc_x_realtime": round(dmrcc_x, 1),
+            "nxdn_cc_x_realtime": round(nxdncc_x, 1),
+            "edacs_cc_x_realtime": round(edacscc_x, 1),
             "frontend_symbols_x_realtime": round(fe_x, 1),
             "frontend_channels": C_fe,
             "frontend_step_ms": round(fe_step * 1e3, 3),
