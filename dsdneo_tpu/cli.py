@@ -348,6 +348,9 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             hop_s=(cfg.squelch_hop_s if cfg else 0.5))
         eng.level_warn_db = args.input_level_warn_db
         eng.input_volume = args.input_volume
+        if cfg is not None:
+            eng.snr_squelch_db = cfg.snr_sql_db
+            eng.dc_block = cfg.iq_dc_block
         if args.iq_capture:
             from dsdneo_tpu.io.iq import IqCaptureWriter, IqMetadata
             eng.capture = IqCaptureWriter(
@@ -389,7 +392,15 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
                 eng.tune(f_hz)
                 return True
 
-            sm = TrunkSM(_tune, hangtime_s=args.hangtime,
+            # per-protocol hangtime knobs override -t when set
+            # (DSD_NEO_P25_HANGTIME / DSD_NEO_DMR_HANGTIME)
+            hang = args.hangtime
+            if cfg is not None:
+                if args.mode.startswith("p25") and cfg.p25_hangtime_s > 0:
+                    hang = cfg.p25_hangtime_s
+                elif args.mode == "dmr" and cfg.dmr_hangtime_s > 0:
+                    hang = cfg.dmr_hangtime_s
+            sm = TrunkSM(_tune, hangtime_s=hang,
                          vc_grace_s=args.p25_vc_grace,
                          cc_timeout_s=args.p25_cc_grace,
                          policy=(tg_policy.allows if tg_policy else None))
@@ -421,8 +432,9 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             eng.scanner = sc
         if args.auto_ppm:
             from dsdneo_tpu.io.auto_ppm import AutoPpm
-            eng.auto_ppm = AutoPpm(dev.set_ppm, float(freq),
-                                   snr_gate_db=args.auto_ppm_snr)
+            eng.auto_ppm = AutoPpm(
+                dev.set_ppm, float(freq), snr_gate_db=args.auto_ppm_snr,
+                freeze=bool(cfg is not None and cfg.auto_ppm_freeze))
         eng.on_ppm = dev.set_ppm
         eng.freq_hz = float(freq)
         dev.start()
@@ -476,6 +488,9 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
                 index = int(parts[1]) if len(parts) > 1 and parts[1] else 0
                 freq = int(parts[2]) if len(parts) > 2 else 851_000_000
                 dev = RtlUsbDevice(ring, index=index, sample_rate=dev_rate,
+                                   agc=bool(cfg is not None and cfg.rtl_agc),
+                                   bandwidth_hz=(cfg.tuner_bw_hz
+                                                 if cfg is not None else 0),
                                    freq_hz=freq)
             else:
                 # soapy:driver=...[:freqHz]

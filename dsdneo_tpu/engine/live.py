@@ -69,6 +69,11 @@ class LiveEngine:
         # input conditioning (reference --input-volume /
         # --input-level-warn-db) + auto PPM correction hook
         self.input_volume = 1.0
+        # SNR squelch (DSD_NEO_SNR_SQL_DB): decode gated on the eye SNR
+        # of the previous block, alongside the power squelch
+        self.snr_squelch_db = -200.0
+        # DC blocker (DSD_NEO_IQ_DC_BLOCK): subtract the block mean
+        self.dc_block = False
         self.level_warn_db = -200.0
         self.level_warnings = 0
         self.auto_ppm = None          # io.auto_ppm.AutoPpm
@@ -170,6 +175,8 @@ class LiveEngine:
             samples = (planes[:, 0] + 1j * planes[:, 1]).astype(np.complex64)
             if self.input_volume != 1.0:
                 samples = samples * np.float32(self.input_volume)
+            if self.dc_block:
+                samples = samples - np.complex64(samples.mean())
             if self.capture is not None:
                 self.capture.submit(samples)
             rms = float(np.sqrt(np.mean(np.abs(samples) ** 2)))
@@ -194,7 +201,9 @@ class LiveEngine:
                 continue
             # power squelch: below-threshold blocks aren't decoded at
             # all (reference demod_pipeline.cpp squelch gate)
-            squelched = 20.0 * np.log10(max(rms, 1e-12)) < self.squelch_db
+            squelched = (20.0 * np.log10(max(rms, 1e-12)) < self.squelch_db
+                         or getattr(self.decoder, "last_snr_db", 0.0)
+                         < self.snr_squelch_db)
             if squelched:
                 self._squelched_s += len(samples) / self.fs
                 if (self.scanner is not None

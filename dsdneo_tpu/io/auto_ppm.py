@@ -33,7 +33,7 @@ class AutoPpm:
                  snr_gate_db: float = 9.0, train_blocks: int = 6,
                  max_step_ppm: int = 2, deadband_ppm: float = 0.55,
                  lock_blocks: int = 12, ema: float = 0.3,
-                 initial_ppm: int = 0):
+                 initial_ppm: int = 0, freeze: bool = False):
         self.set_ppm = set_ppm
         self.center_hz = float(center_hz)
         self.snr_gate_db = snr_gate_db
@@ -43,6 +43,8 @@ class AutoPpm:
         self.lock_blocks = lock_blocks
         self.alpha = ema
         self.ppm = int(initial_ppm)
+        # DSD_NEO_AUTO_PPM_FREEZE: start frozen (measure, never correct)
+        self.freeze = freeze
         self.locked = False
         self.corrections = 0
         self._ema: float | None = None
@@ -51,7 +53,7 @@ class AutoPpm:
 
     def update(self, cfo_hz: float, snr_db: float) -> bool:
         """Returns True when a correction was issued this block."""
-        if self.locked or snr_db < self.snr_gate_db:
+        if self.locked or self.freeze or snr_db < self.snr_gate_db:
             return False
         if self._ema is None:
             self._ema = cfo_hz

@@ -57,7 +57,8 @@ class RtlUsbDevice:
     def __init__(self, ring, index: int = 0, sample_rate: int = 2_400_000,
                  freq_hz: int = 851_000_000, gain_tenth_db: int | None = None,
                  ppm: int = 0, bias_tee: bool = False,
-                 direct_sampling: int = 0):
+                 direct_sampling: int = 0, agc: bool = False,
+                 bandwidth_hz: int = 0):
         self._lib = _load_librtlsdr()
         lib = self._lib
         lib.rtlsdr_get_device_count.restype = ctypes.c_uint32
@@ -92,6 +93,11 @@ class RtlUsbDevice:
         if direct_sampling:
             lib.rtlsdr_set_direct_sampling(self._dev,
                                            ctypes.c_int(direct_sampling))
+        if agc and hasattr(lib, "rtlsdr_set_agc_mode"):
+            lib.rtlsdr_set_agc_mode(self._dev, 1)    # DSD_NEO_RTL_AGC
+        if bandwidth_hz and hasattr(lib, "rtlsdr_set_tuner_bandwidth"):
+            lib.rtlsdr_set_tuner_bandwidth(
+                self._dev, ctypes.c_uint32(bandwidth_hz))
         lib.rtlsdr_reset_buffer(self._dev)
 
     # -- controls (reference rtl_stream C API subset) ---------------------

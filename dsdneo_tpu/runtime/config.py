@@ -59,6 +59,13 @@ class RuntimeConfig:
     show_keys: bool = False            # DSD_NEO_SHOW_KEYS
     retune_mute_ms: float = 75.0       # DSD_NEO_RETUNE_MUTE_MS
     squelch_hop_s: float = 0.5         # DSD_NEO_SQUELCH_HOP_S
+    snr_sql_db: float = -200.0         # DSD_NEO_SNR_SQL_DB
+    p25_hangtime_s: float = 0.0        # DSD_NEO_P25_HANGTIME (0=use -t)
+    dmr_hangtime_s: float = 0.0        # DSD_NEO_DMR_HANGTIME
+    auto_ppm_freeze: bool = False      # DSD_NEO_AUTO_PPM_FREEZE
+    iq_dc_block: bool = False          # DSD_NEO_IQ_DC_BLOCK
+    rtl_agc: bool = False              # DSD_NEO_RTL_AGC
+    tuner_bw_hz: int = 0               # DSD_NEO_TUNER_BW_HZ
 
     def with_overrides(self, **kw) -> "RuntimeConfig":
         kw = {k: v for k, v in kw.items() if v is not None}
@@ -97,6 +104,15 @@ _ENV_MAP = {
     "SHOW_KEYS": ("show_keys", lambda v: v not in ("0", "", "false")),
     "RETUNE_MUTE_MS": ("retune_mute_ms", float),
     "SQUELCH_HOP_S": ("squelch_hop_s", float),
+    "SNR_SQL_DB": ("snr_sql_db", float),
+    "P25_HANGTIME": ("p25_hangtime_s", float),
+    "DMR_HANGTIME": ("dmr_hangtime_s", float),
+    "AUTO_PPM_FREEZE": ("auto_ppm_freeze",
+                        lambda v: v not in ("0", "", "false")),
+    "AUTO_PPM_SNR_DB": ("auto_ppm_snr", float),
+    "IQ_DC_BLOCK": ("iq_dc_block", lambda v: v not in ("0", "", "false")),
+    "RTL_AGC": ("rtl_agc", lambda v: v not in ("0", "", "false")),
+    "TUNER_BW_HZ": ("tuner_bw_hz", int),
 }
 
 _PREFIXES = ("DSDNEO_TPU_", "DSD_NEO_")

@@ -160,3 +160,44 @@ def test_env_knobs_for_round3_surface(monkeypatch):
     assert cfg.rdio_api_url == "http://x/api"
     assert cfg.p25_vc_grace_s == 2.25 and cfg.show_keys
     assert cfg.retune_mute_ms == 120 and cfg.squelch_hop_s == 0.8
+
+
+def test_round3b_env_knobs(monkeypatch):
+    """Second knob batch: SNR squelch, per-protocol hangtime, auto-PPM
+    freeze, DC block, RTL AGC/bandwidth — each mapped with a consumer."""
+    from dsdneo_tpu.runtime import config as rtcfg
+    env = {"DSD_NEO_SNR_SQL_DB": "6.5", "DSD_NEO_P25_HANGTIME": "2.0",
+           "DSD_NEO_DMR_HANGTIME": "3.0", "DSD_NEO_AUTO_PPM_FREEZE": "1",
+           "DSD_NEO_AUTO_PPM_SNR_DB": "11", "DSD_NEO_IQ_DC_BLOCK": "1",
+           "DSD_NEO_RTL_AGC": "1", "DSD_NEO_TUNER_BW_HZ": "12500"}
+    cfg = rtcfg.load_env(rtcfg.RuntimeConfig(), environ=env)
+    assert cfg.snr_sql_db == 6.5
+    assert cfg.p25_hangtime_s == 2.0 and cfg.dmr_hangtime_s == 3.0
+    assert cfg.auto_ppm_freeze and cfg.auto_ppm_snr == 11
+    assert cfg.iq_dc_block and cfg.rtl_agc and cfg.tuner_bw_hz == 12500
+
+
+def test_auto_ppm_freeze_blocks_corrections():
+    from dsdneo_tpu.io.auto_ppm import AutoPpm
+    calls = []
+    p = AutoPpm(lambda v: calls.append(v), 851e6, snr_gate_db=0.0,
+                train_blocks=1, freeze=True)
+    for _ in range(20):
+        assert not p.update(5000.0, 30.0)
+    assert not calls
+
+
+def test_live_snr_squelch_and_dc_block():
+    import numpy as np
+    from dsdneo_tpu.engine.live import LiveEngine
+    eng = LiveEngine("p25p1", fs=48000.0, block_s=0.05,
+                     retune_mute_s=0.0)
+    eng.snr_squelch_db = 100.0          # impossible bar: always squelch
+    eng.dc_block = True
+    blank = bytes([200] * (2 * 9600))   # strong DC offset
+    for _ in range(4):
+        eng.feed_cu8(blank)
+    n = eng.run(max_blocks=4)
+    assert n >= 2
+    # squelched blocks decode nothing (no events, no crash)
+    assert not eng.decoder.ctx.events
