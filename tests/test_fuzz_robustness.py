@@ -225,3 +225,58 @@ def test_fuzz_nxdn_dcall_and_assembler(seed):
             dec._message(msg, ctx)
         except IndexError:
             pass     # short messages may underrun fixed-layout fields
+
+
+def test_fuzz_ccbatch_pickers_random_blobs():
+    """The round-3 host pickers must survive arbitrary candidate blobs
+    (random positions/scores/fields) without crashing or accepting
+    out-of-range frames."""
+    import numpy as np
+    from dsdneo_tpu.engine.ccbatch import (BatchedDmrControlPipeline,
+                                           BatchedEdacsControlPipeline,
+                                           BatchedP25ControlPipeline)
+    from dsdneo_tpu.engine.p2batch import BatchedP2VoicePipeline
+    from dsdneo_tpu.engine.ysfbatch import BatchedYsfVoicePipeline
+    rng = np.random.default_rng(0)
+    n_sym = 9000
+    K = 64
+    idx = rng.integers(0, n_sym, (2, K)).astype(np.int64)
+    vq = rng.integers(0, 256, (2, K)).astype(np.uint8)
+    dq = rng.integers(0, 2, (2, K)).astype(np.uint8)
+    msg = rng.integers(0, 1 << 16, (2, K)).astype(np.uint16)
+
+    p1 = BatchedP25ControlPipeline(2)
+    ac, at, am = p1.pick_tsdus(idx, vq, dq, msg, n_sym)
+    assert ((at + 24 < n_sym) | (ac < 0)).all()
+
+    dmr = BatchedDmrControlPipeline(2)
+    st = rng.integers(0, 256, (2, K)).astype(np.uint8)
+    se = rng.integers(0, 8, (2, K)).astype(np.uint8)
+    dmr.pick_csbks(idx, vq, dq, st, se, n_sym)
+
+    ed = BatchedEdacsControlPipeline(2)
+    ed.pick_frames(idx, vq, n_sym)
+
+    ysf = BatchedYsfVoicePipeline(2)
+    ysf.pick_frames(idx, vq, n_sym)
+
+    p2 = BatchedP2VoicePipeline(2)
+    duid = rng.integers(0, 256, (2, K, 4)).astype(np.uint8)
+    isch = rng.integers(0, 256, (2, K, 4, 5)).astype(np.uint8)
+    arrs, jobs = p2.walk_frames(idx, vq, duid, isch, n_sym)
+    if arrs[0].size:
+        assert (arrs[1] + 180 < n_sym + 800).all()
+
+
+def test_fuzz_nxdn_cac_parse_random_payloads():
+    """Random 'CRC-valid-shaped' CAC payloads through the NXDN message
+    catalog must not crash the batched parse loop."""
+    import numpy as np
+    from dsdneo_tpu.engine.ccbatch import BatchedNxdnControlPipeline
+    rng = np.random.default_rng(1)
+    pipe = BatchedNxdnControlPipeline(1)
+    ctx = pipe.ctxs[0]
+    for _ in range(64):
+        dec = rng.integers(0, 2, 171).astype(np.uint8)
+        pipe.decs[0]._message(dec[8:155], ctx)
+    assert True
