@@ -240,6 +240,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "hangtime logic engages")
     p.add_argument("--p25-cc-grace", type=float, default=5.0, metavar="S",
                    help="control-channel silence timeout before hunting")
+    p.add_argument("--fleet", default="", metavar="SPEC",
+                   help="fleet monitoring over the replay: comma list "
+                        "of mode:kind:count groups (kind voice|cc), "
+                        "e.g. 'p25p1:voice:8,p25p1:cc:2' — every "
+                        "channel carries the replayed capture; events "
+                        "and PCM stats print per group (the TPU "
+                        "many-channel serving path)")
     p.add_argument("--probe", action="store_true",
                    help="probe the input: print detected mode + SNR and "
                         "exit (reference --probe)")
@@ -806,6 +813,43 @@ def main(argv: list[str] | None = None) -> int:
             recorder.finish_all()
             print(f"calls exported: {len(recorder.finished)} -> "
                   f"{args.calls_dir}", file=sys.stderr)
+        return 0
+
+    if args.fleet:
+        from dsdneo_tpu.engine.fleet import FleetMonitor
+        from dsdneo_tpu.io import read_iq_capture
+        try:
+            meta, samples = read_iq_capture(args.iq_replay)
+        except (OSError, ValueError) as e:
+            print(f"dsd-neo-tpu: cannot replay {args.iq_replay}: {e}",
+                  file=sys.stderr)
+            return 1
+        fleet = FleetMonitor(fs=float(meta.sample_rate_hz))
+        for part in args.fleet.split(","):
+            bits = part.strip().split(":")
+            if len(bits) != 3:
+                print(f"dsd-neo-tpu: bad fleet group {part!r} "
+                      "(want mode:kind:count)", file=sys.stderr)
+                return 2
+            fleet.assign(bits[0], int(bits[2]), kind=bits[1])
+        iq1 = np.stack([samples.real, samples.imag],
+                       axis=-1).astype(np.float32)
+        block = np.broadcast_to(iq1[None],
+                                (fleet.total_channels,) + iq1.shape).copy()
+        fleet.decode_block(block)
+        for g in fleet.groups:
+            if g.kind == "voice":
+                secs = (g.pcm.shape[1] / 8000.0 if g.pcm is not None
+                        else 0.0)
+                print(f"group {g.mode}/voice x{g.count}: "
+                      f"{secs:.2f} s audio per channel", file=sys.stderr)
+            else:
+                n_ev = sum(len(g.pipeline.events(i))
+                           for i in range(g.count))
+                print(f"group {g.mode}/cc x{g.count}: {n_ev} events",
+                      file=sys.stderr)
+                for e in g.pipeline.events(0)[:10]:
+                    print(e.line, file=sys.stderr)
         return 0
 
     if args.probe:

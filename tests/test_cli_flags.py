@@ -201,3 +201,19 @@ def test_live_snr_squelch_and_dc_block():
     assert n >= 2
     # squelched blocks decode nothing (no events, no crash)
     assert not eng.decoder.ctx.events
+
+
+def test_cli_fleet_mode(capsys):
+    """--fleet runs mixed groups over the replay and reports per-group
+    stats (the many-channel serving path from the CLI)."""
+    from dsdneo_tpu import cli
+    import contextlib, io as _io
+    err = _io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rc = cli.main(["--frontend", "none", "-f1", "--iq-replay", FX,
+                       "--fleet", "p25p1:cc:2,p25p1:voice:2"])
+    assert rc == 0
+    text = err.getvalue()
+    assert "group p25p1/cc x2:" in text
+    assert "group p25p1/voice x2:" in text
+    assert "TSDU" in text
