@@ -410,7 +410,9 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             sm = TrunkSM(_tune, hangtime_s=hang,
                          vc_grace_s=args.p25_vc_grace,
                          cc_timeout_s=args.p25_cc_grace,
-                         policy=(tg_policy.allows if tg_policy else None))
+                         policy=(tg_policy.allows if tg_policy else None),
+                         **(TrunkSM.kwargs_from_config(cfg, args.mode)
+                            if cfg is not None else {}))
             sm.log_path = args.sm_log
             fol = TrunkFollower(sm, eng.decoder.ctx,
                                 chan_map=chan_map,
@@ -420,6 +422,10 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             fol.tune_private = not args.no_private_calls
             fol.tune_data = args.data_calls
             fol.enc_lockout = args.enc_lockout and not args.enc_follow
+            if cfg is not None:
+                fol.preempt_min_dwell_s = cfg.tg_preempt_min_dwell_ms / 1e3
+                fol.preempt_cooldown_s = cfg.tg_preempt_cooldown_ms / 1e3
+                fol.grant_voice_to_s = cfg.p25_grant_voice_to_s
             eng.trunk = fol
         if args.trunk_scan:
             from dsdneo_tpu.engine.trunk import (TrunkScanner,
@@ -441,9 +447,25 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             from dsdneo_tpu.io.auto_ppm import AutoPpm
             eng.auto_ppm = AutoPpm(
                 dev.set_ppm, float(freq), snr_gate_db=args.auto_ppm_snr,
-                freeze=bool(cfg is not None and cfg.auto_ppm_freeze))
+                freeze=bool(cfg is not None and cfg.auto_ppm_freeze),
+                pwr_gate_db=(cfg.auto_ppm_pwr_db if cfg else -80.0),
+                deadband_ppm=(cfg.auto_ppm_zerolock_ppm if cfg else 0.55),
+                zerolock_hz=(cfg.auto_ppm_zerolock_hz if cfg else 0.0))
+        if cfg is not None:
+            eng.afc_status_gate = cfg.p25_afc_status_gate
         eng.on_ppm = dev.set_ppm
         eng.freq_hz = float(freq)
+        # graceful SIGTERM stop, unless the embedder owns shutdown
+        # (DSD_NEO_NO_SIGNAL_HANDLERS, docs/cli.md:594-596)
+        if cfg is None or not cfg.no_signal_handlers:
+            import signal as _signal
+
+            def _on_term(signum, frame):
+                eng._stop = True
+            try:
+                _signal.signal(_signal.SIGTERM, _on_term)
+            except ValueError:
+                pass        # not the main thread: skip
         dev.start()
         eng.start()
         try:
@@ -636,6 +658,16 @@ def main(argv: list[str] | None = None) -> int:
             from dsdneo_tpu.io.audio_files import write_wav
             write_wav(args.audio_out[4:], pcm, 8000)
         return 0
+    # DSD_NEO_CONFIG names the INI to load when -c/--config was not
+    # given; DSD_NEO_NO_BOOTSTRAP suppresses the wizard/INI bootstrap
+    # chain entirely (embedders drive configuration themselves)
+    from dsdneo_tpu.runtime import config as _rtcfg0
+    _env_cfg = _rtcfg0.load_env()
+    if _env_cfg.no_bootstrap:
+        args.wizard = False
+        args.config = ""
+    elif not args.config and _env_cfg.config_path:
+        args.config = _env_cfg.config_path
     if args.wizard:
         from dsdneo_tpu.runtime.wizard import run_wizard
 
@@ -672,6 +704,12 @@ def main(argv: list[str] | None = None) -> int:
         for e in errs:
             print(f"dsd-neo-tpu: config: {e}", file=sys.stderr)
     cfg = rtcfg.load_env(cfg)
+    rtcfg._config = cfg            # process-wide config for lazy readers
+    if cfg.ftz_daz:
+        # DSD_NEO_FTZ_DAZ: flush-to-zero/denormals-are-zero on the
+        # decode thread's FPU (native MXCSR; no-op off x86)
+        from dsdneo_tpu.runtime.native import set_ftz_daz
+        set_ftz_daz(True)
     if args.print_config:
         from dataclasses import fields as _dc_fields
         for fld in _dc_fields(cfg):

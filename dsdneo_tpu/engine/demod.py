@@ -24,9 +24,9 @@ def _taps_for(profile: str, fs: float) -> np.ndarray:
     return firdes.channel_lpf(fs, profile)
 
 
-@partial(jax.jit, static_argnames=("sps", "four_level", "n_sym"))
+@partial(jax.jit, static_argnames=("sps", "four_level", "n_sym", "freeze"))
 def _demod_fm_jit(x: jax.Array, taps: jax.Array, sps: float, four_level: bool,
-                  n_sym: int):
+                  n_sym: int, freeze: bool = False):
     y = frontend.fir_complex(x, taps)
     d = frontend.fm_discriminate(y)
     # power gate: dead-air samples (numeric dust after resampling /
@@ -35,7 +35,14 @@ def _demod_fm_jit(x: jax.Array, taps: jax.Array, sps: float, four_level: bool,
     # analogue (src/dsp/demod_pipeline.cpp squelch stage)
     p = jnp.abs(y) ** 2
     d = jnp.where(p > 0.02 * jnp.max(p, axis=-1, keepdims=True), d, 0.0)
-    sym, pos = timing.recover_symbols(d, sps, win_symbols=256, max_symbols=n_sym)
+    # DSD_NEO_WINDOW_FREEZE: freeze symbol-center window timing (one
+    # global phase, no drift tracking) for debugging symbol-center
+    # drift (docs/cli.md:312-314)
+    if freeze:
+        sym, pos = timing.recover_symbols_fixed(d, sps, max_symbols=n_sym)
+    else:
+        sym, pos = timing.recover_symbols(d, sps, win_symbols=256,
+                                          max_symbols=n_sym)
     dibits, norm = slicer.slice_dibits(sym, win=512, four_level=four_level)
     power = frontend.iq_power(x)
     return dibits, norm, power
@@ -99,8 +106,10 @@ def demod_fm(samples: np.ndarray, mode: ModeConfig | str, fs: float = 48000.0
     sps = fs / mode.symbol_rate
     n_sym = int((x.shape[1] - 2 * sps) // sps)
     taps = jnp.asarray(_taps_for(mode.lpf_profile, fs))
+    from dsdneo_tpu.runtime import config as rtcfg
     dibits, norm, _power = _demod_fm_jit(jnp.asarray(x), taps, sps,
-                                         mode.four_level, n_sym)
+                                         mode.four_level, n_sym,
+                                         freeze=rtcfg.get().window_freeze)
     dibits = np.asarray(dibits)
     norm = np.asarray(norm)
     if squeeze:

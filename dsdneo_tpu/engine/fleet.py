@@ -74,10 +74,20 @@ class FleetMonitor:
     events accumulate in each CC pipeline's per-channel contexts.
     """
 
-    def __init__(self, fs: float = 48000.0):
+    def __init__(self, fs: float = 48000.0, workers: int | None = None):
         self.fs = fs
         self.groups: list[FleetGroup] = []
         self.blocks = 0
+        # DSD_NEO_MT (docs/cli.md:585): light 2-thread worker pool —
+        # group decodes (host-side catalog parse after the device
+        # screen) overlap across groups; default stays single-threaded
+        if workers is None:
+            from dsdneo_tpu.runtime import config as rtcfg
+            workers = 2 if rtcfg.get().mt else 0
+        self._pool = None
+        if workers:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=workers)
 
     @property
     def total_channels(self) -> int:
@@ -98,12 +108,17 @@ class FleetMonitor:
         assert iq.shape[0] == self.total_channels, (
             f"block carries {iq.shape[0]} channels, fleet has "
             f"{self.total_channels}")
-        for g in self.groups:
+        def _one(g):
             sub = iq[g.start:g.start + g.count]
             if g.kind == "voice":
                 g.pcm = g.pipeline.decode_block(sub)
             else:
                 g.pipeline.decode_block_events(sub)
+        if self._pool is not None:
+            list(self._pool.map(_one, self.groups))
+        else:
+            for g in self.groups:
+                _one(g)
         self.blocks += 1
 
     def events(self, channel: int):

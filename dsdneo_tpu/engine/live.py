@@ -77,6 +77,9 @@ class LiveEngine:
         self.level_warn_db = -200.0
         self.level_warnings = 0
         self.auto_ppm = None          # io.auto_ppm.AutoPpm
+        # DSD_NEO_P25_AFC_STATUS_GATE: suppress auto-PPM training on
+        # frames not classified as infrastructure-originated
+        self.afc_status_gate = False
         self._stop = False
         self._thread: threading.Thread | None = None
         self._ctl = None
@@ -185,9 +188,20 @@ class LiveEngine:
                 self.level_warnings += 1
             if self.auto_ppm is not None:
                 from dsdneo_tpu.io.auto_ppm import estimate_cfo_hz
-                self.auto_ppm.update(
-                    estimate_cfo_hz(samples, self.fs),
-                    getattr(self.decoder, "last_snr_db", 0.0))
+                # advisory AFC status gate (DSD_NEO_P25_AFC_STATUS_GATE):
+                # when enabled, frames classified subscriber-originated
+                # or unknown must not train the PPM loop (reference
+                # rtl_sdr_fm.cpp:6884 over p25_status_symbol.c)
+                gate_ok = True
+                if self.afc_status_gate:
+                    cls = getattr(self.decoder.ctx.state,
+                                  "p25_ss_classification", None)
+                    gate_ok = cls == "infrastructure"
+                if gate_ok:
+                    self.auto_ppm.update(
+                        estimate_cfo_hz(samples, self.fs),
+                        getattr(self.decoder, "last_snr_db", 0.0),
+                        pwr_db=rms_db)
             # post-retune mute window: drop the transient samples so a
             # mid-burst retune never splices stale and fresh signal
             # into one demod window (reference retune mute)
@@ -216,10 +230,19 @@ class LiveEngine:
                 if self.scanner is not None:
                     self.scanner.on_activity()
             events = [] if squelched else self.decoder.push(samples)
+            # audio-hold gate (DSD_NEO_P25_VOICE_HOLD / MAC_HOLD /
+            # RING_HOLD): while TUNED, a configured voice-hold window
+            # with no recent voice/MAC/audio activity mutes delivery
+            gate_mute = False
+            if self.trunk is not None:
+                sm = getattr(self.trunk, "sm", None)
+                if sm is not None and sm.phase.name == "TUNED" \
+                        and not sm.audio_eligible():
+                    gate_mute = True
             for e in events:
                 if self.trunk is not None:
                     self.trunk.on_event(e)
-                if self.on_event is not None and not self.muted:
+                if self.on_event is not None and not (self.muted or gate_mute):
                     self.on_event(e)
             if self.trunk is not None:
                 # the reference's watchdog tick (p25_sm_watchdog.c)

@@ -76,13 +76,34 @@ class TrunkSM:
                  hangtime_s: float = 1.0, vc_grace_s: float = 1.5,
                  cc_timeout_s: float = 5.0,
                  now_fn: Callable[[], float] = time.monotonic,
-                 cc_cache_path: str = ""):
+                 cc_cache_path: str = "",
+                 grant_timeout_s: float = 0.0,
+                 min_follow_dwell_s: float = 0.0,
+                 force_release_extra_s: float = 0.0,
+                 force_release_margin_s: float = 0.0,
+                 err_hold_pct: float = 0.0, err_hold_s: float = 0.0,
+                 mac_hold_s: float = 0.0, ring_hold_s: float = 0.0,
+                 voice_hold_s: float = 0.0,
+                 cc_cache_enable: bool = True):
         self.tune = tune
         self.policy = policy or (lambda tg: True)
         self.hangtime_s = hangtime_s
         self.vc_grace_s = vc_grace_s
         self.cc_timeout_s = cc_timeout_s
         self.now = now_fn
+        # reference trunk-SM timing knobs (docs/cli.md:629-646
+        # DSD_NEO_P25_GRANT_TIMEOUT / MIN_FOLLOW_DWELL /
+        # FORCE_RELEASE_EXTRA+MARGIN / P25P1_ERR_HOLD_PCT+S and the
+        # MAC/RING/VOICE audio-hold windows); 0 disables a knob
+        self.grant_timeout_s = grant_timeout_s
+        self.min_follow_dwell_s = min_follow_dwell_s
+        self.force_release_extra_s = force_release_extra_s
+        self.force_release_margin_s = force_release_margin_s
+        self.err_hold_pct = err_hold_pct
+        self.err_hold_s = err_hold_s
+        self.mac_hold_s = mac_hold_s
+        self.ring_hold_s = ring_hold_s
+        self.voice_hold_s = voice_hold_s
 
         self.phase = TrunkPhase.IDLE
         self.cc_freq: float = 0.0
@@ -93,16 +114,46 @@ class TrunkSM:
         self.last_cc_seen = 0.0
         self.last_vc_activity = 0.0
         self.tuned_at = 0.0
+        self.first_voice_at = 0.0     # 0 = no voice yet on this grant
+        self.last_mac_activity = 0.0
+        self.last_audio_out = 0.0
+        self.err_hold_until = 0.0     # high-error hangtime extension
         self.events: list[str] = []
         # on-disk CC candidate cache (reference p25_cc_candidates.c +
         # DSD_NEO_P25_CC_CACHE, docs/cli.md:642): warm-start the hunt
-        # list across runs
+        # list across runs; DSD_NEO_CC_CACHE=0 disables the load
         self.cc_cache_path = cc_cache_path
         # SM decision log file (reference --p25-sm-log,
         # src/core/file/p25_sm_log.c): every phase transition appended
         self.log_path = ""
-        if cc_cache_path:
+        if cc_cache_path and cc_cache_enable:
             self._load_cc_cache()
+
+    @staticmethod
+    def kwargs_from_config(cfg, mode: str = "p25p1") -> dict:
+        """Map the RuntimeConfig's reference-name trunking knobs
+        (docs/cli.md:629-646) onto TrunkSM constructor kwargs; the
+        grant timeout picks the per-protocol knob by mode."""
+        import os
+        grant_to = cfg.p25_grant_timeout_s
+        if mode.startswith("dmr") and cfg.dmr_grant_timeout_s > 0:
+            grant_to = cfg.dmr_grant_timeout_s
+        cache = cfg.cc_cache_path
+        if not cache and cfg.cache_dir:
+            # DSD_NEO_CACHE_DIR locates historical CC cache files
+            cache = os.path.join(cfg.cache_dir, "cc_candidates.json")
+        return dict(
+            grant_timeout_s=grant_to,
+            min_follow_dwell_s=cfg.p25_min_follow_dwell_s,
+            force_release_extra_s=cfg.p25_force_release_extra_s,
+            force_release_margin_s=cfg.p25_force_release_margin_s,
+            err_hold_pct=cfg.p25p1_err_hold_pct,
+            err_hold_s=cfg.p25p1_err_hold_s,
+            mac_hold_s=cfg.p25_mac_hold_s,
+            ring_hold_s=cfg.p25_ring_hold_s,
+            voice_hold_s=cfg.p25_voice_hold_s,
+            cc_cache_path=cache,
+            cc_cache_enable=cfg.cc_cache_enable)
 
     # -- CC candidate disk cache -------------------------------------------
     def _load_cc_cache(self) -> None:
@@ -155,12 +206,54 @@ class TrunkSM:
             self.current_tg = ev.tg
             self.tuned_at = self.now()
             self.last_vc_activity = self.tuned_at
+            self.first_voice_at = 0.0
+            self.err_hold_until = 0.0
             self._log(f"TUNED TG {ev.tg} @ {ev.freq_hz/1e6:.4f} MHz")
             return True
         return False
 
     def on_voice_activity(self) -> None:
         self.last_vc_activity = self.now()
+        if not self.first_voice_at:
+            self.first_voice_at = self.last_vc_activity
+
+    def on_mac_activity(self) -> None:
+        """MAC/LC signalling on the tuned carrier keeps the slot
+        audio-eligible (reference DSD_NEO_P25_MAC_HOLD window)."""
+        self.last_mac_activity = self.now()
+
+    def on_audio_out(self) -> None:
+        """PCM actually emitted — feeds the ring-hold gate window
+        (reference DSD_NEO_P25_RING_HOLD)."""
+        self.last_audio_out = self.now()
+
+    def on_voice_errs(self, pct: float) -> None:
+        """Per-frame IMBE error percentage: above the configured
+        threshold the hangtime deadline is extended (reference
+        DSD_NEO_P25P1_ERR_HOLD_PCT/_S, docs/cli.md:378-380) so a noisy
+        but live call is not released mid-transmission."""
+        if self.err_hold_pct > 0 and self.err_hold_s > 0 \
+                and pct >= self.err_hold_pct:
+            self.err_hold_until = self.now() + self.err_hold_s
+
+    def audio_eligible(self) -> bool:
+        """Audio gate consulted by the live loop while TUNED: recent
+        voice (VOICE_HOLD), recent MAC signalling (MAC_HOLD), or recent
+        audio output (RING_HOLD) keep the slot open.  All windows
+        default to 0 = always eligible (the reference's gates are
+        advisory unless configured)."""
+        if self.voice_hold_s <= 0:
+            return True
+        now = self.now()
+        if now - self.last_vc_activity <= self.voice_hold_s:
+            return True
+        if (self.mac_hold_s > 0 and self.last_mac_activity
+                and now - self.last_mac_activity <= self.mac_hold_s):
+            return True
+        if (self.ring_hold_s > 0 and self.last_audio_out
+                and now - self.last_audio_out <= self.ring_hold_s):
+            return True
+        return False
 
     def on_release(self, forced: bool = False) -> None:
         if self.phase != TrunkPhase.TUNED:
@@ -172,7 +265,30 @@ class TrunkSM:
     def tick(self) -> None:
         now = self.now()
         if self.phase == TrunkPhase.TUNED:
-            if (now - self.last_vc_activity > self.hangtime_s
+            # grant timeout: tuned but voice never arrived
+            # (DSD_NEO_P25_GRANT_TIMEOUT / DSD_NEO_DMR_GRANT_TIMEOUT)
+            if (self.grant_timeout_s > 0 and not self.first_voice_at
+                    and now - self.tuned_at > self.grant_timeout_s):
+                self._return_to_cc("grant timeout")
+                return
+            # force-release safety net beyond hangtime
+            # (DSD_NEO_P25_FORCE_RELEASE_EXTRA + _MARGIN): overrides
+            # every suppression below
+            if self.force_release_extra_s > 0:
+                budget = (self.hangtime_s + self.force_release_extra_s
+                          + self.force_release_margin_s)
+                if now - self.last_vc_activity > budget:
+                    self._return_to_cc("force release")
+                    return
+            # high-error hangtime extension (P25P1_ERR_HOLD)
+            hang_deadline = max(self.last_vc_activity + self.hangtime_s,
+                                self.err_hold_until)
+            # minimum follow dwell after first voice
+            # (DSD_NEO_P25_MIN_FOLLOW_DWELL)
+            if (self.first_voice_at and self.min_follow_dwell_s > 0
+                    and now - self.first_voice_at < self.min_follow_dwell_s):
+                return
+            if (now > hang_deadline
                     and now - self.tuned_at > self.vc_grace_s):
                 self._return_to_cc("hangtime expired")
         elif self.phase == TrunkPhase.ON_CC:
@@ -370,6 +486,22 @@ class TrunkFollower:
         self.enc_skips = 0
         self.grants = 0
         self.releases = 0
+        # priority preemption (reference docs/cli.md:382-384
+        # DSD_NEO_TG_PREEMPT_MIN_DWELL_MS / _COOLDOWN_MS over the group
+        # list's priority/preempt policy columns): a preempt-enabled
+        # grant whose priority exceeds the active call's may displace
+        # it, after a minimum dwell and with a cooldown between
+        # displacement attempts
+        self.preempt_min_dwell_s = 0.75
+        self.preempt_cooldown_s = 1.0
+        self._last_preempt = 0.0
+        self.preemptions = 0
+        # grant-to-voice timeout ledger (DSD_NEO_P25_GRANT_VOICE_TO):
+        # pending tune requests the SM could not take (already TUNED)
+        # expire instead of queueing forever
+        self.grant_voice_to_s = 0.0
+        self._pending_grant: Optional[GrantEvent] = None
+        self._pending_at = 0.0
 
     def resolve_freq(self, fields: dict) -> float:
         ch = int(fields.get("channel", 0) or 0)
@@ -425,22 +557,74 @@ class TrunkFollower:
                     self.sm.on_cc_activity(cur)
             freq = self.resolve_freq(f)
             if freq > 0:
-                ok = self.sm.on_grant(GrantEvent(
-                    freq_hz=freq, tg=int(f.get("tg", 0) or 0),
+                ev2 = GrantEvent(
+                    freq_hz=freq, tg=tg,
                     src=int(f.get("src", 0) or 0),
-                    channel=int(f.get("channel", f.get("lpcn", 0)) or 0)))
+                    channel=int(f.get("channel", f.get("lpcn", 0)) or 0))
+                if self.sm.phase == TrunkPhase.TUNED:
+                    if self._try_preempt(ev2):
+                        return
+                    # park the grant in the grant-to-voice ledger: it
+                    # is retried on release until GRANT_VOICE_TO expires
+                    if self.grant_voice_to_s > 0:
+                        self._pending_grant = ev2
+                        self._pending_at = self.sm.now()
+                    return
+                ok = self.sm.on_grant(ev2)
                 self.grants += ok
             return
         if f.get("release"):
             self.releases += 1
             self.sm.on_release()
+            self._retry_pending()
             return
         if self.sm.phase == TrunkPhase.TUNED:
             self.sm.on_voice_activity()
+            if f.get("mac") or f.get("lc"):
+                self.sm.on_mac_activity()
+            pct = f.get("errs_pct")
+            if pct is not None:
+                self.sm.on_voice_errs(float(pct))
         else:
             cur = self.current_freq()
             if cur > 0:
                 self.sm.on_cc_activity(cur)
 
+    def _try_preempt(self, ev: GrantEvent) -> bool:
+        """Displace the active call for a higher-priority preempt-
+        enabled grant (group-list policy columns)."""
+        pol = getattr(self.ctx.state, "tg_policy", None)
+        if pol is None or not hasattr(pol, "preempts"):
+            return False
+        if not pol.preempts(ev.tg):
+            return False
+        if pol.priority(ev.tg) <= pol.priority(self.sm.current_tg):
+            return False
+        now = self.sm.now()
+        if now - self.sm.tuned_at < self.preempt_min_dwell_s:
+            return False
+        if now - self._last_preempt < self.preempt_cooldown_s:
+            return False
+        self._last_preempt = now
+        self.sm.on_release(forced=True)
+        if self.sm.on_grant(ev):
+            self.preemptions += 1
+            self.grants += 1
+            return True
+        return False
+
+    def _retry_pending(self) -> None:
+        ev = self._pending_grant
+        if ev is None:
+            return
+        if self.sm.now() - self._pending_at > self.grant_voice_to_s:
+            self._pending_grant = None      # grant-to-voice expired
+            return
+        self._pending_grant = None
+        self.grants += self.sm.on_grant(ev)
+
     def tick(self) -> None:
+        if (self._pending_grant is not None and self.grant_voice_to_s > 0
+                and self.sm.now() - self._pending_at > self.grant_voice_to_s):
+            self._pending_grant = None
         self.sm.tick()

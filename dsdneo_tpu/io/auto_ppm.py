@@ -33,13 +33,23 @@ class AutoPpm:
                  snr_gate_db: float = 9.0, train_blocks: int = 6,
                  max_step_ppm: int = 2, deadband_ppm: float = 0.55,
                  lock_blocks: int = 12, ema: float = 0.3,
-                 initial_ppm: int = 0, freeze: bool = False):
+                 initial_ppm: int = 0, freeze: bool = False,
+                 pwr_gate_db: float = -80.0,
+                 zerolock_hz: float = 0.0):
         self.set_ppm = set_ppm
         self.center_hz = float(center_hz)
         self.snr_gate_db = snr_gate_db
         self.train_blocks = train_blocks
         self.max_step_ppm = max_step_ppm
+        # DSD_NEO_AUTO_PPM_ZEROLOCK_PPM: the zero-step lock guard — an
+        # EMA inside this band counts toward the lock
         self.deadband_ppm = deadband_ppm
+        # DSD_NEO_AUTO_PPM_ZEROLOCK_HZ: absolute-frequency lock guard;
+        # 0 keeps only the ppm-relative band
+        self.zerolock_hz = zerolock_hz
+        # DSD_NEO_AUTO_PPM_PWR_DB: absolute signal-power gate — blocks
+        # below it never train the loop (reference default −80 dB)
+        self.pwr_gate_db = pwr_gate_db
         self.lock_blocks = lock_blocks
         self.alpha = ema
         self.ppm = int(initial_ppm)
@@ -51,9 +61,12 @@ class AutoPpm:
         self._n_est = 0
         self._in_deadband = 0
 
-    def update(self, cfo_hz: float, snr_db: float) -> bool:
+    def update(self, cfo_hz: float, snr_db: float,
+               pwr_db: float | None = None) -> bool:
         """Returns True when a correction was issued this block."""
         if self.locked or self.freeze or snr_db < self.snr_gate_db:
+            return False
+        if pwr_db is not None and pwr_db < self.pwr_gate_db:
             return False
         if self._ema is None:
             self._ema = cfo_hz
@@ -63,7 +76,9 @@ class AutoPpm:
         if self._n_est < self.train_blocks:
             return False
         err_ppm = self._ema / self.center_hz * 1e6
-        if abs(err_ppm) <= self.deadband_ppm:
+        if (abs(err_ppm) <= self.deadband_ppm
+                or (self.zerolock_hz > 0
+                    and abs(self._ema) <= self.zerolock_hz)):
             self._in_deadband += 1
             if self._in_deadband >= self.lock_blocks:
                 self.locked = True

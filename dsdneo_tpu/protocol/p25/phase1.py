@@ -60,7 +60,29 @@ class P25P1Decoder(ProtocolDecoder):
             self._mpdu(reader, hit, ctx)
         elif duid == 0x3:
             pass  # terminator: nothing further to read before next sync
+        self._classify_status(reader, ctx)
         return reader.pos
+
+    @staticmethod
+    def _classify_status(reader: DibitReader, ctx: DecoderContext) -> None:
+        """Classify the frame's transmission direction from the stripped
+        status dibits (reference p25_status_symbol.c, sdrtrunk
+        semantics: 01/11 count repeater/outbound, 00 counts subscriber,
+        10 is ignored) — drives the advisory auto-PPM AFC gate
+        (DSD_NEO_P25_AFC_STATUS_GATE)."""
+        rep = sub = 0
+        for d in reader.status_dibits:
+            if d in (0x1, 0x3):
+                rep += 1
+            elif d == 0x0:
+                sub += 1
+        if rep > sub:
+            cls = "infrastructure"
+        elif sub > 0:
+            cls = "subscriber"
+        else:
+            cls = "unknown"
+        ctx.state.p25_ss_classification = cls
 
     # -- MPDU (packet data unit) ------------------------------------------
     # reference p25p1_pdu_data.c p25_sap_label (decimal SAPs)
@@ -223,8 +245,24 @@ class P25P1Decoder(ProtocolDecoder):
         """Ranked-list trellis decode gated by the outer CRC16: try the
         candidates best-first and return the first that passes, else the
         best path (reference tsbk_select_crc_candidate, p25p1_tsbk.c:111
-        over p25_12_soft_llr_list)."""
-        cands = trellis.p25_12_decode_list(bits, llr)
+        over p25_12_soft_llr_list).
+
+        The soft-decision knobs (docs/cli.md:500-505) shape the ranked
+        retries: DSD_NEO_P25_SOFT_ERASURE_THRESHOLD (shared) /
+        DSD_NEO_P25P1_SOFT_ERASURE_THRESHOLD (phase override) bound the
+        list depth — lower is more conservative, higher expands — and
+        DSD_NEO_P25_SOFT_HARD_OVERRIDE=0 keeps a CRC-passing hard
+        Viterbi decode even when a soft candidate ranks better."""
+        from dsdneo_tpu.runtime import config as rtcfg
+        cfg = rtcfg.get()
+        thr = cfg.p25p1_soft_erasure_threshold or cfg.soft_erasure_threshold
+        if not cfg.p25_soft_hard_override:
+            data96, _cost = trellis.p25_12_decode(bits, llr)
+            if crc.crc16_bits(data96[:80], init=0,
+                              xorout=0xFFFF) == _bits_to_int(data96[80:96]):
+                return data96
+        depth = max(1, min(trellis.MAX_CANDIDATES, -(-int(thr) // 8)))
+        cands = trellis.p25_12_decode_list(bits, llr, max_candidates=depth)
         for data96, _metric in cands:
             if crc.crc16_bits(data96[:80], init=0,
                               xorout=0xFFFF) == _bits_to_int(data96[80:96]):

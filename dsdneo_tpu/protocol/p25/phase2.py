@@ -225,6 +225,21 @@ class P25P2Decoder(ProtocolDecoder):
         vec[19:35] = p2_xcch._hexpack(payload_bits)
         vec[35:63] = p2_xcch._hexpack(parity_bits)
         dec, nerr = rs.rs_63_35().decode(vec, erasures=[])
+        if nerr < 0:
+            # DSD_NEO_P25P2_SOFT_ERASURE_THRESHOLD (docs/cli.md:503):
+            # expanded erasure retries on ESS RS failure.  This layer
+            # holds hard bits (no per-symbol soft values), so the
+            # "weakest-symbol prefix" is a deterministic sliding-window
+            # sweep over the parity span — burst damage confined there
+            # becomes recoverable; threshold 0 disables (default)
+            from dsdneo_tpu.runtime import config as rtcfg
+            thr = rtcfg.get().p25p2_soft_erasure_threshold
+            for r in range(min(max(thr, 0) // 16, 12)):
+                eras = list(range(35 + 2 * r, min(35 + 2 * r + 8, 63)))
+                dec2, nerr2 = rs.rs_63_35().decode(vec, erasures=eras)
+                if nerr2 >= 0:
+                    dec, nerr = dec2, nerr2
+                    break
         cs = self.crypto[slot]
         detail = ""
         if 0 <= nerr < 15:

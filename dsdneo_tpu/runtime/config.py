@@ -29,7 +29,7 @@ class RuntimeConfig:
     sync_threshold: float = 0.62
     sync_warmstart: bool = False       # DSD_NEO_SYNC_WARMSTART
     sync_cal_path: str = ""            # DSD_NEO_SYNC_CAL_PATH
-    soft_erasure_threshold: int = 60   # DSD_NEO_P25 soft thresholds
+    soft_erasure_threshold: int = 64   # DSD_NEO_P25_SOFT_ERASURE_THRESHOLD
     # trunking
     trunk_enable: bool = False
     trunk_hangtime_s: float = 1.0      # DSD_NEO_P25_VC_GRACE etc.
@@ -66,6 +66,37 @@ class RuntimeConfig:
     iq_dc_block: bool = False          # DSD_NEO_IQ_DC_BLOCK
     rtl_agc: bool = False              # DSD_NEO_RTL_AGC
     tuner_bw_hz: int = 0               # DSD_NEO_TUNER_BW_HZ
+    # reference-name parity batch 4 (docs/cli.md:493-658), each with a
+    # consumer: runtime/bootstrap, auto-PPM gates, P25/DMR trunk SM
+    # timers, soft-decision thresholds, preemption policy
+    config_path: str = ""              # DSD_NEO_CONFIG (INI path)
+    cache_dir: str = ""                # DSD_NEO_CACHE_DIR
+    cc_cache_enable: bool = True       # DSD_NEO_CC_CACHE (0 disables load)
+    no_bootstrap: bool = False         # DSD_NEO_NO_BOOTSTRAP
+    no_signal_handlers: bool = False   # DSD_NEO_NO_SIGNAL_HANDLERS
+    mt: bool = False                   # DSD_NEO_MT (light worker pool)
+    ftz_daz: bool = False              # DSD_NEO_FTZ_DAZ (native FTZ/DAZ)
+    window_freeze: bool = False        # DSD_NEO_WINDOW_FREEZE
+    auto_ppm_pwr_db: float = -80.0     # DSD_NEO_AUTO_PPM_PWR_DB
+    auto_ppm_zerolock_ppm: float = 0.6   # DSD_NEO_AUTO_PPM_ZEROLOCK_PPM
+    auto_ppm_zerolock_hz: float = 60.0   # DSD_NEO_AUTO_PPM_ZEROLOCK_HZ
+    p25_grant_timeout_s: float = 0.0   # DSD_NEO_P25_GRANT_TIMEOUT (0=off)
+    p25_grant_voice_to_s: float = 0.0  # DSD_NEO_P25_GRANT_VOICE_TO
+    p25_min_follow_dwell_s: float = 0.0  # DSD_NEO_P25_MIN_FOLLOW_DWELL
+    p25_mac_hold_s: float = 0.0        # DSD_NEO_P25_MAC_HOLD
+    p25_ring_hold_s: float = 0.0       # DSD_NEO_P25_RING_HOLD
+    p25_voice_hold_s: float = 0.0      # DSD_NEO_P25_VOICE_HOLD
+    p25_force_release_extra_s: float = 0.0   # DSD_NEO_P25_FORCE_RELEASE_EXTRA
+    p25_force_release_margin_s: float = 0.0  # DSD_NEO_P25_FORCE_RELEASE_MARGIN
+    p25p1_err_hold_pct: float = 0.0    # DSD_NEO_P25P1_ERR_HOLD_PCT
+    p25p1_err_hold_s: float = 0.0      # DSD_NEO_P25P1_ERR_HOLD_S
+    dmr_grant_timeout_s: float = 0.0   # DSD_NEO_DMR_GRANT_TIMEOUT
+    tg_preempt_min_dwell_ms: int = 750   # DSD_NEO_TG_PREEMPT_MIN_DWELL_MS
+    tg_preempt_cooldown_ms: int = 1000   # DSD_NEO_TG_PREEMPT_COOLDOWN_MS
+    p25_afc_status_gate: bool = False  # DSD_NEO_P25_AFC_STATUS_GATE
+    p25p1_soft_erasure_threshold: int = 0   # 0 = inherit shared threshold
+    p25p2_soft_erasure_threshold: int = 0   # DSD_NEO_P25P2_SOFT_ERASURE_...
+    p25_soft_hard_override: bool = True  # DSD_NEO_P25_SOFT_HARD_OVERRIDE
 
     def with_overrides(self, **kw) -> "RuntimeConfig":
         kw = {k: v for k, v in kw.items() if v is not None}
@@ -113,6 +144,40 @@ _ENV_MAP = {
     "IQ_DC_BLOCK": ("iq_dc_block", lambda v: v not in ("0", "", "false")),
     "RTL_AGC": ("rtl_agc", lambda v: v not in ("0", "", "false")),
     "TUNER_BW_HZ": ("tuner_bw_hz", int),
+    # reference-name parity batch 4 (the names in docs/cli.md:493-658)
+    "CONFIG": ("config_path", str),
+    "CACHE_DIR": ("cache_dir", str),
+    "CC_CACHE": ("cc_cache_enable", lambda v: v not in ("0", "false")),
+    "NO_BOOTSTRAP": ("no_bootstrap", lambda v: v not in ("0", "", "false")),
+    "NO_SIGNAL_HANDLERS": ("no_signal_handlers",
+                           lambda v: v not in ("0", "", "false")),
+    "MT": ("mt", lambda v: v not in ("0", "", "false")),
+    "FTZ_DAZ": ("ftz_daz", lambda v: v not in ("0", "", "false")),
+    "WINDOW_FREEZE": ("window_freeze", lambda v: v not in ("0", "", "false")),
+    "AUTO_PPM_PWR_DB": ("auto_ppm_pwr_db", float),
+    "AUTO_PPM_ZEROLOCK_PPM": ("auto_ppm_zerolock_ppm", float),
+    "AUTO_PPM_ZEROLOCK_HZ": ("auto_ppm_zerolock_hz", float),
+    "INPUT_WARN_DB": ("input_level_warn_db", float),
+    "P25_GRANT_TIMEOUT": ("p25_grant_timeout_s", float),
+    "P25_GRANT_VOICE_TO": ("p25_grant_voice_to_s", float),
+    "P25_MIN_FOLLOW_DWELL": ("p25_min_follow_dwell_s", float),
+    "P25_MAC_HOLD": ("p25_mac_hold_s", float),
+    "P25_RING_HOLD": ("p25_ring_hold_s", float),
+    "P25_VOICE_HOLD": ("p25_voice_hold_s", float),
+    "P25_FORCE_RELEASE_EXTRA": ("p25_force_release_extra_s", float),
+    "P25_FORCE_RELEASE_MARGIN": ("p25_force_release_margin_s", float),
+    "P25P1_ERR_HOLD_PCT": ("p25p1_err_hold_pct", float),
+    "P25P1_ERR_HOLD_S": ("p25p1_err_hold_s", float),
+    "DMR_GRANT_TIMEOUT": ("dmr_grant_timeout_s", float),
+    "TG_PREEMPT_MIN_DWELL_MS": ("tg_preempt_min_dwell_ms", int),
+    "TG_PREEMPT_COOLDOWN_MS": ("tg_preempt_cooldown_ms", int),
+    "P25_AFC_STATUS_GATE": ("p25_afc_status_gate",
+                            lambda v: v not in ("0", "", "false")),
+    "P25_SOFT_ERASURE_THRESHOLD": ("soft_erasure_threshold", int),
+    "P25P1_SOFT_ERASURE_THRESHOLD": ("p25p1_soft_erasure_threshold", int),
+    "P25P2_SOFT_ERASURE_THRESHOLD": ("p25p2_soft_erasure_threshold", int),
+    "P25_SOFT_HARD_OVERRIDE": ("p25_soft_hard_override",
+                               lambda v: v not in ("0", "false")),
 }
 
 _PREFIXES = ("DSDNEO_TPU_", "DSD_NEO_")

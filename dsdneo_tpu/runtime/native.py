@@ -62,8 +62,19 @@ def _load():
         lib.dsd_ring_fill.argtypes = [ctypes.c_void_p]
         lib.dsd_ring_generation.restype = ctypes.c_uint32
         lib.dsd_ring_generation.argtypes = [ctypes.c_void_p]
+        lib.dsd_set_ftz_daz.restype = ctypes.c_int
+        lib.dsd_set_ftz_daz.argtypes = [ctypes.c_int]
         _lib = lib
         return lib
+
+
+def set_ftz_daz(enable: bool = True) -> bool:
+    """DSD_NEO_FTZ_DAZ: flush-to-zero/denormals-are-zero on the calling
+    thread (x86 MXCSR; returns False where unsupported)."""
+    try:
+        return bool(_load().dsd_set_ftz_daz(1 if enable else 0))
+    except (OSError, subprocess.CalledProcessError, AttributeError):
+        return False
 
 
 class IngestRing:

@@ -165,6 +165,27 @@ void dsd_ring_purge(Ring* r) {
 
 void dsd_ring_shutdown(Ring* r) { r->shutdown.store(1); }
 
+// DSD_NEO_FTZ_DAZ: flush-to-zero / denormals-are-zero for the calling
+// thread's FP unit (the reference sets MXCSR bits in dsd_main.cpp for
+// the demod hot path; here the host-side resampler/ring math benefits
+// the same way).  Returns 1 when applied, 0 when the platform has no
+// such control (non-x86).
+int dsd_set_ftz_daz(int enable) {
+#if defined(__SSE2__)
+    unsigned int csr = __builtin_ia32_stmxcsr();
+    if (enable) {
+        csr |= 0x8040;   // FTZ (bit 15) | DAZ (bit 6)
+    } else {
+        csr &= ~0x8040u;
+    }
+    __builtin_ia32_ldmxcsr(csr);
+    return 1;
+#else
+    (void)enable;
+    return 0;
+#endif
+}
+
 uint64_t dsd_ring_drops(const Ring* r) { return r->drops.load(); }
 
 size_t dsd_ring_fill(const Ring* r) {
