@@ -358,6 +358,11 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
         if cfg is not None:
             eng.snr_squelch_db = cfg.snr_sql_db
             eng.dc_block = cfg.iq_dc_block
+            eng.dc_shift = cfg.iq_dc_shift
+            eng.retune_drain_s = cfg.retune_drain_ms / 1e3
+            eng.output_clear_on_retune = cfg.output_clear_on_retune
+            eng.combine_rot = cfg.combine_rot
+            eng.fs4_shift = not cfg.disable_fs4_shift
         if args.iq_capture:
             from dsdneo_tpu.io.iq import IqCaptureWriter, IqMetadata
             eng.capture = IqCaptureWriter(
@@ -380,7 +385,10 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             # (reference -U; SDR++ default 4532)
             from dsdneo_tpu.io.net import RigctlClient
             try:
-                rig = RigctlClient(args.rigctl_host, args.rigctl_port)
+                # DSD_NEO_RIGCTL_RCVTIMEO: socket receive timeout
+                rig = RigctlClient(args.rigctl_host, args.rigctl_port,
+                                   timeout=(cfg.rigctl_rcvtimeo_ms / 1e3
+                                            if cfg else 2.0))
             except OSError as e:
                 print(f"dsd-neo-tpu: rigctl unavailable: {e}",
                       file=sys.stderr)
@@ -389,7 +397,8 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             if rig is not None:
                 rig.set_freq(f_hz)
             else:
-                dev.set_freq(int(f_hz))
+                # keep the +fs/4 capture-shift relationship on retunes
+                dev.set_freq(int(f_hz + eng.fs4_offset_hz))
 
         if args.trunk or args.trunk_scan:
             from dsdneo_tpu.engine.trunk import TrunkFollower, TrunkSM
@@ -497,7 +506,7 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             ring = (eng.ring if factor <= 1
                     else _DecimatingRing(eng.ring, factor))
             dev = RtlTcpClient(host, port, ring, sample_rate=dev_rate,
-                               freq_hz=freq)
+                               freq_hz=freq + int(eng.fs4_offset_hz))
             return dev, freq
 
         return _drive_live(make_rtltcp)
@@ -520,12 +529,13 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
                                    agc=bool(cfg is not None and cfg.rtl_agc),
                                    bandwidth_hz=(cfg.tuner_bw_hz
                                                  if cfg is not None else 0),
-                                   freq_hz=freq)
+                                   freq_hz=freq + int(eng.fs4_offset_hz))
             else:
                 # soapy:driver=...[:freqHz]
                 freq = int(parts[2]) if len(parts) > 2 else 851_000_000
                 dev = SoapyDevice(ring, driver_args=parts[1],
-                                  sample_rate=dev_rate, freq_hz=freq)
+                                  sample_rate=dev_rate,
+                                  freq_hz=freq + int(eng.fs4_offset_hz))
             return dev, freq
 
         return _drive_live(make_sdr)
@@ -544,7 +554,9 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
         try:
             if spec.startswith("tcp:"):
                 _, host, port = spec.split(":")
-                src = TcpPcmInput(host, int(port))
+                src = TcpPcmInput(host, int(port),
+                                  backoff_ms=(cfg.tcpin_backoff_ms
+                                              if cfg else 0.0))
             else:
                 parts = spec.split(":")
                 bind = parts[1] if len(parts) > 2 else "127.0.0.1"
@@ -624,6 +636,10 @@ def _run_m17_tx(args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if not args.calc_lcn:
+        # DSD_NEO_DMR_T3_CALC_CSV: env-driven calculator input
+        # (reference oneshot_dmr_t3.c env fallback)
+        args.calc_lcn = os.environ.get("DSD_NEO_DMR_T3_CALC_CSV", "")
     if args.calc_lcn:
         from dsdneo_tpu.engine.lcn_calc import calc_dmr_t3_lcn
         ccf = args.calc_cc_freq
@@ -705,6 +721,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"dsd-neo-tpu: config: {e}", file=sys.stderr)
     cfg = rtcfg.load_env(cfg)
     rtcfg._config = cfg            # process-wide config for lazy readers
+    if cfg.cqpsk and not args.cqpsk:
+        args.cqpsk = True          # DSD_NEO_CQPSK forces the LSM chain
     if cfg.ftz_daz:
         # DSD_NEO_FTZ_DAZ: flush-to-zero/denormals-are-zero on the
         # decode thread's FPU (native MXCSR; no-op off x86)
@@ -1018,9 +1036,29 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         for slot, chunks in ctx.audio.items():
             if chunks:
-                sink.write(slot, np.concatenate(chunks))
+                sink.write(slot, _condition_audio(np.concatenate(chunks),
+                                                  cfg))
         sink.close()
     return 0
+
+
+def _condition_audio(pcm: "np.ndarray", cfg) -> "np.ndarray":
+    """Monitor-audio helpers on the decoded output (reference
+    docs/cli.md:566-570: DSD_NEO_DEEMPH deemphasis curve +
+    DSD_NEO_AUDIO_LPF one-pole cutoff; both off by default)."""
+    if cfg is None:
+        return pcm
+    if cfg.deemph not in ("", "off"):
+        from dsdneo_tpu.dsp.audio_filters import deemphasis
+        tau = {"50": 50.0, "75": 75.0, "nfm": 750.0}.get(cfg.deemph)
+        if tau is not None:
+            pcm = np.asarray(deemphasis(pcm.astype(np.float32),
+                                        fs=8000.0, tau_us=tau))
+    if cfg.audio_lpf_hz > 0:
+        from dsdneo_tpu.dsp.audio_filters import audio_lpf
+        pcm = np.asarray(audio_lpf(pcm.astype(np.float32), fs=8000.0,
+                                   fc=float(cfg.audio_lpf_hz)))
+    return pcm
 
 
 if __name__ == "__main__":

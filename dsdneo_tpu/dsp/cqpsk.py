@@ -30,31 +30,53 @@ import numpy as np
 from dsdneo_tpu.dsp import firdes, frontend
 
 
-def estimate_cfo_qpsk(x: jax.Array, fs: float, symbol_rate: float) -> jax.Array:
+def estimate_cfo_qpsk(x: jax.Array, fs: float, symbol_rate: float,
+                      pull_in_hz: float = 0.0) -> jax.Array:
     """Carrier offset per channel via the 4th-power method: ``[C]`` Hz.
 
     π/4-DQPSK phase increments are odd multiples of π/4, so x⁴ carries a
     deterministic π flip per symbol: its spectral line sits at
-    4·CFO + symbol_rate/2, not 4·CFO."""
+    4·CFO + symbol_rate/2, not 4·CFO.
+
+    ``pull_in_hz`` bounds the CFO search range — the feed-forward
+    analogue of the Costas loop bandwidth's pull-in limit
+    (DSD_NEO_COSTAS_BW); 0 searches the full spectrum."""
     x4 = x ** 4
     n = x.shape[-1]
     spec = jnp.abs(jnp.fft.fft(x4, axis=-1))
-    k = jnp.argmax(spec, axis=-1)
     freqs = jnp.fft.fftfreq(n, 1.0 / fs)
+    if pull_in_hz > 0:
+        # the line lives at 4·CFO + Rs/2: a ±pull_in CFO range maps to
+        # Rs/2 ± 4·pull_in in the x⁴ spectrum
+        mask = jnp.abs(freqs - symbol_rate / 2.0) <= 4.0 * pull_in_hz
+        spec = jnp.where(mask[None, :], spec, 0.0)
+    k = jnp.argmax(spec, axis=-1)
     return (freqs[k] - symbol_rate / 2.0) / 4.0
 
 
 def demod_cqpsk(x: jax.Array, fs: float, symbol_rate: float,
-                rrc_alpha: float = 0.2, n_sym: int | None = None):
+                rrc_alpha: float = 0.2, n_sym: int | None = None,
+                ted_gain: float = 1.0, pull_in_hz: float = 0.0,
+                cfo_prior: float | None = None, cfo_alpha: float = 1.0):
     """``[C, N]`` complex baseband → (soft symbols ``[C, K]`` in the
-    ±1/±3 alphabet, cfo estimates ``[C]``)."""
+    ±1/±3 alphabet, cfo estimates ``[C]``).
+
+    ``ted_gain`` (DSD_NEO_TED_GAIN) scales the timing tracking
+    bandwidth: the reference's Gardner loop gain sets how fast timing
+    follows drift; here the equivalent lever is the O&M window length
+    (higher gain → shorter windows → faster tracking).  ``cfo_prior`` +
+    ``cfo_alpha`` blend the block estimate with cross-block carrier
+    state (DSD_NEO_COSTAS_DAMPING: heavier damping → slower carrier
+    response)."""
     c, n = x.shape
     sps = fs / symbol_rate
     if n_sym is None:
         n_sym = int((n - 2 * sps) // sps) - 1
 
     # 1. CFO correction
-    cfo = estimate_cfo_qpsk(x, fs, symbol_rate)
+    cfo = estimate_cfo_qpsk(x, fs, symbol_rate, pull_in_hz=pull_in_hz)
+    if cfo_prior is not None and cfo_alpha < 1.0:
+        cfo = cfo_alpha * cfo + (1.0 - cfo_alpha) * cfo_prior
     t = jnp.arange(n, dtype=jnp.float32) / fs
     x = x * jnp.exp(-2j * jnp.pi * cfo[:, None] * t[None, :])
 
@@ -65,7 +87,10 @@ def demod_cqpsk(x: jax.Array, fs: float, symbol_rate: float,
     # 3. timing from the squared envelope (windowed O&M w/ drift unwrap)
     from dsdneo_tpu.symbols.timing import decision_positions
     e = jnp.abs(y) ** 2
-    pos = decision_positions(e, sps, win_symbols=128, max_symbols=n_sym + 1)
+    win = 128
+    if ted_gain != 1.0:
+        win = int(np.clip(round(128.0 / max(ted_gain, 1e-3)), 32, 512))
+    pos = decision_positions(e, sps, win_symbols=win, max_symbols=n_sym + 1)
     i0 = jnp.floor(pos).astype(jnp.int32)
     frac = (pos - i0.astype(jnp.float32))[..., None]
     yr = jnp.stack([y.real, y.imag], axis=-1)

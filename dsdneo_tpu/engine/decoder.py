@@ -128,6 +128,21 @@ def detect_mode(samples: np.ndarray, fs: float = 48000.0,
 
 def decode_capture(path: str, mode: ModeConfig | str, **kw
                    ) -> proto_base.DecoderContext:
-    """Decode an on-disk I/Q capture (``.iq`` / ``.iq.json``)."""
+    """Decode an on-disk I/Q capture (``.iq`` / ``.iq.json``).
+
+    DSD_NEO_RESAMP (reference docs/cli.md:537 — default 48000, ``off``
+    keeps the capture's native rate): captures at any rate are run
+    through the polyphase resampler to the target DSP rate first, so
+    one compiled front-end graph serves every input rate."""
     meta, samples = read_iq_capture(path)
-    return decode_samples(samples, mode, fs=float(meta.sample_rate_hz), **kw)
+    fs = float(meta.sample_rate_hz)
+    from dsdneo_tpu.runtime import config as rtcfg
+    target = rtcfg.get().resamp_hz
+    if target > 0 and float(target) != fs:
+        import jax.numpy as jnp
+
+        from dsdneo_tpu.dsp.resampler import resample
+        samples = np.asarray(resample(jnp.asarray(samples),
+                                      int(round(fs)), int(target)))
+        fs = float(target)
+    return decode_samples(samples, mode, fs=fs, **kw)

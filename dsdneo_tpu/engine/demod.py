@@ -24,10 +24,14 @@ def _taps_for(profile: str, fs: float) -> np.ndarray:
     return firdes.channel_lpf(fs, profile)
 
 
-@partial(jax.jit, static_argnames=("sps", "four_level", "n_sym", "freeze"))
+@partial(jax.jit, static_argnames=("sps", "four_level", "n_sym", "freeze",
+                                   "use_lpf"))
 def _demod_fm_jit(x: jax.Array, taps: jax.Array, sps: float, four_level: bool,
-                  n_sym: int, freeze: bool = False):
-    y = frontend.fir_complex(x, taps)
+                  n_sym: int, freeze: bool = False, use_lpf: bool = True):
+    # DSD_NEO_CHANNEL_LPF=0 bypasses the channel low-pass (the
+    # reference auto-enables it at DSP rates ≥20 kHz; mode passbands
+    # protect nominal channel edges — docs/cli.md:571-572)
+    y = frontend.fir_complex(x, taps) if use_lpf else x
     d = frontend.fm_discriminate(y)
     # power gate: dead-air samples (numeric dust after resampling /
     # channelizing) give full-scale random discriminator angles that
@@ -80,8 +84,32 @@ def demod_cqpsk_path(samples: np.ndarray, mode: ModeConfig | str,
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None, :]
-    soft, _cfo = demod_cqpsk(jnp.asarray(x), fs, float(mode.symbol_rate))
+    # CQPSK tuning knobs (docs/cli.md:310-314, 569-576): loop-dynamics
+    # equivalents for the feed-forward chain + polarity tweaks
+    from dsdneo_tpu.runtime import config as rtcfg
+    cfg = rtcfg.get()
+    if cfg.cqpsk_sync_neg:
+        # DSD_NEO_CQPSK_SYNC_NEG: spectral inversion of the capture
+        x = np.conj(x)
+    pull_in = cfg.costas_bw * float(mode.symbol_rate) \
+        if cfg.costas_bw > 0 else 0.0
+    prior, alpha = None, 1.0
+    if cfg.costas_damping > 0:
+        prior = getattr(demod_cqpsk_path, "_cfo_ema", None)
+        alpha = 1.0 / (1.0 + cfg.costas_damping)
+    soft, cfo = demod_cqpsk(jnp.asarray(x), fs, float(mode.symbol_rate),
+                            ted_gain=cfg.ted_gain, pull_in_hz=pull_in,
+                            cfo_prior=prior, cfo_alpha=alpha)
+    if cfg.costas_damping > 0:
+        demod_cqpsk_path._cfo_ema = float(np.asarray(cfo).mean())
+    if cfg.debug_cqpsk:
+        from dsdneo_tpu.runtime import log
+        log.debug("CQPSK: cfo=%.1f Hz win_gain=%.2f pull_in=%.0f Hz",
+                  float(np.asarray(cfo).mean()), cfg.ted_gain, pull_in)
     soft = np.asarray(soft)
+    if cfg.cqpsk_sync_inv:
+        # DSD_NEO_CQPSK_SYNC_INV: symbol polarity inversion
+        soft = -soft
     neg = soft < 0
     outer = np.abs(soft) > 2
     dibits = np.where(neg, np.where(outer, 3, 2),
@@ -107,9 +135,11 @@ def demod_fm(samples: np.ndarray, mode: ModeConfig | str, fs: float = 48000.0
     n_sym = int((x.shape[1] - 2 * sps) // sps)
     taps = jnp.asarray(_taps_for(mode.lpf_profile, fs))
     from dsdneo_tpu.runtime import config as rtcfg
+    _cfg = rtcfg.get()
     dibits, norm, _power = _demod_fm_jit(jnp.asarray(x), taps, sps,
                                          mode.four_level, n_sym,
-                                         freeze=rtcfg.get().window_freeze)
+                                         freeze=_cfg.window_freeze,
+                                         use_lpf=_cfg.channel_lpf)
     dibits = np.asarray(dibits)
     norm = np.asarray(norm)
     if squeeze:

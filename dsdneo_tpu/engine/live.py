@@ -72,8 +72,25 @@ class LiveEngine:
         # SNR squelch (DSD_NEO_SNR_SQL_DB): decode gated on the eye SNR
         # of the previous block, alongside the power squelch
         self.snr_squelch_db = -200.0
-        # DC blocker (DSD_NEO_IQ_DC_BLOCK): subtract the block mean
+        # DC blocker (DSD_NEO_IQ_DC_BLOCK): subtract the block mean;
+        # DSD_NEO_IQ_DC_SHIFT=k upgrades it to a one-pole tracker
+        # dc += (mean - dc)/2^k (the reference's shift coefficient)
         self.dc_block = False
+        self.dc_shift = 0
+        self._dc = 0j
+        # DSD_NEO_RETUNE_DRAIN_MS: decode up to this much buffered
+        # signal before the retune purge drops the rest
+        self.retune_drain_s = 0.0
+        self._drain_budget: int | None = None
+        # DSD_NEO_OUTPUT_CLEAR_ON_RETUNE: drop undelivered audio
+        self.output_clear_on_retune = False
+        # fs/4 capture shift (reference +fs/4 downconvert in the widen
+        # stage; DSD_NEO_DISABLE_FS4_SHIFT turns it off) and
+        # DSD_NEO_COMBINE_ROT: fused widen+rotate in the native ring
+        # (default) vs the two-pass host rotation
+        self.fs4_shift = False
+        self.combine_rot = True
+        self.fs4_rot = 1               # j^{+n}: pairs with a +fs/4 tune
         self.level_warn_db = -200.0
         self.level_warnings = 0
         self.auto_ppm = None          # io.auto_ppm.AutoPpm
@@ -88,6 +105,16 @@ class LiveEngine:
             self._ctl = UdpControlServer(self.tune, port=control_port)
 
     # -- control plane (the reference's controller thread) -----------------
+    @property
+    def fs4_offset_hz(self) -> float:
+        """Hardware tune offset for the +fs/4 capture shift: the tuner
+        sits fs/4 above the wanted channel (moving its DC spike out of
+        the passband) and the ingest ring's fused widen+rotate
+        (``j^n`` at ring rate) shifts the channel back to 0 Hz
+        (reference rtl_sdr_fm.cpp capture shift;
+        DSD_NEO_DISABLE_FS4_SHIFT turns the whole scheme off)."""
+        return self.fs / 4.0 if self.fs4_shift else 0.0
+
     def tune(self, freq_hz: float) -> None:
         """Retune: journal the event, purge stale ring contents, reset
         the decode carry, open the post-retune mute window, and bump
@@ -97,11 +124,26 @@ class LiveEngine:
         self.retunes += 1
         self.tune_generation += 1
         self.tune_pending = True
-        self._mute_samples = int(self.fs * self.retune_mute_s)
         if self.capture is not None:
             self.capture.record_event("retune",
                                       center_frequency_hz=int(freq_hz))
+        # DSD_NEO_RETUNE_DRAIN_MS: let the demod loop finish up to the
+        # drain budget of already-buffered pre-retune samples before
+        # the purge (tail audio is not cut mid-word)
+        drain = int(self.fs * self.retune_drain_s)
+        if drain > 0:
+            self._drain_budget = drain
+            return
+        self._apply_retune()
+
+    def _apply_retune(self) -> None:
+        self._drain_budget = None
+        self._mute_samples = int(self.fs * self.retune_mute_s)
         self.ring.purge()
+        if self.output_clear_on_retune:
+            # DSD_NEO_OUTPUT_CLEAR_ON_RETUNE: pending undelivered audio
+            # belongs to the old carrier
+            self.decoder.ctx.audio.clear()
         self.decoder = StreamDecoder(self.mode, fs=self.fs,
                                      ctx=self.decoder.ctx)
 
@@ -162,24 +204,48 @@ class LiveEngine:
         # env-gated SCHED_FIFO + CPU affinity (reference rt_sched.cpp);
         # degrades gracefully without privileges
         from dsdneo_tpu.runtime.rt_sched import apply_rt_policy
-        self.rt_report = apply_rt_policy()
+        self.rt_report = apply_rt_policy(role="demod")
         n = 0
         while not self._stop:
             self._drain_commands()
             if self._stop:
                 break
-            planes = self.ring.read_block_cu8(self.block, timeout_ms=300)
+            rot = self.fs4_rot if self.fs4_shift else 0
+            planes = self.ring.read_block_cu8(
+                self.block, rotate=(rot if self.combine_rot else 0),
+                timeout_ms=300)
             if planes is None:
                 # a just-applied purge also yields None; only stop when
                 # the ring is actually drained (bounded-run mode)
+                if self._drain_budget is not None:
+                    self._apply_retune()
                 if max_blocks is not None and self.ring.fill < 2 * self.block:
                     break
                 continue
             samples = (planes[:, 0] + 1j * planes[:, 1]).astype(np.complex64)
+            if rot and not self.combine_rot:
+                # DSD_NEO_COMBINE_ROT=0: two-pass transform — widen
+                # first, then the j^{±n} rotation on the host (bit-equal
+                # to the fused native path)
+                k = np.arange(len(samples)) & 3
+                samples = samples * np.power(1j * rot, k).astype(np.complex64)
+            if self._drain_budget is not None:
+                self._drain_budget -= len(samples)
+                if self._drain_budget <= 0:
+                    drain_done = True
+                else:
+                    drain_done = False
+            else:
+                drain_done = False
             if self.input_volume != 1.0:
                 samples = samples * np.float32(self.input_volume)
             if self.dc_block:
-                samples = samples - np.complex64(samples.mean())
+                if self.dc_shift > 0:
+                    self._dc += (complex(samples.mean()) - self._dc) \
+                        / float(1 << self.dc_shift)
+                    samples = samples - np.complex64(self._dc)
+                else:
+                    samples = samples - np.complex64(samples.mean())
             if self.capture is not None:
                 self.capture.submit(samples)
             rms = float(np.sqrt(np.mean(np.abs(samples) ** 2)))
@@ -247,6 +313,8 @@ class LiveEngine:
             if self.trunk is not None:
                 # the reference's watchdog tick (p25_sm_watchdog.c)
                 self.trunk.tick()
+            if drain_done:
+                self._apply_retune()     # drained: now purge + mute
             n += 1
             # visualizer buffers every 8th block (reference
             # rtl_metrics spectrum/eye snapshots): decimated spectrum

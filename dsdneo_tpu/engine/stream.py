@@ -119,6 +119,14 @@ class StreamDecoder:
         self.last_soft = norm[-2048:]      # visualizer eye buffer
         hits = framesync.find_syncs(norm, self._defs,
                                     threshold=self.sync_threshold)
+        # DSD_NEO_DEBUG_SYNC: verbose sync detection (docs/cli.md:655)
+        from dsdneo_tpu.runtime import config as _rtcfg
+        if _rtcfg.get().debug_sync and hits:
+            from dsdneo_tpu.runtime import log as _log
+            for h in hits:
+                _log.debug("SYNC %s%s @ sym %d (score %.2f)",
+                           h.sync.name, " (inv)" if h.sync.inverted else "",
+                           h.pos, getattr(h, "score", 0.0))
         registry = proto_base.registry()
         consumed_local = 0
         for hit in hits:

@@ -401,6 +401,40 @@ class ChannelMap:
     def freq(self, chan: int) -> Optional[float]:
         return self.entries.get(chan)
 
+    def heuristic_fill(self) -> int:
+        """DMR Tier III heuristic LCN gap fill (reference
+        dmr_csbk.c dmr_heuristic_collect_anchor_stats /
+        _estimate_step / _validate_model / _fill_gaps, opt-in via
+        DSD_NEO_DMR_T3_HEUR): from ≥2 learned LCN→frequency anchors,
+        estimate the per-LCN channel step, validate that every anchor
+        fits the linear model exactly, then fill the gaps between the
+        lowest and highest known LCN.  Returns the number of entries
+        added (0 when the anchors don't support a confident model)."""
+        anchors = sorted((c, f) for c, f in self.entries.items() if c > 0)
+        if len(anchors) < 2:
+            return 0
+        # step estimate: gcd of Δfreq/ΔLCN over adjacent anchors
+        import math
+        step = 0
+        for (c0, f0), (c1, f1) in zip(anchors, anchors[1:]):
+            d_lcn = c1 - c0
+            d_hz = int(round(f1 - f0))
+            if d_lcn <= 0 or d_hz <= 0 or d_hz % d_lcn:
+                return 0               # non-monotone / fractional step
+            step = math.gcd(step, d_hz // d_lcn)
+        if step < 1000 or step > 1_000_000:
+            return 0                   # implausible channel raster
+        base_lcn, base_f = anchors[0]
+        for c, f in anchors:           # validate: exact linear fit
+            if abs((base_f + (c - base_lcn) * step) - f) > 1.0:
+                return 0
+        filled = 0
+        for c in range(base_lcn + 1, anchors[-1][0]):
+            if c not in self.entries:
+                self.entries[c] = base_f + (c - base_lcn) * step
+                filled += 1
+        return filled
+
 
 @dataclass
 class TrunkScanTarget:
@@ -520,6 +554,13 @@ class TrunkFollower:
             f = self.chan_map.freq(lpcn)
             if f:
                 return float(f)
+            from dsdneo_tpu.runtime import config as rtcfg
+            if rtcfg.get().dmr_t3_heur and self.chan_map.heuristic_fill():
+                # DSD_NEO_DMR_T3_HEUR: the learned-anchor linear model
+                # may now cover the granted LCN
+                f = self.chan_map.freq(lpcn)
+                if f:
+                    return float(f)
         return 0.0
 
     def clear_enc_lockouts(self) -> None:

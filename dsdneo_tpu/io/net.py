@@ -76,11 +76,17 @@ class UdpPcmInput:
 
 
 class TcpPcmInput:
-    """TCP PCM16LE stream input (e.g. from SDR software)."""
+    """TCP PCM16LE stream input (e.g. from SDR software).
 
-    def __init__(self, host: str, port: int, timeout: float = 3.0):
+    ``backoff_ms`` (DSD_NEO_TCPIN_BACKOFF_MS, reference tcp_input.c):
+    sleep this long after a read timeout before reporting the stall —
+    paces the retry loop against a source that's alive but idle."""
+
+    def __init__(self, host: str, port: int, timeout: float = 3.0,
+                 backoff_ms: float = 0.0):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.settimeout(timeout)
+        self.backoff_ms = backoff_ms
 
     def read(self, n: int) -> Optional[np.ndarray]:
         need = 2 * n
@@ -89,6 +95,9 @@ class TcpPcmInput:
             try:
                 data = self.sock.recv(need)
             except socket.timeout:
+                if self.backoff_ms > 0:
+                    import time
+                    time.sleep(self.backoff_ms / 1e3)
                 return None
             if not data:
                 return None

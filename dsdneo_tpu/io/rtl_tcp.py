@@ -31,13 +31,37 @@ class RtlTcpClient:
     def __init__(self, host: str, port: int, ring,
                  sample_rate: int = 2_400_000, freq_hz: int = 851_000_000,
                  gain_tenth_db: int | None = None, ppm: int = 0,
-                 bias_tee: bool = False, chunk: int = 16384,
-                 timeout_s: float = 5.0):
+                 bias_tee: bool = False, chunk: int | None = None,
+                 timeout_s: float | None = None):
+        # link-tuning knobs (reference rtl_device.cpp TCP backend,
+        # docs/cli.md:562-571): DSD_NEO_TCP_BUFSZ read size,
+        # DSD_NEO_TCP_RCVTIMEO socket timeout, DSD_NEO_TCP_RCVBUF
+        # SO_RCVBUF, DSD_NEO_TCP_WAITALL full reads,
+        # DSD_NEO_TCP_MAX_TIMEOUTS give-up bound, DSD_NEO_TCP_PREBUF_MS
+        # startup prebuffer, DSD_NEO_TCP_AUTOTUNE adaptive read size,
+        # DSD_NEO_TCP_STATS periodic throughput lines
+        from dsdneo_tpu.runtime import config as rtcfg
+        cfg = rtcfg.get()
         self.ring = ring
-        self.chunk = chunk
+        self.chunk = chunk if chunk is not None else cfg.tcp_bufsz
+        if timeout_s is None:
+            timeout_s = cfg.tcp_rcvtimeo_ms / 1e3
+        self.waitall = cfg.tcp_waitall
+        self.max_timeouts = cfg.tcp_max_timeouts
+        self.autotune = cfg.tcp_autotune
+        self.stats = cfg.tcp_stats
+        self.timeouts = 0
+        self._prebuf_bytes = 0      # set by start() from the rate
+        self._prebuf_ms = cfg.tcp_prebuf_ms
+        self._sample_rate = sample_rate
         self._sock = socket.create_connection((host, port),
                                               timeout=timeout_s)
         self._sock.settimeout(timeout_s)
+        try:
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                  cfg.tcp_rcvbuf)
+        except OSError:
+            pass
         self.tuner_type, self.gain_count = self._read_header()
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -89,21 +113,65 @@ class RtlTcpClient:
 
     # -- streaming ---------------------------------------------------------
     def start(self) -> None:
+        # DSD_NEO_TCP_PREBUF_MS: accumulate this much signal before the
+        # first ring write so the demod loop never starves on jittery
+        # links (2 bytes per CU8 sample)
+        self._prebuf_bytes = int(2 * self._sample_rate
+                                 * self._prebuf_ms / 1e3)
         self._thread = threading.Thread(target=self._reader, daemon=True)
         self._thread.start()
 
     def _reader(self) -> None:
+        import time
+        from dsdneo_tpu.runtime.rt_sched import apply_rt_policy
+        apply_rt_policy(role="dongle")
+        prebuf: list[bytes] = []
+        prebuf_n = 0
+        t_stat = time.monotonic()
+        stat_bytes = 0
         while not self._stop.is_set():
             try:
-                data = self._sock.recv(self.chunk)
+                flags = socket.MSG_WAITALL if self.waitall else 0
+                data = self._sock.recv(self.chunk, flags)
             except socket.timeout:
+                self.timeouts += 1
+                # DSD_NEO_TCP_MAX_TIMEOUTS: consecutive stalls = link
+                # is dead; stop instead of spinning forever
+                if self.max_timeouts and self.timeouts >= self.max_timeouts:
+                    break
                 continue
             except OSError:
                 break
             if not data:
                 break
+            self.timeouts = 0
             self.bytes_received += len(data)
+            stat_bytes += len(data)
+            if self.autotune:
+                # DSD_NEO_TCP_AUTOTUNE: grow the read size while the
+                # link saturates it, shrink on partial reads — keeps
+                # syscall overhead proportional to the actual rate
+                if len(data) == self.chunk and self.chunk < (1 << 20):
+                    self.chunk *= 2
+                elif len(data) < self.chunk // 4 and self.chunk > 4096:
+                    self.chunk //= 2
+            if self._prebuf_bytes > 0:
+                prebuf.append(data)
+                prebuf_n += len(data)
+                if prebuf_n < self._prebuf_bytes:
+                    continue
+                data = b"".join(prebuf)
+                prebuf, prebuf_n = [], 0
+                self._prebuf_bytes = 0     # prebuffer satisfied
             self.ring.write(data)
+            if self.stats:
+                now = time.monotonic()
+                if now - t_stat >= 5.0:
+                    from dsdneo_tpu.runtime import log
+                    log.info("rtl_tcp: %.2f MB/s, ring fill %d, chunk %d",
+                             stat_bytes / (now - t_stat) / 1e6,
+                             getattr(self.ring, "fill", 0), self.chunk)
+                    t_stat, stat_bytes = now, 0
 
     def close(self) -> None:
         self._stop.set()

@@ -119,6 +119,8 @@ class RtlUsbDevice:
         self._thread.start()
 
     def _reader(self) -> None:
+        from dsdneo_tpu.runtime.rt_sched import apply_rt_policy
+        apply_rt_policy(role="usb")     # DSD_NEO_RT_PRIO_USB / CPU_USB
         buf = (ctypes.c_ubyte * self.DEFAULT_BLOCK)()
         got = ctypes.c_int(0)
         while not self._stop:
@@ -193,6 +195,9 @@ class SoapyDevice:
 
     def _reader(self) -> None:
         import numpy as np
+
+        from dsdneo_tpu.runtime.rt_sched import apply_rt_policy
+        apply_rt_policy(role="usb")     # DSD_NEO_RT_PRIO_USB / CPU_USB
         buf = np.empty(16384 * 2, dtype=np.uint8)
         while not self._stop:
             sr = self.dev.readStream(self.stream, [buf], 16384)

@@ -97,6 +97,36 @@ class RuntimeConfig:
     p25p1_soft_erasure_threshold: int = 0   # 0 = inherit shared threshold
     p25p2_soft_erasure_threshold: int = 0   # DSD_NEO_P25P2_SOFT_ERASURE_...
     p25_soft_hard_override: bool = True  # DSD_NEO_P25_SOFT_HARD_OVERRIDE
+    # batch 5: DSP helpers / capture-retune / rigctl / T3 heuristics
+    deemph: str = "off"                # DSD_NEO_DEEMPH (off|50|75|nfm)
+    audio_lpf_hz: int = 0              # DSD_NEO_AUDIO_LPF (0/off = bypass)
+    channel_lpf: bool = True           # DSD_NEO_CHANNEL_LPF
+    resamp_hz: int = 48000             # DSD_NEO_RESAMP (0/off = native)
+    costas_bw: float = 0.0             # DSD_NEO_COSTAS_BW (0 = full range)
+    costas_damping: float = 0.0        # DSD_NEO_COSTAS_DAMPING
+    ted_gain: float = 1.0              # DSD_NEO_TED_GAIN
+    cqpsk: bool = False                # DSD_NEO_CQPSK (force CQPSK demod)
+    cqpsk_sync_inv: bool = False       # DSD_NEO_CQPSK_SYNC_INV
+    cqpsk_sync_neg: bool = False       # DSD_NEO_CQPSK_SYNC_NEG
+    debug_sync: bool = False           # DSD_NEO_DEBUG_SYNC
+    debug_cqpsk: bool = False          # DSD_NEO_DEBUG_CQPSK
+    disable_fs4_shift: bool = False    # DSD_NEO_DISABLE_FS4_SHIFT
+    combine_rot: bool = True           # DSD_NEO_COMBINE_ROT
+    iq_dc_shift: int = 0               # DSD_NEO_IQ_DC_SHIFT (one-pole k)
+    retune_drain_ms: float = 0.0       # DSD_NEO_RETUNE_DRAIN_MS
+    output_clear_on_retune: bool = False   # DSD_NEO_OUTPUT_CLEAR_ON_RETUNE
+    rigctl_rcvtimeo_ms: int = 2000     # DSD_NEO_RIGCTL_RCVTIMEO
+    tcpin_backoff_ms: int = 0          # DSD_NEO_TCPIN_BACKOFF_MS
+    dmr_t3_heur: bool = False          # DSD_NEO_DMR_T3_HEUR
+    # batch 6: rtl_tcp link tuning (reference docs/cli.md:562-571)
+    tcp_prebuf_ms: int = 1000          # DSD_NEO_TCP_PREBUF_MS (5-1000)
+    tcp_rcvbuf: int = 4 << 20          # DSD_NEO_TCP_RCVBUF (SO_RCVBUF)
+    tcp_bufsz: int = 16384             # DSD_NEO_TCP_BUFSZ (read size)
+    tcp_rcvtimeo_ms: int = 2000        # DSD_NEO_TCP_RCVTIMEO
+    tcp_waitall: bool = False          # DSD_NEO_TCP_WAITALL (full reads)
+    tcp_stats: bool = False            # DSD_NEO_TCP_STATS
+    tcp_autotune: bool = False         # DSD_NEO_TCP_AUTOTUNE
+    tcp_max_timeouts: int = 0          # DSD_NEO_TCP_MAX_TIMEOUTS (0 = ∞)
 
     def with_overrides(self, **kw) -> "RuntimeConfig":
         kw = {k: v for k, v in kw.items() if v is not None}
@@ -178,6 +208,43 @@ _ENV_MAP = {
     "P25P2_SOFT_ERASURE_THRESHOLD": ("p25p2_soft_erasure_threshold", int),
     "P25_SOFT_HARD_OVERRIDE": ("p25_soft_hard_override",
                                lambda v: v not in ("0", "false")),
+    # batch 5
+    "DEEMPH": ("deemph", str),
+    "AUDIO_LPF": ("audio_lpf_hz",
+                  lambda v: 0 if v.lower() in ("off", "") else int(v)),
+    "CHANNEL_LPF": ("channel_lpf", lambda v: v not in ("0", "false")),
+    "RESAMP": ("resamp_hz",
+               lambda v: 0 if v.lower() in ("off", "") else int(v)),
+    "COSTAS_BW": ("costas_bw", float),
+    "COSTAS_DAMPING": ("costas_damping", float),
+    "TED_GAIN": ("ted_gain", float),
+    "CQPSK": ("cqpsk", lambda v: v not in ("0", "", "false")),
+    "CQPSK_SYNC_INV": ("cqpsk_sync_inv",
+                       lambda v: v not in ("0", "", "false")),
+    "CQPSK_SYNC_NEG": ("cqpsk_sync_neg",
+                       lambda v: v not in ("0", "", "false")),
+    "DEBUG_SYNC": ("debug_sync", lambda v: v not in ("0", "", "false")),
+    "DEBUG_CQPSK": ("debug_cqpsk", lambda v: v not in ("0", "", "false")),
+    "DISABLE_FS4_SHIFT": ("disable_fs4_shift",
+                          lambda v: v not in ("0", "", "false")),
+    "COMBINE_ROT": ("combine_rot", lambda v: v not in ("0", "false")),
+    "IQ_DC_SHIFT": ("iq_dc_shift", int),
+    "RETUNE_DRAIN_MS": ("retune_drain_ms", float),
+    "OUTPUT_CLEAR_ON_RETUNE": ("output_clear_on_retune",
+                               lambda v: v not in ("0", "", "false")),
+    "RIGCTL_RCVTIMEO": ("rigctl_rcvtimeo_ms", int),
+    "TCPIN_BACKOFF_MS": ("tcpin_backoff_ms", int),
+    "DMR_T3_HEUR": ("dmr_t3_heur", lambda v: v not in ("0", "", "false")),
+    # batch 6
+    "TCP_PREBUF_MS": ("tcp_prebuf_ms",
+                      lambda v: max(5, min(1000, int(v)))),
+    "TCP_RCVBUF": ("tcp_rcvbuf", int),
+    "TCP_BUFSZ": ("tcp_bufsz", int),
+    "TCP_RCVTIMEO": ("tcp_rcvtimeo_ms", int),
+    "TCP_WAITALL": ("tcp_waitall", lambda v: v not in ("0", "", "false")),
+    "TCP_STATS": ("tcp_stats", lambda v: v not in ("0", "", "false")),
+    "TCP_AUTOTUNE": ("tcp_autotune", lambda v: v not in ("0", "", "false")),
+    "TCP_MAX_TIMEOUTS": ("tcp_max_timeouts", int),
 }
 
 _PREFIXES = ("DSDNEO_TPU_", "DSD_NEO_")

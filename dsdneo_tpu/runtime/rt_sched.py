@@ -35,19 +35,30 @@ def parse_cpu_list(spec: str) -> set[int]:
     return cpus
 
 
-def apply_rt_policy(environ: dict | None = None) -> dict:
+def apply_rt_policy(environ: dict | None = None,
+                    role: str | None = None) -> dict:
     """Apply the env-configured scheduling policy; returns a report
     dict {rt_requested, rt_applied, affinity_requested,
-    affinity_applied, errors} (never raises)."""
+    affinity_applied, errors} (never raises).
+
+    ``role`` selects the reference's per-thread knobs
+    (rt_sched.cpp dsd_rt_sched_apply_for_role): ``"demod"`` /
+    ``"dongle"`` / ``"usb"`` threads read
+    ``DSD_NEO_RT_PRIO_<ROLE>`` and ``DSD_NEO_CPU_<ROLE>`` first,
+    falling back to the process-wide ``DSD_NEO_RT_PRIO`` /
+    ``DSD_NEO_CPU_AFFINITY``.  On Linux, pid 0 targets the calling
+    thread, so per-role calls from each thread pin independently."""
     env = environ if environ is not None else os.environ
     report = {"rt_requested": False, "rt_applied": False,
               "affinity_requested": set(), "affinity_applied": False,
               "errors": []}
+    suffix = role.upper() if role else ""
     if env.get("DSD_NEO_RT_SCHED", "") not in ("", "0", "false"):
         report["rt_requested"] = True
         prio = 10
         try:
-            prio = int(env.get("DSD_NEO_RT_PRIO", "10"))
+            prio = int(env.get(f"DSD_NEO_RT_PRIO_{suffix}", "") or
+                       env.get("DSD_NEO_RT_PRIO", "10"))
         except ValueError:
             pass
         try:
@@ -56,7 +67,8 @@ def apply_rt_policy(environ: dict | None = None) -> dict:
             report["rt_applied"] = True
         except (AttributeError, OSError, PermissionError) as e:
             report["errors"].append(f"SCHED_FIFO: {e}")
-    spec = env.get("DSD_NEO_CPU_AFFINITY", "")
+    spec = (env.get(f"DSD_NEO_CPU_{suffix}", "") if suffix else "") \
+        or env.get("DSD_NEO_CPU_AFFINITY", "")
     if spec:
         cpus = parse_cpu_list(spec)
         report["affinity_requested"] = cpus

@@ -98,3 +98,39 @@ def test_estimate_cfo_accuracy():
     for f in (-1700.0, 0.0, 933.0):
         iq = np.exp(2j * np.pi * f * t).astype(np.complex64)
         assert abs(estimate_cfo_hz(iq, fs) - f) < 2.0
+
+
+def test_cli_rtltcp_fs4_capture_shift(capsys, monkeypatch):
+    """Full CLI rtltcp path with the default +fs/4 capture shift
+    (reference rtl_sdr_fm.cpp capture downconvert): the fake server
+    streams the fixture as an offset-tuned tuner would observe it
+    (channel at −fs/4, i.e. multiplied by (−j)^n) and the ring's fused
+    widen+rotate recovers baseband; the tuner command carries the
+    +fs/4 offset."""
+    path = os.path.join(FIXDIR, "p25p1_c4fm_cc.iq")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    from dsdneo_tpu import cli
+    from dsdneo_tpu.io.rtl_tcp import CMD_SET_FREQ, FakeRtlTcpServer
+
+    raw = np.frombuffer(open(path, "rb").read(), dtype=np.uint8)
+    i, q = raw[0::2], raw[1::2]
+    # exact integer (−j)^n rotation on the CU8 encoding: negation of a
+    # widened sample maps its code v to 255−v
+    obs = np.empty_like(raw).reshape(-1, 2)
+    k = np.arange(i.size) & 3
+    obs[k == 0] = np.stack([i[k == 0], q[k == 0]], axis=1)
+    obs[k == 1] = np.stack([q[k == 1], 255 - i[k == 1]], axis=1)
+    obs[k == 2] = np.stack([255 - i[k == 2], 255 - q[k == 2]], axis=1)
+    obs[k == 3] = np.stack([255 - q[k == 3], i[k == 3]], axis=1)
+
+    srv = FakeRtlTcpServer(obs.tobytes())
+    monkeypatch.setenv("DSDNEO_RTLTCP_RATE", "48000")
+    rc = cli.main(["-f1", "-i", f"rtltcp:127.0.0.1:{srv.port}:851000000",
+                   "--duration", "6"])
+    srv.close()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "NAC/CC: 140" in out
+    tuned = [v for c, v in srv.commands if c == CMD_SET_FREQ]
+    assert 851_012_000 in tuned       # channel + fs/4 tune offset
