@@ -379,6 +379,18 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             print(f"dsd-neo-tpu: live source unavailable: {e}",
                   file=sys.stderr)
             return 1
+        if (cfg is not None and cfg.tuner_autogain
+                and hasattr(dev, "set_gain")):
+            # DSD_NEO_TUNER_AUTOGAIN*: closed-loop tuner gain
+            from dsdneo_tpu.io.auto_gain import TunerAutogain
+            eng.auto_gain = TunerAutogain(
+                dev.set_gain,
+                probe_ms=cfg.tuner_autogain_probe_ms,
+                seed_db=cfg.tuner_autogain_seed_db,
+                spec_snr_db=cfg.tuner_autogain_spec_snr_db,
+                inband_ratio=cfg.tuner_autogain_inband_ratio,
+                up_step_db=cfg.tuner_autogain_up_step_db,
+                up_persist=cfg.tuner_autogain_up_persist)
         rig = None
         if args.rigctl_port:
             # external tuner control through a rigctl TCP server

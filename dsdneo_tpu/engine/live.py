@@ -94,6 +94,7 @@ class LiveEngine:
         self.level_warn_db = -200.0
         self.level_warnings = 0
         self.auto_ppm = None          # io.auto_ppm.AutoPpm
+        self.auto_gain = None         # io.auto_gain.TunerAutogain
         # DSD_NEO_P25_AFC_STATUS_GATE: suppress auto-PPM training on
         # frames not classified as infrastructure-originated
         self.afc_status_gate = False
@@ -127,6 +128,8 @@ class LiveEngine:
         if self.capture is not None:
             self.capture.record_event("retune",
                                       center_frequency_hz=int(freq_hz))
+        if self.auto_gain is not None:
+            self.auto_gain.on_retune()     # post-retune settle hold
         # DSD_NEO_RETUNE_DRAIN_MS: let the demod loop finish up to the
         # drain budget of already-buffered pre-retune samples before
         # the purge (tail audio is not cut mid-word)
@@ -295,6 +298,10 @@ class LiveEngine:
                 self._squelched_s = 0.0
                 if self.scanner is not None:
                     self.scanner.on_activity()
+            if self.auto_gain is not None:
+                # DSD_NEO_TUNER_AUTOGAIN: closed-loop tuner gain from
+                # the block statistics (clip back-off / quiet step-up)
+                self.auto_gain.update(samples, squelch_open=not squelched)
             events = [] if squelched else self.decoder.push(samples)
             # audio-hold gate (DSD_NEO_P25_VOICE_HOLD / MAC_HOLD /
             # RING_HOLD): while TUNED, a configured voice-hold window

@@ -106,6 +106,11 @@ class RtlTcpClient:
     def set_sample_rate(self, rate: int) -> None:
         self.send_cmd(CMD_SET_SAMPLE_RATE, int(rate))
 
+    def set_gain(self, tenth_db: int) -> None:
+        """Manual tuner gain in tenth-dB (autogain control hook)."""
+        self.send_cmd(CMD_SET_GAIN_MODE, 1)
+        self.send_cmd(CMD_SET_GAIN, int(tenth_db))
+
     def set_ppm(self, ppm: int) -> None:
         self.ppm = int(ppm)
         # rtl_tcp takes the correction as a signed 32-bit value

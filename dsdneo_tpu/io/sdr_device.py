@@ -27,6 +27,40 @@ class SdrUnavailable(RuntimeError):
     """The requested SDR backend's library/hardware is not present."""
 
 
+def parse_if_gains(spec: str) -> list[tuple[int, int]]:
+    """``"stage:gain[,...]"`` → [(stage, tenth_dB)] — the reference's
+    DSD_NEO_RTL_IF_GAINS syntax (rtl_sdr_fm.cpp
+    stream_open_parse_if_gain_tenth_db): a trailing ``dB`` is
+    stripped; values with a decimal point are dB, integers are dB
+    unless |v| > 90 (already tenth-dB)."""
+    out: list[tuple[int, int]] = []
+    for tok in spec.replace(";", ",").replace(" ", ",").split(","):
+        if ":" not in tok:
+            continue
+        st, _, gv = tok.partition(":")
+        try:
+            stage = int(st)
+        except ValueError:
+            continue
+        if stage < 0:
+            continue
+        gv = gv.strip()
+        if gv.lower().endswith("db"):
+            gv = gv[:-2]
+        elif gv.lower().endswith("b"):
+            gv = gv[:-1]
+        try:
+            if "." in gv:
+                tenth = int(round(float(gv) * 10))
+            else:
+                gi = int(gv)
+                tenth = gi if abs(gi) > 90 else gi * 10
+        except ValueError:
+            continue
+        out.append((stage, tenth))
+    return out
+
+
 def _load_librtlsdr() -> ctypes.CDLL:
     path = os.environ.get("DSDNEO_RTLSDR_LIB")
     if not path:
@@ -90,15 +124,69 @@ class RtlUsbDevice:
                                       ctypes.c_int(gain_tenth_db))
         if bias_tee and hasattr(lib, "rtlsdr_set_bias_tee"):
             lib.rtlsdr_set_bias_tee(self._dev, 1)
+        # driver-option knobs (reference rtl_sdr_fm.cpp stream_open_
+        # apply_* helpers, docs/cli.md:573-582); all gate on symbol
+        # presence so older librtlsdr builds still bind
+        from dsdneo_tpu.runtime import config as rtcfg
+        cfg = rtcfg.get()
+        if not direct_sampling:
+            direct_sampling = cfg.rtl_direct      # DSD_NEO_RTL_DIRECT
         if direct_sampling:
             lib.rtlsdr_set_direct_sampling(self._dev,
                                            ctypes.c_int(direct_sampling))
+        if (cfg.rtl_offset_tuning and not direct_sampling
+                and hasattr(lib, "rtlsdr_set_offset_tuning")):
+            # DSD_NEO_RTL_OFFSET_TUNING default "try enable": only
+            # E4000 tuners support it, so the rc is advisory
+            lib.rtlsdr_set_offset_tuning(self._dev, 1)
+        if ((cfg.rtl_xtal_hz or cfg.tuner_xtal_hz)
+                and hasattr(lib, "rtlsdr_set_xtal_freq")):
+            # DSD_NEO_RTL_XTAL_HZ / DSD_NEO_TUNER_XTAL_HZ: 0 keeps the
+            # stock 28.8 MHz crystal on that side
+            lib.rtlsdr_set_xtal_freq(
+                self._dev, ctypes.c_uint32(cfg.rtl_xtal_hz),
+                ctypes.c_uint32(cfg.tuner_xtal_hz))
+        if cfg.rtl_if_gains and hasattr(lib, "rtlsdr_set_tuner_if_gain"):
+            for stage, tenth in parse_if_gains(cfg.rtl_if_gains):
+                lib.rtlsdr_set_tuner_if_gain(self._dev,
+                                             ctypes.c_int(stage),
+                                             ctypes.c_int(tenth))
+        if cfg.rtl_testmode and hasattr(lib, "rtlsdr_set_testmode"):
+            lib.rtlsdr_set_testmode(self._dev, 1)  # counter ramp source
         if agc and hasattr(lib, "rtlsdr_set_agc_mode"):
             lib.rtlsdr_set_agc_mode(self._dev, 1)    # DSD_NEO_RTL_AGC
         if bandwidth_hz and hasattr(lib, "rtlsdr_set_tuner_bandwidth"):
             lib.rtlsdr_set_tuner_bandwidth(
                 self._dev, ctypes.c_uint32(bandwidth_hz))
+        if cfg.rtl_verify:
+            # DSD_NEO_RTL_VERIFY: read back freq/rate and retry the
+            # apply up to DSD_NEO_RTL_VERIFY_ATTEMPTS times (the
+            # reference's local-USB apply verification)
+            self._verify_applied(cfg.rtl_verify_attempts)
         lib.rtlsdr_reset_buffer(self._dev)
+
+    def _verify_applied(self, attempts: int) -> None:
+        lib = self._lib
+        if not (hasattr(lib, "rtlsdr_get_center_freq")
+                and hasattr(lib, "rtlsdr_get_sample_rate")):
+            return
+        lib.rtlsdr_get_center_freq.restype = ctypes.c_uint32
+        lib.rtlsdr_get_sample_rate.restype = ctypes.c_uint32
+        for _ in range(max(1, attempts)):
+            ok = True
+            if lib.rtlsdr_get_sample_rate(self._dev) != self.sample_rate:
+                lib.rtlsdr_set_sample_rate(
+                    self._dev, ctypes.c_uint32(self.sample_rate))
+                ok = False
+            if lib.rtlsdr_get_center_freq(self._dev) != self.freq_hz:
+                lib.rtlsdr_set_center_freq(
+                    self._dev, ctypes.c_uint32(self.freq_hz))
+                ok = False
+            if ok:
+                return
+        from dsdneo_tpu.runtime import log
+        log.warning("rtlsdr: apply verification failed after %d attempts",
+                    attempts)
 
     # -- controls (reference rtl_stream C API subset) ---------------------
     def set_freq(self, freq_hz: int) -> None:

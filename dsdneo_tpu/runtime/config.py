@@ -127,6 +127,23 @@ class RuntimeConfig:
     tcp_stats: bool = False            # DSD_NEO_TCP_STATS
     tcp_autotune: bool = False         # DSD_NEO_TCP_AUTOTUNE
     tcp_max_timeouts: int = 0          # DSD_NEO_TCP_MAX_TIMEOUTS (0 = ∞)
+    # batch 7: librtlsdr driver options + tuner autogain
+    # (reference docs/cli.md:573-592, rtl_sdr_fm.cpp demod_autogain_*)
+    rtl_direct: int = 0                # DSD_NEO_RTL_DIRECT (0|1|2|I|Q)
+    rtl_offset_tuning: bool = True     # DSD_NEO_RTL_OFFSET_TUNING
+    rtl_xtal_hz: int = 0               # DSD_NEO_RTL_XTAL_HZ (0 = stock)
+    tuner_xtal_hz: int = 0             # DSD_NEO_TUNER_XTAL_HZ
+    rtl_if_gains: str = ""             # DSD_NEO_RTL_IF_GAINS stage:gain,...
+    rtl_testmode: bool = False         # DSD_NEO_RTL_TESTMODE (ramp source)
+    rtl_verify: bool = False           # DSD_NEO_RTL_VERIFY (read-back check)
+    rtl_verify_attempts: int = 1       # DSD_NEO_RTL_VERIFY_ATTEMPTS (1-10)
+    tuner_autogain: bool = False       # DSD_NEO_TUNER_AUTOGAIN
+    tuner_autogain_probe_ms: int = 3000      # ..._PROBE_MS
+    tuner_autogain_seed_db: float = 30.0     # ..._SEED_DB
+    tuner_autogain_spec_snr_db: float = 6.0  # ..._SPEC_SNR_DB
+    tuner_autogain_inband_ratio: float = 0.60  # ..._INBAND_RATIO
+    tuner_autogain_up_step_db: float = 3.0   # ..._UP_STEP_DB
+    tuner_autogain_up_persist: int = 2       # ..._UP_PERSIST
 
     def with_overrides(self, **kw) -> "RuntimeConfig":
         kw = {k: v for k, v in kw.items() if v is not None}
@@ -245,6 +262,28 @@ _ENV_MAP = {
     "TCP_STATS": ("tcp_stats", lambda v: v not in ("0", "", "false")),
     "TCP_AUTOTUNE": ("tcp_autotune", lambda v: v not in ("0", "", "false")),
     "TCP_MAX_TIMEOUTS": ("tcp_max_timeouts", int),
+    # batch 7
+    "RTL_DIRECT": ("rtl_direct",
+                   lambda v: {"i": 1, "q": 2}.get(v.lower(),
+                                                  None) if v.isalpha()
+                   else int(v)),
+    "RTL_OFFSET_TUNING": ("rtl_offset_tuning",
+                          lambda v: v not in ("0", "false")),
+    "RTL_XTAL_HZ": ("rtl_xtal_hz", int),
+    "TUNER_XTAL_HZ": ("tuner_xtal_hz", int),
+    "RTL_IF_GAINS": ("rtl_if_gains", str),
+    "RTL_TESTMODE": ("rtl_testmode", lambda v: v not in ("0", "", "false")),
+    "RTL_VERIFY": ("rtl_verify", lambda v: v not in ("0", "", "false")),
+    "RTL_VERIFY_ATTEMPTS": ("rtl_verify_attempts",
+                            lambda v: max(1, min(10, int(v)))),
+    "TUNER_AUTOGAIN": ("tuner_autogain",
+                       lambda v: v not in ("0", "", "false")),
+    "TUNER_AUTOGAIN_PROBE_MS": ("tuner_autogain_probe_ms", int),
+    "TUNER_AUTOGAIN_SEED_DB": ("tuner_autogain_seed_db", float),
+    "TUNER_AUTOGAIN_SPEC_SNR_DB": ("tuner_autogain_spec_snr_db", float),
+    "TUNER_AUTOGAIN_INBAND_RATIO": ("tuner_autogain_inband_ratio", float),
+    "TUNER_AUTOGAIN_UP_STEP_DB": ("tuner_autogain_up_step_db", float),
+    "TUNER_AUTOGAIN_UP_PERSIST": ("tuner_autogain_up_persist", int),
 }
 
 _PREFIXES = ("DSDNEO_TPU_", "DSD_NEO_")
