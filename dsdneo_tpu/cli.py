@@ -252,6 +252,166 @@ def build_parser() -> argparse.ArgumentParser:
                         "exit (reference --probe)")
     p.add_argument("--print-config", action="store_true",
                    help="print the effective runtime config and exit")
+    # -- reference short-flag surface (src/runtime/cli/args.c short
+    # getopt loop; long aliases kept as the canonical dests) ----------
+    p.add_argument("-w", dest="static_wav", default="", metavar="FILE",
+                   help="static decoded-audio WAV output (alias of "
+                        "-o wav:FILE; reference -w)")
+    p.add_argument("-6", dest="raw_wav", default="", metavar="FILE",
+                   help="raw 48 kHz demodulated source-audio WAV "
+                        "(reference -6)")
+    p.add_argument("-P", dest="percall_wav", action="store_true",
+                   help="per-call WAV saving into the -7 directory "
+                        "(default ./WAV; reference -P)")
+    p.add_argument("-7", dest="percall_dir", default="", metavar="DIR",
+                   help="per-call WAV directory for -P (reference -7)")
+    p.add_argument("-d", dest="mbe_dir", default="", metavar="DIR",
+                   help="save MBE frames to an auto-named .amb/.imb "
+                        "file in DIR (reference -d)")
+    p.add_argument("-r", dest="mbe_play", nargs="+", default=[],
+                   metavar="FILE",
+                   help="play saved .amb/.imb MBE files (reference -r)")
+    p.add_argument("-J", dest="event_log", default="", metavar="FILE",
+                   help="append decode event lines to FILE (reference -J)")
+    p.add_argument("-L", dest="lrrp_log", default="", metavar="FILE",
+                   help="append LRRP/GPS location lines to FILE "
+                        "(reference -L)")
+    p.add_argument("-Q", dest="dsp_out", default="", metavar="FILE",
+                   help="save the float soft-symbol stream to ./DSP/FILE "
+                        "(reference -Q)")
+    p.add_argument("-c", dest="symbol_out", default="", metavar="FILE",
+                   help="save the dibit symbol capture to FILE "
+                        "(reference -c)")
+    p.add_argument("--symbol-capture-format", default="dibit",
+                   choices=["dibit", "float"],
+                   help="symbol capture payload format (raw dibit bytes "
+                        "or soft records; reference --symbol-capture-format)")
+    p.add_argument("-N", dest="frontend_terminal", action="store_true",
+                   help="alias of --frontend terminal (reference -N)")
+    p.add_argument("-Z", dest="payload_log", action="store_true",
+                   help="log MBE payloads to the console (reference -Z)")
+    p.add_argument("-O", dest="list_devices", action="store_true",
+                   help="list audio devices and exit (reference -O)")
+    p.add_argument("-a", dest="call_alert", action="store_true",
+                   help="call-alert bell on voice grants (reference -a)")
+    p.add_argument("-8", dest="monitor_input", action="store_true",
+                   help="monitor raw analog source audio when no "
+                        "digital decode lands (reference -8)")
+    p.add_argument("-g", dest="digital_gain", type=float, default=0.0,
+                   metavar="X",
+                   help="digital output gain: 0 = auto, 1..50 fixed "
+                        "(25 = unity; reference -g)")
+    p.add_argument("-n", dest="analog_gain", default="", metavar="X|m",
+                   help="analog output gain 0..100; '-nm' enables the "
+                        "DMR single-slot mono output (reference -n/-nm)")
+    p.add_argument("-V", dest="slot_mask", type=int, default=3,
+                   metavar="0..3",
+                   help="TDMA slot synthesis mask: 1=slot1, 2=slot2, "
+                        "3=both (reference -V)")
+    p.add_argument("-z", dest="slot_pref", type=int, default=2,
+                   metavar="0|1|2",
+                   help="TDMA slot preference for mono output "
+                        "(0=slot1, 1=slot2, 2=auto; reference -z)")
+    p.add_argument("-y", dest="float_audio", action="store_true",
+                   help="32-bit float audio output (reference -y)")
+    p.add_argument("-s", dest="sample_rate", type=int, default=0,
+                   metavar="HZ",
+                   help="input sample rate for WAV/TCP/UDP PCM sources "
+                        "(reference -s)")
+    p.add_argument("-l", dest="no_cosine_filter", action="store_true",
+                   help="disable the input channel low-pass filter "
+                        "(reference -l)")
+    p.add_argument("-q", dest="reverse_mute", action="store_true",
+                   help="reverse mute: mute clear audio, unmute "
+                        "encrypted (reference -q)")
+    p.add_argument("-x", dest="inversion", action="append", default=[],
+                   choices=["x", "r", "d", "z"],
+                   help="polarity expectations: -xx non-inverted "
+                        "X2-TDMA, -xr inverted DMR, -xd inverted dPMR, "
+                        "-xz inverted M17 (reference -x)")
+    p.add_argument("-~", dest="debug_mode", action="store_true",
+                   help=argparse.SUPPRESS)
+    p.add_argument("-j", dest="lcw_retune", action="store_true",
+                   help="P25: force-enable LCW explicit retune "
+                        "(already the default policy; reference -j)")
+    p.add_argument("-^", dest="prefer_cc_candidates", action="store_true",
+                   help="P25: prefer learned CC candidates during "
+                        "control-channel hunt (reference -^)")
+    p.add_argument("-Y", dest="scanner_mode", action="store_true",
+                   help="conventional scanner rotation over the -C "
+                        "channel map (reference -Y)")
+    p.add_argument("-B", dest="setmod_bw", type=int, default=0,
+                   metavar="HZ",
+                   help="rigctl setmod bandwidth pushed after each "
+                        "retune (reference -B)")
+    p.add_argument("-D", dest="dmrla_n", type=int, default=-1,
+                   metavar="N",
+                   help="DMR TIII Location Area n-bit length 0..10 "
+                        "(reference -D)")
+    p.add_argument("-_", dest="nxdn_seed", type=int, default=0,
+                   metavar="SEED",
+                   help="NXDN PN95 scrambler seed 1..511 (0 = default "
+                        "228; reference -_)")
+    # key material (reference short key flags; crypto/ consumers)
+    p.add_argument("-1", dest="rc4_key", default="", metavar="HEX",
+                   help="RC4/DES key (1..16 hex chars), applied when "
+                        "the signalled KID has no CSV entry "
+                        "(reference -1)")
+    p.add_argument("-H", dest="hytera_key", default="", metavar="HEX",
+                   help="Hytera Basic Privacy key: 10 (40-bit), 32 "
+                        "(128-bit) or 64 (256-bit) hex chars "
+                        "(reference -H)")
+    p.add_argument("-2", dest="tyt16_key", default="", metavar="HEX4",
+                   help="TYT 16-bit Basic Privacy key (alias of "
+                        "--key-tyt16; reference -2)")
+    p.add_argument("-!", dest="tyt_ap_key", default="", metavar="HEX",
+                   help="TYT AP (PC4) key (alias of --key-tyt-ap; "
+                        "reference -!)")
+    p.add_argument("-@", dest="retevis_key", default="", metavar="HEX",
+                   help="Retevis AP (RC2) key (alias of --key-retevis; "
+                        "reference -@)")
+    p.add_argument("-5", dest="tyt_ep_key", default="", metavar="HEX32",
+                   help="TYT EP (AES) key (alias of --key-tyt-ep; "
+                        "reference -5)")
+    p.add_argument("-9", dest="ken_key", default="", metavar="HEX",
+                   help="Kenwood DMR 15-bit scrambler key "
+                        "(reference -9)")
+    p.add_argument("-A", dest="anytone_key", default="", metavar="HEX4",
+                   help="Anytone Basic Privacy 16-bit key (reference -A)")
+    p.add_argument("-S", dest="static_ks", default="",
+                   metavar="HEX[:MOD[:OFF:STEP]]",
+                   help="straight mod-XOR static keystream spec "
+                        "(reference -S)")
+    p.add_argument("-k", dest="keys_dec_s", default="", metavar="CSV",
+                   help="decimal key CSV (alias of --keys-dec; "
+                        "reference -k)")
+    p.add_argument("-K", dest="keys_hex_s", default="", metavar="CSV",
+                   help="hex key CSV (alias of --keys-hex; "
+                        "reference -K)")
+    p.add_argument("-4", dest="key_priority", action="store_true",
+                   help="force privacy key over encryption identifiers "
+                        "(the rebuild applies loaded vendor/BP keys "
+                        "with priority by default; reference -4)")
+    p.add_argument("-0", dest="force_rc4", action="store_true",
+                   help="force RC4 key over missing PI header / "
+                        "late-entry identifiers (reference -0)")
+    p.add_argument("-3", dest="disable_le", action="store_true",
+                   help="disable DMR late-entry encryption "
+                        "identifiers (reference -3)")
+    # long-flag parity
+    p.add_argument("--p25-sm-log", dest="sm_log_alias", default="",
+                   metavar="PATH",
+                   help="alias of --sm-log (reference --p25-sm-log)")
+    p.add_argument("--interactive-setup", dest="wizard",
+                   action="store_true",
+                   help="alias of --wizard (reference "
+                        "--interactive-setup)")
+    p.add_argument("--profile", default="", metavar="NAME",
+                   help="config profile section to apply (reference "
+                        "--profile; equivalent to --config file@NAME)")
+    p.add_argument("--iq-info", default="", metavar="PATH",
+                   help="print I/Q capture sidecar metadata and exit "
+                        "(reference --iq-info)")
     return p
 
 
@@ -322,6 +482,45 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
         attrs["edacs_ea"] = True
     if args.esk:
         attrs["edacs_esk"] = int(args.esk, 16)
+    # reference short-flag key/behavior surface (args.c getopt loop)
+    if args.hytera_key:
+        h = args.hytera_key.replace(" ", "")
+        if len(h) <= 10:
+            attrs["dmr_hytera_bp"] = (int(h, 16), 0, 0, 0)
+        else:
+            segs = [int(h[i:i + 16].ljust(16, "0"), 16)
+                    for i in range(0, len(h), 16)]
+            segs += [0] * (4 - len(segs))
+            attrs["dmr_hytera_bp"] = tuple(segs[:4])
+    if args.ken_key:
+        attrs["dmr_kenwood_key"] = int(args.ken_key, 16) & 0x7FFF
+    if args.anytone_key:
+        attrs["dmr_anytone_key"] = int(args.anytone_key, 16) & 0xFFFF
+    if args.static_ks:
+        from dsdneo_tpu.crypto.vendor import StaticKeystream
+        attrs["dmr_static_ks"] = StaticKeystream.parse(args.static_ks)
+    if args.force_rc4:
+        attrs["dmr_force_rc4"] = True
+    if args.disable_le:
+        attrs["dmr_le_disable"] = True
+    if args.slot_mask != 3:
+        attrs["slot_mask"] = max(0, min(args.slot_mask, 3))
+    if args.payload_log:
+        attrs["payload_log"] = True
+    if args.reverse_mute:
+        attrs["reverse_mute"] = True
+    if args.nxdn_seed:
+        attrs["nxdn_pn95_seed"] = max(1, min(args.nxdn_seed, 0x1FF))
+    if args.dmrla_n >= 0:
+        attrs["dmr_dmrla_n"] = min(args.dmrla_n, 10)
+    if args.inversion:
+        # -x expectations → forced sync polarity per protocol family
+        pol = {}
+        for c in args.inversion:
+            proto, want = {"x": ("x2tdma", False), "r": ("dmr", True),
+                           "d": ("dpmr", True), "z": ("m17", True)}[c]
+            pol[proto] = want
+        attrs["force_polarity"] = pol
     return attrs
 
 
@@ -340,6 +539,14 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
 
     def on_event(e):
         print(e.line)
+        if args.event_log:
+            with open(args.event_log, "a") as f:
+                f.write(e.line.rstrip("\n") + "\n")
+        if args.lrrp_log and ("GPS" in e.line or "LRRP" in e.line):
+            with open(args.lrrp_log, "a") as f:
+                f.write(f"{e.pos}\t{e.line.strip()}\n")
+        if args.call_alert and (e.fields.get("tg") or e.fields.get("grant")):
+            print("\a", end="", file=sys.stderr, flush=True)
 
     def _drive_live(make_dev):
         """Shared live-engine harness for the SDR device backends:
@@ -408,6 +615,9 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
         def _retune_hw(f_hz: float) -> None:
             if rig is not None:
                 rig.set_freq(f_hz)
+                if args.setmod_bw > 0:
+                    # -B: push setmod bandwidth after each retune
+                    rig.set_mode("FM", args.setmod_bw)
             else:
                 # keep the +fs/4 capture-shift relationship on retunes
                 dev.set_freq(int(f_hz + eng.fs4_offset_hz))
@@ -435,6 +645,9 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
                          **(TrunkSM.kwargs_from_config(cfg, args.mode)
                             if cfg is not None else {}))
             sm.log_path = args.sm_log
+            sm.prefer_candidates = args.prefer_cc_candidates
+            if chan_map is not None:
+                sm.hunt_all = sorted(set(chan_map.entries.values()))
             fol = TrunkFollower(sm, eng.decoder.ctx,
                                 chan_map=chan_map,
                                 current_freq=lambda: eng.freq_hz
@@ -448,8 +661,8 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
                 fol.preempt_cooldown_s = cfg.tg_preempt_cooldown_ms / 1e3
                 fol.grant_voice_to_s = cfg.p25_grant_voice_to_s
             eng.trunk = fol
-        if args.trunk_scan:
-            from dsdneo_tpu.engine.trunk import (TrunkScanner,
+        if args.trunk_scan or (args.scanner_mode and chan_map is not None):
+            from dsdneo_tpu.engine.trunk import (ScanTarget, TrunkScanner,
                                                  load_scan_targets)
 
             def _scan_tune(f_hz, mode):
@@ -460,9 +673,20 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             sc = TrunkScanner(_scan_tune,
                               dwell_s=args.trunk_scan_dwell_ms / 1e3,
                               hold_s=args.trunk_scan_activity_hold_ms / 1e3)
-            n = load_scan_targets(sc, args.trunk_scan)
-            print(f"trunk-scan: {n} targets from {args.trunk_scan}",
-                  file=sys.stderr)
+            if args.trunk_scan:
+                n = load_scan_targets(sc, args.trunk_scan)
+                print(f"trunk-scan: {n} targets from {args.trunk_scan}",
+                      file=sys.stderr)
+            else:
+                # -Y: conventional scanner rotation over the -C map
+                n = 0
+                for ch, f_hz in sorted(chan_map.entries.items()):
+                    if sc.add_target(ScanTarget(freq_hz=f_hz,
+                                                mode=args.mode,
+                                                label=f"ch{ch}")):
+                        n += 1
+                print(f"scanner: {n} channels from the -C map",
+                      file=sys.stderr)
             eng.scanner = sc
         if args.auto_ppm:
             from dsdneo_tpu.io.auto_ppm import AutoPpm
@@ -552,10 +776,35 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
 
         return _drive_live(make_sdr)
 
+    if spec.endswith(".wav") and os.path.isfile(spec):
+        # -i file.wav: discriminator-tap PCM decode (reference WAV
+        # input; -s overrides the rate for DSDPlus 96 kHz captures)
+        from dsdneo_tpu.engine.stream import StreamDecoder
+        from dsdneo_tpu.io.audio_files import read_wav
+        pcm, rate = read_wav(spec)
+        fs = float(args.sample_rate or rate or 48000)
+        sd = StreamDecoder(args.mode, fs=fs,
+                           sync_threshold=args.sync_threshold,
+                           input_kind="disc")
+        st = sd.ctx.state
+        st.keyring = keyring
+        for k, v in _state_attrs(args, tg_policy, chan_map).items():
+            setattr(st, k, v)
+        sd.ctx.call_recorder = recorder
+        x = np.asarray(pcm)
+        x = (x.astype(np.float32) / 32768.0 if x.dtype.kind == "i"
+             else x.astype(np.float32))
+        for e in sd.push(x * args.input_volume):
+            on_event(e)
+        for e in sd.flush():
+            on_event(e)
+        return 0
+
     if spec.startswith(("tcp:", "udp:", "udp")):
         from dsdneo_tpu.engine.stream import StreamDecoder
         from dsdneo_tpu.io.net import TcpPcmInput, UdpPcmInput
-        sd = StreamDecoder(args.mode, fs=48000.0,
+        fs_pcm = float(args.sample_rate or 48000)
+        sd = StreamDecoder(args.mode, fs=fs_pcm,
                            sync_threshold=args.sync_threshold,
                            input_kind="disc")
         st = sd.ctx.state
@@ -577,7 +826,7 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
         except OSError as e:
             print(f"dsd-neo-tpu: PCM input failed: {e}", file=sys.stderr)
             return 1
-        chunk = 12000                       # 0.25 s at 48 kHz
+        chunk = int(fs_pcm / 4)             # 0.25 s blocks
         t0 = _time.time()
         try:
             while duration <= 0 or _time.time() - t0 < duration:
@@ -648,6 +897,57 @@ def _run_m17_tx(args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.list_devices:
+        from dsdneo_tpu.io.audio_out import list_audio_devices
+        list_audio_devices()
+        return 0
+    if args.iq_info:
+        from dsdneo_tpu.io import read_iq_capture
+        from dsdneo_tpu.io.iq import read_iq_events
+        try:
+            meta, samples = read_iq_capture(args.iq_info)
+        except (OSError, ValueError) as e:
+            print(f"dsd-neo-tpu: cannot read {args.iq_info}: {e}",
+                  file=sys.stderr)
+            return 1
+        print(f"format: {meta.sample_format}")
+        print(f"sample_rate_hz: {meta.sample_rate_hz}")
+        for name in ("center_freq_hz", "source", "created_utc", "notes"):
+            v = getattr(meta, name, None)
+            if v:
+                print(f"{name}: {v}")
+        print(f"samples: {len(samples)}")
+        print(f"duration_s: {len(samples) / meta.sample_rate_hz:.3f}")
+        for ev in read_iq_events(meta):
+            print(f"event @{ev.sample_index}: {ev.kind} {ev.fields}")
+        return 0
+    # reference short-flag aliases → canonical dests
+    if args.frontend_terminal:
+        args.frontend = "terminal"
+    if args.debug_mode:
+        args.verbose = max(args.verbose, 2)
+    if args.static_wav:
+        args.audio_out = "wav:" + args.static_wav
+    if args.percall_wav:
+        args.calls_dir = args.calls_dir or args.percall_dir or "./WAV"
+    if args.mbe_dir and not args.mbe_out:
+        import time as _t
+        os.makedirs(args.mbe_dir, exist_ok=True)
+        ext = ".imb" if args.mode in ("p25p1", "provoice") else ".amb"
+        args.mbe_out = os.path.join(
+            args.mbe_dir, _t.strftime("mbe_%Y%m%d_%H%M%S") + ext)
+    args.keys_dec = args.keys_dec or args.keys_dec_s
+    args.keys_hex = args.keys_hex or args.keys_hex_s
+    args.key_tyt16 = args.key_tyt16 or args.tyt16_key
+    args.key_tyt_ap = args.key_tyt_ap or args.tyt_ap_key
+    args.key_retevis = args.key_retevis or args.retevis_key
+    args.key_tyt_ep = args.key_tyt_ep or args.tyt_ep_key
+    args.sm_log = args.sm_log or args.sm_log_alias
+    args.dmr_mono = args.analog_gain.strip() == "m"
+    if args.profile and args.config and "@" not in args.config:
+        args.config += "@" + args.profile
+    if args.mbe_play:
+        args.mbe_in = args.mbe_in or args.mbe_play[0]
     if not args.calc_lcn:
         # DSD_NEO_DMR_T3_CALC_CSV: env-driven calculator input
         # (reference oneshot_dmr_t3.c env fallback)
@@ -673,18 +973,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.platform != "default":
             jax.config.update("jax_platforms", args.platform)
         from dsdneo_tpu.io.mbe_files import read_mbe_file, synthesize_mbe_file
-        try:
-            kind, frames = read_mbe_file(args.mbe_in)
-            pcm = synthesize_mbe_file(args.mbe_in)
-        except (OSError, ValueError) as e:
-            print(f"dsd-neo-tpu: cannot play {args.mbe_in}: {e}",
-                  file=sys.stderr)
-            return 1
-        print(f"MBE file: {kind} {len(frames)} frames "
-              f"-> {len(pcm) / 8000.0:.2f} s", file=sys.stderr)
+        files = args.mbe_play or [args.mbe_in]
+        pcms = []
+        for path in files:
+            try:
+                kind, frames = read_mbe_file(path)
+                pcm = synthesize_mbe_file(path)
+            except (OSError, ValueError) as e:
+                print(f"dsd-neo-tpu: cannot play {path}: {e}",
+                      file=sys.stderr)
+                return 1
+            print(f"MBE file: {kind} {len(frames)} frames "
+                  f"-> {len(pcm) / 8000.0:.2f} s", file=sys.stderr)
+            pcms.append(pcm)
         if args.audio_out.startswith("wav:"):
             from dsdneo_tpu.io.audio_files import write_wav
-            write_wav(args.audio_out[4:], pcm, 8000)
+            write_wav(args.audio_out[4:], np.concatenate(pcms), 8000)
         return 0
     # DSD_NEO_CONFIG names the INI to load when -c/--config was not
     # given; DSD_NEO_NO_BOOTSTRAP suppresses the wizard/INI bootstrap
@@ -732,6 +1036,10 @@ def main(argv: list[str] | None = None) -> int:
         for e in errs:
             print(f"dsd-neo-tpu: config: {e}", file=sys.stderr)
     cfg = rtcfg.load_env(cfg)
+    if args.no_cosine_filter:
+        # -l: bypass the input channel low-pass (reference
+        # opts->use_cosine_filter = 0)
+        cfg = cfg.with_overrides(channel_lpf=False)
     rtcfg._config = cfg            # process-wide config for lazy readers
     if cfg.cqpsk and not args.cqpsk:
         args.cqpsk = True          # DSD_NEO_CQPSK forces the LSM chain
@@ -796,7 +1104,7 @@ def main(argv: list[str] | None = None) -> int:
         p2 = (int(v[:5], 16), int(v[5:8], 16), int(v[8:], 16))
 
     keyring = None
-    if args.keys_dec or args.keys_hex or args.keys_aes:
+    if args.keys_dec or args.keys_hex or args.keys_aes or args.rc4_key:
         from dsdneo_tpu.crypto.keyring import KeyRing
         keyring = KeyRing()
         if args.keys_dec:
@@ -805,6 +1113,14 @@ def main(argv: list[str] | None = None) -> int:
             keyring.import_hex_csv(args.keys_hex)
         if args.keys_aes:
             keyring.import_aes_csv(args.keys_aes)
+        if args.rc4_key:
+            # -1: single RC4/DES key, forced over unmatched KIDs
+            try:
+                keyring.forced = int(args.rc4_key.replace(" ", ""), 16)
+            except ValueError:
+                print(f"dsd-neo-tpu: -1 expects hex ({args.rc4_key!r})",
+                      file=sys.stderr)
+                return 2
         # key summary (redacted unless --show-keys; reference behavior)
         print(keyring.describe(show_keys=args.show_keys), file=sys.stderr)
 
@@ -1022,6 +1338,58 @@ def main(argv: list[str] | None = None) -> int:
         print(ev.line, file=sys.stderr)
     if frame_log:
         _write_frame_log(frame_log, ctx.events, as_json=cfg.pdu_json)
+    if args.event_log:
+        # -J: event log (one line per decode event)
+        with open(args.event_log, "a") as f:
+            for ev in ctx.events:
+                f.write(ev.line.rstrip("\n") + "\n")
+    if args.lrrp_log:
+        # -L: LRRP/GPS location lines only
+        with open(args.lrrp_log, "a") as f:
+            for ev in ctx.events:
+                if "GPS" in ev.line or "LRRP" in ev.line:
+                    f.write(f"{ev.pos}\t{ev.line.strip()}\n")
+    if args.call_alert:
+        for ev in ctx.events:
+            if ev.fields.get("tg") or ev.fields.get("grant"):
+                print("\a", end="", file=sys.stderr, flush=True)
+                break
+    if args.symbol_out:
+        dib = getattr(ctx, "dibits", None)
+        if dib is not None:
+            from dsdneo_tpu.io.symbol_capture import (soft_from_norm,
+                                                      write_symbol_capture)
+            cap = soft_from_norm(np.asarray(dib),
+                                 np.asarray(ctx.debug_soft))
+            write_symbol_capture(args.symbol_out, cap,
+                                 soft=args.symbol_capture_format == "float")
+            print(f"symbol capture: {len(cap.dibits)} dibits -> "
+                  f"{args.symbol_out}", file=sys.stderr)
+    if args.dsp_out:
+        # -Q: float soft-symbol stream under ./DSP (reference layout)
+        os.makedirs("./DSP", exist_ok=True)
+        outp = os.path.join("./DSP", args.dsp_out)
+        soft = getattr(ctx, "debug_soft", None)
+        if soft is not None:
+            np.asarray(soft, dtype="<f4").tofile(outp)
+            print(f"DSP float stream: {len(soft)} samples -> {outp}",
+                  file=sys.stderr)
+    if args.raw_wav:
+        from dsdneo_tpu.io.audio_files import write_wav
+        audio, rate = _demod_audio(args.iq_replay)
+        write_wav(args.raw_wav, audio, rate)
+        print(f"raw audio WAV: {len(audio)} samples @{rate} Hz -> "
+              f"{args.raw_wav}", file=sys.stderr)
+    if args.monitor_input and not ctx.events and args.audio_out != "null":
+        # -8: analog source monitoring — no digital decode landed, so
+        # pass the demodulated source audio through to the output
+        audio, rate = _demod_audio(args.iq_replay)
+        step = max(int(rate // 8000), 1)
+        ga = 1.0
+        if args.analog_gain not in ("", "m"):
+            ga = max(0.0, min(float(args.analog_gain), 100.0)) / 50.0
+        ctx.audio.setdefault(0, []).append(
+            (audio[::step] * 0.5 * ga).astype(np.float32))
     if perf is not None:
         perf.close()
     if sync_cal is not None:
@@ -1041,23 +1409,50 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.audio_out != "null":
         from dsdneo_tpu.io.audio_out import make_sink
-        sink = make_sink(args.audio_out)
+        sink = make_sink(args.audio_out, float_audio=args.float_audio)
         if sink is None:
             print(f"dsd-neo-tpu: unknown audio output {args.audio_out!r}",
                   file=sys.stderr)
             return 2
-        for slot, chunks in ctx.audio.items():
+        slots = ctx.audio
+        if (args.dmr_mono or args.slot_pref in (0, 1)) and len(slots) > 1:
+            # -z / -nm mono output: keep the preferred slot only
+            # (auto = the slot carrying the most audio)
+            want = args.slot_pref if args.slot_pref in (0, 1) else None
+            if want is None or not slots.get(want):
+                want = max(slots, key=lambda k: sum(len(c)
+                                                    for c in slots[k]))
+            slots = {want: slots[want]}
+        for slot, chunks in slots.items():
             if chunks:
                 sink.write(slot, _condition_audio(np.concatenate(chunks),
-                                                  cfg))
+                                                  cfg,
+                                                  gain=args.digital_gain))
         sink.close()
     return 0
 
 
-def _condition_audio(pcm: "np.ndarray", cfg) -> "np.ndarray":
+def _demod_audio(iq_path: str) -> tuple["np.ndarray", int]:
+    """FM-discriminate an I/Q capture into normalized demod audio at
+    the capture rate (the -6 raw source-audio tap; reference
+    openWavOutFileRaw writes the same pre-decode stream)."""
+    from dsdneo_tpu.dsp import frontend as _fe
+    from dsdneo_tpu.io import read_iq_capture
+    meta, samples = read_iq_capture(iq_path)
+    x = np.asarray(samples, dtype=np.complex64)[None]
+    d = np.asarray(_fe.fm_discriminate(x))[0]
+    peak = float(np.max(np.abs(d))) or 1.0
+    return (d / peak * 0.9).astype(np.float32), int(meta.sample_rate_hz)
+
+
+def _condition_audio(pcm: "np.ndarray", cfg,
+                     gain: float = 0.0) -> "np.ndarray":
     """Monitor-audio helpers on the decoded output (reference
     docs/cli.md:566-570: DSD_NEO_DEEMPH deemphasis curve +
     DSD_NEO_AUDIO_LPF one-pole cutoff; both off by default)."""
+    if gain > 0:
+        # -g fixed digital output gain (0..50, 25 = unity)
+        pcm = np.asarray(pcm, dtype=np.float32) * (gain / 25.0)
     if cfg is None:
         return pcm
     if cfg.deemph not in ("", "off"):

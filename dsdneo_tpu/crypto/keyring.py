@@ -33,6 +33,16 @@ class KeyRing:
     multi-segment AES-128/256 keys."""
     scalar: dict = field(default_factory=dict)    # key_id -> int
     aes: dict = field(default_factory=dict)       # key_id -> bytes
+    forced: int | None = None     # CLI -1/-R forced RC4/DES key: used
+                                  # whenever the signalled key id has no
+                                  # CSV entry (reference state->R + keyloader=0)
+
+    def lookup(self, kid: int) -> int | None:
+        """Key for a signalled key id, falling back to the forced
+        single key (reference: a key loaded with -1 applies regardless
+        of the over-the-air KID when the keyloader is off)."""
+        v = self.scalar.get(kid)
+        return v if v is not None else self.forced
 
     def import_dec_csv(self, path: str) -> int:
         """multi_key.csv: 'id(dec),value(dec)' (NXDN scrambler / BP)."""

@@ -62,15 +62,23 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
         ctx.state.p2_wacn, ctx.state.p2_sysid, ctx.state.p2_cc = p2_params
     ctx.mode_name = mode.name
     ctx.debug_soft = norm
+    ctx.dibits = dibits          # -c symbol capture source
     ctx.debug_iq = samples[:16384]
     ctx.n_syncs = len(hits)
     ctx.sync_scores = [h.score for h in hits]
     registry = proto_base.registry()
     decoders: dict[str, proto_base.ProtocolDecoder] = {}
     consumed_until = 0
+    force_pol = getattr(ctx.state, "force_polarity", None)
     for hit in hits:
         if hit.pos < consumed_until:
             continue
+        if force_pol:
+            # -x inversion expectations (reference opts->inverted_*):
+            # drop sync hypotheses at the unexpected polarity
+            want = force_pol.get(hit.sync.protocol)
+            if want is not None and bool(hit.sync.inverted) != want:
+                continue
         factory = registry.get(hit.sync.protocol)
         if factory is None:
             ctx.emit(f"Sync: {hit.sync.name} (no decoder)", hit.sync.protocol,

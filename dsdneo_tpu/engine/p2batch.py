@@ -571,7 +571,7 @@ class BatchedP2VoicePipeline:
                 nf = 2
             # keystream for this timeslot's frames
             if cs["alg"] == 0xAA and cs["mi"]:
-                k = self.keyring.scalar.get(cs["kid"]) \
+                k = self.keyring.lookup(cs["kid"]) \
                     if self.keyring is not None else None
                 if k is not None:
                     base = frame_at.get(key, 0)

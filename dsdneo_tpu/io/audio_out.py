@@ -246,10 +246,69 @@ class AlsaSink(AudioSink):
             self._pcm = None
 
 
-def make_sink(spec: str) -> AudioSink | None:
+class FloatWavSink(AudioSink):
+    """Mono float32 WAV (WAVE_FORMAT_IEEE_FLOAT) — the reference's -y
+    experimental floating point audio output."""
+
+    def __init__(self, path: str, rate: int = 8000):
+        self.path = path
+        self.rate = rate
+        self._chunks: dict[int, list[np.ndarray]] = {}
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        self._chunks.setdefault(slot, []).append(
+            np.asarray(pcm, dtype=np.float32))
+
+    def close(self) -> None:
+        import struct
+        for slot, chunks in self._chunks.items():
+            path = self.path
+            if len(self._chunks) > 1:
+                path = path.replace(".wav", f".s{slot}.wav")
+            data = np.concatenate(chunks).astype("<f4").tobytes()
+            hdr = struct.pack(
+                "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+                b"fmt ", 16, 3, 1, self.rate, self.rate * 4, 4, 32,
+                b"data", len(data))
+            with open(path, "wb") as f:
+                f.write(hdr + data)
+
+
+def list_audio_devices(out=None) -> None:
+    """-O: list playback endpoints.  Uses pactl when a Pulse server is
+    reachable, otherwise reports which external players/backends the
+    sink layer could use (reference dsd_audio_list_devices)."""
+    import shutil
+    import subprocess
+    import sys
+    out = out or sys.stdout
+    if shutil.which("pactl"):
+        for kind in ("sources", "sinks"):
+            try:
+                r = subprocess.run(["pactl", "list", "short", kind],
+                                   capture_output=True, text=True,
+                                   timeout=3)
+                if r.returncode == 0:
+                    print(f"pulse {kind}:", file=out)
+                    print(r.stdout.rstrip() or "  (none)", file=out)
+                    continue
+            except Exception:
+                pass
+            print(f"pulse {kind}: unavailable", file=out)
+        return
+    print("no Pulse server; available output backends:", file=out)
+    for cand in PlayerSink.DEFAULTS:
+        name = cand.split()[0]
+        mark = "found" if shutil.which(name) else "not on PATH"
+        print(f"  play:{name} ({mark})", file=out)
+    print("  wav:<path>  pcm:<path>  udp:<host:port>  null", file=out)
+
+
+def make_sink(spec: str, float_audio: bool = False) -> AudioSink | None:
     """Parse a '-o' style sink spec: null | wav:P | wav2:P | pcm:P |
     udp:HOST:PORT | play[:command] | pulse | alsa[:device].  Returns
-    None for unknown specs."""
+    None for unknown specs.  ``float_audio`` (-y) upgrades file sinks
+    to 32-bit float output."""
     if spec == "null":
         return NullSink()
     if spec == "play" or spec.startswith("play:"):
@@ -262,8 +321,13 @@ def make_sink(spec: str) -> AudioSink | None:
     if spec.startswith("wav2:"):
         return StereoWavSink(spec[5:])
     if spec.startswith("wav:"):
-        return WavSink(spec[4:])
+        return (FloatWavSink if float_audio else WavSink)(spec[4:])
     if spec.startswith("pcm:"):
+        if float_audio:
+            class _F32Pcm(PcmSink):
+                def write(self, slot, pcm):
+                    self._f.write(np.asarray(pcm, dtype="<f4").tobytes())
+            return _F32Pcm(spec[4:])
         return PcmSink(spec[4:])
     if spec.startswith("udp:"):
         from dsdneo_tpu.io.net import UdpAudioOutput

@@ -149,6 +149,16 @@ class RigctlClient:
         except (ValueError, IndexError, socket.timeout):
             return None
 
+    def set_mode(self, mode: str = "FM", passband_hz: int = 0) -> bool:
+        """rigctl 'M <mode> <passband>' — the reference -B setmod
+        bandwidth push after each retune (args.c case 'B')."""
+        self.sock.sendall(f"M {mode} {int(passband_hz)}\n".encode())
+        try:
+            resp = self.sock.recv(64)
+        except socket.timeout:
+            return False
+        return b"RPRT 0" in resp or resp.strip() == b""
+
     def close(self):
         self.sock.close()
 

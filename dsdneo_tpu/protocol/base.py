@@ -43,6 +43,10 @@ class DecoderContext:
         self.events.append(DecodeEvent(line, protocol, pos, fields))
 
     def emit_audio(self, pcm: np.ndarray, slot: int = 0) -> None:
+        # -V slot synthesis mask (reference opts->slot1_on/slot2_on)
+        mask = getattr(self.state, "slot_mask", 3)
+        if slot in (0, 1) and not (mask >> slot) & 1:
+            return
         pol = getattr(self.state, "tg_policy", None)
         tg = getattr(self.state, "last_tg", 0) or 0
         if pol is not None and tg and not pol.allows(tg, slot=slot):

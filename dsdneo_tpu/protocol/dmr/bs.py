@@ -480,7 +480,8 @@ class DmrBsDecoder(ProtocolDecoder):
         if h1 is not None and h2 is not None:
             voice216 = np.concatenate([h1, h2])
             ctx.events[-1].fields["ambe216"] = voice216
-            self._collect_late_entry(voice216, s, vc, ctx)
+            if not getattr(ctx.state, "dmr_le_disable", False):
+                self._collect_late_entry(voice216, s, vc, ctx)
             self._synthesize(voice216, s, ctx)
             if vc == 6:
                 self._alg_refresh(s, ctx)
@@ -513,7 +514,7 @@ class DmrBsDecoder(ProtocolDecoder):
             # a scalar key is loaded (reference
             # dmr_maybe_infer_algid_from_key)
             kr = getattr(ctx.state, "keyring", None)
-            if kr is not None and kr.scalar:
+            if kr is not None and (kr.scalar or kr.forced is not None):
                 cs.update(alg=0x21, kid=0xFF, mi=mi, drop=256)
                 ctx.emit(f" Slot {s + 1} DMR Late Entry MI: {mi:08X};"
                          " RC4 (inferred);", "dmr", 0, slot=s)
@@ -723,6 +724,27 @@ class DmrBsDecoder(ProtocolDecoder):
         if tyt_ep is not None:
             from dsdneo_tpu.crypto.vendor import tyt_ep_keystream49
             tyt_ep_ks = tyt_ep_keystream49(int(tyt_ep))
+        # superframe-keystream vendors (reference crypt-etc.c
+        # xor_keystream_bits_frame49 family: Hytera BP -H, Kenwood
+        # scrambler -9, Anytone BP -A, straight mod-XOR -S)
+        sf_ks = getattr(s_obj, "dmr_sf_keystream", None)
+        if sf_ks is None:
+            hyt = getattr(s_obj, "dmr_hytera_bp", None)
+            ken = getattr(s_obj, "dmr_kenwood_key", None)
+            anyt = getattr(s_obj, "dmr_anytone_key", None)
+            if hyt is not None:
+                from dsdneo_tpu.crypto.vendor import hytera_bp_keystream
+                sf_ks = s_obj.dmr_sf_keystream = hytera_bp_keystream(*hyt)
+            elif ken is not None:
+                from dsdneo_tpu.crypto.vendor import kenwood_scrambler_keystream
+                sf_ks = s_obj.dmr_sf_keystream = \
+                    kenwood_scrambler_keystream(int(ken))
+            elif anyt is not None:
+                from dsdneo_tpu.crypto.vendor import anytone_bp_keystream
+                bits16 = anytone_bp_keystream(int(anyt))
+                sf_ks = s_obj.dmr_sf_keystream = \
+                    bits16[np.arange(882) % 16]
+        static_ks = getattr(s_obj, "dmr_static_ks", None)
         fcount = getattr(s_obj, "dmr_vc_frame_count", 0)
         params = []
         for k in range(3):
@@ -734,6 +756,12 @@ class DmrBsDecoder(ProtocolDecoder):
                 fr72 = fr72 ^ tyt16_keystream72(int(tyt16), fcount + k)
             bits49, _errs = decode_ambe_ecc(fr72)
             bits49 = self._decrypt_rc4(bits49, slot, ctx)
+            if sf_ks is not None:
+                from dsdneo_tpu.crypto.vendor import hytera_bp_apply_frame49
+                bits49 = hytera_bp_apply_frame49(sf_ks, (fcount + k) % 18,
+                                                 bits49)
+            if static_ks is not None:
+                bits49 = static_ks.apply_frame49(bits49, slot)
             if bp_ks is not None:
                 bits49 = bits49 ^ bp_ks          # bit 48 untouched (ks=0)
             if tyt_ep_ks is not None:
@@ -747,6 +775,11 @@ class DmrBsDecoder(ProtocolDecoder):
             sink = getattr(ctx, "mbe_sink", None)
             if sink is not None:
                 sink.write(bits49, _errs)
+            if getattr(s_obj, "payload_log", False):
+                # -Z console payload logging (reference opts->payload)
+                hx = np.packbits(bits49.astype(np.uint8)).tobytes().hex()
+                ctx.emit(f" AMBE {hx.upper()} err {_errs}", "dmr", 0,
+                         slot=slot)
             params.append((bits49, _errs))
         s_obj.dmr_vc_frame_count = fcount + 3
         # MBE glue contract (vocoder.glue): tone frames synthesize the
@@ -767,7 +800,16 @@ class DmrBsDecoder(ProtocolDecoder):
                 directives.append(glue.condition(decode_ambe_2450(bits49),
                                                  errs, None))
         pcm = glue.render(directives)
-        if pcm.size:
+        # encrypted-without-key audio is muted (reference
+        # dmr_mute_encL/R default 1); -q reverse mute flips the gate
+        cs = self.crypto[slot]
+        have_vendor = any(x is not None for x in
+                          (csi_ks, tyt16, retevis, tyt_ap, baofeng,
+                           tyt_ep_ks, sf_ks, static_ks, bp_ks))
+        enc_mute = cs["alg"] not in (0, 0x80) \
+            and not cs.get("key_ok") and not have_vendor
+        mute = enc_mute ^ bool(getattr(s_obj, "reverse_mute", False))
+        if pcm.size and not mute:
             ctx.emit_audio(pcm, slot=slot)
 
     def _decrypt_rc4(self, bits49: np.ndarray, slot: int,
@@ -781,11 +823,12 @@ class DmrBsDecoder(ProtocolDecoder):
         kr = getattr(ctx.state, "keyring", None)
         key = None
         if kr is not None:
-            key = kr.scalar.get(cs["kid"])
+            key = kr.lookup(cs["kid"])
             if key is None and len(kr.scalar) == 1:
                 key = next(iter(kr.scalar.values()))   # single-key -R case
         if key is None:
             return bits49
+        cs["key_ok"] = True
         from dsdneo_tpu.crypto.keystream import rc4_keystream
         rckey = (int(key) & 0xFFFFFFFFFF).to_bytes(5, "big") \
             + (cs["mi"] & 0xFFFFFFFF).to_bytes(4, "big")

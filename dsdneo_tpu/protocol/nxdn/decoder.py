@@ -163,11 +163,15 @@ class NxdnDecoder(ProtocolDecoder):
         if reader.invert:
             dd = dd ^ 2
             soft = -soft
-        # descramble: invert dibit sign at PN positions
+        # descramble: invert dibit sign at PN positions (-_ overrides
+        # the PN95 seed, reference state->nxdn_pn95_seed default 228)
+        seed = getattr(ctx.state, "nxdn_pn95_seed", None)
+        spos = (_SCRAMBLE_POS if seed in (None, 0xE4)
+                else _pn9_scramble_positions(int(seed)))
         dd = dd.copy()
-        dd[_SCRAMBLE_POS] ^= 2
+        dd[spos] ^= 2
         soft = soft.copy()
-        soft[_SCRAMBLE_POS] *= -1.0
+        soft[spos] *= -1.0
 
         lich_full = _bti((dd[:8] >> 1) & 1)
         parity_rx = lich_full & 1

@@ -1035,6 +1035,10 @@ class P25P1Decoder(ProtocolDecoder):
             bits88 = self._decrypt_imbe(bits88, ctx)
             if sink is not None:
                 sink.write(bits88, errs)
+            if getattr(ctx.state, "payload_log", False):
+                # -Z console payload logging (reference opts->payload)
+                hx = np.packbits(bits88.astype(np.uint8)).tobytes().hex()
+                ctx.emit(f" IMBE {hx.upper()} err {errs}", "p25p1", 0)
             # the MBE glue contract (vocoder.glue, reference dsd_mbe.c /
             # mbelib process semantics): tone codes synthesize tones,
             # invalid non-voice codes and over-threshold frames repeat
@@ -1057,7 +1061,11 @@ class P25P1Decoder(ProtocolDecoder):
             directives.append((kind, arg))
         ctx.state.imbe_prev = prev
         pcm = glue.render(directives)
-        if pcm.size:
+        # encrypted-without-key audio is muted (reference
+        # unmute_encrypted_p25 default 0); -q reverse mute flips it
+        mute = bool(getattr(ctx.state, "p25_enc_unbroken", False)) \
+            ^ bool(getattr(ctx.state, "reverse_mute", False))
+        if pcm.size and not mute:
             ctx.emit_audio(pcm, slot=0)
         if ctx.events:
             # per-call error accounting on the owning LDU event
@@ -1078,12 +1086,15 @@ class P25P1Decoder(ProtocolDecoder):
         s = ctx.state
         kr = getattr(s, "keyring", None)
         algid = getattr(s, "payload_algid", 0)
+        enc = algid not in (0, 0x80)
+        s.p25_enc_unbroken = enc          # cleared below once a key applies
         if kr is None or algid not in (0xAA, 0x81):
             return bits88
-        key = kr.scalar.get(getattr(s, "payload_kid", 0))
+        key = kr.lookup(getattr(s, "payload_kid", 0))
         mi = getattr(s, "payload_mi", 0)
         if key is None or mi == 0:
             return bits88
+        s.p25_enc_unbroken = False
         off = getattr(s, "ks_offset", 0)
         if algid == 0xAA:
             from dsdneo_tpu.crypto.keystream import p25_adp_keystream

@@ -198,7 +198,7 @@ class P25P2Decoder(ProtocolDecoder):
         if cs["alg"] != 0xAA or cs["mi"] == 0:
             return bits49
         kr = getattr(ctx.state, "keyring", None)
-        key = kr.scalar.get(cs["kid"]) if kr is not None else None
+        key = kr.lookup(cs["kid"]) if kr is not None else None
         if key is None:
             return bits49
         from dsdneo_tpu.crypto.keystream import rc4_keystream
