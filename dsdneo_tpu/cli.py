@@ -928,6 +928,10 @@ def main(argv: list[str] | None = None) -> int:
         args.verbose = max(args.verbose, 2)
     if args.static_wav:
         args.audio_out = "wav:" + args.static_wav
+        # reference openWavOutFile creates the file at startup, so a
+        # data-only session still leaves a (silent) WAV behind
+        from dsdneo_tpu.io.audio_files import write_wav as _ww
+        _ww(args.static_wav, np.zeros(0, dtype=np.float32), 8000)
     if args.percall_wav:
         args.calls_dir = args.calls_dir or args.percall_dir or "./WAV"
     if args.mbe_dir and not args.mbe_out:
