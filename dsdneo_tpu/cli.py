@@ -331,6 +331,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "-xz inverted M17 (reference -x)")
     p.add_argument("-~", dest="debug_mode", action="store_true",
                    help=argparse.SUPPRESS)
+    p.add_argument("-m", dest="modulation", default="",
+                   choices=["a", "c", "g", "q", "2", "3", "p", "h"],
+                   help="modulation optimization lock: a=auto, c=C4FM, "
+                        "g=GFSK, q=QPSK, 2=P25p2 QPSK 6000 sps "
+                        "(reference -ma/-mc/-mg/-mq/-m2)")
     p.add_argument("-j", dest="lcw_retune", action="store_true",
                    help="P25: force-enable LCW explicit retune "
                         "(already the default policy; reference -j)")
@@ -513,6 +518,8 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
         attrs["nxdn_pn95_seed"] = max(1, min(args.nxdn_seed, 0x1FF))
     if args.dmrla_n >= 0:
         attrs["dmr_dmrla_n"] = min(args.dmrla_n, 10)
+    if args.modulation:
+        attrs["mod_lock"] = args.modulation
     if args.inversion:
         # -x expectations → forced sync polarity per protocol family
         pol = {}
@@ -924,6 +931,8 @@ def main(argv: list[str] | None = None) -> int:
     # reference short-flag aliases → canonical dests
     if args.frontend_terminal:
         args.frontend = "terminal"
+    if args.modulation in ("q", "2", "3"):
+        args.cqpsk = True              # -mq/-m2/-m3 lock the LSM chain
     if args.debug_mode:
         args.verbose = max(args.verbose, 2)
     if args.static_wav:

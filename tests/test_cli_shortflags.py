@@ -48,6 +48,16 @@ def test_parser_short_flag_surface():
     assert a.key_priority and a.force_rc4 and a.disable_le
 
 
+def test_modulation_lock_flag():
+    from dsdneo_tpu.cli import _state_attrs, build_parser
+    p = build_parser()
+    a = p.parse_args(["-f1", "--iq-replay", "x", "-mq"])
+    assert a.modulation == "q"
+    assert _state_attrs(a, None, None)["mod_lock"] == "q"
+    a = p.parse_args(["-f1", "--iq-replay", "x", "-mc"])
+    assert a.modulation == "c"
+
+
 def test_state_attrs_key_and_behavior_flags():
     from dsdneo_tpu.cli import _state_attrs, build_parser
     a = build_parser().parse_args(
