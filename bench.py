@@ -161,7 +161,7 @@ def bench_full_chain(C: int, reps: int = 5):
     return C * block_s / step_s, step_s, block_s, int(pcm.shape[1] // 160)
 
 
-def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "mulaw"):
+def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "adpcm"):
     """DMR BS voice: I/Q→audio for C channels of sustained 2-slot TDMA
     voice through the batched device pipeline (superframe gather + AMBE
     ECC + dequant + synthesis on device).  The reference's dmr_voice
@@ -170,12 +170,13 @@ def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "mulaw"):
     carries AMBE frames through the real ECC; see
     engine.dmrbatch.synth_voice_stream).
 
-    Wire format is G.711 µ-law (the standard 8 kHz narrowband voice
-    delivery codec): DMR's 2-slot TDMA yields 2× realtime audio per RF
-    second, and at fleet scale the tunneled d2h link (~45 MB/s for
-    incompressible data) is the binding constraint — µ-law halves the
-    PCM DMA at the telephony-standard ~38 dB SNDR.  Host expansion is a
-    256-entry LUT (counted in the timing)."""
+    Wire format is IMA ADPCM (ops.audio_wire, 4 bits/sample): DMR's
+    2-slot TDMA yields 2× realtime audio per RF second, and at fleet
+    scale the tunneled d2h link (14-45 MB/s for computed data) is the
+    binding constraint — ADPCM quarters the PCM DMA vs 16-bit at ~20 dB
+    speech SNDR (tests/test_audio_wire.py bounds it).  Host expansion
+    is the native decoder (native/audio_codec.cpp), counted in the
+    timing.  Measured step at C=320: 953 ms µ-law → 617 ms ADPCM."""
     import jax
     from dsdneo_tpu.engine.dmrbatch import (BatchedDmrVoicePipeline,
                                             synth_voice_stream)
@@ -278,9 +279,9 @@ def bench_p25p2_chain(C: int, reps: int = 5):
     device pipeline (frame walk from the candidate blob, voice gather +
     LFSR descramble + AMBE ECC + dequant + synthesis on device).  The
     reference ships only a P2 control-channel fixture, so the source is
-    synthesized through the real ECC/scramble (engine.p2batch).  µ-law
-    wire format (see bench_dmr_chain — same 2× realtime audio per RF
-    second)."""
+    synthesized through the real ECC/scramble (engine.p2batch).  IMA
+    ADPCM wire format (see bench_dmr_chain — same 2× realtime audio per
+    RF second; 984 ms µ-law → 669 ms ADPCM at C=320)."""
     import jax
     from dsdneo_tpu.engine.p2batch import (BatchedP2VoicePipeline,
                                            synth_p2_voice_stream)
@@ -290,7 +291,7 @@ def bench_p25p2_chain(C: int, reps: int = 5):
     iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
     iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
     block_s = iq1.shape[0] / fs
-    pipe = BatchedP2VoicePipeline(C, fs=fs, pcm_fmt="mulaw")
+    pipe = BatchedP2VoicePipeline(C, fs=fs, pcm_fmt="adpcm")
     x = jax.device_put(iq)
     pcm = pipe.decode_block(x)
     assert pcm.shape[1] > 0

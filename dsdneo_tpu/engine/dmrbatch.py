@@ -155,6 +155,9 @@ def dmr_voice_decode_gather(dibits, sf_ch, sf_pos, sf_inv, offs, fch,
     # call's peak; a static scale keeps the device program data-
     # independent), clipped to full scale
     pcm = jnp.clip(pcm * 0.02, -1.0, 1.0)
+    if pcm_fmt == "adpcm":
+        from dsdneo_tpu.ops.audio_wire import adpcm_compress
+        return adpcm_compress(pcm.reshape(pcm.shape[0], -1))
     if pcm_fmt == "mulaw":
         # G.711 µ-law wire format: halves the PCM DMA, which dominates
         # the tunneled chain at high channel counts
@@ -342,10 +345,8 @@ class BatchedDmrVoicePipeline:
     def fetch_pcm(self, handle) -> np.ndarray:
         if handle is None:
             return np.zeros((self.C, 0), dtype=np.float32)
-        a = np.asarray(handle)
-        if a.dtype == np.uint8:
-            return mulaw_expand(a).reshape(self.C, -1)
-        return a.astype(np.float32).reshape(self.C, -1)
+        from dsdneo_tpu.ops.audio_wire import wire_expand
+        return wire_expand(np.asarray(handle), self.pcm_fmt, self.C)
 
     def decode_block(self, iq) -> np.ndarray:
         return self.fetch_pcm(self.decode_block_async(iq))

@@ -170,11 +170,8 @@ class BatchedDpmrVoicePipeline:
     def fetch_pcm(self, handle) -> np.ndarray:
         if handle is None:
             return np.zeros((self.C, 0), dtype=np.float32)
-        a = np.asarray(handle)
-        if a.dtype == np.uint8:
-            from dsdneo_tpu.engine.dmrbatch import mulaw_expand
-            return mulaw_expand(a).reshape(self.C, -1)
-        return a.astype(np.float32).reshape(self.C, -1)
+        from dsdneo_tpu.ops.audio_wire import wire_expand
+        return wire_expand(np.asarray(handle), self.pcm_fmt, self.C)
 
     def decode_block(self, iq) -> np.ndarray:
         return self.fetch_pcm(self.decode_block_async(iq))

@@ -225,6 +225,9 @@ def p2_voice_decode_gather(dibits, scr_tab, f_ch, f_tpos, f_row, f_offidx,
                      * 2.399963, 2 * jnp.pi)).reshape(C2, n_steps, MAX_L)
     pcm = jax.vmap(synthesize)(w0s, As, Vs, noise)
     pcm = jnp.clip(pcm * 0.02, -1.0, 1.0)
+    if pcm_fmt == "adpcm":
+        from dsdneo_tpu.ops.audio_wire import adpcm_compress
+        return adpcm_compress(pcm.reshape(pcm.shape[0], -1))
     if pcm_fmt == "mulaw":
         y = jnp.sign(pcm) * jnp.log1p(255.0 * jnp.abs(pcm)) / np.log1p(255.0)
         return jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
@@ -621,11 +624,8 @@ class BatchedP2VoicePipeline:
     def fetch_pcm(self, handle) -> np.ndarray:
         if handle is None:
             return np.zeros((2 * self.C, 0), dtype=np.float32)
-        a = np.asarray(handle)
-        if a.dtype == np.uint8:
-            from dsdneo_tpu.engine.dmrbatch import mulaw_expand
-            return mulaw_expand(a).reshape(2 * self.C, -1)
-        return a.astype(np.float32).reshape(2 * self.C, -1)
+        from dsdneo_tpu.ops.audio_wire import wire_expand
+        return wire_expand(np.asarray(handle), self.pcm_fmt, 2 * self.C)
 
     def decode_block(self, iq) -> np.ndarray:
         return self.fetch_pcm(self.decode_block_async(iq))

@@ -672,11 +672,8 @@ class BatchedP25VoicePipeline:
         """Pull a decode_block_async result to host float32 PCM."""
         if handle is None or getattr(handle, "size", 1) == 0:
             return np.zeros((self.C, 0), dtype=np.float32)
-        a = np.asarray(handle)
-        if a.dtype == np.uint8:
-            from dsdneo_tpu.engine.dmrbatch import mulaw_expand
-            return mulaw_expand(a).reshape(self.C, -1)
-        return a.astype(np.float32).reshape(self.C, -1)
+        from dsdneo_tpu.ops.audio_wire import wire_expand
+        return wire_expand(np.asarray(handle), self.pcm_fmt, self.C)
 
     def decode_block_host(self, iq) -> np.ndarray:
         """Host-dequant variant of decode_block (reference numerics for

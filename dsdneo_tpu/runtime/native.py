@@ -17,7 +17,8 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_HERE, "native", "ingest_ring.cpp")
+_SRCS = [os.path.join(_HERE, "native", "ingest_ring.cpp"),
+         os.path.join(_HERE, "native", "audio_codec.cpp")]
 _SO = os.path.join(_HERE, "native", "libdsdneo_ingest.so")
 
 _lib = None
@@ -26,11 +27,11 @@ _lock = threading.Lock()
 
 def build(force: bool = False) -> str:
     """Compile the native library if needed; returns the .so path."""
-    if force or not os.path.exists(_SO) or (
-            os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+    if force or not os.path.exists(_SO) or any(
+            os.path.getmtime(s) > os.path.getmtime(_SO) for s in _SRCS):
         subprocess.run(
             ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-pthread",
-             "-o", _SO, _SRC],
+             "-o", _SO] + _SRCS,
             check=True)
     return _SO
 
@@ -64,6 +65,9 @@ def _load():
         lib.dsd_ring_generation.argtypes = [ctypes.c_void_p]
         lib.dsd_set_ftz_daz.restype = ctypes.c_int
         lib.dsd_set_ftz_daz.argtypes = [ctypes.c_int]
+        lib.dsd_adpcm_decode.restype = None
+        lib.dsd_adpcm_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -75,6 +79,21 @@ def set_ftz_daz(enable: bool = True) -> bool:
         return bool(_load().dsd_set_ftz_daz(1 if enable else 0))
     except (OSError, subprocess.CalledProcessError, AttributeError):
         return False
+
+
+def adpcm_decode(blob: "np.ndarray") -> "np.ndarray | None":
+    """IMA ADPCM expansion (native/audio_codec.cpp): [S, T2] uint8
+    packed 4-bit codes → [S, 2·T2] float32; None if the native library
+    cannot be built (caller falls back to the NumPy decoder)."""
+    try:
+        lib = _load()
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    S, T2 = blob.shape
+    out = np.empty((S, 2 * T2), dtype=np.float32)
+    lib.dsd_adpcm_decode(blob.ctypes.data_as(ctypes.c_void_p), S, T2,
+                         out.ctypes.data_as(ctypes.c_void_p))
+    return out
 
 
 class IngestRing:

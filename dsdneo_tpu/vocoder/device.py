@@ -179,6 +179,13 @@ def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
     noise = (jnp.mod(jnp.arange(C * F_ * MAX_L, dtype=jnp.float32)
                      * 2.399963, 2 * jnp.pi)).reshape(C, F_, MAX_L)
     pcm = jax.vmap(synthesize)(w0o, amps, voiced, noise)
+    if pcm_fmt == "adpcm":
+        # IMA ADPCM wire format (ops.audio_wire): 4 bits/sample,
+        # halves the tunnel DMA again vs u-law
+        from dsdneo_tpu.ops.audio_wire import adpcm_compress
+        p = jnp.clip(pcm * 0.02, -1.0, 1.0)
+        q = adpcm_compress(p.reshape(p.shape[0], -1))
+        return q, f_logm, f_L, (w0o, voiced, amps)
     if pcm_fmt == "mulaw":
         # G.711 u-law wire format (see engine.dmrbatch): halves the
         # tunnel DMA; fixed scale keeps the program data-independent
