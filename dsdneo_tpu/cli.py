@@ -23,7 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
                                 description="TPU-native digital speech decoder")
     p.add_argument("--iq-replay", metavar="FILE",
                    help="replay an I/Q capture (.iq or .iq.json sidecar)")
-    p.add_argument("--frontend", default="none", choices=["none", "terminal"],
+    p.add_argument("--http-port", type=int, default=8173,
+                   help="port for --frontend http (reference Qt/QML "
+                        "remote frontend equivalent; loopback bind)")
+    p.add_argument("--frontend", default="none",
+                   choices=["none", "terminal", "http"],
                    help="UI frontend")
     p.add_argument("-o", dest="audio_out", default="null",
                    help="audio output (null | wav:PATH | pcm:PATH)")
@@ -544,8 +548,12 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
     spec = args.input
     duration = args.duration
 
+    httpf = [None]                # live HTTP frontend, set by _drive_live
+
     def on_event(e):
         print(e.line)
+        if httpf[0] is not None:
+            httpf[0].push_event(e.line)
         if args.event_log:
             with open(args.event_log, "a") as f:
                 f.write(e.line.rstrip("\n") + "\n")
@@ -569,6 +577,14 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             hop_s=(cfg.squelch_hop_s if cfg else 0.5))
         eng.level_warn_db = args.input_level_warn_db
         eng.input_volume = args.input_volume
+        if args.frontend == "http":
+            # remote frontend: snapshots + commands over HTTP (the
+            # reference's Qt/QML view-model polling, app_control/http)
+            from dsdneo_tpu.app_control.http import HttpFrontend
+            httpf[0] = HttpFrontend(eng.metrics, eng.commands,
+                                    port=args.http_port).start()
+            print(f"http frontend: http://127.0.0.1:{httpf[0].port}/",
+                  file=sys.stderr)
         if cfg is not None:
             eng.snr_squelch_db = cfg.snr_sql_db
             eng.dc_block = cfg.iq_dc_block
