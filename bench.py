@@ -142,16 +142,21 @@ def bench_full_chain(C: int, reps: int = 5):
     assert pcm.shape[0] == C and pcm.shape[1] > 0
 
     def pipelined(k: int) -> float:
-        """Steady-state streaming: block i+1 is dispatched before block
-        i's PCM is fetched, so the 5 MB DMA rides under the next
-        block's device compute (JAX async dispatch) — the production
-        shape of the demod-thread/output-ring decoupling."""
+        """Deep 3-stage pipeline: block N+1's frontend is dispatched
+        before block N's candidate blob is fetched, and block N-1's PCM
+        is fetched last — the ~27 ms tunnel round trips and the host
+        LDU pick ride under the device programs of adjacent blocks
+        (frontend_dispatch/frontend_finish/decode_from_frontend)."""
         t0 = time.perf_counter()
-        prev = pipe.decode_block_async(x)
-        for _ in range(k - 1):
-            nxt = pipe.decode_block_async(x)
-            pipe.fetch_pcm(prev)
-            prev = nxt
+        fe = pipe.frontend_dispatch(x)
+        prev = None
+        for _ in range(k):
+            fe_next = pipe.frontend_dispatch(x)
+            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
+            if prev is not None:
+                pipe.fetch_pcm(prev)
+            prev = h
+            fe = fe_next
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
@@ -192,12 +197,17 @@ def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "adpcm"):
     assert pcm.shape[1] > 0
 
     def pipelined(k: int) -> float:
+        """Deep 3-stage pipeline (see bench_full_chain)."""
         t0 = time.perf_counter()
-        prev = pipe.decode_block_async(x)
-        for _ in range(k - 1):
-            nxt = pipe.decode_block_async(x)
-            pipe.fetch_pcm(prev)
-            prev = nxt
+        fe = pipe.frontend_dispatch(x)
+        prev = None
+        for _ in range(k):
+            fe_next = pipe.frontend_dispatch(x)
+            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
+            if prev is not None:
+                pipe.fetch_pcm(prev)
+            prev = h
+            fe = fe_next
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
@@ -260,12 +270,21 @@ def bench_cqpsk_chain(C: int, reps: int = 5):
     assert pcm.shape[0] == C and pcm.shape[1] > 0
 
     def pipelined(k: int) -> float:
+        """Deep 3-stage pipeline: block N+1's frontend is dispatched
+        before block N's candidate blob is fetched, and block N-1's PCM
+        is fetched last — the ~27 ms tunnel round trips and the host
+        LDU pick ride under the device programs of adjacent blocks
+        (frontend_dispatch/frontend_finish/decode_from_frontend)."""
         t0 = time.perf_counter()
-        prev = pipe.decode_block_async(x)
-        for _ in range(k - 1):
-            nxt = pipe.decode_block_async(x)
-            pipe.fetch_pcm(prev)
-            prev = nxt
+        fe = pipe.frontend_dispatch(x)
+        prev = None
+        for _ in range(k):
+            fe_next = pipe.frontend_dispatch(x)
+            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
+            if prev is not None:
+                pipe.fetch_pcm(prev)
+            prev = h
+            fe = fe_next
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
@@ -297,12 +316,17 @@ def bench_p25p2_chain(C: int, reps: int = 5):
     assert pcm.shape[1] > 0
 
     def pipelined(k: int) -> float:
+        """Deep 3-stage pipeline (see bench_full_chain)."""
         t0 = time.perf_counter()
-        prev = pipe.decode_block_async(x)
-        for _ in range(k - 1):
-            nxt = pipe.decode_block_async(x)
-            pipe.fetch_pcm(prev)
-            prev = nxt
+        fe = pipe.frontend_dispatch(x)
+        prev = None
+        for _ in range(k):
+            fe_next = pipe.frontend_dispatch(x)
+            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
+            if prev is not None:
+                pipe.fetch_pcm(prev)
+            prev = h
+            fe = fe_next
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 

@@ -327,6 +327,26 @@ class BatchedP2VoicePipeline:
             self._jits[key] = fn
         dibits_dev, blob_dev = fn(
             iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        return self.frontend_finish((dibits_dev, blob_dev, n_sym))
+
+    def frontend_dispatch(self, iq, use_pallas: bool | None = None):
+        """Queue the frontend program WITHOUT fetching the blob (deep
+        pipelining, see voicebatch.frontend_dispatch)."""
+        B = iq.shape[1]
+        n_sym = int(B // self.sps) - 2
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        key = ("p2", B, n_sym, use_pallas)
+        fn = self._jits.get(key)
+        if fn is None:
+            self.frontend_sync_device(iq, use_pallas)   # compile once
+            fn = self._jits[key]
+        dibits_dev, blob_dev = fn(
+            iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        return dibits_dev, blob_dev, n_sym
+
+    def frontend_finish(self, fe):
+        dibits_dev, blob_dev, n_sym = fe
         blob = np.asarray(blob_dev)
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)
@@ -593,8 +613,10 @@ class BatchedP2VoicePipeline:
     def decode_block_async(self, iq):
         """Dispatch one [C, B] block; returns the device PCM handle
         ([C·2, n_steps·160] per-slot streams)."""
-        dibits_dev, idx, vq, duid, isch, n_sym = \
-            self.frontend_sync_device(iq)
+        return self.decode_from_frontend(self.frontend_sync_device(iq))
+
+    def decode_from_frontend(self, fe6):
+        dibits_dev, idx, vq, duid, isch, n_sym = fe6
         arrs, ess_jobs = self.walk_frames(idx, vq, duid, isch, n_sym)
         f_ch, f_tpos, f_row, f_offidx, f_out, f_ord = arrs
         F = f_ch.shape[0]

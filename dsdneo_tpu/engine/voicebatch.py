@@ -270,12 +270,13 @@ class BatchedP25VoicePipeline:
         nm[rows, idx[:, :k_nid]] = msg
         return dib[:, :T], bd, bs, nm
 
-    def frontend_sync_device(self, iq, use_pallas: bool | None = None):
-        """frontend_sync variant for the device-resident fast path: the
-        [C, T] dibit array STAYS on device (returned as a jax handle for
-        voice_decode_gather); only the compact candidate blob — top-K
-        positions, quantized scores, pattern ids, NID messages — crosses
-        the tunnel (~50 KB vs ~700 KB with the packed dibits)."""
+    def frontend_dispatch(self, iq, use_pallas: bool | None = None):
+        """Queue the frontend+sync+NID device program WITHOUT fetching
+        the candidate blob: returns (dibits_dev, blob_dev, n_sym)
+        handles.  The deep-pipelined driver dispatches block N+1's
+        frontend before fetching block N's blob, so the ~27 ms tunnel
+        round trip and the next block's device compute overlap
+        (frontend_finish completes the exchange)."""
         from dsdneo_tpu.engine.batched import frontend_step
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
@@ -325,6 +326,11 @@ class BatchedP25VoicePipeline:
             self._frontend_jits[key] = fn
         dibits_dev, blob_dev = fn(
             iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        return dibits_dev, blob_dev, n_sym
+
+    def frontend_finish(self, fe):
+        """Fetch + parse the candidate blob of a frontend_dispatch."""
+        dibits_dev, blob_dev, n_sym = fe
         blob = np.asarray(blob_dev)
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         Tp = n_sym - n_max + 1
@@ -338,6 +344,14 @@ class BatchedP25VoicePipeline:
         dq = blob[:, o:o + k_cand]; o += k_cand
         msg = blob[:, o:o + 2 * k_nid].copy().view(np.uint16)
         return dibits_dev, idx, vq, dq, msg, n_sym
+
+    def frontend_sync_device(self, iq, use_pallas: bool | None = None):
+        """frontend_sync variant for the device-resident fast path: the
+        [C, T] dibit array STAYS on device (returned as a jax handle for
+        voice_decode_gather); only the compact candidate blob — top-K
+        positions, quantized scores, pattern ids, NID messages — crosses
+        the tunnel (~50 KB vs ~700 KB with the packed dibits)."""
+        return self.frontend_finish(self.frontend_dispatch(iq, use_pallas))
 
     def _peak_hits(self, idx, vq, dq):
         """Pass 1 of the sparse picker: per-channel greedy peak walk over
@@ -353,26 +367,28 @@ class BatchedP25VoicePipeline:
             if not ok.any():
                 continue
             positions = idx[c][ok]
-            scores = sc[ok]
-            pdefs = dq[c][ok]
             order = np.argsort(positions, kind="stable")
-            positions, scores, pdefs = (positions[order], scores[order],
-                                        pdefs[order])
+            # plain lists: the greedy walk is Python-loop-bound at fleet
+            # scale, and list indexing is ~4x cheaper than np scalars
+            positions = positions[order].tolist()
+            scores = sc[ok][order].tolist()
+            pdefs = dq[c][ok][order].tolist()
+            plens = [len(d.pattern) for d in defs]
             pos = 0
-            for j in range(len(positions)):
-                t = int(positions[j])
+            n = len(positions)
+            for j in range(n):
+                t = positions[j]
                 if t < pos:
                     continue
                 w = j
-                for j2 in range(j + 1, len(positions)):
+                for j2 in range(j + 1, n):
                     if positions[j2] >= t + 8:
                         break
                     if scores[j2] > scores[w]:
                         w = j2
-                p = int(positions[w])
-                d = defs[int(pdefs[w])]
-                pos = p + len(d.pattern)
-                hits.append((c, p, int(pdefs[w])))
+                p = positions[w]
+                pos = p + plens[pdefs[w]]
+                hits.append((c, p, pdefs[w]))
         return hits
 
     def nid_decode_positions(self, dibits_dev, ch: np.ndarray,
@@ -427,29 +443,43 @@ class BatchedP25VoicePipeline:
         ``duids`` outside any previously accepted frame extent."""
         k_nid = msg.shape[1]
         hits = self._peak_hits(idx, vq, dq)
-        nid_map = {}
-        for c in range(idx.shape[0]):
-            for j in range(min(k_nid, idx.shape[1])):
-                nid_map[(c, int(idx[c][j]))] = int(msg[c][j])
         defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
-        pending = [(c, p) for (c, p, di) in hits
-                   if (c, p) not in nid_map and not defs[di].inverted
+        # vectorized NID lookup (replaces a C*k_nid-entry Python dict):
+        # flat (channel*T + position) keys into the device NID map via
+        # one sorted searchsorted pass over all hits
+        hmsg = []
+        if hits:
+            kk = min(k_nid, idx.shape[1])
+            Tbig = int(idx.max()) + 2 if idx.size else 1
+            keys = (np.arange(idx.shape[0], dtype=np.int64)[:, None]
+                    * Tbig + idx[:, :kk]).ravel()
+            vals = msg[:, :kk].ravel()
+            srt = np.argsort(keys, kind="stable")
+            keys_s, vals_s = keys[srt], vals[srt]
+            hk = np.asarray([h[0] * Tbig + h[1] for h in hits],
+                            dtype=np.int64)
+            ji = np.clip(np.searchsorted(keys_s, hk), 0, len(keys_s) - 1)
+            found = keys_s[ji] == hk
+            hmsg = np.where(found, vals_s[ji].astype(np.int64),
+                            -1).tolist()
+        pending = [h for h, (c, p, di) in enumerate(hits)
+                   if hmsg[h] < 0 and not defs[di].inverted
                    and p + need < T]
         if pending and dibits_dev is not None:
-            pc = np.asarray([c for c, _ in pending], dtype=np.int32)
-            pp = np.asarray([p for _, p in pending], dtype=np.int32)
+            pc = np.asarray([hits[h][0] for h in pending], dtype=np.int32)
+            pp = np.asarray([hits[h][1] for h in pending], dtype=np.int32)
             extra = self.nid_decode_positions(dibits_dev, pc, pp)
-            for (c, p), m in zip(pending, extra):
-                nid_map[(c, p)] = int(m)
+            for h, m in zip(pending, extra):
+                hmsg[h] = int(m)
         acc_c, acc_t, acc_m, fch, forder = [], [], [], [], []
         frame_end = {}
         n_order = {}
-        for c, p, di in hits:
+        for h, (c, p, di) in enumerate(hits):
             if defs[di].inverted or p + need >= T:
                 continue
             if p < frame_end.get(c, -1):
                 continue
-            m = nid_map.get((c, p), 0xFFFF)
+            m = hmsg[h] if hmsg[h] >= 0 else 0xFFFF
             if (m & 0xF) not in duids:
                 continue
             frame_end[c] = p + need
@@ -626,8 +656,15 @@ class BatchedP25VoicePipeline:
         ECC + dequantization + prediction + synthesis run as ONE device
         dispatch (vocoder.device.voice_decode_gather); only the f16 PCM
         crosses the tunnel back."""
+        return self.decode_from_frontend(
+            self.frontend_finish(self.frontend_dispatch(iq)))
+
+    def decode_from_frontend(self, fe6):
+        """Pick LDUs from a finished frontend exchange and dispatch the
+        voice gather program (async): the second pipeline stage of the
+        deep-pipelined driver (see bench.bench_full_chain)."""
         from dsdneo_tpu.vocoder.device import voice_decode_gather
-        dibits_dev, idx, vq, dq, msg, n_sym = self.frontend_sync_device(iq)
+        dibits_dev, idx, vq, dq, msg, n_sym = fe6
         ac, at, fch, forder = self.pick_ldus(idx, vq, dq, msg, n_sym,
                                              dibits_dev=dibits_dev)
         L = ac.shape[0]
