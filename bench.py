@@ -235,12 +235,17 @@ def bench_nxdn_chain(C: int, reps: int = 5):
     assert pcm.shape[1] > 0
 
     def pipelined(k: int) -> float:
+        """Deep 3-stage pipeline (see bench_full_chain)."""
         t0 = time.perf_counter()
-        prev = pipe.decode_block_async(x)
-        for _ in range(k - 1):
-            nxt = pipe.decode_block_async(x)
-            pipe.fetch_pcm(prev)
-            prev = nxt
+        fe = pipe.frontend_dispatch(x)
+        prev = None
+        for _ in range(k):
+            fe_next = pipe.frontend_dispatch(x)
+            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
+            if prev is not None:
+                pipe.fetch_pcm(prev)
+            prev = h
+            fe = fe_next
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 
@@ -344,12 +349,17 @@ def _bench_pipeline(pipe, iq1, fs, C, reps: int = 5):
     assert pcm.shape[1] > 0
 
     def pipelined(k: int) -> float:
+        """Deep 3-stage pipeline (see bench_full_chain)."""
         t0 = time.perf_counter()
-        prev = pipe.decode_block_async(x)
-        for _ in range(k - 1):
-            nxt = pipe.decode_block_async(x)
-            pipe.fetch_pcm(prev)
-            prev = nxt
+        fe = pipe.frontend_dispatch(x)
+        prev = None
+        for _ in range(k):
+            fe_next = pipe.frontend_dispatch(x)
+            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
+            if prev is not None:
+                pipe.fetch_pcm(prev)
+            prev = h
+            fe = fe_next
         pipe.fetch_pcm(prev)
         return (time.perf_counter() - t0) / k
 

@@ -186,6 +186,26 @@ class BatchedNxdnVoicePipeline:
             self._jits[key] = fn
         dibits_dev, blob_dev = fn(
             iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        return self.frontend_finish((dibits_dev, blob_dev, n_sym))
+
+    def frontend_dispatch(self, iq, use_pallas: bool | None = None):
+        """Queue the frontend program WITHOUT fetching the candidate
+        blob (deep pipelining, see voicebatch.frontend_dispatch)."""
+        B = iq.shape[1]
+        n_sym = int(B // self.sps) - 2
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        key = ("nxdn", B, n_sym, use_pallas)
+        fn = self._jits.get(key) if hasattr(self, "_jits") else None
+        if fn is None:
+            self.frontend_sync_device(iq, use_pallas)   # compile once
+            fn = self._jits[key]
+        dibits_dev, blob_dev = fn(
+            iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        return dibits_dev, blob_dev, n_sym
+
+    def frontend_finish(self, fe):
+        dibits_dev, blob_dev, n_sym = fe
         blob = np.asarray(blob_dev)
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)
@@ -231,7 +251,11 @@ class BatchedNxdnVoicePipeline:
                 np.asarray(fch, np.int64), np.asarray(forder, np.int64))
 
     def decode_block_async(self, iq):
-        dibits_dev, idx, vq, dq, lich, n_sym = self.frontend_sync_device(iq)
+        return self.decode_from_frontend(
+            self.frontend_sync_device(iq))
+
+    def decode_from_frontend(self, fe6):
+        dibits_dev, idx, vq, dq, lich, n_sym = fe6
         ac, at, ai, fch, forder = self.pick_frames(idx, vq, dq, lich,
                                                    n_sym)
         F = ac.shape[0]

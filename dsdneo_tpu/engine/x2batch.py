@@ -143,6 +143,27 @@ class BatchedX2VoicePipeline(BatchedDmrVoicePipeline):
             self._jits[key] = fn
         dibits_dev, blob_dev = fn(
             iq if isinstance(iq, jnp.ndarray) else jnp.asarray(iq))
+        return self.frontend_finish((dibits_dev, blob_dev, n_sym))
+
+    def frontend_dispatch(self, iq, use_pallas: bool | None = None):
+        """X2 override of the deep-pipelining dispatch (own jit key +
+        blob layout; see voicebatch.frontend_dispatch)."""
+        import jax
+        B = iq.shape[1]
+        n_sym = int(B // self.sps) - 2
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        key = ("x2", B, n_sym, use_pallas)
+        fn = self._jits.get(key) if hasattr(self, "_jits") else None
+        if fn is None:
+            self.frontend_sync_device(iq, use_pallas)   # compile once
+            fn = self._jits[key]
+        dibits_dev, blob_dev = fn(
+            iq if isinstance(iq, jnp.ndarray) else jnp.asarray(iq))
+        return dibits_dev, blob_dev, n_sym
+
+    def frontend_finish(self, fe):
+        dibits_dev, blob_dev, n_sym = fe
         blob = np.asarray(blob_dev)
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)

@@ -161,3 +161,18 @@ def test_synth_stream_geometry_vs_independent_serial_decoder():
     exact = sum(f.tobytes() in truth for f in sink.frames)
     assert exact >= 0.8 * len(sink.frames), (
         f"only {exact}/{len(sink.frames)} frames match ground truth")
+
+
+def test_deep_pipeline_stages_match_decode_block():
+    """Deep-pipeline API parity for the DMR chain (synth stream)."""
+    import numpy as np
+    from dsdneo_tpu.engine.dmrbatch import (BatchedDmrVoicePipeline,
+                                            synth_voice_stream)
+    samples = synth_voice_stream(n_superframes=2, seed=3)[0]
+    iq = np.stack([samples.real, samples.imag],
+                  axis=-1).astype(np.float32)[None]
+    a = BatchedDmrVoicePipeline(1, fs=48000.0)
+    b = BatchedDmrVoicePipeline(1, fs=48000.0)
+    ref = a.decode_block(iq)
+    h = b.decode_from_frontend(b.frontend_finish(b.frontend_dispatch(iq)))
+    np.testing.assert_array_equal(np.asarray(ref), b.fetch_pcm(h))

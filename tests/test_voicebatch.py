@@ -174,3 +174,27 @@ def test_cqpsk_batched_voice_pipeline():
     d2, i2, v2, q2, m2, n2 = c4.frontend_sync_device(iq)
     a2, *_ = c4.pick_ldus(i2, v2, q2, m2, n2)
     assert a2.size <= ac.size
+
+
+def test_deep_pipeline_stages_match_decode_block():
+    """frontend_dispatch → frontend_finish → decode_from_frontend must
+    equal the one-call decode_block (the deep-pipelined driver path)."""
+    import os
+    fx = "/root/reference/tests/fixtures/iq/p25p1_c4fm_vc.iq.json"
+    if not os.path.exists(fx):
+        import pytest
+        pytest.skip("reference fixtures unavailable")
+    import numpy as np
+    from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
+    from dsdneo_tpu.io import read_iq_capture
+    meta, samples = read_iq_capture(fx)
+    fs = float(meta.sample_rate_hz)
+    iq = np.stack([samples.real, samples.imag],
+                  axis=-1).astype(np.float32)[None]
+    a = BatchedP25VoicePipeline(1, fs=fs)
+    b = BatchedP25VoicePipeline(1, fs=fs)
+    ref = a.decode_block(iq)
+    fe = b.frontend_dispatch(iq)
+    h = b.decode_from_frontend(b.frontend_finish(fe))
+    out = b.fetch_pcm(h)
+    np.testing.assert_array_equal(np.asarray(ref), out)
