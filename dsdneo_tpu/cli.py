@@ -549,8 +549,11 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
     duration = args.duration
 
     httpf = [None]                # live HTTP frontend, set by _drive_live
+    from collections import deque
+    live_events = deque(maxlen=400)   # tail for the live terminal UI
 
     def on_event(e):
+        live_events.append(e.line)
         print(e.line)
         if httpf[0] is not None:
             httpf[0].push_event(e.line)
@@ -737,9 +740,15 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
         dev.start()
         eng.start()
         try:
-            t0 = _time.time()
-            while duration <= 0 or _time.time() - t0 < duration:
-                _time.sleep(0.2)
+            if args.frontend == "terminal":
+                # live curses frontend: app_control snapshot polling +
+                # menu commands into the engine queue (ui_async.c)
+                from dsdneo_tpu.ui.terminal import run_live
+                run_live(eng, duration=duration, events=live_events)
+            else:
+                t0 = _time.time()
+                while duration <= 0 or _time.time() - t0 < duration:
+                    _time.sleep(0.2)
         except KeyboardInterrupt:
             pass
         eng.stop()

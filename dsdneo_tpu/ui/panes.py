@@ -120,6 +120,63 @@ def history_from_events(events, fs_sym: float = 4800.0):
     return h
 
 
+def protocol_status_rows(state, mode: str, width: int) -> list[str]:
+    """Per-protocol current-state summary (the reference printer's main
+    status region, dsd_ncurses_printer.c): identity, active call, crypto
+    state — whatever the decode context has populated."""
+    rows = []
+    tg = getattr(state, "last_tg", 0) or 0
+    src = getattr(state, "last_src", 0) or 0
+    rows.append(f" MODE {mode:<8}  TG {tg:<10d} SRC {src:<10d}"[:width])
+    nac = getattr(state, "nac", 0) or 0
+    if nac:
+        rows.append(f" P25  NAC {nac:03X}"[:width])
+    alg = getattr(state, "payload_algid", 0) or 0
+    if alg and alg != 0x80:
+        kid = getattr(state, "payload_kid", 0) or 0
+        mi = getattr(state, "payload_mi", 0) or 0
+        rows.append(f" ENC  ALG {alg:02X}  KID {kid:04X}  MI {mi:016X}"
+                    [:width])
+    cc = getattr(state, "dmr_color_code", None)
+    if cc is not None:
+        rows.append(f" DMR  Color Code {cc}"[:width])
+    ran = getattr(state, "nxdn_ran", None)
+    if ran is not None:
+        rows.append(f" NXDN RAN {ran}"[:width])
+    alias = getattr(state, "talker_alias", "") or ""
+    if alias:
+        rows.append(f" ALIAS {alias}"[:width])
+    gps = getattr(state, "last_gps", None)
+    if gps:
+        rows.append(f" GPS  {gps}"[:width])
+    kr = getattr(state, "keyring", None)
+    if kr is not None:
+        n = len(getattr(kr, "scalar", {}) or {}) \
+            + len(getattr(kr, "aes", {}) or {})
+        forced = getattr(kr, "forced", None)
+        rows.append(f" KEYS {n} loaded"
+                    + (" + forced" if forced is not None else ""))
+    return rows
+
+
+def live_status_rows(snap, width: int) -> list[str]:
+    """Live-engine status pane from a FrontendMetrics snapshot
+    (app_control.snapshot): RF + ring + decode-health block, the
+    reference printer's top region for the RTL input."""
+    h = snap.health
+    ok = h.p25p1_fec_ok + h.dmr_fec_ok + h.generic_crc_ok
+    err = h.p25p1_fec_err + h.dmr_fec_err + h.generic_crc_err
+    rows = [
+        f" FREQ {snap.freq_hz/1e6:10.5f} MHz   SNR {snap.snr_db:5.1f} dB"
+        f"   CFO {snap.cfo_hz:+6.0f} Hz",
+        f" BLOCKS {snap.blocks:<8d} RETUNES {snap.retunes:<4d}"
+        f" RING {snap.ring_fill}/{snap.ring_drops} fill/drops"
+        + ("  [MUTED]" if snap.retune_muted else ""),
+        f" FEC  ok {ok}  err {err}   gen {snap.generation}",
+    ]
+    return [r[:width] for r in rows]
+
+
 def trunk_status_rows(state, width: int) -> list[str]:
     """Site / trunking pane from decode-context state: identity, iden
     table, affiliation + patch summary (reference printer site pane)."""

@@ -96,7 +96,7 @@ def _spectrum_rows(iq, width: int, height: int = 7) -> list[str]:
 
 
 _VIEWS = ("eye", "histogram", "constellation", "spectrum", "calls",
-          "grid", "trunk")
+          "grid", "trunk", "status")
 
 
 def _view_rows(model: UiModel, view: str, width: int) -> list[str]:
@@ -119,6 +119,10 @@ def _view_rows(model: UiModel, view: str, width: int) -> list[str]:
         if model.state is None:
             return [" (no trunk state)"]
         return panes.trunk_status_rows(model.state, width)
+    if view == "status":
+        if model.state is None:
+            return [" (no decoder state)"]
+        return panes.protocol_status_rows(model.state, model.mode, width)
     return _spectrum_rows(model.iq, width)
 
 
@@ -132,7 +136,11 @@ def run(model: UiModel, max_idle_polls: int | None = None,
     import sys
     if max_idle_polls is None and not sys.stdin.isatty():
         max_idle_polls = 10
-    curses.wrapper(_main, model, max_idle_polls, queue)
+    try:
+        curses.wrapper(_main, model, max_idle_polls, queue)
+    except curses.error:
+        # no controlling terminal at all: render nothing (headless CI)
+        pass
 
 
 def _main(scr, model: UiModel, max_idle_polls: int | None = None,
@@ -202,3 +210,113 @@ def _main(scr, model: UiModel, max_idle_polls: int | None = None,
             offset = max(offset - view_h, 0)
         elif ch == curses.KEY_NPAGE:
             offset += view_h
+
+
+_LIVE_VIEWS = ("status", "eye", "spectrum", "calls")
+
+
+def run_live(engine, duration: float = 0.0, events=None,
+             max_idle_polls: int | None = None) -> None:
+    """Live curses frontend attached to a running LiveEngine: polls
+    app_control metric snapshots per frame (the reference ui_async.c
+    polling loop over dsd_frontend metrics), renders status / eye /
+    spectrum panes from the published visualizer buffers, scrolls the
+    decode-event tail, and routes menu actions into the engine's
+    CommandQueue (tune/squelch/gain/mute reach the engine between
+    blocks, like app_command_queue.c)."""
+    import sys
+    if max_idle_polls is None and not sys.stdin.isatty():
+        max_idle_polls = 20
+    try:
+        curses.wrapper(_main_live, engine, duration,
+                       events if events is not None else [],
+                       max_idle_polls)
+    except curses.error:
+        # no controlling terminal (headless/CI): the engine keeps
+        # running without a frontend, like the reference's -N fallback
+        pass
+
+
+def _main_live(scr, engine, duration, events, max_idle_polls):
+    import time as _t
+    from dsdneo_tpu.ui import panes
+    from dsdneo_tpu.ui.menu import MenuState
+    menu = MenuState(queue=engine.commands)
+    try:
+        curses.curs_set(0)
+    except curses.error:
+        pass
+    scr.timeout(250)
+    t0 = _t.time()
+    idle = 0
+    view_idx = 0
+    while True:
+        if duration > 0 and _t.time() - t0 >= duration:
+            break
+        if getattr(engine, "_stop", False):
+            break
+        snap = engine.metrics.snapshot()
+        h, w = scr.getmaxyx()
+        scr.erase()
+        head = (f" dsd-neo-tpu LIVE | {engine.mode} | "
+                f"{snap.freq_hz/1e6:.4f} MHz | blk {snap.blocks} | "
+                f"view {_LIVE_VIEWS[view_idx]} ")
+        scr.addnstr(0, 0, head.ljust(w), w - 1, curses.A_REVERSE)
+        view = _LIVE_VIEWS[view_idx]
+        if view == "status":
+            rows = panes.live_status_rows(snap, min(w - 2, 120))
+        elif view == "eye":
+            rows = _eye_rows(snap.eye_symbols, min(w - 2, 120))
+        elif view == "calls":
+            hist = getattr(engine, "history", None)
+            rows = (panes.call_history_rows(hist, min(w - 2, 120))
+                    if hist is not None else [" (no call history)"])
+        else:
+            rows = _db_bar_rows(snap.spectrum_db, min(w - 2, 120))
+        y = 1
+        for row in rows:
+            if y >= h - 2:
+                break
+            scr.addnstr(y, 1, row, w - 2)
+            y += 1
+        scr.addnstr(y, 1, "-" * min(w - 2, 120), w - 2)
+        y += 1
+        tail = list(events)[-(h - y - 1):]
+        for i, line in enumerate(tail):
+            scr.addnstr(y + i, 0, str(line).replace("\n", " | "), w - 1)
+        for i, row in enumerate(menu.render_rows(min(44, w - 4))):
+            if 2 + i < h - 1:
+                scr.addnstr(2 + i, 2, row, w - 3, curses.A_REVERSE)
+        foot = (f" {menu.status} " if menu.status else
+                " q quit   m menu   v view ")
+        scr.addnstr(h - 1, 0, foot.ljust(w - 1), w - 1, curses.A_REVERSE)
+        scr.refresh()
+        ch = scr.getch()
+        if ch == -1:
+            idle += 1
+            if max_idle_polls is not None and idle >= max_idle_polls:
+                break
+            continue
+        idle = 0
+        if menu.handle_key(ch):
+            continue
+        if ch == ord("m"):
+            menu.toggle()
+        elif ch in (ord("q"), 27):
+            break
+        elif ch == ord("v"):
+            view_idx = (view_idx + 1) % len(_LIVE_VIEWS)
+
+
+def _db_bar_rows(db, width: int, height: int = 7) -> list[str]:
+    """Bars from an already-computed spectrum_db snapshot buffer."""
+    import numpy as np
+    if db is None or len(db) < 8:
+        return [" (no spectrum yet)"]
+    d = np.asarray(db, dtype=np.float32)
+    bins = np.array_split(d, min(width, len(d)))
+    v = np.array([float(b.mean()) for b in bins])
+    v -= v.max()
+    v = np.clip(v / 50.0 + 1.0, 0, 1)
+    return ["".join("|" if x >= 1.0 - (r + 0.5) / height else " "
+                    for x in v) for r in range(height)]

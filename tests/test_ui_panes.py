@@ -97,3 +97,83 @@ def test_terminal_view_rows_dispatch():
     assert any("5" in r for r in _view_rows(m, "calls", 80))
     assert any("C" in r for r in _view_rows(m, "grid", 80))
     assert _view_rows(m, "trunk", 80) == [" (no trunk state)"]
+
+
+def test_protocol_status_rows():
+    from dsdneo_tpu.ui.panes import protocol_status_rows
+
+    class S:
+        last_tg = 4501
+        last_src = 1234567
+        nac = 0x140
+        payload_algid = 0xAA
+        payload_kid = 7
+        payload_mi = 0x1122334455667788
+        dmr_color_code = 1
+        talker_alias = "UNIT 7"
+
+    rows = protocol_status_rows(S(), "p25p1", 100)
+    text = "\n".join(rows)
+    assert "TG 4501" in text and "SRC 1234567" in text
+    assert "NAC 140" in text
+    assert "ALG AA" in text and "KID 0007" in text
+    assert "Color Code 1" in text and "ALIAS UNIT 7" in text
+
+
+def test_live_status_rows():
+    from dsdneo_tpu.app_control.snapshot import DecodeHealth, FrontendMetrics
+    from dsdneo_tpu.ui.panes import live_status_rows
+    snap = FrontendMetrics(freq_hz=851.0125e6, snr_db=17.2, cfo_hz=-120.0,
+                           blocks=99, retunes=3, ring_fill=12,
+                           ring_drops=1, retune_muted=True,
+                           health=DecodeHealth(p25p1_fec_ok=50,
+                                               p25p1_fec_err=2))
+    rows = live_status_rows(snap, 100)
+    text = "\n".join(rows)
+    assert "851.01250" in text and "17.2" in text
+    assert "RETUNES 3" in text and "[MUTED]" in text
+    assert "ok 50" in text and "err 2" in text
+
+
+def test_db_bar_rows():
+    import numpy as np
+    from dsdneo_tpu.ui.terminal import _db_bar_rows
+    db = np.concatenate([np.full(32, -40.0), np.full(32, 0.0)])
+    rows = _db_bar_rows(db, 64)
+    assert len(rows) == 7
+    # strong half renders full-height bars, weak half mostly empty
+    assert rows[0].count("|") > 0
+    assert rows[0][:16].strip() == ""
+
+
+def test_terminal_status_view_dispatch():
+    from dsdneo_tpu.ui.terminal import UiModel, _view_rows
+
+    class S:
+        last_tg = 7
+        last_src = 8
+
+    rows = _view_rows(UiModel(mode="dmr", state=S()), "status", 80)
+    assert any("TG 7" in r for r in rows)
+
+
+def test_run_live_headless():
+    """run_live exits on its own against a stopped engine when stdin is
+    not a tty (the headless/CI shape of the live frontend)."""
+    import threading
+
+    from dsdneo_tpu.engine.live import LiveEngine
+    from dsdneo_tpu.ui.terminal import run_live
+    eng = LiveEngine("p25p1", fs=48000.0, block_s=0.1)
+    eng.metrics.publish(freq_hz=851e6, snr_db=10.0, blocks=1)
+    done = threading.Event()
+
+    def ui():
+        try:
+            run_live(eng, duration=0.0, events=["line one"],
+                     max_idle_polls=3)
+        finally:
+            done.set()
+    t = threading.Thread(target=ui, daemon=True)
+    t.start()
+    assert done.wait(timeout=15), "run_live did not exit headless"
