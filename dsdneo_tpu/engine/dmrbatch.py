@@ -314,12 +314,11 @@ class BatchedDmrVoicePipeline:
             if not ok.any():
                 continue
             order = np.argsort(idx[c][ok], kind="stable")
-            positions = idx[c][ok][order]
-            pdefs = dq[c][ok][order]
+            positions = idx[c][ok][order].tolist()
+            pdefs = dq[c][ok][order].tolist()
             n_order = 0
             last = -10 ** 9
             for t, dfi in zip(positions, pdefs):
-                t = int(t)
                 # shoulder suppression: a true sync peaks once; same-
                 # slot superframes are 1728 dibits apart, the other
                 # slot's at ±144 — anything closer is a peak shoulder

@@ -370,6 +370,17 @@ class BatchedP2VoicePipeline:
 
     @staticmethod
     @lru_cache(maxsize=1)
+    def _isch_arrays() -> tuple:
+        """Sorted (keys, values) arrays of the ISCH codeword table for
+        vectorized lookup (walk_frames hot path at C=320)."""
+        from dsdneo_tpu.protocol.p25 import p2_xcch
+        t = p2_xcch._isch_table()
+        keys = np.asarray(sorted(t), dtype=np.int64)
+        vals = np.asarray([t[k] for k in sorted(t)], dtype=np.int64)
+        return keys, vals
+
+    @staticmethod
+    @lru_cache(maxsize=1)
     def _duid_lut() -> np.ndarray:
         """[256] received-octet → DUID (or -1) lookup: the nearest-
         codeword decode is a pure function of the 8-bit received word,
@@ -392,28 +403,59 @@ class BatchedP2VoicePipeline:
         isch_tab = p2_xcch._isch_table()
         f_ch, f_tpos, f_row, f_offidx, f_out, f_ord = ([] for _ in range(6))
         ess_jobs = []           # (c, ts_pos, row, slot, kind, frag_idx)
+        # whole-batch ISCH resolution BEFORE the channel loop: assemble
+        # every candidate's 40-bit words and resolve them through one
+        # sorted-table searchsorted pass; only novel words fall back to
+        # the memoized nearest-codeword search.  Per-channel work below
+        # then stays pure list walking (host hot path at C=320).
+        iba = isch.astype(np.int64)                      # [C, K, 4, 5]
+        words_all = ((iba[..., 0] << 32) | (iba[..., 1] << 24)
+                     | (iba[..., 2] << 16) | (iba[..., 3] << 8)
+                     | iba[..., 4])                      # [C, K, 4]
+        keys_s, vals_s = self._isch_arrays()
+        wf = words_all.ravel()
+        ji = np.clip(np.searchsorted(keys_s, wf), 0, len(keys_s) - 1)
+        hitk = keys_s[ji] == wf
+        vres = np.where(hitk, vals_s[ji], -1).astype(np.int64)
+        sca = vq.astype(np.float32) / 127.0
+        oka = sca >= self.threshold
+        if not hitk.all():
+            memo = getattr(self, "_isch_memo", None)
+            if memo is None:
+                memo = self._isch_memo = {}
+            # only resolve misses on candidates that pass the score
+            # threshold (the rest are never walked)
+            need = (~hitk) & np.repeat(oka.ravel(), 4)
+            for k in np.flatnonzero(need):
+                word = int(wf[k])
+                v = memo.get(word)
+                if v is None:
+                    v = p2_xcch.isch_lookup(word)
+                    memo[word] = v
+                vres[k] = v
+        is_sync = wf == p2_xcch.ISCH_SYNC
+        sfv = (vres >> 3) & 3
+        valid = ((~is_sync) & (vres >= 0) & (((vres >> 5) & 3) == 1)
+                 & (sfv <= 2))
+        sf_start_all = np.where(valid, sfv * 4,
+                                -1).reshape(words_all.shape)  # [C, K, 4]
         for c in range(idx.shape[0]):
-            sc = vq[c].astype(np.float32) / 127.0
-            ok = sc >= self.threshold
+            ok = oka[c]
             if not ok.any():
                 continue
             order = np.argsort(idx[c][ok], kind="stable")
             positions = idx[c][ok][order]
-            # vectorized field decode: DUID through the 256-entry LUT,
-            # the 5 packed ISCH bytes assembled into one int64 word
+            # vectorized field decode: DUID through the 256-entry LUT
             duids_v = duid_lut[duid[c][ok][order]]       # [W, 4] int8
-            ib = isch[c][ok][order].astype(np.int64)     # [W, 4, 5]
-            words_v = ((ib[..., 0] << 32) | (ib[..., 1] << 24)
-                       | (ib[..., 2] << 16) | (ib[..., 3] << 8)
-                       | ib[..., 4])                     # [W, 4]
+            sf_start = sf_start_all[c][ok][order].tolist()
             # greedy frame acceptance (small python loop over ~25 hits)
             # + per-TS ISCH/superframe tracking; the per-FRAME array
             # emission below is fully vectorized — at fleet scale the
             # old per-frame append loop dominated the host step
+            pos_l = positions.tolist()
             acc_w = []
             last = -10 ** 9
-            for w in range(len(positions)):
-                t = int(positions[w])
+            for w, t in enumerate(pos_l):
                 if t - last < FRAME_DIBITS - 8 \
                         or t + FRAME_DIBITS >= n_sym:
                     continue
@@ -422,27 +464,20 @@ class BatchedP2VoicePipeline:
             if not acc_w:
                 continue
             A = len(acc_w)
-            rows = np.zeros((A, 4), np.int32)
+            rows_l = []
             sf_pos = None
-            for ai, w in enumerate(acc_w):
+            for w in acc_w:
+                row_s = sf_start[w]
+                rrow = []
                 for ts in range(4):
-                    word = int(words_v[w, ts])
-                    if word != p2_xcch.ISCH_SYNC:
-                        v = isch_tab.get(word)
-                        if v is None:
-                            memo = getattr(self, "_isch_memo", None)
-                            if memo is None:
-                                memo = self._isch_memo = {}
-                            v = memo.get(word)
-                            if v is None:
-                                v = p2_xcch.isch_lookup(word)
-                                memo[word] = v
-                        if v >= 0 and (v >> 5) & 3 == 1 \
-                                and (v >> 3) & 3 in (0, 1, 2):
-                            sf_pos = {0: 0, 1: 4, 2: 8}[(v >> 3) & 3]
-                    rows[ai, ts] = sf_pos if sf_pos is not None else 0
+                    s = row_s[ts]
+                    if s >= 0:
+                        sf_pos = s
+                    rrow.append(sf_pos if sf_pos is not None else 0)
                     if sf_pos is not None:
                         sf_pos = (sf_pos + 1) % 12
+                rows_l.append(rrow)
+            rows = np.asarray(rows_l, np.int32)
             aw = np.asarray(acc_w)
             d4 = duids_v[aw]                             # [A, 4]
             tpos4 = (positions[aw][:, None].astype(np.int64)
