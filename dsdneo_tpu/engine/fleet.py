@@ -31,6 +31,7 @@ _VOICE_FACTORIES = {
     "ysf": ("dsdneo_tpu.engine.ysfbatch", "BatchedYsfVoicePipeline"),
     "dpmr": ("dsdneo_tpu.engine.dpmrbatch", "BatchedDpmrVoicePipeline"),
     "x2tdma": ("dsdneo_tpu.engine.x2batch", "BatchedX2VoicePipeline"),
+    "m17": ("dsdneo_tpu.engine.m17batch", "BatchedM17VoicePipeline"),
 }
 _CC_FACTORIES = {
     "p25p1": ("dsdneo_tpu.engine.ccbatch", "BatchedP25ControlPipeline"),
@@ -125,7 +126,7 @@ class FleetMonitor:
         """All events of a fleet channel (CC groups only)."""
         for g in self.groups:
             if g.start <= channel < g.start + g.count:
-                if g.kind == "cc":
+                if hasattr(g.pipeline, "events"):
                     return g.pipeline.events(channel - g.start)
                 return []
         raise IndexError(channel)
