@@ -32,6 +32,7 @@ _VOICE_FACTORIES = {
     "dpmr": ("dsdneo_tpu.engine.dpmrbatch", "BatchedDpmrVoicePipeline"),
     "x2tdma": ("dsdneo_tpu.engine.x2batch", "BatchedX2VoicePipeline"),
     "m17": ("dsdneo_tpu.engine.m17batch", "BatchedM17VoicePipeline"),
+    "dstar": ("dsdneo_tpu.engine.dstarbatch", "BatchedDstarPipeline"),
 }
 _CC_FACTORIES = {
     "p25p1": ("dsdneo_tpu.engine.ccbatch", "BatchedP25ControlPipeline"),

@@ -215,6 +215,47 @@ def conv_k5_decode_batch(sym: jax.Array, wt: jax.Array) -> jax.Array:
     return jnp.transpose(bits)             # [N, n]
 
 
+def conv_k3_decode_batch(bits: jax.Array) -> jax.Array:
+    """Batched K=3 rate-1/2 Viterbi over HARD bits for the D-STAR RF
+    header (reference src/protocol/dstar/dstar_header_utils.c
+    dstar_header_viterbi_decode_soft; host parity
+    protocol/dstar/decoder._viterbi_k3): [N, 2n] → [N, n] info bits.
+    Identical lattice and tie-breaks (``<=`` keeps the ``ns>>1``
+    predecessor; the end state is the first metric argmin, matching
+    np.argmin).  Lane-major: the batch axis N rides the TPU lanes."""
+    n = bits.shape[1] // 2
+    s1 = jnp.transpose(bits[:, 0::2].astype(jnp.float32))   # [n, N]
+    s0 = jnp.transpose(bits[:, 1::2].astype(jnp.float32))
+    N = bits.shape[0]
+    metric0 = jnp.zeros((4, N), jnp.float32)   # host decoder starts at 0
+    trans = {0: ((0, 0, 0), (2, 1, 1)), 1: ((0, 1, 1), (2, 0, 0)),
+             2: ((1, 1, 0), (3, 0, 1)), 3: ((1, 0, 1), (3, 1, 0))}
+
+    def body(metric, x):
+        s1i, s0i = x
+        news, bps = [], []
+        for ns in range(4):
+            (pa, a1, a0), (pb, b1, b0) = trans[ns]
+            ma = metric[pa] + jnp.abs(s1i - a1) + jnp.abs(s0i - a0)
+            mb = metric[pb] + jnp.abs(s1i - b1) + jnp.abs(s0i - b0)
+            take_b = mb < ma
+            news.append(jnp.where(take_b, mb, ma))
+            bps.append(take_b)
+        return jnp.stack(news), jnp.stack(bps)
+
+    metric, bps = jax.lax.scan(body, metric0, (s1, s0), unroll=6)
+    st0 = jnp.argmin(metric, axis=0).astype(jnp.int32)
+
+    def back(st, bp):                          # bp [4, N] bool
+        bit = (st & 1).astype(jnp.uint8)
+        mem = jnp.take_along_axis(bp, st[None, :], axis=0)[0]
+        prev = (st >> 1) + 2 * mem.astype(jnp.int32)
+        return prev, bit
+
+    _, outs = jax.lax.scan(back, st0, bps, reverse=True, unroll=6)
+    return jnp.transpose(outs)                 # [N, n]
+
+
 # -- RS syndrome screen ----------------------------------------------------
 @lru_cache(maxsize=None)
 def _rs_syndrome_fn(nroots: int, fcr: int):

@@ -91,6 +91,134 @@ def _ascii(b: np.ndarray) -> str:
     return "".join(chr(int(c)) if 0x20 <= c <= 0x7E else " " for c in b)
 
 
+def _sd_ascii(sd_bytes) -> str:
+    """Printable payload chars, skipping every 6th (block header)
+    byte (reference dstar_sd_emit_truncated_ascii)."""
+    out = []
+    for i in range(1, 59):
+        if i % 6 == 0:
+            continue
+        b = int(sd_bytes[i])
+        if 0x19 < b < 0x7E + 1:
+            out.append(chr(b))
+    return "".join(out).strip()
+
+
+def _sd_aprs(sd_bytes) -> str:
+    """DPRS position from a $$CRC sentence: '!' marker then
+    ddmm.ssh/dddmm.ssh (reference dstar_sd_handle_aprs +
+    print_aprs_lat/lon)."""
+    aprs = []
+    for i in range(1, 60):
+        if i % 6 == 0:
+            continue
+        aprs.append(int(sd_bytes[i]))
+    start = -1
+    for i in range(30, 40):
+        if i < len(aprs) and aprs[i] == 0x21:      # '!'
+            start = i + 1
+            break
+    if start < 0 or start + 18 >= len(aprs):
+        return ""
+
+    def take(n, skip=0):
+        nonlocal start
+        v = "".join(chr(c) if 0x19 < c < 0x7F else "?"
+                    for c in aprs[start:start + n])
+        start += n + skip
+        return v
+
+    lat_d = take(2)
+    lat_m = take(2, 1)
+    lat_s = take(2)
+    ns = chr(aprs[start]) if aprs[start] in (0x4E, 0x53) else "?"
+    start += 2                                 # hemisphere + '/'
+    lon_d = take(3)
+    lon_m = take(2, 1)
+    lon_s = take(2)
+    ew = chr(aprs[start]) if aprs[start] in (0x45, 0x57) else "?"
+    return (f"APRS - Lat: {lat_d}d {lat_m}m {lat_s}s {ns}"
+            f" ; Lon: {lon_d}d {lon_m}m {lon_s}s {ew} ;")
+
+
+def slow_data_line(sd_bytes: np.ndarray, ctx: DecoderContext) -> str:
+    """60 descrambled slow-data bytes → the event-line payload (shared
+    by the serial decoder and engine.dstarbatch; reference
+    src/protocol/dstar/dstar_slow_data.c handlers)."""
+    if sd_bytes[0] == 0x40:
+        # 20-char radio text in 5-byte blocks (reference
+        # dstar_sd_handle_text_message)
+        txt = _sd_ascii(sd_bytes)
+        ctx.state.dstar_text = txt
+        return f"SLOW DATA TEXT: {txt}"
+    if sd_bytes[0] == 0x35:
+        # fixed form: type field "$$CRC" → DPRS/APRS position
+        # (reference dstar_sd_handle_fixed_form / handle_aprs)
+        kind = "".join(chr(b) if 0x19 < b < 0x7F else " "
+                       for b in sd_bytes[1:7])
+        if kind.startswith("$$CRC"):
+            gps = _sd_aprs(sd_bytes)
+            if gps:
+                ctx.state.dstar_gps = gps
+                return f"SLOW DATA DATA: {_sd_ascii(sd_bytes)}\n {gps}"
+            return f"SLOW DATA DATA: {_sd_ascii(sd_bytes)}"
+        return f"SLOW DATA TEXT: {_sd_ascii(sd_bytes)}"
+    if sd_bytes[0] != 0x55:
+        return "SLOW DATA"
+    blk = int(sd_bytes[0] & 0xF) + 1
+    hd = np.zeros(60, dtype=np.uint8)
+    j = 0
+    for i in range(50):
+        j += 1
+        hd[i] = sd_bytes[j] if j < 60 else 0
+        for marker in range(1, 10):
+            if j == blk * marker - 1:
+                j += 1
+    crc_ext = (int(hd[39]) << 8) | int(hd[40])
+    crc_cmp = crc16_x25(hd[:39])
+    if crc_cmp != crc_ext:
+        return "SLOW DATA - HEADER FORMAT (CRC ERR)"
+    rpt2 = _ascii(hd[3:11]).strip()
+    rpt1 = _ascii(hd[11:19]).strip()
+    dst = _ascii(hd[19:27])
+    src = _ascii(hd[27:39])
+    ctx.state.last_src = src.strip()
+    flags = int(hd[0])
+    flagstr = ""
+    for bit, name in ((0x80, " DATA"), (0x40, " REPEATER"),
+                      (0x20, " INTERRUPTED"), (0x10, " CONTROL SIGNAL"),
+                      (0x08, " URGENT")):
+        if flags & bit:
+            flagstr += name
+    return (f"RPT 2: {rpt2} RPT 1: {rpt1} DST: {dst} SRC: {src}{flagstr}")
+
+
+def header_line(hdr: np.ndarray, ctx: DecoderContext
+                ) -> tuple[str, bool, dict]:
+    """41 RF-header octets → (event-line payload, crc_ok, fields)
+    (shared by the serial decoder and engine.dstarbatch; reference
+    src/protocol/dstar/dstar_header.c)."""
+    crc_ext = (int(hdr[39]) << 8) | int(hdr[40])
+    crc_cmp = crc16_x25(hdr[:39])
+    rpt2 = _ascii(hdr[3:11])
+    rpt1 = _ascii(hdr[11:19])
+    dst = _ascii(hdr[19:27])
+    src = _ascii(hdr[27:39])
+    flags = ""
+    for bit, name in ((0x80, " DATA"), (0x40, " REPEATER"),
+                      (0x20, " INTERRUPTED"), (0x10, " CONTROL SIGNAL"),
+                      (0x08, " URGENT")):
+        if hdr[0] & bit:
+            flags += name
+    crc_ok = crc_cmp == crc_ext
+    tag = "" if crc_ok else " (CRC ERR)"
+    if crc_ok:
+        ctx.state.last_src = src.strip()
+    line = (f"RPT 2: {rpt2} RPT 1: {rpt1} DST: {dst} SRC: {src}"
+            f"{flags}{tag}")
+    return line, crc_ok, dict(rpt1=rpt1, rpt2=rpt2, dst=dst, src=src)
+
+
 @register("dstar")
 class DstarDecoder(ProtocolDecoder):
     protocol = "dstar"
@@ -141,102 +269,7 @@ class DstarDecoder(ProtocolDecoder):
             for b in sd[i * 8:(i + 1) * 8]:
                 v = (v << 1) | int(b)
             sd_bytes[59 - i] = v
-        if sd_bytes[0] == 0x40:
-            # 20-char radio text in 5-byte blocks (reference
-            # dstar_sd_handle_text_message)
-            txt = self._sd_ascii(sd_bytes)
-            ctx.state.dstar_text = txt
-            return f"SLOW DATA TEXT: {txt}"
-        if sd_bytes[0] == 0x35:
-            # fixed form: type field "$$CRC" → DPRS/APRS position
-            # (reference dstar_sd_handle_fixed_form / handle_aprs)
-            kind = "".join(chr(b) if 0x19 < b < 0x7F else " "
-                           for b in sd_bytes[1:7])
-            if kind.startswith("$$CRC"):
-                gps = self._sd_aprs(sd_bytes)
-                if gps:
-                    ctx.state.dstar_gps = gps
-                    return f"SLOW DATA DATA: {self._sd_ascii(sd_bytes)}\n {gps}"
-                return f"SLOW DATA DATA: {self._sd_ascii(sd_bytes)}"
-            return f"SLOW DATA TEXT: {self._sd_ascii(sd_bytes)}"
-        if sd_bytes[0] != 0x55:
-            return "SLOW DATA"
-        blk = int(sd_bytes[0] & 0xF) + 1
-        hd = np.zeros(60, dtype=np.uint8)
-        j = 0
-        for i in range(50):
-            j += 1
-            hd[i] = sd_bytes[j] if j < 60 else 0
-            for marker in range(1, 10):
-                if j == blk * marker - 1:
-                    j += 1
-        crc_ext = (int(hd[39]) << 8) | int(hd[40])
-        crc_cmp = crc16_x25(hd[:39])
-        if crc_cmp != crc_ext:
-            return "SLOW DATA - HEADER FORMAT (CRC ERR)"
-        rpt2 = _ascii(hd[3:11]).strip()
-        rpt1 = _ascii(hd[11:19]).strip()
-        dst = _ascii(hd[19:27])
-        src = _ascii(hd[27:39])
-        ctx.state.last_src = src.strip()
-        flags = int(hd[0])
-        flagstr = ""
-        for bit, name in ((0x80, " DATA"), (0x40, " REPEATER"),
-                          (0x20, " INTERRUPTED"), (0x10, " CONTROL SIGNAL"),
-                          (0x08, " URGENT")):
-            if flags & bit:
-                flagstr += name
-        return (f"RPT 2: {rpt2} RPT 1: {rpt1} DST: {dst} SRC: {src}{flagstr}")
-
-    @staticmethod
-    def _sd_ascii(sd_bytes) -> str:
-        """Printable payload chars, skipping every 6th (block header)
-        byte (reference dstar_sd_emit_truncated_ascii)."""
-        out = []
-        for i in range(1, 59):
-            if i % 6 == 0:
-                continue
-            b = int(sd_bytes[i])
-            if 0x19 < b < 0x7F:
-                out.append(chr(b))
-        return "".join(out).strip()
-
-    @staticmethod
-    def _sd_aprs(sd_bytes) -> str:
-        """DPRS position from a $$CRC sentence: '!' marker then
-        ddmm.ssh/dddmm.ssh (reference dstar_sd_handle_aprs +
-        print_aprs_lat/lon)."""
-        aprs = []
-        for i in range(1, 60):
-            if i % 6 == 0:
-                continue
-            aprs.append(int(sd_bytes[i]))
-        start = -1
-        for i in range(30, 40):
-            if i < len(aprs) and aprs[i] == 0x21:      # '!'
-                start = i + 1
-                break
-        if start < 0 or start + 18 >= len(aprs):
-            return ""
-
-        def take(n, skip=0):
-            nonlocal start
-            v = "".join(chr(c) if 0x19 < c < 0x7F else "?"
-                        for c in aprs[start:start + n])
-            start += n + skip
-            return v
-
-        lat_d = take(2)
-        lat_m = take(2, 1)
-        lat_s = take(2)
-        ns = chr(aprs[start]) if aprs[start] in (0x4E, 0x53) else "?"
-        start += 2                                 # hemisphere + '/'
-        lon_d = take(3)
-        lon_m = take(2, 1)
-        lon_s = take(2)
-        ew = chr(aprs[start]) if aprs[start] in (0x45, 0x57) else "?"
-        return (f"APRS - Lat: {lat_d}d {lat_m}m {lat_s}s {ns}"
-                f" ; Lon: {lon_d}d {lon_m}m {lon_s}s {ew} ;")
+        return slow_data_line(sd_bytes, ctx)
 
     def _header(self, reader: DibitReader, hit: SyncHit, ctx: DecoderContext) -> int:
         """RF header: 660 coded bits → descramble (x⁷+x⁴+1 LFSR seed
@@ -261,22 +294,7 @@ class DstarDecoder(ProtocolDecoder):
         hdr = np.zeros(41, dtype=np.uint8)
         for i in range(328):
             hdr[i // 8] |= int(info[i]) << (i % 8)
-        crc_ext = (int(hdr[39]) << 8) | int(hdr[40])
-        crc_cmp = crc16_x25(hdr[:39])
-        rpt2 = _ascii(hdr[3:11])
-        rpt1 = _ascii(hdr[11:19])
-        dst = _ascii(hdr[19:27])
-        src = _ascii(hdr[27:39])
-        flags = ""
-        for bit, name in ((0x80, " DATA"), (0x40, " REPEATER"),
-                          (0x20, " INTERRUPTED"), (0x10, " CONTROL SIGNAL"),
-                          (0x08, " URGENT")):
-            if hdr[0] & bit:
-                flags += name
-        tag = "" if crc_cmp == crc_ext else " (CRC ERR)"
-        if crc_cmp == crc_ext:
-            ctx.state.last_src = src.strip()
-        ctx.emit(f"Sync: {hit.sync.name} HEADER  RPT 2: {rpt2} RPT 1: {rpt1}"
-                 f" DST: {dst} SRC: {src}{flags}{tag}", "dstar", hit.pos,
-                 rpt1=rpt1, rpt2=rpt2, dst=dst, src=src)
+        line, _crc_ok, fields = header_line(hdr, ctx)
+        ctx.emit(f"Sync: {hit.sync.name} HEADER  {line}", "dstar", hit.pos,
+                 **fields)
         return hit.end + 660
