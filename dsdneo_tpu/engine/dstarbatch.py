@@ -18,11 +18,14 @@ in protocol/dstar/decoder.py):
   text / DPRS position / a copy of the RF header
   (src/protocol/dstar/dstar_slow_data.c).
 
-The 72-bit AMBE-2400 frames are surfaced RAW in the events (PARITY.md:
-the DVSI 3600x2400 field layout is unrecovered, matching the serial
-decoder's stance) — so like the M17 pipeline this is an events
-pipeline: headers, link text, and DPRS for ALL channels on device, no
-PCM synthesis.
+The 72-bit AMBE frames run the recovered 3600x2400 ECC on device
+(fec.device.dstar_ambe_ecc_batch — dual Golay + PN, zero-error on the
+off-air fixture, see protocol/dstar/ambe2400.py): events carry raw
+bits, FEC-validated 49-bit parameter frames, and per-frame error
+counts.  The inner parameter fields remain VQ/delta-coded (PARITY.md),
+so like the M17 pipeline this is an events pipeline — headers, link
+text, DPRS, and validated voice parameters for ALL channels on device,
+no PCM synthesis.
 
 Acceptance: off-air GMSK compresses the 24-dibit sync correlation to
 ~0.55-0.67 while preamble/noise hits reach ~0.52, so the score is only
@@ -119,8 +122,11 @@ def dstar_header_decode_device(dibits: jax.Array, ch: jax.Array,
 @jax.jit
 def dstar_voice_decode_device(dibits: jax.Array, ch: jax.Array,
                               pos: jax.Array) -> jax.Array:
-    """F voice-superframe hits → uint8 blob [F, 249]: 60 descrambled
-    slow-data bytes | 21×72 raw AMBE bits packed MSB-first (189)."""
+    """F voice-superframe hits → uint8 blob [F, 417]: 60 descrambled
+    slow-data bytes | 21×72 raw AMBE bits packed MSB-first (189) |
+    21×49 ECC-decoded AMBE parameter bits (each frame padded to 7
+    bytes, 147) | 21 per-frame ECC error counts."""
+    from dsdneo_tpu.fec.device import dstar_ambe_ecc_batch
     _, _, sd_scram = _dstar_tables()
     voff, doff = _voice_offsets()
     vbits = _gather_bits(dibits, ch, pos, voff)   # [F, 21, 72]
@@ -130,7 +136,12 @@ def dstar_voice_decode_device(dibits: jax.Array, ch: jax.Array,
     # collapses to LSB-first bytes in stream order
     sd_bytes = _pack(sd, _LSB_W)                  # [F, 60]
     vbytes = _pack(vbits.reshape(-1, 21 * 72), _MSB_W)
-    return jnp.concatenate([sd_bytes, vbytes], axis=1)
+    ambe, errs = dstar_ambe_ecc_batch(vbits.reshape(-1, 72))
+    ambe56 = jnp.concatenate(
+        [ambe, jnp.zeros((ambe.shape[0], 7), jnp.uint8)], axis=1)
+    abytes = _pack(ambe56, _MSB_W).reshape(-1, 21 * 7)
+    ebytes = jnp.minimum(errs, 255).astype(jnp.uint8).reshape(-1, 21)
+    return jnp.concatenate([sd_bytes, vbytes, abytes, ebytes], axis=1)
 
 
 class BatchedDstarPipeline:
@@ -301,7 +312,10 @@ class BatchedDstarPipeline:
             return 1
         line = slow_data_line(rec[:60], ctx)
         voice = np.unpackbits(rec[60:249]).reshape(21, 72)
-        ctx.emit(f"Sync: +D-STAR VOICE  {line}", "dstar", t, voice=voice)
+        ambe = np.unpackbits(rec[249:396]).reshape(21, 56)[:, :49]
+        errs = rec[396:417].astype(np.int32)
+        ctx.emit(f"Sync: +D-STAR VOICE  {line}", "dstar", t, voice=voice,
+                 ambe49=ambe, ambe_errs=errs)
         return 1
 
     def events(self, c: int):

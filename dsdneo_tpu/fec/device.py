@@ -485,3 +485,65 @@ def ambe_ecc_batch(bits72) -> tuple[jax.Array, jax.Array]:
     else:
         x = jnp.asarray(np.asarray(bits72, dtype=np.uint8))
     return _ambe_ecc_jit()(x)
+
+
+# -- D-STAR AMBE 3600x2400 voice-frame ECC ----------------------------------
+
+@lru_cache(maxsize=1)
+def _dstar_ambe_jit():
+    """Constants + jitted kernel for the D-STAR AMBE variant
+    (protocol/dstar/ambe2400.py): same dual-Golay + PN structure as
+    AMBE+2 with the D-STAR w/x interleave, extended-Golay parity at
+    fr[0][0], codeword at fr[0][1:24], seed from fr[0] bits [12..24)."""
+    from dsdneo_tpu.protocol.dstar.ambe2400 import _row_positions, _seed12
+    from dsdneo_tpu.protocol.p25.imbe_frame import _pn_bits, golay_23_12
+    g23 = golay_23_12()
+    r0, r1, r2, r3 = (r.astype(np.int32) for r in _row_positions())
+    pn_of_msg = np.zeros((4096, 23), dtype=np.uint8)
+    parity_of_msg = np.zeros(4096, dtype=np.uint8)
+    param_of_msg = np.zeros((4096, 12), dtype=np.uint8)
+    for m in range(4096):
+        cw = g23.codebook[m]
+        pn_of_msg[m] = _pn_bits(_seed12(cw), 23)[::-1]
+        parity_of_msg[m] = int(cw.sum()) & 1
+        for i in range(12):
+            param_of_msg[m, i] = (m >> (11 - i)) & 1
+    pm_n = (1.0 - 2.0 * g23.codebook).astype(np.float32)
+    cb_n = g23.codebook
+
+    @jax.jit
+    def run(bits72):                  # [F, 72] uint8
+        pm, cb = jnp.asarray(pm_n), jnp.asarray(cb_n)
+        pn_t = jnp.asarray(pn_of_msg)
+        par_t = jnp.asarray(parity_of_msg)
+        prm = jnp.asarray(param_of_msg)
+        fr0 = bits72[:, jnp.asarray(r0)]
+        fr1 = bits72[:, jnp.asarray(r1)]
+        fr2 = bits72[:, jnp.asarray(r2)]
+        fr3 = bits72[:, jnp.asarray(r3)]
+
+        def golay_dec(words):
+            s = 1.0 - 2.0 * words.astype(jnp.float32)
+            m = jnp.argmax(s @ pm.T, axis=-1)
+            errs = jnp.sum(cb[m] != words, axis=-1)
+            return m, errs
+
+        m0, e0 = golay_dec(fr0[:, 1:24])
+        errs = e0.astype(jnp.int32)
+        errs += (par_t[m0] != fr0[:, 0]).astype(jnp.int32)
+        m1, e1 = golay_dec(fr1 ^ pn_t[m0])
+        errs += e1.astype(jnp.int32)
+        out = jnp.concatenate([prm[m0], prm[m1], fr2, fr3], axis=1)
+        return out.astype(jnp.uint8), errs
+    return run
+
+
+def dstar_ambe_ecc_batch(bits72) -> tuple[jax.Array, jax.Array]:
+    """Batched D-STAR AMBE voice-frame ECC: [F, 72] on-air bits →
+    ([F, 49] parameter bits, [F] error counts); device equivalent of
+    protocol/dstar/ambe2400.decode_dstar_ambe_ecc."""
+    if isinstance(bits72, (jax.core.Tracer, jax.Array)):
+        x = bits72.astype(jnp.uint8)
+    else:
+        x = jnp.asarray(np.asarray(bits72, dtype=np.uint8))
+    return _dstar_ambe_jit()(x)

@@ -256,8 +256,15 @@ class DstarDecoder(ProtocolDecoder):
                 pos += 24
         sd = np.concatenate(sd_bits)
         line = self._slow_data(sd, ctx)
+        # AMBE 3600x2400 ECC (recovered, protocol/dstar/ambe2400.py):
+        # FEC-validated 49-bit parameter frames + per-frame error counts
+        from dsdneo_tpu.protocol.dstar.ambe2400 import decode_dstar_ambe_ecc
+        ambe = np.zeros((21, 49), dtype=np.uint8)
+        errs = np.zeros(21, dtype=np.int32)
+        for j, v in enumerate(voice):
+            ambe[j], errs[j] = decode_dstar_ambe_ecc(v)
         ctx.emit(f"Sync: {hit.sync.name} VOICE  {line}", "dstar", hit.pos,
-                 voice=np.stack(voice))
+                 voice=np.stack(voice), ambe49=ambe, ambe_errs=errs)
         return pos
 
     def _slow_data(self, sd: np.ndarray, ctx: DecoderContext) -> str:
