@@ -166,6 +166,7 @@ class BatchedDstarPipeline:
         self.threshold = sync_threshold
         self.pcm_fmt = pcm_fmt
         self.ctxs = [DecoderContext() for _ in range(C)]
+        self._active = [False] * C    # per-block voicing activity
         self._jits = {}
 
     # -- front end: gated demod + clipped per-pattern correlation ----------
@@ -275,6 +276,7 @@ class BatchedDstarPipeline:
         ``self.ctxs[c].events``.  Returns accepted frames (both kinds)."""
         dibits_dev, pat, pos, vq, n_sym = self.frontend_sync_device(iq)
         ac, at, ak, ascore = self.pick_frames(pat, pos, vq, n_sym)
+        self._active = [False] * self.C
         hits = list(zip(ac, at, ak, ascore))
         blobs = {}
         for kind, fn in ((0, dstar_voice_decode_device),
@@ -314,9 +316,20 @@ class BatchedDstarPipeline:
         voice = np.unpackbits(rec[60:249]).reshape(21, 72)
         ambe = np.unpackbits(rec[249:396]).reshape(21, 56)[:, :49]
         errs = rec[396:417].astype(np.int32)
+        # voicing/activity field (ambe2400.voicing_activity, bits 42:46
+        # LSB-first): any clean frame with speech marks the channel hot
+        vo = (ambe[:, 42] | (ambe[:, 43] << 1) | (ambe[:, 44] << 2)
+              | (ambe[:, 45] << 3))
+        if bool(((errs == 0) & (vo > 0)).any()):
+            self._active[c] = True
         ctx.emit(f"Sync: +D-STAR VOICE  {line}", "dstar", t, voice=voice,
                  ambe49=ambe, ambe_errs=errs)
         return 1
+
+    def channel_state(self, c: int) -> str:
+        """Fleet channel-grid state: 'voice' while the last block
+        carried a superframe with active voicing, else 'idle'."""
+        return "voice" if self._active[c] else "idle"
 
     def events(self, c: int):
         return self.ctxs[c].events

@@ -145,10 +145,16 @@ class FleetMonitor:
                 out.extend(rows)
             else:
                 for i in range(g.count):
-                    active = (g.pcm is not None and g.pcm.shape[1] > 0
-                              and np.abs(g.pcm[i]).max() > 1e-4)
+                    if hasattr(g.pipeline, "channel_state"):
+                        # event pipelines (D-STAR, M17) report activity
+                        # from decoded frames, not PCM
+                        state = g.pipeline.channel_state(i)
+                    else:
+                        active = (g.pcm is not None and g.pcm.shape[1] > 0
+                                  and np.abs(g.pcm[i]).max() > 1e-4)
+                        state = "voice" if active else "idle"
                     out.append({"id": g.start + i,
                                 "freq_hz": g.freqs[i],
-                                "state": "voice" if active else "idle",
+                                "state": state,
                                 "tg": 0})
         return out

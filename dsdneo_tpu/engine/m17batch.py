@@ -137,6 +137,7 @@ class BatchedM17VoicePipeline:
         self.monitor = set(range(C)) if monitor is None else set(monitor)
         self.ctxs = [DecoderContext() for _ in range(C)]
         self.chans = [_M17Chan() for _ in range(C)]
+        self._active = [False] * C    # per-block stream activity
         self._jits = {}
 
     # -- front end (shared shape with ysfbatch: gated demod + clipped
@@ -224,6 +225,7 @@ class BatchedM17VoicePipeline:
         in ``self.ctxs[c].audio``.  Returns accepted stream frames."""
         dibits_dev, idx, vq, n_sym = self.frontend_sync_device(iq)
         ac, at = self.pick_frames(idx, vq, n_sym)
+        self._active = [False] * self.C
         F = ac.shape[0]
         if F == 0:
             return 0
@@ -279,8 +281,14 @@ class BatchedM17VoicePipeline:
                 ctx.state.last_src = decode_callsign(src)
             st.ok = [False] * 6
         ctx.emit(line + detail, "m17", t, fn=fn & 0x7FFF, lich_cnt=cnt)
+        self._active[c] = True
         if c in self.monitor and st.enc == 0:
             self._voice(ctx, st, rec[2:18])
+
+    def channel_state(self, c: int) -> str:
+        """Fleet channel-grid state: 'voice' while the last block
+        carried accepted stream frames, else 'idle'."""
+        return "voice" if self._active[c] else "idle"
 
     @staticmethod
     def _synth(st: _M17Chan, voice16: np.ndarray) -> np.ndarray | None:

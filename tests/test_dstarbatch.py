@@ -119,3 +119,5 @@ def test_dstar_fleet_group():
     assert fm.groups[0].pcm.shape == (2, 0)
     srcs = [e.fields.get("src", "") for e in fm.events(0)]
     assert any("KB7WUK" in s for s in srcs)
+    # channel grid reflects voicing activity despite the empty PCM
+    assert all(r["state"] == "voice" for r in fm.channel_dicts())
