@@ -519,6 +519,38 @@ def bench_dmr_cc(C: int, reps: int = 5):
     return C * block_s / step_s, step_s
 
 
+def bench_dstar_events(C: int, reps: int = 5):
+    """D-STAR fleet event monitoring over the real dstar fixture:
+    headers (device K=3 Viterbi), slow-data reassembly, and the
+    recovered AMBE 3600x2400 ECC (device dual-Golay + PN) for C
+    channels; host side is the per-superframe slow-data/event parse."""
+    import jax
+    from dsdneo_tpu.engine.dstarbatch import BatchedDstarPipeline
+    from dsdneo_tpu.io import read_iq_capture
+
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/dstar.iq.json")
+    fs = float(meta.sample_rate_hz)
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedDstarPipeline(C, fs=fs)
+    x = jax.device_put(iq)
+    n = pipe.decode_block_events(x)
+    assert n > 0
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(k):
+            for ctx in pipe.ctxs:
+                ctx.events.clear()
+            pipe.decode_block_events(x)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(run(reps) for _ in range(3))
+    return C * block_s / step_s, step_s
+
+
 def main() -> int:
     import jax
     _enable_compile_cache()
@@ -540,6 +572,7 @@ def main() -> int:
     dmrcc_x, dmrcc_step_s = bench_dmr_cc(C_audio)
     nxdncc_x, _nxdncc_step = bench_nxdn_cc(C_audio)
     edacscc_x, _edacscc_step = bench_edacs_cc(C_audio)
+    dstar_x, _dstar_step = bench_dstar_events(C_audio)
     fe_x, fe_step = bench_frontend(C_fe, 20)
     parity = bench_pallas_parity()
 
@@ -568,6 +601,7 @@ def main() -> int:
             "dmr_cc_x_realtime": round(dmrcc_x, 1),
             "nxdn_cc_x_realtime": round(nxdncc_x, 1),
             "edacs_cc_x_realtime": round(edacscc_x, 1),
+            "dstar_events_x_realtime": round(dstar_x, 1),
             "frontend_symbols_x_realtime": round(fe_x, 1),
             "frontend_channels": C_fe,
             "frontend_step_ms": round(fe_step * 1e3, 3),
