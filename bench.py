@@ -551,6 +551,38 @@ def bench_dstar_events(C: int, reps: int = 5):
     return C * block_s / step_s, step_s
 
 
+def bench_m17_events(C: int, reps: int = 5):
+    """M17 fleet stream monitoring over the real m17 fixture: device
+    LICH Golay + P2 Viterbi payload decode for C channels; host side is
+    LSF chunk assembly + event emission (no Codec2 synthesis — the
+    fleet-monitoring story is link/stream events, like bench_dstar)."""
+    import jax
+    from dsdneo_tpu.engine.m17batch import BatchedM17VoicePipeline
+    from dsdneo_tpu.io import read_iq_capture
+
+    meta, samples = read_iq_capture(
+        "/root/reference/tests/fixtures/iq/m17.iq.json")
+    fs = float(meta.sample_rate_hz)
+    iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedM17VoicePipeline(C, fs=fs, monitor=set())
+    x = jax.device_put(iq)
+    n = pipe.decode_block_events(x)
+    assert n > 0
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(k):
+            for ctx in pipe.ctxs:
+                ctx.events.clear()
+            pipe.decode_block_events(x)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(run(reps) for _ in range(3))
+    return C * block_s / step_s, step_s
+
+
 def main() -> int:
     import jax
     _enable_compile_cache()
@@ -573,6 +605,7 @@ def main() -> int:
     nxdncc_x, _nxdncc_step = bench_nxdn_cc(C_audio)
     edacscc_x, _edacscc_step = bench_edacs_cc(C_audio)
     dstar_x, _dstar_step = bench_dstar_events(C_audio)
+    m17_x, _m17_step = bench_m17_events(C_audio)
     fe_x, fe_step = bench_frontend(C_fe, 20)
     parity = bench_pallas_parity()
 
@@ -602,6 +635,7 @@ def main() -> int:
             "nxdn_cc_x_realtime": round(nxdncc_x, 1),
             "edacs_cc_x_realtime": round(edacscc_x, 1),
             "dstar_events_x_realtime": round(dstar_x, 1),
+            "m17_events_x_realtime": round(m17_x, 1),
             "frontend_symbols_x_realtime": round(fe_x, 1),
             "frontend_channels": C_fe,
             "frontend_step_ms": round(fe_step * 1e3, 3),
