@@ -556,7 +556,9 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
         live_events.append(e.line)
         print(e.line)
         if httpf[0] is not None:
-            httpf[0].push_event(e.line)
+            # structured push: feeds the event line ring AND the
+            # /calls call-history segmentation
+            httpf[0].push_decode_event(e)
         if args.event_log:
             with open(args.event_log, "a") as f:
                 f.write(e.line.rstrip("\n") + "\n")
@@ -876,6 +878,59 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
 
     print(f"dsd-neo-tpu: unknown input spec {spec!r}", file=sys.stderr)
     return 2
+
+
+def _fleet_http_serve(args, fleet, block, fs: float) -> int:
+    """--fleet --frontend http: loop the replay block at realtime pace
+    and serve the fleet console (channel grid, per-channel events,
+    call history, command queue) over the HTTP frontend — the
+    reference's Qt/QML view-model polling applied to fleet scale."""
+    import time as _time
+
+    from dsdneo_tpu.app_control.commands import AppCommand, CommandQueue
+    from dsdneo_tpu.app_control.http import HttpFrontend
+    from dsdneo_tpu.app_control.snapshot import MetricsHub
+
+    hub, q = MetricsHub(), CommandQueue()
+    grid_cache: list[list] = [[]]
+    httpf = HttpFrontend(hub, q, grid_provider=lambda: grid_cache[0],
+                         port=args.http_port).start()
+    print(f"http frontend: http://127.0.0.1:{httpf.port}/ "
+          f"({fleet.total_channels} channels)", file=sys.stderr)
+    block_s = block.shape[1] / fs
+    t0 = _time.time()
+    try:
+        while True:
+            t_blk = _time.time()
+            fleet.decode_block(block)
+            # grid BEFORE clearing events (state derives from tails)
+            grid_cache[0] = fleet.channel_dicts()
+            for g in fleet.groups:
+                p = g.pipeline
+                if not hasattr(p, "events"):
+                    continue
+                for i in range(g.count):
+                    evs = p.events(i)
+                    for e in evs:
+                        httpf.push_decode_event(e)
+                    evs.clear()        # bounded ctxs across loops
+            m = getattr(fleet.groups[0].pipeline, "mode",
+                        None) if fleet.groups else None
+            hub.publish(stream_active=True, blocks=fleet.blocks,
+                        symbol_rate_hz=int(getattr(m, "symbol_rate",
+                                                   4800)))
+            if any(c.cmd is AppCommand.STOP for c in q.drain()):
+                break
+            if args.duration > 0 and _time.time() - t0 >= args.duration:
+                break
+            _time.sleep(max(0.0, block_s - (_time.time() - t_blk)))
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpf.stop()
+    print(f"fleet: {fleet.blocks} blocks over "
+          f"{fleet.total_channels} channels", file=sys.stderr)
+    return 0
 
 
 def _run_m17_tx(args) -> int:
@@ -1258,6 +1313,12 @@ def main(argv: list[str] | None = None) -> int:
                        axis=-1).astype(np.float32)
         block = np.broadcast_to(iq1[None],
                                 (fleet.total_channels,) + iq1.shape).copy()
+        if args.frontend == "http":
+            # graphical fleet console: loop the replay block at
+            # realtime pace, serve channel grid + events + calls over
+            # the app_control HTTP frontend (reference Qt/QML shape)
+            return _fleet_http_serve(args, fleet, block,
+                                     float(meta.sample_rate_hz))
         fleet.decode_block(block)
         for g in fleet.groups:
             if g.kind == "voice":

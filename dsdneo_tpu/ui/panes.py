@@ -93,13 +93,16 @@ def channels_from_contexts(ctxs, freqs=None) -> list[dict]:
     return out
 
 
-def history_from_events(events, fs_sym: float = 4800.0):
+def history_from_events(events, fs_sym: float = 4800.0,
+                        t0: float | None = None):
     """Adapter: decode events (DecodeEvent list) → an EventHistory for
     the call-history pane.  Grant/voice/release events become call
-    begin/end markers with symbol positions converted to stream time."""
+    begin/end markers with symbol positions converted to stream time.
+    ``t0`` anchors the wall-clock origin; pass 0.0 to keep CallEvent
+    times in stream seconds (the HTTP frontend's /calls view)."""
     from dsdneo_tpu.core.events import CallEvent, CallKind, EventHistory
     h = EventHistory(slots=2)
-    t0 = time.time()
+    t0 = time.time() if t0 is None else t0
     for e in events:
         when = t0 + e.pos / fs_sym
         f = e.fields

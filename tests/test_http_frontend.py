@@ -91,3 +91,92 @@ def test_cli_accepts_http_frontend():
                                    "--frontend", "http",
                                    "--http-port", "9000"])
     assert a.frontend == "http" and a.http_port == 9000
+
+
+def test_http_calls_and_grid_endpoints():
+    """Dashboard data endpoints: /calls segments pushed DecodeEvents
+    into call rows (stream seconds); /grid serves the fleet
+    channel-grid provider; / carries the graphical dashboard."""
+    from dsdneo_tpu.app_control import CommandQueue, MetricsHub
+    from dsdneo_tpu.app_control.http import HttpFrontend
+    from dsdneo_tpu.protocol.base import DecodeEvent
+
+    grid = [{"id": 0, "state": "voice", "tg": 101, "freq_hz": 851e6},
+            {"id": 1, "state": "cc", "tg": 0, "freq_hz": 852e6}]
+    f = HttpFrontend(MetricsHub(), CommandQueue(), port=0,
+                     grid_provider=lambda: grid).start()
+    try:
+        f.push_decode_event(DecodeEvent(
+            "Group Voice Channel Grant", "p25p1", pos=4800,
+            fields={"grant": 1, "tg": 101, "src": 777, "slot": 0}))
+        f.push_decode_event(DecodeEvent(
+            "Call End", "p25p1", pos=4800 * 5,
+            fields={"release": 1, "slot": 0}))
+
+        st, body = _get(f.port, "/calls")
+        assert st == 200
+        calls = json.loads(body)["calls"]
+        assert len(calls) == 1
+        c = calls[0]
+        assert c["tg"] == 101 and c["src"] == 777
+        assert c["kind"] == "GROUP_VOICE" and c["protocol"] == "p25p1"
+        # stream seconds: grant at 4800 sym / 4800 sym/s = 1 s,
+        # release 4 s later
+        assert abs(c["t_s"] - 1.0) < 0.01
+        assert abs(c["dur_s"] - 4.0) < 0.01
+
+        st, body = _get(f.port, "/grid")
+        assert st == 200
+        assert json.loads(body)["channels"] == grid
+
+        # the event line ring sees structured pushes too
+        st, body = _get(f.port, "/events?n=1")
+        assert json.loads(body)["events"] == ["Call End"]
+
+        st, body = _get(f.port, "/")
+        assert st == 200
+        page = body.decode()
+        for needle in ("canvas", "/calls", "/grid", "gridbox",
+                       "spectrum", "eye"):
+            assert needle in page
+    finally:
+        f.stop()
+
+
+def test_fleet_http_console_cli():
+    """--fleet --frontend http serves grid/events and exits on
+    --duration (the Qt/QML-equivalent fleet console path)."""
+    import subprocess
+    import sys as _sys
+    import time as _t
+
+    fx = "/root/reference/tests/fixtures/iq/p25p1_c4fm_cc.iq.json"
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "dsdneo_tpu", "--frontend", "http",
+         "--http-port", "18766", "--fleet", "p25p1:cc:2",
+         "--iq-replay", fx, "--duration", "12", "-o", "null"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    try:
+        deadline = _t.time() + 40
+        grid = events = None
+        while _t.time() < deadline:
+            _t.sleep(1.0)
+            try:
+                st, body = _get(18766, "/grid")
+                grid = json.loads(body)["channels"]
+                st, body = _get(18766, "/events?n=5")
+                events = json.loads(body)["events"]
+                if grid and events:
+                    break
+            except OSError:
+                continue        # server not up yet
+        assert grid is not None and len(grid) == 2
+        assert all(ch["state"] == "cc" for ch in grid)
+        assert events and any("NAC/CC: 140" in e for e in events)
+    finally:
+        try:
+            out, err = proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, err = proc.communicate()
+    assert "http frontend:" in err and "fleet:" in err
