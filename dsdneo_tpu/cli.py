@@ -1382,6 +1382,21 @@ def main(argv: list[str] | None = None) -> int:
                     if np.iscomplexobj(samples) else \
                     samples * np.float32(args.input_volume)
             chunk = max(int(meta.sample_rate_hz * args.stream), 4800)
+            httpf = None
+            if args.frontend == "http":
+                # browser dashboard over the streamed replay; pacing
+                # defaults to realtime so the view is watchable
+                from dsdneo_tpu.app_control.commands import CommandQueue
+                from dsdneo_tpu.app_control.http import HttpFrontend
+                from dsdneo_tpu.app_control.snapshot import MetricsHub
+                hub, cq = MetricsHub(), CommandQueue()
+                httpf = HttpFrontend(hub, cq,
+                                     port=args.http_port).start()
+                print(f"http frontend: http://127.0.0.1:{httpf.port}/",
+                      file=sys.stderr)
+                if args.iq_replay_rate <= 0:
+                    args.iq_replay_rate = 1.0
+            n_blk = 0
             for _rep in range(max(args.iq_loop, 1)):
                 for i in range(0, len(samples), chunk):
                     t0 = _time.perf_counter()
@@ -1390,6 +1405,26 @@ def main(argv: list[str] | None = None) -> int:
                         perf.add(decode_ms=(_time.perf_counter() - t0) * 1e3,
                                  channels=1,
                                  symbols=int(chunk / sd._sps))
+                    if httpf is not None:
+                        n_blk += 1
+                        for e in evs:
+                            httpf.push_decode_event(e)
+                        extra = {}
+                        if n_blk % 8 == 1:
+                            z = samples[i:i + 4096]
+                            if z.size >= 256:
+                                sp = np.abs(np.fft.fftshift(np.fft.fft(z)))
+                                extra["spectrum_db"] = (20.0 * np.log10(
+                                    np.maximum(sp, 1e-9))
+                                ).astype(np.float32)[::16]
+                            soft = getattr(sd, "last_soft", None)
+                            if soft is not None and len(soft):
+                                extra["eye_symbols"] = np.asarray(
+                                    soft[:512], np.float32)
+                        hub.publish(stream_active=True, blocks=n_blk,
+                                    snr_db=sd.last_snr_db,
+                                    symbol_rate_hz=int(
+                                        sd.mode.symbol_rate), **extra)
                     if args.iq_replay_rate > 0:
                         # paced replay (reference --iq-replay-rate)
                         want = chunk / meta.sample_rate_hz \
@@ -1398,6 +1433,8 @@ def main(argv: list[str] | None = None) -> int:
                         if left > 0:
                             _time.sleep(left)
             sd.flush()
+            if httpf is not None:
+                httpf.stop()
             ctx = sd.ctx
         else:
             t0 = _time.perf_counter()

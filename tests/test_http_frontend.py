@@ -180,3 +180,44 @@ def test_fleet_http_console_cli():
             proc.kill()
             out, err = proc.communicate()
     assert "http frontend:" in err and "fleet:" in err
+
+
+def test_stream_http_dashboard_cli():
+    """--stream --frontend http publishes snapshots (SNR, spectrum,
+    eye) and events while the replay streams."""
+    import subprocess
+    import sys as _sys
+    import time as _t
+
+    fx = "/root/reference/tests/fixtures/iq/p25p1_c4fm_cc.iq.json"
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "dsdneo_tpu", "-f1", "--stream", "0.25",
+         "--frontend", "http", "--http-port", "18768",
+         "--iq-replay-rate", "2", "--iq-loop", "2",
+         "--iq-replay", fx, "-o", "null"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    try:
+        deadline = _t.time() + 40
+        snap = None
+        while _t.time() < deadline:
+            _t.sleep(0.5)
+            try:
+                st, body = _get(18768, "/snapshot")
+                snap = json.loads(body)
+                if snap["blocks"] >= 2 and snap["eye_symbols"]:
+                    break
+            except OSError:
+                continue
+        assert snap is not None and snap["stream_active"]
+        assert snap["symbol_rate_hz"] == 4800
+        assert len(snap["spectrum_db"]) > 0
+        assert len(snap["eye_symbols"]) > 0
+        st, body = _get(18768, "/events?n=3")
+        assert json.loads(body)["events"]
+    finally:
+        try:
+            out, err = proc.communicate(timeout=40)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, err = proc.communicate()
+    assert "http frontend:" in err
