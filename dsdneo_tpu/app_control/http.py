@@ -203,8 +203,12 @@ class HttpFrontend:
         self.hub = hub
         self.commands = commands
         self._events = events if events is not None else []
-        self._devents = []            # structured DecodeEvents (calls)
+        self._devents = []    # (DecodeEvent, fs_sym) pairs (calls)
         self.grid_provider = grid_provider
+        # default symbol clock for /calls stream-time conversion;
+        # engines set it (or pass per-push) so mixed-rate fleets and
+        # non-4800-baud modes get correct call times
+        self.fs_sym = 4800.0
         self._lock = threading.Lock()
         outer = self
 
@@ -228,9 +232,13 @@ class HttpFrontend:
                     self._reply(200, outer.snapshot_json().encode())
                 elif u.path == "/events":
                     q = parse_qs(u.query)
-                    n = int(q.get("n", ["50"])[0])
+                    try:
+                        n = max(int(q.get("n", ["50"])[0]), 0)
+                    except ValueError:
+                        self._reply(400, b'{"error": "bad n"}')
+                        return
                     with outer._lock:
-                        ev = list(outer._events)[-n:]
+                        ev = list(outer._events)[-n:] if n else []
                     self._reply(200, json.dumps({"events": ev}).encode())
                 elif u.path == "/calls":
                     self._reply(200, outer.calls_json().encode())
@@ -250,7 +258,9 @@ class HttpFrontend:
                 try:
                     req = json.loads(self.rfile.read(n) or b"{}")
                     cmd = AppCommand(req["cmd"])
-                except (ValueError, KeyError):
+                except (ValueError, KeyError, TypeError):
+                    # TypeError: body parsed but isn't a dict
+                    # ('"tune"', '[1]', 'null')
                     self._reply(400, b'{"error": "bad command"}')
                     return
                 ok = outer.commands.put(cmd, req.get("payload"))
@@ -273,11 +283,18 @@ class HttpFrontend:
 
     def calls_json(self) -> str:
         """Call-history rows derived from the structured event ring
-        (grant/voice/release segmentation, stream-time seconds)."""
+        (grant/voice/release segmentation, stream-time seconds).  Each
+        event's position converts to seconds with the symbol clock it
+        was pushed under (mixed-rate fleets carry several)."""
+        from types import SimpleNamespace
+
         from dsdneo_tpu.ui.panes import history_from_events
         with self._lock:
-            evs = list(self._devents)
-        h = history_from_events(evs, t0=0.0)
+            pairs = list(self._devents)
+        evs = [SimpleNamespace(line=e.line, protocol=e.protocol,
+                               fields=e.fields, pos=e.pos / fs)
+               for e, fs in pairs]
+        h = history_from_events(evs, fs_sym=1.0, t0=0.0)
         rows = []
         for s in sorted(h.rings):
             for e in h.rings[s][-24:]:
@@ -297,11 +314,13 @@ class HttpFrontend:
             if len(self._events) > keep:
                 del self._events[:len(self._events) - keep]
 
-    def push_decode_event(self, e, keep: int = 500) -> None:
+    def push_decode_event(self, e, keep: int = 500,
+                          fs_sym: float | None = None) -> None:
         """Engine side: append a structured DecodeEvent — feeds both
-        the line feed and the /calls view."""
+        the line feed and the /calls view.  ``fs_sym`` is the symbol
+        clock of ``e.pos`` (defaults to ``self.fs_sym``)."""
         with self._lock:
-            self._devents.append(e)
+            self._devents.append((e, float(fs_sym or self.fs_sym)))
             if len(self._devents) > keep:
                 del self._devents[:len(self._devents) - keep]
         self.push_event(e.line, keep=keep)

@@ -588,6 +588,7 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             from dsdneo_tpu.app_control.http import HttpFrontend
             httpf[0] = HttpFrontend(eng.metrics, eng.commands,
                                     port=args.http_port).start()
+            httpf[0].fs_sym = float(eng.decoder.mode.symbol_rate)
             print(f"http frontend: http://127.0.0.1:{httpf[0].port}/",
                   file=sys.stderr)
         if cfg is not None:
@@ -899,6 +900,9 @@ def _fleet_http_serve(args, fleet, block, fs: float) -> int:
           f"({fleet.total_channels} channels)", file=sys.stderr)
     block_s = block.shape[1] / fs
     t0 = _time.time()
+    # publish the channel list immediately (all idle) so the console
+    # renders during the first block's JAX warm-up
+    grid_cache[0] = fleet.channel_dicts()
     try:
         while True:
             t_blk = _time.time()
@@ -909,10 +913,12 @@ def _fleet_http_serve(args, fleet, block, fs: float) -> int:
                 p = g.pipeline
                 if not hasattr(p, "events"):
                     continue
+                rate = float(getattr(getattr(p, "mode", None),
+                                     "symbol_rate", 4800.0))
                 for i in range(g.count):
                     evs = p.events(i)
                     for e in evs:
-                        httpf.push_decode_event(e)
+                        httpf.push_decode_event(e, fs_sym=rate)
                     evs.clear()        # bounded ctxs across loops
             m = getattr(fleet.groups[0].pipeline, "mode",
                         None) if fleet.groups else None
@@ -1392,6 +1398,7 @@ def main(argv: list[str] | None = None) -> int:
                 hub, cq = MetricsHub(), CommandQueue()
                 httpf = HttpFrontend(hub, cq,
                                      port=args.http_port).start()
+                httpf.fs_sym = float(sd.mode.symbol_rate)
                 print(f"http frontend: http://127.0.0.1:{httpf.port}/",
                       file=sys.stderr)
                 if args.iq_replay_rate <= 0:

@@ -213,6 +213,12 @@ class BatchedM17VoicePipeline:
                     k += 1
                 t = int(positions[w])
                 j = k
+                if t + FRAME_DIBITS >= n_sym:
+                    # the refined winner (up to 7 dibits past the
+                    # cluster head) can cross the block end even when
+                    # the head cleared the bound above — dropping it
+                    # here beats gathering a clipped, garbled frame
+                    continue
                 last = t
                 acc_c.append(c)
                 acc_t.append(t)

