@@ -189,7 +189,14 @@ class BatchedP25ControlPipeline(BatchedP25VoicePipeline):
         n0 = len(ctx.events)
         lb = self.decs[c]._tsbk(bits96, hit, ctx)
         if self.parse_cache:
-            self._pcache[c][key] = (
+            pc = self._pcache[c]
+            if len(pc) >= 4096:
+                # bound long-running monitors: varying payloads (time
+                # broadcasts, grants) and iden-version bumps would
+                # otherwise accrete dead entries forever; a clear
+                # rebuilds from live traffic in a few blocks
+                pc.clear()
+            pc[key] = (
                 lb, [(e.line, dict(e.fields)) for e in ctx.events[n0:]])
         return lb
 
@@ -869,8 +876,11 @@ class BatchedDmrControlPipeline:
         ctx.emit(f"Sync: +DMR CC | Color Code={cc:02d} | CSBK{detail}",
                  "dmr", pos, cc=cc)
         if self.parse_cache:
-            self._pcache[c][key] = [(e.line, dict(e.fields))
-                                    for e in ctx.events[n0:]]
+            pc = self._pcache[c]
+            if len(pc) >= 4096:
+                pc.clear()        # bounded (see P25 TSBK cache note)
+            pc[key] = [(e.line, dict(e.fields))
+                       for e in ctx.events[n0:]]
 
     def decode_block_events(self, iq) -> int:
         """One [C, B] block → CSBK events in self.ctxs; returns the

@@ -49,8 +49,9 @@ def _make(table, mode, C, fs, kw):
         raise ValueError(f"no batched pipeline for mode {mode!r}")
     mod_name, cls_name = table[mode]
     cls = getattr(importlib.import_module(mod_name), cls_name)
-    if mode == "nxdn96" and "mode" not in kw \
-            and table is _VOICE_FACTORIES:
+    if mode == "nxdn96" and "mode" not in kw:
+        # both the voice AND the CC NXDN pipelines default to the
+        # 2400-baud nxdn48 front end; a 9600-baud group must say so
         kw = dict(kw, mode="nxdn96")
     return cls(C, fs=fs, **kw)
 
@@ -150,8 +151,15 @@ class FleetMonitor:
                         # from decoded frames, not PCM
                         state = g.pipeline.channel_state(i)
                     else:
-                        active = (g.pcm is not None and g.pcm.shape[1] > 0
-                                  and np.abs(g.pcm[i]).max() > 1e-4)
+                        active = False
+                        if g.pcm is not None and g.pcm.shape[1] > 0:
+                            if g.pcm.shape[0] == 2 * g.count:
+                                # 2-slot TDMA pipelines (P25p2) emit
+                                # per-slot rows at 2*ch + slot
+                                active = (np.abs(
+                                    g.pcm[2 * i:2 * i + 2]).max() > 1e-4)
+                            else:
+                                active = np.abs(g.pcm[i]).max() > 1e-4
                         state = "voice" if active else "idle"
                     out.append({"id": g.start + i,
                                 "freq_hz": g.freqs[i],

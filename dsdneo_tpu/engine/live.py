@@ -255,7 +255,24 @@ class LiveEngine:
             rms_db = 20.0 * np.log10(max(rms, 1e-12))
             if rms_db < self.level_warn_db:
                 self.level_warnings += 1
+            # post-retune mute window: drop the transient samples so a
+            # mid-burst retune never splices stale and fresh signal
+            # into one demod window (reference retune mute)
+            if self._mute_samples > 0:
+                self._mute_samples -= len(samples)
+                if drain_done:
+                    # a second retune's drain completed inside this
+                    # window: purge now, don't decode its stale tail
+                    self._apply_retune()
+                n += 1
+                self.metrics.publish(freq_hz=self.freq_hz,
+                                     retune_muted=True, blocks=n)
+                if max_blocks is not None and n >= max_blocks:
+                    break
+                continue
             if self.auto_ppm is not None:
+                # trained only past the mute window — tuner-settling
+                # transients must not shift the PPM loop
                 from dsdneo_tpu.io.auto_ppm import estimate_cfo_hz
                 # advisory AFC status gate (DSD_NEO_P25_AFC_STATUS_GATE):
                 # when enabled, frames classified subscriber-originated
@@ -271,17 +288,6 @@ class LiveEngine:
                         estimate_cfo_hz(samples, self.fs),
                         getattr(self.decoder, "last_snr_db", 0.0),
                         pwr_db=rms_db)
-            # post-retune mute window: drop the transient samples so a
-            # mid-burst retune never splices stale and fresh signal
-            # into one demod window (reference retune mute)
-            if self._mute_samples > 0:
-                self._mute_samples -= len(samples)
-                n += 1
-                self.metrics.publish(freq_hz=self.freq_hz,
-                                     retune_muted=True, blocks=n)
-                if max_blocks is not None and n >= max_blocks:
-                    break
-                continue
             # power squelch: below-threshold blocks aren't decoded at
             # all (reference demod_pipeline.cpp squelch gate)
             squelched = (20.0 * np.log10(max(rms, 1e-12)) < self.squelch_db

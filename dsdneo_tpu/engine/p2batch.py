@@ -566,6 +566,13 @@ class BatchedP2VoicePipeline:
         bits[:, 0::2] = (raw >> 1) & 1
         bits[:, 1::2] = raw & 1
 
+        # descramble every job's 172 ESS bits in one vectorized XOR
+        # (the scrambler row offset is per-job)
+        offs = np.asarray([360 * row + 168
+                           for (_c, _tp, row, _s, _k, _f) in ess_jobs],
+                          dtype=np.int64)
+        xs = bits ^ self._scr[offs[:, None] + np.arange(172)]
+
         # pass 1: accumulate ESS_B fragments in walk order and build
         # every 2V job's RS(63,35) vector; a batched device syndrome
         # screen (fec.device.rs_syndromes_batch) then lets the common
@@ -574,8 +581,7 @@ class BatchedP2VoicePipeline:
         vecs = {}
         for h, (c, ts_pos, row, slot, kind, frag) in enumerate(ess_jobs):
             key = 2 * c + slot
-            x = bits[h] ^ self._scr[360 * row + 20 + 148:
-                                    360 * row + 20 + 320][:172]
+            x = xs[h]
             if kind == "4v":
                 ess_b.setdefault(key, np.zeros(96, np.uint8))
                 ess_b[key][24 * frag:24 * (frag + 1)] = x[:24]
@@ -595,16 +601,13 @@ class BatchedP2VoicePipeline:
             for h, s in zip(hs, syn):
                 clean[h] = not s.any()
 
-        ess_b = {}
+        # pass 2: crypto state machine + per-frame keystreams (reads
+        # only pass 1's vecs/clean — the fragment accumulation is done)
         frame_at = {}
         for h, (c, ts_pos, row, slot, kind, frag) in enumerate(ess_jobs):
             key = 2 * c + slot
-            x = bits[h] ^ self._scr[360 * row + 20 + 148:
-                                    360 * row + 20 + 320][:172]
             cs = self.crypto[key]
             if kind == "4v":
-                ess_b.setdefault(key, np.zeros(96, np.uint8))
-                ess_b[key][24 * frag:24 * (frag + 1)] = x[:24]
                 nf = 4
             else:
                 vec = vecs[h]

@@ -63,3 +63,16 @@ def test_fleet_multi_protocol_groups():
     fleet.decode_block(block)
     assert any("TSDU" in e.line for e in fleet.events(0))
     assert any("CSBK" in e.line for e in fleet.events(1))
+
+
+def test_fleet_nxdn96_cc_group_uses_9600_frontend():
+    """assign('nxdn96', kind='cc') must build the 9600-baud front end,
+    not the nxdn48 default (regression: the mode kwarg injection was
+    gated to voice groups only)."""
+    from dsdneo_tpu.engine.fleet import FleetMonitor
+    fleet = FleetMonitor(fs=48000.0)
+    g = fleet.assign("nxdn96", 1, kind="cc")
+    assert g.pipeline._fe.mode.symbol_rate == 4800  # nxdn96: 4800 sym/s
+    assert g.pipeline.ctxs[0].mode_name == "nxdn96"
+    g48 = fleet.assign("nxdn48", 1, kind="cc")
+    assert g48.pipeline._fe.mode.symbol_rate == 2400
