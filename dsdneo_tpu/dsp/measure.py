@@ -90,32 +90,3 @@ def estimate_cfo_fm(disc: jax.Array, fs: float) -> jax.Array:
     """Carrier-offset estimate (Hz) from discriminator DC — the auto-PPM
     observable (reference src/io/radio/rtl_auto_ppm.cpp)."""
     return jnp.mean(disc, axis=-1) * (fs / 2.0)
-
-
-class AutoPpm:
-    """Slow PPM drift corrector: averages CFO observations when SNR/power
-    gates pass, converging on a ppm correction (host-side controller)."""
-
-    def __init__(self, center_hz: float, gate_snr_db: float = 10.0,
-                 alpha: float = 0.05, lock_threshold_hz: float = 50.0):
-        self.center_hz = center_hz
-        self.gate_snr_db = gate_snr_db
-        self.alpha = alpha
-        self.lock_threshold_hz = lock_threshold_hz
-        self.est_hz = 0.0
-        self.locked = False
-        self.n_obs = 0
-
-    def observe(self, cfo_hz: float, snr_db: float) -> float:
-        if snr_db >= self.gate_snr_db:
-            self.est_hz += self.alpha * (cfo_hz - self.est_hz)
-            self.n_obs += 1
-            if self.n_obs > 20 and abs(cfo_hz - self.est_hz) < self.lock_threshold_hz:
-                self.locked = True
-        return self.ppm
-
-    @property
-    def ppm(self) -> float:
-        if self.center_hz <= 0:
-            return 0.0
-        return -self.est_hz / self.center_hz * 1e6

@@ -84,12 +84,17 @@ class AutoPpm:
                 self.locked = True
             return False
         self._in_deadband = 0
-        step = int(np.clip(round(err_ppm), -self.max_step_ppm,
+        # librtlsdr convention: correction p scales the assumed xtal,
+        # LO = f_req·(1+e)/(1+p) for true crystal error e, so the
+        # observed carrier offset is (p−e)·f·1e-6 — a POSITIVE measured
+        # offset requires a NEGATIVE ppm step (the reference validated
+        # this on hardware: rtl_auto_ppm.cpp
+        # rtl_auto_ppm_fsk_dc_est_to_cfo_hz "positive dc_est must
+        # request a negative PPM correction")
+        step = int(np.clip(round(-err_ppm), -self.max_step_ppm,
                            self.max_step_ppm))
         if step == 0:
-            step = 1 if err_ppm > 0 else -1
-        # the tuner applies +ppm as a downward frequency shift of the
-        # local oscillator error: correcting a +offset means adding ppm
+            step = -1 if err_ppm > 0 else 1
         self.ppm += step
         self.corrections += 1
         self.set_ppm(self.ppm)

@@ -46,6 +46,11 @@ class RtlTcpClient:
         self.chunk = chunk if chunk is not None else cfg.tcp_bufsz
         if timeout_s is None:
             timeout_s = cfg.tcp_rcvtimeo_ms / 1e3
+        if timeout_s is not None and timeout_s <= 0:
+            # SO_RCVTIMEO=0 means "block forever"; Python's
+            # settimeout(0.0) would instead mean NON-blocking (recv
+            # raising BlockingIOError and killing the reader)
+            timeout_s = None
         self.waitall = cfg.tcp_waitall
         self.max_timeouts = cfg.tcp_max_timeouts
         self.autotune = cfg.tcp_autotune
@@ -136,8 +141,21 @@ class RtlTcpClient:
         stat_bytes = 0
         while not self._stop.is_set():
             try:
-                flags = socket.MSG_WAITALL if self.waitall else 0
-                data = self._sock.recv(self.chunk, flags)
+                if self.waitall:
+                    # DSD_NEO_TCP_WAITALL: full-chunk reads.  A Python
+                    # socket with a timeout is internally non-blocking,
+                    # where MSG_WAITALL silently degrades to "whatever
+                    # is available" — loop explicitly instead.
+                    parts, need = [], self.chunk
+                    while need > 0 and not self._stop.is_set():
+                        d = self._sock.recv(need)
+                        if not d:
+                            break
+                        parts.append(d)
+                        need -= len(d)
+                    data = b"".join(parts)
+                else:
+                    data = self._sock.recv(self.chunk)
             except socket.timeout:
                 self.timeouts += 1
                 # DSD_NEO_TCP_MAX_TIMEOUTS: consecutive stalls = link

@@ -217,7 +217,10 @@ class RtlUsbDevice:
                                             ctypes.byref(got))
             if rc != 0 or got.value <= 0:
                 break
-            self.ring.write(bytes(buf[:got.value]))
+            # string_at copies straight from the C buffer; slicing a
+            # ctypes array first would materialize a Python int list
+            # per 16 kB block on the latency-sensitive reader thread
+            self.ring.write(ctypes.string_at(buf, got.value))
 
     def close(self) -> None:
         self._stop = True

@@ -102,9 +102,23 @@ class IngestRing:
     def __init__(self, capacity: int = 1 << 22):
         self._lib = _load()
         self._h = self._lib.dsd_ring_create(capacity)
+        self._dangle = b""      # odd trailing byte held for next write
 
     def write(self, data: bytes | np.ndarray) -> int:
+        """Producer side.  The ring carries CU8 sample pairs, but TCP
+        sources deliver arbitrary chunk sizes — an odd byte is stashed
+        here and prepended to the next write so the ring only ever
+        sees whole samples (and a truncated write can only drop whole
+        samples, never flipping I/Q byte parity)."""
         buf = bytes(data) if not isinstance(data, bytes) else data
+        if self._dangle:
+            buf = self._dangle + buf
+            self._dangle = b""
+        if len(buf) & 1:
+            self._dangle = buf[-1:]
+            buf = buf[:-1]
+        if not buf:
+            return 0
         return self._lib.dsd_ring_write(self._h, buf, len(buf))
 
     def read_block_cu8(self, n_samples: int, rotate: int = 0,

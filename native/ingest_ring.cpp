@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <vector>
 
 namespace {
 
@@ -63,14 +64,19 @@ void dsd_ring_destroy(Ring* r) {
 
 // Producer: write n bytes; drops the excess when the ring is full
 // (producer never blocks — matches the reference's USB-callback contract).
+// A truncated accept is rounded DOWN to whole CU8 samples (2 bytes):
+// an odd drop count would flip the I/Q byte parity of the stream for
+// the rest of the session with no framing to recover from.
 size_t dsd_ring_write(Ring* r, const uint8_t* data, size_t n) {
     uint64_t head = r->head.load(std::memory_order_relaxed);
     uint64_t tail = r->tail.load(std::memory_order_acquire);
     size_t free_space = r->capacity - static_cast<size_t>(head - tail);
-    size_t to_write = n < free_space ? n : free_space;
-    for (size_t i = 0; i < to_write; ++i) {
-        r->buf[mask(r, head + i)] = data[i];
-    }
+    size_t to_write = n < free_space ? n : (free_space & ~static_cast<size_t>(1));
+    size_t off = mask(r, head);
+    size_t first = to_write < (r->capacity - off) ? to_write
+                                                  : (r->capacity - off);
+    std::memcpy(r->buf + off, data, first);
+    std::memcpy(r->buf, data + first, to_write - first);
     r->head.store(head + to_write, std::memory_order_release);
     if (to_write < n) {
         r->drops.fetch_add(n - to_write, std::memory_order_relaxed);
@@ -113,9 +119,11 @@ size_t dsd_ring_read(Ring* r, uint8_t* out, size_t n, int timeout_ms) {
             continue;
         }
         size_t take = avail < (n - got) ? avail : (n - got);
-        for (size_t i = 0; i < take; ++i) {
-            out[got + i] = r->buf[mask(r, tail + i)];
-        }
+        size_t off = mask(r, tail);
+        size_t first = take < (r->capacity - off) ? take
+                                                  : (r->capacity - off);
+        std::memcpy(out + got, r->buf + off, first);
+        std::memcpy(out + got + first, r->buf, take - first);
         r->tail.store(tail + take, std::memory_order_release);
         got += take;
     }
@@ -127,10 +135,45 @@ size_t dsd_ring_read(Ring* r, uint8_t* out, size_t n, int timeout_ms) {
 // (rotate_dir = 0 none, +1 e^{+j pi n/2}, -1 e^{-j pi n/2}).
 size_t dsd_ring_read_widen_cu8(Ring* r, float* out, size_t n_samples,
                                int rotate_dir, int timeout_ms) {
+    // All-or-nothing block framing: wait until the FULL block is
+    // available before consuming anything.  The previous incremental
+    // read consumed a partial block and the caller then discarded it
+    // on timeout — a silent gap in the I/Q stream even though the
+    // samples eventually arrived and sat in the ring.
     const size_t n_bytes = 2 * n_samples;
-    uint8_t* tmp = new uint8_t[n_bytes];
-    size_t got = dsd_ring_read(r, tmp, n_bytes, timeout_ms);
-    size_t samples = got / 2;
+    using clock = std::chrono::steady_clock;
+    auto deadline = clock::now() + std::chrono::milliseconds(timeout_ms);
+    for (;;) {
+        if (r->shutdown.load(std::memory_order_relaxed)) return 0;
+        uint32_t gen = r->generation.load(std::memory_order_acquire);
+        if (gen != r->consumed_gen.load(std::memory_order_relaxed)) {
+            uint64_t upto = r->purge_upto.load(std::memory_order_acquire);
+            uint64_t tail = r->tail.load(std::memory_order_relaxed);
+            if (upto > tail) {
+                r->tail.store(upto, std::memory_order_release);
+            }
+            r->consumed_gen.store(gen, std::memory_order_relaxed);
+            return 0;
+        }
+        uint64_t tail = r->tail.load(std::memory_order_relaxed);
+        uint64_t head = r->head.load(std::memory_order_acquire);
+        if (static_cast<size_t>(head - tail) >= n_bytes) break;
+        if (clock::now() > deadline) return 0;  // nothing consumed
+        std::this_thread::sleep_for(std::chrono::microseconds(100));
+    }
+    // per-thread scratch reused across blocks (consumer is SPSC);
+    // two-segment memcpy keeps the widen loop linear + vectorizable
+    thread_local std::vector<uint8_t> scratch;
+    if (scratch.size() < n_bytes) scratch.resize(n_bytes);
+    uint8_t* tmp = scratch.data();
+    uint64_t tail = r->tail.load(std::memory_order_relaxed);
+    size_t off = mask(r, tail);
+    size_t first = n_bytes < (r->capacity - off) ? n_bytes
+                                                 : (r->capacity - off);
+    std::memcpy(tmp, r->buf + off, first);
+    std::memcpy(tmp + first, r->buf, n_bytes - first);
+    r->tail.store(tail + n_bytes, std::memory_order_release);
+    size_t samples = n_samples;
     const float scale = 1.0f / 127.5f;
     for (size_t i = 0; i < samples; ++i) {
         float si = static_cast<float>(tmp[2 * i]) * scale - 1.0f;
@@ -149,7 +192,6 @@ size_t dsd_ring_read_widen_cu8(Ring* r, float* out, size_t n_samples,
         out[2 * i] = si;
         out[2 * i + 1] = sq;
     }
-    delete[] tmp;
     return samples;
 }
 

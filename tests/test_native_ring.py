@@ -144,3 +144,48 @@ def test_ring_purge_preserves_post_purge_writes():
     expect = (0x55 / 127.5) - 1.0
     np.testing.assert_allclose(blk[:, 0], expect, atol=1e-6)
     r.close()
+
+
+def test_ring_truncated_write_keeps_cu8_parity():
+    """Odd TCP chunks and overflowing writes must never flip the CU8
+    I/Q byte parity: the wrapper stashes a dangling odd byte, so the
+    ring only sees whole samples and truncation drops whole samples."""
+    from dsdneo_tpu.runtime.native import IngestRing
+    r = IngestRing(capacity=1 << 10)        # 1024 bytes
+    assert r.write(bytes(1021)) == 1020     # odd byte stashed
+    assert r.fill == 1020                   # free space 4
+    assert r.write(bytes(range(8))) == 4    # 1+8 → stash 1, write 8→4
+    assert r.fill == 1024 and r.fill % 2 == 0
+    assert r.drops % 2 == 0 and r.drops == 4
+    # the dangling byte from write 1 leads the second write's payload
+    out = r.read_block_cu8(512, timeout_ms=50)
+    assert out is not None
+    # sample 510 = bytes (stash=0x00 of write1? no: write1 bytes(1021)
+    # are zeros; its stashed zero + 0,1,2 of write 2) → pairs
+    # (0, 0) then (1, 2) at samples 510 and 511
+    import numpy as np
+    b = np.round((out[510:, :] + 1.0) * 127.5).astype(int)
+    assert b.tolist() == [[0, 0], [1, 2]]
+    r.close()
+
+
+def test_ring_widen_timeout_consumes_nothing():
+    """read_block_cu8 is all-or-nothing: a timeout with a partial
+    block buffered must not consume (and then discard) the partial
+    data — the samples belong to the NEXT successful read."""
+    import numpy as np
+    from dsdneo_tpu.runtime.native import IngestRing
+    r = IngestRing(capacity=1 << 16)
+    half = bytes(range(100)) * 10           # 1000 bytes = 500 samples
+    r.write(half)
+    assert r.read_block_cu8(1000, timeout_ms=50) is None
+    assert r.fill == 1000                   # nothing consumed
+    r.write(half)
+    out = r.read_block_cu8(1000, timeout_ms=50)
+    assert out is not None and out.shape == (1000, 2)
+    # first sample is the FIRST byte pair written, not a later one
+    exp_i = 0 / 127.5 - 1.0
+    exp_q = 1 / 127.5 - 1.0
+    assert abs(out[0, 0] - exp_i) < 1e-6 and abs(out[0, 1] - exp_q) < 1e-6
+    assert r.fill == 0
+    r.close()

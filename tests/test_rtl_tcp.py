@@ -73,7 +73,10 @@ def test_auto_ppm_converges_and_locks():
     rng = np.random.default_rng(0)
     t = np.arange(int(fs * 0.1)) / fs
     for _ in range(80):
-        residual_hz = (true_err_ppm - applied["ppm"]) * center / 1e6
+        # librtlsdr plant: LO = f·(1+e)/(1+p), so the observed carrier
+        # offset is (p − e)·f·1e-6 (crystal fast + no correction ⇒ the
+        # carrier appears BELOW center)
+        residual_hz = (applied["ppm"] - true_err_ppm) * center / 1e6
         iq = np.exp(2j * np.pi * residual_hz * t).astype(np.complex64)
         iq += 0.05 * (rng.normal(size=t.size)
                       + 1j * rng.normal(size=t.size))
