@@ -8,6 +8,8 @@ protocol decoder, collect emitted events.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from dsdneo_tpu.engine.demod import demod_fm
@@ -75,10 +77,19 @@ def decode_samples(samples: np.ndarray, mode: ModeConfig | str,
             continue
         if force_pol:
             # -x inversion expectations (reference opts->inverted_*):
-            # drop sync hypotheses at the unexpected polarity
+            # drop sync hypotheses at the unexpected polarity.  DMR's
+            # inverted syncs are dibit complements of the opposite
+            # burst type's normal syncs, so on an inverted channel a
+            # voice burst correlates as "+DMR BS data" (argmax ties
+            # prefer the + def) — under the inverted expectation the
+            # hit is REINTERPRETED as its same-pattern inverted twin
+            # instead of dropped (reference inverted_dmr semantics).
             want = force_pol.get(hit.sync.protocol)
             if want is not None and bool(hit.sync.inverted) != want:
-                continue
+                twin = framesync.polarity_twin(hit.sync) if want else None
+                if twin is None:
+                    continue
+                hit = dataclasses.replace(hit, sync=twin)
         factory = registry.get(hit.sync.protocol)
         if factory is None:
             ctx.emit(f"Sync: {hit.sync.name} (no decoder)", hit.sync.protocol,

@@ -316,13 +316,35 @@ class BatchedDmrVoicePipeline:
             order = np.argsort(idx[c][ok], kind="stable")
             positions = idx[c][ok][order].tolist()
             pdefs = dq[c][ok][order].tolist()
+            svals = sc[ok][order].tolist()
             n_order = 0
             last = -10 ** 9
-            for t, dfi in zip(positions, pdefs):
+            j = 0
+            n_cand = len(positions)
+            while j < n_cand:
+                t = positions[j]
                 # shoulder suppression: a true sync peaks once; same-
                 # slot superframes are 1728 dibits apart, the other
                 # slot's at ±144 — anything closer is a peak shoulder
-                if t - last < 24 or t < 54 or t + SF_EXTENT >= n_sym:
+                if t - last < 24:
+                    j += 1
+                    continue
+                # local-max refinement within one short-sync length:
+                # fractional timing spreads the peak, and for X2 (no
+                # EMB confidence column) a shoulder 2 dibits early
+                # would otherwise misalign the whole superframe
+                w = j
+                k = j + 1
+                while k < n_cand and positions[k] < t + 8:
+                    if svals[k] > svals[w]:
+                        w = k
+                    k += 1
+                t = positions[w]
+                dfi = pdefs[w]
+                j = k
+                # bounds on the REFINED position (it can sit up to 7
+                # dibits past the cluster head)
+                if t < 54 or t + SF_EXTENT >= n_sym:
                     continue
                 last = t
                 acc_c.append(c)

@@ -151,6 +151,10 @@ class BatchedDpmrVoicePipeline:
                 t = int(positions[w])
                 inv = int(pdefs[w]) & 1
                 j = k
+                if t + PART_DIBITS >= n_sym:
+                    # refined winner (up to +7) can cross the block
+                    # end even when the cluster head cleared the bound
+                    continue
                 last = t
                 acc_c.append(c)
                 acc_t.append(t)

@@ -33,6 +33,8 @@ superframe read-ahead ≈ 0.32 s) plus filter warm-up; 0.45 s is used.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from dsdneo_tpu.engine.demod import demod_fm
@@ -129,10 +131,22 @@ class StreamDecoder:
                            h.pos, getattr(h, "score", 0.0))
         registry = proto_base.registry()
         consumed_local = 0
+        force_pol = getattr(self.ctx.state, "force_polarity", None)
         for hit in hits:
             gsym = (base / self._sps) + hit.pos   # global symbol position
             if hit.pos < consumed_local:
                 continue
+            if force_pol:
+                # -x polarity expectations — same gate + DMR
+                # twin-reinterpretation as the one-shot path
+                # (engine/decoder.py)
+                want = force_pol.get(hit.sync.protocol)
+                if want is not None and bool(hit.sync.inverted) != want:
+                    twin = framesync.polarity_twin(hit.sync) \
+                        if want else None
+                    if twin is None:
+                        continue
+                    hit = dataclasses.replace(hit, sync=twin)
             extent = _FRAME_EXTENT.get(hit.sync.protocol, _DEFAULT_EXTENT)
             if not final and hit.pos + extent > len(dibits):
                 break                    # frame may be cut: wait for data

@@ -23,7 +23,6 @@ data-dependent (peak picking, window indexing) is vectorized numpy.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from functools import lru_cache, partial
 
 import jax
@@ -97,11 +96,6 @@ def _status_strip_map(rel_start: int, count: int) -> np.ndarray:
         out[i] = q
         q += 1
     return out
-
-
-@dataclass
-class ChannelVoiceState:
-    last_pos: int = -10 ** 9
 
 
 class BatchedP25VoicePipeline:

@@ -217,6 +217,10 @@ class BatchedYsfVoicePipeline:
                     k += 1
                 t = int(positions[w])
                 j = k
+                if t + FRAME_DIBITS >= n_sym:
+                    # refined winner (up to +7) can cross the block
+                    # end even when the cluster head cleared the bound
+                    continue
                 last = t
                 acc_c.append(c)
                 acc_t.append(t)

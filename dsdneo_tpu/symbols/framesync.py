@@ -49,6 +49,15 @@ SYNC_DEFS: list[SyncDef] = [
     SyncDef("+DMR DM TS1 voice", "113111131333131311133333", "dmr", "dm_ts1_voice"),
     SyncDef("+DMR DM TS2 data", "311311111333113333133311", "dmr", "dm_ts2_data"),
     SyncDef("+DMR DM TS2 voice", "133133333111331111311133", "dmr", "dm_ts2_voice"),
+    # Inverted-polarity DMR (reference opts->inverted_dmr, args.c:2440):
+    # DMR's BS voice and data syncs are dibit complements of each
+    # other, so an inverted def's pattern EQUALS the opposite burst
+    # type's normal pattern.  They sit AFTER the + defs so argmax ties
+    # resolve to normal polarity; the serial path reinterprets hits
+    # under the -xr expectation (engine/decoder.py), and the batched
+    # pipeline disambiguates with its EMB gate (engine/dmrbatch.py).
+    SyncDef("-DMR BS voice", "313333111331131131331131", "dmr", "bs_voice", True),
+    SyncDef("-DMR BS data", "131111333113313313113313", "dmr", "bs_data", True),
     SyncDef("+NXDN BS data", "313133113131111313", "nxdn", "bs_data"),
     SyncDef("+NXDN BS voice", "313133113131113113", "nxdn", "bs_voice"),
     SyncDef("+NXDN MS data", "313133113131111333", "nxdn", "ms_data"),
@@ -171,6 +180,19 @@ def pick_syncs_from_scores(scores: np.ndarray, defs: list[SyncDef],
     best_score = scores[best_def, np.arange(scores.shape[1])]
     return pick_syncs_from_best(best_def, best_score, defs, threshold,
                                 limit)
+
+
+def polarity_twin(sd: SyncDef) -> SyncDef | None:
+    """The opposite-polarity def sharing ``sd``'s exact pattern, or
+    None.  Exists only where a protocol's inverted sync coincides with
+    another normal sync (DMR: voice⁻ ≡ data⁺), so a correlation hit is
+    polarity-ambiguous and must be reinterpreted under an explicit
+    expectation rather than re-correlated."""
+    for d in SYNC_DEFS:
+        if (d.protocol == sd.protocol and d.pattern == sd.pattern
+                and d.inverted != sd.inverted):
+            return d
+    return None
 
 
 def find_syncs(soft: np.ndarray, defs: list[SyncDef] | None = None,
