@@ -203,7 +203,11 @@ class StreamDecoder:
         S = self._seg
         while self._total >= (self._next_k + 1) * S:
             k = self._next_k
-            start = max(0, k * S - self.overlap)
+            # clamp to the buffer base: after a flush() the overlap
+            # samples before _buf_base are gone, and an unclamped
+            # start would slice negatively (garbage window, wrong
+            # global positions) on a post-flush push
+            start = max(self._buf_base, k * S - self.overlap)
             end = (k + 1) * S
             window = self._buf[start - self._buf_base:end - self._buf_base]
             # need one 256-symbol timing-estimation window + margin
@@ -227,4 +231,8 @@ class StreamDecoder:
                 self._process(window, start, final=True)
             self._buf = np.zeros(0, self._dtype)
             self._buf_base = self._total
+            # resume cleanly if the caller pushes again: everything up
+            # to _total is dispatched, so the next canonical segment
+            # is the first one ending past _total
+            self._next_k = -(-self._total // self._seg)
         return self.ctx.events[n_before:]

@@ -110,6 +110,12 @@ class TrunkSM:
         self.vc_freq: float = 0.0
         self.cc_candidates: list[float] = []
         self.hunt_index = 0
+        # CC hunt rotation: learned/cached candidates, plus the full
+        # imported channel map (cli -C); -^ prefers candidates first
+        self.hunt_all: list[float] = []
+        self.prefer_candidates = True
+        self.hunt_dwell_s = 1.0       # settle + 1 TSBK before rotating
+        self._last_hunt_at = 0.0
         self.current_tg = 0
         self.last_cc_seen = 0.0
         self.last_vc_activity = 0.0
@@ -255,10 +261,21 @@ class TrunkSM:
             return True
         return False
 
-    def on_release(self, forced: bool = False) -> None:
+    def on_release(self, forced: bool = False,
+                   retune: bool = True) -> None:
+        """``retune=False`` releases the SM state without issuing the
+        CC tune — for preemption, where the very next action is a tune
+        to the new voice channel (the intermediate CC hop would double
+        tuner settle time right as the high-priority call starts)."""
         if self.phase != TrunkPhase.TUNED:
             return
-        self._return_to_cc("release" + (" (forced)" if forced else ""))
+        if retune:
+            self._return_to_cc("release" + (" (forced)" if forced else ""))
+        else:
+            self.phase = TrunkPhase.ON_CC
+            self.vc_freq = 0.0
+            self.current_tg = 0
+            self._log("release (no CC hop: preempt)")
 
     # -- periodic tick (the reference's watchdog + frame-loop tick,
     #    p25_sm_watchdog.c / p25_trunk_sm.c:4792) -------------------------
@@ -297,9 +314,18 @@ class TrunkSM:
                 self.hunt_index = 0
                 self._log("CC lost → HUNTING")
         elif self.phase == TrunkPhase.HUNTING:
-            if self.cc_candidates:
-                f = self.cc_candidates[self.hunt_index % len(self.cc_candidates)]
+            # dwell: rotating faster than the tuner settles + one
+            # TSBK/CSBK decodes (~100+ ms) would thrash past the CC
+            if now - self._last_hunt_at < self.hunt_dwell_s:
+                return
+            extra = [f for f in self.hunt_all
+                     if f not in self.cc_candidates]
+            pool = (self.cc_candidates + extra if self.prefer_candidates
+                    else extra + self.cc_candidates)
+            if pool:
+                f = pool[self.hunt_index % len(pool)]
                 self.hunt_index += 1
+                self._last_hunt_at = now
                 self.tune(f, "cc")
                 self._log(f"hunt {f/1e6:.4f} MHz")
 
@@ -647,11 +673,16 @@ class TrunkFollower:
         if now - self._last_preempt < self.preempt_cooldown_s:
             return False
         self._last_preempt = now
-        self.sm.on_release(forced=True)
+        # VC→VC directly: the CC hop would cost a second tuner settle
+        self.sm.on_release(forced=True, retune=False)
         if self.sm.on_grant(ev):
             self.preemptions += 1
             self.grants += 1
             return True
+        if self.sm.cc_freq:
+            # the skipped CC hop must happen after all when the
+            # preempting grant is denied downstream
+            self.sm.tune(self.sm.cc_freq, "cc")
         return False
 
     def _retry_pending(self) -> None:

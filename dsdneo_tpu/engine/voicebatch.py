@@ -692,11 +692,22 @@ class BatchedP25VoicePipeline:
         if st is None:
             st = (jnp.asarray(self.imbe_dec.prev_logm.astype(np.float32)),
                   jnp.asarray(self.imbe_dec.prev_L.astype(np.int32)))
-        pcm, f_logm, f_L, _aux = voice_decode_gather(
+        # synthesis carry (fundamental phase + last ω0/amps per
+        # channel): a talker spanning block boundaries synthesizes
+        # without a phase seam; device-resident like the pred state
+        sy = getattr(self, "_dev_synth_state", None)
+        if sy is None:
+            from dsdneo_tpu.vocoder.synth import MAX_L as _ML
+            sy = (jnp.zeros(self.C, jnp.float32),
+                  jnp.zeros(self.C, jnp.float32),
+                  jnp.zeros((self.C, _ML), jnp.float32))
+        pcm, f_logm, f_L, synth_out, _aux = voice_decode_gather(
             dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
             self._frame_offs, jnp.asarray(fchp), jnp.asarray(fordp),
-            st[0], st[1], self.C, Tp, pcm_fmt=self.pcm_fmt)
+            st[0], st[1], self.C, Tp, pcm_fmt=self.pcm_fmt,
+            prev_synth=sy)
         self._dev_pred_state = (f_logm, f_L)
+        self._dev_synth_state = synth_out
         return pcm
 
     def fetch_pcm(self, handle) -> np.ndarray:

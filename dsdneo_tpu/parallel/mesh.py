@@ -150,7 +150,7 @@ def make_sharded_voice_step(mesh: Mesh, C: int, B: int,
         prev_logm = jax.lax.pvary(jnp.zeros((Cl, 56), jnp.float32),
                                   ("ch",))
         prev_L = jax.lax.pvary(jnp.zeros(Cl, jnp.int32), ("ch",))
-        pcm, _logm, _L, _aux = voice_decode_gather(
+        pcm, _logm, _L, _synth, _aux = voice_decode_gather(
             dibits, ldu_ch, ldu_pos, jnp.asarray(frame_offs),
             jnp.asarray(fch_base), jnp.asarray(forder),
             prev_logm, prev_L, Cl, n_steps)

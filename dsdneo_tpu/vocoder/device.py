@@ -148,11 +148,16 @@ def _prediction_scan(T, w0, L, K, V, act, prev_logm, prev_L):
 
 
 def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
-                        C: int, n_steps: int, pcm_fmt: str = "f16"):
+                        C: int, n_steps: int, pcm_fmt: str = "f16",
+                        prev_synth=None):
     """Traced body shared by voice_decode_device (host-gathered frames)
-    and voice_decode_gather (device-gathered frames)."""
+    and voice_decode_gather (device-gathered frames).  ``prev_synth``
+    is the per-channel synthesis carry (theta [C], w [C], amps
+    [C, MAX_L]) from the previous block, so a talker spanning block
+    boundaries synthesizes without a phase/amplitude seam (the
+    reference's mbelib keeps its oscillator state across calls)."""
     from dsdneo_tpu.fec.device import imbe_ecc_batch
-    from dsdneo_tpu.vocoder.synth import synthesize
+    from dsdneo_tpu.vocoder.synth import synthesize_stream
 
     bits88, errs = imbe_ecc_batch(frames144)              # [F, 88]
     T, w0, L, K = _transforms(bits88)
@@ -178,27 +183,33 @@ def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
     F_ = n_steps
     noise = (jnp.mod(jnp.arange(C * F_ * MAX_L, dtype=jnp.float32)
                      * 2.399963, 2 * jnp.pi)).reshape(C, F_, MAX_L)
-    pcm = jax.vmap(synthesize)(w0o, amps, voiced, noise)
+    if prev_synth is None:
+        prev_synth = (jnp.zeros(C, jnp.float32), jnp.zeros(C, jnp.float32),
+                      jnp.zeros((C, MAX_L), jnp.float32))
+    pcm, t_out, w_out, a_out = jax.vmap(synthesize_stream)(
+        w0o, amps, voiced, noise, *prev_synth)
+    synth_out = (t_out, w_out, a_out)
     if pcm_fmt == "adpcm":
         # IMA ADPCM wire format (ops.audio_wire): 4 bits/sample,
         # halves the tunnel DMA again vs u-law
         from dsdneo_tpu.ops.audio_wire import adpcm_compress
         p = jnp.clip(pcm * 0.02, -1.0, 1.0)
         q = adpcm_compress(p.reshape(p.shape[0], -1))
-        return q, f_logm, f_L, (w0o, voiced, amps)
+        return q, f_logm, f_L, synth_out, (w0o, voiced, amps)
     if pcm_fmt == "mulaw":
         # G.711 u-law wire format (see engine.dmrbatch): halves the
         # tunnel DMA; fixed scale keeps the program data-independent
         p = jnp.clip(pcm * 0.02, -1.0, 1.0)
         y = jnp.sign(p) * jnp.log1p(255.0 * jnp.abs(p)) / np.log1p(255.0)
         q = jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
-        return q, f_logm, f_L, (w0o, voiced, amps)
-    return pcm.astype(jnp.float16), f_logm, f_L, (w0o, voiced, amps)
+        return q, f_logm, f_L, synth_out, (w0o, voiced, amps)
+    return (pcm.astype(jnp.float16), f_logm, f_L, synth_out,
+            (w0o, voiced, amps))
 
 
 @partial(jax.jit, static_argnames=("C", "n_steps"))
 def voice_decode_device(frames144, fch, forder, prev_logm, prev_L,
-                        C: int, n_steps: int):
+                        C: int, n_steps: int, prev_synth=None):
     """[F, 144] interleaved voice-frame bits (+ their channel/time-step
     indices; pad frames use fch == C) → ([C, n_steps, 160] f16 PCM,
     final prediction state, aux dequant outputs).
@@ -207,13 +218,13 @@ def voice_decode_device(frames144, fch, forder, prev_logm, prev_L,
     the production fast path of BatchedP25VoicePipeline.decode_block.
     """
     return _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
-                               C, n_steps)
+                               C, n_steps, prev_synth=prev_synth)
 
 
 @partial(jax.jit, static_argnames=("C", "n_steps", "pcm_fmt"))
 def voice_decode_gather(dibits, ldu_ch, ldu_pos, offs, fch, forder,
                         prev_logm, prev_L, C: int, n_steps: int,
-                        pcm_fmt: str = "f16"):
+                        pcm_fmt: str = "f16", prev_synth=None):
     """Device-resident variant: the [C, T] dibit array never leaves the
     chip.  The host uploads only the accepted LDU list (ldu_ch/ldu_pos,
     padded with ldu_ch == C) and the per-frame channel/step indices; the
@@ -231,7 +242,7 @@ def voice_decode_gather(dibits, ldu_ch, ldu_pos, offs, fch, forder,
     frames144 = frames144.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
     frames144 = frames144.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
     return _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
-                               C, n_steps, pcm_fmt)
+                               C, n_steps, pcm_fmt, prev_synth=prev_synth)
 
 
 def imbe_frame_good(bits88, errs) -> "jax.Array":
@@ -300,8 +311,7 @@ def ambe_decode_params(bits49):
     b0 = S[:, 0:7] @ jnp.asarray([1 << (6 - i) for i in range(7)],
                                  jnp.float32)
     pitch = 2.0 ** (4.312 - b0 * 0.0212)
-    w0 = 2.0 * jnp.pi / jnp.maximum(jnp.clip(pitch * 19.0, 19.0, 120.0),
-                                    19.0)
+    w0 = 2.0 * jnp.pi / jnp.clip(pitch * 19.0, 19.0, 120.0)
     L = jnp.floor(0.9254 * jnp.floor(jnp.pi / w0 + 0.25)).astype(jnp.int32)
     L = jnp.clip(L, L_MIN, MAX_L)
     li = L - L_MIN

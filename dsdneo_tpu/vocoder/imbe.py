@@ -35,6 +35,7 @@ w0 = 4*pi/(b0+39.5), L in [9, 56], K = ceil(L/3) capped at 12.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -67,8 +68,13 @@ def block_lengths(L: int) -> list[int]:
     return [base + 1 if i < rem else base for i in range(6)]
 
 
+@lru_cache(maxsize=None)
 def bit_allocation(L: int, K: int) -> tuple[list[int], list[list[int]]]:
     """Deterministic greedy water-fill of (73-K) bits.
+
+    Cached: there are only ~48 (L, K) pairs, the result is a pure
+    function of them, and the host voice path calls this per frame
+    (50 Hz per call) — callers treat the returned lists as read-only.
 
     Returns (gbits[5] for G2..G6, cbits[6][J_i-1] for the higher-order
     DCT coefficients of each block).  Stands in for the TIA-102.BABA
@@ -160,9 +166,10 @@ VOICING_START = 48                      # b1 band-1-first, K bits
 SYNC_POS = 87
 
 
+@lru_cache(maxsize=None)
 def _amp_positions(K: int) -> list[int]:
     """Amplitude bit positions in priority order: everything that is not
-    gain/b0/voicing/sync."""
+    gain/b0/voicing/sync.  Cached (pure in K, read-only use)."""
     used = set(GAIN_POS) | set(B0_HI_POS) | set(B0_LO_POS) | {SYNC_POS}
     used |= set(range(VOICING_START, VOICING_START + K))
     return [i for i in range(88) if i not in used]

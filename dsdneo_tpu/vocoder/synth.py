@@ -26,16 +26,25 @@ N = 160          # samples per 20 ms frame at 8 kHz
 MAX_L = 56
 
 
-@partial(jax.jit, static_argnames=())
-def synthesize(w0: jax.Array, amps: jax.Array, voiced: jax.Array,
-               noise_phase: jax.Array) -> jax.Array:
-    """[F] ω0, [F, L] amps, [F, L] voiced, [F, L] random phases →
-    [F, N] float PCM."""
+def synthesize_stream(w0: jax.Array, amps: jax.Array, voiced: jax.Array,
+                      noise_phase: jax.Array, theta_in: jax.Array,
+                      w_in: jax.Array, a_in: jax.Array):
+    """Streaming form: ``(theta_in, w_in, a_in)`` is the carry from the
+    previous block of the same voice stream (fundamental phase at the
+    block seam, last frame's ω0 and amplitudes), so consecutive blocks
+    concatenate without a phase/amplitude discontinuity.  ``w_in <= 0``
+    means "no previous frame" (fresh stream / silence before): the
+    first frame then anchors interpolation to itself, which reproduces
+    the one-shot behavior exactly.  Returns (pcm [F, N], theta_out,
+    w_out, a_out)."""
     F = w0.shape[0]
     n_idx = jnp.arange(N, dtype=jnp.float32)                    # [N]
 
-    w_prev = jnp.concatenate([w0[:1], w0[:-1]])
-    a_prev = jnp.concatenate([amps[:1], amps[:-1]], axis=0)
+    fresh = w_in <= 0.0
+    w_prev0 = jnp.where(fresh, w0[0], w_in)
+    a_prev0 = jnp.where(fresh, amps[0], a_in)
+    w_prev = jnp.concatenate([w_prev0[None], w0[:-1]])
+    a_prev = jnp.concatenate([a_prev0[None, :], amps[:-1]], axis=0)
 
     # per-frame fundamental-phase increment with linear ω interpolation:
     # θ(n) = θ0 + Σ_{m<=n} ω(m),  ω(m) = ω_prev + (ω-ω_prev)(m+1)/N
@@ -47,8 +56,9 @@ def synthesize(w0: jax.Array, amps: jax.Array, voiced: jax.Array,
     theta0 = jnp.concatenate(
         [jnp.zeros(1, jnp.float32),
          jnp.cumsum(frame_adv[:-1])]) if F > 1 else jnp.zeros(F, jnp.float32)
-    theta0 = jnp.mod(theta0, 2 * jnp.pi)
+    theta0 = jnp.mod(theta_in + theta0, 2 * jnp.pi)
     theta = theta0[:, None] + cum                               # [F,N]
+    theta_out = jnp.mod(theta_in + jnp.sum(frame_adv), 2 * jnp.pi)
 
     v = voiced > 0.5                                            # [F,L]
     P = jnp.where(v, 1.0, jnp.cos(noise_phase))                 # [F,L]
@@ -80,6 +90,17 @@ def synthesize(w0: jax.Array, amps: jax.Array, voiced: jax.Array,
          + jnp.einsum("fnl,flk->fnk", pi, cs))                  # [F,N,2]
     pcm = 2.0 * (alpha[None, :] * S[:, :, 0]
                  + (1.0 - alpha)[None, :] * S[:, :, 1])         # [F,N]
+    return pcm, theta_out, w0[-1], amps[-1]
+
+
+@partial(jax.jit, static_argnames=())
+def synthesize(w0: jax.Array, amps: jax.Array, voiced: jax.Array,
+               noise_phase: jax.Array) -> jax.Array:
+    """[F] ω0, [F, L] amps, [F, L] voiced, [F, L] random phases →
+    [F, N] float PCM (one-shot: the whole stream in one call)."""
+    pcm, _t, _w, _a = synthesize_stream(
+        w0, amps, voiced, noise_phase, jnp.float32(0.0),
+        jnp.float32(0.0), jnp.zeros_like(amps[0]))
     return pcm
 
 
