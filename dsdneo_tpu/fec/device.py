@@ -49,7 +49,11 @@ def ml_decode_batch(code: blockcodes.MLBlockCode, bits: jax.Array,
     s = 1.0 - 2.0 * bits.astype(jnp.float32)
     if reliab is not None:
         s = s * (reliab.astype(jnp.float32) + 1e-3)  # host-identical weights
-    scores = s @ pm.T                               # [..., M] — MXU matmul
+    # HIGHEST: the TPU default (bf16 passes) is exact for hard ±1 sums
+    # but quantizes away the +1e-3 reliability tie-break epsilon on
+    # the soft path, breaking the documented host bit-identity
+    scores = jnp.matmul(s, pm.T,
+                        precision=jax.lax.Precision.HIGHEST)  # [..., M]
     m = jnp.argmax(scores, axis=-1)
     errs = jnp.sum(cb[m] != bits.astype(jnp.uint8), axis=-1)
     return m, errs
@@ -290,9 +294,33 @@ def _rs_syndrome_fn(nroots: int, fcr: int):
 def rs_syndromes_batch(words: np.ndarray, nroots: int, fcr: int = 1
                        ) -> np.ndarray:
     """Batched GF(2^6) syndromes: [N, n] symbol words → [N, nroots].
-    All-zero syndromes ⇒ clean codeword (skip host Berlekamp-Massey)."""
-    return np.asarray(_rs_syndrome_fn(nroots, fcr)(
-        jnp.asarray(np.asarray(words, dtype=np.int32))))
+    All-zero syndromes ⇒ clean codeword (skip host Berlekamp-Massey).
+
+    GF(64)-ONLY (the shared RS-63 family field): a GF(256) code like
+    DMR's RS(12,9) would silently index past the 64-entry log table
+    (JAX clamps gathers instead of raising), so symbols are validated
+    here."""
+    w = np.asarray(words, dtype=np.int32)
+    if w.size and int(w.max()) >= 64:
+        raise ValueError(
+            "rs_syndromes_batch covers the GF(2^6) RS-63 family only; "
+            f"got symbol {int(w.max())} >= 64 (GF(256) codes such as "
+            "RS(12,9) need their own field tables)")
+    return np.asarray(_rs_syndrome_fn(nroots, fcr)(jnp.asarray(w)))
+
+
+
+def _ml_golay_dec(words, pm, cb):
+    """Shared ML Golay(23,12) correlate-and-count used by all three
+    voice-frame ECC kernels (IMBE, DMR AMBE, D-STAR AMBE): [F, 23]
+    hard bits -> (message index, bit error count).  HIGHEST precision
+    keeps the +-1 correlation exact on TPU (see ml_decode_batch)."""
+    s = 1.0 - 2.0 * words.astype(jnp.float32)
+    m = jnp.argmax(jnp.matmul(s, pm.T,
+                              precision=jax.lax.Precision.HIGHEST),
+                   axis=-1)
+    errs = jnp.sum(cb[m] != words, axis=-1)
+    return m, errs
 
 
 # -- batched IMBE voice-frame ECC -------------------------------------------
@@ -359,10 +387,7 @@ def _imbe_ecc_jit():
         fr = bits144[:, gth].reshape(F, 8, 23)               # [F, 8, 23]
 
         def golay_dec(words):         # [F, 23] → (msg, errs)
-            s = 1.0 - 2.0 * words.astype(jnp.float32)
-            m = jnp.argmax(s @ pm_g.T, axis=-1)
-            errs = jnp.sum(cb_g[m] != words, axis=-1)
-            return m, errs
+            return _ml_golay_dec(words, pm_g, cb_g)
 
         m0, e0 = golay_dec(fr[:, 0])
         seed = seed_t[m0]
@@ -460,10 +485,7 @@ def _ambe_ecc_jit():
         fr = bits72[:, jnp.asarray(gth_n)].reshape(F, 4, 24)
 
         def golay_dec(words):
-            s = 1.0 - 2.0 * words.astype(jnp.float32)
-            m = jnp.argmax(s @ pm.T, axis=-1)
-            errs = jnp.sum(cb[m] != words, axis=-1)
-            return m, errs
+            return _ml_golay_dec(words, pm, cb)
 
         m0, e0 = golay_dec(fr[:, 0, :23])
         errs = e0.astype(jnp.int32)
@@ -523,10 +545,7 @@ def _dstar_ambe_jit():
         fr3 = bits72[:, jnp.asarray(r3)]
 
         def golay_dec(words):
-            s = 1.0 - 2.0 * words.astype(jnp.float32)
-            m = jnp.argmax(s @ pm.T, axis=-1)
-            errs = jnp.sum(cb[m] != words, axis=-1)
-            return m, errs
+            return _ml_golay_dec(words, pm, cb)
 
         m0, e0 = golay_dec(fr0[:, 1:24])
         errs = e0.astype(jnp.int32)
