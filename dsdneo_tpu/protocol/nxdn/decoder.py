@@ -212,9 +212,13 @@ class NxdnDecoder(ProtocolDecoder):
             line += self._sacch(bits[16:76], rel[16:76], ctx, hit)
         if cac:
             line += self._cac(bits[16:316], rel[16:316], ctx)
-        if facch and not voice:
+        if facch:
+            # mixed V+F frames (LICH 0x32-0x35/0x52-0x55) carry voice
+            # in one half and FACCH1 in the other — decode the FACCH
+            # half even when voice is present (TX_REL / VCALL_IV
+            # signalling rides in-band during voice)
             for half in (0, 1):
-                if facch & (1 << half):
+                if facch & (1 << half) and not (voice & (1 << half)):
                     lo = 76 + 144 * half
                     line += self._facch1(bits[lo:lo + 144],
                                          rel[lo:lo + 144], ctx)
@@ -592,14 +596,16 @@ def _nxdn_gps_report(b: np.ndarray) -> str:
     lon_frac = _bti(b[16:31])
     lon_hem = int(b[183])
     lon_minutes = (lon_degmin % 100) + lon_frac / 10000.0
-    lon = lon_degmin / 100.0 + lon_minutes / 60.0
+    # DDMM: integer degrees + minutes/60 (float /100 would double-count
+    # the MM part as fractional degrees — up to 0.59 deg of error)
+    lon = (lon_degmin // 100) + lon_minutes / 60.0
     if lon_hem:
         lon = -lon
     lat_degmin = _bti(b[184:200])
     lat_frac = _bti(b[200:215])
     lat_hem = int(b[215])
     lat_minutes = (lat_degmin % 100) + lat_frac / 10000.0
-    lat = lat_degmin / 100.0 + lat_minutes / 60.0
+    lat = (lat_degmin // 100) + lat_minutes / 60.0
     if lat_hem:
         lat = -lat
     if abs(lat) > 90.0 or abs(lon) > 180.0:

@@ -134,8 +134,9 @@ class MacFragment:
         return f"{self.wacn(i):05X}:{self.sysid(i):03X}"
 
     def chan(self, i):
-        band = (self.u8(i) >> 4) & 0x0F
-        return (band << 12) | ((self.u8(i) & 0x0F) << 8) | self.u8(i + 1)
+        # a channel field IS a big-endian u16 (band nibble + 12-bit
+        # number); kept as a named accessor for the call sites' intent
+        return self.u16(i)
 
     def has(self, n):
         return len(self.data) >= n

@@ -752,12 +752,16 @@ class P25P1Decoder(ProtocolDecoder):
                      f" CHAN-T [{channel:04X}]"
                      f"{self._chan_freq_note(ctx, channel)}", "p25p1", hit.pos)
         elif opcode == 0x00:  # Group Voice Channel Grant
-            channel = (int(b[4]) << 8) | int(b[5])
-            group = (int(b[6]) << 8) | int(b[7])
-            src = (int(b[8]) << 16) | (int(b[9]) << 8) | int(b[10])
+            # TIA layout (reference p25p2_vpdu.c MAC 0x40 / the shared
+            # grant shape): svc@2, chan@3-4, group@5-6, src@7-9
+            svc = int(b[2])
+            channel = (int(b[3]) << 8) | int(b[4])
+            group = (int(b[5]) << 8) | int(b[6])
+            src = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
             s.last_tg, s.last_src = group, src
-            ctx.emit(f" Group Voice Channel Grant Update\n"
-                     f"  CHAN [{channel:04X}] TG [{group}] SRC [{src}]"
+            ctx.emit(f" Group Voice Channel Grant\n"
+                     f"  SVC [{svc:02X}] CHAN [{channel:04X}]"
+                     f" TG [{group}] SRC [{src}]"
                      f"{self._chan_freq_note(ctx, channel)}",
                      "p25p1", hit.pos, tg=group, src=src, channel=channel,
                      grant=channel not in (0, 0xFFFF))
@@ -1046,7 +1050,6 @@ class P25P1Decoder(ProtocolDecoder):
             # mute
             from dsdneo_tpu.vocoder.glue import imbe_raw_b0
             tone = imbe_tone_info(bits88)
-            frame = decode_imbe_4400(bits88, prev=prev)
             if tone is not None:
                 directives.append(glue.condition(None, errs, tone))
                 continue
@@ -1055,6 +1058,8 @@ class P25P1Decoder(ProtocolDecoder):
                 directives.append(glue.condition(
                     None, glue.err_threshold + 1 + errs, None))
                 continue
+            # full parameter decode only for frames that can use it
+            frame = decode_imbe_4400(bits88, prev=prev)
             kind, arg = glue.condition(frame, errs, None)
             if kind == "voice":
                 prev = frame
@@ -1177,12 +1182,17 @@ class P25P1Decoder(ProtocolDecoder):
         for i in range(20):
             for j in range(6):
                 bits120[i * 6 + j] = (dec[i] >> (5 - j)) & 1
-        algid = _bits_to_int(bits120[72:80])
-        kid = _bits_to_int(bits120[80:96])
+        # HDU layout (reference p25p1_hdu.c hdu_extract_mi_algid_kid,
+        # rows mapped to transmit order): MI 0:72, MFID 72:80,
+        # ALGID 80:88, KID 88:104, TGID 104:120
+        mfid = _bits_to_int(bits120[72:80])
+        algid = _bits_to_int(bits120[80:88])
+        kid = _bits_to_int(bits120[88:104])
         tgid = _bits_to_int(bits120[104:120])
         mi = _bits_to_int(bits120[0:72])
         s2 = ctx.state
         s2.payload_algid, s2.payload_kid, s2.payload_mi = algid, kid, mi
         s2.ks_offset = 0            # superframe start (hdu.c:429 dropL=267)
-        ctx.emit(f" HDU ALG ID [{algid:02X}] KEY ID [{kid:04X}] TG [{tgid}]",
+        ctx.emit(f" HDU ALG ID [{algid:02X}] KEY ID [{kid:04X}] TG [{tgid}]"
+                 + (f" MFID [{mfid:02X}]" if mfid else ""),
                  "p25p1", hit.pos, algid=algid, tgid=tgid)

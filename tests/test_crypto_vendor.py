@@ -175,12 +175,16 @@ def test_p25_ldu2_ess_staged_until_after_voice():
     rckey = key.to_bytes(5, "big") + (mi_old >> 8).to_bytes(8, "big")
     ks = rc4_keystream(rckey, 267 + 9 * 11 + 2)
     frames, enc_ecc = [], []
+    from dsdneo_tpu.vocoder.imbe import B0_HI_POS
     for i in range(9):
         off = 267 + 11 * i + (2 if i == 8 else 0)
         kb = np.unpackbits(ks[off:off + 11])[:88]
-        enc = rng.integers(0, 2, 88).astype(np.uint8)
-        frames.append(enc ^ kb)            # expected plaintext
-        enc_ecc.append(IF.encode_imbe_ecc(enc))
+        pt = rng.integers(0, 2, 88).astype(np.uint8)
+        pt[B0_HI_POS[0]] = 0       # b0 < 128: a valid VOICE frame (a
+        # random plaintext can land in the tone/invalid b0 band, which
+        # the voice loop now short-circuits before parameter decode)
+        frames.append(pt)                  # expected plaintext
+        enc_ecc.append(IF.encode_imbe_ecc(pt ^ kb))
 
     from dsdneo_tpu.fec import rs as rsmod
     es_bits = np.zeros(96, dtype=np.uint8)

@@ -116,10 +116,11 @@ def test_trunk_follow_channelized():
         (base_units >> 24) & 0xFF, (base_units >> 16) & 0xFF,
         (base_units >> 8) & 0xFF, base_units & 0xFF])
     grant_tsbk = _tsbk_bits([
-        0x80 | 0x00, 0x00, 0x00, 0x00,
+        0x80 | 0x00, 0x00,                  # LB | opcode 0x00, MFID std
+        0x00,                               # SVC
         (1 << 4) | 0x00, 0x00,              # channel = iden 1, chan 0
         (tg >> 8) & 0xFF, tg & 0xFF,
-        (src >> 16) & 0xFF, (src >> 8) & 0xFF])  # b[10] src low in CRC area
+        (src >> 16) & 0xFF, (src >> 8) & 0xFF, src & 0xFF])
     payload = np.concatenate([trellis.p25_12_encode(iden_tsbk),
                               trellis.p25_12_encode(grant_tsbk)])
     pd = ((payload[0::2] << 1) | payload[1::2]).astype(np.uint8)
@@ -251,10 +252,11 @@ def test_trunk_follow_p25p2_tdma_grant():
         (base_units >> 24) & 0xFF, (base_units >> 16) & 0xFF,
         (base_units >> 8) & 0xFF, base_units & 0xFF])
     grant_tsbk = _tsbk_bits([
-        0x80 | 0x00, 0x00, 0x00, 0x00,
+        0x80 | 0x00, 0x00,                   # LB | opcode 0x00, MFID std
+        0x00,                                # SVC
         (2 << 4) | 0x00, 0x01,               # channel = iden 2, chan 1
         (tg >> 8) & 0xFF, tg & 0xFF,
-        (src >> 16) & 0xFF, (src >> 8) & 0xFF])
+        (src >> 16) & 0xFF, (src >> 8) & 0xFF, src & 0xFF])
     payload = np.concatenate([trellis.p25_12_encode(iden_tsbk),
                               trellis.p25_12_encode(grant_tsbk)])
     pd = ((payload[0::2] << 1) | payload[1::2]).astype(np.uint8)
