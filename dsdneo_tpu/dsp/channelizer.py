@@ -54,7 +54,10 @@ def channelize(x: jax.Array, n_ch: int, taps_per_branch: int = 8) -> jax.Array:
     xpad = jnp.concatenate([pad, xp], axis=-2)         # [m+P-1, n_ch]
     y = jnp.zeros_like(xp)
     for p in range(P):
-        y = y + xpad[..., P - 1 - p + jnp.arange(m), :] * hp[p][None, :]
+        # static slice (p, m are trace-time ints): a jnp.arange gather
+        # here keeps the headline hot path off the fast TPU slice/conv
+        # units for no reason
+        y = y + xpad[..., P - 1 - p:P - 1 - p + m, :] * hp[p][None, :]
     # DFT across branches → channels (forward FFT aligns channel k with
     # center +k·fs/N for the x[mN+i] branch convention)
     ch = jnp.fft.fft(y, axis=-1)                       # [m, n_ch]

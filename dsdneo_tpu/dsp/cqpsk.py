@@ -45,11 +45,15 @@ def estimate_cfo_qpsk(x: jax.Array, fs: float, symbol_rate: float,
     n = x.shape[-1]
     spec = jnp.abs(jnp.fft.fft(x4, axis=-1))
     freqs = jnp.fft.fftfreq(n, 1.0 / fs)
-    if pull_in_hz > 0:
-        # the line lives at 4·CFO + Rs/2: a ±pull_in CFO range maps to
-        # Rs/2 ± 4·pull_in in the x⁴ spectrum
-        mask = jnp.abs(freqs - symbol_rate / 2.0) <= 4.0 * pull_in_hz
-        spec = jnp.where(mask[None, :], spec, 0.0)
+    # the line lives at 4·CFO + Rs/2: a ±pull_in CFO range maps to
+    # Rs/2 ± 4·pull_in in the x⁴ spectrum.  The window is ALWAYS
+    # applied: the π-flip alternation also raises a mirror line at
+    # 4·CFO − Rs/2, and an unmasked argmax can lock onto it (returning
+    # CFO − Rs/4 and de-rotating the block out of the RRC passband) —
+    # the default ±Rs/8 pull-in keeps the mirror a full Rs away
+    pi_hz = pull_in_hz if pull_in_hz > 0 else symbol_rate / 8.0
+    mask = jnp.abs(freqs - symbol_rate / 2.0) <= 4.0 * pi_hz
+    spec = jnp.where(mask[None, :], spec, 0.0)
     k = jnp.argmax(spec, axis=-1)
     return (freqs[k] - symbol_rate / 2.0) / 4.0
 

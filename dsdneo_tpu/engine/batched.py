@@ -103,7 +103,7 @@ def symbolize_step(d: jax.Array, sps: float, n_sym: int,
         sym = g0 * (1.0 - frac) + g1 * frac
 
     # -- levels: windowed min/max (robust enough post-LPF) ---------------
-    win = 256
+    win = min(256, n_sym)        # small blocks: one window is the block
     nw = max(n_sym // win, 1)
     body = sym[:, : nw * win].reshape(c, nw, win)
     hi = jnp.max(body, axis=-1)
@@ -140,7 +140,9 @@ def make_frontend_step(mode_name: str, B: int, fs: float = 48000.0,
     # tunneled TPU and complex/constant transfers can be unsupported
     taps = firdes.channel_lpf(fs, mode.lpf_profile)
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # TPU only: the kernel builds pltpu.VMEM BlockSpecs, which fail
+        # to lower on GPU/ROCm backends
+        use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
     def step(iq: jax.Array):

@@ -212,7 +212,7 @@ class BatchedDmrVoicePipeline:
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         key = ("dmr", B, n_sym, use_pallas)
         if not hasattr(self, "_jits"):
             self._jits = {}
@@ -279,7 +279,7 @@ class BatchedDmrVoicePipeline:
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         key = ("dmr", B, n_sym, use_pallas)
         fn = self._jits.get(key) if hasattr(self, "_jits") else None
         if fn is None:

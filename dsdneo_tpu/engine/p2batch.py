@@ -275,7 +275,7 @@ class BatchedP2VoicePipeline:
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         key = ("p2", B, n_sym, use_pallas)
         fn = self._jits.get(key)
         if fn is None:
@@ -335,7 +335,7 @@ class BatchedP2VoicePipeline:
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         key = ("p2", B, n_sym, use_pallas)
         fn = self._jits.get(key)
         if fn is None:

@@ -164,7 +164,7 @@ class BatchedP25VoicePipeline:
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         key = ("fs", B, n_sym, use_pallas, self.cqpsk)
         if not hasattr(self, "_frontend_jits"):
             self._frontend_jits = {}
@@ -275,7 +275,7 @@ class BatchedP25VoicePipeline:
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         key = ("fsd", B, n_sym, use_pallas, self.cqpsk)
         if not hasattr(self, "_frontend_jits"):
             self._frontend_jits = {}
@@ -508,7 +508,7 @@ class BatchedP25VoicePipeline:
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         key = (B, n_sym, use_pallas)
         fn = self._frontend_jits.get(key) if hasattr(self, "_frontend_jits") \
             else None

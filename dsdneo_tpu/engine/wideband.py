@@ -92,6 +92,13 @@ def channelize_band_device(samples: np.ndarray, fs: float,
         n_ch = int(round(fs / CHANNEL_RATE))
     if abs(fs - n_ch * CHANNEL_RATE) > 1.0:
         raise ValueError(f"fs {fs:g} not a multiple of 48 kHz")
+    if n_ch < 2:
+        # same guard as the host channelize_band: n_ch == 1 would make
+        # the os2 decimator degenerate (d = 0) and silently emit a
+        # sample-doubled stream labeled 48 kHz
+        raise ValueError("wideband channelizer needs fs >= 96 kHz "
+                         f"(got {fs:g}); decode 48 kHz captures "
+                         "directly")
     import jax
     import jax.numpy as jnp
     hb = firdes.lowpass_taps(62, 2.0, 0.5,

@@ -114,7 +114,7 @@ class BatchedX2VoicePipeline(BatchedDmrVoicePipeline):
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         key = ("x2", B, n_sym, use_pallas)
         if not hasattr(self, "_jits"):
             self._jits = {}
@@ -152,7 +152,7 @@ class BatchedX2VoicePipeline(BatchedDmrVoicePipeline):
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         key = ("x2", B, n_sym, use_pallas)
         fn = self._jits.get(key) if hasattr(self, "_jits") else None
         if fn is None:

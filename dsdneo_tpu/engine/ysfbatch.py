@@ -165,7 +165,7 @@ class BatchedYsfVoicePipeline:
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         key = ("ysf", B, n_sym)
         fn = self._jits.get(key) if hasattr(self, "_jits") else None
         if fn is None:

@@ -97,23 +97,30 @@ def test_channel_lpf_bypass_changes_front_end():
 # --------------------------------------------------------------- CQPSK knobs
 
 def test_cfo_pull_in_masks_out_of_range_line():
-    """COSTAS_BW → pull-in limit: a strong out-of-range spectral line
-    is ignored when the search range is bounded."""
+    """COSTAS_BW → pull-in limit.  The default window is ±Rs/8 (the
+    widest range that still excludes the x⁴ mirror line at 4·CFO −
+    Rs/2): a strong far spur is rejected by DEFAULT, and an explicit
+    wider pull-in re-admits it (the knob is consumed)."""
     import jax.numpy as jnp
 
     from dsdneo_tpu.dsp.cqpsk import estimate_cfo_qpsk
     fs, rs = 48000.0, 4800.0
     n = 4096
     t = np.arange(n) / fs
-    # x⁴ lines: CFO=+900 Hz ⇒ line at Rs/2+3600; spur CFO=+3000 ⇒
-    # line at Rs/2+12000 (stronger)
-    true_line = np.exp(2j * np.pi * (rs / 2 + 4 * 900.0) / 4 * t)
+    # x⁴ lines: CFO=+400 Hz ⇒ line at Rs/2+1600 (inside the default
+    # ±Rs/8 window); spur CFO=+3000 ⇒ line at Rs/2+12000 (stronger,
+    # outside)
+    true_line = np.exp(2j * np.pi * (rs / 2 + 4 * 400.0) / 4 * t)
     spur_line = np.exp(2j * np.pi * (rs / 2 + 4 * 3000.0) / 4 * t)
     x = jnp.asarray((0.4 * true_line + 1.0 * spur_line)[None, :])
-    free = float(estimate_cfo_qpsk(x, fs, rs)[0])
-    bounded = float(estimate_cfo_qpsk(x, fs, rs, pull_in_hz=1200.0)[0])
-    assert abs(free) > 1200.0              # spur/intermod wins unbounded
-    assert abs(bounded - 900.0) < 30.0     # pull-in rejects the spur
+    default = float(estimate_cfo_qpsk(x, fs, rs)[0])
+    widened = float(estimate_cfo_qpsk(x, fs, rs, pull_in_hz=3200.0)[0])
+    narrow = float(estimate_cfo_qpsk(x, fs, rs, pull_in_hz=500.0)[0])
+    assert abs(default - 400.0) < 30.0     # default rejects the spur
+    # wide pull-in re-admits the out-of-band energy (the strongest
+    # x⁴ line of a two-tone sum is the 4ab³ intermod, CFO ≈ 2350)
+    assert abs(widened - 400.0) > 1000.0
+    assert abs(narrow - 400.0) < 30.0      # narrow window keeps truth
 
 
 def test_cfo_prior_blend():
