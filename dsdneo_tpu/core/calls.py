@@ -39,8 +39,18 @@ class CallRecorder:
         self.mode = mode
         self.active: dict[int, CallRecord] = {}
         self.finished: list[CallRecord] = []
-        self._n = 0
         os.makedirs(out_dir, exist_ok=True)
+        # continue numbering past existing exports: a fresh counter
+        # would silently overwrite TG<id>_0001.wav from a previous run
+        # in the same directory
+        self._n = 0
+        for name in os.listdir(out_dir):
+            if name.startswith("TG") and name.endswith(".wav"):
+                try:
+                    self._n = max(self._n,
+                                  int(name[:-4].rsplit("_", 1)[1]))
+                except (IndexError, ValueError):
+                    pass
 
     def add_audio(self, pcm, slot: int, t_s: float, talkgroup: int = 0,
                   source: int = 0) -> None:
@@ -90,6 +100,20 @@ class CallRecorder:
         with open(meta_path, "w") as f:
             json.dump(meta, f, indent=2)
             f.write("\n")
-        # optional rdio-scanner upload hook (io.rdio.RdioUploader)
+        # optional rdio-scanner upload hook (io.rdio.RdioUploader):
+        # the upload meta uses the Rdio-Scanner field names
+        # (start_time/stop_time/freq/srcList — io.rdio.write_rdio_meta,
+        # the reference's dsd_rdio_write_meta_json format), NOT the
+        # local sidecar's record format
         if getattr(self, "uploader", None) is not None:
-            self.uploader.submit(wav, meta_path)
+            import time as _time
+            from dsdneo_tpu.io.rdio import write_rdio_meta
+            dur = call.duration_s()
+            rdio_path = os.path.join(self.out_dir, stem + ".rdio.json")
+            write_rdio_meta(
+                rdio_path, start_time=_time.time() - dur,
+                stop_time=_time.time(), talkgroup=call.talkgroup,
+                source=call.source,
+                freq_hz=int(getattr(call, "freq_hz", 0) or 0),
+                system=call.system or self.mode)
+            self.uploader.submit(wav, rdio_path)

@@ -138,46 +138,3 @@ class TalkgroupPolicy:
     def preempts(self, tg: int) -> bool:
         ent = self.groups.get(tg)
         return bool(ent and ent.preempt)
-
-
-@dataclass
-class ChannelMapEntry:
-    channel: int
-    freq_hz: float
-    label: str = ""
-
-
-def import_channel_map_csv(path: str) -> dict[int, ChannelMapEntry]:
-    """chan.csv: Channel,FrequencyHz[,Label]"""
-    out: dict[int, ChannelMapEntry] = {}
-    with open(path, newline="") as f:
-        for row in csv.reader(f):
-            if not row or not row[0].strip().isdigit():
-                continue
-            ch = int(row[0].strip())
-            try:
-                freq = float(row[1].strip())
-            except (IndexError, ValueError):
-                continue
-            if freq < 1e5:                      # MHz convention
-                freq *= 1e6
-            out[ch] = ChannelMapEntry(ch, freq,
-                                      row[2].strip() if len(row) > 2 else "")
-    return out
-
-
-def import_key_csv(path: str, hex_keys: bool = False) -> dict[int, int]:
-    """key.csv: KeyID,Key (decimal, or hex with hex_keys=True)."""
-    out: dict[int, int] = {}
-    base = 16 if hex_keys else 10
-    with open(path, newline="") as f:
-        for row in csv.reader(f):
-            if len(row) < 2:
-                continue
-            try:
-                kid = int(row[0].strip(), 0)
-                key = int(row[1].strip(), base)
-            except ValueError:
-                continue
-            out[kid] = key
-    return out

@@ -162,6 +162,7 @@ class IqCaptureWriter:
         self.drops = 0
         self._f = open(path, "wb")
         self._closed = False
+        self._capped = False
 
     def submit(self, samples: np.ndarray) -> int:
         """Append complex samples; returns bytes written (0 once the
@@ -169,8 +170,12 @@ class IqCaptureWriter:
         fmt = self.meta.sample_format
         s = np.asarray(samples)
         inter = np.empty(2 * s.size, dtype=np.float32)
-        inter[0::2] = s.real
-        inter[1::2] = s.imag
+        if getattr(self.meta, "iq_order", "IQ") == "QI":
+            inter[0::2] = s.imag
+            inter[1::2] = s.real
+        else:
+            inter[0::2] = s.real
+            inter[1::2] = s.imag
         if fmt == "cu8":
             raw = np.clip(np.round(inter * 127.5 + 127.5), 0, 255
                           ).astype(np.uint8).tobytes()
@@ -179,7 +184,13 @@ class IqCaptureWriter:
                           ).astype("<i2").tobytes()
         else:
             raw = inter.astype("<f4").tobytes()
-        if self.max_bytes and self.accepted_bytes + len(raw) > self.max_bytes:
+        if self._capped or (self.max_bytes
+                            and self.accepted_bytes + len(raw)
+                            > self.max_bytes):
+            # latch: accepting a LATER smaller chunk after a drop
+            # would splice discontinuous samples into the capture
+            # with no journal marker
+            self._capped = True
             self.drops += s.size
             return 0
         self._f.write(raw)

@@ -150,24 +150,31 @@ class RuntimeConfig:
         return replace(self, **kw)
 
 
+def _env_bool(v: str) -> bool:
+    """Shared boolean converter for DSD_NEO_* env values —
+    case-insensitive like the INI tier ('False', 'OFF', 'no' are
+    false, not truthy)."""
+    return v.strip().lower() not in ("0", "", "false", "no", "off")
+
+
 _ENV_MAP = {
     "LOG_LEVEL": ("log_level", str),
     "LOG_SINK": ("log_sink", str),
     "RTL_PERF_CSV": ("perf_csv", str),
     "RTL_PERF_CSV_INTERVAL_MS": ("perf_interval_ms", int),
-    "PDU_JSON": ("pdu_json", lambda v: v not in ("0", "", "false")),
+    "PDU_JSON": ("pdu_json", _env_bool),
     "SYNC_THRESHOLD": ("sync_threshold", float),
-    "SYNC_WARMSTART": ("sync_warmstart", lambda v: v not in ("0", "", "false")),
+    "SYNC_WARMSTART": ("sync_warmstart", _env_bool),
     "SYNC_CAL_PATH": ("sync_cal_path", str),
-    "TRUNK_ENABLE": ("trunk_enable", lambda v: v not in ("0", "", "false")),
+    "TRUNK_ENABLE": ("trunk_enable", _env_bool),
     "TRUNK_HANGTIME_S": ("trunk_hangtime_s", float),
     "P25_WD_MS": ("p25_wd_ms", int),
     "P25_CC_CACHE": ("cc_cache_path", str),
     "PLATFORM": ("platform", str),
     "CHANNELS": ("channels", int),
     "AUDIO_GAIN": ("audio_gain", float),
-    "ENC_LOCKOUT": ("enc_lockout", lambda v: v not in ("0", "", "false")),
-    "AUTO_PPM": ("auto_ppm", lambda v: v not in ("0", "", "false")),
+    "ENC_LOCKOUT": ("enc_lockout", _env_bool),
+    "AUTO_PPM": ("auto_ppm", _env_bool),
     "AUTO_PPM_SNR": ("auto_ppm_snr", float),
     "INPUT_VOLUME": ("input_volume", float),
     "INPUT_LEVEL_WARN_DB": ("input_level_warn_db", float),
@@ -179,28 +186,28 @@ _ENV_MAP = {
     "P25_VC_GRACE": ("p25_vc_grace_s", float),
     "P25_CC_GRACE": ("p25_cc_grace_s", float),
     "IQ_REPLAY_RATE": ("iq_replay_rate", float),
-    "SHOW_KEYS": ("show_keys", lambda v: v not in ("0", "", "false")),
+    "SHOW_KEYS": ("show_keys", _env_bool),
     "RETUNE_MUTE_MS": ("retune_mute_ms", float),
     "SQUELCH_HOP_S": ("squelch_hop_s", float),
     "SNR_SQL_DB": ("snr_sql_db", float),
     "P25_HANGTIME": ("p25_hangtime_s", float),
     "DMR_HANGTIME": ("dmr_hangtime_s", float),
     "AUTO_PPM_FREEZE": ("auto_ppm_freeze",
-                        lambda v: v not in ("0", "", "false")),
+                        _env_bool),
     "AUTO_PPM_SNR_DB": ("auto_ppm_snr", float),
-    "IQ_DC_BLOCK": ("iq_dc_block", lambda v: v not in ("0", "", "false")),
-    "RTL_AGC": ("rtl_agc", lambda v: v not in ("0", "", "false")),
+    "IQ_DC_BLOCK": ("iq_dc_block", _env_bool),
+    "RTL_AGC": ("rtl_agc", _env_bool),
     "TUNER_BW_HZ": ("tuner_bw_hz", int),
     # reference-name parity batch 4 (the names in docs/cli.md:493-658)
     "CONFIG": ("config_path", str),
     "CACHE_DIR": ("cache_dir", str),
     "CC_CACHE": ("cc_cache_enable", lambda v: v not in ("0", "false")),
-    "NO_BOOTSTRAP": ("no_bootstrap", lambda v: v not in ("0", "", "false")),
+    "NO_BOOTSTRAP": ("no_bootstrap", _env_bool),
     "NO_SIGNAL_HANDLERS": ("no_signal_handlers",
-                           lambda v: v not in ("0", "", "false")),
-    "MT": ("mt", lambda v: v not in ("0", "", "false")),
-    "FTZ_DAZ": ("ftz_daz", lambda v: v not in ("0", "", "false")),
-    "WINDOW_FREEZE": ("window_freeze", lambda v: v not in ("0", "", "false")),
+                           _env_bool),
+    "MT": ("mt", _env_bool),
+    "FTZ_DAZ": ("ftz_daz", _env_bool),
+    "WINDOW_FREEZE": ("window_freeze", _env_bool),
     "AUTO_PPM_PWR_DB": ("auto_ppm_pwr_db", float),
     "AUTO_PPM_ZEROLOCK_PPM": ("auto_ppm_zerolock_ppm", float),
     "AUTO_PPM_ZEROLOCK_HZ": ("auto_ppm_zerolock_hz", float),
@@ -219,7 +226,7 @@ _ENV_MAP = {
     "TG_PREEMPT_MIN_DWELL_MS": ("tg_preempt_min_dwell_ms", int),
     "TG_PREEMPT_COOLDOWN_MS": ("tg_preempt_cooldown_ms", int),
     "P25_AFC_STATUS_GATE": ("p25_afc_status_gate",
-                            lambda v: v not in ("0", "", "false")),
+                            _env_bool),
     "P25_SOFT_ERASURE_THRESHOLD": ("soft_erasure_threshold", int),
     "P25P1_SOFT_ERASURE_THRESHOLD": ("p25p1_soft_erasure_threshold", int),
     "P25P2_SOFT_ERASURE_THRESHOLD": ("p25p2_soft_erasure_threshold", int),
@@ -235,32 +242,32 @@ _ENV_MAP = {
     "COSTAS_BW": ("costas_bw", float),
     "COSTAS_DAMPING": ("costas_damping", float),
     "TED_GAIN": ("ted_gain", float),
-    "CQPSK": ("cqpsk", lambda v: v not in ("0", "", "false")),
+    "CQPSK": ("cqpsk", _env_bool),
     "CQPSK_SYNC_INV": ("cqpsk_sync_inv",
-                       lambda v: v not in ("0", "", "false")),
+                       _env_bool),
     "CQPSK_SYNC_NEG": ("cqpsk_sync_neg",
-                       lambda v: v not in ("0", "", "false")),
-    "DEBUG_SYNC": ("debug_sync", lambda v: v not in ("0", "", "false")),
-    "DEBUG_CQPSK": ("debug_cqpsk", lambda v: v not in ("0", "", "false")),
+                       _env_bool),
+    "DEBUG_SYNC": ("debug_sync", _env_bool),
+    "DEBUG_CQPSK": ("debug_cqpsk", _env_bool),
     "DISABLE_FS4_SHIFT": ("disable_fs4_shift",
-                          lambda v: v not in ("0", "", "false")),
+                          _env_bool),
     "COMBINE_ROT": ("combine_rot", lambda v: v not in ("0", "false")),
     "IQ_DC_SHIFT": ("iq_dc_shift", int),
     "RETUNE_DRAIN_MS": ("retune_drain_ms", float),
     "OUTPUT_CLEAR_ON_RETUNE": ("output_clear_on_retune",
-                               lambda v: v not in ("0", "", "false")),
+                               _env_bool),
     "RIGCTL_RCVTIMEO": ("rigctl_rcvtimeo_ms", int),
     "TCPIN_BACKOFF_MS": ("tcpin_backoff_ms", int),
-    "DMR_T3_HEUR": ("dmr_t3_heur", lambda v: v not in ("0", "", "false")),
+    "DMR_T3_HEUR": ("dmr_t3_heur", _env_bool),
     # batch 6
     "TCP_PREBUF_MS": ("tcp_prebuf_ms",
                       lambda v: max(5, min(1000, int(v)))),
     "TCP_RCVBUF": ("tcp_rcvbuf", int),
     "TCP_BUFSZ": ("tcp_bufsz", int),
     "TCP_RCVTIMEO": ("tcp_rcvtimeo_ms", int),
-    "TCP_WAITALL": ("tcp_waitall", lambda v: v not in ("0", "", "false")),
-    "TCP_STATS": ("tcp_stats", lambda v: v not in ("0", "", "false")),
-    "TCP_AUTOTUNE": ("tcp_autotune", lambda v: v not in ("0", "", "false")),
+    "TCP_WAITALL": ("tcp_waitall", _env_bool),
+    "TCP_STATS": ("tcp_stats", _env_bool),
+    "TCP_AUTOTUNE": ("tcp_autotune", _env_bool),
     "TCP_MAX_TIMEOUTS": ("tcp_max_timeouts", int),
     # batch 7
     "RTL_DIRECT": ("rtl_direct",
@@ -272,12 +279,12 @@ _ENV_MAP = {
     "RTL_XTAL_HZ": ("rtl_xtal_hz", int),
     "TUNER_XTAL_HZ": ("tuner_xtal_hz", int),
     "RTL_IF_GAINS": ("rtl_if_gains", str),
-    "RTL_TESTMODE": ("rtl_testmode", lambda v: v not in ("0", "", "false")),
-    "RTL_VERIFY": ("rtl_verify", lambda v: v not in ("0", "", "false")),
+    "RTL_TESTMODE": ("rtl_testmode", _env_bool),
+    "RTL_VERIFY": ("rtl_verify", _env_bool),
     "RTL_VERIFY_ATTEMPTS": ("rtl_verify_attempts",
                             lambda v: max(1, min(10, int(v)))),
     "TUNER_AUTOGAIN": ("tuner_autogain",
-                       lambda v: v not in ("0", "", "false")),
+                       _env_bool),
     "TUNER_AUTOGAIN_PROBE_MS": ("tuner_autogain_probe_ms", int),
     "TUNER_AUTOGAIN_SEED_DB": ("tuner_autogain_seed_db", float),
     "TUNER_AUTOGAIN_SPEC_SNR_DB": ("tuner_autogain_spec_snr_db", float),
@@ -310,7 +317,8 @@ def load_env(base: RuntimeConfig | None = None,
 
 def load_ini(path: str, base: RuntimeConfig | None = None,
              profile: str = "",
-             errors: list[str] | None = None) -> RuntimeConfig:
+             errors: list[str] | None = None,
+             _seen: frozenset | None = None) -> RuntimeConfig:
     """INI user config (``[dsdneo]`` section, keys = field names).
     Supports ``include = other.ini`` chains and named
     ``[profile:<name>]`` sections layered over the base section,
@@ -320,6 +328,12 @@ def load_ini(path: str, base: RuntimeConfig | None = None,
     when given."""
     cfg = base or RuntimeConfig()
     errs = errors if errors is not None else []
+    rp = os.path.realpath(path)
+    seen = _seen or frozenset()
+    if rp in seen:
+        errs.append(f"{path}: include cycle")
+        return cfg
+    seen = seen | {rp}
     cp = configparser.ConfigParser()
     read = cp.read(path)
     if not read:
@@ -329,7 +343,7 @@ def load_ini(path: str, base: RuntimeConfig | None = None,
     inc = sec.get("include", "")
     if inc:
         inc_path = os.path.join(os.path.dirname(path), inc)
-        cfg = load_ini(inc_path, cfg, errors=errs)
+        cfg = load_ini(inc_path, cfg, errors=errs, _seen=seen)
 
     def apply(section, cfg):
         overrides = {}
