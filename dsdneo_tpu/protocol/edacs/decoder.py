@@ -115,7 +115,7 @@ class EdacsDecoder(ProtocolDecoder):
             kind = "TDMA" if mt1 == 0x01 else "Data"
             ctx.emit(f"       EDACS EA {kind} Group Call G {group}", "edacs",
                      hit.pos, tg=group, src=src, lpcn=lcn,
-                     grant=lcn not in (0, 0x1F), data=mt1 == 0x02)
+                     grant=0 < lcn < 26, data=mt1 == 0x02)
             return (f" {kind} Group Call :: Group [{group:05d}]"
                     f" Source [{src:08d}] LCN [{lcn:02d}]{_lcn_status(lcn)}")
         if mt1 in (0x03, 0x06):
@@ -136,7 +136,7 @@ class EdacsDecoder(ProtocolDecoder):
                 line += " [EMERGENCY]"
             ctx.emit(f"       EDACS EA Voice Grant G {group} LCN {lcn}",
                      "edacs", hit.pos, tg=group, src=src, lpcn=lcn,
-                     grant=lcn not in (0, 0x1F),
+                     grant=0 < lcn < 26,
                      emergency=bool(emergency))
             return line
         if mt1 == 0x10:
@@ -148,7 +148,7 @@ class EdacsDecoder(ProtocolDecoder):
             kind = "Digital" if digital else "Analog"
             what = "Update" if update else "Assignment"
             ctx.emit(f"       EDACS EA I-Call {what}", "edacs", hit.pos,
-                     src=src, lpcn=lcn, grant=lcn not in (0, 0x1F))
+                     src=src, lpcn=lcn, grant=0 < lcn < 26)
             return (f" {kind} I-Call {what} :: Target [{tgt:08d}]"
                     f" Source [{src:08d}] LCN [{lcn:02d}]{_lcn_status(lcn)}")
         if mt1 == 0x12:
@@ -237,7 +237,7 @@ class EdacsDecoder(ProtocolDecoder):
             emergency = mt_a in (1, 3)
             ctx.emit(f"       EDACS Voice Grant G {group} LCN {lcn}",
                      "edacs", hit.pos if hit else 0, tg=group, src=lid,
-                     lpcn=lcn, grant=lcn not in (0, 0x1F) and lcn < 26,
+                     lpcn=lcn, grant=0 < lcn < 26,
                      emergency=emergency)
             return (f" {'Digital' if digital else 'Analog'} Voice Group"
                     f" Channel Assignment :: Group [{group:04d}]"

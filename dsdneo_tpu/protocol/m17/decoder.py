@@ -136,6 +136,7 @@ class M17Decoder(ProtocolDecoder):
         self._last_lsf: np.ndarray | None = None   # full 240-bit LSF
         self._sid = 0x2950                          # session id for IP mode
         self.chunk_ok = [False] * 6
+        self._last_lich_cnt: int | None = None
         self.polarity: bool | None = None
         self.pkt_chunks: dict[int, np.ndarray] = {}
         self.bert = {"lfsr": 1, "lock": 0, "locked": False,
@@ -330,6 +331,13 @@ class M17Decoder(ProtocolDecoder):
             ctx.emit(line + "LICH CNT ERR", "m17", hit.pos)
             return hit.end + 184
         line += f"LC: {cnt + 1}/6 "
+        if (self._last_lich_cnt is not None
+                and cnt != (self._last_lich_cnt + 1) % 6):
+            # superframe discontinuity (new stream / dropped frames):
+            # stale chunks from a previous transmission must not mix
+            # into this LSF assembly
+            self.chunk_ok = [False] * 6
+        self._last_lich_cnt = cnt
         self.lsf_chunks[cnt] = content[:40]
         self.chunk_ok[cnt] = True
         detail = ""
@@ -386,8 +394,16 @@ class M17Decoder(ProtocolDecoder):
             seed &= mask
             if not seed:
                 return None
-            if self._scr_cache is not None and self._scr_cache[0] == fn:
-                state = self._scr_cache[1]
+            cache = self._scr_cache
+            if cache is not None and cache[0] == fn:
+                state = cache[1]
+            elif cache is not None and 0 < fn - cache[0] < fn:
+                # dropped frames / late entry relative to the cached
+                # position: advance the saved LFSR by the gap — O(gap)
+                # instead of an O(fn·128) replay from the seed that
+                # stalls a realtime decoder for seconds at high FN
+                _, state = scrambler_keystream(
+                    self._enc_st, cache[1], (fn - cache[0]) * 128)
             else:
                 _, state = scrambler_keystream(self._enc_st, seed, fn * 128)
             ks, state = scrambler_keystream(self._enc_st, state, 128)

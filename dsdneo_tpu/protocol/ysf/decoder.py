@@ -101,7 +101,10 @@ class YsfDecoder(ProtocolDecoder):
         payload = self._dd(reader, pos + 120, 360)
         if payload is not None and fi == 1 and dt == 2:
             detail = self._dch2(payload, fn, cm, ctx)
-        if payload is not None and dt == 2:
+        if payload is not None and dt == 2 and fi == 1:
+            # FI gate like every other voice path here: header (HC)
+            # and terminator (TC) frames carry CSD, not VCH — without
+            # it each V/D2 call starts and ends with a garbage burst
             self._voice_vd2(payload, ctx)
         if payload is not None and dt == 0 and fi == 1:
             self._voice_vd1(payload, ctx)

@@ -310,8 +310,10 @@ def ambe_decode_params(bits49):
     S = bits49.astype(jnp.float32)
     b0 = S[:, 0:7] @ jnp.asarray([1 << (6 - i) for i in range(7)],
                                  jnp.float32)
-    pitch = 2.0 ** (4.312 - b0 * 0.0212)
-    w0 = 2.0 * jnp.pi / jnp.clip(pitch * 19.0, 19.0, 120.0)
+    # mbelib-neo dequant: f0 = 2^(−4.3118 − 0.021336·(b0+0.5)) —
+    # period grows with b0 (see vocoder.mbe.decode_ambe_2450)
+    period = 2.0 ** (4.3118 + 0.021336 * (b0 + 0.5))
+    w0 = 2.0 * jnp.pi / jnp.clip(period, 19.0, 131.0)
     L = jnp.floor(0.9254 * jnp.floor(jnp.pi / w0 + 0.25)).astype(jnp.int32)
     L = jnp.clip(L, L_MIN, MAX_L)
     li = L - L_MIN

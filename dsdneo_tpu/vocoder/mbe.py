@@ -82,9 +82,12 @@ def decode_ambe_2450(bits49: np.ndarray) -> MbeFrame:
     paths."""
     b = np.asarray(bits49, dtype=np.uint8)
     b0 = _bits_to_int(b[0:7])
-    # AMBE pitch index → fundamental
-    pitch = 2.0 ** (4.312 - b0 * 0.0212)   # ≈ 20..120 sample periods
-    w0 = 2.0 * np.pi / max(np.clip(pitch * 19.0, 19.0, 120.0), 19.0)
+    # AMBE pitch index → fundamental (mbelib-neo dequant convention:
+    # f0 = 2^(−4.3118 − 0.021336·(b0+0.5)), so the period in samples
+    # is the reciprocal and GROWS with b0 — higher index = lower
+    # pitch; b0 spans 0..127 → ~19.9..131 sample periods)
+    period = 2.0 ** (4.3118 + 0.021336 * (b0 + 0.5))
+    w0 = 2.0 * np.pi / float(np.clip(period, 19.0, 131.0))
     L = int(0.9254 * int(np.pi / w0 + 0.25))
     L = max(9, min(L, MbeFrame.MAX_L))
 
