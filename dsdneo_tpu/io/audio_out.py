@@ -18,6 +18,8 @@ backends' role is covered by the file/UDP sinks behind the same API.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from dsdneo_tpu.io.audio_files import write_wav
@@ -56,7 +58,11 @@ class WavSink(AudioSink):
         for slot, chunks in self._chunks.items():
             path = self.path
             if len(self._chunks) > 1:
-                path = path.replace(".wav", f".s{slot}.wav")
+                # suffix must apply to extension-less paths too, or
+                # both slots write (and the first overwrites) the
+                # same file
+                root, ext = os.path.splitext(self.path)
+                path = f"{root}.s{slot}{ext or '.wav'}"
             write_wav(path, np.concatenate(chunks), self.rate)
 
 
@@ -264,7 +270,8 @@ class FloatWavSink(AudioSink):
         for slot, chunks in self._chunks.items():
             path = self.path
             if len(self._chunks) > 1:
-                path = path.replace(".wav", f".s{slot}.wav")
+                root, ext = os.path.splitext(self.path)
+                path = f"{root}.s{slot}{ext or '.wav'}"
             data = np.concatenate(chunks).astype("<f4").tobytes()
             hdr = struct.pack(
                 "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",

@@ -48,8 +48,12 @@ class UdpPcmInput:
             with self._lock:
                 free = self.capacity - (self.head - self.tail)
                 take = min(len(samples), free)
-                for i in range(take):
-                    self.buf[(self.head + i) % self.capacity] = samples[i]
+                # two-segment slice assignment (a per-sample Python
+                # loop under the lock starved readers at 48 kHz)
+                off = self.head % self.capacity
+                first = min(take, self.capacity - off)
+                self.buf[off:off + first] = samples[:first]
+                self.buf[:take - first] = samples[first:take]
                 self.head += take
                 self.drops += len(samples) - take
                 self._lock.notify_all()
@@ -87,22 +91,30 @@ class TcpPcmInput:
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.settimeout(timeout)
         self.backoff_ms = backoff_ms
+        self._pending = b""      # partial bytes kept across timeouts
 
     def read(self, n: int) -> Optional[np.ndarray]:
-        need = 2 * n
-        chunks = []
+        """One block of n samples, or None on timeout.  Bytes already
+        received when a timeout hits are KEPT for the next call:
+        discarding them would both lose samples and shift the int16
+        stream off its byte alignment for the rest of the session."""
+        need = 2 * n - len(self._pending)
+        chunks = [self._pending] if self._pending else []
         while need > 0:
             try:
                 data = self.sock.recv(need)
             except socket.timeout:
+                self._pending = b"".join(chunks)
                 if self.backoff_ms > 0:
                     import time
                     time.sleep(self.backoff_ms / 1e3)
                 return None
             if not data:
+                self._pending = b"".join(chunks)
                 return None
             chunks.append(data)
             need -= len(data)
+        self._pending = b""
         return np.frombuffer(b"".join(chunks), dtype="<i2")
 
     def close(self):
@@ -168,8 +180,10 @@ class UdpControlServer:
     a callback (reference udp_control.h:30-43 callback API)."""
 
     def __init__(self, on_tune: Callable[[float], None],
-                 bind: str = "127.0.0.1", port: int = 4532):
+                 bind: str = "127.0.0.1", port: int = 4532,
+                 on_stop: Callable[[], None] | None = None):
         self.on_tune = on_tune
+        self.on_stop = on_stop
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.bind((bind, port))
         self.sock.settimeout(0.25)
@@ -186,12 +200,25 @@ class UdpControlServer:
             except OSError:
                 break
             parts = data.decode(errors="ignore").split()
-            if len(parts) == 2 and parts[0].upper() == "TUNE":
-                try:
-                    self.on_tune(float(parts[1]))
-                    self.sock.sendto(b"OK\n", addr)
-                except ValueError:
+            try:
+                if len(parts) == 2 and parts[0].upper() == "TUNE":
+                    try:
+                        self.on_tune(float(parts[1]))
+                        self.sock.sendto(b"OK\n", addr)
+                    except ValueError:
+                        self.sock.sendto(b"ERR\n", addr)
+                elif parts and parts[0].upper() == "STOP":
+                    if self.on_stop is not None:
+                        self.on_stop()
+                        self.sock.sendto(b"OK\n", addr)
+                    else:
+                        self.sock.sendto(b"ERR\n", addr)
+                elif parts:
                     self.sock.sendto(b"ERR\n", addr)
+            except OSError:
+                # a failing callback (e.g. rigctl gone) or reply send
+                # must not kill the listener thread
+                continue
 
     def close(self):
         self._stop = True
@@ -220,6 +247,7 @@ class TcpQualityWatchdog:
         self._window_start = now
         self._connected_at = now
         self._bytes = 0
+        self.latched = False      # reconnect clears the latch
 
     def record_recv(self, n_bytes: int) -> bool:
         """Returns True when sustained throughput is below threshold."""
@@ -232,7 +260,9 @@ class TcpQualityWatchdog:
         if now - self._connected_at > self.GRACE_S and self.sample_rate > 0:
             expected = self.sample_rate * 2.0 * elapsed
             fired = (self._bytes / expected) < self.THRESHOLD
-            self.latched = fired
+            # a latch stays set until reset() (reconnect) — a healthy
+            # window in between must not clear the recommendation
+            self.latched = self.latched or fired
         self._bytes = 0
         self._window_start = now
         return fired

@@ -274,6 +274,11 @@ class DmrBsDecoder(ProtocolDecoder):
         detail = ""
         if dtype == 8:                      # rate 3/4 data: trellis coded
             detail = self._r34_block(burst, s)
+        elif dtype == 10:                   # rate 1: UNCODED payload
+            # reference dmr_dburst.c [0x0A] R_1U: full 196-bit burst,
+            # 24 data octets, no FEC — running it through BPTC(196,96)
+            # always failed and rate-1 PDUs never assembled
+            detail = self._r1_block(burst, s)
         else:
             payload, errors = bptc.bptc_196_96_decode(burst)
             if errors == 0:
@@ -378,6 +383,13 @@ class DmrBsDecoder(ProtocolDecoder):
         block = np.packbits(bits96)
         done = self.assembler[slot].add_block(block)
         return done if done else f" | block {self.assembler[slot].count}"
+
+    def _r1_block(self, bits196: np.ndarray, slot: int) -> str:
+        """Rate-1 (uncoded) data block: 24 payload octets straight off
+        the burst (reference dmr_dburst.c databurst 0x0A, pdu_len 24)."""
+        block = np.packbits(bits196[:192])
+        done = self.assembler[slot].add_block(block)
+        return done if done else f" | R1 block {self.assembler[slot].count}"
 
     def _r34_block(self, bits196: np.ndarray, slot: int) -> str:
         """Rate-3/4 data block (ETSI trellis; reference dmr_dburst.c

@@ -275,15 +275,13 @@ class P25P2Decoder(ProtocolDecoder):
         if chan == 1 and loc in (0, 1, 2):
             self.sf_pos = {0: 0, 1: 4, 2: 8}[loc]
 
-    def _descramble(self, payload, parity, kind, ts_bits, s):
+    def _descramble(self, ts_bits, kind, s):
         """XOR with the LFSR sequence at this timeslot's superframe
         position (reference p25p2_frame.c:378-384, +20 bit offset)."""
         p = self.sf_pos if self.sf_pos is not None else 0
         lbit = self._scramble_bits(s)
         base = 360 * p + 20
-        scr = np.zeros(360, dtype=np.uint8)
-        scr[:] = lbit[base:base + 360]
-        x = ts_bits ^ scr
+        x = ts_bits ^ lbit[base:base + 360]
         if kind == "sacch":
             return p2_xcch.extract_sacch(x)
         return p2_xcch.extract_facch(x)
@@ -293,8 +291,7 @@ class P25P2Decoder(ProtocolDecoder):
         if scrambled and not have_params:
             return ""
         if scrambled:
-            payload, parity = self._descramble(
-                ts_bits, None, kind, ts_bits, ctx.state)
+            payload, parity = self._descramble(ts_bits, kind, ctx.state)
         else:
             ex = p2_xcch.extract_sacch if kind == "sacch" else p2_xcch.extract_facch
             payload, parity = ex(ts_bits)

@@ -34,7 +34,10 @@ def _eye_rows(soft, width: int, height: int = 7) -> list[str]:
     import numpy as np
     if soft is None or len(soft) < width:
         return []
-    seg = np.asarray(soft[:width * 4]).reshape(-1, 4).mean(axis=1)[:width]
+    m = (min(len(soft), width * 4) // 4) * 4   # whole groups of 4 only
+    if m == 0:
+        return []
+    seg = np.asarray(soft[:m]).reshape(-1, 4).mean(axis=1)[:width]
     rows = []
     levels = np.linspace(3.5, -3.5, height)
     for lv in levels:
