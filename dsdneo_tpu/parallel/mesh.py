@@ -145,11 +145,12 @@ def make_sharded_voice_step(mesh: Mesh, C: int, B: int,
                            jnp.arange(Cl)[:, None],
                            Cl).reshape(-1).astype(jnp.int32)
         ldu_pos = idx.reshape(-1).astype(jnp.int32)
-        # fresh prediction state; pvary marks it device-varying so the
-        # scan carry types match under shard_map's varying-axis check
-        prev_logm = jax.lax.pvary(jnp.zeros((Cl, 56), jnp.float32),
-                                  ("ch",))
-        prev_L = jax.lax.pvary(jnp.zeros(Cl, jnp.int32), ("ch",))
+        # fresh prediction state, marked device-varying so the scan
+        # carry types match under shard_map's varying-axis check
+        prev_logm = jax.lax.pcast(jnp.zeros((Cl, 56), jnp.float32),
+                                  ("ch",), to="varying")
+        prev_L = jax.lax.pcast(jnp.zeros(Cl, jnp.int32), ("ch",),
+                               to="varying")
         pcm, _logm, _L, _synth, _aux = voice_decode_gather(
             dibits, ldu_ch, ldu_pos, jnp.asarray(frame_offs),
             jnp.asarray(fch_base), jnp.asarray(forder),
