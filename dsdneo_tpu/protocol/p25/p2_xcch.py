@@ -179,3 +179,108 @@ def insert_facch(ts_bits: np.ndarray, payload: np.ndarray,
     ts_bits[180:202] = payload[134:156]
     ts_bits[202:244] = parity[0:42]
     ts_bits[246:318] = parity[42:114]
+
+
+# -- blind scramble-parameter recovery --------------------------------------
+#
+# The scrambler keystream is LINEAR over GF(2) in the 44 seed bits
+# (pure Fibonacci LFSR, no additive constant), and so is the RS(63,35)
+# systematic parity map.  For a scrambled xCCH burst c at superframe
+# position p, the descrambled timeslot x = c ^ ks(seed)[base:base+360]
+# must satisfy the RS parity equations, so
+#
+#     F(c) ^ M_p . seed = 0     with F(t) = rs_encode(payload(t)) ^ parity(t)
+#
+# — 132 (SACCH) / 114 (FACCH) GF(2)-linear equations in 44 unknowns from
+# ONE error-free burst.  Solving recovers the network's WACN/SYS/NAC
+# straight off the air, without waiting for an unscrambled network
+# status broadcast (the reference can only learn the identity from
+# NET_STS / -X, src/protocol/p25/phase2/p25p2_vpdu.c).  Bursts carrying
+# channel errors make the overdetermined system inconsistent and are
+# simply skipped; a candidate seed is accepted only when the other
+# collected bursts RS-decode under it.
+
+def _parity_residual(ts_bits: np.ndarray, kind: str) -> np.ndarray:
+    ex = extract_sacch if kind == "sacch" else extract_facch
+    payload, parity = ex(ts_bits)
+    return xcch_rs_encode(payload, kind) ^ parity
+
+
+@lru_cache(maxsize=1)
+def _seed_keystreams() -> np.ndarray:
+    """[44, 4340] keystreams of the unit seeds (bit 43-k set)."""
+    out = np.zeros((44, 4340), dtype=np.uint8)
+    for k in range(44):
+        bit = 1 << (43 - k)
+        out[k] = generate_scramble_bits(bit >> 24, (bit >> 12) & 0xFFF,
+                                        bit & 0xFFF, 4340)
+    return out
+
+
+@lru_cache(maxsize=24)
+def _seed_matrix(p: int, kind: str) -> np.ndarray:
+    """Residual of each unit-seed keystream slice at position p."""
+    base = 360 * p + 20
+    ks = _seed_keystreams()
+    return np.stack([_parity_residual(ks[k, base:base + 360], kind)
+                     for k in range(44)], axis=1)   # [R, 44]
+
+
+def _solve_gf2(M: np.ndarray, rhs: np.ndarray) -> int | None:
+    """Full-rank consistent GF(2) solve or None."""
+    A = np.concatenate([M, rhs[:, None]], axis=1).astype(np.uint8)
+    rows, _ = A.shape
+    piv = []
+    r = 0
+    for c in range(44):
+        nz = np.nonzero(A[r:, c])[0]
+        if nz.size == 0:
+            continue
+        A[[r, r + nz[0]]] = A[[r + nz[0], r]]
+        mask = A[:, c].copy()
+        mask[r] = 0
+        A[mask.astype(bool)] ^= A[r]
+        piv.append(c)
+        r += 1
+        if r == rows:
+            break
+    if len(piv) < 44 or np.any(A[r:, 44]):
+        return None
+    seed = 0
+    for i, c in enumerate(piv):
+        # pivots are found in increasing column order, so c == i here,
+        # but index defensively
+        seed |= int(A[i, 44]) << (43 - c)
+    return seed
+
+
+def recover_scramble_seed(bursts) -> tuple[int, int, int] | None:
+    """Blind WACN/SYS/NAC recovery from scrambled xCCH bursts.
+
+    ``bursts``: iterable of (ts_bits[360], superframe_pos 0-11, kind)
+    with kind "sacch"|"facch".  Returns (wacn, sysid, nac) when one
+    burst yields a full-rank consistent solution that RS-validates on
+    the other bursts, else None.
+    """
+    items = list(bursts)
+    for ts_bits, p, kind in items:
+        M = _seed_matrix(int(p), kind)
+        seed = _solve_gf2(M, _parity_residual(ts_bits, kind))
+        if seed is None:
+            continue
+        wacn, sysid, nac = seed >> 24, (seed >> 12) & 0xFFF, seed & 0xFFF
+        others = [b for b in items if b[0] is not ts_bits]
+        if others:
+            ks = generate_scramble_bits(wacn, sysid, nac, 4340)
+            npass = 0
+            for tb, p2, kind2 in others:
+                base = 360 * int(p2) + 20
+                x = tb ^ ks[base:base + 360]
+                ex = extract_sacch if kind2 == "sacch" else extract_facch
+                pl, pr = ex(x)
+                _, nerr = xcch_rs_decode(pl, pr, kind2)
+                npass += (nerr >= 0)
+            if npass < max(1, len(others) // 2):
+                continue              # lucky solve on a corrupt burst
+        return int(wacn), int(sysid), int(nac)
+    return None

@@ -63,6 +63,9 @@ class P25P2Decoder(ProtocolDecoder):
         # per-slot voice crypto state (reference p25p2_frame.c: payload_miP/
         # miN, dropL/dropR=256 per superframe, ESS_B fragments + ESS_A parity)
         self.fourv = {0: 0, 1: 0}
+        # scrambled bursts collected while WACN/SYS/NAC are unknown,
+        # fed to the blind seed recovery (_try_recover_params)
+        self._pending_scrambled: list = []
         self.ess_b = {0: np.zeros(96, np.uint8), 1: np.zeros(96, np.uint8)}
         self.crypto = {0: {"alg": 0, "kid": 0, "mi": 0, "drop": 256,
                            "staged": None},
@@ -286,10 +289,52 @@ class P25P2Decoder(ProtocolDecoder):
             return p2_xcch.extract_sacch(x)
         return p2_xcch.extract_facch(x)
 
+    def _try_recover_params(self, ts_bits, kind, lcch, ctx, hit,
+                             slot) -> str:
+        """Blind WACN/SYS/NAC recovery from accumulated scrambled xCCH
+        bursts (p2_xcch.recover_scramble_seed: the keystream and the
+        RS(63,35) parity map are both GF(2)-linear, so one clean burst
+        determines the 44-bit seed).  The reference can only learn the
+        identity from an unscrambled NET_STS broadcast or the -X flag
+        (src/protocol/p25/phase2/p25p2_vpdu.c); this decodes the
+        control channel with zero prior knowledge."""
+        if self.sf_pos is None:
+            return ""
+        self._pending_scrambled.append(
+            (ts_bits.copy(), self.sf_pos, kind, slot, lcch))
+        if len(self._pending_scrambled) > 64:
+            self._pending_scrambled.pop(0)
+        newest = self._pending_scrambled[-1]
+        got = p2_xcch.recover_scramble_seed(
+            [(newest[0], newest[1], newest[2])]
+            + [(t, p, k) for t, p, k, _, _ in self._pending_scrambled[:-1]])
+        if got is None:
+            return ""
+        wacn, sysid, nac = got
+        s = ctx.state
+        s.p2_wacn, s.p2_sysid, s.p2_cc = wacn, sysid, nac
+        ctx.emit(f"       P25p2 scramble parameters recovered from RS "
+                 f"parity: WACN [{wacn:05X}] SYSID [{sysid:03X}] "
+                 f"NAC [{nac:03X}]", "p25p2", hit.pos)
+        # retroactively decode the bursts collected while hunting
+        pending, self._pending_scrambled = self._pending_scrambled[:-1], []
+        for tb, p, k, sl, lc in pending:
+            saved = self.sf_pos
+            self.sf_pos = p
+            detail = self._xcch(tb, 0, k, scrambled=True, lcch=lc,
+                                ctx=ctx, have_params=True, hit=hit, slot=sl)
+            self.sf_pos = saved
+            if detail:
+                ctx.emit(f"       P25p2 SACCH (recovered){detail}",
+                         "p25p2", hit.pos, slot=sl)
+        return self._xcch(ts_bits, 0, kind, scrambled=True, lcch=lcch,
+                          ctx=ctx, have_params=True, hit=hit, slot=slot)
+
     def _xcch(self, ts_bits, fc, kind, scrambled, lcch, ctx, have_params,
               hit, slot) -> str:
         if scrambled and not have_params:
-            return ""
+            return self._try_recover_params(ts_bits, kind, lcch, ctx,
+                                            hit, slot)
         if scrambled:
             payload, parity = self._descramble(ts_bits, kind, ctx.state)
         else:

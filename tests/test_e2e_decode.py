@@ -22,6 +22,18 @@ CASES = [
     ("p25p1_cqpsk_cc", "p25p1", r"WACN: 92065; SYS: 0D5"),
     ("p25p1_cqpsk_vc", "p25p1", r"Group Voice Channel User"),
     ("p25p2_cc", "p25p2", r"P25p2 SACCH"),
+    # Beyond the reference contract: blind WACN/SYS/NAC recovery from
+    # RS(63,35) parity linearity (the reference needs -X or a NET_STS
+    # broadcast) unlocks the scrambled SACCH MAC payloads of this
+    # capture — grants, Motorola TDMA data channel announcements.
+    ("p25p2_cc", "p25p2",
+     r"scramble parameters recovered from RS parity: "
+     r"WACN \[BEE00\] SYSID \[164\] NAC \[161\]"),
+    ("p25p2_cc", "p25p2", r"MAC_IDLE"),
+    ("p25p2_cc", "p25p2",
+     r"Group Voice Channel Grant Update - Implicit"),
+    ("p25p2_cc", "p25p2",
+     r"Motorola TDMA Data Channel CH1 \[3070\] CH2 \[409C\]"),
     # Reference asserts "Color Code=02" on these two, but that value is an
     # acquisition artifact of its EMB confidence lock — the transmitted CC,
     # validated by 0-error Golay slot types + CRC-valid CSBKs (and by the

@@ -336,3 +336,52 @@ def test_p25p2_rc4_voice_decrypt_roundtrip():
     dec2.crypto[0].update(alg=0xAA, kid=kid, mi=mi, drop=256)
     np.testing.assert_array_equal(dec2._decrypt_ambe(cipher[0], 0, ctx2),
                                   cipher[0])
+
+
+def test_p2_scramble_seed_recovery_synthetic():
+    """Blind WACN/SYS/NAC recovery: the keystream and RS parity map are
+    GF(2)-linear, so one clean scrambled SACCH determines the 44-bit
+    seed (p2_xcch.recover_scramble_seed)."""
+    import numpy as np
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+
+    rng = np.random.default_rng(11)
+    wacn, sysid, nac = 0x92ABC, 0x3D5, 0x29F
+    ks = p2_xcch.generate_scramble_bits(wacn, sysid, nac, 4340)
+    bursts = []
+    for p in (2, 7, 11):
+        payload = rng.integers(0, 2, 180).astype(np.uint8)
+        parity = p2_xcch.xcch_rs_encode(payload, "sacch")
+        ts = np.zeros(360, np.uint8)
+        p2_xcch.insert_sacch(ts, payload, parity)
+        base = 360 * p + 20
+        bursts.append(((ts ^ ks[base:base + 360]).astype(np.uint8),
+                       p, "sacch"))
+    assert p2_xcch.recover_scramble_seed(bursts) == (wacn, sysid, nac)
+
+    # a corrupted burst must not produce a (wrong) accepted seed:
+    # its overdetermined system goes inconsistent and is skipped
+    bad = bursts[0][0].copy()
+    bad[40] ^= 1
+    assert p2_xcch.recover_scramble_seed([(bad, 2, "sacch")]) is None
+    # ...and mixed in with clean bursts, recovery still succeeds
+    assert p2_xcch.recover_scramble_seed(
+        [(bad, 2, "sacch")] + bursts[1:]) == (wacn, sysid, nac)
+
+
+def test_p2_scramble_seed_recovery_facch():
+    """FACCH bursts (114 parity equations) also solve the seed."""
+    import numpy as np
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+
+    rng = np.random.default_rng(13)
+    wacn, sysid, nac = 0xABCDE, 0x0FF, 0x5A5
+    ks = p2_xcch.generate_scramble_bits(wacn, sysid, nac, 4340)
+    payload = rng.integers(0, 2, 156).astype(np.uint8)
+    parity = p2_xcch.xcch_rs_encode(payload, "facch")
+    ts = np.zeros(360, np.uint8)
+    p2_xcch.insert_facch(ts, payload, parity)
+    base = 360 * 5 + 20
+    got = p2_xcch.recover_scramble_seed(
+        [((ts ^ ks[base:base + 360]).astype(np.uint8), 5, "facch")])
+    assert got == (wacn, sysid, nac)
