@@ -49,12 +49,37 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(flag, dest="mode", action="store_const", const=mode,
                        help=f"decode mode: {mode}")
     p.set_defaults(mode="auto")
-    p.add_argument("-fH", dest="edacs_ea", action="store_true",
-                   help="EDACS Extended Addressing mode (with -fh; "
-                        "reference ea_mode)")
+    # EDACS mode variants (reference args.c:2125-2266): -fh standard,
+    # -fH standard + ESK 0xA0, -fe EA, -fE EA + ESK 0xA0; a 3-digit
+    # suffix (-fh344 / -fH434) sets the AFS bit split (rewritten to
+    # --edacs-afs by the argv prescan in main()).
+    p.add_argument("-fH", dest="edacs_variant", action="store_const",
+                   const="std_esk",
+                   help="EDACS standard mode with ESK 0xA0 (reference -fH)")
+    p.add_argument("-fe", dest="edacs_variant", action="store_const",
+                   const="ea",
+                   help="EDACS EA/ProVoice mode (reference -fe)")
+    p.add_argument("-fE", dest="edacs_variant", action="store_const",
+                   const="ea_esk",
+                   help="EDACS EA mode with ESK 0xA0 (reference -fE)")
+    p.add_argument("--edacs-afs", default="", metavar="AFS",
+                   help="EDACS AFS bit split: three digits summing to 11 "
+                        "(e.g. 344; reference -fh344/-fH434 suffixes)")
     p.add_argument("--esk", default="", metavar="HEX",
                    help="EDACS ESK scramble mask (8-bit hex; reference "
-                        "esk_mask)")
+                        "esk_mask; -fH/-fE imply A0)")
+    p.add_argument("-fr", dest="dmr_mono_mode", action="store_true",
+                   help="DMR single-slot mono decoder (reference -fr)")
+    p.add_argument("-ft", dest="trunk_helper", action="store_true",
+                   help="trunking helper profile: P25p1 CC + P25p1/p2/DMR "
+                        "voice with trunk-follow enabled (reference -ft)")
+    p.add_argument("-fA", dest="analog_monitor", action="store_true",
+                   help="passive analog monitor: no frame-sync hunt, raw "
+                        "source audio only (reference -fA)")
+    p.add_argument("-fU", dest="m17_udp_mode", action="store_true",
+                   help="M17 UDP/IP frame input mode (with -i m17udp; "
+                        "reference -fU)")
+    p.set_defaults(edacs_variant=None, edacs_ea=False)
     # M17 encoders (reference src/runtime/cli/args.c:2289-2313 -fZ/-fB/-fP)
     p.add_argument("-fZ", dest="tx_mode", action="store_const", const="str",
                    help="M17 stream encoder")
@@ -491,6 +516,10 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
         attrs["edacs_ea"] = True
     if args.esk:
         attrs["edacs_esk"] = int(args.esk, 16)
+    if getattr(args, "edacs_afs", ""):
+        from dsdneo_tpu.protocol.edacs.afs import AfsSplit
+        sp = AfsSplit.parse(args.edacs_afs)
+        attrs["edacs_afs_bits"] = (sp.a_bits, sp.f_bits, sp.s_bits)
     # reference short-flag key/behavior surface (args.c getopt loop)
     if args.hytera_key:
         h = args.hytera_key.replace(" ", "")
@@ -988,8 +1017,24 @@ def _run_m17_tx(args) -> int:
     return 0
 
 
+def _prescan_argv(argv: list[str]) -> list[str]:
+    """Rewrite reference-style fused tokens argparse can't express:
+    ``-fh344``/``-fH434`` (EDACS mode + AFS bit split, reference
+    args.c:2125-2215) become the base flag plus ``--edacs-afs``."""
+    out = []
+    for tok in argv:
+        if (len(tok) == 6 and tok.startswith("-f")
+                and tok[2] in "hHeE" and tok[3:].isdigit()):
+            out += [tok[:3], "--edacs-afs", tok[3:]]
+        else:
+            out.append(tok)
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    import sys as _sys
+    args = build_parser().parse_args(
+        _prescan_argv(_sys.argv[1:] if argv is None else list(argv)))
     if args.list_devices:
         from dsdneo_tpu.io.audio_out import list_audio_devices
         list_audio_devices()
@@ -1063,8 +1108,28 @@ def main(argv: list[str] | None = None) -> int:
             cc_lcn=args.calc_cc_lcn or None,
             start_lcn=args.calc_start_lcn or None,
         )
-    if args.edacs_ea and args.mode == "auto":
+    # reference mode-flag family: EDACS variants, DMR mono, trunk
+    # helper, passive analog, M17 UDP (args.c:2125-2330)
+    if args.edacs_variant and args.mode == "auto":
         args.mode = "edacs"
+    if args.edacs_variant in ("ea", "ea_esk"):
+        args.edacs_ea = True
+    if args.edacs_variant in ("std_esk", "ea_esk") and not args.esk:
+        args.esk = "A0"
+    if args.dmr_mono_mode:
+        args.mode = "dmr"
+        args.analog_gain = args.analog_gain or "m"
+    if args.trunk_helper:
+        args.trunk = True
+    if args.m17_udp_mode:
+        args.mode = "m17"
+        if not args.input:
+            args.input = "m17udp"
+    if args.analog_monitor:
+        args.monitor_input = True
+        # correlation scores are <=~1.0, so threshold 2.0 makes the
+        # frame-sync hunt a no-op (reference -fA: not a hunt candidate)
+        args.sync_threshold = 2.0
     if getattr(args, "tx_mode", None):
         return _run_m17_tx(args)
     if args.mbe_in:

@@ -231,17 +231,32 @@ class EdacsDecoder(ProtocolDecoder):
             # lid spans msg1[24:18]|msg2[23:17], lcn msg1[16:12]
             lid = ((msg1 & 0x1FC0000) >> 11) | ((msg2 & 0xFE0000) >> 17)
             lcn = (msg1 >> 12) & 0x1F
+            tx_trunk = (msg1 >> 11) & 1
             group = msg1 & 0x7FF
             s.last_tg, s.last_src = group, lid
             digital = mt_a in (2, 3)
             emergency = mt_a in (1, 3)
+            # AFS call-scope tags (reference edacs-fme.c:1296-1320 +
+            # isAgencyCallGroup/isFleetCallGroup with the configured
+            # a:f:s bit split)
+            from dsdneo_tpu.protocol.edacs.afs import state_split
+            split = state_split(s)
+            tags = ""
+            if split.is_agency_call(group):
+                tags += " [Agency]"
+            elif split.is_fleet_call(group):
+                tags += " [Fleet]"
+            if not tx_trunk:
+                tags += " [Message Trunking]"
             ctx.emit(f"       EDACS Voice Grant G {group} LCN {lcn}",
                      "edacs", hit.pos if hit else 0, tg=group, src=lid,
                      lpcn=lcn, grant=0 < lcn < 26,
-                     emergency=emergency)
-            return (f" {'Digital' if digital else 'Analog'} Voice Group"
-                    f" Channel Assignment :: Group [{group:04d}]"
+                     emergency=emergency, afs=split.format(group))
+            return (f" Voice Group Channel Assignment ::"
+                    f" {'Digital' if digital else 'Analog'}"
+                    f" Group [{group:04d}]"
                     f" LID [{lid:05d}] LCN [{lcn:02d}]{_lcn_status(lcn)}"
+                    + tags
                     + (" [EMERGENCY]" if emergency else ""))
         if mt_a == 5:
             return " Data Call Channel Assignment"

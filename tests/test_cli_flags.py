@@ -217,3 +217,51 @@ def test_cli_fleet_mode(capsys):
     assert "group p25p1/cc x2:" in text
     assert "group p25p1/voice x2:" in text
     assert "TSDU" in text
+
+
+def test_edacs_afs_split_and_scope():
+    """AFS decomposition + call-scope predicates (reference
+    edacs_afs.c, edacs-fme.c:141-152)."""
+    from dsdneo_tpu.protocol.edacs.afs import AfsSplit
+    sp = AfsSplit.parse("443")
+    # default split: AA-FFS formatting
+    assert sp.format(0b0010_0011_010) == "02-032"
+    assert sp.is_agency_call(0b0101_0000_000)
+    assert not sp.is_agency_call(0b0101_0001_000)
+    assert sp.is_fleet_call(0b0101_0001_000)
+    assert not sp.is_fleet_call(0b0101_0001_001)
+    # custom 3:4:4 split: colon-separated, sum must stay 11
+    sp2 = AfsSplit.parse("344")
+    assert (sp2.a_bits, sp2.f_bits, sp2.s_bits) == (3, 4, 4)
+    assert ":" in sp2.format(0b010_1100_0011)
+    # invalid splits fall back to default (args.c:2158-2164)
+    sp3 = AfsSplit.parse("999")
+    assert (sp3.a_bits, sp3.f_bits, sp3.s_bits) == (4, 4, 3)
+
+
+def test_edacs_mode_flag_family():
+    """-fh/-fH/-fe/-fE semantics + fused AFS suffixes (args.c
+    2125-2266)."""
+    from dsdneo_tpu.cli import build_parser, _prescan_argv
+    p = build_parser()
+    a = p.parse_args(_prescan_argv(["-fH434", "--iq-replay", "x"]))
+    assert a.edacs_variant == "std_esk" and a.edacs_afs == "434"
+    a = p.parse_args(["-fe"])
+    assert a.edacs_variant == "ea"
+    a = p.parse_args(["-fE"])
+    assert a.edacs_variant == "ea_esk"
+    a = p.parse_args(_prescan_argv(["-fh344"]))
+    assert a.mode == "edacs" and a.edacs_afs == "344"
+
+
+def test_mode_flag_family_fr_ft_fA_fU():
+    from dsdneo_tpu.cli import build_parser
+    p = build_parser()
+    a = p.parse_args(["-fr"])
+    assert a.dmr_mono_mode
+    a = p.parse_args(["-ft"])
+    assert a.trunk_helper
+    a = p.parse_args(["-fA"])
+    assert a.analog_monitor
+    a = p.parse_args(["-fU"])
+    assert a.m17_udp_mode

@@ -113,9 +113,14 @@ def test_standard_voice_grant_emits_trunk_event():
     msg1 = (0x1 << 25) | ((lid >> 7) << 18) | (9 << 12) | 123
     msg2 = (lid & 0x7F) << 17
     ctx, text = _decode(msg1, msg2, ea=False)
-    assert ("Analog Voice Group Channel Assignment :: Group [0123]"
+    assert ("Voice Group Channel Assignment :: Analog Group [0123]"
             f" LID [{lid:05d}] LCN [09]") in text
     assert "[EMERGENCY]" in text
+    # group 123 = 0b00011111011: fleet+subfleet bits nonzero, subfleet
+    # nonzero -> neither Agency nor Fleet scope (edacs-fme.c:141-152)
+    assert "[Agency]" not in text and "[Fleet]" not in text
+    # tx-trunk bit (msg1[11]) clear -> Message Trunking tag
+    assert "[Message Trunking]" in text
     ev = [e for e in ctx.events if e.fields.get("grant")]
     assert ev and ev[0].fields["tg"] == 123 and ev[0].fields["lpcn"] == 9
     assert ev[0].fields["src"] == lid and ev[0].fields["emergency"]
