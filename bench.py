@@ -593,21 +593,29 @@ def main() -> int:
     C_audio = int(sys.argv[1]) if len(sys.argv) > 1 else 320
     C_fe = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
-    audio_x, audio_step_s, block_s, frames = bench_full_chain(C_audio)
-    dmr_x, dmr_step_s = bench_dmr_chain(C_audio)
-    nxdn_x, nxdn_step_s = bench_nxdn_chain(C_audio)
-    cqpsk_x, cqpsk_step_s = bench_cqpsk_chain(C_audio)
-    p2_x, p2_step_s = bench_p25p2_chain(C_audio)
-    ysf_x, ysf_step_s = bench_ysf_chain(C_audio)
-    dpmr_x, dpmr_step_s = bench_dpmr_chain(C_audio)
-    cc_x, cc_step_s, tsbk_s = bench_p25_cc(C_audio)
-    dmrcc_x, dmrcc_step_s = bench_dmr_cc(C_audio)
-    nxdncc_x, _nxdncc_step = bench_nxdn_cc(C_audio)
-    edacscc_x, _edacscc_step = bench_edacs_cc(C_audio)
-    dstar_x, _dstar_step = bench_dstar_events(C_audio)
-    m17_x, _m17_step = bench_m17_events(C_audio)
-    fe_x, fe_step = bench_frontend(C_fe, 20)
-    parity = bench_pallas_parity()
+    t_start = time.perf_counter()
+
+    def _mark(name, result):
+        print(f"[bench] {name} done at +{time.perf_counter() - t_start:.0f}s",
+              file=sys.stderr, flush=True)
+        return result
+
+    audio_x, audio_step_s, block_s, frames = _mark(
+        "p25p1", bench_full_chain(C_audio))
+    dmr_x, dmr_step_s = _mark("dmr", bench_dmr_chain(C_audio))
+    nxdn_x, nxdn_step_s = _mark("nxdn48", bench_nxdn_chain(C_audio))
+    cqpsk_x, cqpsk_step_s = _mark("cqpsk", bench_cqpsk_chain(C_audio))
+    p2_x, p2_step_s = _mark("p25p2", bench_p25p2_chain(C_audio))
+    ysf_x, ysf_step_s = _mark("ysf", bench_ysf_chain(C_audio))
+    dpmr_x, dpmr_step_s = _mark("dpmr", bench_dpmr_chain(C_audio))
+    cc_x, cc_step_s, tsbk_s = _mark("p25cc", bench_p25_cc(C_audio))
+    dmrcc_x, dmrcc_step_s = _mark("dmrcc", bench_dmr_cc(C_audio))
+    nxdncc_x, _nxdncc_step = _mark("nxdncc", bench_nxdn_cc(C_audio))
+    edacscc_x, _edacscc_step = _mark("edacscc", bench_edacs_cc(C_audio))
+    dstar_x, _dstar_step = _mark("dstar", bench_dstar_events(C_audio))
+    m17_x, _m17_step = _mark("m17", bench_m17_events(C_audio))
+    fe_x, fe_step = _mark("frontend", bench_frontend(C_fe, 20))
+    parity = _mark("parity", bench_pallas_parity())
 
     print(json.dumps({
         "metric": "aggregate_iq_to_audio_x_realtime_per_chip",

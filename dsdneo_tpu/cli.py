@@ -191,6 +191,10 @@ def build_parser() -> argparse.ArgumentParser:
                         " udp:port (48 kHz PCM16LE discriminator tap)")
     p.add_argument("--duration", type=float, default=10.0,
                    help="live-input run length in seconds (0 = until ^C)")
+    p.add_argument("--m17-signature-public-key", default="", metavar="HEX",
+                   help="64-byte secp256r1 public key (raw X||Y hex) for "
+                        "M17 signed voice-stream verification (reference "
+                        "--m17-signature-public-key)")
     p.add_argument("--m17-aes", default="", metavar="HEX",
                    help="M17 AES-CTR key (32/48/64 hex chars)")
     # trunking tune policy + encryption lockout (reference -E/-p/-e,
@@ -269,6 +273,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "hangtime logic engages")
     p.add_argument("--p25-cc-grace", type=float, default=5.0, metavar="S",
                    help="control-channel silence timeout before hunting")
+    # P25 follower fine-tuning (reference args.c:632-700 CLI knobs; all
+    # override the DSD_NEO_* env values and land on TrunkSM params)
+    p.add_argument("--p25-min-follow-dwell", type=float, default=None,
+                   metavar="S", help="minimum dwell on a followed VC "
+                   "before release is allowed")
+    p.add_argument("--p25-grant-voice-timeout", type=float, default=None,
+                   metavar="S", help="grant-to-voice timeout before "
+                   "returning to the CC")
+    p.add_argument("--p25-mac-hold", type=float, default=None, metavar="S",
+                   help="P25p2 MAC-activity hold extension")
+    p.add_argument("--p25-ring-hold", type=float, default=None, metavar="S",
+                   help="ring/page hold extension")
+    p.add_argument("--p25-force-release-extra", type=float, default=None,
+                   metavar="S", help="extra budget past hangtime before "
+                   "force release")
+    p.add_argument("--p25-force-release-margin", type=float, default=None,
+                   metavar="S", help="margin before the force-release "
+                   "deadline")
+    p.add_argument("--p25-p1-err-hold-pct", type=float, default=None,
+                   metavar="PCT", help="IMBE error-rate threshold that "
+                   "extends hangtime")
+    p.add_argument("--p25-p1-err-hold-sec", type=float, default=None,
+                   metavar="S", help="hangtime extension on high error "
+                   "rate")
     p.add_argument("--fleet", default="", metavar="SPEC",
                    help="fleet monitoring over the replay: comma list "
                         "of mode:kind:count groups (kind voice|cc), "
@@ -512,6 +540,8 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
         attrs["m17_scrambler_key"] = int(args.m17_scrambler, 16)
     if args.m17_aes:
         attrs["m17_aes_key"] = bytes.fromhex(args.m17_aes)
+    if args.m17_signature_public_key:
+        attrs["m17_pubkey"] = bytes.fromhex(args.m17_signature_public_key)
     if args.edacs_ea:
         attrs["edacs_ea"] = True
     if args.esk:

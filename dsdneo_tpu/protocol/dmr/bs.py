@@ -757,6 +757,13 @@ class DmrBsDecoder(ProtocolDecoder):
                 sf_ks = s_obj.dmr_sf_keystream = \
                     bits16[np.arange(882) % 16]
         static_ks = getattr(s_obj, "dmr_static_ks", None)
+        if static_ks is None:
+            # Vertex per-key static keystream map (reference
+            # dsd_import.c vertex_ks_parse_row: key_hex,keystream_spec
+            # rows; the slot's announced KEY ID selects the entry)
+            vmap = getattr(s_obj, "dmr_vertex_ks_map", None)
+            if vmap:
+                static_ks = vmap.get(self.crypto[slot]["kid"])
         fcount = getattr(s_obj, "dmr_vc_frame_count", 0)
         params = []
         for k in range(3):

@@ -149,6 +149,21 @@ class M17Decoder(ProtocolDecoder):
         self._scr_cache: tuple[int, int] | None = None  # (next_fn, lfsr)
         # META text assembly: expected/received block bitmaps + chars
         self._txt = {"expect": 0, "got": 0, "chars": {}}
+        # signed-stream tracking (reference m17.c:381-935, m17_parse.c:
+        # 53-105): TYPE bit 11 advertises an ECDSA P-256 signature over
+        # a rolling 16-byte XOR/rotate digest of every raw payload,
+        # delivered in the 4 frames FN 7FFC/7FFD/7FFE/FFFF.
+        self._sig_adv = False
+        self._sig_digest = bytearray(16)
+        self._sig = bytearray(64)
+        self._sig_mask = 0
+        self._sig_done = False
+
+    def _sig_reset(self) -> None:
+        self._sig_digest = bytearray(16)
+        self._sig = bytearray(64)
+        self._sig_mask = 0
+        self._sig_done = False
 
     def _payload_bits(self, reader: DibitReader, start: int) -> np.ndarray | None:
         if start + 184 > len(reader.dibits):
@@ -224,6 +239,12 @@ class M17Decoder(ProtocolDecoder):
             self._dt, self._enc, self._enc_st = dt, enc, est
             self._meta = bytes(_pack_bytes(lsf[112:224]))
             self._scr_cache = None
+            adv = bool((tw >> 11) & 1)
+            if adv:
+                # a standalone LSF starts the stream: fresh digest
+                # (reference m17_apply_lsf_result m17.c:381-387)
+                self._sig_reset()
+            self._sig_adv = adv
         line = (f"Sync: {polarity}M17 {label} \n CAN: {cn}"
                 f" DST: {decode_callsign(dst)} SRC: {decode_callsign(src)}"
                 f"{DT_NAMES.get(dt, '') if ps else ' Packet'}"
@@ -356,6 +377,12 @@ class M17Decoder(ProtocolDecoder):
                     self._enc = (tw >> 3) & 3
                     self._enc_st = (tw >> 5) & 3
                     self._meta = bytes(_pack_bytes(lsf[112:224]))
+                    adv = bool((tw >> 11) & 1)
+                    if adv and not self._sig_adv:
+                        # signature advertisement begins a fresh digest
+                        # (reference m17_apply_lsf_result:381-387)
+                        self._sig_reset()
+                    self._sig_adv = adv
                 detail = (f"\n CAN: {cn} DST: {decode_callsign(dst)}"
                           f" SRC: {decode_callsign(src)}{DT_NAMES.get(dt, '')}"
                           f"{ENC_NAMES.get(self._enc, '') if self._enc else ''}")
@@ -370,6 +397,12 @@ class M17Decoder(ProtocolDecoder):
             fields["fn"] = fn & 0x7FFF
             if fn & 0x8000:
                 line += "EOT "
+            sig_line = self._sig_track(fn, payload[16:144], ctx)
+            if sig_line is not None:
+                # signature frames carry r||s chunks, not voice
+                # (reference M17collectSignaturePayload consumes them)
+                ctx.emit(line + sig_line, "m17", hit.pos, **fields)
+                return hit.end + 184
             sink = getattr(ctx, "m17_udp", None)
             if sink is not None and self._last_lsf is not None:
                 from dsdneo_tpu.protocol.m17.ip import pack_stream_frame
@@ -379,6 +412,44 @@ class M17Decoder(ProtocolDecoder):
             detail += self._voice(payload[16:144], fn & 0x7FFF, ctx)
         ctx.emit(line + detail, "m17", hit.pos, **fields)
         return hit.end + 184
+
+    # -- signed streams -----------------------------------------------------
+
+    def _sig_track(self, fn: int, v128: np.ndarray, ctx) -> str | None:
+        """Signed-stream bookkeeping (reference m17.c:888-935 +
+        m17_parse.c:64-105).  Returns a detail line when ``fn`` is one
+        of the four signature frames (the caller then skips voice
+        processing), else None after folding the raw payload into the
+        rolling digest."""
+        if not self._sig_adv or self._dt not in (2, 3):
+            return None
+        raw = bytes(_pack_bytes(v128))
+        idx = {0x7FFC: 0, 0x7FFD: 1, 0x7FFE: 2, 0xFFFF: 3}.get(fn)
+        if idx is None:
+            if (fn & 0x7FFF) < 0x7FFC:
+                # digest = rotate_left_bytes(digest XOR payload)
+                d = bytes(a ^ b for a, b in zip(self._sig_digest, raw))
+                self._sig_digest = bytearray(d[1:] + d[:1])
+            return None
+        bad_seq = idx > 0 and not (self._sig_mask & (1 << (idx - 1)))
+        self._sig[idx * 16:(idx + 1) * 16] = raw
+        self._sig_mask |= 1 << idx
+        out = " SIG: " + "".join(f"[{b:02X}]" for b in raw)
+        if idx == 3 and self._sig_mask == 0x0F and not self._sig_done:
+            self._sig_done = True
+            out += " COMPLETE;"
+            pub = getattr(ctx.state, "m17_pubkey", None)
+            if not pub:
+                out += " NO PUBKEY;"
+            else:
+                from dsdneo_tpu.crypto.ecdsa import p256_verify_digest
+                ok = p256_verify_digest(bytes(self._sig_digest),
+                                        bytes(pub), bytes(self._sig))
+                out += " VERIFIED;" if ok else " VERIFY FAIL;"
+                ctx.state.m17_sig_status = "valid" if ok else "invalid"
+        elif bad_seq:
+            out += " SEQUENCE ERR;"
+        return out
 
     # -- stream voice -------------------------------------------------------
 

@@ -52,13 +52,14 @@ def _bits_of_int(v: int, n: int) -> np.ndarray:
 
 def build_lsf(dst: str, src: str, can: int = 0, stream: bool = True,
               dt: int = 2, meta: bytes = b"", enc: int = 0,
-              enc_st: int = 0) -> np.ndarray:
+              enc_st: int = 0, signed_stream: bool = False) -> np.ndarray:
     """→ 240 LSF bits (DST, SRC, TYPE, META, CRC16)."""
     lsf = np.zeros(240, dtype=np.uint8)
     lsf[0:48] = _bits_of_int(encode_callsign(dst), 48)
     lsf[48:96] = _bits_of_int(encode_callsign(src), 48)
     tw = ((1 if stream else 0) | (dt << 1) | ((enc & 3) << 3)
-          | ((enc_st & 3) << 5) | ((can & 0xF) << 7))
+          | ((enc_st & 3) << 5) | ((can & 0xF) << 7)
+          | ((1 if signed_stream else 0) << 11))
     lsf[96:112] = _bits_of_int(tw, 16)
     mb = (meta + bytes(14))[:14]
     for i, byte in enumerate(mb):
@@ -121,19 +122,26 @@ def encode_stream_transmission(dst: str, src: str, voice_frames: np.ndarray,
                                can: int = 0, dt: int = 2, enc: int = 0,
                                enc_st: int = 0, meta: bytes = b"",
                                scrambler_seed: int = 0,
-                               aes_key: bytes | None = None) -> np.ndarray:
+                               aes_key: bytes | None = None,
+                               sign_key: int = 0,
+                               sign_k: int = 0) -> np.ndarray:
     """Full TX: preamble + LSF frame + stream frames → dibit array.
 
     voice_frames: [F, 128] codec2 bit payloads (zeros for silence).
     With enc=1/2 the payloads are scrambler/AES-CTR encrypted exactly
     as the reference TX does (m17.c m17_str_encode → encrypt before
-    conv-encoding), so the RX decrypt path round-trips."""
+    conv-encoding), so the RX decrypt path round-trips.  With a
+    ``sign_key`` (P-256 scalar) the stream is signed: TYPE bit 11 is
+    set, the rolling XOR/rotate digest is taken over every transmitted
+    payload, and the 64-byte r||s signature rides the four tail frames
+    FN 7FFC/7FFD/7FFE/FFFF (reference m17.c:888-935 RX contract)."""
     lsf = build_lsf(dst, src, can=can, stream=True, dt=dt, meta=meta,
-                    enc=enc, enc_st=enc_st)
+                    enc=enc, enc_st=enc_st, signed_stream=bool(sign_key))
     out = [np.array([3, 1] * 24, dtype=np.uint8)]        # preamble dotting
     out.append(np.array(SYNC_LSF, dtype=np.uint8))
     out.append(encode_lsf_frame(lsf))
     fcount = voice_frames.shape[0]
+    digest = bytearray(16)
     for i in range(fcount):
         v = voice_frames[i].astype(np.uint8)
         if enc == 1 and scrambler_seed:
@@ -150,7 +158,23 @@ def encode_stream_transmission(dst: str, src: str, voice_frames: np.ndarray,
             v = v ^ np.unpackbits(ks)
         out.append(np.array(SYNC_STR, dtype=np.uint8))
         out.append(encode_stream_frame(lsf, i % 6, i, v,
-                                       eot=(i == fcount - 1)))
+                                       eot=(not sign_key
+                                            and i == fcount - 1)))
+        if sign_key:
+            raw = np.packbits(v).tobytes()
+            d = bytes(a ^ b for a, b in zip(digest, raw))
+            digest = bytearray(d[1:] + d[:1])
+    if sign_key:
+        from dsdneo_tpu.crypto.ecdsa import p256_sign_digest
+        sig = p256_sign_digest(bytes(digest), sign_key,
+                               sign_k or 0x1D0C5F2A9B3E7481)
+        for j, fn in enumerate((0x7FFC, 0x7FFD, 0x7FFE, 0x7FFF)):
+            chunk = np.unpackbits(
+                np.frombuffer(sig[j * 16:(j + 1) * 16], dtype=np.uint8))
+            out.append(np.array(SYNC_STR, dtype=np.uint8))
+            out.append(encode_stream_frame(lsf, (fcount + j) % 6, fn,
+                                           chunk.astype(np.uint8),
+                                           eot=(j == 3)))
     out.append(_eot_and_dead_air())
     return np.concatenate(out)
 
