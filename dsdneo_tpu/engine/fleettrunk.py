@@ -1,0 +1,266 @@
+"""Fleet-scale CLOSED-LOOP trunking: control-channel grants rewrite
+per-channel extraction rows between device steps — zero recompiles.
+
+The reference follows ONE trunked call by retuning one tuner from its
+controller thread (src/io/radio/rtl_sdr_fm.cpp:4665
+controller_thread_retune_loop; scan rotation
+src/engine/trunk_scan.c:1795).  The TPU re-expression (SURVEY.md §2.8):
+"retune = rewrite a channel's NCO/config row between steps".  One
+wideband block per step runs
+
+  1. a shared 2x-oversampled PFB over the whole band (dsp.channelizer),
+  2. a ROW EXTRACTOR: R rows, each holding an integer-Hz offset from
+     band center as *data* (a [R] int32 array input, never a static) —
+     nearest PFB channel gather + exact integer-phase residual NCO +
+     halfband → a 48 kHz baseband per row,
+  3. the batched CC pipeline over the control rows (engine.ccbatch) and
+     the batched voice pipeline over the voice rows,
+
+and the host control plane walks the new CC events: a Group Voice
+Channel Grant resolves channel→frequency through the per-CC iden table
+and REWRITES a free voice row's offset for the next step.  Hangtime
+expiry (no PCM energy on the row) parks the row again.  Because row
+offsets are program *inputs*, grant → retarget → decode costs zero
+recompilation — the whole trunked fleet is one compiled program per
+block shape.
+
+Unlike the reference (and unlike the serial LiveEngine+TrunkSM path,
+which both follow ONE call at a time), every voice row is an
+independent concurrent call slot: a fleet with V rows follows V
+simultaneous grants across any number of monitored systems.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+CHANNEL_RATE = 48000.0
+
+
+# -- the row extractor -------------------------------------------------------
+def make_row_extractor(n_ch: int, taps_per_branch: int = 12):
+    """Jitted (wide [B] complex | [B, 2] float, offs_hz [R] int32) →
+    [R, B'] complex64 48 kHz basebands.
+
+    Exact integer phase for the residual NCO: with fs2 = 96000 and
+    res ∈ [-24000, 24000] Hz integer, phase(n)·fs2 = (a·((K·res) mod
+    fs2) + b·(res mod fs2)) mod fs2 for n = a·K + b, K = 8192 — every
+    product stays < 2^31, so the NCO phase is bit-exact over arbitrary
+    block lengths (a float32 f·n/fs accumulates ~0.1-cycle error by
+    n ≈ 10^6)."""
+    import jax
+    import jax.numpy as jnp
+    from dsdneo_tpu.dsp import firdes, frontend
+    from dsdneo_tpu.dsp.channelizer import channelize_os2
+
+    hb = firdes.lowpass_taps(62, 2.0, 0.5,
+                             window="blackman-harris").astype(np.float32)
+    fs2 = 2 * int(CHANNEL_RATE)
+    K = 8192
+
+    @jax.jit
+    def run(wide, offs_hz):
+        x = (jax.lax.complex(wide[..., 0], wide[..., 1])
+             if wide.ndim == 2 else wide)
+        ch2 = channelize_os2(x, n_ch, taps_per_branch)     # [n_ch, B2] @96k
+        # nearest PFB bin (centers at k·48k, FFT wrap) + integer residual
+        kidx = jnp.round(offs_hz / CHANNEL_RATE).astype(jnp.int32)
+        res = offs_hz - kidx * jnp.int32(CHANNEL_RATE)     # [-24k, 24k]
+        rows = ch2[jnp.mod(kidx, n_ch)]                    # [R, B2]
+        B2 = ch2.shape[1]
+        n = jnp.arange(B2, dtype=jnp.int32)
+        a, b = n // K, n % K
+        r1 = jnp.mod(K * res, fs2)[:, None]                # [R, 1]
+        rm = jnp.mod(res, fs2)[:, None]
+        ph = jnp.mod(jnp.mod(a[None, :] * r1, fs2) + b[None, :] * rm, fs2)
+        ang = (-2.0 * jnp.pi / fs2) * ph.astype(jnp.float32)
+        mixed = rows * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        return frontend.decimate2_halfband(mixed, hb)      # [R, B'] @48k
+
+    return run
+
+
+# -- control plane -----------------------------------------------------------
+@dataclass
+class VoiceCall:
+    """One active call slot (a voice row following a grant)."""
+    row: int                  # voice-row index (0-based within vc rows)
+    tg: int
+    src: int
+    freq_hz: float            # absolute
+    system: int               # CC row index that granted it
+    granted_at: float
+    last_voice: float
+    pcm_samples: int = 0
+
+
+@dataclass
+class FleetStats:
+    grants: int = 0
+    grant_refreshes: int = 0
+    releases: int = 0
+    busy_drops: int = 0       # grants dropped: no free voice row
+    policy_drops: int = 0
+    unresolved: int = 0       # grants with no channel→freq resolution
+
+
+class TrunkedFleet:
+    """Closed-loop trunked fleet over one wideband stream.
+
+    ``cc_offsets_hz``: control-channel offsets from band center (Hz,
+    integer); ``n_voice_rows``: concurrent call slots.  ``step(wide)``
+    consumes one wideband block ([B] complex or [B, 2] float planes)
+    and returns the [V, T] float32 PCM of the voice rows.
+    """
+
+    def __init__(self, fs: float, cc_offsets_hz, n_voice_rows: int,
+                 center_hz: float = 0.0, mode: str = "p25p1",
+                 cqpsk: bool = False, hangtime_s: float = 1.0,
+                 grant_grace_s: float = 1.5, sync_threshold: float = 0.62,
+                 tg_policy=None, pcm_fmt: str = "f16"):
+        n_ch = int(round(fs / CHANNEL_RATE))
+        if abs(fs - n_ch * CHANNEL_RATE) > 1.0 or n_ch < 2:
+            raise ValueError(f"fs {fs:g} must be a ≥2 multiple of 48 kHz")
+        if mode != "p25p1":
+            raise ValueError("trunked fleet currently drives the P25p1 "
+                             f"CC+voice pipelines (got mode={mode!r})")
+        from dsdneo_tpu.engine.ccbatch import BatchedP25ControlPipeline
+        from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
+        self.fs = fs
+        self.n_ch = n_ch
+        self.center_hz = center_hz
+        self.n_cc = len(cc_offsets_hz)
+        self.n_vc = n_voice_rows
+        self.hangtime_s = hangtime_s
+        self.grant_grace_s = grant_grace_s
+        self.tg_policy = tg_policy or (lambda tg: True)
+        # row offsets: CC rows first, then voice rows parked on CC 0
+        self.offs = np.zeros(self.n_cc + self.n_vc, dtype=np.int32)
+        self.offs[:self.n_cc] = np.asarray(cc_offsets_hz, dtype=np.int32)
+        self.offs[self.n_cc:] = self.offs[0]
+        self._extract = make_row_extractor(n_ch)
+        self.cc_pipe = BatchedP25ControlPipeline(
+            self.n_cc, fs=CHANNEL_RATE, cqpsk=cqpsk,
+            sync_threshold=sync_threshold)
+        self.vc_pipe = BatchedP25VoicePipeline(
+            self.n_vc, fs=CHANNEL_RATE, cqpsk=cqpsk,
+            sync_threshold=sync_threshold, pcm_fmt=pcm_fmt)
+        self.calls: dict[int, VoiceCall] = {}       # row -> call
+        self._free = list(range(self.n_vc))
+        self._ev_cursor = [0] * self.n_cc
+        self.clock = 0.0
+        self.blocks = 0
+        self.stats = FleetStats()
+        self.log: list[str] = []
+
+    # -- grant handling -----------------------------------------------------
+    def _resolve_freq(self, cc: int, fields: dict) -> float:
+        ch = int(fields.get("channel", 0) or 0)
+        if ch in (0, 0xFFFF):
+            return 0.0
+        it = getattr(self.cc_pipe.ctxs[cc].state, "iden_table", None)
+        if it is None:
+            return 0.0
+        f = it.channel_to_freq(ch)
+        return float(f) if f else 0.0
+
+    def _on_grant(self, cc: int, fields: dict) -> None:
+        tg = int(fields.get("tg", 0) or 0)
+        freq = self._resolve_freq(cc, fields)
+        if freq <= 0:
+            self.stats.unresolved += 1
+            return
+        off = int(round(freq - self.center_hz))
+        if abs(off) > self.fs / 2 - CHANNEL_RATE / 2:
+            self.stats.unresolved += 1
+            return
+        # grant repeat for an active call = activity (refresh hangtime)
+        for call in self.calls.values():
+            if int(round(call.freq_hz - self.center_hz)) == off:
+                call.last_voice = self.clock
+                self.stats.grant_refreshes += 1
+                return
+        if not self.tg_policy(tg):
+            self.stats.policy_drops += 1
+            return
+        if not self._free:
+            self.stats.busy_drops += 1
+            return
+        row = self._free.pop(0)
+        self.offs[self.n_cc + row] = off
+        self.calls[row] = VoiceCall(
+            row=row, tg=tg, src=int(fields.get("src", 0) or 0),
+            freq_hz=freq, system=cc, granted_at=self.clock,
+            last_voice=self.clock)
+        self.stats.grants += 1
+        self.log.append(f"[{self.clock:7.2f}s] GRANT TG {tg} -> row {row}"
+                        f" @ {freq / 1e6:.4f} MHz (sys {cc})")
+
+    def _walk_cc_events(self) -> None:
+        for cc in range(self.n_cc):
+            evs = self.cc_pipe.ctxs[cc].events
+            for ev in evs[self._ev_cursor[cc]:]:
+                if ev.fields.get("grant"):
+                    self._on_grant(cc, ev.fields)
+            self._ev_cursor[cc] = len(evs)
+
+    def _tick_releases(self) -> None:
+        for row, call in list(self.calls.items()):
+            idle = self.clock - call.last_voice
+            age = self.clock - call.granted_at
+            if idle > self.hangtime_s and age > self.grant_grace_s:
+                self.log.append(f"[{self.clock:7.2f}s] RELEASE TG "
+                                f"{call.tg} row {row} "
+                                f"({call.pcm_samples} samples)")
+                del self.calls[row]
+                self._free.append(row)
+                self.offs[self.n_cc + row] = self.offs[0]   # park on CC 0
+                self.stats.releases += 1
+
+    # -- the step -------------------------------------------------------------
+    def step(self, wide: np.ndarray) -> np.ndarray:
+        """One wideband block → [n_voice_rows, T] float32 PCM.  CC
+        grants observed in this block retarget rows for the NEXT block
+        (the reference's controller thread likewise retunes between
+        demod iterations)."""
+        import jax.numpy as jnp
+        rows = self._extract(
+            wide if hasattr(wide, "device") else jnp.asarray(wide),
+            jnp.asarray(self.offs))
+        block_s = float(rows.shape[1]) / CHANNEL_RATE
+        self.cc_pipe.decode_block_events(rows[:self.n_cc])
+        if self.calls:
+            pcm = self.vc_pipe.decode_block(rows[self.n_cc:])
+        else:
+            pcm = np.zeros((self.n_vc, 0), dtype=np.float32)
+        # voice activity per active row: PCM energy refreshes hangtime
+        if pcm.shape[1]:
+            energy = np.abs(pcm).mean(axis=1)
+            for row, call in self.calls.items():
+                if energy[row] > 1e-4:
+                    call.last_voice = self.clock + block_s
+                    call.pcm_samples += int(pcm.shape[1])
+        self.clock += block_s
+        self.blocks += 1
+        self._walk_cc_events()
+        self._tick_releases()
+        return pcm
+
+    # -- introspection --------------------------------------------------------
+    def row_dicts(self) -> list[dict]:
+        """Channel-grid rows (ui.panes style): CC rows then voice rows."""
+        out = []
+        for i in range(self.n_cc):
+            out.append({"id": i, "freq_hz": float(self.offs[i]),
+                        "state": "cc", "tg": 0})
+        for v in range(self.n_vc):
+            call = self.calls.get(v)
+            out.append({
+                "id": self.n_cc + v,
+                "freq_hz": float(self.offs[self.n_cc + v]),
+                "state": f"voice TG {call.tg}" if call else "idle",
+                "tg": call.tg if call else 0})
+        return out
