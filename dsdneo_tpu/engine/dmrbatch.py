@@ -118,13 +118,17 @@ def synth_voice_stream(n_superframes: int = 8, seed: int = 0,
 @partial(jax.jit, static_argnames=("C", "n_steps", "pcm_fmt"))
 def dmr_voice_decode_gather(dibits, sf_ch, sf_pos, sf_inv, offs, fch,
                             forder, C: int, n_steps: int,
-                            pcm_fmt: str = "f16"):
+                            pcm_fmt: str = "f16", state=None):
     """Device program: superframe gather → AMBE ECC → dequant →
-    scatter → synthesis.  Pad superframes use sf_ch == C; sf_inv flags
-    inverted-polarity hits (dibit ^ 2)."""
+    scatter → repeat gate → synthesis.  Pad superframes use sf_ch == C;
+    sf_inv flags inverted-polarity hits (dibit ^ 2).  ``state`` is the
+    (synthesis, frame-repeat) carry from the previous block — phase-
+    continuous talkers across blocks, corrupt frames repeating the
+    last good parameters (≤3) before muting.  Returns (wire, state)."""
     from dsdneo_tpu.fec.device import ambe_ecc_batch
-    from dsdneo_tpu.vocoder.device import ambe_decode_params
-    from dsdneo_tpu.vocoder.synth import synthesize
+    from dsdneo_tpu.vocoder.device import (ambe_params_gated,
+                                           scatter_repeat_synth,
+                                           voice_state_init)
 
     Tn = dibits.shape[1]
     pos = jnp.clip(sf_pos[:, None, None] + offs[None], 0, Tn - 1)
@@ -136,34 +140,11 @@ def dmr_voice_decode_gather(dibits, sf_ch, sf_pos, sf_inv, offs, fch,
     bits72 = bits72.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
 
     bits49, _errs = ambe_ecc_batch(bits72)
-    w0, L, voiced, amps = ambe_decode_params(bits49)
-    from dsdneo_tpu.vocoder.device import ambe_frame_mask
-    amps = amps * ambe_frame_mask(bits49, _errs)[:, None]
-
-    def scat(vals, shape, dtype):
-        z = jnp.zeros((C + 1, n_steps) + shape, dtype)
-        return z.at[fch, forder].set(vals.astype(dtype))[:C]
-
-    w0s = scat(w0, (), jnp.float32)
-    Vs = scat(voiced, (MAX_L,), jnp.float32)
-    As = scat(amps, (MAX_L,), jnp.float32)
-
-    noise = (jnp.mod(jnp.arange(C * n_steps * MAX_L, dtype=jnp.float32)
-                     * 2.399963, 2 * jnp.pi)).reshape(C, n_steps, MAX_L)
-    pcm = jax.vmap(synthesize)(w0s, As, Vs, noise)
-    # fixed output scaling (the host synthesize_frames normalizes each
-    # call's peak; a static scale keeps the device program data-
-    # independent), clipped to full scale
-    pcm = jnp.clip(pcm * 0.02, -1.0, 1.0)
-    if pcm_fmt == "adpcm":
-        from dsdneo_tpu.ops.audio_wire import adpcm_compress
-        return adpcm_compress(pcm.reshape(pcm.shape[0], -1))
-    if pcm_fmt == "mulaw":
-        # G.711 µ-law wire format: halves the PCM DMA, which dominates
-        # the tunneled chain at high channel counts
-        y = jnp.sign(pcm) * jnp.log1p(255.0 * jnp.abs(pcm)) / np.log1p(255.0)
-        return jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
-    return pcm.astype(jnp.float16)
+    w0, voiced, amps, good = ambe_params_gated(bits49, _errs)
+    if state is None:
+        state = voice_state_init(C)
+    return scatter_repeat_synth(w0, voiced, amps, good, fch, forder,
+                                C, n_steps, state, pcm_fmt)
 
 
 _MULAW_LUT: np.ndarray | None = None
@@ -381,11 +362,14 @@ class BatchedDmrVoicePipeline:
         fchp[:S * 18] = fch
         fordp = np.zeros(Sp * 18, dtype=np.int32)
         fordp[:S * 18] = forder
-        return dmr_voice_decode_gather(
+        # synthesis + frame-repeat carry stays device-resident between
+        # blocks (see vocoder.device.scatter_repeat_synth)
+        wire, self._vstate = dmr_voice_decode_gather(
             dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
             jnp.asarray(aip), self._offs,
             jnp.asarray(fchp), jnp.asarray(fordp), self.C, Tp,
-            pcm_fmt=self.pcm_fmt)
+            pcm_fmt=self.pcm_fmt, state=getattr(self, "_vstate", None))
+        return wire
 
     def fetch_pcm(self, handle) -> np.ndarray:
         if handle is None:

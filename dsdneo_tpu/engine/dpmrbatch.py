@@ -189,11 +189,12 @@ class BatchedDpmrVoicePipeline:
         fchp[:F * FRAMES_PER_PART] = fch
         fordp = np.zeros(Fp * FRAMES_PER_PART, dtype=np.int32)
         fordp[:F * FRAMES_PER_PART] = forder
-        return nxdn_voice_decode_gather(
+        wire, self._vstate = nxdn_voice_decode_gather(
             dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
             jnp.asarray(aip), self._offs, self._flips,
             jnp.asarray(fchp), jnp.asarray(fordp), self.C, Tp,
-            pcm_fmt=self.pcm_fmt)
+            pcm_fmt=self.pcm_fmt, state=getattr(self, "_vstate", None))
+        return wire
 
     def fetch_pcm(self, handle) -> np.ndarray:
         if handle is None:

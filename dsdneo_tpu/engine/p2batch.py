@@ -181,16 +181,18 @@ def synth_p2_voice_stream(n_superframes: int = 8, seed: int = 0,
 @partial(jax.jit, static_argnames=("C2", "n_steps", "pcm_fmt"))
 def p2_voice_decode_gather(dibits, scr_tab, f_ch, f_tpos, f_row, f_offidx,
                            f_out, f_ord, ks_bytes, C2: int, n_steps: int,
-                           pcm_fmt: str = "f16"):
+                           pcm_fmt: str = "f16", state=None):
     """Device program: voice-frame gather → LFSR descramble → AMBE ECC
     → RC4 keystream XOR → dequant → scatter by (out stream, order) →
-    synthesis.  Pad frames use f_out == C2.  ``scr_tab`` is the
-    [12·360+380] scramble bit table for the channel's WACN/SYS/NAC;
-    ``ks_bytes`` [F, 7] is the per-frame RC4 keystream (zeros = clear).
-    """
+    repeat gate → synthesis.  Pad frames use f_out == C2.  ``scr_tab``
+    is the [12·360+380] scramble bit table for the channel's
+    WACN/SYS/NAC; ``ks_bytes`` [F, 7] is the per-frame RC4 keystream
+    (zeros = clear); ``state`` is the (synthesis, frame-repeat) carry
+    from the previous block.  Returns (wire, state)."""
     from dsdneo_tpu.fec.device import ambe_ecc_batch
-    from dsdneo_tpu.vocoder.device import ambe_decode_params
-    from dsdneo_tpu.vocoder.synth import synthesize
+    from dsdneo_tpu.vocoder.device import (ambe_params_gated,
+                                           scatter_repeat_synth,
+                                           voice_state_init)
 
     Tn = dibits.shape[1]
     off_d = jnp.asarray([o // 2 for o in VOICE_BIT_OFFS], jnp.int32)
@@ -210,28 +212,11 @@ def p2_voice_decode_gather(dibits, scr_tab, f_ch, f_tpos, f_row, f_offidx,
     ksb = ((ks_bytes[:, :, None] >> jnp.arange(7, -1, -1)) & 1
            ).reshape(ks_bytes.shape[0], 56).astype(jnp.uint8)
     bits49 = bits49 ^ ksb[:, :49]
-    w0, L, voiced, amps = ambe_decode_params(bits49)
-    from dsdneo_tpu.vocoder.device import ambe_frame_mask
-    amps = amps * ambe_frame_mask(bits49, _errs)[:, None]
-
-    def scat(vals, shape, dtype):
-        z = jnp.zeros((C2 + 1, n_steps) + shape, dtype)
-        return z.at[f_out, f_ord].set(vals.astype(dtype))[:C2]
-
-    w0s = scat(w0, (), jnp.float32)
-    Vs = scat(voiced, (MAX_L,), jnp.float32)
-    As = scat(amps, (MAX_L,), jnp.float32)
-    noise = (jnp.mod(jnp.arange(C2 * n_steps * MAX_L, dtype=jnp.float32)
-                     * 2.399963, 2 * jnp.pi)).reshape(C2, n_steps, MAX_L)
-    pcm = jax.vmap(synthesize)(w0s, As, Vs, noise)
-    pcm = jnp.clip(pcm * 0.02, -1.0, 1.0)
-    if pcm_fmt == "adpcm":
-        from dsdneo_tpu.ops.audio_wire import adpcm_compress
-        return adpcm_compress(pcm.reshape(pcm.shape[0], -1))
-    if pcm_fmt == "mulaw":
-        y = jnp.sign(pcm) * jnp.log1p(255.0 * jnp.abs(pcm)) / np.log1p(255.0)
-        return jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
-    return pcm.astype(jnp.float16)
+    w0, voiced, amps, good = ambe_params_gated(bits49, _errs)
+    if state is None:
+        state = voice_state_init(C2)
+    return scatter_repeat_synth(w0, voiced, amps, good, f_out, f_ord,
+                                C2, n_steps, state, pcm_fmt)
 
 
 class BatchedP2VoicePipeline:
@@ -675,11 +660,13 @@ class BatchedP2VoicePipeline:
         ksp[:F] = ks
         if self._scr_dev is None:
             self._scr_dev = jnp.asarray(self._scr.astype(np.uint8))
-        return p2_voice_decode_gather(
+        wire, self._vstate = p2_voice_decode_gather(
             dibits_dev, self._scr_dev, pad(f_ch), pad(f_tpos),
             pad(f_row), pad(f_offidx),
             pad(f_out, fill=C2), pad(f_ord), jnp.asarray(ksp),
-            C2, Tp, pcm_fmt=self.pcm_fmt)
+            C2, Tp, pcm_fmt=self.pcm_fmt,
+            state=getattr(self, "_vstate", None))
+        return wire
 
     def fetch_pcm(self, handle) -> np.ndarray:
         if handle is None:

@@ -701,13 +701,17 @@ class BatchedP25VoicePipeline:
             sy = (jnp.zeros(self.C, jnp.float32),
                   jnp.zeros(self.C, jnp.float32),
                   jnp.zeros((self.C, _ML), jnp.float32))
-        pcm, f_logm, f_L, synth_out, _aux = voice_decode_gather(
+        # frame-repeat carry: corrupt frames re-use the last good
+        # parameters (≤3) before muting, across block boundaries too
+        rp = getattr(self, "_dev_rep_state", None)
+        pcm, f_logm, f_L, synth_out, rep_out = voice_decode_gather(
             dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
             self._frame_offs, jnp.asarray(fchp), jnp.asarray(fordp),
             st[0], st[1], self.C, Tp, pcm_fmt=self.pcm_fmt,
-            prev_synth=sy)
+            prev_synth=sy, rep_state=rp)
         self._dev_pred_state = (f_logm, f_L)
         self._dev_synth_state = synth_out
+        self._dev_rep_state = rep_out
         return pcm
 
     def fetch_pcm(self, handle) -> np.ndarray:
@@ -748,6 +752,20 @@ class BatchedP25VoicePipeline:
         w0s = np.zeros((self.C, n_steps), dtype=np.float32)
         amps = np.zeros((self.C, n_steps, MAX_L), dtype=np.float32)
         voiced = np.zeros((self.C, n_steps, MAX_L), dtype=np.float32)
+        # tone fields + presence for the repeat/tone contract below
+        # (host mirror of vocoder.device imbe_tone_params/repeat_gate)
+        w7 = 2 ** np.arange(6, -1, -1)
+        id1 = bits88[:, 12:19] @ w7
+        id2 = bits88[:, 19:26] @ w7
+        ad = bits88[:, 26:33] @ w7
+        is_tone = (b0 >= 208) & (b0 <= 219) & (id1 == id2) & (errs <= 5)
+        tw0_all = (2 * np.pi * 31.25 / 8000.0) * id1.astype(np.float32)
+        tamp_all = ad.astype(np.float32) * (75.0 / 8000.0)
+        pres = np.zeros((self.C, n_steps), dtype=bool)
+        goodm = np.zeros((self.C, n_steps), dtype=bool)
+        tone_on = np.zeros((self.C, n_steps), dtype=bool)
+        tone_w0 = np.zeros((self.C, n_steps), dtype=np.float32)
+        tone_amp = np.zeros((self.C, n_steps), dtype=np.float32)
         for t in range(n_steps):
             sel = forder == t
             ch = fch[sel]
@@ -768,6 +786,37 @@ class BatchedP25VoicePipeline:
             w0s[:, t] = w0_t
             voiced[:, t] = v_t
             amps[:, t] = a_t
+            pres[ch, t] = True
+            goodm[ch, t] = good[sel]
+            tone_on[ch, t] = is_tone[sel]
+            tone_w0[ch, t] = tw0_all[sel]
+            tone_amp[ch, t] = tamp_all[sel]
+
+        # clean tone codes synthesize single-harmonic tones; corrupt
+        # frames repeat the last good parameters (≤3) before muting —
+        # sequential host mirror of the device repeat gate
+        w0s = np.where(tone_on, tone_w0, w0s)
+        for c, t in zip(*np.nonzero(tone_on)):
+            voiced[c, t] = 0.0
+            voiced[c, t, 0] = 1.0
+            amps[c, t] = 0.0
+            amps[c, t, 0] = tone_amp[c, t] * 0.5
+        goodm |= tone_on
+        for c in range(self.C):
+            last, reps = -1, 0
+            for t in range(n_steps):
+                if goodm[c, t]:
+                    last, reps = t, 0
+                elif pres[c, t]:
+                    reps += 1
+                    if last >= 0 and reps <= 3:
+                        w0s[c, t] = w0s[c, last]
+                        voiced[c, t] = voiced[c, last]
+                        amps[c, t] = amps[c, last]
+                    else:
+                        w0s[c, t] = 0.0
+                        voiced[c, t] = 0.0
+                        amps[c, t] = 0.0
 
         pcm = _synth_multichannel(jnp.asarray(w0s),
                                   jnp.asarray(amps.astype(np.float16)),

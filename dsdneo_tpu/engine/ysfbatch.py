@@ -48,13 +48,17 @@ def _vd2_tables():
 
 @partial(jax.jit, static_argnames=("C", "n_steps", "pcm_fmt"))
 def ysf_voice_decode_gather(dibits, f_ch, f_pos, fch, forder,
-                            C: int, n_steps: int, pcm_fmt: str = "f16"):
+                            C: int, n_steps: int, pcm_fmt: str = "f16",
+                            state=None):
     """Device program: V/D2 block gather → de-interleave + PN → tripled
-    majority vote → AMBE dequant (vote-gated) → scatter → synthesis.
-    ``f_pos`` is the frame's SYNC position; each accepted frame expands
-    to 5 AMBE steps (fch/forder are per-AMBE-frame)."""
-    from dsdneo_tpu.vocoder.device import ambe_decode_params
-    from dsdneo_tpu.vocoder.synth import synthesize
+    majority vote → AMBE dequant (vote-gated) → scatter → repeat gate →
+    synthesis.  ``f_pos`` is the frame's SYNC position; each accepted
+    frame expands to 5 AMBE steps (fch/forder are per-AMBE-frame);
+    ``state`` is the (synthesis, frame-repeat) carry from the previous
+    block.  Returns (wire, state)."""
+    from dsdneo_tpu.vocoder.device import (ambe_params_gated,
+                                           scatter_repeat_synth,
+                                           voice_state_init)
     offs, inv, pn = _vd2_tables()
     Tn = dibits.shape[1]
     pos = jnp.clip(f_pos[:, None, None] + jnp.asarray(offs)[None],
@@ -72,29 +76,12 @@ def ysf_voice_decode_gather(dibits, f_ch, f_pos, fch, forder,
                             bits[:, 81:103]], axis=1)    # [F*5, 49]
     vote_errs = jnp.sum((s != 0) & (s != 3), axis=-1)    # [F*5]
 
-    w0, L, voiced, amps = ambe_decode_params(ambe)
-    from dsdneo_tpu.vocoder.device import ambe_frame_mask
-    good = (ambe_frame_mask(ambe, vote_errs, thr=VOTE_ERR_MAX))
-    amps = amps * good[:, None]
-
-    def scat(vals, shape, dtype):
-        z = jnp.zeros((C + 1, n_steps) + shape, dtype)
-        return z.at[fch, forder].set(vals.astype(dtype))[:C]
-
-    w0s = scat(w0, (), jnp.float32)
-    Vs = scat(voiced, (MAX_L,), jnp.float32)
-    As = scat(amps, (MAX_L,), jnp.float32)
-    noise = (jnp.mod(jnp.arange(C * n_steps * MAX_L, dtype=jnp.float32)
-                     * 2.399963, 2 * jnp.pi)).reshape(C, n_steps, MAX_L)
-    pcm = jax.vmap(synthesize)(w0s, As, Vs, noise)
-    pcm = jnp.clip(pcm * 0.02, -1.0, 1.0)
-    if pcm_fmt == "adpcm":
-        from dsdneo_tpu.ops.audio_wire import adpcm_compress
-        return adpcm_compress(pcm.reshape(pcm.shape[0], -1))
-    if pcm_fmt == "mulaw":
-        y = jnp.sign(pcm) * jnp.log1p(255.0 * jnp.abs(pcm)) / np.log1p(255.0)
-        return jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
-    return pcm.astype(jnp.float16)
+    w0, voiced, amps, good = ambe_params_gated(ambe, vote_errs,
+                                               thr=VOTE_ERR_MAX)
+    if state is None:
+        state = voice_state_init(C)
+    return scatter_repeat_synth(w0, voiced, amps, good, fch, forder,
+                                C, n_steps, state, pcm_fmt)
 
 
 class BatchedYsfVoicePipeline:
@@ -251,10 +238,11 @@ class BatchedYsfVoicePipeline:
         fchp[:F * 5] = fch
         fordp = np.zeros(Fp * 5, dtype=np.int32)
         fordp[:F * 5] = forder
-        return ysf_voice_decode_gather(
+        wire, self._vstate = ysf_voice_decode_gather(
             dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
             jnp.asarray(fchp), jnp.asarray(fordp), self.C, Tp,
-            pcm_fmt=self.pcm_fmt)
+            pcm_fmt=self.pcm_fmt, state=getattr(self, "_vstate", None))
+        return wire
 
     def fetch_pcm(self, handle) -> np.ndarray:
         if handle is None:

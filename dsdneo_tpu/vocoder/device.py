@@ -149,13 +149,16 @@ def _prediction_scan(T, w0, L, K, V, act, prev_logm, prev_L):
 
 def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
                         C: int, n_steps: int, pcm_fmt: str = "f16",
-                        prev_synth=None):
+                        prev_synth=None, rep_state=None):
     """Traced body shared by voice_decode_device (host-gathered frames)
     and voice_decode_gather (device-gathered frames).  ``prev_synth``
     is the per-channel synthesis carry (theta [C], w [C], amps
     [C, MAX_L]) from the previous block, so a talker spanning block
     boundaries synthesizes without a phase/amplitude seam (the
-    reference's mbelib keeps its oscillator state across calls)."""
+    reference's mbelib keeps its oscillator state across calls);
+    ``rep_state`` is the frame-repeat carry (repeat_gate) so corrupt
+    frames re-use the last good parameters up to MAX_REPEAT times
+    before muting (dsd_mbe.c store_process_result semantics)."""
     from dsdneo_tpu.fec.device import imbe_ecc_batch
     from dsdneo_tpu.vocoder.synth import synthesize_stream
 
@@ -180,12 +183,33 @@ def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
     w0o, voiced, amps, f_logm, f_L = _prediction_scan(
         Ts, w0s, jnp.maximum(Ls, 1), Ks, Vs, act, prev_logm, prev_L)
 
+    # clean tone codes synthesize single-harmonic tones on device
+    # (host path: vocoder.glue tone contract); they don't touch the
+    # prediction state (act=0 already froze it above)
+    is_tone, w0_t, amp_t = imbe_tone_params(bits88)
+    tone_f = (is_tone & (errs <= 5)).astype(jnp.float32)
+    tones = scat(tone_f, (), jnp.float32)
+    w0_ts = scat(w0_t * tone_f, (), jnp.float32)
+    amp_ts = scat(amp_t * tone_f, (), jnp.float32)
+    e0 = jnp.zeros((1, 1, MAX_L), jnp.float32).at[0, 0, 0].set(1.0)
+    w0o = jnp.where(tones > 0, w0_ts, w0o)
+    voiced = jnp.where(tones[:, :, None] > 0, e0, voiced)
+    amps = jnp.where(tones[:, :, None] > 0,
+                     e0 * (amp_ts * 0.5)[:, :, None], amps)
+
+    # bounded frame repeat: present-but-corrupt steps re-use the last
+    # good parameters (≤ MAX_REPEAT), then mute
+    present = scat(jnp.ones_like(good), (), jnp.float32)
+    if rep_state is None:
+        rep_state = repeat_state_init(C)
+    (w0o, voiced, amps), rep_out = repeat_gate(
+        w0o, voiced, amps, jnp.maximum(act, tones), present, rep_state)
+
     F_ = n_steps
     noise = (jnp.mod(jnp.arange(C * F_ * MAX_L, dtype=jnp.float32)
                      * 2.399963, 2 * jnp.pi)).reshape(C, F_, MAX_L)
     if prev_synth is None:
-        prev_synth = (jnp.zeros(C, jnp.float32), jnp.zeros(C, jnp.float32),
-                      jnp.zeros((C, MAX_L), jnp.float32))
+        prev_synth = synth_state_init(C)
     pcm, t_out, w_out, a_out = jax.vmap(synthesize_stream)(
         w0o, amps, voiced, noise, *prev_synth)
     synth_out = (t_out, w_out, a_out)
@@ -195,36 +219,38 @@ def _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
         from dsdneo_tpu.ops.audio_wire import adpcm_compress
         p = jnp.clip(pcm * 0.02, -1.0, 1.0)
         q = adpcm_compress(p.reshape(p.shape[0], -1))
-        return q, f_logm, f_L, synth_out, (w0o, voiced, amps)
+        return q, f_logm, f_L, synth_out, rep_out
     if pcm_fmt == "mulaw":
         # G.711 u-law wire format (see engine.dmrbatch): halves the
         # tunnel DMA; fixed scale keeps the program data-independent
         p = jnp.clip(pcm * 0.02, -1.0, 1.0)
         y = jnp.sign(p) * jnp.log1p(255.0 * jnp.abs(p)) / np.log1p(255.0)
         q = jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
-        return q, f_logm, f_L, synth_out, (w0o, voiced, amps)
-    return (pcm.astype(jnp.float16), f_logm, f_L, synth_out,
-            (w0o, voiced, amps))
+        return q, f_logm, f_L, synth_out, rep_out
+    return pcm.astype(jnp.float16), f_logm, f_L, synth_out, rep_out
 
 
 @partial(jax.jit, static_argnames=("C", "n_steps"))
 def voice_decode_device(frames144, fch, forder, prev_logm, prev_L,
-                        C: int, n_steps: int, prev_synth=None):
+                        C: int, n_steps: int, prev_synth=None,
+                        rep_state=None):
     """[F, 144] interleaved voice-frame bits (+ their channel/time-step
     indices; pad frames use fch == C) → ([C, n_steps, 160] f16 PCM,
-    final prediction state, aux dequant outputs).
+    final prediction state, synthesis carry, repeat carry).
 
     One device dispatch for ECC + dequant + prediction + synthesis —
     the production fast path of BatchedP25VoicePipeline.decode_block.
     """
     return _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
-                               C, n_steps, prev_synth=prev_synth)
+                               C, n_steps, prev_synth=prev_synth,
+                               rep_state=rep_state)
 
 
 @partial(jax.jit, static_argnames=("C", "n_steps", "pcm_fmt"))
 def voice_decode_gather(dibits, ldu_ch, ldu_pos, offs, fch, forder,
                         prev_logm, prev_L, C: int, n_steps: int,
-                        pcm_fmt: str = "f16", prev_synth=None):
+                        pcm_fmt: str = "f16", prev_synth=None,
+                        rep_state=None):
     """Device-resident variant: the [C, T] dibit array never leaves the
     chip.  The host uploads only the accepted LDU list (ldu_ch/ldu_pos,
     padded with ldu_ch == C) and the per-frame channel/step indices; the
@@ -242,16 +268,19 @@ def voice_decode_gather(dibits, ldu_ch, ldu_pos, offs, fch, forder,
     frames144 = frames144.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
     frames144 = frames144.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
     return _decode_from_frames(frames144, fch, forder, prev_logm, prev_L,
-                               C, n_steps, pcm_fmt, prev_synth=prev_synth)
+                               C, n_steps, pcm_fmt, prev_synth=prev_synth,
+                               rep_state=rep_state)
 
 
 def imbe_frame_good(bits88, errs) -> "jax.Array":
-    """Fleet-path mute mask (the MBE glue contract, vocoder.glue):
-    non-voice codes (raw b0 > 207) and frames whose ECC error count
-    exceeds the IMBE threshold are muted — act=0 also freezes the
-    prediction state, like the host path's last-good discipline.  The
-    bounded frame-REPEAT and tone synthesis live on the host event
-    path (phase1._voice); the batch path mutes instead."""
+    """Fleet-path voice-frame mask (the MBE glue contract,
+    vocoder.glue): non-voice codes (raw b0 > 207) and frames whose ECC
+    error count exceeds the IMBE threshold are excluded — act=0 also
+    freezes the prediction state, like the host path's last-good
+    discipline.  Excluded frames route through the device repeat gate
+    (repeat_gate below): repeat the last good parameters up to
+    MAX_REPEAT frames, then mute — and clean tone codes synthesize
+    single-harmonic tones (imbe_tone_params)."""
     from dsdneo_tpu.vocoder.imbe import B0_HI_POS, B0_LO_POS
     hi = bits88[:, jnp.asarray(B0_HI_POS)].astype(jnp.int32)
     b0 = hi @ jnp.asarray([1 << (7 - i) for i in range(6)], jnp.int32)
@@ -270,6 +299,182 @@ def ambe_frame_mask(bits49, errs, thr: int = 3) -> "jax.Array":
     id2 = bits49[:, 21:28].astype(jnp.int32) @ w7
     tone = (b0 == 0x7F) & (id1 == id2)
     return ((errs <= thr) & ~tone).astype(jnp.float32)
+
+
+# -- bounded frame repeat + device tone synthesis ----------------------------
+
+MAX_REPEAT = 3          # vocoder.glue.MAX_REPEAT (dsd_mbe.c store_process_result)
+TONE_FREQ_STEP_HZ = 31.25       # dsd_audio2.c soft_tonef
+TONE_AMP_STEP = 75.0
+
+
+def repeat_state_init(C: int):
+    """Per-channel repeat-contract carry: (last-good w0, voiced, amps,
+    repeats already consumed, carry-valid flag)."""
+    return (jnp.zeros(C, jnp.float32),
+            jnp.zeros((C, MAX_L), jnp.float32),
+            jnp.zeros((C, MAX_L), jnp.float32),
+            jnp.zeros(C, jnp.int32),
+            jnp.zeros(C, jnp.float32))
+
+
+def synth_state_init(C: int):
+    """Per-channel synthesis carry (fundamental phase, last ω0/amps)."""
+    return (jnp.zeros(C, jnp.float32), jnp.zeros(C, jnp.float32),
+            jnp.zeros((C, MAX_L), jnp.float32))
+
+
+def repeat_gate(w0s, Vs, As, good, present, state,
+                max_repeat: int = MAX_REPEAT):
+    """The bounded frame-repeat contract on scattered [C, T] parameter
+    grids (vocoder.glue host semantics; reference dsd_mbe.c
+    store_process_result): a present-but-corrupt step re-uses the last
+    good frame's parameters, up to ``max_repeat`` consecutive corrupt
+    frames, after which the stream mutes until a clean frame arrives.
+    Absent steps (no frame decoded there — scatter padding) stay
+    silent and do not advance the repeat count.
+
+    Fully parallel (no scan): the last-good slot per step is a cummax
+    over an extended [C, T+1] column whose slot 0 carries the previous
+    block's last-good frame, and the consumed-repeat count is a cumsum
+    of present-bad indicators differenced at the last-good slot.
+
+    Returns ((w0r, Vr, Ar) [C, T(,L)] gated params, new state).
+    """
+    C, T = w0s.shape
+    lw0, lV, lA, rep_in, valid_in = state
+    goode = jnp.concatenate([valid_in[:, None] > 0, good > 0], axis=1)
+    pb = present * (1.0 - good)                     # present-but-bad
+    pbe = jnp.concatenate([rep_in.astype(jnp.float32)[:, None], pb],
+                          axis=1)
+    pbcum = jnp.cumsum(pbe, axis=1)                 # [C, T+1]
+    sidx = jnp.broadcast_to(jnp.arange(T + 1, dtype=jnp.int32)[None],
+                            (C, T + 1))
+    gidx = jax.lax.cummax(jnp.where(goode, sidx, -1), axis=1)
+    has = gidx >= 0
+    gi = jnp.maximum(gidx, 0)
+    reps = pbcum - jnp.take_along_axis(pbcum, gi, axis=1)
+
+    w0e = jnp.concatenate([lw0[:, None], w0s], axis=1)
+    Ve = jnp.concatenate([lV[:, None], Vs], axis=1)
+    Ae = jnp.concatenate([lA[:, None], As], axis=1)
+    use = ((good > 0) | ((present > 0) & has[:, 1:]
+                         & (reps[:, 1:] <= max_repeat))
+           ).astype(jnp.float32)
+    t1 = gi[:, 1:]
+    w0r = jnp.take_along_axis(w0e, t1, axis=1) * use
+    Vr = jnp.take_along_axis(Ve, t1[:, :, None], axis=1) * use[:, :, None]
+    Ar = jnp.take_along_axis(Ae, t1[:, :, None], axis=1) * use[:, :, None]
+
+    glast = gi[:, -1:]
+    lw0_o = jnp.take_along_axis(w0e, glast, axis=1)[:, 0]
+    lV_o = jnp.take_along_axis(Ve, glast[:, :, None], axis=1)[:, 0]
+    lA_o = jnp.take_along_axis(Ae, glast[:, :, None], axis=1)[:, 0]
+    rep_o = jnp.clip(
+        pbcum[:, -1] - jnp.take_along_axis(pbcum, glast, axis=1)[:, 0],
+        0, max_repeat + 1).astype(jnp.int32)
+    valid_o = has[:, -1].astype(jnp.float32)
+    return (w0r, Vr, Ar), (lw0_o, lV_o, lA_o, rep_o, valid_o)
+
+
+def ambe_tone_params(bits49):
+    """AMBE+2 in-band tone fields (vocoder.glue ambe_tone_info layout):
+    pitch code 0x7F with the tone ID repeated → (is_tone [F], single-
+    harmonic ω0 [F], amplitude [F]).  f = 31.25·ID Hz, amp = AD·75/8000
+    (OP25 soft_tonef, reference dsd_audio2.c:1290)."""
+    w7 = jnp.asarray([1 << (6 - i) for i in range(7)], jnp.int32)
+    b0 = bits49[:, :7].astype(jnp.int32) @ w7
+    id1 = bits49[:, 7:14].astype(jnp.int32) @ w7
+    ad = bits49[:, 14:21].astype(jnp.int32) @ w7
+    id2 = bits49[:, 21:28].astype(jnp.int32) @ w7
+    is_tone = (b0 == 0x7F) & (id1 == id2)
+    w0_t = (2.0 * jnp.pi * TONE_FREQ_STEP_HZ / 8000.0
+            ) * id1.astype(jnp.float32)
+    amp_t = ad.astype(jnp.float32) * (TONE_AMP_STEP / 8000.0)
+    return is_tone, w0_t, amp_t
+
+
+def imbe_tone_params(bits88):
+    """IMBE in-band tone fields (vocoder.glue layout): raw b0 code in
+    [208, 219] with ID repeated at S[19:26] → (is_tone, ω0, amp)."""
+    from dsdneo_tpu.vocoder.glue import IMBE_TONE_B0_MAX, IMBE_TONE_B0_MIN
+    from dsdneo_tpu.vocoder.imbe import B0_HI_POS, B0_LO_POS
+    hi = bits88[:, jnp.asarray(B0_HI_POS)].astype(jnp.int32)
+    b0 = hi @ jnp.asarray([1 << (7 - i) for i in range(6)], jnp.int32)
+    b0 = b0 | (bits88[:, B0_LO_POS[0]].astype(jnp.int32) << 1) \
+            | bits88[:, B0_LO_POS[1]].astype(jnp.int32)
+    w7 = jnp.asarray([1 << (6 - i) for i in range(7)], jnp.int32)
+    id1 = bits88[:, 12:19].astype(jnp.int32) @ w7
+    id2 = bits88[:, 19:26].astype(jnp.int32) @ w7
+    ad = bits88[:, 26:33].astype(jnp.int32) @ w7
+    is_tone = ((b0 >= IMBE_TONE_B0_MIN) & (b0 <= IMBE_TONE_B0_MAX)
+               & (id1 == id2))
+    w0_t = (2.0 * jnp.pi * TONE_FREQ_STEP_HZ / 8000.0
+            ) * id1.astype(jnp.float32)
+    amp_t = ad.astype(jnp.float32) * (TONE_AMP_STEP / 8000.0)
+    return is_tone, w0_t, amp_t
+
+
+def ambe_params_gated(bits49, errs, thr: int = 3):
+    """[F, 49] AMBE bits + ECC error counts → (w0, voiced, amps, good):
+    voice params for clean voice frames, single-harmonic tone params
+    for clean tone frames, good=0 for over-threshold frames (which
+    then route through repeat_gate).  Replaces the mute-only
+    ambe_frame_mask on the batched pipelines."""
+    w0, L, voiced, amps = ambe_decode_params(bits49)
+    is_tone, w0_t, amp_t = ambe_tone_params(bits49)
+    ok = errs <= thr
+    e0 = jnp.zeros((1, MAX_L), jnp.float32).at[0, 0].set(1.0)
+    w0 = jnp.where(is_tone, w0_t, w0)
+    voiced = jnp.where(is_tone[:, None], e0, voiced)
+    # host convention: tone pcm = amp·sin(nθ); the synth bank emits
+    # 2·A·cos, so A = amp/2 lands the same amplitude
+    amps = jnp.where(is_tone[:, None], e0 * (amp_t * 0.5)[:, None], amps)
+    return w0, voiced, amps, ok.astype(jnp.float32)
+
+
+def scatter_repeat_synth(w0, voiced, amps, good, fch, forder,
+                         C: int, n_steps: int, state, pcm_fmt: str):
+    """Shared tail of every batched AMBE pipeline: scatter [F]
+    per-frame params onto the [C, n_steps] step grid (pad frames use
+    fch == C), apply the bounded frame-repeat contract, synthesize
+    with cross-block phase continuity, encode the wire format.
+
+    ``state`` = (synth carry, repeat carry) from the previous block of
+    the same channel set.  Returns (wire, new_state)."""
+    from dsdneo_tpu.vocoder.synth import synthesize_stream
+
+    def scat(vals, shape, dtype):
+        z = jnp.zeros((C + 1, n_steps) + shape, dtype)
+        return z.at[fch, forder].set(vals.astype(dtype))[:C]
+
+    w0s = scat(w0, (), jnp.float32)
+    Vs = scat(voiced, (MAX_L,), jnp.float32)
+    As = scat(amps, (MAX_L,), jnp.float32)
+    gs = scat(good, (), jnp.float32)
+    ps = scat(jnp.ones_like(good), (), jnp.float32)
+    synth_in, rep_in = state
+    (w0r, Vr, Ar), rep_out = repeat_gate(w0s, Vs, As, gs, ps, rep_in)
+
+    noise = (jnp.mod(jnp.arange(C * n_steps * MAX_L, dtype=jnp.float32)
+                     * 2.399963, 2 * jnp.pi)).reshape(C, n_steps, MAX_L)
+    pcm, t_o, w_o, a_o = jax.vmap(synthesize_stream)(
+        w0r, Ar, Vr, noise, *synth_in)
+    pcm = jnp.clip(pcm * 0.02, -1.0, 1.0)
+    state_out = ((t_o, w_o, a_o), rep_out)
+    if pcm_fmt == "adpcm":
+        from dsdneo_tpu.ops.audio_wire import adpcm_compress
+        return adpcm_compress(pcm.reshape(pcm.shape[0], -1)), state_out
+    if pcm_fmt == "mulaw":
+        y = jnp.sign(pcm) * jnp.log1p(255.0 * jnp.abs(pcm)) / np.log1p(255.0)
+        return (jnp.clip((y + 1.0) * 127.5 + 0.5, 0, 255
+                         ).astype(jnp.uint8), state_out)
+    return pcm.astype(jnp.float16), state_out
+
+
+def voice_state_init(C: int):
+    """Fresh (synth carry, repeat carry) pair for scatter_repeat_synth."""
+    return (synth_state_init(C), repeat_state_init(C))
 
 
 # -- batched AMBE+2 (2450) parameter decode ---------------------------------

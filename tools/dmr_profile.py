@@ -35,7 +35,7 @@ for rep in range(3):
     fordp = np.zeros(Sp * 18, dtype=np.int32); fordp[:S * 18] = forder
     t["pad"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    h = dmr_voice_decode_gather(
+    h, _st = dmr_voice_decode_gather(
         dibits_dev, jnp.asarray(acp), jnp.asarray(atp),
         jnp.asarray(aip), pipe._offs,
         jnp.asarray(fchp), jnp.asarray(fordp), C, Tp, pcm_fmt=pipe.pcm_fmt)
