@@ -127,8 +127,11 @@ def p25_12_decode_batch(bits196: jax.Array, llr196: jax.Array | None = None
     cost_T = jnp.transpose(cost_t, (1, 2, 0))                # [49, 16, N]
 
     N = bits196.shape[0]
-    metric0 = jnp.broadcast_to(
-        jnp.array([0, 256, 256, 256], dtype=jnp.int32)[:, None], (4, N))
+    # derive the init from the input (+0·x) so the scan carry inherits
+    # the input's varying manual axes under shard_map (scan-vma rule)
+    metric0 = (jnp.array([0, 256, 256, 256], dtype=jnp.int32)[:, None]
+               + 0 * llr[:, :1].T)
+    metric0 = jnp.broadcast_to(metric0, (4, N))
 
     def body(metric, cost_i):            # metric [4, N], cost_i [16, N]
         news, bps = [], []

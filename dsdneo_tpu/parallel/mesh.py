@@ -166,11 +166,304 @@ def make_sharded_voice_step(mesh: Mesh, C: int, B: int,
     return step, in_shard
 
 
+def _shard_map():
+    try:
+        from jax import shard_map
+    except ImportError:                  # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
+def make_sharded_dmr_voice_step(mesh: Mesh, C: int, B: int,
+                                fs: float = 48000.0, max_sf: int = 2,
+                                sync_threshold: float = 0.62,
+                                use_pallas: bool = False):
+    """The FULL DMR BS voice chain as one SPMD program over the mesh
+    (sharded counterpart of engine.dmrbatch.BatchedDmrVoicePipeline).
+
+    Fixed-capacity device-side picking replaces the host superframe
+    walk: the top ``max_sf`` voice-sync candidates per channel,
+    validity-masked by score AND the VC2+VC3 EMB confidence gate
+    (≤2 summed QR(16,7,6) bit errors — dmr_bs.c
+    check_dmr_bs_emb_and_confidence).  Maps [C, B, 2] I/Q →
+    ([C, max_sf·18·160] PCM, fleet_power)."""
+    from dsdneo_tpu.engine.dmrbatch import (SF_EXTENT, _sf_frame_offsets,
+                                            SF_PERIOD,
+                                            dmr_voice_decode_gather)
+    from dsdneo_tpu.engine.voicebatch import (_sync_kernel,
+                                              correlate_syncs_device)
+    from dsdneo_tpu.fec import blockcodes
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert C % n_dev == 0, "channel count must divide the mesh"
+    Cl = C // n_dev
+
+    mode = MODES["dmr"]
+    sps = fs / mode.symbol_rate
+    n_sym = int(B // sps) - 2
+    taps = firdes.channel_lpf(fs, mode.lpf_profile)
+    names = ("+DMR BS voice", "-DMR BS voice")
+    qr_cb = blockcodes.qr_16_7_6().codebook            # [128, 16]
+    offs = _sf_frame_offsets()
+    K = max_sf
+    fch_base = np.repeat(np.arange(Cl * K) // K, 18).astype(np.int32)
+    forder = np.tile(np.repeat(np.arange(K), 18) * 18
+                     + np.tile(np.arange(18), K), Cl).astype(np.int32)
+
+    def local_step(iq):                     # [Cl, B, 2] per device
+        dibits, soft, power = frontend_step(iq, taps, sps, n_sym,
+                                            mode.four_level,
+                                            use_pallas=use_pallas)
+        sc = correlate_syncs_device(soft, names)
+        best_def = jnp.argmax(sc, axis=1)
+        bs = jnp.max(sc, axis=1)
+        vals, idx = jax.lax.top_k(bs, K)               # [Cl, K]
+        inv = (jnp.take_along_axis(best_def, idx, axis=1) & 1
+               ).astype(jnp.uint8)
+        # EMB confidence on device (same gate as the host pick)
+        Tn = dibits.shape[1]
+        errs_tot = jnp.zeros(idx.shape, jnp.int32)
+        cb = jnp.asarray(qr_cb)
+        pm = jnp.asarray((1.0 - 2.0 * qr_cb).astype(np.float32))
+        offs16 = jnp.concatenate([jnp.arange(4), jnp.arange(20, 24)])
+        for burst in (1, 2):
+            base = jnp.clip(idx + SF_PERIOD * burst, 0, Tn - 25)
+            gp = base[:, :, None] + offs16[None, None]
+            dd = dibits[jnp.arange(Cl)[:, None, None], gp]
+            dd = dd ^ (inv[:, :, None] * 2)
+            b16 = jnp.stack([(dd >> 1) & 1, dd & 1],
+                            axis=-1).reshape(Cl, -1, 16)
+            s = 1.0 - 2.0 * b16.astype(jnp.float32)
+            m = jnp.argmax(jnp.einsum("ckb,eb->cke", s, pm), axis=-1)
+            errs_tot += jnp.sum(cb[m] != b16, axis=-1).astype(jnp.int32)
+        valid = ((vals >= sync_threshold) & (errs_tot <= 2)
+                 & (idx >= 54) & (idx + SF_EXTENT < n_sym))
+        sf_ch = jnp.where(valid, jnp.arange(Cl)[:, None], Cl
+                          ).reshape(-1).astype(jnp.int32)
+        sf_pos = idx.reshape(-1).astype(jnp.int32)
+        sf_inv = inv.reshape(-1).astype(jnp.int32)
+        wire, _st = dmr_voice_decode_gather(
+            dibits, sf_ch, sf_pos, sf_inv, jnp.asarray(offs),
+            jnp.asarray(fch_base), jnp.asarray(forder), Cl, K * 18)
+        fleet_power = jax.lax.pmean(jnp.mean(power), "ch")
+        return wire.astype(jnp.float32).reshape(Cl, -1), fleet_power
+
+    in_shard = NamedSharding(mesh, P("ch", None, None))
+    step = jax.jit(_shard_map()(
+        local_step, mesh=mesh,
+        in_specs=P("ch", None, None),
+        out_specs=(P("ch", None), P())))
+    return step, in_shard
+
+
+def make_sharded_p2_voice_step(mesh: Mesh, C: int, B: int,
+                               fs: float = 48000.0, max_frames: int = 2,
+                               wacn: int = 0xBEE00, sysid: int = 0x14C,
+                               nac: int = 0x140,
+                               sync_threshold: float = 0.62,
+                               use_pallas: bool = False):
+    """The P25 Phase 2 TDMA voice chain as one SPMD program (sharded
+    counterpart of engine.p2batch.BatchedP2VoicePipeline, clear-voice
+    path).  Fixed-capacity device frame walk: the top ``max_frames``
+    sync candidates per channel; each candidate's 4 timeslots are
+    DUID-typed by nearest-codeword ML and its superframe row comes
+    from the TS0 ISCH location word (decoded on device against the
+    128-entry ISCH codebook) — the dense-voice fast path; off-air
+    edge cases (mid-superframe entry, 2V rows without a location
+    word) stay on the host pipeline.  Maps [C, B, 2] I/Q →
+    ([2C, max_frames·16·160] per-slot PCM, fleet_power)."""
+    from dsdneo_tpu.engine.p2batch import (TS_DIBITS, DUID_DIBITS,
+                                           FRAME_DIBITS, ISCH_DIBIT0,
+                                           p2_voice_decode_gather)
+    from dsdneo_tpu.engine.voicebatch import (_sync_kernel,
+                                              correlate_syncs_device)
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+    from dsdneo_tpu.protocol.p25.phase2 import DUID_CANONICAL
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert C % n_dev == 0, "channel count must divide the mesh"
+    Cl = C // n_dev
+    C2 = 2 * Cl
+
+    mode = MODES["p25p2"]
+    sps = fs / mode.symbol_rate
+    n_sym = int(B // sps) - 2
+    taps = firdes.channel_lpf(fs, mode.lpf_profile)
+    names = ("+P25p2",)
+    defs, _, _, _ = _sync_kernel(names)
+    n_pat = len(defs[0].pattern)
+    scr_tab = p2_xcch.generate_scramble_bits(
+        wacn, sysid, nac, 12 * 360 + 380).astype(np.uint8)
+    # ISCH codebook as ±1 bit matrix for ML decode + value table
+    isch_items = sorted(p2_xcch._isch_table().items())
+    isch_bits = np.array([[(w >> (39 - i)) & 1 for i in range(40)]
+                          for w, _v in isch_items], np.float32)
+    isch_vals = np.array([v for _w, v in isch_items], np.int32)
+    duid_bits = np.array([[(c >> (7 - i)) & 1 for i in range(8)]
+                          for c in DUID_CANONICAL], np.float32)
+    K = max_frames
+    # static per-frame index maps: K candidates × 4 TS × 4 frames per
+    # channel, in (channel, candidate, TS, frame) order; slot s
+    # collects 8 frames per candidate (2 TS × 4)
+    ts_i = np.tile(np.repeat(np.arange(4), 4), Cl * K)       # TS of frame
+    off_i = np.tile(np.arange(4), Cl * K * 4)                # frame in TS
+    cand_i = np.tile(np.repeat(np.arange(K), 16), Cl)        # candidate
+    ch_i = np.repeat(np.arange(Cl), K * 16)
+    f_offidx = off_i.astype(np.int32)
+    f_ord = (cand_i * 8 + (ts_i // 2) * 4 + off_i).astype(np.int32)
+    # flat index into duid[Cl, K, 4] per frame
+    duid_idx = ((ch_i * K + cand_i) * 4 + ts_i).astype(np.int32)
+
+    def local_step(iq):                     # [Cl, B, 2] per device
+        dibits, soft, power = frontend_step(iq, taps, sps, n_sym,
+                                            mode.four_level,
+                                            use_pallas=use_pallas)
+        sc = correlate_syncs_device(soft, names)
+        bs = jnp.max(sc, axis=1)
+        vals, idx = jax.lax.top_k(bs, K)               # [Cl, K]
+        Tn = dibits.shape[1]
+        rows_c = jnp.arange(Cl)[:, None, None, None]
+        # DUID per TS: 4 dibits → 8 bits, ML vs the 16 codewords
+        gp_d = jnp.clip(idx[:, :, None, None] + n_pat
+                        + TS_DIBITS * jnp.arange(4)[None, None, :, None]
+                        + jnp.asarray(DUID_DIBITS)[None, None, None],
+                        0, Tn - 1)
+        dq4 = dibits[rows_c, gp_d]                     # [Cl, K, 4, 4]
+        b8 = jnp.stack([(dq4 >> 1) & 1, dq4 & 1],
+                       axis=-1).reshape(Cl, K, 4, 8)
+        s8 = 1.0 - 2.0 * b8.astype(jnp.float32)
+        duid = jnp.argmax(jnp.einsum("ckts,ds->cktd", s8,
+                                     1.0 - 2.0 * jnp.asarray(duid_bits)),
+                          axis=-1)                     # [Cl, K, 4]
+        # TS0 ISCH → superframe row (location words only)
+        gp_i = jnp.clip(idx[:, :, None] + n_pat + ISCH_DIBIT0
+                        + jnp.arange(20)[None, None], 0, Tn - 1)
+        di = dibits[jnp.arange(Cl)[:, None, None], gp_i]  # [Cl, K, 20]
+        b40 = jnp.stack([(di >> 1) & 1, di & 1],
+                        axis=-1).reshape(Cl, K, 40)
+        s40 = 1.0 - 2.0 * b40.astype(jnp.float32)
+        mi = jnp.argmax(jnp.einsum("cks,es->cke", s40,
+                                   1.0 - 2.0 * jnp.asarray(isch_bits)),
+                        axis=-1)
+        v = jnp.asarray(isch_vals)[mi]                 # [Cl, K]
+        sfv = (v >> 3) & 3
+        loc_ok = (((v >> 5) & 3) == 1) & (sfv <= 2)
+        row0 = sfv * 4                                 # TS0 row
+        cand_ok = ((vals >= sync_threshold) & loc_ok
+                   & (idx + FRAME_DIBITS < n_sym))     # [Cl, K]
+        # flatten to per-frame arrays [Cl*K*16]
+        duid_f = duid.reshape(-1)[jnp.asarray(duid_idx)]
+        voice4 = duid_f == 0                           # 4V timeslots
+        ok_f = jnp.repeat(cand_ok.reshape(-1), 16) & voice4
+        f_ch = jnp.where(ok_f, jnp.asarray(ch_i), Cl).astype(jnp.int32)
+        tpos = (jnp.repeat(idx.reshape(-1), 16) + n_pat
+                + TS_DIBITS * jnp.asarray(ts_i)).astype(jnp.int32)
+        f_row = ((jnp.repeat(row0.reshape(-1), 16)
+                  + jnp.asarray(ts_i)) % 12).astype(jnp.int32)
+        f_out = jnp.where(ok_f,
+                          2 * jnp.asarray(ch_i) + (jnp.asarray(ts_i) % 2),
+                          C2).astype(jnp.int32)
+        ks = jnp.zeros((f_ch.shape[0], 7), jnp.uint8)  # clear voice
+        wire, _st = p2_voice_decode_gather(
+            dibits, jnp.asarray(scr_tab), f_ch, tpos, f_row,
+            jnp.asarray(f_offidx), f_out, jnp.asarray(f_ord), ks,
+            C2, K * 8)
+        fleet_power = jax.lax.pmean(jnp.mean(power), "ch")
+        return wire.astype(jnp.float32).reshape(C2, -1), fleet_power
+
+    in_shard = NamedSharding(mesh, P("ch", None, None))
+    step = jax.jit(_shard_map()(
+        local_step, mesh=mesh,
+        in_specs=P("ch", None, None),
+        out_specs=(P("ch", None), P())))
+    return step, in_shard
+
+
+def make_sharded_p25_cc_step(mesh: Mesh, C: int, B: int,
+                             fs: float = 48000.0, max_tsdus: int = 4,
+                             sync_threshold: float = 0.62,
+                             use_pallas: bool = False):
+    """Batched P25p1 CONTROL-CHANNEL monitoring as one SPMD program
+    (sharded counterpart of engine.ccbatch.BatchedP25ControlPipeline's
+    device half).  Each device shard runs front end → sync → BCH NID →
+    DUID-7 gate → TSBK trellis decode + CRC16 screen; the host parses
+    only the returned CRC-valid payload blobs (outside the SPMD
+    program, exactly like the unsharded pipeline).  Maps [C, B, 2] →
+    ([C, max_tsdus, 114] uint8 TSDU blobs, [C, max_tsdus] valid mask,
+    fleet_ok_count)."""
+    from dsdneo_tpu.engine.ccbatch import p25_tsdu_decode_device
+    from dsdneo_tpu.engine.voicebatch import (_status_strip_map,
+                                              _sync_kernel,
+                                              correlate_syncs_device)
+    from dsdneo_tpu.fec import blockcodes
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert C % n_dev == 0, "channel count must divide the mesh"
+    Cl = C // n_dev
+
+    mode = MODES["p25p1"]
+    sps = fs / mode.symbol_rate
+    n_sym = int(B // sps) - 2
+    taps = firdes.channel_lpf(fs, mode.lpf_profile)
+    names = ("+P25p1", "-P25p1")
+    defs, _, _, _ = _sync_kernel(names)
+    n_pat = len(defs[0].pattern)
+    nid_strip = _status_strip_map(n_pat, 32).astype(np.int32)
+    tsdu_strip = _status_strip_map(n_pat, 32 + 294)
+    need = int(tsdu_strip[-1]) + 1
+    bch_pm = blockcodes.bch_63_16().pm.astype(np.float32)
+    K = max_tsdus
+
+    def local_step(iq):                     # [Cl, B, 2] per device
+        dibits, soft, power = frontend_step(iq, taps, sps, n_sym,
+                                            mode.four_level,
+                                            use_pallas=use_pallas)
+        sc = correlate_syncs_device(soft, names)
+        best_def = jnp.argmax(sc, axis=1)
+        bs = jnp.max(sc, axis=1)
+        vals, idx = jax.lax.top_k(bs, K)               # [Cl, K]
+        gpos = jnp.clip(idx[:, :, None] + jnp.asarray(nid_strip),
+                        0, dibits.shape[1] - 1)
+        nd = dibits[jnp.arange(Cl)[:, None, None], gpos]
+        b64 = jnp.stack([(nd >> 1) & 1, nd & 1], axis=-1
+                        ).reshape(Cl, K, 64)
+        s = (1.0 - 2.0 * b64[..., :63].astype(jnp.float32))
+        msg = jnp.argmax(s.reshape(-1, 63) @ jnp.asarray(bch_pm).T,
+                         axis=-1).reshape(Cl, K)
+        duid = msg & 0xF
+        inv = jnp.take_along_axis(best_def, idx, axis=1) & 1
+        valid = ((vals >= sync_threshold) & (duid == 7) & (inv == 0)
+                 & (idx + need < n_sym))               # [Cl, K]
+        ch = jnp.where(valid, jnp.arange(Cl)[:, None], Cl
+                       ).reshape(-1).astype(jnp.int32)
+        pos = idx.reshape(-1).astype(jnp.int32)
+        blob = p25_tsdu_decode_device(dibits, ch, pos)  # [Cl*K, 114]
+        blob = blob.reshape(Cl, K, -1)
+        # fleet CRC-ok count (all 3 TSBK blocks per TSDU) rides the
+        # ICI (psum collective)
+        ok3 = (blob[:, :, 12] + blob[:, :, 50] + blob[:, :, 88]
+               ).astype(jnp.int32)
+        fleet_ok = jax.lax.psum(jnp.sum(ok3 * valid.astype(jnp.int32)),
+                                "ch")
+        return blob, valid, fleet_ok
+
+    in_shard = NamedSharding(mesh, P("ch", None, None))
+    step = jax.jit(_shard_map()(
+        local_step, mesh=mesh,
+        in_specs=P("ch", None, None),
+        out_specs=(P("ch", None, None), P("ch", None), P())))
+    return step, in_shard
+
+
 def dryrun_multichip(n_devices: int) -> None:
     """Driver contract: N-device mesh, jit the sharded steps over real
     channel-parallel shardings, run ONE step of each on tiny shapes —
-    the front end alone, then the FULL voice chain (sync + NID + LDU
-    gather + IMBE ECC + dequant + synthesis) under the mesh."""
+    the front end alone, then the FULL device chains of four family
+    programs under the mesh: P25p1 voice (sync + NID + LDU gather +
+    IMBE ECC + dequant + synthesis), DMR BS voice (EMB-gated
+    superframe gather + AMBE), P25p2 TDMA voice (DUID/ISCH typing +
+    descramble + AMBE), and P25p1 control-channel monitoring (TSBK
+    trellis + CRC screen with a psum collective)."""
     devs = np.array(jax.devices()[:n_devices])
     assert devs.size == n_devices, (
         f"need {n_devices} devices, have {len(jax.devices())}")
@@ -193,3 +486,21 @@ def dryrun_multichip(n_devices: int) -> None:
     assert pcm.shape == (C, 2 * 9 * 160)
     assert np.isfinite(np.asarray(pcm)).all()
     assert np.isfinite(float(vfleet))
+
+    dstep, d_shard = make_sharded_dmr_voice_step(mesh, C, B)
+    pcm_d, dfleet = dstep(jax.device_put(iq, d_shard))
+    jax.block_until_ready((pcm_d, dfleet))
+    assert pcm_d.shape == (C, 2 * 18 * 160)
+    assert np.isfinite(np.asarray(pcm_d)).all()
+
+    pstep, p_shard = make_sharded_p2_voice_step(mesh, C, B)
+    pcm_p, pfleet = pstep(jax.device_put(iq, p_shard))
+    jax.block_until_ready((pcm_p, pfleet))
+    assert pcm_p.shape == (2 * C, 2 * 8 * 160)
+    assert np.isfinite(np.asarray(pcm_p)).all()
+
+    cstep, c_shard = make_sharded_p25_cc_step(mesh, C, B)
+    blob, valid, ok_count = cstep(jax.device_put(iq, c_shard))
+    jax.block_until_ready((blob, valid, ok_count))
+    assert blob.shape[:2] == (C, 4) and valid.shape == (C, 4)
+    assert int(ok_count) >= 0
