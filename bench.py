@@ -133,7 +133,7 @@ def bench_full_chain(C: int, reps: int = 5):
     block_s = iq1.shape[0] / fs
 
     import jax
-    pipe = BatchedP25VoicePipeline(C, fs=fs, pcm_fmt="mulaw")
+    pipe = BatchedP25VoicePipeline(C, fs=fs, pcm_fmt="adpcm")
     # pre-transfer the block: a production infeed overlaps the sample
     # DMA with compute (and re-transferring host numpy per call would
     # measure the tunnel, not the chip)
@@ -229,7 +229,7 @@ def bench_nxdn_chain(C: int, reps: int = 5):
     iq1 = np.stack([samples.real, samples.imag], axis=-1).astype(np.float32)
     iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
     block_s = iq1.shape[0] / fs
-    pipe = BatchedNxdnVoicePipeline(C, fs=fs, pcm_fmt="mulaw")
+    pipe = BatchedNxdnVoicePipeline(C, fs=fs, pcm_fmt="adpcm")
     x = jax.device_put(iq)
     pcm = pipe.decode_block(x)
     assert pcm.shape[1] > 0
@@ -269,7 +269,7 @@ def bench_cqpsk_chain(C: int, reps: int = 5):
     iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
     block_s = iq1.shape[0] / fs
     pipe = BatchedP25VoicePipeline(C, fs=fs, cqpsk=True,
-                                   pcm_fmt="mulaw")
+                                   pcm_fmt="adpcm")
     x = jax.device_put(iq)
     pcm = pipe.decode_block(x)
     assert pcm.shape[0] == C and pcm.shape[1] > 0
@@ -376,7 +376,7 @@ def bench_ysf_chain(C: int):
     fs = float(meta.sample_rate_hz)
     sl = samples[:int(3 * fs)]
     iq1 = np.stack([sl.real, sl.imag], axis=-1).astype(np.float32)
-    pipe = BatchedYsfVoicePipeline(C, fs=fs, pcm_fmt="mulaw")
+    pipe = BatchedYsfVoicePipeline(C, fs=fs, pcm_fmt="adpcm")
     return _bench_pipeline(pipe, iq1, fs, C)
 
 
@@ -389,7 +389,7 @@ def bench_dpmr_chain(C: int):
     fs = float(meta.sample_rate_hz)
     sl = samples[:int(3 * fs)]
     iq1 = np.stack([sl.real, sl.imag], axis=-1).astype(np.float32)
-    pipe = BatchedDpmrVoicePipeline(C, fs=fs, pcm_fmt="mulaw")
+    pipe = BatchedDpmrVoicePipeline(C, fs=fs, pcm_fmt="adpcm")
     return _bench_pipeline(pipe, iq1, fs, C)
 
 

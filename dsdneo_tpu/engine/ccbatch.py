@@ -204,7 +204,14 @@ class BatchedP25ControlPipeline(BatchedP25VoicePipeline):
         """Run one [C, B] block end to end; events land in
         ``self.ctxs[c].events``.  Returns the number of CRC-valid TSBKs
         parsed."""
-        dibits_dev, idx, vq, dq, msg, n_sym = self.frontend_sync_device(iq)
+        return self.events_from_frontend(
+            self.frontend_finish(self.frontend_dispatch(iq)))
+
+    def events_from_frontend(self, fe6) -> int:
+        """Second fleet-pipeline stage: pick + device TSBK decode +
+        host catalog parse from a finished frontend exchange (see
+        FleetMonitor.decode_block phase ordering)."""
+        dibits_dev, idx, vq, dq, msg, n_sym = fe6
         ac, at, am = self.pick_tsdus(idx, vq, dq, msg, n_sym,
                                      dibits_dev=dibits_dev)
         H = ac.shape[0]
@@ -433,10 +440,14 @@ class BatchedEdacsControlPipeline:
         self._jits = {}
 
     def frontend_sync_device(self, iq, use_pallas: bool | None = None):
+        return self.frontend_finish(self.frontend_dispatch(iq, use_pallas))
+
+    def frontend_dispatch(self, iq, use_pallas: bool | None = None):
         """Power-gated front end (the windowed-robust slicing the
         serial demod path uses — see engine.demod.gated_frontend_step;
         EDACS 2-level GFSK needs the same level discipline as the
-        bursty protocols)."""
+        bursty protocols).  Enqueues the device program WITHOUT
+        fetching the candidate blob (fleet pipelining)."""
         from dsdneo_tpu.engine.demod import gated_frontend_step
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
@@ -465,6 +476,10 @@ class BatchedEdacsControlPipeline:
             self._jits[key] = fn
         dibits_dev, blob_dev = fn(
             iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        return dibits_dev, blob_dev, n_sym
+
+    def frontend_finish(self, fe):
+        dibits_dev, blob_dev, n_sym = fe
         blob = np.asarray(blob_dev)
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)
@@ -504,7 +519,10 @@ class BatchedEdacsControlPipeline:
         return np.asarray(acc_c, np.int32), np.asarray(acc_t, np.int32)
 
     def decode_block_events(self, iq) -> int:
-        dibits_dev, idx, vq, n_sym = self.frontend_sync_device(iq)
+        return self.events_from_frontend(self.frontend_sync_device(iq))
+
+    def events_from_frontend(self, fe4) -> int:
+        dibits_dev, idx, vq, n_sym = fe4
         ac, at = self.pick_frames(idx, vq, n_sym)
         H = ac.shape[0]
         if H == 0:
@@ -686,11 +704,20 @@ class BatchedNxdnControlPipeline:
         return (np.asarray(acc_c, np.int32), np.asarray(acc_t, np.int32),
                 np.asarray(acc_l, np.int32))
 
+    def frontend_dispatch(self, iq, use_pallas: bool | None = None):
+        return self._fe.frontend_dispatch(iq, use_pallas)
+
+    def frontend_finish(self, fe):
+        return self._fe.frontend_finish(fe)
+
     def decode_block_events(self, iq) -> int:
         """One [C, B] block → RCCH events in self.ctxs; returns the
         number of CRC-valid CACs parsed."""
-        dibits_dev, idx, vq, dq, lich, n_sym = \
-            self._fe.frontend_sync_device(iq)
+        return self.events_from_frontend(
+            self._fe.frontend_sync_device(iq))
+
+    def events_from_frontend(self, fe6) -> int:
+        dibits_dev, idx, vq, dq, lich, n_sym = fe6
         ac, at, al = self.pick_cacs(idx, vq, dq, lich, n_sym)
         H = ac.shape[0]
         if H == 0:
@@ -759,9 +786,13 @@ class BatchedDmrControlPipeline:
         self._jits = {}
 
     def frontend_sync_device(self, iq, use_pallas: bool | None = None):
+        return self.frontend_finish(self.frontend_dispatch(iq, use_pallas))
+
+    def frontend_dispatch(self, iq, use_pallas: bool | None = None):
         """Fused front end + data-sync correlation + slot-type Golay:
         dibits stay on device; the blob carries top-K candidate
-        positions, scores, pattern ids, and slot-type (msg, errs)."""
+        positions, scores, pattern ids, and slot-type (msg, errs).
+        Enqueues the device program WITHOUT fetching the blob."""
         from dsdneo_tpu.engine.batched import frontend_step
         B = iq.shape[1]
         n_sym = int(B // self.sps) - 2
@@ -814,6 +845,10 @@ class BatchedDmrControlPipeline:
             self._jits[key] = fn
         dibits_dev, blob_dev = fn(
             iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
+        return dibits_dev, blob_dev, n_sym
+
+    def frontend_finish(self, fe):
+        dibits_dev, blob_dev, n_sym = fe
         blob = np.asarray(blob_dev)
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)
@@ -885,8 +920,10 @@ class BatchedDmrControlPipeline:
     def decode_block_events(self, iq) -> int:
         """One [C, B] block → CSBK events in self.ctxs; returns the
         number of CRC-valid CSBKs parsed."""
-        dibits_dev, idx, vq, dq, st, se, n_sym = \
-            self.frontend_sync_device(iq)
+        return self.events_from_frontend(self.frontend_sync_device(iq))
+
+    def events_from_frontend(self, fe7) -> int:
+        dibits_dev, idx, vq, dq, st, se, n_sym = fe7
         ac, at, ai, acc = self.pick_csbks(idx, vq, dq, st, se, n_sym)
         H = ac.shape[0]
         if H == 0:

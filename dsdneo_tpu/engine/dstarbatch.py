@@ -274,7 +274,11 @@ class BatchedDstarPipeline:
     def decode_block_events(self, iq) -> int:
         """One [C, B] block end to end; events land in
         ``self.ctxs[c].events``.  Returns accepted frames (both kinds)."""
-        dibits_dev, pat, pos, vq, n_sym = self.frontend_sync_device(iq)
+        return self.events_from_frontend(self.frontend_sync_device(iq))
+
+    def events_from_frontend(self, fe5) -> int:
+        """Second fleet-pipeline stage (see FleetMonitor.decode_block)."""
+        dibits_dev, pat, pos, vq, n_sym = fe5
         ac, at, ak, ascore = self.pick_frames(pat, pos, vq, n_sym)
         self._active = [False] * self.C
         hits = list(zip(ac, at, ak, ascore))
@@ -340,6 +344,15 @@ class BatchedDstarPipeline:
         block's events."""
         self.decode_block_events(iq)
         return np.zeros((self.C, 0), np.float32)
+
+    def decode_from_frontend(self, fe5) -> np.ndarray:
+        """Staged voice surface for the fleet pipeline."""
+        self.events_from_frontend(fe5)
+        return np.zeros((self.C, 0), np.float32)
+
+    @staticmethod
+    def fetch_pcm(handle) -> np.ndarray:
+        return handle
 
     # parity hook: raw per-frame records without event emission
     def decode_block_records(self, iq):

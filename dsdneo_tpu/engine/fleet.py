@@ -107,21 +107,53 @@ class FleetMonitor:
         return g
 
     def decode_block(self, iq: np.ndarray) -> None:
-        """Run one fleet block: ``iq`` is [C_total, B(, 2)]."""
+        """Run one fleet block: ``iq`` is [C_total, B(, 2)].
+
+        Three-phase fleet pipelining (the demod/output-ring decoupling
+        of the reference's rtl_sdr_fm.cpp applied ACROSS groups):
+        phase 1 enqueues every group's front-end device program back
+        to back; phase 2 walks the groups — each group's candidate-
+        blob fetch and host pick ride under the still-queued programs
+        of later groups — and dispatches the second-stage device
+        program (voice gather/synthesis) or parses control events;
+        phase 3 fetches voice PCM last, after every device program is
+        in flight.  Tunnel round trips therefore overlap device
+        compute instead of re-serializing at fleet scale."""
         assert iq.shape[0] == self.total_channels, (
             f"block carries {iq.shape[0]} channels, fleet has "
             f"{self.total_channels}")
-        def _one(g):
+        staged = []
+        for g in self.groups:                       # phase 1: dispatch
             sub = iq[g.start:g.start + g.count]
+            p = g.pipeline
+            two_stage = hasattr(p, "frontend_dispatch") and (
+                hasattr(p, "decode_from_frontend") if g.kind == "voice"
+                else hasattr(p, "events_from_frontend"))
+            fe = p.frontend_dispatch(sub) if two_stage else None
+            staged.append((g, sub, fe))
+
+        def _mid(item):                             # phase 2
+            g, sub, fe = item
+            p = g.pipeline
+            if fe is None:                          # fused fallback
+                if g.kind == "voice":
+                    g.pcm = p.decode_block(sub)
+                else:
+                    p.decode_block_events(sub)
+                return g, None
+            fin = p.frontend_finish(fe)
             if g.kind == "voice":
-                g.pcm = g.pipeline.decode_block(sub)
-            else:
-                g.pipeline.decode_block_events(sub)
+                return g, p.decode_from_frontend(fin)
+            p.events_from_frontend(fin)
+            return g, None
+
         if self._pool is not None:
-            list(self._pool.map(_one, self.groups))
+            handles = list(self._pool.map(_mid, staged))
         else:
-            for g in self.groups:
-                _one(g)
+            handles = [_mid(s) for s in staged]
+        for g, h in handles:                        # phase 3: PCM fetch
+            if h is not None:
+                g.pcm = g.pipeline.fetch_pcm(h)
         self.blocks += 1
 
     def events(self, channel: int):

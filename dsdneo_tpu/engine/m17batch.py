@@ -229,7 +229,11 @@ class BatchedM17VoicePipeline:
         """One [C, B] block end to end; events land in
         ``self.ctxs[c].events``, synthesized PCM for monitored channels
         in ``self.ctxs[c].audio``.  Returns accepted stream frames."""
-        dibits_dev, idx, vq, n_sym = self.frontend_sync_device(iq)
+        return self.events_from_frontend(self.frontend_sync_device(iq))
+
+    def events_from_frontend(self, fe4) -> int:
+        """Second fleet-pipeline stage (see FleetMonitor.decode_block)."""
+        dibits_dev, idx, vq, n_sym = fe4
         ac, at = self.pick_frames(idx, vq, n_sym)
         self._active = [False] * self.C
         F = ac.shape[0]
@@ -319,15 +323,25 @@ class BatchedM17VoicePipeline:
         """FleetMonitor voice-group surface: one block → [C, n] PCM of
         the audio synthesized BY this block (monitored channels only;
         events keep accumulating in ``self.ctxs``)."""
+        return self.decode_from_frontend(self.frontend_sync_device(iq))
+
+    def decode_from_frontend(self, fe4) -> np.ndarray:
+        """Staged voice surface for the fleet pipeline: events + the
+        block's new PCM from a finished frontend exchange."""
         before = [sum(len(p) for p in ctx.audio.get(0, []))
                   for ctx in self.ctxs]
-        self.decode_block_events(iq)
+        self.events_from_frontend(fe4)
         chans = [self.pcm(c)[before[c]:] for c in range(self.C)]
         n = max((ch.size for ch in chans), default=0)
         out = np.zeros((self.C, n), np.float32)
         for c, ch in enumerate(chans):
             out[c, :ch.size] = ch
         return out
+
+    @staticmethod
+    def fetch_pcm(handle) -> np.ndarray:
+        """decode_from_frontend already returns host PCM."""
+        return handle
 
     def events(self, c: int):
         return self.ctxs[c].events

@@ -119,25 +119,16 @@ class ProVoiceDecoder(ProtocolDecoder):
         """Deinterleave one IMBE-7100 frame pair: both frames share each
         6-entry window of the w/x tables (frame 1 first, then frame 2
         over the same entries), with frame 2's 12th window split 4+2
-        around a 2-bit stream pad and two 5-entry windows mid/end."""
+        around a 2-bit stream pad and two 5-entry windows mid/end.  The
+        walk order lives in encode.pair_bit_schedule so the TX-side
+        interleaver (protocol/provoice/encode.py) cannot drift."""
+        from dsdneo_tpu.protocol.provoice.encode import pair_bit_schedule
         f1 = np.zeros((7, 24), dtype=np.uint8)
         f2 = np.zeros((7, 24), dtype=np.uint8)
-        k = [0]
-
-        def seg(f, n, off=0):
-            base = k[0] + off
-            for i in range(n):
-                f[_W[base + i], _X[base + i]] = take(1)[0]
-
-        for _ in range(11):
-            seg(f1, 6); seg(f2, 6); k[0] += 6
-        seg(f1, 6); seg(f2, 4)
-        take(2)
-        seg(f2, 2, off=4); k[0] += 6
-        for _ in range(3):
-            seg(f1, 6); seg(f2, 6); k[0] += 6
-        seg(f1, 5); seg(f2, 5); k[0] += 5
-        for _ in range(7):
-            seg(f1, 6); seg(f2, 6); k[0] += 6
-        seg(f1, 5); seg(f2, 5); k[0] += 5
+        for tag, w, x in pair_bit_schedule():
+            b = take(1)[0]
+            if tag == "1":
+                f1[w, x] = b
+            elif tag == "2":
+                f2[w, x] = b
         return f1, f2

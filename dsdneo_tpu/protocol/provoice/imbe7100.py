@@ -43,18 +43,45 @@ def _tables():
     return g23, h15
 
 
+@lru_cache(maxsize=1)
+def carried_positions() -> tuple:
+    """The 142 [7, 24] cells the air interface actually carries, in
+    row-major order — derived from the reference's interleave tables
+    (provoice_const.h w/x schedules via encode.pair_bit_schedule).
+    Row extents are 19/24/23/23/15/15/23: NOT row-aligned with the
+    codeword lengths, so the ECC hypothesis lays its codewords over
+    this flat order."""
+    from dsdneo_tpu.protocol.provoice.encode import pair_bit_schedule
+    cells = sorted({(w, x) for tag, w, x in pair_bit_schedule()
+                    if tag == "1"})
+    assert len(cells) == 142
+    return tuple(cells)
+
+
+def _flat(fr: np.ndarray) -> np.ndarray:
+    cells = carried_positions()
+    return fr[tuple(np.array(cells).T)]
+
+
+def _unflat(bits142: np.ndarray) -> np.ndarray:
+    fr = np.zeros((7, 24), dtype=np.uint8)
+    for (w, x), b in zip(carried_positions(), bits142):
+        fr[w, x] = b
+    return fr
+
+
 def decode_imbe7100_ecc(fr: np.ndarray, pn: bool = True
                         ) -> tuple[np.ndarray, int]:
-    """[7, 24] code vectors → (142-bit frame payload as 88+ parameter
-    bits [u0..u5 data ‖ u6 tail], total corrected-bit count).
+    """[7, 24] code vectors → (90 parameter bits [u0..u5 data ‖ tail],
+    total corrected-bit count).
 
-    Hypothesis layout (see module docstring): u0 Golay(23,12) clear;
-    u1..u3 Golay(23,12) XOR PN; u4..u5 Hamming(15,11) XOR PN; u6 = 20
-    raw tail bits.  PN seed = u0's 12 parameter bits (LSB-first, the
-    7200 convention)."""
+    Hypothesis layout (see module docstring) over the 142 CARRIED bits
+    in flat row-major order: u0 Golay(23,12) clear; u1..u3 Golay(23,12)
+    XOR PN; u4..u5 Hamming(15,11) XOR PN; 20 raw tail bits.  PN seed =
+    u0's 12 parity bits (LSB-first, the 7200 convention)."""
     g23, h15 = _tables()
-    fr = np.asarray(fr, dtype=np.uint8)
-    m0, e0 = g23.decode(fr[0, :23])
+    flat = _flat(np.asarray(fr, dtype=np.uint8))
+    m0, e0 = g23.decode(flat[0:23])
     errs = int(e0)
     out = np.zeros(90, dtype=np.uint8)
     for i in range(12):
@@ -65,24 +92,27 @@ def decode_imbe7100_ecc(fr: np.ndarray, pn: bool = True
         seed |= int(cw0[11 + k]) << k
     pnb = _pn_bits(seed & 0xFFF, 114) if pn else np.zeros(114, np.uint8)
     pos = 0
+    fpos = 23
     k = 12
-    for row in range(1, 4):
-        w = fr[row, :23] ^ (pnb[pos:pos + 23][::-1] if pn else 0)
+    for _ in range(3):
+        w = flat[fpos:fpos + 23] ^ (pnb[pos:pos + 23][::-1] if pn else 0)
+        fpos += 23
         pos += 23
         m, e = g23.decode(w)
         errs += int(e)
         for i in range(12):
             out[k + i] = (m >> (11 - i)) & 1
         k += 12
-    for row in range(4, 6):
-        w = fr[row, :15] ^ (pnb[pos:pos + 15][::-1] if pn else 0)
+    for _ in range(2):
+        w = flat[fpos:fpos + 15] ^ (pnb[pos:pos + 15][::-1] if pn else 0)
+        fpos += 15
         pos += 15
         m, e = h15.decode(w)
         errs += int(e)
         for i in range(11):
             out[k + i] = (m >> (10 - i)) & 1
         k += 11
-    out[k:k + 20] = fr[6, 19::-1]
+    out[k:k + 20] = flat[fpos:fpos + 20]
     return out, errs
 
 
@@ -90,36 +120,39 @@ def encode_imbe7100_ecc(bits90: np.ndarray, pn: bool = True) -> np.ndarray:
     """Inverse of decode_imbe7100_ecc (roundtrip tests / synthesis)."""
     g23, h15 = _tables()
     b = np.asarray(bits90, dtype=np.uint8)
-    fr = np.zeros((7, 24), dtype=np.uint8)
+    flat = np.zeros(142, dtype=np.uint8)
     m0 = 0
     for i in range(12):
         m0 = (m0 << 1) | int(b[i])
     cw0 = g23.codebook[m0]
-    fr[0, :23] = cw0
+    flat[0:23] = cw0
     seed = 0
     for k in range(12):
         seed |= int(cw0[11 + k]) << k
     pnb = _pn_bits(seed & 0xFFF, 114) if pn else np.zeros(114, np.uint8)
     pos = 0
+    fpos = 23
     k = 12
-    for row in range(1, 4):
+    for _ in range(3):
         m = 0
         for i in range(12):
             m = (m << 1) | int(b[k + i])
         k += 12
-        fr[row, :23] = g23.codebook[m] ^ (pnb[pos:pos + 23][::-1]
-                                          if pn else 0)
+        flat[fpos:fpos + 23] = g23.codebook[m] ^ (pnb[pos:pos + 23][::-1]
+                                                  if pn else 0)
+        fpos += 23
         pos += 23
-    for row in range(4, 6):
+    for _ in range(2):
         m = 0
         for i in range(11):
             m = (m << 1) | int(b[k + i])
         k += 11
-        fr[row, :15] = h15.codebook[m] ^ (pnb[pos:pos + 15][::-1]
-                                          if pn else 0)
+        flat[fpos:fpos + 15] = h15.codebook[m] ^ (pnb[pos:pos + 15][::-1]
+                                                  if pn else 0)
+        fpos += 15
         pos += 15
-    fr[6, 19::-1] = b[k:k + 20]
-    return fr
+    flat[fpos:fpos + 20] = b[k:k + 20]
+    return _unflat(flat)
 
 
 def grade_hypotheses(frames: np.ndarray) -> list[dict]:
@@ -142,7 +175,8 @@ def grade_hypotheses(frames: np.ndarray) -> list[dict]:
                 tot = 0
                 cnt = 0
                 for fr in frames:
-                    m0, _e = g23.decode(fr[0, :23])
+                    flat = _flat(fr)
+                    m0, _e = g23.decode(flat[0:23])
                     cw0 = g23.codebook[m0]
                     seed = 0
                     if seed_src == "parity_lsb":
@@ -156,10 +190,13 @@ def grade_hypotheses(frames: np.ndarray) -> list[dict]:
                     pnb = _pn_bits(seed & 0xFFF, 114) if pn_on \
                         else np.zeros(114, np.uint8)
                     pos = 0
-                    for row in range(1, 4):
+                    fpos = 23
+                    for _row in range(3):
                         blk = pnb[pos:pos + 23]
                         pos += 23
-                        w = fr[row, :23] ^ (blk[::-1] if rev else blk)
+                        w = flat[fpos:fpos + 23] ^ (blk[::-1] if rev
+                                                    else blk)
+                        fpos += 23
                         _m, e = g23.decode(w)
                         tot += int(e)
                         cnt += 1

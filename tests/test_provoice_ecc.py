@@ -18,13 +18,19 @@ def test_roundtrip_exact():
 
 
 def test_corrects_injected_errors():
+    from dsdneo_tpu.protocol.provoice.imbe7100 import carried_positions
     rng = np.random.default_rng(1)
     bits = rng.integers(0, 2, 90).astype(np.uint8)
     fr = encode_imbe7100_ecc(bits)
-    # up to 3 bit errors per Golay row, 1 per Hamming row
-    for row, n in ((0, 3), (1, 3), (2, 2), (4, 1)):
-        for c in rng.choice(15 if row >= 4 else 23, size=n, replace=False):
-            fr[row, c] ^= 1
+    cells = carried_positions()
+    # codewords lie over the carried bits in flat order: u0/u1/u2/u3
+    # Golay(23,12) at flat 0/23/46/69, u4/u5 Hamming(15,11) at 92/107
+    # — inject up to 3 errors per Golay codeword, 1 per Hamming
+    for base, width, n in ((0, 23, 3), (23, 23, 3), (46, 23, 2),
+                           (92, 15, 1)):
+        for off in rng.choice(width, size=n, replace=False):
+            w, x = cells[base + int(off)]
+            fr[w, x] ^= 1
     out, errs = decode_imbe7100_ecc(fr)
     np.testing.assert_array_equal(out, bits)
     assert errs == 9
