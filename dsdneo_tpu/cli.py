@@ -30,7 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "terminal", "http"],
                    help="UI frontend")
     p.add_argument("-o", dest="audio_out", default="null",
-                   help="audio output (null | wav:PATH | pcm:PATH)")
+                   help="audio output (null | wav:PATH | pcm:PATH | "
+                        "udp:HOST:PORT | play | pulse | alsa — live "
+                        "sinks play 48 kHz stereo; play8/pulse8/alsa8 "
+                        "keep 8 kHz mono)")
     p.add_argument("-v", dest="verbose", action="count", default=0)
     p.add_argument("--sync-threshold", type=float, default=0.62)
     p.add_argument("-X", dest="p2_params", default=None,

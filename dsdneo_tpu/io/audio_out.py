@@ -113,20 +113,21 @@ class PcmSink(AudioSink):
 
 
 class PlayerSink(AudioSink):
-    """Pipe s16le mono PCM into an external player process — the
-    stand-in for the reference's Pulse/PortAudio device backends
+    """Pipe s16le PCM into an external player process — the stand-in
+    for the reference's Pulse/PortAudio device backends
     (src/platform/audio_pulse.c et al.) in environments without a sound
     server.  ``cmd`` defaults to the first of paplay/aplay/ffplay found
-    on PATH; any command reading s16le 8 kHz mono on stdin works
+    on PATH; any command reading s16le on stdin works
     (e.g. ``-o play:paplay --raw --rate=8000 --channels=1``)."""
 
     DEFAULTS = (
-        "paplay --raw --format=s16le --rate={rate} --channels=1",
-        "aplay -q -f S16_LE -r {rate} -c 1",
+        "paplay --raw --format=s16le --rate={rate} --channels={ch}",
+        "aplay -q -f S16_LE -r {rate} -c {ch}",
         "ffplay -nodisp -autoexit -f s16le -ar {rate} -i -",
     )
 
-    def __init__(self, cmd: str = "", rate: int = 8000):
+    def __init__(self, cmd: str = "", rate: int = 8000,
+                 channels: int = 1):
         import shlex
         import shutil
         import subprocess
@@ -138,17 +139,26 @@ class PlayerSink(AudioSink):
             else:
                 raise RuntimeError("no audio player (paplay/aplay/ffplay)"
                                    " on PATH; use -o play:<command>")
-        self._p = subprocess.Popen(shlex.split(cmd.format(rate=rate)),
-                                   stdin=subprocess.PIPE)
+        self._p = subprocess.Popen(
+            shlex.split(cmd.format(rate=rate, ch=channels)),
+            stdin=subprocess.PIPE)
 
-    def write(self, slot: int, pcm: np.ndarray) -> None:
+    def _send(self, x: np.ndarray) -> None:
         if self._p.stdin is None or self._p.poll() is not None:
             return
-        x = (np.clip(np.asarray(pcm), -1, 1) * 32767).astype("<i2")
         try:
             self._p.stdin.write(x.tobytes())
         except BrokenPipeError:
             pass
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        self._send((np.clip(np.asarray(pcm), -1, 1) * 32767
+                    ).astype("<i2"))
+
+    def write_frames(self, frames: np.ndarray) -> None:
+        """Interleaved multichannel float [n, ch] → s16le stream."""
+        self._send((np.clip(np.asarray(frames), -1, 1) * 32767
+                    ).astype("<i2"))
 
     def close(self) -> None:
         if self._p.stdin is not None:
@@ -167,7 +177,7 @@ class PulseSimpleSink(AudioSink):
     _PA_STREAM_PLAYBACK = 1
     _PA_SAMPLE_S16LE = 3
 
-    def __init__(self, rate: int = 8000, _lib=None):
+    def __init__(self, rate: int = 8000, channels: int = 1, _lib=None):
         import ctypes
         import ctypes.util
         self._ct = ctypes
@@ -183,7 +193,7 @@ class PulseSimpleSink(AudioSink):
                         ("rate", ctypes.c_uint32),
                         ("channels", ctypes.c_uint8)]
 
-        ss = SampleSpec(self._PA_SAMPLE_S16LE, rate, 1)
+        ss = SampleSpec(self._PA_SAMPLE_S16LE, rate, channels)
         err = ctypes.c_int(0)
         _lib.pa_simple_new.restype = ctypes.c_void_p
         self._s = _lib.pa_simple_new(
@@ -192,12 +202,19 @@ class PulseSimpleSink(AudioSink):
         if not self._s:
             raise RuntimeError(f"pa_simple_new failed (err {err.value})")
 
-    def write(self, slot: int, pcm: np.ndarray) -> None:
-        x = (np.clip(np.asarray(pcm), -1, 1) * 32767).astype("<i2")
+    def _send(self, x: np.ndarray) -> None:
         err = self._ct.c_int(0)
         buf = x.tobytes()
         self._lib.pa_simple_write(self._ct.c_void_p(self._s), buf,
                                   len(buf), self._ct.byref(err))
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        self._send((np.clip(np.asarray(pcm), -1, 1) * 32767
+                    ).astype("<i2"))
+
+    def write_frames(self, frames: np.ndarray) -> None:
+        self._send((np.clip(np.asarray(frames), -1, 1) * 32767
+                    ).astype("<i2"))
 
     def close(self) -> None:
         if self._s:
@@ -218,7 +235,7 @@ class AlsaSink(AudioSink):
     _SND_PCM_ACCESS_RW_INTERLEAVED = 3
 
     def __init__(self, rate: int = 8000, device: str = "default",
-                 _lib=None):
+                 channels: int = 1, _lib=None):
         import ctypes
         import ctypes.util
         self._ct = ctypes
@@ -236,7 +253,8 @@ class AlsaSink(AudioSink):
         self._pcm = pcm
         rc = _lib.snd_pcm_set_params(
             pcm, self._SND_PCM_FORMAT_S16_LE,
-            self._SND_PCM_ACCESS_RW_INTERLEAVED, 1, rate, 1, 500000)
+            self._SND_PCM_ACCESS_RW_INTERLEAVED, channels, rate, 1,
+            500000)
         if rc < 0:
             _lib.snd_pcm_close(pcm)
             raise RuntimeError(f"snd_pcm_set_params failed ({rc})")
@@ -244,6 +262,10 @@ class AlsaSink(AudioSink):
     def write(self, slot: int, pcm: np.ndarray) -> None:
         x = (np.clip(np.asarray(pcm), -1, 1) * 32767).astype("<i2")
         self._lib.snd_pcm_writei(self._pcm, x.tobytes(), len(x))
+
+    def write_frames(self, frames: np.ndarray) -> None:
+        x = (np.clip(np.asarray(frames), -1, 1) * 32767).astype("<i2")
+        self._lib.snd_pcm_writei(self._pcm, x.tobytes(), x.shape[0])
 
     def close(self) -> None:
         if self._pcm:
@@ -281,6 +303,80 @@ class FloatWavSink(AudioSink):
                 f.write(hdr + data)
 
 
+class StreamingUpsampler:
+    """Streaming 8 kHz → 48 kHz (×6) polyphase upsampler sharing the
+    filter bank of dsp.resampler (host numpy; per-stream history makes
+    chunked output exactly equal one-shot resample())."""
+
+    L = 6
+
+    def __init__(self):
+        from dsdneo_tpu.dsp.resampler import _plan
+        self._bank = np.asarray(_plan(self.L, 1))       # [L, P]
+        self._hist = np.zeros(self._bank.shape[1] - 1, np.float32)
+
+    def __call__(self, pcm: np.ndarray) -> np.ndarray:
+        pcm = np.asarray(pcm, dtype=np.float32)
+        n = pcm.shape[0]
+        if n == 0:
+            return pcm
+        P = self._bank.shape[1]
+        x = np.concatenate([self._hist, pcm])
+        ks = np.arange(n * self.L)
+        ipos = ks // self.L + (P - 1)
+        phase = ks % self.L
+        idx = ipos[:, None] - np.arange(P)[None, :]
+        y = np.sum(x[idx] * self._bank[phase], axis=-1)
+        self._hist = x[-(P - 1):]
+        return y.astype(np.float32)
+
+
+class UpmixSink(AudioSink):
+    """Live-playback adapter: per-slot 8 kHz mono → 48 kHz 2-channel
+    stereo (slot 0 → left, slot 1 → right), the reference's playback
+    parity (src/core/audio/dsd_audio.c:798 upsample + dsd_audio2.c
+    2-slot stereo variants).  Wraps a sink exposing
+    ``write_frames([n, 2] float @48k)``.
+
+    Slots arrive asynchronously; samples pair up when both slots have
+    audio, and a slot running ahead of the other by more than
+    ``skew`` output samples (default one 20 ms voice frame) flushes
+    against silence so latency stays bounded."""
+
+    def __init__(self, inner, skew: int = 960):
+        self._inner = inner
+        self._up = (StreamingUpsampler(), StreamingUpsampler())
+        self._pend = [np.zeros(0, np.float32), np.zeros(0, np.float32)]
+        self._skew = skew
+
+    def _flush(self, force: bool = False) -> None:
+        a, b = self._pend
+        n = min(len(a), len(b))
+        if n:
+            frames = np.stack([a[:n], b[:n]], axis=1)
+            self._inner.write_frames(frames)
+            self._pend = [a[n:], b[n:]]
+            a, b = self._pend
+        for s in (0, 1):
+            x = self._pend[s]
+            excess = len(x) if force else len(x) - self._skew
+            if excess > 0:
+                frames = np.zeros((excess, 2), np.float32)
+                frames[:, s] = x[:excess]
+                self._inner.write_frames(frames)
+                self._pend[s] = x[excess:]
+
+    def write(self, slot: int, pcm: np.ndarray) -> None:
+        s = slot & 1
+        up = self._up[s](pcm)
+        self._pend[s] = np.concatenate([self._pend[s], up])
+        self._flush()
+
+    def close(self) -> None:
+        self._flush(force=True)
+        self._inner.close()
+
+
 def list_audio_devices(out=None) -> None:
     """-O: list playback endpoints.  Uses pactl when a Pulse server is
     reachable, otherwise reports which external players/backends the
@@ -315,16 +411,32 @@ def make_sink(spec: str, float_audio: bool = False) -> AudioSink | None:
     """Parse a '-o' style sink spec: null | wav:P | wav2:P | pcm:P |
     udp:HOST:PORT | play[:command] | pulse | alsa[:device].  Returns
     None for unknown specs.  ``float_audio`` (-y) upgrades file sinks
-    to 32-bit float output."""
+    to 32-bit float output.
+
+    Live playback sinks (play/pulse/alsa) run the reference's playback
+    parity path — 8k→48k polyphase upsample + 2-slot stereo mix
+    (UpmixSink).  The 8 kHz mono legacy forms stay available as
+    play8[:cmd] / pulse8 / alsa8[:device]."""
     if spec == "null":
         return NullSink()
     if spec == "play" or spec.startswith("play:"):
-        return PlayerSink(spec[5:] if spec.startswith("play:") else "")
+        return UpmixSink(PlayerSink(
+            spec[5:] if spec.startswith("play:") else "",
+            rate=48000, channels=2))
+    if spec == "play8" or spec.startswith("play8:"):
+        return PlayerSink(spec[6:] if spec.startswith("play8:") else "")
     if spec == "pulse":
+        return UpmixSink(PulseSimpleSink(rate=48000, channels=2))
+    if spec == "pulse8":
         return PulseSimpleSink()
     if spec == "alsa" or spec.startswith("alsa:"):
-        return AlsaSink(device=spec[5:] or "default"
-                        if spec.startswith("alsa:") else "default")
+        return UpmixSink(AlsaSink(
+            device=spec[5:] or "default"
+            if spec.startswith("alsa:") else "default",
+            rate=48000, channels=2))
+    if spec == "alsa8" or spec.startswith("alsa8:"):
+        return AlsaSink(device=spec[6:] or "default"
+                        if spec.startswith("alsa8:") else "default")
     if spec.startswith("wav2:"):
         return StereoWavSink(spec[5:])
     if spec.startswith("wav:"):
