@@ -58,10 +58,29 @@ def estimate_cfo_qpsk(x: jax.Array, fs: float, symbol_rate: float,
     return (freqs[k] - symbol_rate / 2.0) / 4.0
 
 
+def estimate_cfo_qpsk_windowed(x: jax.Array, fs: float,
+                               symbol_rate: float, n_windows: int,
+                               pull_in_hz: float = 0.0) -> jax.Array:
+    """Per-window 4th-power CFO estimates: ``[C, W]`` Hz at the centers
+    of ``n_windows`` equal slices of the block.
+
+    The single-FFT estimator assumes the carrier is constant across the
+    block; a drifting oscillator smears the x⁴ line by 4·slope·T Hz and
+    the argmax fails beyond ~150 Hz/s on 2 s blocks (measured).  Short
+    windows keep the smear inside one bin — the feed-forward analogue of
+    the reference FLL's continuous tracking (src/dsp/costas.cpp:1176)."""
+    c, n = x.shape
+    w = n // n_windows
+    xw = x[:, :w * n_windows].reshape(c * n_windows, w)
+    cfo = estimate_cfo_qpsk(xw, fs, symbol_rate, pull_in_hz=pull_in_hz)
+    return cfo.reshape(c, n_windows)
+
+
 def demod_cqpsk(x: jax.Array, fs: float, symbol_rate: float,
                 rrc_alpha: float = 0.2, n_sym: int | None = None,
                 ted_gain: float = 1.0, pull_in_hz: float = 0.0,
-                cfo_prior: float | None = None, cfo_alpha: float = 1.0):
+                cfo_prior: float | None = None, cfo_alpha: float = 1.0,
+                cfo_windows: int = 1):
     """``[C, N]`` complex baseband → (soft symbols ``[C, K]`` in the
     ±1/±3 alphabet, cfo estimates ``[C]``).
 
@@ -71,18 +90,38 @@ def demod_cqpsk(x: jax.Array, fs: float, symbol_rate: float,
     (higher gain → shorter windows → faster tracking).  ``cfo_prior`` +
     ``cfo_alpha`` blend the block estimate with cross-block carrier
     state (DSD_NEO_COSTAS_DAMPING: heavier damping → slower carrier
-    response)."""
+    response).  ``cfo_windows`` > 1 estimates the carrier per window and
+    de-rotates with the piecewise-linear interpolated trajectory —
+    tracks a drifting oscillator within the block the way the
+    reference's FLL does continuously (src/dsp/costas.cpp:1176)."""
     c, n = x.shape
     sps = fs / symbol_rate
     if n_sym is None:
         n_sym = int((n - 2 * sps) // sps) - 1
 
     # 1. CFO correction
-    cfo = estimate_cfo_qpsk(x, fs, symbol_rate, pull_in_hz=pull_in_hz)
-    if cfo_prior is not None and cfo_alpha < 1.0:
-        cfo = cfo_alpha * cfo + (1.0 - cfo_alpha) * cfo_prior
-    t = jnp.arange(n, dtype=jnp.float32) / fs
-    x = x * jnp.exp(-2j * jnp.pi * cfo[:, None] * t[None, :])
+    if cfo_windows > 1:
+        cfo_w = estimate_cfo_qpsk_windowed(x, fs, symbol_rate,
+                                           cfo_windows,
+                                           pull_in_hz=pull_in_hz)
+        if cfo_prior is not None and cfo_alpha < 1.0:
+            cfo_w = cfo_alpha * cfo_w + (1.0 - cfo_alpha) * cfo_prior
+        w = n // cfo_windows
+        centers = ((jnp.arange(cfo_windows, dtype=jnp.float32) + 0.5)
+                   * w)
+        tidx = jnp.arange(n, dtype=jnp.float32)
+        cfo_t = jax.vmap(lambda cw: jnp.interp(tidx, centers, cw))(cfo_w)
+        # integrated phase keeps the de-rotation continuous at window
+        # seams (the differential phasor only forgives CONSTANT phase)
+        phase = (2.0 * jnp.pi / fs) * jnp.cumsum(cfo_t, axis=-1)
+        x = x * jnp.exp(-1j * phase)
+        cfo = cfo_w.mean(axis=-1)
+    else:
+        cfo = estimate_cfo_qpsk(x, fs, symbol_rate, pull_in_hz=pull_in_hz)
+        if cfo_prior is not None and cfo_alpha < 1.0:
+            cfo = cfo_alpha * cfo + (1.0 - cfo_alpha) * cfo_prior
+        t = jnp.arange(n, dtype=jnp.float32) / fs
+        x = x * jnp.exp(-2j * jnp.pi * cfo[:, None] * t[None, :])
 
     # 2. RRC matched filter
     taps = jnp.asarray(firdes.rrc(sps, int(8 * sps) | 1, rrc_alpha))

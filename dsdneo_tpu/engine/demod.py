@@ -97,9 +97,18 @@ def demod_cqpsk_path(samples: np.ndarray, mode: ModeConfig | str,
     if cfg.costas_damping > 0:
         prior = getattr(demod_cqpsk_path, "_cfo_ema", None)
         alpha = 1.0 / (1.0 + cfg.costas_damping)
+    # DSD_NEO_CFO_WINDOWS: carrier-drift tracking granularity.  0 (the
+    # default) picks one ~0.25 s estimation window per block — the
+    # feed-forward stand-in for the reference FLL's continuous tracking
+    # (src/dsp/costas.cpp:1176); 1 forces the legacy whole-block
+    # estimate; N>1 forces N windows.
+    windows = cfg.cfo_windows
+    if windows <= 0:
+        windows = max(1, int(x.shape[-1] / (fs * 0.25)))
     soft, cfo = demod_cqpsk(jnp.asarray(x), fs, float(mode.symbol_rate),
                             ted_gain=cfg.ted_gain, pull_in_hz=pull_in,
-                            cfo_prior=prior, cfo_alpha=alpha)
+                            cfo_prior=prior, cfo_alpha=alpha,
+                            cfo_windows=windows)
     if cfg.costas_damping > 0:
         demod_cqpsk_path._cfo_ema = float(np.asarray(cfo).mean())
     if cfg.debug_cqpsk:

@@ -105,6 +105,7 @@ class RuntimeConfig:
     costas_bw: float = 0.0             # DSD_NEO_COSTAS_BW (0 = full range)
     costas_damping: float = 0.0        # DSD_NEO_COSTAS_DAMPING
     ted_gain: float = 1.0              # DSD_NEO_TED_GAIN
+    cfo_windows: int = 0               # DSD_NEO_CFO_WINDOWS (0 = auto)
     cqpsk: bool = False                # DSD_NEO_CQPSK (force CQPSK demod)
     cqpsk_sync_inv: bool = False       # DSD_NEO_CQPSK_SYNC_INV
     cqpsk_sync_neg: bool = False       # DSD_NEO_CQPSK_SYNC_NEG
@@ -242,6 +243,7 @@ _ENV_MAP = {
     "COSTAS_BW": ("costas_bw", float),
     "COSTAS_DAMPING": ("costas_damping", float),
     "TED_GAIN": ("ted_gain", float),
+    "CFO_WINDOWS": ("cfo_windows", int),
     "CQPSK": ("cqpsk", _env_bool),
     "CQPSK_SYNC_INV": ("cqpsk_sync_inv",
                        _env_bool),
