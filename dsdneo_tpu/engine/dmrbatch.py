@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsdneo_tpu.engine.voicestate import VoiceCarryMixin
 from dsdneo_tpu.engine.voicebatch import _sync_kernel, correlate_syncs_device
 
 SF_PERIOD = 288                 # same-slot burst period in dibits
@@ -162,7 +163,7 @@ def mulaw_expand(q: np.ndarray) -> np.ndarray:
     return _MULAW_LUT[q]
 
 
-class BatchedDmrVoicePipeline:
+class BatchedDmrVoicePipeline(VoiceCarryMixin):
     """Drives the batched DMR voice chain over one [C, B] block."""
 
     SYNC_NAMES = ("+DMR BS voice", "-DMR BS voice")

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dsdneo_tpu.engine.nxdnbatch import nxdn_voice_decode_gather
+from dsdneo_tpu.engine.voicestate import VoiceCarryMixin
 from dsdneo_tpu.engine.voicebatch import _sync_kernel, correlate_syncs_device
 
 PART_DIBITS = 384               # FS2-to-FS2 stride (12 sync + 372 part)
@@ -35,7 +36,7 @@ def _voice_offsets() -> np.ndarray:
     return np.concatenate(offs).astype(np.int32)
 
 
-class BatchedDpmrVoicePipeline:
+class BatchedDpmrVoicePipeline(VoiceCarryMixin):
     """Drives the batched dPMR voice chain over one [C, B] block."""
 
     SYNC_NAMES = ("+dPMR FS2", "-dPMR FS2")

@@ -191,6 +191,9 @@ class TrunkedFleet:
             return
         row = self._free.pop(0)
         self.offs[self.n_cc + row] = off
+        # retargeted row: drop the previous call's synthesis/repeat
+        # carry before the next device step decodes the new stream
+        self.vc_pipe.reset_voice_state([row])
         self.calls[row] = VoiceCall(
             row=row, tg=tg, src=int(fields.get("src", 0) or 0),
             freq_hz=freq, system=cc, granted_at=self.clock,

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsdneo_tpu.engine.voicestate import VoiceCarryMixin
 from dsdneo_tpu.engine.voicebatch import _sync_kernel, correlate_syncs_device
 
 FRAME_DIBITS = 192              # FSW(10) + LICH(8) + payload
@@ -87,7 +88,7 @@ def nxdn_voice_decode_gather(dibits, f_ch, f_pos, f_inv, offs, flips,
                                 C, n_steps, state, pcm_fmt)
 
 
-class BatchedNxdnVoicePipeline:
+class BatchedNxdnVoicePipeline(VoiceCarryMixin):
     """Drives the batched NXDN48 voice chain over one [C, B] block."""
 
     SYNC_NAMES = ("+NXDN FSW", "-NXDN FSW")

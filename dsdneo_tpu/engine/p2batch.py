@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsdneo_tpu.engine.voicestate import VoiceCarryMixin
 from dsdneo_tpu.engine.voicebatch import _sync_kernel, correlate_syncs_device
 
 FRAME_DIBITS = 720            # 20-dibit sync + 4 × 180-dibit timeslots
@@ -219,7 +220,7 @@ def p2_voice_decode_gather(dibits, scr_tab, f_ch, f_tpos, f_row, f_offidx,
                                 C2, n_steps, state, pcm_fmt)
 
 
-class BatchedP2VoicePipeline:
+class BatchedP2VoicePipeline(VoiceCarryMixin):
     """Drives the batched P25p2 2-slot TDMA voice chain over [C, B]
     blocks.  All channels share one WACN/SYS/NAC scramble (the fleet
     case: many voice channels of ONE trunked system; per-system

@@ -721,6 +721,24 @@ class BatchedP25VoicePipeline:
         from dsdneo_tpu.ops.audio_wire import wire_expand
         return wire_expand(np.asarray(handle), self.pcm_fmt, self.C)
 
+    def reset_voice_state(self, channels=None) -> None:
+        """Clear the device-resident prediction/synthesis/repeat carry —
+        every row when ``channels`` is None, else just the given rows.
+        A trunked row retargeted by a grant must not phase-continue or
+        frame-repeat the previous call (reference: controller thread
+        re-inits per-slot mbe state on retune)."""
+        attrs = ("_dev_pred_state", "_dev_synth_state", "_dev_rep_state")
+        if channels is None:
+            for a in attrs:
+                if hasattr(self, a):
+                    delattr(self, a)
+            return
+        from dsdneo_tpu.vocoder.device import voice_state_reset
+        for a in attrs:
+            st = getattr(self, a, None)
+            if st is not None:
+                setattr(self, a, voice_state_reset(st, channels))
+
     def decode_block_host(self, iq) -> np.ndarray:
         """Host-dequant variant of decode_block (reference numerics for
         the device path's parity test; same chain, numpy two-pass

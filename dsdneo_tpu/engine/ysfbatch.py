@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsdneo_tpu.engine.voicestate import VoiceCarryMixin
 from dsdneo_tpu.engine.voicebatch import _sync_kernel, correlate_syncs_device
 
 FRAME_DIBITS = 480              # sync 20 + FICH 100 + payload 360
@@ -84,7 +85,7 @@ def ysf_voice_decode_gather(dibits, f_ch, f_pos, fch, forder,
                                 C, n_steps, state, pcm_fmt)
 
 
-class BatchedYsfVoicePipeline:
+class BatchedYsfVoicePipeline(VoiceCarryMixin):
     """Drives the batched YSF V/D2 chain over one [C, B] block."""
 
     SYNC_NAMES = ("+YSF",)

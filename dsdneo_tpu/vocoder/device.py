@@ -477,6 +477,17 @@ def voice_state_init(C: int):
     return (synth_state_init(C), repeat_state_init(C))
 
 
+def voice_state_reset(state, channels):
+    """Zero the carry rows for ``channels`` in any nested per-channel
+    state tuple (leading axis = channel).  A channel row retargeted to
+    a new frequency mid-stream must not phase-continue the previous
+    talker or repeat the previous stream's parameters — the reference
+    resets its mbe state on retune (dsd_mbe.c per-slot state lives in
+    the decoder context that the controller thread re-inits)."""
+    ch = jnp.asarray(np.asarray(channels, np.int32))
+    return jax.tree.map(lambda a: a.at[ch].set(0), state)
+
+
 # -- batched AMBE+2 (2450) parameter decode ---------------------------------
 
 @lru_cache(maxsize=1)

@@ -260,3 +260,29 @@ def test_dmr_gather_repeat_on_corrupt_superframe():
     e_bad = float(np.square(pcm_bad[0, :n]).mean())
     e_clean = float(np.square(pcm_clean[0, :n]).mean())
     assert e_bad > 0.05 * e_clean, (e_bad, e_clean)
+
+
+def test_reset_voice_state_per_row():
+    """Grant-retarget contract: resetting one row's carry makes that
+    row decode as if fresh while other rows keep their continuity
+    carry (engine.voicestate.VoiceCarryMixin + voice_state_reset)."""
+    from dsdneo_tpu.engine.dmrbatch import (BatchedDmrVoicePipeline,
+                                            synth_voice_stream)
+    iqs, _dib, _bits = synth_voice_stream(n_superframes=2, seed=9)
+    iq1 = np.stack([iqs.real, iqs.imag], axis=-1).astype(np.float32)
+    iq = np.stack([iq1, iq1])                        # 2 identical rows
+
+    # stateful: block A then block A again (carry from first decode)
+    pipe = BatchedDmrVoicePipeline(2, fs=48000.0)
+    pipe.decode_block(iq)
+    pipe.reset_voice_state([0])                      # row 0 fresh
+    pcm = pipe.decode_block(iq)
+
+    fresh = BatchedDmrVoicePipeline(2, fs=48000.0).decode_block(iq)
+    # row 0 matches a fresh pipeline; row 1 (carried) does not
+    np.testing.assert_array_equal(pcm[0], fresh[0])
+    assert not np.array_equal(pcm[1], fresh[1])
+
+    # full reset restores fresh behavior on every row
+    pipe.reset_voice_state()
+    np.testing.assert_array_equal(pipe.decode_block(iq), fresh)

@@ -89,7 +89,11 @@ def test_batched_inverted_dmr_pcm_identical():
     assert len(ac_n) >= 5 and not ai_n.any()
     assert len(ac_i) == len(ac_n) and ai_i.all(), (
         "inverted stream must be accepted via the inverted sync defs")
+    # decode_block carries (synthesis, repeat) state across calls by
+    # design; reset between the two independent streams so the check
+    # compares like with like
     pcm_n = pipe.decode_block(iq_n[None])
+    pipe.reset_voice_state()
     pcm_i = pipe.decode_block(iq_i[None])
     assert pcm_n.shape[1] > 0
     assert pcm_i.shape == pcm_n.shape
