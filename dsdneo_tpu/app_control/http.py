@@ -298,12 +298,17 @@ class HttpFrontend:
         rows = []
         for s in sorted(h.rings):
             for e in h.rings[s][-24:]:
-                rows.append({
+                row = {
                     "t_s": round(e.when, 2), "protocol": e.protocol,
                     "kind": e.kind.name, "slot": e.slot, "tg": e.tg,
                     "src": e.src,
                     "dur_s": round((e.ended if e.ended is not None
-                                    else e.when) - e.when, 2)})
+                                    else e.when) - e.when, 2)}
+                if e.alias:
+                    row["alias"] = e.alias
+                if e.gps:
+                    row["gps"] = e.gps
+                rows.append(row)
         rows.sort(key=lambda r: r["t_s"])
         return json.dumps({"calls": rows[-24:]})
 

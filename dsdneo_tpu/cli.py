@@ -597,6 +597,24 @@ def _state_attrs(args, tg_policy, chan_map) -> dict:
     return attrs
 
 
+def _call_alert_wants(e) -> bool:
+    """-a: does this decode event's milestone fall inside the
+    DSD_NEO_CALL_ALERT_EVENTS mask (start/end/data; empty = all)?
+    Reference: -a beep gated by the call-alert event chooser
+    (runtime/call_alert.h + ui/terminal/menu_actions.c:720-726)."""
+    from dsdneo_tpu.core.events import AlertEvent, alert_events_from_str
+    from dsdneo_tpu.runtime import config as rtcfg
+    mask = alert_events_from_str(rtcfg.get().call_alert_events)
+    f = e.fields
+    if f.get("release") or "Call End" in e.line:
+        return bool(mask & AlertEvent.VOICE_END)
+    if f.get("grant") or f.get("tg"):
+        return bool(mask & AlertEvent.VOICE_START)
+    if "PDU" in e.line or "Data" in e.line:
+        return bool(mask & AlertEvent.DATA)
+    return False
+
+
 def _run_live(args, keyring, tg_policy, chan_map, recorder,
               cfg=None) -> int:
     """Live-source decode (reference -i input specs):
@@ -627,7 +645,7 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
         if args.lrrp_log and ("GPS" in e.line or "LRRP" in e.line):
             with open(args.lrrp_log, "a") as f:
                 f.write(f"{e.pos}\t{e.line.strip()}\n")
-        if args.call_alert and (e.fields.get("tg") or e.fields.get("grant")):
+        if args.call_alert and _call_alert_wants(e):
             print("\a", end="", file=sys.stderr, flush=True)
 
     def _drive_live(make_dev):
@@ -1592,7 +1610,7 @@ def main(argv: list[str] | None = None) -> int:
                     f.write(f"{ev.pos}\t{ev.line.strip()}\n")
     if args.call_alert:
         for ev in ctx.events:
-            if ev.fields.get("tg") or ev.fields.get("grant"):
+            if _call_alert_wants(ev):
                 print("\a", end="", file=sys.stderr, flush=True)
                 break
     if args.symbol_out:

@@ -106,6 +106,8 @@ class RuntimeConfig:
     costas_damping: float = 0.0        # DSD_NEO_COSTAS_DAMPING
     ted_gain: float = 1.0              # DSD_NEO_TED_GAIN
     cfo_windows: int = 0               # DSD_NEO_CFO_WINDOWS (0 = auto)
+    call_alert_events: str = ""        # DSD_NEO_CALL_ALERT_EVENTS
+    #   comma list of start/end/data; empty = all (reference -a chooser)
     cqpsk: bool = False                # DSD_NEO_CQPSK (force CQPSK demod)
     cqpsk_sync_inv: bool = False       # DSD_NEO_CQPSK_SYNC_INV
     cqpsk_sync_neg: bool = False       # DSD_NEO_CQPSK_SYNC_NEG
@@ -244,6 +246,7 @@ _ENV_MAP = {
     "COSTAS_DAMPING": ("costas_damping", float),
     "TED_GAIN": ("ted_gain", float),
     "CFO_WINDOWS": ("cfo_windows", int),
+    "CALL_ALERT_EVENTS": ("call_alert_events", str),
     "CQPSK": ("cqpsk", _env_bool),
     "CQPSK_SYNC_INV": ("cqpsk_sync_inv",
                        _env_bool),

@@ -42,8 +42,13 @@ def call_history_rows(history, width: int, height: int = 12,
         t = time.strftime("%H:%M:%S", time.localtime(e.when))
         end = e.ended if e.ended is not None else now
         dur = _fmt_dur(max(end - e.when, 0.0))
+        info = e.text
+        if getattr(e, "alias", ""):
+            info = (f"[{e.alias}] " + info).rstrip()
+        if getattr(e, "gps", ""):
+            info = (info + f" @{e.gps}").strip()
         line = (f" {t} {kind_names.get(e.kind, '?'):<9}"
-                f"{e.tg:<10d}{e.src:<11d}{e.slot:<3d}{dur:<8}{e.text}")
+                f"{e.tg:<10d}{e.src:<11d}{e.slot:<3d}{dur:<8}{info}")
         rows.append(line[:width])
     return rows
 
@@ -120,6 +125,17 @@ def history_from_events(events, fs_sym: float = 4800.0,
                                        src=int(f.get("src", 0) or 0)))
         elif f.get("release") or "Call End" in e.line:
             h.end_call(slot, when=when)
+        elif "Talker Alias:" in e.line:
+            # late alias enrichment rides the call epoch it keyed
+            act = h.active.get(slot)
+            if act is not None:
+                h.enrich_alias(slot, act.epoch, e.line.split(
+                    "Talker Alias:", 1)[1].strip().rstrip(";"))
+        elif "GPS:" in e.line:
+            act = h.active.get(slot)
+            if act is not None:
+                h.enrich_gps(slot, act.epoch, e.line.split(
+                    "GPS:", 1)[1].strip().rstrip(";"))
     return h
 
 

@@ -47,13 +47,19 @@ def test_symbol_capture_roundtrip(tmp_path):
     np.testing.assert_array_equal(cap2.dibits, dibits)
 
 
-@pytest.mark.skipif(not os.path.exists("/tmp/oracle_dmr_syms.bin"),
-                    reason="oracle capture not present")
 def test_symbol_capture_reads_reference_format():
+    """Interop: parse a checked-in symbol capture written by the
+    reference decoder itself (oracle build, `-c` on the dmr_voice
+    fixture: tools/refbuild/build_oracle.sh then
+    `dsd-neo -fs --iq-replay dmr_voice.iq.json -c <file>`)."""
     from dsdneo_tpu.io.symbol_capture import read_symbol_capture
-    cap = read_symbol_capture("/tmp/oracle_dmr_syms.bin")
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "oracle_dmr_syms.bin")
+    cap = read_symbol_capture(path)
     assert cap.dibits.size > 9000
     assert set(np.unique(cap.dibits)) <= {0, 1, 2, 3}
+    assert cap.reliability is not None
+    assert cap.reliability.size == cap.dibits.size
 
 
 def test_udp_pcm_loopback():
