@@ -583,6 +583,70 @@ def bench_m17_events(C: int, reps: int = 5):
     return C * block_s / step_s, step_s
 
 
+def bench_fleet_trunk(reps: int = 4):
+    """Closed-loop trunked fleet (engine.fleettrunk): a 768 kHz
+    wideband band (16-channel raster) with a P25 CC whose grants
+    REWRITE voice-row NCO offsets between device steps, voice decoding
+    on the granted row — the reference controller-thread retune
+    (rtl_sdr_fm.cpp:4665) at fleet scale.  Reports the band realtime
+    multiple (wall-clock per 1 s RF block over extraction + CC events +
+    granted-voice PCM) and its 48 kHz-channel equivalent."""
+    from dsdneo_tpu.engine.fleettrunk import TrunkedFleet
+    from dsdneo_tpu.protocol.p25 import encode as E
+
+    FS, CENTER = 768000.0, 851_000_000.0
+    CC_OFF, VC_OFF, TG = -96_000, 150_000, 101
+    sps = int(FS / 4800)
+    nac = 0x293
+    grant_ch = (1 << 12) | 24
+    netstat = E.tsbk_bytes(0x3B, [0, 0x92, 0x06, 0x50, 0xD5, 0, 0, 0],
+                           lb=True)
+    iden = E.iden_up_tsbk(1, CENTER, 6250.0)
+    frame = E.tsdu_frame(
+        nac, [iden, E.group_grant_tsbk(grant_ch, tg=TG, src=5555), netstat])
+    rng = np.random.default_rng(0)
+    seconds = 2.0
+    need = int(seconds * 4800)
+    cc_dib, total = [rng.integers(0, 4, 60).astype(np.uint8)], 60
+    while total < need:
+        cc_dib.append(frame)
+        cc_dib.append(rng.integers(0, 4, 24).astype(np.uint8))
+        total += len(frame) + 24
+    cc = E.c4fm_iq(np.concatenate(cc_dib)[:need], sps=sps, fs=FS, seed=1)
+    ldus = E.random_voice_ldus(int(seconds / 0.185) + 1, seed=3)
+    vc_dib = [rng.integers(0, 4, 30).astype(np.uint8)]
+    for i, ldu in enumerate(ldus):
+        vc_dib.append(E.ldu_frame(nac, ldu, duid=5 if i % 2 == 0 else 10,
+                                  seed=i))
+    vc = E.c4fm_iq(np.concatenate(vc_dib), sps=sps, fs=FS, seed=2)
+    n = int(seconds * FS)
+    t = np.arange(n, dtype=np.float64) / FS
+    wide = np.zeros(n, dtype=np.complex128)
+    for x, off in ((cc, CC_OFF), (vc, VC_OFF)):
+        m = min(len(x), n)
+        wide[:m] += x[:m] * np.exp(2j * np.pi * off * t[:m])
+    wide = wide.astype(np.complex64)
+
+    fleet = TrunkedFleet(FS, [CC_OFF], n_voice_rows=4, center_hz=CENTER,
+                         hangtime_s=5.0, grant_grace_s=0.5)
+    B = int(FS)                                  # 1 s blocks
+    blocks = [wide[:B], wide[B:2 * B]]
+    fleet.step(blocks[0])                        # observe grant, retarget
+    assert fleet.stats.grants == 1
+    pcm = fleet.step(blocks[1])                  # warm the voice program
+    assert pcm.shape[1] > 0 and np.abs(pcm[0]).mean() > 1e-3
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        for i in range(k):
+            fleet.step(blocks[i % 2])
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(run(reps) for _ in range(3))
+    band_x = (B / FS) / step_s
+    return band_x, step_s, int(fleet.stats.grants + fleet.stats.grant_refreshes)
+
+
 def main() -> int:
     import jax
     _enable_compile_cache()
@@ -614,6 +678,8 @@ def main() -> int:
     edacscc_x, _edacscc_step = _mark("edacscc", bench_edacs_cc(C_audio))
     dstar_x, _dstar_step = _mark("dstar", bench_dstar_events(C_audio))
     m17_x, _m17_step = _mark("m17", bench_m17_events(C_audio))
+    fleet_x, fleet_step_s, fleet_grants = _mark(
+        "fleettrunk", bench_fleet_trunk())
     fe_x, fe_step = _mark("frontend", bench_frontend(C_fe, 20))
     parity = _mark("parity", bench_pallas_parity())
 
@@ -644,6 +710,9 @@ def main() -> int:
             "edacs_cc_x_realtime": round(edacscc_x, 1),
             "dstar_events_x_realtime": round(dstar_x, 1),
             "m17_events_x_realtime": round(m17_x, 1),
+            "fleet_trunk_band_x_realtime": round(fleet_x, 1),
+            "fleet_trunk_step_ms": round(fleet_step_s * 1e3, 1),
+            "fleet_trunk_grant_events": fleet_grants,
             "frontend_symbols_x_realtime": round(fe_x, 1),
             "frontend_channels": C_fe,
             "frontend_step_ms": round(fe_step * 1e3, 3),
