@@ -307,6 +307,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "channel carries the replayed capture; events "
                         "and PCM stats print per group (the TPU "
                         "many-channel serving path)")
+    p.add_argument("--trunk-wideband", default="", metavar="SPEC",
+                   help="closed-loop trunking over a wideband replay: "
+                        "'CCOFF_HZ[,CCOFF...]:N_VOICE[:MODE]' — "
+                        "control-channel offsets from band center + "
+                        "voice-row count; MODE p25p1 (default) or dmr. "
+                        "Grants rewrite voice-row NCOs between device "
+                        "steps (-C CSV feeds LPCN/channel resolution)")
     p.add_argument("--probe", action="store_true",
                    help="probe the input: print detected mode + SNR and "
                         "exit (reference --probe)")
@@ -1412,6 +1419,59 @@ def main(argv: list[str] | None = None) -> int:
             recorder.finish_all()
             print(f"calls exported: {len(recorder.finished)} -> "
                   f"{args.calls_dir}", file=sys.stderr)
+        return 0
+
+    if args.trunk_wideband:
+        from dsdneo_tpu.engine.fleettrunk import TrunkedFleet
+        from dsdneo_tpu.io import read_iq_capture
+        try:
+            meta, samples = read_iq_capture(args.iq_replay)
+        except (OSError, ValueError) as e:
+            print(f"dsd-neo-tpu: cannot replay {args.iq_replay}: {e}",
+                  file=sys.stderr)
+            return 1
+        try:
+            parts = args.trunk_wideband.split(":")
+            cc_offs = [int(x) for x in parts[0].split(",")]
+            n_vc = int(parts[1])
+            tmode = parts[2] if len(parts) > 2 else "p25p1"
+        except (ValueError, IndexError):
+            print("dsd-neo-tpu: bad --trunk-wideband spec (want "
+                  "CCOFF[,CCOFF...]:N_VOICE[:MODE])", file=sys.stderr)
+            return 2
+        fs_band = float(meta.sample_rate_hz)
+        try:
+            fleet = TrunkedFleet(
+                fs_band, cc_offs, n_vc,
+                center_hz=float(meta.center_frequency_hz or 0.0),
+                mode=tmode, cqpsk=bool(getattr(args, "cqpsk", False)),
+                chan_map=chan_map)
+        except ValueError as e:
+            print(f"dsd-neo-tpu: {e}", file=sys.stderr)
+            return 2
+        from dsdneo_tpu.io.audio_out import make_sink
+        sink = make_sink(args.audio_out, float_audio=args.float_audio)
+        B = int(fs_band)                      # 1 s device steps
+        logged = 0
+        for i in range(0, len(samples), B):
+            blk = samples[i:i + B]
+            if blk.shape[0] < B // 4:
+                break
+            pcm = fleet.step(blk)
+            for line in fleet.log[logged:]:
+                print(line, file=sys.stderr)
+            logged = len(fleet.log)
+            if sink is not None and pcm.shape[1]:
+                for row, call in fleet.calls.items():
+                    if np.abs(pcm[row]).mean() > 1e-4:
+                        sink.write(row & 1, pcm[row])
+        s = fleet.stats
+        print(f"trunk-wideband: {s.grants} grants, "
+              f"{s.grant_refreshes} refreshes, {s.releases} releases, "
+              f"{s.unresolved} unresolved, {s.busy_drops} busy-drops "
+              f"over {fleet.blocks} blocks", file=sys.stderr)
+        if sink is not None:
+            sink.close()
         return 0
 
     if args.fleet:

@@ -120,16 +120,35 @@ class TrunkedFleet:
                  center_hz: float = 0.0, mode: str = "p25p1",
                  cqpsk: bool = False, hangtime_s: float = 1.0,
                  grant_grace_s: float = 1.5, sync_threshold: float = 0.62,
-                 tg_policy=None, pcm_fmt: str = "f16"):
+                 tg_policy=None, pcm_fmt: str = "f16", chan_map=None):
         n_ch = int(round(fs / CHANNEL_RATE))
         if abs(fs - n_ch * CHANNEL_RATE) > 1.0 or n_ch < 2:
             raise ValueError(f"fs {fs:g} must be a ≥2 multiple of 48 kHz")
-        if mode != "p25p1":
-            raise ValueError("trunked fleet currently drives the P25p1 "
+        if mode == "p25p1":
+            from dsdneo_tpu.engine.ccbatch import BatchedP25ControlPipeline
+            from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
+            mk_cc = lambda n: BatchedP25ControlPipeline(
+                n, fs=CHANNEL_RATE, cqpsk=cqpsk,
+                sync_threshold=sync_threshold)
+            mk_vc = lambda n: BatchedP25VoicePipeline(
+                n, fs=CHANNEL_RATE, cqpsk=cqpsk,
+                sync_threshold=sync_threshold, pcm_fmt=pcm_fmt)
+        elif mode == "dmr":
+            # DMR Tier III: CSBK grants carry an LPCN resolved through
+            # the channel map (CSV import or C_BCAST chan/freq learning,
+            # reference dmr_cspdu_pf0_c_bcast_maybe_store_channel)
+            from dsdneo_tpu.engine.ccbatch import BatchedDmrControlPipeline
+            from dsdneo_tpu.engine.dmrbatch import BatchedDmrVoicePipeline
+            mk_cc = lambda n: BatchedDmrControlPipeline(
+                n, fs=CHANNEL_RATE, sync_threshold=sync_threshold)
+            mk_vc = lambda n: BatchedDmrVoicePipeline(
+                n, fs=CHANNEL_RATE, sync_threshold=sync_threshold,
+                pcm_fmt=pcm_fmt)
+        else:
+            raise ValueError("trunked fleet drives the p25p1 or dmr "
                              f"CC+voice pipelines (got mode={mode!r})")
-        from dsdneo_tpu.engine.ccbatch import BatchedP25ControlPipeline
-        from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
         self.fs = fs
+        self.mode = mode
         self.n_ch = n_ch
         self.center_hz = center_hz
         self.n_cc = len(cc_offsets_hz)
@@ -137,17 +156,17 @@ class TrunkedFleet:
         self.hangtime_s = hangtime_s
         self.grant_grace_s = grant_grace_s
         self.tg_policy = tg_policy or (lambda tg: True)
+        self.chan_map = chan_map
         # row offsets: CC rows first, then voice rows parked on CC 0
         self.offs = np.zeros(self.n_cc + self.n_vc, dtype=np.int32)
         self.offs[:self.n_cc] = np.asarray(cc_offsets_hz, dtype=np.int32)
         self.offs[self.n_cc:] = self.offs[0]
         self._extract = make_row_extractor(n_ch)
-        self.cc_pipe = BatchedP25ControlPipeline(
-            self.n_cc, fs=CHANNEL_RATE, cqpsk=cqpsk,
-            sync_threshold=sync_threshold)
-        self.vc_pipe = BatchedP25VoicePipeline(
-            self.n_vc, fs=CHANNEL_RATE, cqpsk=cqpsk,
-            sync_threshold=sync_threshold, pcm_fmt=pcm_fmt)
+        self.cc_pipe = mk_cc(self.n_cc)
+        self.vc_pipe = mk_vc(self.n_vc)
+        if chan_map is not None:
+            for ctx in self.cc_pipe.ctxs:
+                ctx.state.chan_map = chan_map
         self.calls: dict[int, VoiceCall] = {}       # row -> call
         self._free = list(range(self.n_vc))
         self._ev_cursor = [0] * self.n_cc
@@ -159,13 +178,24 @@ class TrunkedFleet:
     # -- grant handling -----------------------------------------------------
     def _resolve_freq(self, cc: int, fields: dict) -> float:
         ch = int(fields.get("channel", 0) or 0)
-        if ch in (0, 0xFFFF):
-            return 0.0
-        it = getattr(self.cc_pipe.ctxs[cc].state, "iden_table", None)
-        if it is None:
-            return 0.0
-        f = it.channel_to_freq(ch)
-        return float(f) if f else 0.0
+        if ch not in (0, 0xFFFF):
+            it = getattr(self.cc_pipe.ctxs[cc].state, "iden_table", None)
+            if it is not None:
+                f = it.channel_to_freq(ch)
+                if f:
+                    return float(f)
+            if self.chan_map is not None:
+                f = self.chan_map.freq(ch)
+                if f:
+                    return float(f)
+        # DMR Tier III grants carry an LPCN instead of a P25 iden
+        # channel: resolve through the channel map (CSV / C_BCAST)
+        lpcn = int(fields.get("lpcn", 0) or 0)
+        if lpcn not in (0, 0xFFF) and self.chan_map is not None:
+            f = self.chan_map.freq(lpcn)
+            if f:
+                return float(f)
+        return 0.0
 
     def _on_grant(self, cc: int, fields: dict) -> None:
         tg = int(fields.get("tg", 0) or 0)
