@@ -1648,7 +1648,7 @@ def main(argv: list[str] | None = None) -> int:
                     soft=getattr(ctx, "debug_soft", None),
                     iq=getattr(ctx, "debug_iq", None),
                     history=history_from_events(ctx.events),
-                    state=ctx.state))
+                    state=ctx.state, events=ctx.events))
     if recorder is not None:
         recorder.finish_all()
         print(f"calls exported: {len(recorder.finished)} -> {args.calls_dir}",

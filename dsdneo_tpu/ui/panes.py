@@ -178,6 +178,115 @@ def protocol_status_rows(state, mode: str, width: int) -> list[str]:
     return rows
 
 
+def protocol_detail_rows(state, events, mode: str,
+                         width: int, height: int = 14) -> list[str]:
+    """Per-protocol deep-detail pane (the reference printer's
+    protocol-specific regions, src/ui/terminal/dsd_ncurses_printer.c):
+    site/system identity, channel plans, neighbors, branding, per-slot
+    activity — derived from decode-context state plus the recent event
+    ring.  ``events`` may be None (state-only view)."""
+    rows: list[str] = []
+    evs = list(events or [])[-200:]
+    fam = mode.split("_")[0] if mode else ""
+
+    def _recent(pred, n=4):
+        out = []
+        for e in reversed(evs):
+            if pred(e) and e.line.strip() not in out:
+                out.append(e.line.strip())
+                if len(out) >= n:
+                    break
+        return list(reversed(out))
+
+    if fam.startswith("p25") or fam in ("cqpsk", "x2"):
+        nac = getattr(state, "nac", 0) or 0
+        wacn = getattr(state, "p2_wacn", 0) or 0
+        sysid = getattr(state, "p2_sysid", 0) or 0
+        rf = getattr(state, "p2_rfssid", 0) or 0
+        site = getattr(state, "p2_siteid", 0) or 0
+        rows.append(f" P25  NAC {nac:03X}  WACN {wacn:05X}  SYS {sysid:03X}"
+                    f"  RFSS {rf:03d}  SITE {site:03d}")
+        it = getattr(state, "iden_table", None)
+        if it is not None and getattr(it, "entries", None):
+            for iden, (base, spacing, off, slots) in sorted(
+                    it.entries.items())[:4]:
+                rows.append(f" IDEN {iden:X}: base {base/1e6:9.4f} MHz"
+                            f"  step {spacing/1e3:5.2f} kHz  slots {slots}")
+        nb = []
+        for e in reversed(evs):
+            for cht in e.fields.get("neighbors", []) or []:
+                if cht not in nb:
+                    nb.append(cht)
+        if nb:
+            rows.append(" NEIGHBORS " + " ".join(f"{c:04X}" for c in nb[:6]))
+        rows += _recent(lambda e: "RFSS" in e.line or "Network Stat"
+                        in e.line or "Adjacent" in e.line, 3)
+    elif fam == "dmr":
+        cc = getattr(state, "dmr_color_code", -1)
+        brand = getattr(state, "dmr_branding", "") or ""
+        rows.append(f" DMR  CC {cc if cc >= 0 else '--'}  {brand}".rstrip())
+        parms = getattr(state, "dmr_site_parms", "") or ""
+        if parms:
+            rows.append(f" SITE {parms}")
+        rest = getattr(state, "dmr_rest_channel", None)
+        if rest is not None:
+            rows.append(f" REST CHANNEL {rest}")
+        for s in (0, 1):
+            last = next((e for e in reversed(evs)
+                         if int(e.fields.get("slot", -1) or 0) == s
+                         and (e.fields.get("tg") or e.fields.get("src"))),
+                        None)
+            if last is not None:
+                rows.append(f" SLOT {s + 1}  TG {last.fields.get('tg', 0)}"
+                            f"  SRC {last.fields.get('src', 0)}")
+        rows += _recent(lambda e: "C_BCAST" in e.line
+                        or "ALOHA" in e.line, 2)
+    elif fam.startswith("nxdn"):
+        ran = getattr(state, "nxdn_ran", -1)
+        rows.append(f" NXDN RAN {ran if ran >= 0 else '--'}"
+                    f"  TG {getattr(state, 'last_tg', 0) or 0}"
+                    f"  SRC {getattr(state, 'last_src', 0) or 0}")
+        alias = getattr(state, "last_alias", "") or ""
+        if alias:
+            rows.append(f" ALIAS {alias}")
+        rows += _recent(lambda e: "Site" in e.line or "CCH" in e.line, 3)
+    elif fam == "edacs":
+        grants = [e for e in evs if e.fields.get("afs")]
+        if grants:
+            rows.append(" EDACS recent calls (AFS):")
+            for e in grants[-4:]:
+                rows.append(f"  {e.fields.get('afs')}  "
+                            f"LCN {e.fields.get('lcn', '?')}")
+        rows += _recent(lambda e: "Site" in e.line or "ESK" in e.line, 2)
+    elif fam == "m17":
+        sig = getattr(state, "m17_sig_status", "") or ""
+        if sig:
+            rows.append(f" M17  {sig}")
+        gps = getattr(state, "m17_gps", "") or ""
+        if gps:
+            rows.append(f" GPS  {gps}")
+        last = next((e for e in reversed(evs)
+                     if e.fields.get("dst") or e.fields.get("src")), None)
+        if last is not None:
+            rows.append(f" LSF  DST {last.fields.get('dst', '')}  "
+                        f"SRC {last.fields.get('src', '')}")
+    elif fam == "dstar":
+        txt = getattr(state, "dstar_text", "") or ""
+        if txt:
+            rows.append(f" DSTAR TEXT {txt}")
+        gps = getattr(state, "dstar_gps", "") or ""
+        if gps:
+            rows.append(f" DPRS {gps}")
+        rows += _recent(lambda e: "RPT" in e.line or "UR" in e.line, 3)
+    elif fam == "ysf":
+        rows += _recent(lambda e: "DCH" in e.line or "CSD" in e.line
+                        or "Dest" in e.line, 4)
+
+    if not rows:
+        rows = [f" (no {mode or 'protocol'} detail yet)"]
+    return [r[:width] for r in rows[:height]]
+
+
 def live_status_rows(snap, width: int) -> list[str]:
     """Live-engine status pane from a FrontendMetrics snapshot
     (app_control.snapshot): RF + ring + decode-health block, the

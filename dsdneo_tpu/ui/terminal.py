@@ -28,6 +28,7 @@ class UiModel:
     history: object = None  # core.events.EventHistory (call-history pane)
     channels: list = None   # channel-grid dicts (ui.panes.channel_grid_rows)
     state: object = None    # decode-context state (trunking site pane)
+    events: list = None     # DecodeEvent ring (per-protocol detail pane)
 
 
 def _eye_rows(soft, width: int, height: int = 7) -> list[str]:
@@ -99,7 +100,7 @@ def _spectrum_rows(iq, width: int, height: int = 7) -> list[str]:
 
 
 _VIEWS = ("eye", "histogram", "constellation", "spectrum", "calls",
-          "grid", "trunk", "status")
+          "grid", "trunk", "status", "detail")
 
 
 def _view_rows(model: UiModel, view: str, width: int) -> list[str]:
@@ -126,6 +127,11 @@ def _view_rows(model: UiModel, view: str, width: int) -> list[str]:
         if model.state is None:
             return [" (no decoder state)"]
         return panes.protocol_status_rows(model.state, model.mode, width)
+    if view == "detail":
+        if model.state is None:
+            return [" (no decoder state)"]
+        return panes.protocol_detail_rows(model.state, model.events,
+                                          model.mode, width)
     return _spectrum_rows(model.iq, width)
 
 

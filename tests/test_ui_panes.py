@@ -177,3 +177,47 @@ def test_run_live_headless():
     t = threading.Thread(target=ui, daemon=True)
     t.start()
     assert done.wait(timeout=15), "run_live did not exit headless"
+
+
+def test_protocol_detail_rows_families():
+    """Per-protocol deep-detail pane (reference dsd_ncurses_printer.c
+    protocol regions): P25 identity+iden+neighbors, DMR site/slots,
+    EDACS AFS calls, M17 LSF."""
+    from types import SimpleNamespace
+
+    from dsdneo_tpu.ui.panes import protocol_detail_rows
+
+    class _Ev:
+        def __init__(self, line, **fields):
+            self.line = line
+            self.fields = fields
+
+    st = SimpleNamespace(nac=0x293, p2_wacn=0xBEE00, p2_sysid=0x123,
+                         p2_rfssid=5, p2_siteid=9, iden_table=None)
+    evs = [_Ev("Adjacent Site", neighbors=[0x1018, 0x2020])]
+    rows = protocol_detail_rows(st, evs, "p25p1", 100)
+    assert any("NAC 293" in r and "WACN BEE00" in r for r in rows)
+    assert any("NEIGHBORS 1018 2020" in r for r in rows)
+
+    st = SimpleNamespace(dmr_color_code=1, dmr_branding="Tier III",
+                         dmr_site_parms="TIII Small:2-9;0ABC; ",
+                         dmr_rest_channel=7)
+    evs = [_Ev("v", slot=0, tg=101, src=42), _Ev("v", slot=1, tg=9, src=3)]
+    rows = protocol_detail_rows(st, evs, "dmr", 100)
+    assert any("CC 1" in r and "Tier III" in r for r in rows)
+    assert any("REST CHANNEL 7" in r for r in rows)
+    assert any("SLOT 1" in r and "TG 101" in r for r in rows)
+    assert any("SLOT 2" in r and "TG 9" in r for r in rows)
+
+    evs = [_Ev("grant", afs="03-051", lcn=4), _Ev("grant", afs="07-102", lcn=2)]
+    rows = protocol_detail_rows(SimpleNamespace(), evs, "edacs", 100)
+    assert any("03-051" in r and "LCN 4" in r for r in rows)
+
+    st = SimpleNamespace(m17_sig_status="ECDSA OK", m17_gps="47.6 -122.3")
+    evs = [_Ev("lsf", dst="ALL", src="N0CALL")]
+    rows = protocol_detail_rows(st, evs, "m17", 100)
+    assert any("ECDSA OK" in r for r in rows)
+    assert any("DST ALL" in r and "SRC N0CALL" in r for r in rows)
+
+    rows = protocol_detail_rows(SimpleNamespace(), [], "ysf", 100)
+    assert rows == [" (no ysf detail yet)"]
