@@ -311,7 +311,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="closed-loop trunking over a wideband replay: "
                         "'CCOFF_HZ[,CCOFF...]:N_VOICE[:MODE]' — "
                         "control-channel offsets from band center + "
-                        "voice-row count; MODE p25p1 (default) or dmr. "
+                        "voice-row count; MODE p25p1 (default), dmr, or edacs (analog NBFM working channels). "
                         "Grants rewrite voice-row NCOs between device "
                         "steps (-C CSV feeds LPCN/channel resolution)")
     p.add_argument("--probe", action="store_true",

@@ -144,9 +144,22 @@ class TrunkedFleet:
             mk_vc = lambda n: BatchedDmrVoicePipeline(
                 n, fs=CHANNEL_RATE, sync_threshold=sync_threshold,
                 pcm_fmt=pcm_fmt)
+        elif mode == "edacs":
+            # EDACS: BCH-screened CC messages grant an LCN; working
+            # channels are analog NBFM (reference edacs.c analog voice
+            # following) decoded by the batched analog pipeline
+            from dsdneo_tpu.engine.analogbatch import (
+                BatchedAnalogVoicePipeline)
+            from dsdneo_tpu.engine.ccbatch import (
+                BatchedEdacsControlPipeline)
+            mk_cc = lambda n: BatchedEdacsControlPipeline(
+                n, fs=CHANNEL_RATE, sync_threshold=sync_threshold)
+            mk_vc = lambda n: BatchedAnalogVoicePipeline(
+                n, fs=CHANNEL_RATE, pcm_fmt=pcm_fmt)
         else:
-            raise ValueError("trunked fleet drives the p25p1 or dmr "
-                             f"CC+voice pipelines (got mode={mode!r})")
+            raise ValueError("trunked fleet drives the p25p1, dmr, or "
+                             f"edacs CC+voice pipelines (got "
+                             f"mode={mode!r})")
         self.fs = fs
         self.mode = mode
         self.n_ch = n_ch
@@ -267,6 +280,15 @@ class TrunkedFleet:
         self.cc_pipe.decode_block_events(rows[:self.n_cc])
         if self.calls:
             pcm = self.vc_pipe.decode_block(rows[self.n_cc:])
+            # rows without an active call are parked on the CC: their
+            # decode output is not audio (the reference's tuner is
+            # muted between calls) — matters for analog rows, where a
+            # parked row would otherwise "decode" the CC's FSK as growl
+            if pcm.shape[1]:
+                mask = np.zeros((self.n_vc, 1), dtype=pcm.dtype)
+                for row in self.calls:
+                    mask[row] = 1.0
+                pcm = pcm * mask
         else:
             pcm = np.zeros((self.n_vc, 0), dtype=np.float32)
         # voice activity per active row: PCM energy refreshes hangtime
