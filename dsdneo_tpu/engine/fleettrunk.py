@@ -144,6 +144,17 @@ class TrunkedFleet:
             mk_vc = lambda n: BatchedDmrVoicePipeline(
                 n, fs=CHANNEL_RATE, sync_threshold=sync_threshold,
                 pcm_fmt=pcm_fmt)
+        elif mode in ("nxdn48", "nxdn96"):
+            # NXDN Type-C trunking: VCALL_ASSGN on the RCCH carries a
+            # 10-bit channel number resolved through the channel map
+            from dsdneo_tpu.engine.ccbatch import BatchedNxdnControlPipeline
+            from dsdneo_tpu.engine.nxdnbatch import BatchedNxdnVoicePipeline
+            mk_cc = lambda n: BatchedNxdnControlPipeline(
+                n, fs=CHANNEL_RATE, sync_threshold=min(sync_threshold, 0.55),
+                mode=mode)
+            mk_vc = lambda n: BatchedNxdnVoicePipeline(
+                n, fs=CHANNEL_RATE, sync_threshold=min(sync_threshold, 0.55),
+                pcm_fmt=pcm_fmt, mode=mode)
         elif mode == "edacs":
             # EDACS: BCH-screened CC messages grant an LCN; working
             # channels are analog NBFM (reference edacs.c analog voice
@@ -157,9 +168,9 @@ class TrunkedFleet:
             mk_vc = lambda n: BatchedAnalogVoicePipeline(
                 n, fs=CHANNEL_RATE, pcm_fmt=pcm_fmt)
         else:
-            raise ValueError("trunked fleet drives the p25p1, dmr, or "
-                             f"edacs CC+voice pipelines (got "
-                             f"mode={mode!r})")
+            raise ValueError("trunked fleet drives the p25p1, dmr, "
+                             "nxdn48/96, or edacs CC+voice pipelines "
+                             f"(got mode={mode!r})")
         self.fs = fs
         self.mode = mode
         self.n_ch = n_ch
@@ -272,14 +283,21 @@ class TrunkedFleet:
         grants observed in this block retarget rows for the NEXT block
         (the reference's controller thread likewise retunes between
         demod iterations)."""
+        import jax
         import jax.numpy as jnp
         rows = self._extract(
             wide if hasattr(wide, "device") else jnp.asarray(wide),
             jnp.asarray(self.offs))
         block_s = float(rows.shape[1]) / CHANNEL_RATE
-        self.cc_pipe.decode_block_events(rows[:self.n_cc])
+        # split under jit: eagerly slicing a device array dispatches a
+        # bare slice primitive, which the tunneled TPU backend rejects
+        if not hasattr(self, "_split"):
+            n_cc = self.n_cc
+            self._split = jax.jit(lambda r: (r[:n_cc], r[n_cc:]))
+        cc_rows, vc_rows = self._split(rows)
+        self.cc_pipe.decode_block_events(cc_rows)
         if self.calls:
-            pcm = self.vc_pipe.decode_block(rows[self.n_cc:])
+            pcm = self.vc_pipe.decode_block(vc_rows)
             # rows without an active call are parked on the CC: their
             # decode output is not audio (the reference's tuner is
             # muted between calls) — matters for analog rows, where a
