@@ -40,6 +40,12 @@ def _lich_parity_ok(lich_full: int) -> bool:
     return parity == (lich_full & 1)
 
 
+# parity-valid AND full-voice profile, over all 256 LICH byte values
+_LICH_FULL_VOICE_LUT = np.asarray(
+    [_lich_parity_ok(v) and (v >> 1) in _FULL_VOICE_LICH
+     for v in range(256)], dtype=bool)
+
+
 def _voice_tables():
     """([4, 36] dibit offsets of the AMBE frames relative to the FSW
     start, [4, 36] descramble flip mask) — payload dibit p sits at
@@ -205,38 +211,46 @@ class BatchedNxdnVoicePipeline(VoiceCarryMixin):
 
     def pick_frames(self, idx, vq, dq, lich, n_sym: int):
         """FSW hits → accepted full-voice frames (channel, pos,
-        inverted) + per-AMBE-frame channel/step indices."""
+        inverted) + per-AMBE-frame channel/step indices.
+
+        Vectorized over channels: the elementwise gates (threshold,
+        LICH parity LUT, full-voice profile, bounds) are independent of
+        acceptance history, and the only sequential rule — a frame
+        starts ≥ 188 dibits after the last ACCEPTED frame — runs as a
+        k-slot greedy over [C]-wide vectors (the per-candidate Python
+        loop cost ~100 ms/block at C=320, ~10% of the whole step)."""
         defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
-        acc_c, acc_t, acc_i, fch, forder = [], [], [], [], []
-        for c in range(idx.shape[0]):
-            sc = vq[c].astype(np.float32) / 127.0
-            ok = sc >= self.threshold
-            if not ok.any():
-                continue
-            order = np.argsort(idx[c][ok], kind="stable")
-            positions = idx[c][ok][order]
-            pdefs = dq[c][ok][order]
-            lichs = lich[c][ok][order]
-            n_order = 0
-            last = -10 ** 9
-            for t, dfi, lf in zip(positions, pdefs, lichs):
-                t = int(t)
-                if t - last < FRAME_DIBITS - 4 or t + FRAME_DIBITS >= n_sym:
-                    continue
-                lf = int(lf)
-                if not _lich_parity_ok(lf) or \
-                        (lf >> 1) not in _FULL_VOICE_LICH:
-                    continue
-                last = t
-                acc_c.append(c)
-                acc_t.append(t)
-                acc_i.append(1 if defs[int(dfi)].inverted else 0)
-                fch.extend([c] * 4)
-                forder.extend(range(n_order, n_order + 4))
-                n_order += 4
-        return (np.asarray(acc_c, np.int32), np.asarray(acc_t, np.int32),
-                np.asarray(acc_i, np.int32),
-                np.asarray(fch, np.int64), np.asarray(forder, np.int64))
+        inv_lut = np.asarray([1 if d.inverted else 0 for d in defs],
+                             dtype=np.int32)
+        C, k = idx.shape
+        valid = ((vq.astype(np.float32) / 127.0 >= self.threshold)
+                 & _LICH_FULL_VOICE_LUT[lich]
+                 & (idx + FRAME_DIBITS < n_sym))
+        BIG = np.int64(1) << 40
+        pos = np.where(valid, idx, BIG)
+        order = np.argsort(pos, axis=1, kind="stable")
+        pos = np.take_along_axis(pos, order, axis=1)
+        dq_s = np.take_along_axis(dq, order, axis=1)
+        # greedy stride suppression, all channels at once
+        keep = np.zeros((C, k), dtype=bool)
+        last = np.full(C, -10 ** 9, dtype=np.int64)
+        for j in range(k):
+            acc = (pos[:, j] < BIG) & (pos[:, j] - last
+                                       >= FRAME_DIBITS - 4)
+            keep[:, j] = acc
+            last = np.where(acc, pos[:, j], last)
+        cc, ss = np.nonzero(keep)
+        acc_c = cc.astype(np.int32)
+        acc_t = pos[cc, ss].astype(np.int32)
+        acc_i = inv_lut[dq_s[cc, ss]]
+        counts = keep.sum(axis=1)
+        starts = np.zeros(C, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        rank = np.arange(len(cc), dtype=np.int64) - starts[cc]
+        fch = np.repeat(cc.astype(np.int64), 4)
+        forder = (4 * rank[:, None]
+                  + np.arange(4, dtype=np.int64)).reshape(-1)
+        return acc_c, acc_t, acc_i, fch, forder
 
     def decode_block_async(self, iq):
         return self.decode_from_frontend(
@@ -251,7 +265,9 @@ class BatchedNxdnVoicePipeline(VoiceCarryMixin):
             return None
         n_steps = int(forder.max()) + 1
         Fp = -(-F // 32) * 32
-        Tp = -(-n_steps // 32) * 32
+        # 16-step Tp granularity: the wire ships Tp·160 samples/channel,
+        # so pad waste is fetched bytes (the d2h link binds this chain)
+        Tp = -(-n_steps // 16) * 16
         acp = np.full(Fp, self.C, dtype=np.int32)
         acp[:F] = ac
         atp = np.zeros(Fp, dtype=np.int32)
