@@ -26,23 +26,29 @@ from dsdneo_tpu.dsp import firdes
 
 
 @lru_cache(maxsize=8)
-def prototype_taps(n_ch: int, taps_per_branch: int = 8) -> np.ndarray:
-    """Prototype lowpass for an N-channel critically sampled PFB."""
+def prototype_taps(n_ch: int, taps_per_branch: int = 8,
+                   cutoff: float = 0.5) -> np.ndarray:
+    """Prototype lowpass for an N-channel PFB.  ``cutoff`` is in units
+    of the channel spacing: 0.5 (half the spacing) for critical
+    sampling; a 2x-oversampled bank may widen it (the bin rate
+    faithfully carries ±1.0 spacing), which keeps signals sitting
+    between bin centers inside the passband."""
     ntaps = n_ch * taps_per_branch
-    # cutoff at half the channel spacing (normalized fs = n_ch channels)
-    h = firdes.lowpass_taps(ntaps - 1, float(n_ch), 0.5, window="blackman-harris")
+    h = firdes.lowpass_taps(ntaps - 1, float(n_ch), cutoff,
+                            window="blackman-harris")
     out = np.zeros(ntaps, dtype=np.float32)
     out[:h.shape[0]] = h
     return out * n_ch
 
 
-def channelize(x: jax.Array, n_ch: int, taps_per_branch: int = 8) -> jax.Array:
+def channelize(x: jax.Array, n_ch: int, taps_per_branch: int = 8,
+               cutoff: float = 0.5) -> jax.Array:
     """``[B]`` (or ``[..., B]``) wideband complex → ``[..., n_ch, B/n_ch]``.
 
     Critically sampled DFT filter bank; channel k is centered at
     k·fs/n_ch (wrapping to negative frequencies past n_ch/2).
     """
-    h = prototype_taps(n_ch, taps_per_branch)
+    h = prototype_taps(n_ch, taps_per_branch, cutoff)
     P = taps_per_branch
     b = x.shape[-1]
     m = b // n_ch
@@ -64,8 +70,8 @@ def channelize(x: jax.Array, n_ch: int, taps_per_branch: int = 8) -> jax.Array:
     return jnp.moveaxis(ch, -1, -2).astype(jnp.complex64)  # [n_ch, m]
 
 
-def channelize_os2(x: jax.Array, n_ch: int, taps_per_branch: int = 12
-                   ) -> jax.Array:
+def channelize_os2(x: jax.Array, n_ch: int, taps_per_branch: int = 12,
+                   cutoff: float = 0.5) -> jax.Array:
     """2x-oversampled PFB: ``[B]`` wideband → ``[n_ch, 2B/n_ch]``.
 
     Critical sampling aliases the channel edges back in-band; running
@@ -79,8 +85,8 @@ def channelize_os2(x: jax.Array, n_ch: int, taps_per_branch: int = 12
     b = x.shape[-1]
     m = (b - d) // n_ch
     n = m * n_ch
-    s0 = channelize(x[..., :n], n_ch, taps_per_branch)       # [n_ch, m]
-    s1 = channelize(x[..., d:d + n], n_ch, taps_per_branch)  # [n_ch, m]
+    s0 = channelize(x[..., :n], n_ch, taps_per_branch, cutoff)
+    s1 = channelize(x[..., d:d + n], n_ch, taps_per_branch, cutoff)
     k = jnp.arange(n_ch)
     phase = jnp.where(k % 2 == 0, 1.0, -1.0).astype(jnp.complex64)
     s1 = s1 * phase[:, None]

@@ -41,7 +41,7 @@ CHANNEL_RATE = 48000.0
 
 
 # -- the row extractor -------------------------------------------------------
-def make_row_extractor(n_ch: int, taps_per_branch: int = 12):
+def make_row_extractor(n_ch: int, taps_per_branch: int = 16):
     """Jitted (wide [B] complex | [B, 2] float, offs_hz [R] int32) →
     [R, B'] complex64 48 kHz basebands.
 
@@ -65,7 +65,13 @@ def make_row_extractor(n_ch: int, taps_per_branch: int = 12):
     def run(wide, offs_hz):
         x = (jax.lax.complex(wide[..., 0], wide[..., 1])
              if wide.ndim == 2 else wide)
-        ch2 = channelize_os2(x, n_ch, taps_per_branch)     # [n_ch, B2] @96k
+        # cutoff 0.75 spacings (±36 kHz): a row whose residual offset
+        # approaches the ±24 kHz bin edge keeps its full occupied
+        # bandwidth in the passband — the 2x-oversampled bin carries
+        # ±48 kHz faithfully, and the post-mix halfband rejects
+        # whatever the wider prototype lets through from neighbors
+        ch2 = channelize_os2(x, n_ch, taps_per_branch,
+                             cutoff=0.75)                  # [n_ch, B2] @96k
         # nearest PFB bin (centers at k·48k, FFT wrap) + integer residual
         kidx = jnp.round(offs_hz / CHANNEL_RATE).astype(jnp.int32)
         res = offs_hz - kidx * jnp.int32(CHANNEL_RATE)     # [-24k, 24k]
@@ -95,6 +101,7 @@ class VoiceCall:
     granted_at: float
     last_voice: float
     pcm_samples: int = 0
+    slot: int = 0             # TDMA slot (P25 Phase 2 rows)
 
 
 @dataclass
@@ -120,7 +127,8 @@ class TrunkedFleet:
                  center_hz: float = 0.0, mode: str = "p25p1",
                  cqpsk: bool = False, hangtime_s: float = 1.0,
                  grant_grace_s: float = 1.5, sync_threshold: float = 0.62,
-                 tg_policy=None, pcm_fmt: str = "f16", chan_map=None):
+                 tg_policy=None, pcm_fmt: str = "f16", chan_map=None,
+                 p2_rows: int = 0, p2_params=None):
         n_ch = int(round(fs / CHANNEL_RATE))
         if abs(fs - n_ch * CHANNEL_RATE) > 1.0 or n_ch < 2:
             raise ValueError(f"fs {fs:g} must be a ≥2 multiple of 48 kHz")
@@ -171,28 +179,46 @@ class TrunkedFleet:
             raise ValueError("trunked fleet drives the p25p1, dmr, "
                              "nxdn48/96, or edacs CC+voice pipelines "
                              f"(got mode={mode!r})")
+        if p2_rows and mode != "p25p1":
+            raise ValueError("Phase-2 voice rows ride a P25p1 control "
+                             "channel (TDMA grants are flagged by the "
+                             "iden table); use mode='p25p1'")
         self.fs = fs
         self.mode = mode
         self.n_ch = n_ch
         self.center_hz = center_hz
         self.n_cc = len(cc_offsets_hz)
         self.n_vc = n_voice_rows
+        self.n_vc2 = p2_rows
         self.hangtime_s = hangtime_s
         self.grant_grace_s = grant_grace_s
         self.tg_policy = tg_policy or (lambda tg: True)
         self.chan_map = chan_map
-        # row offsets: CC rows first, then voice rows parked on CC 0
-        self.offs = np.zeros(self.n_cc + self.n_vc, dtype=np.int32)
+        self.pcm_fmt = pcm_fmt
+        self.sync_threshold = sync_threshold
+        # row offsets: CC rows, then P1 voice rows, then P2 voice rows,
+        # idle voice rows parked on CC 0
+        self.offs = np.zeros(self.n_cc + self.n_vc + self.n_vc2,
+                             dtype=np.int32)
         self.offs[:self.n_cc] = np.asarray(cc_offsets_hz, dtype=np.int32)
         self.offs[self.n_cc:] = self.offs[0]
         self._extract = make_row_extractor(n_ch)
         self.cc_pipe = mk_cc(self.n_cc)
         self.vc_pipe = mk_vc(self.n_vc)
+        # the P2 pipeline needs the system's WACN/SYS/NAC scramble
+        # parameters (reference p25p2 xCCH scrambler), which the CC
+        # broadcasts (NET_STS + NID); construct lazily on first TDMA
+        # grant unless pinned via p2_params
+        self.vc2_pipe = None
+        self._p2_params = p2_params
         if chan_map is not None:
             for ctx in self.cc_pipe.ctxs:
                 ctx.state.chan_map = chan_map
-        self.calls: dict[int, VoiceCall] = {}       # row -> call
+        self.calls: dict[int, VoiceCall] = {}       # P1 row -> call
+        self.calls2: dict[tuple, VoiceCall] = {}    # (P2 row, slot)
+        self.p2_pcm = np.zeros((2 * self.n_vc2, 0), dtype=np.float32)
         self._free = list(range(self.n_vc))
+        self._free2 = list(range(self.n_vc2))
         self._ev_cursor = [0] * self.n_cc
         self.clock = 0.0
         self.blocks = 0
@@ -221,6 +247,86 @@ class TrunkedFleet:
                 return float(f)
         return 0.0
 
+    def _grant_slots(self, cc: int, fields: dict) -> int:
+        """TDMA slot count of the granted channel's iden (1 = FDMA/P1,
+        2 = Phase 2; reference p25_frequency.c iden_up TDMA types)."""
+        ch = int(fields.get("channel", 0) or 0)
+        it = getattr(self.cc_pipe.ctxs[cc].state, "iden_table", None)
+        if ch in (0, 0xFFFF) or it is None:
+            return 1
+        ent = it.entries.get((ch >> 12) & 0xF)
+        return ent[3] if ent else 1
+
+    def _ensure_p2_pipe(self, cc: int) -> bool:
+        if self.vc2_pipe is not None:
+            return True
+        if self._p2_params is not None:
+            wacn, sysid, nac = self._p2_params
+        else:
+            s = self.cc_pipe.ctxs[cc].state
+            wacn, sysid, nac = s.p2_wacn, s.p2_sysid, s.nac
+        if not (wacn and sysid and nac):
+            return False        # identity not yet broadcast on this CC
+        from dsdneo_tpu.engine.p2batch import BatchedP2VoicePipeline
+        self.vc2_pipe = BatchedP2VoicePipeline(
+            self.n_vc2, fs=CHANNEL_RATE, wacn=wacn, sysid=sysid, nac=nac,
+            sync_threshold=self.sync_threshold, pcm_fmt=self.pcm_fmt)
+        self.log.append(f"[{self.clock:7.2f}s] P2 pipeline up: WACN "
+                        f"{wacn:05X} SYS {sysid:03X} NAC {nac:03X}")
+        return True
+
+    def _on_grant_p2(self, cc: int, fields: dict, tg: int, freq: float,
+                     off: int) -> None:
+        """TDMA grant → a Phase-2 row follows (freq, slot).  Two slots
+        of one frequency share one extraction row (the reference tunes
+        one tuner to the P2 VC and decodes both timeslots;
+        p25p2_frame.c) — a second grant on the other slot of an active
+        row attaches to it instead of consuming a new row."""
+        slot = 0
+        ch = int(fields.get("channel", 0) or 0)
+        it = getattr(self.cc_pipe.ctxs[cc].state, "iden_table", None)
+        if it is not None:
+            slot = it.channel_to_slot(ch)
+        for (row, sl), call in self.calls2.items():
+            if int(round(call.freq_hz - self.center_hz)) != off:
+                continue
+            if sl == slot:
+                call.last_voice = self.clock
+                self.stats.grant_refreshes += 1
+                return
+            if (row, slot) in self.calls2:
+                continue        # our slot's call rides another entry
+            # other slot active on the same VC: share its row
+            self.calls2[(row, slot)] = VoiceCall(
+                row=row, tg=tg, src=int(fields.get("src", 0) or 0),
+                freq_hz=freq, system=cc, granted_at=self.clock,
+                last_voice=self.clock, slot=slot)
+            self.stats.grants += 1
+            self.log.append(f"[{self.clock:7.2f}s] GRANT TG {tg} -> "
+                            f"p2 row {row} slot {slot} @ "
+                            f"{freq / 1e6:.4f} MHz (sys {cc})")
+            return
+        if not self.tg_policy(tg):
+            self.stats.policy_drops += 1
+            return
+        if not self._free2 or not self._ensure_p2_pipe(cc):
+            self.stats.busy_drops += 1
+            return
+        row = self._free2.pop(0)
+        self.offs[self.n_cc + self.n_vc + row] = off
+        self.vc2_pipe.reset_voice_state([2 * row, 2 * row + 1])
+        for s in (2 * row, 2 * row + 1):
+            self.vc2_pipe.crypto[s] = {"alg": 0, "kid": 0, "mi": 0,
+                                       "staged": None}
+        self.calls2[(row, slot)] = VoiceCall(
+            row=row, tg=tg, src=int(fields.get("src", 0) or 0),
+            freq_hz=freq, system=cc, granted_at=self.clock,
+            last_voice=self.clock, slot=slot)
+        self.stats.grants += 1
+        self.log.append(f"[{self.clock:7.2f}s] GRANT TG {tg} -> p2 row "
+                        f"{row} slot {slot} @ {freq / 1e6:.4f} MHz "
+                        f"(sys {cc})")
+
     def _on_grant(self, cc: int, fields: dict) -> None:
         tg = int(fields.get("tg", 0) or 0)
         freq = self._resolve_freq(cc, fields)
@@ -230,6 +336,9 @@ class TrunkedFleet:
         off = int(round(freq - self.center_hz))
         if abs(off) > self.fs / 2 - CHANNEL_RATE / 2:
             self.stats.unresolved += 1
+            return
+        if self.n_vc2 and self._grant_slots(cc, fields) >= 2:
+            self._on_grant_p2(cc, fields, tg, freq, off)
             return
         # grant repeat for an active call = activity (refresh hangtime)
         for call in self.calls.values():
@@ -276,6 +385,20 @@ class TrunkedFleet:
                 self._free.append(row)
                 self.offs[self.n_cc + row] = self.offs[0]   # park on CC 0
                 self.stats.releases += 1
+        for key, call in list(self.calls2.items()):
+            idle = self.clock - call.last_voice
+            age = self.clock - call.granted_at
+            if idle > self.hangtime_s and age > self.grant_grace_s:
+                row, slot = key
+                self.log.append(f"[{self.clock:7.2f}s] RELEASE TG "
+                                f"{call.tg} p2 row {row} slot {slot} "
+                                f"({call.pcm_samples} samples)")
+                del self.calls2[key]
+                self.stats.releases += 1
+                # park the row only once BOTH slots are done
+                if not any(r == row for r, _ in self.calls2):
+                    self._free2.append(row)
+                    self.offs[self.n_cc + self.n_vc + row] = self.offs[0]
 
     # -- the step -------------------------------------------------------------
     def step(self, wide: np.ndarray) -> np.ndarray:
@@ -292,9 +415,10 @@ class TrunkedFleet:
         # split under jit: eagerly slicing a device array dispatches a
         # bare slice primitive, which the tunneled TPU backend rejects
         if not hasattr(self, "_split"):
-            n_cc = self.n_cc
-            self._split = jax.jit(lambda r: (r[:n_cc], r[n_cc:]))
-        cc_rows, vc_rows = self._split(rows)
+            n_cc, n_v1 = self.n_cc, self.n_vc
+            self._split = jax.jit(lambda r: (
+                r[:n_cc], r[n_cc:n_cc + n_v1], r[n_cc + n_v1:]))
+        cc_rows, vc_rows, vc2_rows = self._split(rows)
         self.cc_pipe.decode_block_events(cc_rows)
         if self.calls:
             pcm = self.vc_pipe.decode_block(vc_rows)
@@ -309,6 +433,16 @@ class TrunkedFleet:
                 pcm = pcm * mask
         else:
             pcm = np.zeros((self.n_vc, 0), dtype=np.float32)
+        if self.calls2:
+            pcm2 = self.vc2_pipe.decode_block(vc2_rows)  # [2·V2, T2]
+            if pcm2.shape[1]:
+                mask2 = np.zeros((2 * self.n_vc2, 1), dtype=pcm2.dtype)
+                for (row, slot) in self.calls2:
+                    mask2[2 * row + slot] = 1.0
+                pcm2 = pcm2 * mask2
+        else:
+            pcm2 = np.zeros((2 * self.n_vc2, 0), dtype=np.float32)
+        self.p2_pcm = pcm2
         # voice activity per active row: PCM energy refreshes hangtime
         if pcm.shape[1]:
             energy = np.abs(pcm).mean(axis=1)
@@ -316,6 +450,12 @@ class TrunkedFleet:
                 if energy[row] > 1e-4:
                     call.last_voice = self.clock + block_s
                     call.pcm_samples += int(pcm.shape[1])
+        if pcm2.shape[1]:
+            energy2 = np.abs(pcm2).mean(axis=1)
+            for (row, slot), call in self.calls2.items():
+                if energy2[2 * row + slot] > 1e-4:
+                    call.last_voice = self.clock + block_s
+                    call.pcm_samples += int(pcm2.shape[1])
         self.clock += block_s
         self.blocks += 1
         self._walk_cc_events()
@@ -336,4 +476,13 @@ class TrunkedFleet:
                 "freq_hz": float(self.offs[self.n_cc + v]),
                 "state": f"voice TG {call.tg}" if call else "idle",
                 "tg": call.tg if call else 0})
+        for v in range(self.n_vc2):
+            slots = {s: c for (r, s), c in self.calls2.items() if r == v}
+            state = " ".join(f"s{s} TG {c.tg}"
+                             for s, c in sorted(slots.items()))
+            out.append({
+                "id": self.n_cc + self.n_vc + v,
+                "freq_hz": float(self.offs[self.n_cc + self.n_vc + v]),
+                "state": f"p2 {state}" if slots else "idle",
+                "tg": next(iter(slots.values())).tg if slots else 0})
         return out

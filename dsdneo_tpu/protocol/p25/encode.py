@@ -73,6 +73,28 @@ def iden_up_tsbk(iden: int, base_hz: float, spacing_hz: float,
     return tsbk_bytes(0x3D, args, lb=lb)
 
 
+def iden_up_tdma_tsbk(iden: int, base_hz: float, spacing_hz: float,
+                      offset_hz: float = 0.0, chan_type: int = 3,
+                      lb: bool = False) -> np.ndarray:
+    """Identifier Update for TDMA (opcode 0x33): like iden_up but the
+    channel-type nibble marks the slots/channel (3 → 2-slot Phase 2;
+    decode side: phase1._iden_update chan_type slots map; reference
+    p25_frequency.c TDMA iden records)."""
+    base = int(round(base_hz / 5.0))
+    spac = int(round(spacing_hz / 125.0)) & 0x3FF
+    raw = int(round(abs(offset_hz) / 250e3)) & 0x1FFF
+    sign = 1 if offset_hz >= 0 else 0
+    args = [
+        ((iden & 0xF) << 4) | (chan_type & 0xF),
+        (sign << 7) | ((raw >> 6) & 0x7F),
+        ((raw & 0x3F) << 2) | ((spac >> 8) & 3),
+        spac & 0xFF,
+        (base >> 24) & 0xFF, (base >> 16) & 0xFF,
+        (base >> 8) & 0xFF, base & 0xFF,
+    ]
+    return tsbk_bytes(0x33, args, lb=lb)
+
+
 def group_grant_tsbk(channel16: int, tg: int, src: int, svc: int = 0,
                      lb: bool = False) -> np.ndarray:
     """Group Voice Channel Grant (opcode 0x00): svc@2 chan@3-4
