@@ -309,11 +309,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "many-channel serving path)")
     p.add_argument("--trunk-wideband", default="", metavar="SPEC",
                    help="closed-loop trunking over a wideband replay: "
-                        "'CCOFF_HZ[,CCOFF...]:N_VOICE[:MODE]' — "
+                        "'CCOFF_HZ[,CCOFF...]:N_VOICE[:MODE[:N_P2]]' — "
                         "control-channel offsets from band center + "
-                        "voice-row count; MODE p25p1 (default), dmr, or edacs (analog NBFM working channels). "
-                        "Grants rewrite voice-row NCOs between device "
-                        "steps (-C CSV feeds LPCN/channel resolution)")
+                        "voice-row count; MODE p25p1 (default), dmr, "
+                        "nxdn48, nxdn96, or edacs (analog NBFM working "
+                        "channels); N_P2 adds TDMA Phase-2 rows to a "
+                        "p25p1 CC (mixed-phase system). Grants rewrite "
+                        "voice-row NCOs between device steps (-C CSV "
+                        "feeds LPCN/channel resolution)")
     p.add_argument("--probe", action="store_true",
                    help="probe the input: print detected mode + SNR and "
                         "exit (reference --probe)")
@@ -1435,9 +1438,11 @@ def main(argv: list[str] | None = None) -> int:
             cc_offs = [int(x) for x in parts[0].split(",")]
             n_vc = int(parts[1])
             tmode = parts[2] if len(parts) > 2 else "p25p1"
+            n_p2 = int(parts[3]) if len(parts) > 3 else 0
         except (ValueError, IndexError):
             print("dsd-neo-tpu: bad --trunk-wideband spec (want "
-                  "CCOFF[,CCOFF...]:N_VOICE[:MODE])", file=sys.stderr)
+                  "CCOFF[,CCOFF...]:N_VOICE[:MODE[:N_P2]])",
+                  file=sys.stderr)
             return 2
         fs_band = float(meta.sample_rate_hz)
         try:
@@ -1445,7 +1450,7 @@ def main(argv: list[str] | None = None) -> int:
                 fs_band, cc_offs, n_vc,
                 center_hz=float(meta.center_frequency_hz or 0.0),
                 mode=tmode, cqpsk=bool(getattr(args, "cqpsk", False)),
-                chan_map=chan_map)
+                chan_map=chan_map, p2_rows=n_p2)
         except ValueError as e:
             print(f"dsd-neo-tpu: {e}", file=sys.stderr)
             return 2
@@ -1465,6 +1470,11 @@ def main(argv: list[str] | None = None) -> int:
                 for row, call in fleet.calls.items():
                     if np.abs(pcm[row]).mean() > 1e-4:
                         sink.write(row & 1, pcm[row])
+            if sink is not None and fleet.p2_pcm.shape[1]:
+                for (row, slot) in fleet.calls2:
+                    p2 = fleet.p2_pcm[2 * row + slot]
+                    if np.abs(p2).mean() > 1e-4:
+                        sink.write(slot, p2)
         s = fleet.stats
         print(f"trunk-wideband: {s.grants} grants, "
               f"{s.grant_refreshes} refreshes, {s.releases} releases, "
