@@ -120,3 +120,32 @@ def test_p2_rows_require_p25p1_mode():
     from dsdneo_tpu.engine.fleettrunk import TrunkedFleet
     with pytest.raises(ValueError):
         TrunkedFleet(FS, [0], n_voice_rows=1, p2_rows=1, mode="dmr")
+
+
+def test_trunk_wideband_cli_mixed_phase(tmp_path, capsys):
+    """--trunk-wideband's :N_P2 field drives the mixed-phase loop from
+    the CLI: P1 CC observed, TDMA grants logged, and BOTH P2 slots'
+    voice PCM lands in the -o wav sink (per-slot files)."""
+    from dsdneo_tpu import cli
+    from dsdneo_tpu.io.audio_files import read_wav
+    from dsdneo_tpu.io.iq import IqMetadata, write_iq_capture
+
+    cap = tmp_path / "band.iq"
+    write_iq_capture(str(cap), _build_wideband(), IqMetadata(
+        sample_format="cf32", sample_rate_hz=int(FS),
+        center_frequency_hz=int(CENTER)))
+    wav = tmp_path / "voice.wav"
+    rc = cli.main(["--frontend", "none", "-f1", "--platform", "cpu",
+                   "--iq-replay", str(cap) + ".json",
+                   f"--trunk-wideband=-{-CC_OFF}:1:p25p1:2",
+                   "-o", f"wav:{wav}"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "P2 pipeline up: WACN 92065 SYS 0D5 NAC 293" in err
+    assert f"GRANT TG {TG_A} -> p2 row 0 slot 0" in err
+    assert f"GRANT TG {TG_B} -> p2 row 0 slot 1" in err
+    assert "2 grants" in err
+    for slot in (0, 1):
+        x, fs = read_wav(str(tmp_path / f"voice.s{slot}.wav"))
+        assert fs == 8000 and x.shape[0] > 8000
+        assert float(np.abs(np.asarray(x, np.float32)).mean()) > 1e-3
