@@ -27,6 +27,8 @@ def analog_voice_decode(x: jax.Array, fs: float = 48000.0) -> jax.Array:
     """``[C, N]`` complex baseband → ``[C, K]`` float32 voice PCM at
     8 kHz.  Rows without carrier (discriminator RMS above the no-signal
     noise floor) squelch to silence."""
+    if x.ndim == 3:                          # [C, B, 2] float planes
+        x = jax.lax.complex(x[..., 0], x[..., 1])
     taps = jnp.asarray(firdes.channel_lpf(fs, "wide"))
     y = frontend.fir_complex(x, taps)
     d = frontend.fm_discriminate(y)
@@ -54,10 +56,17 @@ class BatchedAnalogVoicePipeline:
         self.pcm_fmt = pcm_fmt
 
     def decode_block(self, iq) -> np.ndarray:
-        x = np.asarray(iq)
-        if x.ndim == 3:                      # [C, B, 2] float planes
-            x = x[..., 0] + 1j * x[..., 1]
-        return np.asarray(analog_voice_decode(jnp.asarray(x), fs=self.fs))
+        """``iq``: [C, B] complex or [C, B, 2] float planes, host or
+        device.  Complex HOST input is re-shipped as float planes —
+        a complex h2d upload wedges the tunneled TPU backend's
+        transfer stream (see TrunkedFleet.step); device arrays pass
+        through untouched (no host round trip)."""
+        if isinstance(iq, np.ndarray):
+            if np.iscomplexobj(iq):
+                iq = np.stack([iq.real, iq.imag],
+                              axis=-1).astype(np.float32)
+            iq = jnp.asarray(iq)
+        return np.asarray(analog_voice_decode(iq, fs=self.fs))
 
     def reset_voice_state(self, channels=None) -> None:
         """Analog rows carry no cross-block synthesis state."""

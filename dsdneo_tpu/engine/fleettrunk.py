@@ -408,16 +408,30 @@ class TrunkedFleet:
         demod iterations)."""
         import jax
         import jax.numpy as jnp
-        rows = self._extract(
-            wide if hasattr(wide, "device") else jnp.asarray(wide),
-            jnp.asarray(self.offs))
+        if isinstance(wide, np.ndarray):
+            # complex64 must NOT cross the host→device boundary: on the
+            # tunneled TPU backend a complex upload "succeeds" async and
+            # then wedges every later d2h with UNIMPLEMENTED.  Ship
+            # float planes; the extractor forms complex on device.
+            if np.iscomplexobj(wide):
+                wide = np.stack([wide.real, wide.imag],
+                                axis=-1).astype(np.float32)
+            wide = jnp.asarray(wide)
+        rows = self._extract(wide, jnp.asarray(self.offs))
         block_s = float(rows.shape[1]) / CHANNEL_RATE
         # split under jit: eagerly slicing a device array dispatches a
-        # bare slice primitive, which the tunneled TPU backend rejects
+        # bare slice primitive, which the tunneled TPU backend rejects.
+        # The slices leave as [R, B', 2] float planes — the standard
+        # pipeline wire format; handing complex64 rows to the pipeline
+        # frontends hits UNIMPLEMENTED paths on the tunneled TPU
+        # backend that the float-plane form (proven by every fleet
+        # bench) does not.
         if not hasattr(self, "_split"):
             n_cc, n_v1 = self.n_cc, self.n_vc
+            planes = lambda r: jnp.stack([r.real, r.imag], axis=-1)
             self._split = jax.jit(lambda r: (
-                r[:n_cc], r[n_cc:n_cc + n_v1], r[n_cc + n_v1:]))
+                planes(r[:n_cc]), planes(r[n_cc:n_cc + n_v1]),
+                planes(r[n_cc + n_v1:])))
         cc_rows, vc_rows, vc2_rows = self._split(rows)
         self.cc_pipe.decode_block_events(cc_rows)
         if self.calls:

@@ -106,11 +106,17 @@ def channelize_band_device(samples: np.ndarray, fs: float,
 
     @jax.jit
     def run(x):
+        if x.ndim == 2:                      # [B, 2] float planes
+            x = jax.lax.complex(x[..., 0], x[..., 1])
         ch2 = channelize_os2(x, n_ch, taps_per_branch=12)
         return frontend.decimate2_halfband(ch2, hb)
 
-    return run(jnp.asarray(np.ascontiguousarray(samples))), \
-        channel_frequencies(n_ch, fs)
+    # host complex ships as float planes: a complex h2d upload wedges
+    # the tunneled TPU backend's transfer stream (TrunkedFleet.step)
+    x = np.ascontiguousarray(samples)
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        x = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+    return run(jnp.asarray(x)), channel_frequencies(n_ch, fs)
 
 
 def decode_wideband_voice_batched(samples: np.ndarray, fs: float,
