@@ -70,12 +70,25 @@ def symbolize_step(d: jax.Array, sps: float, n_sym: int,
     directly); frontend_step routes its own discriminator output here.
     """
     c, n = d.shape
-    # -- timing: single coherent O&M estimate per block ------------------
+    # -- timing: windowed energy-normalized O&M estimate per block -------
+    # A block-global Σ e·tone lets a dead-carrier span swamp the timing
+    # estimate: when a trunked call ends mid-block (the last block of
+    # EVERY call), the noise tail's discriminator variance dwarfs the
+    # live span's and the recovered tau goes wrong for the whole block.
+    # Normalizing each window's phasor by its own energy makes live
+    # windows vote coherently while noise windows contribute bounded
+    # random phasors — the coherent majority wins.
     dc = jnp.mean(d, axis=-1, keepdims=True)
     e = (d - dc) ** 2
     idx = jnp.arange(n, dtype=jnp.float32)
     tone = jnp.exp(-2j * jnp.pi * idx / sps)
-    X = jnp.sum(e * tone, axis=-1)
+    wlen = min(2048, n)                        # ~200 symbols at sps=10
+    nww = n // wlen
+    ec = e[:, : nww * wlen].reshape(c, nww, wlen)
+    tc = tone[: nww * wlen].reshape(nww, wlen)
+    Xw = jnp.einsum("cwt,wt->cw", ec.astype(jnp.complex64), tc)
+    Ew = jnp.sum(ec, axis=-1)                  # [C, nw]
+    X = jnp.sum(Xw / (Ew + 1e-9).astype(jnp.complex64), axis=-1)
     tau = jnp.mod(-jnp.angle(X) * (sps / (2 * jnp.pi)), sps)
 
     isps = int(round(sps))

@@ -41,9 +41,10 @@ CHANNEL_RATE = 48000.0
 
 
 # -- the row extractor -------------------------------------------------------
-def make_row_extractor(n_ch: int, taps_per_branch: int = 16):
-    """Jitted (wide [B] complex | [B, 2] float, offs_hz [R] int32) →
-    [R, B'] complex64 48 kHz basebands.
+def make_row_extractor_body(n_ch: int, taps_per_branch: int = 16):
+    """Traceable (wide [B] complex | [B, 2] float, offs_hz [R] int32) →
+    [R, B'] complex64 48 kHz basebands — the un-jitted extractor body,
+    reusable inside shard_map programs (parallel.mesh trunk step).
 
     Exact integer phase for the residual NCO: with fs2 = 96000 and
     res ∈ [-24000, 24000] Hz integer, phase(n)·fs2 = (a·((K·res) mod
@@ -60,8 +61,12 @@ def make_row_extractor(n_ch: int, taps_per_branch: int = 16):
                              window="blackman-harris").astype(np.float32)
     fs2 = 2 * int(CHANNEL_RATE)
     K = 8192
+    # keep the PFB prototype ≥256 taps regardless of band width: at
+    # small n_ch (narrow bands) n_ch·16 taps leaves only ~27 dB of
+    # alias rejection at the ±2-spacing fold, which audibly degrades a
+    # row when another carrier sits exactly 2 bins away
+    taps_per_branch = max(taps_per_branch, 256 // n_ch)
 
-    @jax.jit
     def run(wide, offs_hz):
         x = (jax.lax.complex(wide[..., 0], wide[..., 1])
              if wide.ndim == 2 else wide)
@@ -87,6 +92,12 @@ def make_row_extractor(n_ch: int, taps_per_branch: int = 16):
         return frontend.decimate2_halfband(mixed, hb)      # [R, B'] @48k
 
     return run
+
+
+def make_row_extractor(n_ch: int, taps_per_branch: int = 16):
+    """Jitted row extractor (see :func:`make_row_extractor_body`)."""
+    import jax
+    return jax.jit(make_row_extractor_body(n_ch, taps_per_branch))
 
 
 # -- control plane -----------------------------------------------------------

@@ -69,23 +69,13 @@ def make_sharded_frontend(mesh: Mesh, mode_name: str, C: int, B: int,
     return step, in_shard
 
 
-def make_sharded_voice_step(mesh: Mesh, C: int, B: int,
-                            fs: float = 48000.0, max_ldus: int = 2,
-                            sync_threshold: float = 0.62,
-                            use_pallas: bool = False):
-    """The FULL P25p1 voice chain as one SPMD program over the mesh.
-
-    Each device decodes its local channel shard end to end (front end,
-    sync correlation, NID, LDU gather, IMBE ECC, dequantization,
-    synthesis — the voicebatch/voice_decode_gather chain) and a psum
-    aggregates fleet power.  Returns (step_fn, input_sharding); the
-    step maps [C, B, 2] I/Q → ([C, max_ldus·9·160] PCM, fleet_power).
-    """
-    try:
-        from jax import shard_map
-    except ImportError:                  # older jax
-        from jax.experimental.shard_map import shard_map
-
+def _p25_voice_body(Cl: int, B: int, fs: float = 48000.0,
+                    max_ldus: int = 2, sync_threshold: float = 0.62,
+                    use_pallas: bool = False, axis: str = "ch"):
+    """Traceable per-shard body of the FULL P25p1 voice chain: maps
+    [Cl, B, 2] I/Q planes → ([Cl, max_ldus·9·160] PCM, [Cl] power).
+    Meant to run INSIDE shard_map over mesh axis ``axis`` (the
+    prediction-state carry is pcast device-varying against it)."""
     from dsdneo_tpu.engine.voicebatch import (LDU_DATA_DIBITS,
                                               LDU_IMBE_OFFSETS,
                                               _status_strip_map,
@@ -93,10 +83,6 @@ def make_sharded_voice_step(mesh: Mesh, C: int, B: int,
                                               correlate_syncs_device)
     from dsdneo_tpu.fec import blockcodes
     from dsdneo_tpu.vocoder.device import voice_decode_gather
-
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    assert C % n_dev == 0, "channel count must divide the mesh"
-    Cl = C // n_dev
 
     mode = MODES["p25p1"]
     sps = fs / mode.symbol_rate
@@ -118,7 +104,7 @@ def make_sharded_voice_step(mesh: Mesh, C: int, B: int,
     forder = np.tile(np.repeat(np.arange(K), 9) * 9
                      + np.tile(np.arange(9), K), Cl).astype(np.int32)
 
-    def local_step(iq):                     # [Cl, B, 2] per device
+    def body(iq):                           # [Cl, B, 2] per device
         dibits, soft, power = frontend_step(iq, taps, sps, n_sym,
                                             mode.four_level,
                                             use_pallas=use_pallas)
@@ -148,18 +134,42 @@ def make_sharded_voice_step(mesh: Mesh, C: int, B: int,
         # fresh prediction state, marked device-varying so the scan
         # carry types match under shard_map's varying-axis check
         prev_logm = jax.lax.pcast(jnp.zeros((Cl, 56), jnp.float32),
-                                  ("ch",), to="varying")
-        prev_L = jax.lax.pcast(jnp.zeros(Cl, jnp.int32), ("ch",),
+                                  (axis,), to="varying")
+        prev_L = jax.lax.pcast(jnp.zeros(Cl, jnp.int32), (axis,),
                                to="varying")
         pcm, _logm, _L, _synth, _aux = voice_decode_gather(
             dibits, ldu_ch, ldu_pos, jnp.asarray(frame_offs),
             jnp.asarray(fch_base), jnp.asarray(forder),
             prev_logm, prev_L, Cl, n_steps)
+        return pcm.reshape(Cl, -1), power
+
+    return body
+
+
+def make_sharded_voice_step(mesh: Mesh, C: int, B: int,
+                            fs: float = 48000.0, max_ldus: int = 2,
+                            sync_threshold: float = 0.62,
+                            use_pallas: bool = False):
+    """The FULL P25p1 voice chain as one SPMD program over the mesh.
+
+    Each device decodes its local channel shard end to end (front end,
+    sync correlation, NID, LDU gather, IMBE ECC, dequantization,
+    synthesis — the voicebatch/voice_decode_gather chain) and a psum
+    aggregates fleet power.  Returns (step_fn, input_sharding); the
+    step maps [C, B, 2] I/Q → ([C, max_ldus·9·160] PCM, fleet_power).
+    """
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert C % n_dev == 0, "channel count must divide the mesh"
+    body = _p25_voice_body(C // n_dev, B, fs, max_ldus, sync_threshold,
+                           use_pallas)
+
+    def local_step(iq):                     # [Cl, B, 2] per device
+        pcm, power = body(iq)
         fleet_power = jax.lax.pmean(jnp.mean(power), "ch")
-        return pcm.reshape(Cl, -1), fleet_power
+        return pcm, fleet_power
 
     in_shard = NamedSharding(mesh, P("ch", None, None))
-    step = jax.jit(shard_map(
+    step = jax.jit(_shard_map()(
         local_step, mesh=mesh,
         in_specs=P("ch", None, None),
         out_specs=(P("ch", None), P())))
@@ -379,27 +389,19 @@ def make_sharded_p2_voice_step(mesh: Mesh, C: int, B: int,
     return step, in_shard
 
 
-def make_sharded_p25_cc_step(mesh: Mesh, C: int, B: int,
-                             fs: float = 48000.0, max_tsdus: int = 4,
-                             sync_threshold: float = 0.62,
-                             use_pallas: bool = False):
-    """Batched P25p1 CONTROL-CHANNEL monitoring as one SPMD program
-    (sharded counterpart of engine.ccbatch.BatchedP25ControlPipeline's
-    device half).  Each device shard runs front end → sync → BCH NID →
-    DUID-7 gate → TSBK trellis decode + CRC16 screen; the host parses
-    only the returned CRC-valid payload blobs (outside the SPMD
-    program, exactly like the unsharded pipeline).  Maps [C, B, 2] →
-    ([C, max_tsdus, 114] uint8 TSDU blobs, [C, max_tsdus] valid mask,
-    fleet_ok_count)."""
+def _p25_cc_body(Cl: int, B: int, fs: float = 48000.0,
+                 max_tsdus: int = 4, sync_threshold: float = 0.62,
+                 use_pallas: bool = False, nac_out: bool = False):
+    """Traceable per-shard body of P25p1 CC monitoring: maps [Cl, B, 2]
+    I/Q planes → ([Cl, max_tsdus, 114] uint8 TSDU blobs,
+    [Cl, max_tsdus] valid mask[, [Cl, max_tsdus] NID msg16]).  Blob
+    layout: 3 × (12 payload bytes, 1 crc-ok byte, 25 raw dibit bytes).
+    """
     from dsdneo_tpu.engine.ccbatch import p25_tsdu_decode_device
     from dsdneo_tpu.engine.voicebatch import (_status_strip_map,
                                               _sync_kernel,
                                               correlate_syncs_device)
     from dsdneo_tpu.fec import blockcodes
-
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    assert C % n_dev == 0, "channel count must divide the mesh"
-    Cl = C // n_dev
 
     mode = MODES["p25p1"]
     sps = fs / mode.symbol_rate
@@ -414,7 +416,7 @@ def make_sharded_p25_cc_step(mesh: Mesh, C: int, B: int,
     bch_pm = blockcodes.bch_63_16().pm.astype(np.float32)
     K = max_tsdus
 
-    def local_step(iq):                     # [Cl, B, 2] per device
+    def body(iq):                           # [Cl, B, 2] per device
         dibits, soft, power = frontend_step(iq, taps, sps, n_sym,
                                             mode.four_level,
                                             use_pallas=use_pallas)
@@ -439,6 +441,32 @@ def make_sharded_p25_cc_step(mesh: Mesh, C: int, B: int,
         pos = idx.reshape(-1).astype(jnp.int32)
         blob = p25_tsdu_decode_device(dibits, ch, pos)  # [Cl*K, 114]
         blob = blob.reshape(Cl, K, -1)
+        if nac_out:
+            return blob, valid, msg
+        return blob, valid
+
+    return body
+
+
+def make_sharded_p25_cc_step(mesh: Mesh, C: int, B: int,
+                             fs: float = 48000.0, max_tsdus: int = 4,
+                             sync_threshold: float = 0.62,
+                             use_pallas: bool = False):
+    """Batched P25p1 CONTROL-CHANNEL monitoring as one SPMD program
+    (sharded counterpart of engine.ccbatch.BatchedP25ControlPipeline's
+    device half).  Each device shard runs front end → sync → BCH NID →
+    DUID-7 gate → TSBK trellis decode + CRC16 screen; the host parses
+    only the returned CRC-valid payload blobs (outside the SPMD
+    program, exactly like the unsharded pipeline).  Maps [C, B, 2] →
+    ([C, max_tsdus, 114] uint8 TSDU blobs, [C, max_tsdus] valid mask,
+    fleet_ok_count)."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert C % n_dev == 0, "channel count must divide the mesh"
+    body = _p25_cc_body(C // n_dev, B, fs, max_tsdus, sync_threshold,
+                        use_pallas)
+
+    def local_step(iq):                     # [Cl, B, 2] per device
+        blob, valid = body(iq)
         # fleet CRC-ok count (all 3 TSBK blocks per TSDU) rides the
         # ICI (psum collective)
         ok3 = (blob[:, :, 12] + blob[:, :, 50] + blob[:, :, 88]
@@ -453,6 +481,76 @@ def make_sharded_p25_cc_step(mesh: Mesh, C: int, B: int,
         in_specs=P("ch", None, None),
         out_specs=(P("ch", None, None), P("ch", None), P())))
     return step, in_shard
+
+
+def make_sharded_trunk_step(mesh: Mesh, S: int, fs: float, B: int,
+                            n_cc: int = 1, n_vc: int = 2,
+                            max_tsdus: int = 4, max_ldus: int = 2,
+                            sync_threshold: float = 0.62,
+                            use_pallas: bool = False):
+    """Closed-loop trunking at MULTI-CHIP scale: S trunked SYSTEMS
+    (one wideband stream each) sharded over the mesh, each system's
+    device work — PFB row extraction, CC TSDU decode, and the full
+    P25p1 voice chain on the granted rows — as ONE SPMD program.
+
+    This is the mesh-scale form of engine.fleettrunk.TrunkedFleet's
+    device step (the reference's one-tuner controller thread,
+    src/io/radio/rtl_sdr_fm.cpp:4665, re-expressed per SURVEY §2.8):
+    row offsets are sharded DATA inputs ([S, n_cc+n_vc] int32), so the
+    host control plane on each system can rewrite a voice row between
+    steps — grant → retarget → decode — with zero recompiles and zero
+    cross-system interference.
+
+    Maps (wide [S, B, 2] I/Q planes, offs [S, n_cc+n_vc] int32 Hz from
+    band center) → (tsdu blobs [S, n_cc, max_tsdus, 114] uint8,
+    valid [S, n_cc, max_tsdus] bool, nid msg16 [S, n_cc, max_tsdus],
+    pcm [S, n_vc, max_ldus·9·160] float32, fleet_ok scalar).
+    Returns (step_fn, (wide_sharding, offs_sharding)).
+    """
+    from dsdneo_tpu.engine.fleettrunk import (CHANNEL_RATE,
+                                              make_row_extractor_body)
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert S % n_dev == 0, "system count must divide the mesh"
+    Sl = S // n_dev
+    axis = mesh.axis_names[0]
+    n_ch = int(round(fs / CHANNEL_RATE))
+    if abs(fs - n_ch * CHANNEL_RATE) > 1.0 or n_ch < 2:
+        raise ValueError(f"fs {fs:g} must be a ≥2 multiple of 48 kHz")
+    R = n_cc + n_vc
+    extract = make_row_extractor_body(n_ch)
+    Bp = jax.eval_shape(extract,
+                        jax.ShapeDtypeStruct((B, 2), jnp.float32),
+                        jax.ShapeDtypeStruct((R,), jnp.int32)).shape[1]
+    cc_body = _p25_cc_body(Sl * n_cc, Bp, CHANNEL_RATE, max_tsdus,
+                           sync_threshold, use_pallas, nac_out=True)
+    vc_body = _p25_voice_body(Sl * n_vc, Bp, CHANNEL_RATE, max_ldus,
+                              sync_threshold, use_pallas, axis=axis)
+
+    def local_step(wide, offs):       # [Sl, B, 2], [Sl, R] per device
+        rows = jax.vmap(extract)(wide, offs)       # [Sl, R, B'] complex
+        planes = jnp.stack([rows.real, rows.imag], axis=-1)
+        cc_iq = planes[:, :n_cc].reshape(Sl * n_cc, Bp, 2)
+        vc_iq = planes[:, n_cc:].reshape(Sl * n_vc, Bp, 2)
+        blob, valid, msg = cc_body(cc_iq)
+        pcm, _power = vc_body(vc_iq)
+        ok3 = (blob[:, :, 12] + blob[:, :, 50] + blob[:, :, 88]
+               ).astype(jnp.int32)
+        fleet_ok = jax.lax.psum(jnp.sum(ok3 * valid.astype(jnp.int32)),
+                                axis)
+        return (blob.reshape(Sl, n_cc, max_tsdus, -1),
+                valid.reshape(Sl, n_cc, max_tsdus),
+                msg.reshape(Sl, n_cc, max_tsdus),
+                pcm.reshape(Sl, n_vc, -1), fleet_ok)
+
+    shards = (NamedSharding(mesh, P(axis, None, None)),
+              NamedSharding(mesh, P(axis, None)))
+    step = jax.jit(_shard_map()(
+        local_step, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None)),
+        out_specs=(P(axis, None, None, None), P(axis, None, None),
+                   P(axis, None, None), P(axis, None, None), P())))
+    return step, shards
 
 
 def dryrun_multichip(n_devices: int) -> None:
@@ -504,3 +602,19 @@ def dryrun_multichip(n_devices: int) -> None:
     jax.block_until_ready((blob, valid, ok_count))
     assert blob.shape[:2] == (C, 4) and valid.shape == (C, 4)
     assert int(ok_count) >= 0
+
+    # closed-loop trunking at mesh scale: S systems (1 CC + 2 voice
+    # rows each, offsets as sharded DATA), one SPMD program for row
+    # extraction + CC TSDU decode + the full voice chain
+    S = n_devices
+    FS = 4 * 48000.0
+    Bw = 19200                          # 0.1 s of wideband per system
+    tstep, (w_shard, o_shard) = make_sharded_trunk_step(
+        mesh, S, FS, Bw, n_cc=1, n_vc=2, max_tsdus=2, max_ldus=1)
+    wide = rng.normal(size=(S, Bw, 2)).astype(np.float32)
+    offs = np.tile(np.array([[-48000, 0, 48000]], np.int32), (S, 1))
+    tb, tv, tm, tpcm, tok = tstep(jax.device_put(wide, w_shard),
+                                  jax.device_put(offs, o_shard))
+    jax.block_until_ready((tb, tv, tm, tpcm, tok))
+    assert tb.shape == (S, 1, 2, 114) and tpcm.shape[:2] == (S, 2)
+    assert np.isfinite(np.asarray(tpcm)).all() and int(tok) >= 0

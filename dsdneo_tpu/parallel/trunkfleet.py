@@ -1,0 +1,241 @@
+"""Closed-loop trunking over the device MESH: S trunked systems, one
+wideband stream each, sharded across chips — grants rewrite voice-row
+offsets between SPMD steps with zero recompiles.
+
+This composes the two flagship stories:
+
+- engine.fleettrunk.TrunkedFleet — the single-chip closed trunking
+  loop (the reference's controller-thread retune,
+  src/io/radio/rtl_sdr_fm.cpp:4665, re-expressed per SURVEY §2.8 as
+  "retune = rewrite a channel's NCO/config row between steps"), and
+- parallel.mesh — the channel-sharded SPMD family programs,
+
+into one program: ``make_sharded_trunk_step`` runs every system's row
+extraction + CC TSDU decode + P25p1 voice chain under ``shard_map``,
+and ``ShardedTrunkedFleet`` keeps a host control plane per system that
+parses the returned TSDU blobs, resolves Group Voice Channel Grants
+through each system's iden table, and rewrites that system's voice-row
+offsets (a sharded [S, R] int32 DATA input) for the next step.  The
+reference needs one controller thread per tuner per system; here a
+whole fleet of systems is one compiled program per block shape, scaled
+by adding chips to the mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dsdneo_tpu.engine.fleettrunk import (CHANNEL_RATE, FleetStats,
+                                          VoiceCall)
+from dsdneo_tpu.parallel.mesh import make_sharded_trunk_step
+
+
+class ShardedTrunkedFleet:
+    """S P25p1 trunked systems over a device mesh, one CC + ``n_vc``
+    concurrent voice rows each.
+
+    ``cc_offsets_hz[s]``: the system's control-channel offset from its
+    band center (integer Hz); ``centers_hz[s]``: absolute band center
+    (scalar broadcast allowed).  ``step(wide)`` consumes one [S, B]
+    wideband block (complex, or [S, B, 2] float I/Q planes) and returns
+    [S, n_vc, T] float32 PCM of the voice rows.
+
+    Grants observed in block N retarget rows for block N+1, exactly
+    like the single-system TrunkedFleet (the reference's controller
+    thread likewise retunes between demod iterations).  The sharded
+    voice body starts each step from fresh synthesis state, so a
+    retargeted row needs no device-side carry reset.
+    """
+
+    def __init__(self, mesh, n_systems: int, fs: float, B: int,
+                 cc_offsets_hz, n_voice_rows: int, centers_hz=0.0,
+                 hangtime_s: float = 1.0, grant_grace_s: float = 1.5,
+                 sync_threshold: float = 0.62, tg_policy=None,
+                 chan_map=None, max_tsdus: int = 4, max_ldus: int = 2):
+        from dsdneo_tpu.engine.ccbatch import BatchedP25ControlPipeline
+        self.S = n_systems
+        self.fs = fs
+        self.B = B
+        self.n_vc = n_voice_rows
+        self.hangtime_s = hangtime_s
+        self.grant_grace_s = grant_grace_s
+        self.tg_policy = tg_policy or (lambda tg: True)
+        self.chan_map = chan_map
+        centers = np.broadcast_to(np.asarray(centers_hz, np.float64),
+                                  (n_systems,))
+        self.centers = centers.copy()
+        self.offs = np.zeros((n_systems, 1 + n_voice_rows), np.int32)
+        self.offs[:, 0] = np.asarray(cc_offsets_hz, np.int32)
+        self.offs[:, 1:] = self.offs[:, :1]       # park voice on the CC
+        self.step_fn, (self._w_shard, self._o_shard) = \
+            make_sharded_trunk_step(mesh, n_systems, fs, B, n_cc=1,
+                                    n_vc=n_voice_rows,
+                                    max_tsdus=max_tsdus,
+                                    max_ldus=max_ldus,
+                                    sync_threshold=sync_threshold)
+        # host halves only (catalog parse, parse cache, iden tables);
+        # ctx s belongs to system s's control channel
+        self._cc_host = BatchedP25ControlPipeline(n_systems,
+                                                  fs=CHANNEL_RATE)
+        if chan_map is not None:
+            for ctx in self._cc_host.ctxs:
+                ctx.state.chan_map = chan_map
+        self.calls: list[dict[int, VoiceCall]] = [
+            dict() for _ in range(n_systems)]
+        self._free: list[list[int]] = [list(range(n_voice_rows))
+                                       for _ in range(n_systems)]
+        self._ev_cursor = [0] * n_systems
+        self.clock = 0.0
+        self.blocks = 0
+        self.stats = FleetStats()
+        self.log: list[str] = []
+
+    # -- host control plane ---------------------------------------------------
+    def _parse_blobs(self, blob: np.ndarray, valid: np.ndarray,
+                     msg: np.ndarray) -> int:
+        """Walk the [S, 1, K, 114] TSDU blobs through each system's
+        catalog parser (the blob layout of mesh._p25_cc_body: 3 ×
+        (12 payload B, 1 crc-ok B, 25 raw-dibit B))."""
+        from dsdneo_tpu.engine.ccbatch import TSDU_BLOCKS
+        n_parsed = 0
+        for s in range(self.S):
+            ctx = self._cc_host.ctxs[s]
+            for k in range(blob.shape[2]):
+                if not valid[s, 0, k]:
+                    continue
+                nac = (int(msg[s, 0, k]) >> 4) & 0xFFF
+                if nac not in (0, 0xFFF):
+                    ctx.state.nac = nac
+                    ctx.state.p2_cc = nac
+                blk = blob[s, 0, k].reshape(TSDU_BLOCKS, 38)
+                pos = self.blocks * 100 + k
+                for b in range(TSDU_BLOCKS):
+                    if blk[b, 12]:
+                        data = blk[b, :12]
+                    else:
+                        data = self._cc_host._crc_fallback(blk[b, 13:38])
+                        if data is None:
+                            break
+                    n_parsed += 1
+                    if self._cc_host._parse_tsbk(s, pos, data):
+                        break
+        return n_parsed
+
+    def _resolve_freq(self, s: int, fields: dict) -> float:
+        ch = int(fields.get("channel", 0) or 0)
+        if ch not in (0, 0xFFFF):
+            it = getattr(self._cc_host.ctxs[s].state, "iden_table", None)
+            if it is not None:
+                f = it.channel_to_freq(ch)
+                if f:
+                    return float(f)
+            if self.chan_map is not None:
+                f = self.chan_map.freq(ch)
+                if f:
+                    return float(f)
+        return 0.0
+
+    def _on_grant(self, s: int, fields: dict) -> None:
+        tg = int(fields.get("tg", 0) or 0)
+        freq = self._resolve_freq(s, fields)
+        if freq <= 0:
+            self.stats.unresolved += 1
+            return
+        off = int(round(freq - self.centers[s]))
+        if abs(off) > self.fs / 2 - CHANNEL_RATE / 2:
+            self.stats.unresolved += 1
+            return
+        for call in self.calls[s].values():
+            if int(round(call.freq_hz - self.centers[s])) == off:
+                call.last_voice = self.clock
+                self.stats.grant_refreshes += 1
+                return
+        if not self.tg_policy(tg):
+            self.stats.policy_drops += 1
+            return
+        if not self._free[s]:
+            self.stats.busy_drops += 1
+            return
+        row = self._free[s].pop(0)
+        self.offs[s, 1 + row] = off
+        self.calls[s][row] = VoiceCall(
+            row=row, tg=tg, src=int(fields.get("src", 0) or 0),
+            freq_hz=freq, system=s, granted_at=self.clock,
+            last_voice=self.clock)
+        self.stats.grants += 1
+        self.log.append(f"[{self.clock:7.2f}s] sys {s} GRANT TG {tg} "
+                        f"-> row {row} @ {freq / 1e6:.4f} MHz")
+
+    def _walk_cc_events(self) -> None:
+        for s in range(self.S):
+            evs = self._cc_host.ctxs[s].events
+            for ev in evs[self._ev_cursor[s]:]:
+                if ev.fields.get("grant"):
+                    self._on_grant(s, ev.fields)
+            self._ev_cursor[s] = len(evs)
+
+    def _tick_releases(self) -> None:
+        for s in range(self.S):
+            for row, call in list(self.calls[s].items()):
+                idle = self.clock - call.last_voice
+                age = self.clock - call.granted_at
+                if idle > self.hangtime_s and age > self.grant_grace_s:
+                    self.log.append(f"[{self.clock:7.2f}s] sys {s} "
+                                    f"RELEASE TG {call.tg} row {row} "
+                                    f"({call.pcm_samples} samples)")
+                    del self.calls[s][row]
+                    self._free[s].append(row)
+                    self.offs[s, 1 + row] = self.offs[s, 0]
+                    self.stats.releases += 1
+
+    # -- the step -------------------------------------------------------------
+    def step(self, wide: np.ndarray) -> np.ndarray:
+        """One [S, B] wideband block per system → [S, n_vc, T] PCM."""
+        import jax
+        if isinstance(wide, np.ndarray):
+            # complex64 must NOT cross the host→device boundary on the
+            # tunneled TPU backend (see PARITY.md); ship float planes
+            if np.iscomplexobj(wide):
+                wide = np.stack([wide.real, wide.imag],
+                                axis=-1).astype(np.float32)
+            wide = np.ascontiguousarray(wide, dtype=np.float32)
+        block_s = self.B / self.fs
+        blob, valid, msg, pcm, _ok = self.step_fn(
+            jax.device_put(wide, self._w_shard),
+            jax.device_put(self.offs, self._o_shard))
+        blob = np.asarray(blob)
+        valid = np.asarray(valid)
+        msg = np.asarray(msg)
+        pcm = np.asarray(pcm)                      # [S, n_vc, T]
+        # voice activity refreshes hangtime (CC-parked rows carry FSK,
+        # but their decode output is masked to the active-call rows)
+        act_mask = np.zeros(pcm.shape[:2] + (1,), pcm.dtype)
+        if pcm.shape[2]:
+            energy = np.abs(pcm).mean(axis=2)      # [S, n_vc]
+            for s in range(self.S):
+                for row, call in self.calls[s].items():
+                    act_mask[s, row] = 1.0
+                    if energy[s, row] > 1e-4:
+                        call.last_voice = self.clock + block_s
+                        call.pcm_samples += int(pcm.shape[2])
+        self.clock += block_s
+        self.blocks += 1
+        self._parse_blobs(blob, valid, msg)
+        self._walk_cc_events()
+        self._tick_releases()
+        return pcm * act_mask
+
+    # -- introspection --------------------------------------------------------
+    def row_dicts(self) -> list[dict]:
+        out = []
+        for s in range(self.S):
+            out.append({"id": (s, 0), "freq_hz": float(self.offs[s, 0]),
+                        "state": "cc", "tg": 0})
+            for v in range(self.n_vc):
+                call = self.calls[s].get(v)
+                out.append({
+                    "id": (s, 1 + v),
+                    "freq_hz": float(self.offs[s, 1 + v]),
+                    "state": f"voice TG {call.tg}" if call else "idle",
+                    "tg": call.tg if call else 0})
+        return out

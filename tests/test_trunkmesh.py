@@ -1,0 +1,113 @@
+"""Closed-loop trunking over the device mesh (parallel.trunkfleet):
+S trunked systems sharded across chips run row extraction + CC TSDU
+decode + the full P25p1 voice chain as ONE SPMD program; each system's
+host control plane resolves grants and rewrites its voice-row offsets
+(sharded DATA) for the next step — zero recompiles.  The mesh-scale
+form of the reference's per-tuner controller thread
+(src/io/radio/rtl_sdr_fm.cpp:4665, SURVEY §2.8)."""
+
+import numpy as np
+import pytest
+import jax
+
+if len(jax.devices()) < 2:          # conftest forces the 8-device CPU mesh
+    pytest.skip("needs a multi-device mesh", allow_module_level=True)
+
+from jax.sharding import Mesh
+
+FS = 192000.0                       # 4 × 48 kHz band per system
+CENTER = 851_000_000.0
+CC_OFF = -48_000
+VC_OFF = 48_000
+
+
+def _mix(parts, n):
+    wide = np.zeros(n, dtype=np.complex128)
+    t = np.arange(n, dtype=np.float64) / FS
+    for x, off in parts:
+        m = min(len(x), n)
+        wide[:m] += x[:m] * np.exp(2j * np.pi * off * t[:m])
+    return wide.astype(np.complex64)
+
+
+def _build_system(tg: int, seed: int, seconds: float = 3.0,
+                  voice_until: float = 2.0) -> np.ndarray:
+    """One trunked system's wideband: CC at CC_OFF granting ``tg`` on
+    iden-1 channel 16 (3 kHz raster based at CENTER → ch 16 maps to
+    VC_OFF = +48 kHz exactly), voice LDUs at VC_OFF."""
+    from dsdneo_tpu.protocol.p25 import encode as E
+    sps = int(FS / 4800)
+    nac = 0x293
+    grant_ch = (1 << 12) | 16
+    iden = E.iden_up_tsbk(1, CENTER, 3000.0)
+    netstat = E.tsbk_bytes(0x3B, [0, 0x92, 0x06, 0x50, 0xD5, 0, 0, 0],
+                           lb=True)
+    frame_grant = E.tsdu_frame(
+        nac, [iden, E.group_grant_tsbk(grant_ch, tg=tg, src=1000 + tg),
+              netstat])
+    frame_idle = E.tsdu_frame(nac, [iden, netstat])
+    rng = np.random.default_rng(seed)
+    need = int(seconds * 4800)
+    cc_dib = [rng.integers(0, 4, 60).astype(np.uint8)]
+    total = 60
+    while total < need:
+        f = frame_grant if total < 4800 else frame_idle
+        cc_dib.append(f)
+        cc_dib.append(rng.integers(0, 4, 24).astype(np.uint8))
+        total += len(f) + 24
+    cc = E.c4fm_iq(np.concatenate(cc_dib)[:need], sps=sps, fs=FS,
+                   seed=seed + 1)
+
+    n_ldus = int(voice_until / 0.185)
+    ldus = E.random_voice_ldus(n_ldus, seed=seed + 2)
+    vc_dib = [rng.integers(0, 4, 30).astype(np.uint8)]
+    for i in range(n_ldus):
+        vc_dib.append(E.ldu_frame(nac, ldus[i],
+                                  duid=5 if i % 2 == 0 else 10, seed=i))
+    vc = E.c4fm_iq(np.concatenate(vc_dib), sps=sps, fs=FS,
+                   seed=seed + 3)
+    vc = vc[:int(voice_until * FS)]
+    n = int(seconds * FS)
+    return _mix([(cc, CC_OFF), (vc, VC_OFF)], n)
+
+
+@pytest.fixture(scope="module")
+def fleet_and_blocks():
+    from dsdneo_tpu.parallel.trunkfleet import ShardedTrunkedFleet
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:2]), axis_names=("sys",))
+    wides = np.stack([_build_system(101, seed=10),
+                      _build_system(202, seed=20)])     # [2, n]
+    B = int(FS)                                          # 1 s blocks
+    blocks = [wides[:, i * B:(i + 1) * B] for i in range(3)]
+    fleet = ShardedTrunkedFleet(mesh, n_systems=2, fs=FS, B=B,
+                                cc_offsets_hz=[CC_OFF, CC_OFF],
+                                n_voice_rows=2, centers_hz=CENTER,
+                                hangtime_s=0.6, grant_grace_s=0.5,
+                                max_tsdus=4, max_ldus=4)
+    return fleet, blocks
+
+
+def test_grants_retarget_rows_per_system(fleet_and_blocks):
+    fleet, blocks = fleet_and_blocks
+    pcm0 = fleet.step(blocks[0])
+    # both systems observed their grant and rewrote a voice row
+    assert fleet.stats.grants == 2
+    assert fleet.offs[0, 1] == VC_OFF and fleet.offs[1, 1] == VC_OFF
+    assert {c.tg for c in fleet.calls[0].values()} == {101}
+    assert {c.tg for c in fleet.calls[1].values()} == {202}
+    # granted rows decode PCM on the NEXT block, on every system
+    pcm1 = fleet.step(blocks[1])
+    assert pcm1.shape[0] == 2
+    assert np.abs(pcm1[0, 0]).max() > 1e-4
+    assert np.abs(pcm1[1, 0]).max() > 1e-4
+    # parked row stays silent (CC FSK is not LDU voice)
+    assert np.abs(pcm1[0, 1]).max() == 0.0
+    # voice ends at 2 s → hangtime releases the rows back to the CC
+    fleet.step(blocks[2])
+    fleet.step(np.zeros_like(blocks[2]))
+    assert fleet.stats.releases == 2
+    assert fleet.offs[0, 1] == CC_OFF
+    # the whole closed loop — grant, retarget, decode, release — ran
+    # under ONE compiled SPMD program (offsets are data, not statics)
+    assert fleet.step_fn._cache_size() == 1
