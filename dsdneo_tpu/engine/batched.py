@@ -122,7 +122,15 @@ def symbolize_step(d: jax.Array, sps: float, n_sym: int,
     hi = jnp.max(body, axis=-1)
     lo = jnp.min(body, axis=-1)
     center = jnp.repeat((hi + lo) * 0.5, win, axis=-1)
-    scale = jnp.repeat(jnp.maximum((hi - lo) * 0.5, 1e-6), win, axis=-1)
+    # a window with no real discriminator swing (muted/blanked input,
+    # e.g. ring-underflow zeros) must slice to SILENCE, not have its
+    # numerical dust amplified to full-scale symbols — all-zero dibit
+    # runs pass zero-syndrome FEC gates and synthesize phantom voice.
+    # Any real signal, even pure noise, swings far above 1e-5 (an FM
+    # discriminator of noise spans ±π).
+    swing = jnp.maximum((hi - lo) * 0.5, 1e-6)
+    scale = jnp.repeat(jnp.where(swing < 1e-5, jnp.inf, swing),
+                       win, axis=-1)
     pad = n_sym - nw * win
     if pad > 0:
         center = jnp.concatenate([center, center[:, -1:].repeat(pad, axis=-1)], axis=-1)

@@ -131,6 +131,9 @@ def _p25_voice_body(Cl: int, B: int, fs: float = 48000.0,
                            jnp.arange(Cl)[:, None],
                            Cl).reshape(-1).astype(jnp.int32)
         ldu_pos = idx.reshape(-1).astype(jnp.int32)
+        # invalid candidates scatter to the drop row (see _dmr_voice_body)
+        fch = jnp.where(jnp.repeat(valid.reshape(-1), 9),
+                        jnp.asarray(fch_base), Cl).astype(jnp.int32)
         # fresh prediction state, marked device-varying so the scan
         # carry types match under shard_map's varying-axis check
         prev_logm = jax.lax.pcast(jnp.zeros((Cl, 56), jnp.float32),
@@ -139,7 +142,7 @@ def _p25_voice_body(Cl: int, B: int, fs: float = 48000.0,
                                to="varying")
         pcm, _logm, _L, _synth, _aux = voice_decode_gather(
             dibits, ldu_ch, ldu_pos, jnp.asarray(frame_offs),
-            jnp.asarray(fch_base), jnp.asarray(forder),
+            fch, jnp.asarray(forder),
             prev_logm, prev_L, Cl, n_steps)
         return pcm.reshape(Cl, -1), power
 
@@ -184,29 +187,23 @@ def _shard_map():
     return shard_map
 
 
-def make_sharded_dmr_voice_step(mesh: Mesh, C: int, B: int,
-                                fs: float = 48000.0, max_sf: int = 2,
-                                sync_threshold: float = 0.62,
-                                use_pallas: bool = False):
-    """The FULL DMR BS voice chain as one SPMD program over the mesh
-    (sharded counterpart of engine.dmrbatch.BatchedDmrVoicePipeline).
+def _dmr_voice_body(Cl: int, B: int, fs: float = 48000.0,
+                    max_sf: int = 2, sync_threshold: float = 0.62,
+                    use_pallas: bool = False):
+    """Traceable per-shard body of the FULL DMR BS voice chain: maps
+    [Cl, B, 2] I/Q planes → ([Cl, max_sf·18·160] PCM, [Cl] power).
 
     Fixed-capacity device-side picking replaces the host superframe
     walk: the top ``max_sf`` voice-sync candidates per channel,
     validity-masked by score AND the VC2+VC3 EMB confidence gate
     (≤2 summed QR(16,7,6) bit errors — dmr_bs.c
-    check_dmr_bs_emb_and_confidence).  Maps [C, B, 2] I/Q →
-    ([C, max_sf·18·160] PCM, fleet_power)."""
+    check_dmr_bs_emb_and_confidence)."""
     from dsdneo_tpu.engine.dmrbatch import (SF_EXTENT, _sf_frame_offsets,
                                             SF_PERIOD,
                                             dmr_voice_decode_gather)
     from dsdneo_tpu.engine.voicebatch import (_sync_kernel,
                                               correlate_syncs_device)
     from dsdneo_tpu.fec import blockcodes
-
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    assert C % n_dev == 0, "channel count must divide the mesh"
-    Cl = C // n_dev
 
     mode = MODES["dmr"]
     sps = fs / mode.symbol_rate
@@ -220,7 +217,7 @@ def make_sharded_dmr_voice_step(mesh: Mesh, C: int, B: int,
     forder = np.tile(np.repeat(np.arange(K), 18) * 18
                      + np.tile(np.arange(18), K), Cl).astype(np.int32)
 
-    def local_step(iq):                     # [Cl, B, 2] per device
+    def body(iq):                           # [Cl, B, 2] per device
         dibits, soft, power = frontend_step(iq, taps, sps, n_sym,
                                             mode.four_level,
                                             use_pallas=use_pallas)
@@ -252,11 +249,36 @@ def make_sharded_dmr_voice_step(mesh: Mesh, C: int, B: int,
                           ).reshape(-1).astype(jnp.int32)
         sf_pos = idx.reshape(-1).astype(jnp.int32)
         sf_inv = inv.reshape(-1).astype(jnp.int32)
+        # invalid candidates scatter to the drop row: their gathered
+        # dibits are arbitrary (an all-zero run is a valid zero
+        # codeword) and must not synthesize phantom audio
+        fch = jnp.where(jnp.repeat(valid.reshape(-1), 18),
+                        jnp.asarray(fch_base), Cl).astype(jnp.int32)
         wire, _st = dmr_voice_decode_gather(
             dibits, sf_ch, sf_pos, sf_inv, jnp.asarray(offs),
-            jnp.asarray(fch_base), jnp.asarray(forder), Cl, K * 18)
+            fch, jnp.asarray(forder), Cl, K * 18)
+        return wire.astype(jnp.float32).reshape(Cl, -1), power
+
+    return body
+
+
+def make_sharded_dmr_voice_step(mesh: Mesh, C: int, B: int,
+                                fs: float = 48000.0, max_sf: int = 2,
+                                sync_threshold: float = 0.62,
+                                use_pallas: bool = False):
+    """The FULL DMR BS voice chain as one SPMD program over the mesh
+    (sharded counterpart of engine.dmrbatch.BatchedDmrVoicePipeline;
+    see _dmr_voice_body for the per-shard chain).  Maps [C, B, 2] I/Q
+    → ([C, max_sf·18·160] PCM, fleet_power)."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert C % n_dev == 0, "channel count must divide the mesh"
+    body = _dmr_voice_body(C // n_dev, B, fs, max_sf, sync_threshold,
+                           use_pallas)
+
+    def local_step(iq):                     # [Cl, B, 2] per device
+        wire, power = body(iq)
         fleet_power = jax.lax.pmean(jnp.mean(power), "ch")
-        return wire.astype(jnp.float32).reshape(Cl, -1), fleet_power
+        return wire, fleet_power
 
     in_shard = NamedSharding(mesh, P("ch", None, None))
     step = jax.jit(_shard_map()(
@@ -264,6 +286,69 @@ def make_sharded_dmr_voice_step(mesh: Mesh, C: int, B: int,
         in_specs=P("ch", None, None),
         out_specs=(P("ch", None), P())))
     return step, in_shard
+
+
+def _dmr_cc_body(Cl: int, B: int, fs: float = 48000.0,
+                 max_csbks: int = 8, sync_threshold: float = 0.62,
+                 use_pallas: bool = False):
+    """Traceable per-shard body of DMR Tier III TSCC monitoring: maps
+    [Cl, B, 2] I/Q planes → ([Cl, max_csbks, 14] uint8 CSBK blobs
+    (12 payload B + crc-ok B + BPTC-err B), [Cl, max_csbks] valid,
+    [Cl, max_csbks] int32 color code).
+
+    Fixed-capacity device pick (vs the host pick_csbks walk): top-K
+    data-sync candidates, slot-type Golay(20,8) typed on device, valid
+    = score ∧ ≤2 Golay errors ∧ dtype==3 (CSBK).  Shoulder duplicates
+    survive the mask; the host parse cache collapses them (grant
+    repeats are refresh activity anyway — engine.fleettrunk)."""
+    from dsdneo_tpu.engine.ccbatch import (_ST_OFFS, DMR_BURST_EXTENT,
+                                           dmr_csbk_decode_device)
+    from dsdneo_tpu.engine.voicebatch import (_sync_kernel,
+                                              correlate_syncs_device)
+    from dsdneo_tpu.fec import blockcodes
+
+    mode = MODES["dmr"]
+    sps = fs / mode.symbol_rate
+    n_sym = int(B // sps) - 2
+    taps = firdes.channel_lpf(fs, mode.lpf_profile)
+    names = ("+DMR BS data", "+DMR BS voice")   # voice = inverted data
+    g20 = blockcodes.golay_20_8()
+    pm20 = (1.0 - 2.0 * g20.codebook).astype(np.float32)
+    cb20 = g20.codebook
+    K = max_csbks
+
+    def body(iq):                           # [Cl, B, 2] per device
+        dibits, soft, power = frontend_step(iq, taps, sps, n_sym,
+                                            mode.four_level,
+                                            use_pallas=use_pallas)
+        sc = correlate_syncs_device(soft, names)
+        best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
+        bs = jnp.max(sc, axis=1)
+        vals, idx = jax.lax.top_k(bs, K)               # [Cl, K]
+        inv = (jnp.take_along_axis(best_def, idx, axis=1) & 1
+               ).astype(jnp.uint8)
+        Tn = dibits.shape[1]
+        gp = jnp.clip(idx[:, :, None] + jnp.asarray(_ST_OFFS), 0, Tn - 1)
+        dd = dibits[jnp.arange(Cl)[:, None, None], gp]
+        dd = dd ^ (inv[:, :, None] * 2)
+        b20 = jnp.stack([(dd >> 1) & 1, dd & 1],
+                        axis=-1).reshape(Cl, K, 20)
+        s = 1.0 - 2.0 * b20.astype(jnp.float32)
+        m = jnp.argmax(jnp.einsum("ckb,eb->cke", s, jnp.asarray(pm20)),
+                       axis=-1)
+        errs = jnp.sum(jnp.asarray(cb20)[m] != b20, axis=-1)
+        dtype = m & 0xF
+        cc4 = (m >> 4) & 0xF
+        valid = ((vals >= sync_threshold) & (errs <= 2) & (dtype == 3)
+                 & (idx >= 54) & (idx + DMR_BURST_EXTENT < n_sym))
+        ch = jnp.where(valid, jnp.arange(Cl)[:, None], Cl
+                       ).reshape(-1).astype(jnp.int32)
+        pos = idx.reshape(-1).astype(jnp.int32)
+        blob = dmr_csbk_decode_device(dibits, ch, pos,
+                                      inv.reshape(-1).astype(jnp.int32))
+        return blob.reshape(Cl, K, -1), valid, cc4.astype(jnp.int32)
+
+    return body
 
 
 def make_sharded_p2_voice_step(mesh: Mesh, C: int, B: int,
@@ -487,11 +572,12 @@ def make_sharded_trunk_step(mesh: Mesh, S: int, fs: float, B: int,
                             n_cc: int = 1, n_vc: int = 2,
                             max_tsdus: int = 4, max_ldus: int = 2,
                             sync_threshold: float = 0.62,
-                            use_pallas: bool = False):
+                            use_pallas: bool = False,
+                            trunk_mode: str = "p25p1"):
     """Closed-loop trunking at MULTI-CHIP scale: S trunked SYSTEMS
     (one wideband stream each) sharded over the mesh, each system's
-    device work — PFB row extraction, CC TSDU decode, and the full
-    P25p1 voice chain on the granted rows — as ONE SPMD program.
+    device work — PFB row extraction, CC decode, and the full voice
+    chain on the granted rows — as ONE SPMD program.
 
     This is the mesh-scale form of engine.fleettrunk.TrunkedFleet's
     device step (the reference's one-tuner controller thread,
@@ -501,11 +587,14 @@ def make_sharded_trunk_step(mesh: Mesh, S: int, fs: float, B: int,
     steps — grant → retarget → decode — with zero recompiles and zero
     cross-system interference.
 
+    ``trunk_mode``: "p25p1" (TSBK CC + LDU/IMBE voice) or "dmr"
+    (Tier III CSBK TSCC + AMBE superframe voice).
+
     Maps (wide [S, B, 2] I/Q planes, offs [S, n_cc+n_vc] int32 Hz from
-    band center) → (tsdu blobs [S, n_cc, max_tsdus, 114] uint8,
-    valid [S, n_cc, max_tsdus] bool, nid msg16 [S, n_cc, max_tsdus],
-    pcm [S, n_vc, max_ldus·9·160] float32, fleet_ok scalar).
-    Returns (step_fn, (wide_sharding, offs_sharding)).
+    band center) → (cc blobs [S, n_cc, K, W] uint8 (W=114 TSDU /
+    14 CSBK), valid [S, n_cc, K] bool, meta [S, n_cc, K] int32 (P25:
+    BCH NID msg16; DMR: color code), pcm [S, n_vc, T] float32,
+    fleet_ok scalar).  Returns (step_fn, (wide_shard, offs_shard)).
     """
     from dsdneo_tpu.engine.fleettrunk import (CHANNEL_RATE,
                                               make_row_extractor_body)
@@ -522,25 +611,36 @@ def make_sharded_trunk_step(mesh: Mesh, S: int, fs: float, B: int,
     Bp = jax.eval_shape(extract,
                         jax.ShapeDtypeStruct((B, 2), jnp.float32),
                         jax.ShapeDtypeStruct((R,), jnp.int32)).shape[1]
-    cc_body = _p25_cc_body(Sl * n_cc, Bp, CHANNEL_RATE, max_tsdus,
-                           sync_threshold, use_pallas, nac_out=True)
-    vc_body = _p25_voice_body(Sl * n_vc, Bp, CHANNEL_RATE, max_ldus,
-                              sync_threshold, use_pallas, axis=axis)
+    if trunk_mode == "p25p1":
+        _ccb = _p25_cc_body(Sl * n_cc, Bp, CHANNEL_RATE, max_tsdus,
+                            sync_threshold, use_pallas, nac_out=True)
+        cc_body = _ccb          # (blob, valid, meta)
+        vc_body = _p25_voice_body(Sl * n_vc, Bp, CHANNEL_RATE, max_ldus,
+                                  sync_threshold, use_pallas, axis=axis)
+        ok_cols = (12, 50, 88)  # 3 TSBK crc-ok bytes per TSDU
+    elif trunk_mode == "dmr":
+        cc_body = _dmr_cc_body(Sl * n_cc, Bp, CHANNEL_RATE, max_tsdus,
+                               sync_threshold, use_pallas)
+        vc_body = _dmr_voice_body(Sl * n_vc, Bp, CHANNEL_RATE, max_ldus,
+                                  sync_threshold, use_pallas)
+        ok_cols = (12,)         # CSBK crc-ok byte
+    else:
+        raise ValueError("trunk_mode must be 'p25p1' or 'dmr' "
+                         f"(got {trunk_mode!r})")
 
     def local_step(wide, offs):       # [Sl, B, 2], [Sl, R] per device
         rows = jax.vmap(extract)(wide, offs)       # [Sl, R, B'] complex
         planes = jnp.stack([rows.real, rows.imag], axis=-1)
         cc_iq = planes[:, :n_cc].reshape(Sl * n_cc, Bp, 2)
         vc_iq = planes[:, n_cc:].reshape(Sl * n_vc, Bp, 2)
-        blob, valid, msg = cc_body(cc_iq)
+        blob, valid, meta = cc_body(cc_iq)
         pcm, _power = vc_body(vc_iq)
-        ok3 = (blob[:, :, 12] + blob[:, :, 50] + blob[:, :, 88]
-               ).astype(jnp.int32)
-        fleet_ok = jax.lax.psum(jnp.sum(ok3 * valid.astype(jnp.int32)),
+        ok = sum(blob[:, :, c] for c in ok_cols).astype(jnp.int32)
+        fleet_ok = jax.lax.psum(jnp.sum(ok * valid.astype(jnp.int32)),
                                 axis)
         return (blob.reshape(Sl, n_cc, max_tsdus, -1),
                 valid.reshape(Sl, n_cc, max_tsdus),
-                msg.reshape(Sl, n_cc, max_tsdus),
+                meta.reshape(Sl, n_cc, max_tsdus),
                 pcm.reshape(Sl, n_vc, -1), fleet_ok)
 
     shards = (NamedSharding(mesh, P(axis, None, None)),

@@ -31,8 +31,9 @@ from dsdneo_tpu.parallel.mesh import make_sharded_trunk_step
 
 
 class ShardedTrunkedFleet:
-    """S P25p1 trunked systems over a device mesh, one CC + ``n_vc``
-    concurrent voice rows each.
+    """S trunked systems (``mode``: P25p1 TSBK/LDU or DMR Tier III
+    CSBK/AMBE) over a device mesh, one CC + ``n_vc`` concurrent voice
+    rows each.
 
     ``cc_offsets_hz[s]``: the system's control-channel offset from its
     band center (integer Hz); ``centers_hz[s]``: absolute band center
@@ -49,13 +50,16 @@ class ShardedTrunkedFleet:
 
     def __init__(self, mesh, n_systems: int, fs: float, B: int,
                  cc_offsets_hz, n_voice_rows: int, centers_hz=0.0,
-                 hangtime_s: float = 1.0, grant_grace_s: float = 1.5,
+                 mode: str = "p25p1", hangtime_s: float = 1.0,
+                 grant_grace_s: float = 1.5,
                  sync_threshold: float = 0.62, tg_policy=None,
                  chan_map=None, max_tsdus: int = 4, max_ldus: int = 2):
-        from dsdneo_tpu.engine.ccbatch import BatchedP25ControlPipeline
+        from dsdneo_tpu.engine.ccbatch import (BatchedDmrControlPipeline,
+                                               BatchedP25ControlPipeline)
         self.S = n_systems
         self.fs = fs
         self.B = B
+        self.mode = mode
         self.n_vc = n_voice_rows
         self.hangtime_s = hangtime_s
         self.grant_grace_s = grant_grace_s
@@ -72,11 +76,19 @@ class ShardedTrunkedFleet:
                                     n_vc=n_voice_rows,
                                     max_tsdus=max_tsdus,
                                     max_ldus=max_ldus,
-                                    sync_threshold=sync_threshold)
+                                    sync_threshold=sync_threshold,
+                                    trunk_mode=mode)
         # host halves only (catalog parse, parse cache, iden tables);
         # ctx s belongs to system s's control channel
-        self._cc_host = BatchedP25ControlPipeline(n_systems,
-                                                  fs=CHANNEL_RATE)
+        if mode == "p25p1":
+            self._cc_host = BatchedP25ControlPipeline(n_systems,
+                                                      fs=CHANNEL_RATE)
+        elif mode == "dmr":
+            self._cc_host = BatchedDmrControlPipeline(n_systems,
+                                                      fs=CHANNEL_RATE)
+        else:
+            raise ValueError("ShardedTrunkedFleet drives the p25p1 or "
+                             f"dmr CC+voice bodies (got mode={mode!r})")
         if chan_map is not None:
             for ctx in self._cc_host.ctxs:
                 ctx.state.chan_map = chan_map
@@ -92,10 +104,12 @@ class ShardedTrunkedFleet:
 
     # -- host control plane ---------------------------------------------------
     def _parse_blobs(self, blob: np.ndarray, valid: np.ndarray,
-                     msg: np.ndarray) -> int:
-        """Walk the [S, 1, K, 114] TSDU blobs through each system's
-        catalog parser (the blob layout of mesh._p25_cc_body: 3 ×
-        (12 payload B, 1 crc-ok B, 25 raw-dibit B))."""
+                     meta: np.ndarray) -> int:
+        """Walk the [S, 1, K, W] CC blobs through each system's catalog
+        parser.  P25: W=114 TSDU blobs (mesh._p25_cc_body layout, 3 ×
+        (12 payload B, 1 crc-ok B, 25 raw-dibit B)), meta = NID msg16.
+        DMR: W=14 CSBK blobs (12 payload B + crc-ok + BPTC errs), meta
+        = slot-type color code."""
         from dsdneo_tpu.engine.ccbatch import TSDU_BLOCKS
         n_parsed = 0
         for s in range(self.S):
@@ -103,12 +117,19 @@ class ShardedTrunkedFleet:
             for k in range(blob.shape[2]):
                 if not valid[s, 0, k]:
                     continue
-                nac = (int(msg[s, 0, k]) >> 4) & 0xFFF
+                pos = self.blocks * 100 + k
+                if self.mode == "dmr":
+                    if blob[s, 0, k, 12]:
+                        self._cc_host._parse_csbk(
+                            s, pos, int(meta[s, 0, k]) & 0xF,
+                            blob[s, 0, k, :12])
+                        n_parsed += 1
+                    continue
+                nac = (int(meta[s, 0, k]) >> 4) & 0xFFF
                 if nac not in (0, 0xFFF):
                     ctx.state.nac = nac
                     ctx.state.p2_cc = nac
                 blk = blob[s, 0, k].reshape(TSDU_BLOCKS, 38)
-                pos = self.blocks * 100 + k
                 for b in range(TSDU_BLOCKS):
                     if blk[b, 12]:
                         data = blk[b, :12]
@@ -133,6 +154,13 @@ class ShardedTrunkedFleet:
                 f = self.chan_map.freq(ch)
                 if f:
                     return float(f)
+        # DMR Tier III grants carry an LPCN instead of a P25 iden
+        # channel: resolve through the channel map (CSV / C_BCAST)
+        lpcn = int(fields.get("lpcn", 0) or 0)
+        if lpcn not in (0, 0xFFF) and self.chan_map is not None:
+            f = self.chan_map.freq(lpcn)
+            if f:
+                return float(f)
         return 0.0
 
     def _on_grant(self, s: int, fields: dict) -> None:

@@ -111,3 +111,56 @@ def test_grants_retarget_rows_per_system(fleet_and_blocks):
     # the whole closed loop — grant, retarget, decode, release — ran
     # under ONE compiled SPMD program (offsets are data, not statics)
     assert fleet.step_fn._cache_size() == 1
+
+
+def _build_dmr_system(tg: int, lpcn: int, seed: int,
+                      seconds: float = 3.0,
+                      voice_until: float = 2.2) -> np.ndarray:
+    """One DMR Tier III system's wideband: TSCC at CC_OFF granting
+    ``tg`` on ``lpcn``, AMBE voice superframes at VC_OFF."""
+    from dsdneo_tpu.engine.dmrbatch import synth_voice_stream
+    from dsdneo_tpu.protocol.dmr import encode as DE
+    from dsdneo_tpu.protocol.p25.encode import c4fm_iq
+    sps = int(FS / 4800)
+    grant = DE.tv_grant_csbk(lpcn=lpcn, ts=0, tg=tg, src=1000 + tg)
+    idle = DE.csbk_bits(25, 0, bytes(8))        # C_ALOHA filler
+    n_bursts = int(seconds * 4800 / 144) + 2
+    csbks = [grant if i * 144 < 4800 else idle for i in range(n_bursts)]
+    cc = c4fm_iq(DE.cc_stream_dibits(csbks, cc=1), sps=sps, fs=FS,
+                 seed=seed)
+    _iq48, dib, _bits = synth_voice_stream(
+        n_superframes=int(voice_until / 0.36) + 1, seed=seed + 1)
+    vc = c4fm_iq(dib, sps=sps, fs=FS, seed=seed + 2)
+    vc = vc[:int(voice_until * FS)]
+    n = int(seconds * FS)
+    return _mix([(cc, CC_OFF), (vc, VC_OFF)], n)
+
+
+def test_dmr_mesh_trunking_closed_loop():
+    from dsdneo_tpu.engine.trunk import ChannelMap
+    from dsdneo_tpu.parallel.trunkfleet import ShardedTrunkedFleet
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:2]), axis_names=("sys",))
+    LPCN = 24
+    cm = ChannelMap()
+    cm.entries[LPCN] = CENTER + VC_OFF
+    wides = np.stack([_build_dmr_system(101, LPCN, seed=30),
+                      _build_dmr_system(202, LPCN, seed=40)])
+    B = int(FS)
+    fleet = ShardedTrunkedFleet(mesh, n_systems=2, fs=FS, B=B,
+                                cc_offsets_hz=[CC_OFF, CC_OFF],
+                                n_voice_rows=2, centers_hz=CENTER,
+                                mode="dmr", hangtime_s=0.6,
+                                grant_grace_s=0.5, chan_map=cm,
+                                max_tsdus=8, max_ldus=8)
+    fleet.step(wides[:, :B])
+    assert fleet.stats.grants == 2
+    assert fleet.offs[0, 1] == VC_OFF and fleet.offs[1, 1] == VC_OFF
+    pcm1 = fleet.step(wides[:, B:2 * B])
+    assert np.abs(pcm1[0, 0]).max() > 1e-3
+    assert np.abs(pcm1[1, 0]).max() > 1e-3
+    assert np.abs(pcm1[0, 1]).max() == 0.0      # parked row masked
+    fleet.step(wides[:, 2 * B:3 * B])
+    fleet.step(np.zeros((2, B), np.complex64))
+    assert fleet.stats.releases == 2
+    assert fleet.step_fn._cache_size() == 1
