@@ -81,15 +81,20 @@ def symbolize_step(d: jax.Array, sps: float, n_sym: int,
     dc = jnp.mean(d, axis=-1, keepdims=True)
     e = (d - dc) ** 2
     idx = jnp.arange(n, dtype=jnp.float32)
-    tone = jnp.exp(-2j * jnp.pi * idx / sps)
+    # all-real phasor arithmetic: complex arrays hit emulated paths on
+    # the TPU backend (measured 10x on the frontend step)
+    ang = (2.0 * jnp.pi / sps) * idx
     wlen = min(2048, n)                        # ~200 symbols at sps=10
     nww = n // wlen
     ec = e[:, : nww * wlen].reshape(c, nww, wlen)
-    tc = tone[: nww * wlen].reshape(nww, wlen)
-    Xw = jnp.einsum("cwt,wt->cw", ec.astype(jnp.complex64), tc)
-    Ew = jnp.sum(ec, axis=-1)                  # [C, nw]
-    X = jnp.sum(Xw / (Ew + 1e-9).astype(jnp.complex64), axis=-1)
-    tau = jnp.mod(-jnp.angle(X) * (sps / (2 * jnp.pi)), sps)
+    cr = jnp.cos(ang[: nww * wlen]).reshape(nww, wlen)
+    ci = jnp.sin(ang[: nww * wlen]).reshape(nww, wlen)
+    Xr = jnp.sum(ec * cr[None], axis=-1)       # [C, nw]
+    Xi = -jnp.sum(ec * ci[None], axis=-1)
+    w = 1.0 / (jnp.sum(ec, axis=-1) + 1e-9)
+    Xre = jnp.sum(Xr * w, axis=-1)
+    Xim = jnp.sum(Xi * w, axis=-1)
+    tau = jnp.mod(-jnp.arctan2(Xim, Xre) * (sps / (2 * jnp.pi)), sps)
 
     isps = int(round(sps))
     if abs(sps - isps) < 1e-9 and n_sym * isps + isps <= n:

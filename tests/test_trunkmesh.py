@@ -113,6 +113,26 @@ def test_grants_retarget_rows_per_system(fleet_and_blocks):
     assert fleet.step_fn._cache_size() == 1
 
 
+def test_noise_only_band_stays_quiet():
+    """Pure noise on every system: no grants, no phantom PCM, and the
+    control plane stays consistent (fuzz-style robustness, mirroring
+    the reference's squelch discipline on empty channels)."""
+    from dsdneo_tpu.parallel.trunkfleet import ShardedTrunkedFleet
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:2]), axis_names=("sys",))
+    B = int(FS)
+    fleet = ShardedTrunkedFleet(mesh, n_systems=2, fs=FS, B=B,
+                                cc_offsets_hz=[CC_OFF, CC_OFF],
+                                n_voice_rows=1, centers_hz=CENTER)
+    rng = np.random.default_rng(5)
+    wide = (rng.normal(size=(2, B, 2)) * 0.3).astype(np.float32)
+    pcm = fleet.step(wide)
+    assert fleet.stats.grants == 0 and not fleet.calls[0]
+    assert np.abs(pcm).max() == 0.0      # no active call → masked out
+    pcm = fleet.step(np.zeros((2, B, 2), np.float32))
+    assert fleet.stats.grants == 0 and np.abs(pcm).max() == 0.0
+
+
 def _build_dmr_system(tg: int, lpcn: int, seed: int,
                       seconds: float = 3.0,
                       voice_until: float = 2.2) -> np.ndarray:
