@@ -444,9 +444,26 @@ class TrunkedFleet:
                 planes(r[:n_cc]), planes(r[n_cc:n_cc + n_v1]),
                 planes(r[n_cc + n_v1:])))
         cc_rows, vc_rows, vc2_rows = self._split(rows)
-        self.cc_pipe.decode_block_events(cc_rows)
+        # Overlap the control and voice planes: enqueue the CC
+        # candidate program, then the voice programs (the device runs
+        # them in submission order), and do the CC blob fetch + host
+        # pick + catalog parse WHILE the voice programs execute — the
+        # reference's controller thread similarly overlaps tuner
+        # retune/parse with the demod thread (rtl_sdr_fm.cpp:4665).
+        pcm = h = h2 = None
+        cc_fe = self.cc_pipe.frontend_dispatch(cc_rows)
         if self.calls:
-            pcm = self.vc_pipe.decode_block(vc_rows)
+            if hasattr(self.vc_pipe, "decode_block_async"):
+                h = self.vc_pipe.decode_block_async(vc_rows)
+            else:                         # analog pipeline: sync only
+                pcm = self.vc_pipe.decode_block(vc_rows)
+        if self.calls2:
+            h2 = self.vc2_pipe.decode_block_async(vc2_rows)
+        self.cc_pipe.events_from_frontend(
+            self.cc_pipe.frontend_finish(cc_fe))
+        if h is not None:
+            pcm = self.vc_pipe.fetch_pcm(h)
+        if pcm is not None:
             # rows without an active call are parked on the CC: their
             # decode output is not audio (the reference's tuner is
             # muted between calls) — matters for analog rows, where a
@@ -458,8 +475,8 @@ class TrunkedFleet:
                 pcm = pcm * mask
         else:
             pcm = np.zeros((self.n_vc, 0), dtype=np.float32)
-        if self.calls2:
-            pcm2 = self.vc2_pipe.decode_block(vc2_rows)  # [2·V2, T2]
+        if h2 is not None:
+            pcm2 = self.vc2_pipe.fetch_pcm(h2)           # [2·V2, T2]
             if pcm2.shape[1]:
                 mask2 = np.zeros((2 * self.n_vc2, 1), dtype=pcm2.dtype)
                 for (row, slot) in self.calls2:
