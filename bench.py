@@ -625,12 +625,19 @@ def bench_fleet_trunk(reps: int = 4):
     for x, off in ((cc, CC_OFF), (vc, VC_OFF)):
         m = min(len(x), n)
         wide[:m] += x[:m] * np.exp(2j * np.pi * off * t[:m])
-    wide = wide.astype(np.complex64)
+    # serve the SDR wire format: CU8 offset-binary I/Q planes, exactly
+    # what librtlsdr delivers — the raw bytes ship over the tunneled
+    # host→device link and the row extractor converts ON DEVICE (the
+    # 1 s × 768 kHz upload, not compute, bounds the closed loop's step;
+    # float32 planes cost 4x the bytes)
+    scale = np.abs(wide).max() or 1.0
+    pl = np.stack([wide.real, wide.imag], axis=-1) / scale
+    wide_u8 = np.clip(pl * 127.5 + 127.5, 0, 255).astype(np.uint8)
 
     fleet = TrunkedFleet(FS, [CC_OFF], n_voice_rows=4, center_hz=CENTER,
                          hangtime_s=5.0, grant_grace_s=0.5)
     B = int(FS)                                  # 1 s blocks
-    blocks = [wide[:B], wide[B:2 * B]]
+    blocks = [wide_u8[:B], wide_u8[B:2 * B]]
     fleet.step(blocks[0])                        # observe grant, retarget
     assert fleet.stats.grants == 1
     pcm = fleet.step(blocks[1])                  # warm the voice program

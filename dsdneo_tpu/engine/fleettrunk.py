@@ -68,6 +68,13 @@ def make_row_extractor_body(n_ch: int, taps_per_branch: int = 16):
     taps_per_branch = max(taps_per_branch, 256 // n_ch)
 
     def run(wide, offs_hz):
+        if wide.ndim == 2 and wide.dtype == jnp.uint8:
+            # CU8 I/Q planes — the SDR wire format (librtlsdr delivers
+            # offset-binary bytes).  Shipping raw bytes over the
+            # tunneled host→device link and converting ON DEVICE cuts
+            # the wideband upload 4x vs float32 planes (the upload, not
+            # compute, bounds the closed trunking loop's step).
+            wide = (wide.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
         x = (jax.lax.complex(wide[..., 0], wide[..., 1])
              if wide.ndim == 2 else wide)
         # cutoff 0.75 spacings (±36 kHz): a row whose residual offset

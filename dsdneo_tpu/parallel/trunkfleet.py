@@ -222,11 +222,14 @@ class ShardedTrunkedFleet:
         import jax
         if isinstance(wide, np.ndarray):
             # complex64 must NOT cross the host→device boundary on the
-            # tunneled TPU backend (see PARITY.md); ship float planes
+            # tunneled TPU backend (see PARITY.md); ship float planes —
+            # or, better, raw CU8 planes (the SDR wire format, 4x less
+            # upload; converted on device by the row extractor)
             if np.iscomplexobj(wide):
                 wide = np.stack([wide.real, wide.imag],
                                 axis=-1).astype(np.float32)
-            wide = np.ascontiguousarray(wide, dtype=np.float32)
+            elif wide.dtype != np.uint8:
+                wide = np.ascontiguousarray(wide, dtype=np.float32)
         block_s = self.B / self.fs
         blob, valid, msg, pcm, _ok = self.step_fn(
             jax.device_put(wide, self._w_shard),

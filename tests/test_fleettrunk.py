@@ -116,6 +116,26 @@ def test_grant_retargets_row_and_decodes_voice(wide):
     assert fleet.stats.grant_refreshes >= 2
 
 
+def test_cu8_wire_format_decodes(wide):
+    """The SDR wire format end to end: the wideband quantized to CU8
+    offset-binary planes (what librtlsdr delivers) feeds the fleet
+    directly — raw bytes over the host→device link, converted on
+    device by the row extractor (4x less upload than float planes);
+    the grant and voice decode survive the 8-bit quantization."""
+    from dsdneo_tpu.engine.fleettrunk import TrunkedFleet
+    scale = np.abs(wide).max()
+    pl = np.stack([wide.real, wide.imag], axis=-1) / scale
+    wide_u8 = np.clip(pl * 127.5 + 127.5, 0, 255).astype(np.uint8)
+    fleet = TrunkedFleet(FS, [CC_OFF], n_voice_rows=2, center_hz=CENTER,
+                         hangtime_s=0.6, grant_grace_s=0.5)
+    B = int(FS)
+    fleet.step(wide_u8[:B])
+    assert fleet.stats.grants == 1
+    assert fleet.offs[fleet.n_cc + 0] == VC_OFF
+    pcm = fleet.step(wide_u8[B:2 * B])
+    assert np.abs(pcm[0]).mean() > 1e-3
+
+
 def test_row_extractor_exact_nco():
     """A pure tone at an arbitrary integer-Hz offset extracts to (near)
     DC on its row — the integer-phase NCO stays exact over a long
