@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsdneo_tpu.engine.p2batch import BatchedP2VoicePipeline
 from dsdneo_tpu.engine.voicebatch import (BatchedP25VoicePipeline,
                                           _status_strip_map, _sync_kernel,
                                           correlate_syncs_device)
@@ -956,6 +957,257 @@ class BatchedDmrControlPipeline:
                     f"Sync: +DMR CC | Color Code={int(acc[h]):02d}"
                     " | CSBK CRC ERR", "dmr", t)
         return n_parsed
+
+    def events(self, c: int):
+        return self.ctxs[c].events
+
+
+# -- P25 Phase 2 TDMA control channel ----------------------------------------
+@jax.jit
+def p2_xcch_gather_device(dibits: jax.Array, ch: jax.Array,
+                          tpos: jax.Array) -> jax.Array:
+    """Gather the 180 dibits of every accepted xCCH timeslot and unpack
+    to [N, 360] bits (reference p25p2_frame.c timeslot geometry; the
+    4th burst of a frame is only 320 bits — its tail gathers the next
+    sync, which the payload/parity extraction never reads)."""
+    from dsdneo_tpu.engine.p2batch import TS_DIBITS
+    Tn = dibits.shape[1]
+    gp = jnp.clip(tpos[:, None] + jnp.arange(TS_DIBITS), 0, Tn - 1)
+    chc = jnp.minimum(ch, dibits.shape[0] - 1)
+    dd = dibits[chc[:, None], gp]                          # [N, 180]
+    bits = jnp.zeros((dd.shape[0], 360), dtype=jnp.uint8)
+    bits = bits.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
+    bits = bits.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
+    return bits
+
+
+@lru_cache(maxsize=1)
+def _xcch_index_arrays():
+    """(payload, parity) bit-position arrays per xCCH kind (the
+    vectorized form of p2_xcch.extract_sacch/extract_facch)."""
+    sp = np.r_[2:74, 76:184].astype(np.int64)
+    sq = np.r_[184:244, 246:318].astype(np.int64)
+    fp = np.r_[2:74, 76:138, 180:202].astype(np.int64)
+    fq = np.r_[202:244, 246:318].astype(np.int64)
+    return {"sacch": (sp, sq), "facch": (fp, fq)}
+
+
+class BatchedP2ControlPipeline(BatchedP2VoicePipeline):
+    """Batched P25 Phase 2 TDMA control-channel monitor over [C, B]
+    blocks (reference ``state->p25_cc_is_tdma``: a TDMA LCCH control
+    channel at 6000 sym/s, src/protocol/p25/p25_trunk_sm.c:289 +
+    phase2/p25p2_vpdu.c MAC_SIGNAL handling).
+
+    Inherits the Phase 2 frontend (sync + DUID + ISCH typing) from the
+    voice pipeline; instead of voice timeslots it accepts the xCCH
+    bursts (SACCH/FACCH/LCCH), gathers them on device, and screens them
+    with two GF(2) matmuls — the systematic RS(63,35) encode map
+    (p2_xcch.xcch_encode_matrix) and the CRC12 contribution table — so
+    the host only MAC-parses clean bursts; channel-errored bursts fall
+    back to the serial Berlekamp–Massey erasure decode.  With
+    ``wacn=sysid=nac=0`` the scramble parameters are blind-recovered
+    from RS parity linearity per channel (phase2._try_recover_params),
+    decoding control channels the reference needs NET_STS or -X for.
+    """
+
+    # duid → (kind, scrambled, lcch); reference p25p2_frame.c typing
+    XCCH_DUIDS = {3: ("sacch", True, False), 12: ("sacch", False, False),
+                  4: ("sacch", True, True), 13: ("sacch", False, True),
+                  9: ("facch", True, False), 15: ("facch", False, False)}
+
+    def __init__(self, C: int, fs: float = 48000.0, wacn: int = 0,
+                 sysid: int = 0, nac: int = 0,
+                 sync_threshold: float = 0.62, parse_cache: bool = True):
+        super().__init__(C, fs=fs, wacn=wacn, sysid=sysid, nac=nac,
+                         sync_threshold=sync_threshold)
+        from dsdneo_tpu.protocol.p25.phase2 import P25P2Decoder
+        self.ctxs = [DecoderContext() for _ in range(C)]
+        self.decs = [P25P2Decoder() for _ in range(C)]
+        if wacn and sysid and nac:
+            for ctx in self.ctxs:
+                s = ctx.state
+                s.p2_wacn, s.p2_sysid, s.p2_cc = wacn, sysid, nac
+                s.nac = nac
+        self.parse_cache = parse_cache
+        self._pcache: list[dict] = [dict() for _ in range(C)]
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        self._hit_def = defs[0]
+        self._scr_tables: dict = {}
+        self.rs_fallbacks = 0
+        self.crc_errors = 0
+
+    # -- host walk ---------------------------------------------------------
+    def pick_xcch(self, idx, vq, duid, isch, n_sym: int):
+        """Accepted frames → per-timeslot xCCH job arrays
+        (ch, tpos, sfpos, duid_idx, slot) — the control-channel
+        counterpart of walk_frames' voice selection, sharing its
+        batched ISCH superframe resolution."""
+        from dsdneo_tpu.engine.p2batch import FRAME_DIBITS, TS_DIBITS
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        n_pat = len(defs[0].pattern)
+        duid_lut = self._duid_lut()
+        oka, sf_start_all = self._resolve_isch_batch(vq, isch)
+        j_ch, j_tpos, j_sf, j_duid, j_slot = ([] for _ in range(5))
+        for c in range(idx.shape[0]):
+            ok = oka[c]
+            if not ok.any():
+                continue
+            order = np.argsort(idx[c][ok], kind="stable")
+            positions = idx[c][ok][order]
+            duids_v = duid_lut[duid[c][ok][order]]         # [W, 4]
+            sf_start = sf_start_all[c][ok][order]
+            sf_pos = None
+            last = -10 ** 9
+            for w, t in enumerate(positions.tolist()):
+                if t - last < FRAME_DIBITS - 8 \
+                        or t + FRAME_DIBITS >= n_sym:
+                    continue
+                last = t
+                for ts in range(4):
+                    s = int(sf_start[w][ts])
+                    if s >= 0:
+                        sf_pos = s
+                    p = sf_pos if sf_pos is not None else 0
+                    if sf_pos is not None:
+                        sf_pos = (sf_pos + 1) % 12
+                    d = int(duids_v[w][ts])
+                    if d in self.XCCH_DUIDS:
+                        j_ch.append(c)
+                        j_tpos.append(t + n_pat + TS_DIBITS * ts)
+                        j_sf.append(p)
+                        j_duid.append(d)
+                        j_slot.append(ts % 2)
+        if not j_ch:
+            return tuple(np.zeros(0, np.int32) for _ in range(5))
+        return tuple(np.asarray(a, np.int32)
+                     for a in (j_ch, j_tpos, j_sf, j_duid, j_slot))
+
+    def _scramble_table(self, key) -> np.ndarray:
+        tbl = self._scr_tables.get(key)
+        if tbl is None:
+            from dsdneo_tpu.protocol.p25 import p2_xcch
+            tbl = p2_xcch.generate_scramble_bits(*key, 12 * 360 + 380)
+            self._scr_tables[key] = tbl
+        return tbl
+
+    def decode_block_events(self, iq) -> int:
+        """One [C, B] block end to end; events land in
+        ``self.ctxs[c].events``.  Returns the number of MAC PDUs
+        parsed."""
+        return self.events_from_frontend(
+            self.frontend_finish(self.frontend_dispatch(iq)))
+
+    def events_from_frontend(self, fe6) -> int:
+        from dsdneo_tpu.protocol.p25 import p2_xcch
+        dibits_dev, idx, vq, duid, isch, n_sym = fe6
+        ch, tpos, sfp, duidv, slotv = self.pick_xcch(idx, vq, duid,
+                                                     isch, n_sym)
+        N = ch.shape[0]
+        if N == 0:
+            return 0
+        Np = -(-N // 64) * 64
+        chp = np.full(Np, self.C, dtype=np.int32)
+        chp[:N] = ch
+        tpp = np.zeros(Np, dtype=np.int32)
+        tpp[:N] = tpos
+        bits = np.asarray(p2_xcch_gather_device(
+            dibits_dev, jnp.asarray(chp), jnp.asarray(tpp)))[:N]
+        raw = bits.copy()                      # serial-fallback input
+        # descramble (vectorized): per-channel LFSR table at each ts's
+        # superframe position (+20 bit alignment, phase2._descramble)
+        have = np.zeros(N, dtype=bool)
+        scrambled = np.zeros(N, dtype=bool)
+        mask = np.zeros_like(bits)
+        for i in range(N):
+            kind, scr, _lcch = self.XCCH_DUIDS[int(duidv[i])]
+            scrambled[i] = scr
+            s = self.ctxs[int(ch[i])].state
+            key = (s.p2_wacn, s.p2_sysid, s.p2_cc)
+            if all(key):
+                have[i] = True
+                if scr:
+                    base = 360 * int(sfp[i]) + 20
+                    mask[i] = self._scramble_table(key)[base:base + 360]
+        x = bits ^ mask
+        # two-matmul screen per kind: RS parity consistency + CRC12
+        idxmap = _xcch_index_arrays()
+        res_ok = np.zeros(N, dtype=bool)
+        crc_okv = np.zeros(N, dtype=bool)
+        kinds = np.asarray([0 if self.XCCH_DUIDS[int(d)][0] == "sacch"
+                            else 1 for d in duidv])
+        for kb, kind in ((0, "sacch"), (1, "facch")):
+            sel = np.flatnonzero(kinds == kb)
+            if sel.size == 0:
+                continue
+            pay_i, par_i = idxmap[kind]
+            pays = x[sel][:, pay_i].astype(np.uint8)
+            pars = x[sel][:, par_i].astype(np.uint8)
+            M = p2_xcch.xcch_encode_matrix(kind)
+            res_ok[sel] = ((pays.astype(np.int32) @ M.astype(np.int32))
+                           % 2 == pars).all(axis=1)
+            nd = 168 if kind == "sacch" else 144
+            T12 = p2_xcch.crc12_matrix(nd).astype(np.int32)
+            crc = (pays[:, :nd].astype(np.int32) @ T12) % 2
+            crc_okv[sel] = ((crc ^ 1)                      # 0xFFF inv
+                            == pays[:, nd:nd + 12]).all(axis=1)
+        n_parsed = 0
+        for i in range(N):
+            c, t, p = int(ch[i]), int(tpos[i]), int(sfp[i])
+            kind, scr, lcch = self.XCCH_DUIDS[int(duidv[i])]
+            slot = int(slotv[i])
+            ctx, dec = self.ctxs[c], self.decs[c]
+            hit = framesync.SyncHit(pos=t, score=1.0, sync=self._hit_def)
+            if scr and not have[i]:
+                # blind scramble-seed recovery path (serial decoder
+                # accumulates bursts; once solved, later blocks take
+                # the fast screen)
+                dec.sf_pos = p
+                dec._xcch(raw[i], 0, kind, scrambled=True, lcch=lcch,
+                          ctx=ctx, have_params=False, hit=hit, slot=slot)
+                continue
+            if res_ok[i] and (lcch or crc_okv[i]):
+                pay_i, _ = idxmap[kind]
+                n_parsed += 1
+                self._parse_mac(c, t, kind, x[i][pay_i], slot, dec)
+            else:
+                # channel errors: serial RS(63,35) erasure decode
+                self.rs_fallbacks += 1
+                dec.sf_pos = p
+                detail = dec._xcch(raw[i], 0, kind, scrambled=scr,
+                                   lcch=lcch, ctx=ctx, have_params=True,
+                                   hit=hit, slot=slot)
+                if detail and "ERR" in detail:
+                    self.crc_errors += 1
+                else:
+                    n_parsed += 1
+        return n_parsed
+
+    def _parse_mac(self, c: int, t: int, kind: str, payload: np.ndarray,
+                   slot: int, dec) -> None:
+        """Host MAC-PDU walk of one clean xCCH payload, with the
+        payload-keyed parse cache (control channels repeat ALOHA/iden
+        spam many times per second; see BatchedP25ControlPipeline)."""
+        ctx = self.ctxs[c]
+        iden_v = getattr(getattr(ctx.state, "iden_table", None),
+                         "version", 0)
+        key = (payload.tobytes(), kind, slot & 1, iden_v)
+        hit = framesync.SyncHit(pos=t, score=1.0, sync=self._hit_def)
+        if self.parse_cache:
+            hitv = self._pcache[c].get(key)
+            if hitv is not None:
+                for line, fields in hitv:
+                    ctx.emit(line, "p25p2", t, **fields)
+                return
+        n0 = len(ctx.events)
+        detail = dec._mac_pdu(payload, kind, ctx, hit, slot)
+        name = {"sacch": "SACCH", "facch": "FACCH"}[kind]
+        ctx.emit(f"       P25p2 {name}{detail}", "p25p2", t, slot=slot)
+        if self.parse_cache:
+            pc = self._pcache[c]
+            if len(pc) >= 4096:
+                pc.clear()
+            pc[key] = [(e.line, dict(e.fields))
+                       for e in ctx.events[n0:]]
 
     def events(self, c: int):
         return self.ctxs[c].events

@@ -181,6 +181,21 @@ class TrunkedFleet:
             mk_vc = lambda n: BatchedNxdnVoicePipeline(
                 n, fs=CHANNEL_RATE, sync_threshold=min(sync_threshold, 0.55),
                 pcm_fmt=pcm_fmt, mode=mode)
+        elif mode == "p25p2":
+            # Phase 2 TDMA control channel (reference
+            # state->p25_cc_is_tdma=1, p25_trunk_sm.c:289: a 6000 sym/s
+            # LCCH/SACCH MAC CC).  Every grant is a 2-slot TDMA voice
+            # channel decoded by the batched P2 voice pipeline; with no
+            # p2_params the CC's own scramble parameters are
+            # blind-recovered from RS parity linearity.
+            from dsdneo_tpu.engine.ccbatch import BatchedP2ControlPipeline
+            w0, s0, n0 = p2_params if p2_params else (0, 0, 0)
+            mk_cc = lambda n: BatchedP2ControlPipeline(
+                n, fs=CHANNEL_RATE, wacn=w0, sysid=s0, nac=n0,
+                sync_threshold=sync_threshold)
+            mk_vc = None
+            p2_rows = p2_rows or n_voice_rows
+            n_voice_rows = 0
         elif mode == "edacs":
             # EDACS: BCH-screened CC messages grant an LCN; working
             # channels are analog NBFM (reference edacs.c analog voice
@@ -197,10 +212,10 @@ class TrunkedFleet:
             raise ValueError("trunked fleet drives the p25p1, dmr, "
                              "nxdn48/96, or edacs CC+voice pipelines "
                              f"(got mode={mode!r})")
-        if p2_rows and mode != "p25p1":
-            raise ValueError("Phase-2 voice rows ride a P25p1 control "
+        if p2_rows and mode not in ("p25p1", "p25p2"):
+            raise ValueError("Phase-2 voice rows ride a P25 control "
                              "channel (TDMA grants are flagged by the "
-                             "iden table); use mode='p25p1'")
+                             "iden table); use mode='p25p1'/'p25p2'")
         self.fs = fs
         self.mode = mode
         self.n_ch = n_ch
@@ -222,7 +237,7 @@ class TrunkedFleet:
         self.offs[self.n_cc:] = self.offs[0]
         self._extract = make_row_extractor(n_ch)
         self.cc_pipe = mk_cc(self.n_cc)
-        self.vc_pipe = mk_vc(self.n_vc)
+        self.vc_pipe = mk_vc(self.n_vc) if mk_vc is not None else None
         # the P2 pipeline needs the system's WACN/SYS/NAC scramble
         # parameters (reference p25p2 xCCH scrambler), which the CC
         # broadcasts (NET_STS + NID); construct lazily on first TDMA
@@ -242,6 +257,7 @@ class TrunkedFleet:
         self.blocks = 0
         self.stats = FleetStats()
         self.log: list[str] = []
+        self._next_block = None        # double-buffer upload handle
 
     # -- grant handling -----------------------------------------------------
     def _resolve_freq(self, cc: int, fields: dict) -> float:
@@ -268,6 +284,8 @@ class TrunkedFleet:
     def _grant_slots(self, cc: int, fields: dict) -> int:
         """TDMA slot count of the granted channel's iden (1 = FDMA/P1,
         2 = Phase 2; reference p25_frequency.c iden_up TDMA types)."""
+        if self.mode == "p25p2":
+            return 2            # everything on a TDMA CC is 2-slot
         ch = int(fields.get("channel", 0) or 0)
         it = getattr(self.cc_pipe.ctxs[cc].state, "iden_table", None)
         if ch in (0, 0xFFFF) or it is None:
@@ -282,7 +300,8 @@ class TrunkedFleet:
             wacn, sysid, nac = self._p2_params
         else:
             s = self.cc_pipe.ctxs[cc].state
-            wacn, sysid, nac = s.p2_wacn, s.p2_sysid, s.nac
+            wacn, sysid = s.p2_wacn, s.p2_sysid
+            nac = s.nac or getattr(s, "p2_cc", 0)
         if not (wacn and sysid and nac):
             return False        # identity not yet broadcast on this CC
         from dsdneo_tpu.engine.p2batch import BatchedP2VoicePipeline
@@ -419,13 +438,41 @@ class TrunkedFleet:
                     self.offs[self.n_cc + self.n_vc + row] = self.offs[0]
 
     # -- the step -------------------------------------------------------------
-    def step(self, wide: np.ndarray) -> np.ndarray:
+    def prefetch(self, wide: np.ndarray):
+        """Start the async host→device upload of a wideband block and
+        return a device handle that :meth:`step` accepts in place of a
+        host array.  The closed trunking loop is UPLOAD-bound on the
+        tunneled link (PARITY.md round 4): double-buffering — uploading
+        block N+1 while block N's device programs run — hides the
+        transfer under compute, exactly as the reference's dongle
+        thread fills the next ring buffer while the demod thread
+        consumes the current one (src/io/radio/rtl_sdr_fm.cpp USB
+        callback + ring)."""
+        import jax
+        if isinstance(wide, np.ndarray):
+            if np.iscomplexobj(wide):           # never upload complex
+                wide = np.stack([wide.real, wide.imag],
+                                axis=-1).astype(np.float32)
+            wide = jax.device_put(wide)
+        return wide
+
+    def step(self, wide: np.ndarray, prefetch=None) -> np.ndarray:
         """One wideband block → [n_voice_rows, T] float32 PCM.  CC
         grants observed in this block retarget rows for the NEXT block
         (the reference's controller thread likewise retunes between
-        demod iterations)."""
+        demod iterations).
+
+        ``wide=None`` consumes the block most recently queued via
+        ``prefetch=``; passing the NEXT host block as ``prefetch=``
+        enqueues its upload right after this block's device programs
+        dispatch, so the transfer rides under their execution."""
         import jax
         import jax.numpy as jnp
+        if wide is None:
+            wide = self._next_block
+            self._next_block = None
+            if wide is None:
+                raise ValueError("step(None) without a prefetched block")
         if isinstance(wide, np.ndarray):
             # complex64 must NOT cross the host→device boundary: on the
             # tunneled TPU backend a complex upload "succeeds" async and
@@ -466,6 +513,10 @@ class TrunkedFleet:
                 pcm = self.vc_pipe.decode_block(vc_rows)
         if self.calls2:
             h2 = self.vc2_pipe.decode_block_async(vc2_rows)
+        if prefetch is not None:
+            # every device program for THIS block is now enqueued; the
+            # next block's upload streams while they execute
+            self._next_block = self.prefetch(prefetch)
         self.cc_pipe.events_from_frontend(
             self.cc_pipe.frontend_finish(cc_fe))
         if h is not None:

@@ -376,24 +376,15 @@ class BatchedP2VoicePipeline(VoiceCarryMixin):
         return np.asarray([duid_lookup(v) for v in range(256)],
                           dtype=np.int8)
 
-    def walk_frames(self, idx, vq, duid, isch, n_sym: int):
-        """Host frame walk (phase2.handle semantics): threshold + frame
-        extent, DUID typing, ISCH superframe tracking → the per-frame
-        device upload lists.  Returns (frame arrays, ess_jobs) where
-        ess_jobs describe the ESS field positions per voice timeslot
-        for the optional crypto path."""
+    def _resolve_isch_batch(self, vq, isch):
+        """Whole-batch ISCH resolution BEFORE any channel loop: assemble
+        every candidate's 40-bit words and resolve them through one
+        sorted-table searchsorted pass; only novel words fall back to
+        the memoized nearest-codeword search.  Returns ``(oka [C, K]
+        score gate, sf_start_all [C, K, 4] superframe start position or
+        -1)`` — shared by the voice walk and the control-channel walk
+        (host hot path at C=320)."""
         from dsdneo_tpu.protocol.p25 import p2_xcch
-        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
-        n_pat = len(defs[0].pattern)
-        duid_lut = self._duid_lut()
-        isch_tab = p2_xcch._isch_table()
-        f_ch, f_tpos, f_row, f_offidx, f_out, f_ord = ([] for _ in range(6))
-        ess_jobs = []           # (c, ts_pos, row, slot, kind, frag_idx)
-        # whole-batch ISCH resolution BEFORE the channel loop: assemble
-        # every candidate's 40-bit words and resolve them through one
-        # sorted-table searchsorted pass; only novel words fall back to
-        # the memoized nearest-codeword search.  Per-channel work below
-        # then stays pure list walking (host hot path at C=320).
         iba = isch.astype(np.int64)                      # [C, K, 4, 5]
         words_all = ((iba[..., 0] << 32) | (iba[..., 1] << 24)
                      | (iba[..., 2] << 16) | (iba[..., 3] << 8)
@@ -425,6 +416,22 @@ class BatchedP2VoicePipeline(VoiceCarryMixin):
                  & (sfv <= 2))
         sf_start_all = np.where(valid, sfv * 4,
                                 -1).reshape(words_all.shape)  # [C, K, 4]
+        return oka, sf_start_all
+
+    def walk_frames(self, idx, vq, duid, isch, n_sym: int):
+        """Host frame walk (phase2.handle semantics): threshold + frame
+        extent, DUID typing, ISCH superframe tracking → the per-frame
+        device upload lists.  Returns (frame arrays, ess_jobs) where
+        ess_jobs describe the ESS field positions per voice timeslot
+        for the optional crypto path."""
+        from dsdneo_tpu.protocol.p25 import p2_xcch
+        defs, _, _, _ = _sync_kernel(self.SYNC_NAMES)
+        n_pat = len(defs[0].pattern)
+        duid_lut = self._duid_lut()
+        isch_tab = p2_xcch._isch_table()
+        f_ch, f_tpos, f_row, f_offidx, f_out, f_ord = ([] for _ in range(6))
+        ess_jobs = []           # (c, ts_pos, row, slot, kind, frag_idx)
+        oka, sf_start_all = self._resolve_isch_batch(vq, isch)
         for c in range(idx.shape[0]):
             ok = oka[c]
             if not ok.any():

@@ -185,3 +185,122 @@ def random_voice_ldus(n_ldus: int, seed: int = 0) -> np.ndarray:
             out[i, j] = encode_imbe_ecc(encode_frame(p, prev))
             prev = p
     return out
+
+
+# -- P25 Phase 2 TDMA control channel ----------------------------------------
+def p2_mac_payload(header: int, messages: list[list[int]],
+                   kind: str = "sacch") -> np.ndarray:
+    """MAC PDU payload bits for one xCCH burst: 3-bit header opcode in
+    octet 0, message octets from octet 1, CRC12 (inverted) in the last
+    12 bits (decode side: phase2._mac_pdu + p2_mac.P2MacWalker;
+    reference p25p2_xcch.c process_SACCH_MAC_PDU)."""
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+    nbits = 180 if kind == "sacch" else 156
+    octs = [(header & 7) << 5]
+    for msg in messages:
+        octs.extend(int(b) & 0xFF for b in msg)
+    n_oct = nbits // 8
+    if len(octs) > n_oct:
+        raise ValueError(f"{len(octs)} octets exceed the {kind} payload")
+    payload = np.zeros(nbits, dtype=np.uint8)
+    for i, o in enumerate(octs):
+        for j in range(8):
+            payload[8 * i + j] = (o >> (7 - j)) & 1
+    nd = nbits - 12
+    crc = p2_xcch.crc12_of(payload, nd)
+    for j in range(12):
+        payload[nd + j] = (crc >> (11 - j)) & 1
+    return payload
+
+
+def p2_mac_net_sts(wacn: int, sysid: int, chan16: int = 0x2114,
+                   lra: int = 0) -> list[int]:
+    """Network Status Broadcast MAC message (op 0x7B, bridged to the
+    P1 0x3B parser which learns WACN/SYS for the P2 scrambler)."""
+    return [0x7B, lra & 0xFF,
+            (wacn >> 12) & 0xFF, (wacn >> 4) & 0xFF,
+            ((wacn & 0xF) << 4) | ((sysid >> 8) & 0xF), sysid & 0xFF,
+            (chan16 >> 8) & 0xFF, chan16 & 0xFF, 0, 0, 0]
+
+
+def p2_mac_iden_up_tdma(iden: int, base_hz: float, spacing_hz: float,
+                        chan_type: int = 3) -> list[int]:
+    """Identifier Update TDMA MAC message (op 0x73 → P1 0x33 parser)."""
+    tsbk = iden_up_tdma_tsbk(iden, base_hz, spacing_hz,
+                             chan_type=chan_type)      # 12 bytes
+    return [0x73] + [int(b) for b in tsbk[2:10]]
+
+
+def p2_mac_group_grant(chan16: int, tg: int, src: int,
+                       svc: int = 0) -> list[int]:
+    """Group Voice Channel Grant (abbreviated) MAC message (op 0x40;
+    decode side p2_mac._h_grp_grant)."""
+    return [0x40, svc & 0xFF, (chan16 >> 8) & 0xFF, chan16 & 0xFF,
+            (tg >> 8) & 0xFF, tg & 0xFF,
+            (src >> 16) & 0xFF, (src >> 8) & 0xFF, src & 0xFF]
+
+
+def p2_xcch_ts(payload: np.ndarray, duid_idx: int, sf_pos: int,
+               scramble: np.ndarray | None = None,
+               isch_first: bool = False) -> np.ndarray:
+    """One 360-bit xCCH timeslot: RS(63,35) encode, bit-geometry
+    insertion, LFSR scramble at the superframe position, DUID codeword
+    and ISCH word (reference p25p2_frame.c TX geometry inverted)."""
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+    from dsdneo_tpu.protocol.p25.phase2 import DUID_CANONICAL, DUID_OFFSETS
+    kind = "sacch" if len(payload) == 180 else "facch"
+    parity = p2_xcch.xcch_rs_encode(payload, kind)
+    ts = np.zeros(360, dtype=np.uint8)
+    if kind == "sacch":
+        p2_xcch.insert_sacch(ts, payload, parity)
+        keep = np.zeros(360, dtype=bool)
+        keep[2:74] = keep[76:184] = keep[184:244] = keep[246:318] = True
+    else:
+        p2_xcch.insert_facch(ts, payload, parity)
+        keep = np.zeros(360, dtype=bool)
+        keep[2:74] = keep[76:138] = keep[180:202] = True
+        keep[202:244] = keep[246:318] = True
+    if scramble is not None:
+        base = 360 * sf_pos + 20
+        ts = np.where(keep, ts ^ scramble[base:base + 360], ts)
+    cw = DUID_CANONICAL[duid_idx]
+    for k, off in enumerate(DUID_OFFSETS):
+        ts[off] = (cw >> (7 - k)) & 1
+    loc = {0: 0, 4: 1, 8: 2}.get(sf_pos)
+    isch = (p2_xcch.isch_codeword((1 << 5) | (loc << 3))
+            if (isch_first and loc is not None) else p2_xcch.ISCH_SYNC)
+    for i in range(40):
+        ts[320 + i] = (isch >> (39 - i)) & 1
+    return ts
+
+
+def p2_cc_superframes(n_superframes: int, wacn: int, sysid: int,
+                      nac: int, messages_fn=None) -> np.ndarray:
+    """Dibit stream of a Phase 2 TDMA CONTROL channel: every timeslot
+    carries a scrambled SACCH (DUID 3) MAC PDU — MAC_IDLE headers with
+    NET_STS / IDEN_UP / grant messages supplied per timeslot by
+    ``messages_fn(sf, global_ts) -> list of MAC messages`` (default:
+    NET_STS only).  The reference trunks such channels with
+    state->p25_cc_is_tdma=1 (p25_trunk_sm.c:289)."""
+    from dsdneo_tpu.protocol.p25 import p2_xcch
+    from dsdneo_tpu.symbols import framesync
+    scr = p2_xcch.generate_scramble_bits(wacn, sysid, nac, 12 * 360 + 380)
+    sync = next(d for d in framesync.SYNC_DEFS if d.name == "+P25p2")
+    sync_d = np.array([1 if c == "1" else 3 for c in sync.pattern],
+                      dtype=np.uint8)
+    if messages_fn is None:
+        messages_fn = lambda sf, g: [p2_mac_net_sts(wacn, sysid)]
+    dibs = [np.zeros(40, np.uint8)]
+    for sf in range(n_superframes):
+        for frame in range(3):
+            dibs.append(sync_d)
+            for k in range(4):
+                g = 4 * frame + k
+                payload = p2_mac_payload(3, messages_fn(sf, g))
+                ts = p2_xcch_ts(payload, 3, g, scramble=scr,
+                                isch_first=(k == 0))
+                if k == 3:
+                    ts = ts[:320]     # trailing ISCH IS the next sync
+                dibs.append(((ts[0::2] << 1) | ts[1::2]).astype(np.uint8))
+    dibs.append(np.zeros(60, np.uint8))
+    return np.concatenate(dibs)

@@ -77,9 +77,8 @@ def isch_lookup(word40: int, max_dist: int = 6) -> int:
 _CRC12_POLY = 0b1100010010111   # x^12+x^11+x^7+x^4+x^2+x+1
 
 
-def crc12_ok(bits: np.ndarray, n: int) -> bool:
-    """CRC12 over bits[0:n], received at bits[n:n+12] (reference
-    p25_crc.c crc12, final inversion 0xFFF)."""
+def _crc12_raw(bits: np.ndarray, n: int) -> int:
+    """CRC12 remainder over bits[0:n] WITHOUT the final inversion."""
     buf = np.concatenate([bits[:n].astype(np.uint8), np.zeros(12, np.uint8)])
     poly = [(_CRC12_POLY >> (12 - i)) & 1 for i in range(13)]
     for i in range(n):
@@ -89,11 +88,38 @@ def crc12_ok(bits: np.ndarray, n: int) -> bool:
     crc = 0
     for i in range(12):
         crc = (crc << 1) | int(buf[n + i])
-    crc ^= 0xFFF
+    return crc
+
+
+def crc12_of(bits: np.ndarray, n: int) -> int:
+    """CRC12 over bits[0:n] with the 0xFFF final inversion (the value
+    transmitted at bits[n:n+12]) — the TX side of :func:`crc12_ok`."""
+    return _crc12_raw(bits, n) ^ 0xFFF
+
+
+def crc12_ok(bits: np.ndarray, n: int) -> bool:
+    """CRC12 over bits[0:n], received at bits[n:n+12] (reference
+    p25_crc.c crc12, final inversion 0xFFF)."""
+    crc = _crc12_raw(bits, n) ^ 0xFFF
     rx = 0
     for i in range(12):
         rx = (rx << 1) | int(bits[n + i])
     return crc == rx
+
+
+@lru_cache(maxsize=None)
+def crc12_matrix(n: int) -> np.ndarray:
+    """[n, 12] GF(2) contribution table: crc12(bits[:n]) (no inversion)
+    = XOR of the rows at set bit positions — CRC is linear, so a fleet
+    of payloads screens in one ``(payloads @ M) % 2`` matmul."""
+    tab = np.zeros((n, 12), dtype=np.uint8)
+    e = np.zeros(n, dtype=np.uint8)
+    for i in range(n):
+        e[:] = 0
+        e[i] = 1
+        v = _crc12_raw(e, n)
+        tab[i] = [(v >> (11 - j)) & 1 for j in range(12)]
+    return tab
 
 
 # -- SACCH / FACCH RS(63,35) ----------------------------------------------
@@ -134,6 +160,26 @@ def xcch_rs_decode(payload_bits: np.ndarray, parity_bits: np.ndarray,
             for j in range(6):
                 out[6 * i + j] = (int(dec[j0 + i]) >> (5 - j)) & 1
     return out, nerr
+
+
+@lru_cache(maxsize=None)
+def xcch_encode_matrix(kind: str) -> np.ndarray:
+    """[n_payload_bits, n_parity_bits] GF(2) map of the SYSTEMATIC
+    RS(63,35) encode over the transmitted layout: a received burst is
+    error-free iff ``(payload @ M) % 2 == parity`` — RS encoding over
+    GF(2^6) is GF(2)-linear, so the whole fleet's xCCH bursts screen in
+    one matmul and only the failures fall back to the Berlekamp–Massey
+    erasure decode (the batched-control-pipeline philosophy of
+    engine.ccbatch, here for the TDMA control channel)."""
+    j0, np_hex, npar_hex, _ = _LAYOUT[kind]
+    n = np_hex * 6
+    M = np.zeros((n, npar_hex * 6), dtype=np.uint8)
+    e = np.zeros(n, dtype=np.uint8)
+    for i in range(n):
+        e[:] = 0
+        e[i] = 1
+        M[i] = xcch_rs_encode(e, kind)
+    return M
 
 
 def xcch_rs_encode(payload_bits: np.ndarray, kind: str) -> np.ndarray:
