@@ -1067,7 +1067,11 @@ class BatchedP2ControlPipeline(BatchedP2VoicePipeline):
                     s = int(sf_start[w][ts])
                     if s >= 0:
                         sf_pos = s
-                    p = sf_pos if sf_pos is not None else 0
+                    # -1 = superframe position unresolved (no ISCH
+                    # location word seen yet): scrambled bursts cannot
+                    # be descrambled or blind-accumulated at a guessed
+                    # position (the serial guard skips sf_pos=None)
+                    p = sf_pos if sf_pos is not None else -1
                     if sf_pos is not None:
                         sf_pos = (sf_pos + 1) % 12
                     d = int(duids_v[w][ts])
@@ -1123,7 +1127,7 @@ class BatchedP2ControlPipeline(BatchedP2VoicePipeline):
             scrambled[i] = scr
             s = self.ctxs[int(ch[i])].state
             key = (s.p2_wacn, s.p2_sysid, s.p2_cc)
-            if all(key):
+            if all(key) and (not scr or sfp[i] >= 0):
                 have[i] = True
                 if scr:
                     base = 360 * int(sfp[i]) + 20
@@ -1158,10 +1162,29 @@ class BatchedP2ControlPipeline(BatchedP2VoicePipeline):
             ctx, dec = self.ctxs[c], self.decs[c]
             hit = framesync.SyncHit(pos=t, score=1.0, sync=self._hit_def)
             if scr and not have[i]:
+                s = ctx.state
+                if all((s.p2_wacn, s.p2_sysid, s.p2_cc)) and p >= 0:
+                    # blind recovery succeeded EARLIER IN THIS BLOCK
+                    # (have[] was computed before the loop): decode with
+                    # the recovered parameters instead of re-solving the
+                    # GF(2) seed and re-emitting the recovery event
+                    dec.sf_pos = p
+                    detail = dec._xcch(raw[i], 0, kind, scrambled=True,
+                                       lcch=lcch, ctx=ctx,
+                                       have_params=True, hit=hit,
+                                       slot=slot)
+                    if detail and "ERR" in detail:
+                        self.crc_errors += 1
+                    else:
+                        n_parsed += 1
+                    continue
                 # blind scramble-seed recovery path (serial decoder
                 # accumulates bursts; once solved, later blocks take
-                # the fast screen)
-                dec.sf_pos = p
+                # the fast screen).  Unresolved superframe position
+                # (p < 0) sets sf_pos=None so the serial guard skips
+                # accumulation instead of polluting seed recovery with
+                # a wrong position.
+                dec.sf_pos = p if p >= 0 else None
                 dec._xcch(raw[i], 0, kind, scrambled=True, lcch=lcch,
                           ctx=ctx, have_params=False, hit=hit, slot=slot)
                 continue
@@ -1172,7 +1195,7 @@ class BatchedP2ControlPipeline(BatchedP2VoicePipeline):
             else:
                 # channel errors: serial RS(63,35) erasure decode
                 self.rs_fallbacks += 1
-                dec.sf_pos = p
+                dec.sf_pos = p if p >= 0 else None
                 detail = dec._xcch(raw[i], 0, kind, scrambled=scr,
                                    lcch=lcch, ctx=ctx, have_params=True,
                                    hit=hit, slot=slot)

@@ -284,10 +284,18 @@ class TrunkedFleet:
     def _grant_slots(self, cc: int, fields: dict) -> int:
         """TDMA slot count of the granted channel's iden (1 = FDMA/P1,
         2 = Phase 2; reference p25_frequency.c iden_up TDMA types)."""
-        if self.mode == "p25p2":
-            return 2            # everything on a TDMA CC is 2-slot
         ch = int(fields.get("channel", 0) or 0)
         it = getattr(self.cc_pipe.ctxs[cc].state, "iden_table", None)
+        if self.mode == "p25p2":
+            # a TDMA CC defaults to 2-slot grants, but a mixed system
+            # can broadcast FDMA grants on it (reference
+            # p25_frequency.c p25_select_iden_entry falls back to the
+            # FDMA iden entry) — consult the iden table so those are
+            # not misrouted into the 2-slot TDMA voice pipeline
+            if ch in (0, 0xFFFF) or it is None:
+                return 2
+            ent = it.entries.get((ch >> 12) & 0xF)
+            return ent[3] if ent else 2
         if ch in (0, 0xFFFF) or it is None:
             return 1
         ent = it.entries.get((ch >> 12) & 0xF)
@@ -376,6 +384,12 @@ class TrunkedFleet:
             return
         if self.n_vc2 and self._grant_slots(cc, fields) >= 2:
             self._on_grant_p2(cc, fields, tg, freq, off)
+            return
+        if self.mode == "p25p2":
+            # FDMA grant on a TDMA CC with no FDMA voice rows: there is
+            # no pipeline that can decode it — count it unresolved
+            # rather than feeding an FDMA carrier to the 2-slot P2 path
+            self.stats.unresolved += 1
             return
         # grant repeat for an active call = activity (refresh hangtime)
         for call in self.calls.values():
@@ -473,6 +487,14 @@ class TrunkedFleet:
             self._next_block = None
             if wide is None:
                 raise ValueError("step(None) without a prefetched block")
+        elif self._next_block is not None:
+            # a fresh block supersedes a queued prefetch: keeping the
+            # stale handle would hand a later step(None) an out-of-order
+            # block silently
+            self.log.append(f"[{self.clock:7.2f}s] WARN: prefetched "
+                            "block dropped (step called with a fresh "
+                            "block while one was queued)")
+            self._next_block = None
         if isinstance(wide, np.ndarray):
             # complex64 must NOT cross the host→device boundary: on the
             # tunneled TPU backend a complex upload "succeeds" async and
