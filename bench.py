@@ -644,9 +644,18 @@ def bench_fleet_trunk(reps: int = 4):
     assert pcm.shape[1] > 0 and np.abs(pcm[0]).mean() > 1e-3
 
     def run(k: int) -> float:
+        """Double-buffered closed loop: each step consumes the block
+        whose CU8 upload was queued during the PREVIOUS step's device
+        programs (fleet.prefetch), so the ~75 ms 1 s × 768 kHz wideband
+        upload rides under the ~95 ms of compute instead of serializing
+        ahead of it — the reference's dongle-thread/demod-thread ring
+        double-buffering (input_ring.h:22-70) on the tunneled link.
+        Bit-identical to the plain path (test_fleettrunk.py
+        test_prefetch_path_bit_identical)."""
+        fleet.step(blocks[0], prefetch=blocks[1])       # prime, uncounted
         t0 = time.perf_counter()
         for i in range(k):
-            fleet.step(blocks[i % 2])
+            fleet.step(None, prefetch=blocks[i % 2])
         return (time.perf_counter() - t0) / k
 
     step_s = min(run(reps) for _ in range(3))

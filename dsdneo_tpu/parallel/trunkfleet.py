@@ -101,6 +101,7 @@ class ShardedTrunkedFleet:
         self.blocks = 0
         self.stats = FleetStats()
         self.log: list[str] = []
+        self._next_block = None        # double-buffer upload handle
 
     # -- host control plane ---------------------------------------------------
     def _parse_blobs(self, blob: np.ndarray, valid: np.ndarray,
@@ -217,9 +218,45 @@ class ShardedTrunkedFleet:
                     self.stats.releases += 1
 
     # -- the step -------------------------------------------------------------
-    def step(self, wide: np.ndarray) -> np.ndarray:
-        """One [S, B] wideband block per system → [S, n_vc, T] PCM."""
+    def prefetch(self, wide: np.ndarray):
+        """Start the async host→device upload of the next [S, B]
+        wideband block (sharded over the mesh) and return the device
+        handle that :meth:`step` accepts in place of a host array.  The
+        closed trunking loop is UPLOAD-bound on the tunneled link
+        (PARITY.md round 4): double-buffering hides the transfer under
+        the SPMD programs, exactly as the reference's dongle thread
+        fills the next ring buffer while the demod thread consumes the
+        current one (src/io/radio/rtl_sdr_fm.cpp USB callback + ring)."""
         import jax
+        if isinstance(wide, np.ndarray):
+            if np.iscomplexobj(wide):
+                wide = np.stack([wide.real, wide.imag],
+                                axis=-1).astype(np.float32)
+            elif wide.dtype != np.uint8:
+                wide = np.ascontiguousarray(wide, dtype=np.float32)
+            wide = jax.device_put(wide, self._w_shard)
+        return wide
+
+    def step(self, wide: np.ndarray, prefetch=None) -> np.ndarray:
+        """One [S, B] wideband block per system → [S, n_vc, T] PCM.
+
+        ``wide=None`` consumes the block most recently queued via
+        ``prefetch=``; passing the NEXT host block as ``prefetch=``
+        enqueues its sharded upload right after this block's SPMD
+        program dispatches, so the transfer rides under its execution."""
+        import jax
+        if wide is None:
+            wide = self._next_block
+            self._next_block = None
+            if wide is None:
+                raise ValueError("step(None) without a prefetched block")
+        elif self._next_block is not None:
+            # a fresh block supersedes a queued prefetch (see
+            # engine.fleettrunk.TrunkedFleet.step)
+            self.log.append(f"[{self.clock:7.2f}s] WARN: prefetched "
+                            "block dropped (step called with a fresh "
+                            "block while one was queued)")
+            self._next_block = None
         if isinstance(wide, np.ndarray):
             # complex64 must NOT cross the host→device boundary on the
             # tunneled TPU backend (see PARITY.md); ship float planes —
@@ -230,10 +267,14 @@ class ShardedTrunkedFleet:
                                 axis=-1).astype(np.float32)
             elif wide.dtype != np.uint8:
                 wide = np.ascontiguousarray(wide, dtype=np.float32)
+            wide = jax.device_put(wide, self._w_shard)
         block_s = self.B / self.fs
         blob, valid, msg, pcm, _ok = self.step_fn(
-            jax.device_put(wide, self._w_shard),
-            jax.device_put(self.offs, self._o_shard))
+            wide, jax.device_put(self.offs, self._o_shard))
+        if prefetch is not None:
+            # the SPMD program is enqueued; the next block's upload
+            # streams while it executes
+            self._next_block = self.prefetch(prefetch)
         blob = np.asarray(blob)
         valid = np.asarray(valid)
         msg = np.asarray(msg)

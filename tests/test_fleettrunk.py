@@ -163,3 +163,39 @@ def test_row_extractor_exact_nco():
     x = rows2[0][2000:-2000]
     dphi = np.angle(x[1:] * np.conj(x[:-1]))
     assert abs(np.mean(dphi)) * 48000 / (2 * np.pi) < 1.0
+
+
+def test_prefetch_path_bit_identical(wide):
+    """step(None, prefetch=...) double-buffering — the upload-overlap
+    path bench_fleet_trunk measures — produces bit-identical PCM,
+    stats, and control-plane state to the plain step(wide) path (the
+    prefetch only moves the h2d upload, never the data)."""
+    from dsdneo_tpu.engine.fleettrunk import TrunkedFleet
+    B = int(FS)
+    blocks = [wide[i * B:(i + 1) * B] for i in range(3)]
+
+    def mk():
+        return TrunkedFleet(FS, [CC_OFF], n_voice_rows=2,
+                            center_hz=CENTER, hangtime_s=0.6,
+                            grant_grace_s=0.5)
+
+    plain, pre = mk(), mk()
+    out_plain = [plain.step(b) for b in blocks]
+    out_pre = [pre.step(blocks[0], prefetch=blocks[1]),
+               pre.step(None, prefetch=blocks[2]),
+               pre.step(None)]
+    for a, b in zip(out_plain, out_pre):
+        np.testing.assert_array_equal(a, b)
+    assert plain.stats == pre.stats
+    assert plain.offs.tolist() == pre.offs.tolist()
+    assert {r: c.tg for r, c in plain.calls.items()} == \
+        {r: c.tg for r, c in pre.calls.items()}
+    # a fresh block supersedes a stale queued prefetch (never decodes
+    # out of order)
+    pre.step(blocks[1], prefetch=blocks[2])
+    pre.step(blocks[1])
+    assert pre._next_block is None
+    assert any("WARN: prefetched block dropped" in line
+               for line in pre.log)
+    with pytest.raises(ValueError):
+        pre.step(None)

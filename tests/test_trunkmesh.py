@@ -184,3 +184,38 @@ def test_dmr_mesh_trunking_closed_loop():
     fleet.step(np.zeros((2, B), np.complex64))
     assert fleet.stats.releases == 2
     assert fleet.step_fn._cache_size() == 1
+
+
+def test_sharded_prefetch_path_bit_identical():
+    """ShardedTrunkedFleet.step(None, prefetch=...) — the sharded
+    upload-overlap path — is bit-identical to the plain step(wide)
+    path: the prefetch only moves the sharded h2d upload under the
+    SPMD program, never the data (mirrors the single-chip
+    test_fleettrunk.test_prefetch_path_bit_identical)."""
+    from dsdneo_tpu.parallel.trunkfleet import ShardedTrunkedFleet
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:2]), axis_names=("sys",))
+    wides = np.stack([_build_system(101, seed=50, seconds=1.5,
+                                    voice_until=1.5),
+                      _build_system(202, seed=60, seconds=1.5,
+                                    voice_until=1.5)])
+    B = int(FS) // 2                               # 0.5 s blocks
+    blocks = [wides[:, i * B:(i + 1) * B] for i in range(3)]
+
+    def mk():
+        return ShardedTrunkedFleet(mesh, n_systems=2, fs=FS, B=B,
+                                   cc_offsets_hz=[CC_OFF, CC_OFF],
+                                   n_voice_rows=1, centers_hz=CENTER,
+                                   hangtime_s=0.6, grant_grace_s=0.5,
+                                   max_tsdus=4, max_ldus=2)
+
+    plain, pre = mk(), mk()
+    out_plain = [plain.step(b) for b in blocks]
+    out_pre = [pre.step(blocks[0], prefetch=blocks[1]),
+               pre.step(None, prefetch=blocks[2]),
+               pre.step(None)]
+    assert plain.stats.grants == 2                 # both systems granted
+    for a, b in zip(out_plain, out_pre):
+        np.testing.assert_array_equal(a, b)
+    assert plain.stats == pre.stats
+    assert plain.offs.tolist() == pre.offs.tolist()
