@@ -190,6 +190,9 @@ def conv_k5_decode_batch(sym: jax.Array, wt: jax.Array) -> jax.Array:
     INF = jnp.float32(1e30)
     metric0 = jnp.where(jnp.arange(16)[:, None] == 0, 0.0, INF)
     metric0 = jnp.broadcast_to(metric0, (16, N)).astype(jnp.float32)
+    # tie the carry init to the (device-varying) input so the scan
+    # carry types match under shard_map (folded away by XLA otherwise)
+    metric0 = metric0 + 0.0 * s0[0]
 
     def body(metric, x):
         s0i, s1i, w0i, w1i = x
@@ -209,7 +212,8 @@ def conv_k5_decode_batch(sym: jax.Array, wt: jax.Array) -> jax.Array:
     _metric, bps = jax.lax.scan(body, metric0, (s0, s1, w0, w1),
                                 unroll=5)                    # bps [n,16,N]
 
-    st0 = jnp.zeros(N, jnp.int32)          # flushed end state
+    # flushed end state (input-tied like metric0 for shard_map)
+    st0 = jnp.zeros(N, jnp.int32) + 0 * bps[-1, 0].astype(jnp.int32)
 
     def back(st, bp):                      # bp [16, N]
         bit = (st & 1).astype(jnp.uint8)

@@ -351,22 +351,231 @@ def _dmr_cc_body(Cl: int, B: int, fs: float = 48000.0,
     return body
 
 
-def make_sharded_p2_voice_step(mesh: Mesh, C: int, B: int,
-                               fs: float = 48000.0, max_frames: int = 2,
-                               wacn: int = 0xBEE00, sysid: int = 0x14C,
-                               nac: int = 0x140,
-                               sync_threshold: float = 0.62,
-                               use_pallas: bool = False):
-    """The P25 Phase 2 TDMA voice chain as one SPMD program (sharded
-    counterpart of engine.p2batch.BatchedP2VoicePipeline, clear-voice
-    path).  Fixed-capacity device frame walk: the top ``max_frames``
-    sync candidates per channel; each candidate's 4 timeslots are
-    DUID-typed by nearest-codeword ML and its superframe row comes
-    from the TS0 ISCH location word (decoded on device against the
-    128-entry ISCH codebook) — the dense-voice fast path; off-air
-    edge cases (mid-superframe entry, 2V rows without a location
-    word) stay on the host pipeline.  Maps [C, B, 2] I/Q →
-    ([2C, max_frames·16·160] per-slot PCM, fleet_power)."""
+def _topk_shoulder_mask(idx, stride: int = 8):
+    """[..., K] top-k positions (descending score) → [..., K] bool mask
+    of SHOULDER candidates: candidate k within ``stride`` positions of
+    a higher-scoring candidate j < k.  The device form of the host
+    picks' shoulder refinement (a short sync correlates almost as well
+    one symbol off-center; without suppression shoulders eat the
+    fixed-capacity candidate slots)."""
+    K = idx.shape[-1]
+    d = jnp.abs(idx[..., :, None] - idx[..., None, :])     # [..., k, j]
+    earlier = jnp.tril(jnp.ones((K, K), bool), -1)         # j < k
+    return jnp.any((d < stride) & earlier, axis=-1)
+
+
+def _nxdn_voice_body(Cl: int, B: int, fs: float = 48000.0,
+                     max_frames: int = 4, sync_threshold: float = 0.55,
+                     use_pallas: bool = False,
+                     mode_name: str = "nxdn48"):
+    """Traceable per-shard body of the NXDN voice chain: maps
+    [Cl, B, 2] I/Q planes → ([Cl, max_frames·4·160] PCM, [Cl] power).
+
+    Fixed-capacity device pick replacing the host
+    nxdnbatch.pick_frames walk: top ``max_frames`` FSW candidates per
+    channel, shoulder-suppressed on device, gated by the parity-valid
+    full-voice LICH LUT (decoded from device-gathered descrambled
+    bytes); descramble + AMBE ECC + dequant + synthesis are the
+    production nxdn_voice_decode_gather program (reference
+    nxdn_voice.c / nxdn_descramble.c)."""
+    from dsdneo_tpu.engine.nxdnbatch import (FRAME_DIBITS,
+                                             _LICH_FULL_VOICE_LUT,
+                                             _voice_tables,
+                                             nxdn_voice_decode_gather)
+    from dsdneo_tpu.engine.voicebatch import (_sync_kernel,
+                                              correlate_syncs_device)
+    from dsdneo_tpu.protocol.nxdn.decoder import _pn9_scramble_positions
+
+    mode = MODES[mode_name]
+    sps = fs / mode.symbol_rate
+    n_sym = int(B // sps) - 2
+    taps = firdes.channel_lpf(fs, mode.lpf_profile)
+    names = ("+NXDN FSW", "-NXDN FSW")
+    offs, flips = _voice_tables()
+    sp = set(_pn9_scramble_positions().tolist())
+    lich_flip = np.asarray([1 if i in sp else 0 for i in range(8)],
+                           np.uint8)
+    w8 = np.asarray([1 << (7 - i) for i in range(8)], np.int32)
+    K = max_frames
+    fch_base = np.repeat(np.arange(Cl * K) // K, 4).astype(np.int32)
+    forder = np.tile(np.repeat(np.arange(K), 4) * 4
+                     + np.tile(np.arange(4), K), Cl).astype(np.int32)
+
+    def body(iq):                           # [Cl, B, 2] per device
+        dibits, soft, power = frontend_step(iq, taps, sps, n_sym,
+                                            mode.four_level,
+                                            use_pallas=use_pallas)
+        sc = correlate_syncs_device(soft, names)
+        best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
+        bs = jnp.max(sc, axis=1)
+        vals, idx = jax.lax.top_k(bs, K)               # [Cl, K]
+        inv = (jnp.take_along_axis(best_def, idx, axis=1) & 1
+               ).astype(jnp.uint8)
+        # per-candidate LICH byte: 8 dibits after the FSW, descrambled
+        # + polarity-corrected, high bit of each dibit
+        Tn = dibits.shape[1]
+        gp = jnp.clip(idx[:, :, None] + 10 + jnp.arange(8), 0, Tn - 1)
+        dd = dibits[jnp.arange(Cl)[:, None, None], gp]
+        dd = dd ^ (inv[:, :, None] * 2) \
+            ^ (jnp.asarray(lich_flip)[None, None] * 2)
+        lich = jnp.sum(((dd >> 1) & 1).astype(jnp.int32)
+                       * jnp.asarray(w8), axis=-1)     # [Cl, K]
+        valid = ((vals >= sync_threshold)
+                 & jnp.asarray(_LICH_FULL_VOICE_LUT)[lich]
+                 & ~_topk_shoulder_mask(idx)
+                 & (idx + FRAME_DIBITS < n_sym))
+        f_ch = jnp.where(valid, jnp.arange(Cl)[:, None], Cl
+                         ).reshape(-1).astype(jnp.int32)
+        f_pos = idx.reshape(-1).astype(jnp.int32)
+        f_inv = inv.reshape(-1).astype(jnp.int32)
+        fch = jnp.where(jnp.repeat(valid.reshape(-1), 4),
+                        jnp.asarray(fch_base), Cl).astype(jnp.int32)
+        wire, _st = nxdn_voice_decode_gather(
+            dibits, f_ch, f_pos, f_inv, jnp.asarray(offs),
+            jnp.asarray(flips), fch, jnp.asarray(forder), Cl, K * 4)
+        return wire.astype(jnp.float32).reshape(Cl, -1), power
+
+    return body
+
+
+def _nxdn_cc_body(Cl: int, B: int, fs: float = 48000.0,
+                  max_cacs: int = 8, sync_threshold: float = 0.55,
+                  use_pallas: bool = False, mode_name: str = "nxdn48"):
+    """Traceable per-shard body of NXDN Type-C RCCH monitoring: maps
+    [Cl, B, 2] I/Q planes → ([Cl, max_cacs, 23] uint8 CAC blobs
+    (22 packed payload bytes + crc-ok), [Cl, max_cacs] valid,
+    [Cl, max_cacs] int32 LICH).  Fixed-capacity device pick gated by
+    the parity-valid CAC-profile LICH LUT; depermute/depuncture +
+    batched K=5 Viterbi + affine CRC16-CAC screen are the production
+    nxdn_cac_decode_device program (reference nxdn CAC path)."""
+    from dsdneo_tpu.engine.ccbatch import nxdn_cac_decode_device
+    from dsdneo_tpu.engine.nxdnbatch import (FRAME_DIBITS,
+                                             _lich_parity_ok)
+    from dsdneo_tpu.engine.voicebatch import (_sync_kernel,
+                                              correlate_syncs_device)
+    from dsdneo_tpu.protocol.nxdn.decoder import _pn9_scramble_positions
+
+    mode = MODES[mode_name]
+    sps = fs / mode.symbol_rate
+    n_sym = int(B // sps) - 2
+    taps = firdes.channel_lpf(fs, mode.lpf_profile)
+    names = ("+NXDN FSW", "-NXDN FSW")
+    sp = set(_pn9_scramble_positions().tolist())
+    lich_flip = np.asarray([1 if i in sp else 0 for i in range(8)],
+                           np.uint8)
+    w8 = np.asarray([1 << (7 - i) for i in range(8)], np.int32)
+    # parity-valid AND CAC-bearing profile (BatchedNxdnControlPipeline
+    # _CAC_LICH), over all 256 LICH byte values
+    cac_lut = np.asarray([_lich_parity_ok(v) and (v >> 1) in (0x01, 0x05)
+                          for v in range(256)], bool)
+    K = max_cacs
+
+    def body(iq):                           # [Cl, B, 2] per device
+        dibits, soft, power = frontend_step(iq, taps, sps, n_sym,
+                                            mode.four_level,
+                                            use_pallas=use_pallas)
+        sc = correlate_syncs_device(soft, names)
+        best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
+        bs = jnp.max(sc, axis=1)
+        vals, idx = jax.lax.top_k(bs, K)               # [Cl, K]
+        inv = (jnp.take_along_axis(best_def, idx, axis=1) & 1
+               ).astype(jnp.uint8)
+        Tn = dibits.shape[1]
+        gp = jnp.clip(idx[:, :, None] + 10 + jnp.arange(8), 0, Tn - 1)
+        dd = dibits[jnp.arange(Cl)[:, None, None], gp]
+        dd = dd ^ (inv[:, :, None] * 2) \
+            ^ (jnp.asarray(lich_flip)[None, None] * 2)
+        lich = jnp.sum(((dd >> 1) & 1).astype(jnp.int32)
+                       * jnp.asarray(w8), axis=-1)     # [Cl, K]
+        valid = ((vals >= sync_threshold)
+                 & jnp.asarray(cac_lut)[lich]
+                 & (inv == 0)      # CAC decode gathers upright dibits
+                 & ~_topk_shoulder_mask(idx)
+                 & (idx + FRAME_DIBITS < n_sym))
+        ch = jnp.where(valid, jnp.arange(Cl)[:, None], Cl
+                       ).reshape(-1).astype(jnp.int32)
+        pos = idx.reshape(-1).astype(jnp.int32)
+        blob = nxdn_cac_decode_device(dibits, ch, pos)  # [Cl*K, 23]
+        return blob.reshape(Cl, K, -1), valid, lich
+
+    return body
+
+
+def _edacs_cc_body(Cl: int, B: int, fs: float = 48000.0,
+                   max_frames: int = 8, sync_threshold: float = 0.62):
+    """Traceable per-shard body of EDACS trunking CC monitoring: maps
+    [Cl, B, 2] I/Q planes → ([Cl, max_frames, 12] uint8 blobs (msg1
+    4B + msg2 4B + ok + inv + pad), [Cl, max_frames] valid,
+    [Cl, max_frames] int32 polarity).  Power-gated front end (EDACS
+    2-level GFSK needs the windowed level discipline), top-K sync
+    pick, and the dual-polarity 2-of-3 vote + BCH(40,28) screen of
+    edacs_cc_decode_device (reference edacs_process_valid_frame)."""
+    from dsdneo_tpu.engine.ccbatch import edacs_cc_decode_device
+    from dsdneo_tpu.engine.demod import gated_frontend_step
+    from dsdneo_tpu.engine.voicebatch import (_sync_kernel,
+                                              correlate_syncs_device)
+
+    mode = MODES["edacs"]
+    sps = fs / mode.symbol_rate
+    n_sym = int(B // sps) - 2
+    taps = firdes.channel_lpf(fs, mode.lpf_profile)
+    names = ("+EDACS", "-EDACS")
+    defs, _, _, _ = _sync_kernel(names)
+    n_pat = len(defs[0].pattern)
+    K = max_frames
+
+    def body(iq):                           # [Cl, B, 2] per device
+        dibits, soft = gated_frontend_step(iq, taps, sps, n_sym,
+                                           mode.four_level)
+        sc = correlate_syncs_device(jnp.clip(soft, -3.5, 3.5), names)
+        best_def = jnp.argmax(sc, axis=1).astype(jnp.uint8)
+        bs = jnp.max(sc, axis=1)
+        vals, idx = jax.lax.top_k(bs, K)               # [Cl, K]
+        valid = ((vals >= sync_threshold)
+                 & ~_topk_shoulder_mask(idx)
+                 & (idx + n_pat + 240 < n_sym))
+        ch = jnp.where(valid, jnp.arange(Cl)[:, None], Cl
+                       ).reshape(-1).astype(jnp.int32)
+        pos = (idx + n_pat).reshape(-1).astype(jnp.int32)
+        blob = edacs_cc_decode_device(dibits, ch, pos)  # [Cl*K, 12]
+        blob = blob.reshape(Cl, K, -1)
+        inv = jnp.take_along_axis(best_def, idx, axis=1)
+        return blob, valid, inv.astype(jnp.int32)
+
+    return body
+
+
+def _analog_voice_body(fs: float = 48000.0):
+    """Traceable per-shard body of the batched analog NBFM voice
+    chain (EDACS working channels): maps [Cl, B, 2] I/Q planes →
+    ([Cl, B//6] 8 kHz PCM, [Cl] power).  Channel LPF → FM
+    discriminator → squelch → voice band → 6:1 decimate, the
+    engine.analogbatch program (reference dsd_analog.c + edacs.c
+    analog voice following)."""
+    from dsdneo_tpu.engine.analogbatch import analog_voice_decode
+
+    def body(iq):                           # [Cl, B, 2] per device
+        power = jnp.mean(iq.astype(jnp.float32) ** 2, axis=(1, 2))
+        return analog_voice_decode(iq, fs=fs), power
+
+    return body
+
+
+def _p2_voice_body(Cl: int, B: int, fs: float = 48000.0,
+                   max_frames: int = 2, wacn: int = 0xBEE00,
+                   sysid: int = 0x14C, nac: int = 0x140,
+                   sync_threshold: float = 0.62,
+                   use_pallas: bool = False):
+    """Traceable per-shard body of the P25 Phase 2 TDMA voice chain
+    (clear-voice path): maps [Cl, B, 2] I/Q planes →
+    ([2·Cl, max_frames·8·160] per-slot PCM, [Cl] power).  Fixed-
+    capacity device frame walk: the top ``max_frames`` sync candidates
+    per channel; each candidate's 4 timeslots are DUID-typed by
+    nearest-codeword ML and its superframe row comes from the TS0 ISCH
+    location word (decoded on device against the 128-entry ISCH
+    codebook) — the dense-voice fast path; off-air edge cases
+    (mid-superframe entry, 2V rows without a location word) stay on
+    the host pipeline."""
     from dsdneo_tpu.engine.p2batch import (TS_DIBITS, DUID_DIBITS,
                                            FRAME_DIBITS, ISCH_DIBIT0,
                                            p2_voice_decode_gather)
@@ -375,11 +584,7 @@ def make_sharded_p2_voice_step(mesh: Mesh, C: int, B: int,
     from dsdneo_tpu.protocol.p25 import p2_xcch
     from dsdneo_tpu.protocol.p25.phase2 import DUID_CANONICAL
 
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    assert C % n_dev == 0, "channel count must divide the mesh"
-    Cl = C // n_dev
     C2 = 2 * Cl
-
     mode = MODES["p25p2"]
     sps = fs / mode.symbol_rate
     n_sym = int(B // sps) - 2
@@ -409,7 +614,7 @@ def make_sharded_p2_voice_step(mesh: Mesh, C: int, B: int,
     # flat index into duid[Cl, K, 4] per frame
     duid_idx = ((ch_i * K + cand_i) * 4 + ts_i).astype(np.int32)
 
-    def local_step(iq):                     # [Cl, B, 2] per device
+    def body(iq):                           # [Cl, B, 2] per device
         dibits, soft, power = frontend_step(iq, taps, sps, n_sym,
                                             mode.four_level,
                                             use_pallas=use_pallas)
@@ -463,8 +668,30 @@ def make_sharded_p2_voice_step(mesh: Mesh, C: int, B: int,
             dibits, jnp.asarray(scr_tab), f_ch, tpos, f_row,
             jnp.asarray(f_offidx), f_out, jnp.asarray(f_ord), ks,
             C2, K * 8)
+        return wire.astype(jnp.float32).reshape(C2, -1), power
+
+    return body
+
+
+def make_sharded_p2_voice_step(mesh: Mesh, C: int, B: int,
+                               fs: float = 48000.0, max_frames: int = 2,
+                               wacn: int = 0xBEE00, sysid: int = 0x14C,
+                               nac: int = 0x140,
+                               sync_threshold: float = 0.62,
+                               use_pallas: bool = False):
+    """The P25 Phase 2 TDMA voice chain as one SPMD program (sharded
+    counterpart of engine.p2batch.BatchedP2VoicePipeline; see
+    :func:`_p2_voice_body` for the per-shard chain).  Maps [C, B, 2]
+    I/Q → ([2C, max_frames·8·160] per-slot PCM, fleet_power)."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert C % n_dev == 0, "channel count must divide the mesh"
+    body = _p2_voice_body(C // n_dev, B, fs, max_frames, wacn, sysid,
+                          nac, sync_threshold, use_pallas)
+
+    def local_step(iq):                     # [Cl, B, 2] per device
+        wire, power = body(iq)
         fleet_power = jax.lax.pmean(jnp.mean(power), "ch")
-        return wire.astype(jnp.float32).reshape(C2, -1), fleet_power
+        return wire, fleet_power
 
     in_shard = NamedSharding(mesh, P("ch", None, None))
     step = jax.jit(_shard_map()(
@@ -573,7 +800,8 @@ def make_sharded_trunk_step(mesh: Mesh, S: int, fs: float, B: int,
                             max_tsdus: int = 4, max_ldus: int = 2,
                             sync_threshold: float = 0.62,
                             use_pallas: bool = False,
-                            trunk_mode: str = "p25p1"):
+                            trunk_mode: str = "p25p1",
+                            p2_params=None):
     """Closed-loop trunking at MULTI-CHIP scale: S trunked SYSTEMS
     (one wideband stream each) sharded over the mesh, each system's
     device work — PFB row extraction, CC decode, and the full voice
@@ -587,14 +815,28 @@ def make_sharded_trunk_step(mesh: Mesh, S: int, fs: float, B: int,
     steps — grant → retarget → decode — with zero recompiles and zero
     cross-system interference.
 
-    ``trunk_mode``: "p25p1" (TSBK CC + LDU/IMBE voice) or "dmr"
-    (Tier III CSBK TSCC + AMBE superframe voice).
+    ``trunk_mode`` picks the family chain:
+
+    - "p25p1": TSBK CC + LDU/IMBE voice;
+    - "dmr": Tier III CSBK TSCC + AMBE superframe voice;
+    - "nxdn48"/"nxdn96": Type-C RCCH CAC + AMBE full-voice frames
+      (reference nxdn_vcall_assgn_parse → trunk follow);
+    - "edacs": dual-polarity BCH CC + analog NBFM working channels
+      (reference edacs.c grant handling + dsd_analog.c);
+    - "p25_mixed": Phase-1 TSBK CC granting TDMA channels decoded by
+      the Phase-2 voice body — two slots per extraction row, PCM rows
+      [S, 2·n_vc, T] (reference p25_trunk_sm.c P1-CC→P2-VC follow);
+      requires ``p2_params=(wacn, sysid, nac)`` (the sharded body's
+      scramble table is a static, unlike the single-chip
+      TrunkedFleet's lazily-learned pipeline).
 
     Maps (wide [S, B, 2] I/Q planes, offs [S, n_cc+n_vc] int32 Hz from
     band center) → (cc blobs [S, n_cc, K, W] uint8 (W=114 TSDU /
-    14 CSBK), valid [S, n_cc, K] bool, meta [S, n_cc, K] int32 (P25:
-    BCH NID msg16; DMR: color code), pcm [S, n_vc, T] float32,
-    fleet_ok scalar).  Returns (step_fn, (wide_shard, offs_shard)).
+    14 CSBK / 23 CAC / 12 EDACS), valid [S, n_cc, K] bool, meta
+    [S, n_cc, K] int32 (P25: BCH NID msg16; DMR: color code; NXDN:
+    LICH; EDACS: polarity), pcm [S, R_v, T] float32 (R_v = n_vc, or
+    2·n_vc for "p25_mixed"), fleet_ok scalar).  Returns
+    (step_fn, (wide_shard, offs_shard)).
     """
     from dsdneo_tpu.engine.fleettrunk import (CHANNEL_RATE,
                                               make_row_extractor_body)
@@ -611,6 +853,7 @@ def make_sharded_trunk_step(mesh: Mesh, S: int, fs: float, B: int,
     Bp = jax.eval_shape(extract,
                         jax.ShapeDtypeStruct((B, 2), jnp.float32),
                         jax.ShapeDtypeStruct((R,), jnp.int32)).shape[1]
+    vc_rows = n_vc                   # PCM rows per system
     if trunk_mode == "p25p1":
         _ccb = _p25_cc_body(Sl * n_cc, Bp, CHANNEL_RATE, max_tsdus,
                             sync_threshold, use_pallas, nac_out=True)
@@ -624,8 +867,36 @@ def make_sharded_trunk_step(mesh: Mesh, S: int, fs: float, B: int,
         vc_body = _dmr_voice_body(Sl * n_vc, Bp, CHANNEL_RATE, max_ldus,
                                   sync_threshold, use_pallas)
         ok_cols = (12,)         # CSBK crc-ok byte
+    elif trunk_mode in ("nxdn48", "nxdn96"):
+        thr = min(sync_threshold, 0.55)      # 10-symbol FSW (see
+        # BatchedNxdnVoicePipeline: correlation is only a pre-filter,
+        # acceptance is the LICH gate)
+        cc_body = _nxdn_cc_body(Sl * n_cc, Bp, CHANNEL_RATE, max_tsdus,
+                                thr, use_pallas, mode_name=trunk_mode)
+        vc_body = _nxdn_voice_body(Sl * n_vc, Bp, CHANNEL_RATE,
+                                   max_ldus, thr, use_pallas,
+                                   mode_name=trunk_mode)
+        ok_cols = (22,)         # CRC16-CAC ok byte
+    elif trunk_mode == "edacs":
+        cc_body = _edacs_cc_body(Sl * n_cc, Bp, CHANNEL_RATE, max_tsdus,
+                                 sync_threshold)
+        vc_body = _analog_voice_body(CHANNEL_RATE)
+        ok_cols = (8,)          # dual-polarity BCH ok byte
+    elif trunk_mode == "p25_mixed":
+        if not (p2_params and all(p2_params)):
+            raise ValueError("trunk_mode='p25_mixed' needs "
+                             "p2_params=(wacn, sysid, nac): the sharded "
+                             "P2 body's scramble table is a static")
+        cc_body = _p25_cc_body(Sl * n_cc, Bp, CHANNEL_RATE, max_tsdus,
+                               sync_threshold, use_pallas, nac_out=True)
+        w0, s0, n0 = p2_params
+        vc_body = _p2_voice_body(Sl * n_vc, Bp, CHANNEL_RATE, max_ldus,
+                                 w0, s0, n0, sync_threshold, use_pallas)
+        ok_cols = (12, 50, 88)
+        vc_rows = 2 * n_vc      # two TDMA slots per extraction row
     else:
-        raise ValueError("trunk_mode must be 'p25p1' or 'dmr' "
+        raise ValueError("trunk_mode must be 'p25p1', 'dmr', 'nxdn48', "
+                         "'nxdn96', 'edacs', or 'p25_mixed' "
                          f"(got {trunk_mode!r})")
 
     def local_step(wide, offs):       # [Sl, B, 2], [Sl, R] per device
@@ -641,7 +912,7 @@ def make_sharded_trunk_step(mesh: Mesh, S: int, fs: float, B: int,
         return (blob.reshape(Sl, n_cc, max_tsdus, -1),
                 valid.reshape(Sl, n_cc, max_tsdus),
                 meta.reshape(Sl, n_cc, max_tsdus),
-                pcm.reshape(Sl, n_vc, -1), fleet_ok)
+                pcm.reshape(Sl, vc_rows, -1), fleet_ok)
 
     shards = (NamedSharding(mesh, P(axis, None, None)),
               NamedSharding(mesh, P(axis, None)))
@@ -718,3 +989,26 @@ def dryrun_multichip(n_devices: int) -> None:
     jax.block_until_ready((tb, tv, tm, tpcm, tok))
     assert tb.shape == (S, 1, 2, 114) and tpcm.shape[:2] == (S, 2)
     assert np.isfinite(np.asarray(tpcm)).all() and int(tok) >= 0
+
+    # the other trunked families' SPMD programs: NXDN Type-C (CAC K=5
+    # Viterbi + LICH-gated AMBE voice) and EDACS (dual-polarity BCH CC
+    # + analog NBFM working channels) — same sharded-offsets closed
+    # loop, different family bodies (test_trunkmesh runs the full
+    # grant→retarget→decode→release loop for all five)
+    nstep, (nw_shard, no_shard) = make_sharded_trunk_step(
+        mesh, S, FS, Bw, n_cc=1, n_vc=1, max_tsdus=2, max_ldus=2,
+        trunk_mode="nxdn48")
+    nb, nv, nm, npcm, nok = nstep(jax.device_put(wide, nw_shard),
+                                  jax.device_put(offs[:, :2], no_shard))
+    jax.block_until_ready((nb, nv, nm, npcm, nok))
+    assert nb.shape == (S, 1, 2, 23) and npcm.shape[:2] == (S, 1)
+    assert np.isfinite(np.asarray(npcm)).all() and int(nok) >= 0
+
+    estep, (ew_shard, eo_shard) = make_sharded_trunk_step(
+        mesh, S, FS, Bw, n_cc=1, n_vc=1, max_tsdus=2,
+        trunk_mode="edacs")
+    eb, ev, em, epcm, eok = estep(jax.device_put(wide, ew_shard),
+                                  jax.device_put(offs[:, :2], eo_shard))
+    jax.block_until_ready((eb, ev, em, epcm, eok))
+    assert eb.shape == (S, 1, 2, 12) and epcm.shape[:2] == (S, 1)
+    assert np.isfinite(np.asarray(epcm)).all() and int(eok) >= 0

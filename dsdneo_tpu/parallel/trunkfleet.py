@@ -31,9 +31,13 @@ from dsdneo_tpu.parallel.mesh import make_sharded_trunk_step
 
 
 class ShardedTrunkedFleet:
-    """S trunked systems (``mode``: P25p1 TSBK/LDU or DMR Tier III
-    CSBK/AMBE) over a device mesh, one CC + ``n_vc`` concurrent voice
-    rows each.
+    """S trunked systems over a device mesh, one CC + ``n_vc``
+    concurrent voice rows each.  ``mode`` picks the family chain:
+    "p25p1" (TSBK/LDU), "dmr" (Tier III CSBK/AMBE), "nxdn48"/"nxdn96"
+    (Type-C CAC/AMBE), "edacs" (BCH CC/analog NBFM), or "p25_mixed"
+    (P1 TSBK CC granting TDMA channels into the Phase-2 voice body —
+    PCM is [S, 2·n_vc, T] per-slot rows; needs
+    ``p2_params=(wacn, sysid, nac)``).
 
     ``cc_offsets_hz[s]``: the system's control-channel offset from its
     band center (integer Hz); ``centers_hz[s]``: absolute band center
@@ -53,9 +57,12 @@ class ShardedTrunkedFleet:
                  mode: str = "p25p1", hangtime_s: float = 1.0,
                  grant_grace_s: float = 1.5,
                  sync_threshold: float = 0.62, tg_policy=None,
-                 chan_map=None, max_tsdus: int = 4, max_ldus: int = 2):
-        from dsdneo_tpu.engine.ccbatch import (BatchedDmrControlPipeline,
-                                               BatchedP25ControlPipeline)
+                 chan_map=None, max_tsdus: int = 4, max_ldus: int = 2,
+                 p2_params=None, edacs_ea: bool = False,
+                 esk_mask: int = 0):
+        from dsdneo_tpu.engine.ccbatch import (
+            BatchedDmrControlPipeline, BatchedEdacsControlPipeline,
+            BatchedNxdnControlPipeline, BatchedP25ControlPipeline)
         self.S = n_systems
         self.fs = fs
         self.B = B
@@ -77,22 +84,37 @@ class ShardedTrunkedFleet:
                                     max_tsdus=max_tsdus,
                                     max_ldus=max_ldus,
                                     sync_threshold=sync_threshold,
-                                    trunk_mode=mode)
+                                    trunk_mode=mode,
+                                    p2_params=p2_params)
         # host halves only (catalog parse, parse cache, iden tables);
         # ctx s belongs to system s's control channel
-        if mode == "p25p1":
+        if mode in ("p25p1", "p25_mixed"):
             self._cc_host = BatchedP25ControlPipeline(n_systems,
                                                       fs=CHANNEL_RATE)
         elif mode == "dmr":
             self._cc_host = BatchedDmrControlPipeline(n_systems,
                                                       fs=CHANNEL_RATE)
+        elif mode in ("nxdn48", "nxdn96"):
+            self._cc_host = BatchedNxdnControlPipeline(n_systems,
+                                                       fs=CHANNEL_RATE,
+                                                       mode=mode)
+        elif mode == "edacs":
+            self._cc_host = BatchedEdacsControlPipeline(
+                n_systems, fs=CHANNEL_RATE, ea_mode=edacs_ea,
+                esk_mask=esk_mask)
         else:
-            raise ValueError("ShardedTrunkedFleet drives the p25p1 or "
-                             f"dmr CC+voice bodies (got mode={mode!r})")
+            raise ValueError("ShardedTrunkedFleet drives the p25p1, "
+                             "dmr, nxdn48/96, edacs, or p25_mixed "
+                             f"CC+voice bodies (got mode={mode!r})")
         if chan_map is not None:
             for ctx in self._cc_host.ctxs:
                 ctx.state.chan_map = chan_map
         self.calls: list[dict[int, VoiceCall]] = [
+            dict() for _ in range(n_systems)]
+        # p25_mixed: TDMA calls keyed (row, slot); two slots of one
+        # granted frequency share one extraction row (the reference
+        # tunes one tuner to the P2 VC and decodes both timeslots)
+        self.calls2: list[dict[tuple, VoiceCall]] = [
             dict() for _ in range(n_systems)]
         self._free: list[list[int]] = [list(range(n_voice_rows))
                                        for _ in range(n_systems)]
@@ -107,10 +129,13 @@ class ShardedTrunkedFleet:
     def _parse_blobs(self, blob: np.ndarray, valid: np.ndarray,
                      meta: np.ndarray) -> int:
         """Walk the [S, 1, K, W] CC blobs through each system's catalog
-        parser.  P25: W=114 TSDU blobs (mesh._p25_cc_body layout, 3 ×
-        (12 payload B, 1 crc-ok B, 25 raw-dibit B)), meta = NID msg16.
-        DMR: W=14 CSBK blobs (12 payload B + crc-ok + BPTC errs), meta
-        = slot-type color code."""
+        parser.  P25 (and p25_mixed): W=114 TSDU blobs
+        (mesh._p25_cc_body layout, 3 × (12 payload B, 1 crc-ok B, 25
+        raw-dibit B)), meta = NID msg16.  DMR: W=14 CSBK blobs (12
+        payload B + crc-ok + BPTC errs), meta = slot-type color code.
+        NXDN: W=23 CAC blobs (22 packed payload B + crc-ok), meta =
+        LICH.  EDACS: W=12 (msg1 4B + msg2 4B + ok + inv + pad), meta
+        = polarity."""
         from dsdneo_tpu.engine.ccbatch import TSDU_BLOCKS
         n_parsed = 0
         for s in range(self.S):
@@ -125,6 +150,12 @@ class ShardedTrunkedFleet:
                             s, pos, int(meta[s, 0, k]) & 0xF,
                             blob[s, 0, k, :12])
                         n_parsed += 1
+                    continue
+                if self.mode in ("nxdn48", "nxdn96"):
+                    n_parsed += self._parse_cac(s, pos, blob[s, 0, k])
+                    continue
+                if self.mode == "edacs":
+                    n_parsed += self._parse_edacs(s, pos, blob[s, 0, k])
                     continue
                 nac = (int(meta[s, 0, k]) >> 4) & 0xFFF
                 if nac not in (0, 0xFFF):
@@ -142,6 +173,54 @@ class ShardedTrunkedFleet:
                     if self._cc_host._parse_tsbk(s, pos, data):
                         break
         return n_parsed
+
+    def _parse_cac(self, s: int, pos: int, row: np.ndarray) -> int:
+        """One NXDN CAC blob row through the host catalog
+        (BatchedNxdnControlPipeline.events_from_frontend's parse)."""
+        ctx = self._cc_host.ctxs[s]
+        if not row[22]:
+            self._cc_host.crc_errors += 1
+            ctx.emit(" CAC CRC ERR", "nxdn", pos)
+            return 0
+        dec = np.unpackbits(row[:22])[:171]
+        ran = 0
+        for b in dec[2:8]:
+            ran = (ran << 1) | int(b)
+        ctx.state.nxdn_ran = ran
+        detail = self._cc_host.decs[s]._message(dec[8:155], ctx)
+        ctx.emit(f"Sync: NXDN CC  RCCH CAC RAN {ran:02d}{detail}",
+                 "nxdn", pos, ran=ran)
+        return 1
+
+    def _parse_edacs(self, s: int, pos: int, row: np.ndarray) -> int:
+        """One EDACS blob row (msg pair) through the standard/EA
+        catalog (BatchedEdacsControlPipeline.events_from_frontend's
+        parse)."""
+        from dsdneo_tpu.engine.ccbatch import _sync_kernel
+        from dsdneo_tpu.symbols import framesync
+        ctx = self._cc_host.ctxs[s]
+        if not row[8]:
+            self._cc_host.bch_errors += 1
+            ctx.emit("Sync: +EDACS  BCH FAIL", "edacs", pos)
+            return 0
+        v1 = int(row[0:4].copy().view(np.uint32)[0])
+        v2 = int(row[4:8].copy().view(np.uint32)[0])
+        esk = int(getattr(ctx.state, "edacs_esk", 0) or 0)
+        if esk:
+            v1 ^= (esk & 0xFF) << 20
+            v2 ^= (esk & 0xFF) << 20
+        dec = self._cc_host.decs[s]
+        hit = framesync.SyncHit(
+            pos=pos, score=1.0,
+            sync=_sync_kernel(self._cc_host.SYNC_NAMES)[0][0])
+        if getattr(ctx.state, "edacs_ea", False):
+            line = dec._extended(v1, v2, ctx, hit)
+        else:
+            line = dec._standard(v1, v2, ctx, hit)
+        pol = "-" if row[9] else "+"
+        ctx.emit(f"Sync: {pol}EDACS {line}", "edacs", pos,
+                 mt=v1 >> 23, word=v1)
+        return 1
 
     def _resolve_freq(self, s: int, fields: dict) -> float:
         ch = int(fields.get("channel", 0) or 0)
@@ -174,6 +253,9 @@ class ShardedTrunkedFleet:
         if abs(off) > self.fs / 2 - CHANNEL_RATE / 2:
             self.stats.unresolved += 1
             return
+        if self.mode == "p25_mixed":
+            self._on_grant_p2(s, fields, tg, freq, off)
+            return
         for call in self.calls[s].values():
             if int(round(call.freq_hz - self.centers[s])) == off:
                 call.last_voice = self.clock
@@ -194,6 +276,56 @@ class ShardedTrunkedFleet:
         self.stats.grants += 1
         self.log.append(f"[{self.clock:7.2f}s] sys {s} GRANT TG {tg} "
                         f"-> row {row} @ {freq / 1e6:.4f} MHz")
+
+    def _on_grant_p2(self, s: int, fields: dict, tg: int, freq: float,
+                     off: int) -> None:
+        """p25_mixed TDMA grant → (row, slot) call; the other slot of
+        an already-granted frequency shares its extraction row
+        (engine.fleettrunk.TrunkedFleet._on_grant_p2)."""
+        ch = int(fields.get("channel", 0) or 0)
+        it = getattr(self._cc_host.ctxs[s].state, "iden_table", None)
+        if it is not None:
+            ent = it.entries.get((ch >> 12) & 0xF)
+            if ent and ent[3] < 2:
+                # FDMA grant on the mixed CC: the sharded fleet's voice
+                # rows are all Phase 2 — unresolvable here
+                self.stats.unresolved += 1
+                return
+        slot = it.channel_to_slot(ch) if it is not None else 0
+        for (row, sl), call in self.calls2[s].items():
+            if int(round(call.freq_hz - self.centers[s])) != off:
+                continue
+            if sl == slot:
+                call.last_voice = self.clock
+                self.stats.grant_refreshes += 1
+                return
+            if (row, slot) in self.calls2[s]:
+                continue        # our slot's call rides another entry
+            self.calls2[s][(row, slot)] = VoiceCall(
+                row=row, tg=tg, src=int(fields.get("src", 0) or 0),
+                freq_hz=freq, system=s, granted_at=self.clock,
+                last_voice=self.clock, slot=slot)
+            self.stats.grants += 1
+            self.log.append(f"[{self.clock:7.2f}s] sys {s} GRANT TG "
+                            f"{tg} -> p2 row {row} slot {slot} @ "
+                            f"{freq / 1e6:.4f} MHz")
+            return
+        if not self.tg_policy(tg):
+            self.stats.policy_drops += 1
+            return
+        if not self._free[s]:
+            self.stats.busy_drops += 1
+            return
+        row = self._free[s].pop(0)
+        self.offs[s, 1 + row] = off
+        self.calls2[s][(row, slot)] = VoiceCall(
+            row=row, tg=tg, src=int(fields.get("src", 0) or 0),
+            freq_hz=freq, system=s, granted_at=self.clock,
+            last_voice=self.clock, slot=slot)
+        self.stats.grants += 1
+        self.log.append(f"[{self.clock:7.2f}s] sys {s} GRANT TG {tg} "
+                        f"-> p2 row {row} slot {slot} @ "
+                        f"{freq / 1e6:.4f} MHz")
 
     def _walk_cc_events(self) -> None:
         for s in range(self.S):
@@ -216,6 +348,21 @@ class ShardedTrunkedFleet:
                     self._free[s].append(row)
                     self.offs[s, 1 + row] = self.offs[s, 0]
                     self.stats.releases += 1
+            for key, call in list(self.calls2[s].items()):
+                idle = self.clock - call.last_voice
+                age = self.clock - call.granted_at
+                if idle > self.hangtime_s and age > self.grant_grace_s:
+                    row, slot = key
+                    self.log.append(f"[{self.clock:7.2f}s] sys {s} "
+                                    f"RELEASE TG {call.tg} p2 row "
+                                    f"{row} slot {slot} "
+                                    f"({call.pcm_samples} samples)")
+                    del self.calls2[s][key]
+                    self.stats.releases += 1
+                    # park the row only once BOTH slots are done
+                    if not any(r == row for r, _ in self.calls2[s]):
+                        self._free[s].append(row)
+                        self.offs[s, 1 + row] = self.offs[s, 0]
 
     # -- the step -------------------------------------------------------------
     def prefetch(self, wide: np.ndarray):
@@ -283,11 +430,18 @@ class ShardedTrunkedFleet:
         # but their decode output is masked to the active-call rows)
         act_mask = np.zeros(pcm.shape[:2] + (1,), pcm.dtype)
         if pcm.shape[2]:
-            energy = np.abs(pcm).mean(axis=2)      # [S, n_vc]
+            energy = np.abs(pcm).mean(axis=2)      # [S, R_v]
             for s in range(self.S):
                 for row, call in self.calls[s].items():
                     act_mask[s, row] = 1.0
                     if energy[s, row] > 1e-4:
+                        call.last_voice = self.clock + block_s
+                        call.pcm_samples += int(pcm.shape[2])
+                # p25_mixed: PCM row 2·row + slot
+                for (row, slot), call in self.calls2[s].items():
+                    r = 2 * row + slot
+                    act_mask[s, r] = 1.0
+                    if energy[s, r] > 1e-4:
                         call.last_voice = self.clock + block_s
                         call.pcm_samples += int(pcm.shape[2])
         self.clock += block_s
@@ -305,9 +459,19 @@ class ShardedTrunkedFleet:
                         "state": "cc", "tg": 0})
             for v in range(self.n_vc):
                 call = self.calls[s].get(v)
+                slots = {sl: c for (r, sl), c in self.calls2[s].items()
+                         if r == v}
+                if slots:
+                    state = "p2 " + " ".join(
+                        f"s{sl} TG {c.tg}"
+                        for sl, c in sorted(slots.items()))
+                    tg = next(iter(slots.values())).tg
+                elif call:
+                    state, tg = f"voice TG {call.tg}", call.tg
+                else:
+                    state, tg = "idle", 0
                 out.append({
                     "id": (s, 1 + v),
                     "freq_hz": float(self.offs[s, 1 + v]),
-                    "state": f"voice TG {call.tg}" if call else "idle",
-                    "tg": call.tg if call else 0})
+                    "state": state, "tg": tg})
         return out
