@@ -666,10 +666,20 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
         from dsdneo_tpu.io.sdr_device import (SdrUnavailable,
                                               _DecimatingRing,
                                               pick_device_rate)
+        perf_live = None
+        pc = (args.perf_csv if args.perf_csv is not None
+              else (cfg.perf_csv if cfg else None))
+        if pc:
+            # --perf-csv on the live path: per-block decode time +
+            # ring-drop counters (reference DSD_NEO_RTL_PERF_CSV)
+            from dsdneo_tpu.runtime.log import PerfProbe
+            perf_live = PerfProbe(
+                pc, interval_s=(cfg.perf_interval_ms / 1e3 if cfg
+                                else 1.0))
         eng = LiveEngine(
             args.mode, fs=48000.0, block_s=0.25, on_event=on_event,
             retune_mute_s=(cfg.retune_mute_ms / 1e3 if cfg else 0.075),
-            hop_s=(cfg.squelch_hop_s if cfg else 0.5))
+            hop_s=(cfg.squelch_hop_s if cfg else 0.5), perf=perf_live)
         eng.level_warn_db = args.input_level_warn_db
         eng.input_volume = args.input_volume
         if args.frontend == "http":
@@ -846,6 +856,9 @@ def _run_live(args, keyring, tg_policy, chan_map, recorder,
             pass
         eng.stop()
         dev.close()
+        if perf_live is not None:
+            perf_live.flush_now()
+            perf_live.close()
         return 0
 
     if spec.startswith("rtltcp:"):

@@ -28,7 +28,7 @@ class LiveEngine:
                  block_s: float = 0.25, ring=None, capture_writer=None,
                  control_port: int = 0, on_event=None, trunk=None,
                  retune_mute_s: float = 0.075, scanner=None,
-                 hop_s: float = 0.5):
+                 hop_s: float = 0.5, perf=None):
         from dsdneo_tpu.app_control import CommandQueue, MetricsHub
         from dsdneo_tpu.runtime.native import IngestRing
         self.mode = mode
@@ -98,6 +98,10 @@ class LiveEngine:
         # DSD_NEO_P25_AFC_STATUS_GATE: suppress auto-PPM training on
         # frames not classified as infrastructure-originated
         self.afc_status_gate = False
+        # --perf-csv on the LIVE path (reference DSD_NEO_RTL_PERF_CSV,
+        # rtl_perf.cpp counters): per-block decode time + ring drops
+        self.perf = perf
+        self._perf_drops = 0
         self._stop = False
         self._thread: threading.Thread | None = None
         self._ctl = None
@@ -308,7 +312,15 @@ class LiveEngine:
                 # DSD_NEO_TUNER_AUTOGAIN: closed-loop tuner gain from
                 # the block statistics (clip back-off / quiet step-up)
                 self.auto_gain.update(samples, squelch_open=not squelched)
+            t_dec = time.perf_counter()
             events = [] if squelched else self.decoder.push(samples)
+            if self.perf is not None:
+                drops_now = self.ring.drops
+                self.perf.add(
+                    decode_ms=(time.perf_counter() - t_dec) * 1e3,
+                    channels=1, symbols=len(samples) / (self.fs / 4800),
+                    drops=drops_now - self._perf_drops)
+                self._perf_drops = drops_now
             # audio-hold gate (DSD_NEO_P25_VOICE_HOLD / MAC_HOLD /
             # RING_HOLD): while TUNED, a configured voice-hold window
             # with no recent voice/MAC/audio activity mutes delivery
@@ -364,4 +376,15 @@ class LiveEngine:
         if self._ctl is not None:
             self._ctl.close()
         if self._thread is not None:
-            self._thread.join(timeout=3)
+            # the consumer's final decoder.flush() can jit-compile a
+            # NEW block shape (the leftover partial block), which takes
+            # many seconds on CPU — a short join deadline here leaves a
+            # daemon thread alive inside C++ (XLA) frames at
+            # interpreter shutdown, where CPython's pthread_exit forced
+            # unwind aborts the process ("FATAL: exception not
+            # rethrown").  Wait long enough for the flush to finish.
+            self._thread.join(timeout=60)
+            if self._thread.is_alive():
+                import sys
+                print("dsd-neo-tpu: live loop did not stop within 60 s",
+                      file=sys.stderr)

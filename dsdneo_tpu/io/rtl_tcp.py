@@ -14,6 +14,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+import time
 
 # rtl_tcp command ids (the public rtl_tcp protocol)
 CMD_SET_FREQ = 0x01
@@ -212,9 +213,14 @@ class FakeRtlTcpServer:
     streams caller-provided CU8 bytes (fixture payloads)."""
 
     def __init__(self, payload: bytes, tuner_type: int = 5,
-                 gain_count: int = 29, chunk: int = 65536):
+                 gain_count: int = 29, chunk: int = 65536,
+                 pace_bytes_per_s: int = 0):
+        # pace_bytes_per_s > 0 throttles the stream like a real
+        # rtl_tcp server (bounded by the SDR sample rate) instead of
+        # blasting at socket speed — soak tests need a sustained feed
         self.payload = payload
         self.chunk = chunk
+        self.pace = pace_bytes_per_s
         self.commands: list[tuple[int, int]] = []
         self._hdr = b"RTL0" + struct.pack(">II", tuner_type, gain_count)
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -253,6 +259,14 @@ class FakeRtlTcpServer:
                 break
             if sent < len(self.payload):
                 n = min(self.chunk, len(self.payload) - sent)
+                if self.pace:
+                    if not hasattr(self, "_t0"):
+                        self._t0 = time.monotonic()
+                    budget = int((time.monotonic() - self._t0)
+                                 * self.pace) - sent
+                    n = min(n, max(budget, 0))
+                    if n == 0:
+                        continue
                 try:
                     conn.sendall(self.payload[sent:sent + n])
                     sent += n
