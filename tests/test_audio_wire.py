@@ -5,6 +5,8 @@ roundtrip SNR, and the pipeline-level adpcm path."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 
 def _speech_like(n: int, streams: int = 4, seed: int = 7) -> np.ndarray:
     """Synthetic speech stand-in: harmonic stack with pitch/amplitude

@@ -4,6 +4,8 @@ shaping, relax-CRC, print-config (reference docs/cli.md flags)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 FX = "/root/reference/tests/fixtures/iq/p25p1_c4fm_cc.iq.json"
 
 

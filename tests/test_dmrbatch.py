@@ -5,6 +5,8 @@ frame-level AMBE parameter parity against the host decoders."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 
 def test_dmr_batched_decodes_dense_two_slot_stream():
     import jax.numpy as jnp

@@ -2,6 +2,9 @@
 [C_total, B] block."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
 
 FIXDIR = "/root/reference/tests/fixtures/iq"
 

@@ -7,6 +7,8 @@ C_BCAST learning), mirroring test_fleettrunk.py's P25 loop."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 FS = 768000.0
 CENTER = 460_000_000.0
 CC_OFF = -144_000

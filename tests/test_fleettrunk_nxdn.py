@@ -16,8 +16,9 @@ VC_OFF = 144_000
 TG, SRC, CHAN = 200, 31, 0x0A5
 
 FIXTURE = "/root/reference/tests/fixtures/iq/nxdn48.iq.json"
-pytestmark = pytest.mark.skipif(not os.path.exists(FIXTURE),
-                                reason="reference fixtures unavailable")
+pytestmark = [pytest.mark.slow,     # full tier (docs/testing.md)
+              pytest.mark.skipif(not os.path.exists(FIXTURE),
+                                reason="reference fixtures unavailable")]
 
 
 def _grant_cac_dibits(n_frames: int, seed: int = 3) -> np.ndarray:

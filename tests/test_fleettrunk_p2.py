@@ -10,6 +10,8 @@ the CC itself (NET_STS broadcast + NID), not configured."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 FS = 768000.0           # 16 × 48 kHz band
 CENTER = 851_000_000.0
 CC_OFF = -96_000

@@ -10,6 +10,7 @@ imbe_tone_params; these tests pin the semantics and the cross-block
 carry."""
 
 import numpy as np
+import pytest
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
@@ -19,6 +20,8 @@ from dsdneo_tpu.vocoder.device import (MAX_L, ambe_params_gated,
                                        repeat_gate, repeat_state_init,
                                        scatter_repeat_synth,
                                        voice_state_init)
+
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
 
 
 def _mk_params(C, T, seed=0):

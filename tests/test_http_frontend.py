@@ -6,6 +6,9 @@ import urllib.error
 import urllib.request
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
 
 
 def _get(port, path):

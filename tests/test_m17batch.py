@@ -4,6 +4,8 @@ decoder on the real m17 fixture."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 FX = "/root/reference/tests/fixtures/iq/m17.iq.json"
 
 

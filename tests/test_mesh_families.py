@@ -12,6 +12,8 @@ if len(jax.devices()) < 2:          # conftest forces the 8-device CPU mesh
 
 from jax.sharding import Mesh
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 
 def _mesh(n=None):
     devs = jax.devices()

@@ -1,6 +1,9 @@
 """Batched P25p2 TDMA voice pipeline (engine.p2batch)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
 
 WACN, SYSID, NAC = 0xBEE00, 0x14C, 0x140
 

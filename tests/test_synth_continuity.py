@@ -5,9 +5,12 @@ one-shot synthesis of the whole frame sequence EXACTLY, and the device
 voice path must carry the same state across decode blocks."""
 
 import numpy as np
+import pytest
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
 
 
 def _params(F: int, L: int = 24, seed: int = 7):

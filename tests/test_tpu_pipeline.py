@@ -7,6 +7,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 
 def test_batched_frontend_matches_offline_decode():
     """The [C,B] device step must produce the same dibits as the offline

@@ -9,6 +9,8 @@ import pytest
 
 from tests.test_dsp import synth_c4fm
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 
 def _bits_of(v, n):
     return np.array([(v >> (n - 1 - i)) & 1 for i in range(n)], dtype=np.uint8)

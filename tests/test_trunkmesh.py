@@ -15,6 +15,8 @@ if len(jax.devices()) < 2:          # conftest forces the 8-device CPU mesh
 
 from jax.sharding import Mesh
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 FS = 192000.0                       # 4 × 48 kHz band per system
 CENTER = 851_000_000.0
 CC_OFF = -48_000

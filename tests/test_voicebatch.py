@@ -7,6 +7,8 @@ import pytest
 from dsdneo_tpu.vocoder import imbe
 from dsdneo_tpu.vocoder.batch import BatchedImbeDecoder
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 
 def test_batched_dequantizer_matches_per_frame():
     """BatchedImbeDecoder.step must be bit-identical (well, float-

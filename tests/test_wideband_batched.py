@@ -8,8 +8,9 @@ import pytest
 
 FIXTURE = "/root/reference/tests/fixtures/iq/p25p1_c4fm_vc.iq.json"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(FIXTURE),
-                                reason="reference fixtures unavailable")
+pytestmark = [pytest.mark.slow,     # full tier (docs/testing.md)
+              pytest.mark.skipif(not os.path.exists(FIXTURE),
+                                reason="reference fixtures unavailable")]
 
 
 def test_wideband_to_batched_voice():

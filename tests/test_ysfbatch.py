@@ -4,6 +4,8 @@ decoder on the real ysf fixture."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow      # full-tier only (docs/testing.md)
+
 FX = "/root/reference/tests/fixtures/iq/ysf.iq.json"
 
 
