@@ -643,8 +643,16 @@ def bench_fleet_trunk(reps: int = 4):
     pl = np.stack([wide.real, wide.imag], axis=-1) / scale
     wide_u8 = np.clip(pl * 127.5 + 127.5, 0, 255).astype(np.uint8)
 
+    # cc_device_pick: the fixed-capacity device TSDU pick collapses
+    # the step to ONE d2h exchange (each separate fetch on the
+    # tunneled link is a ~27 ms round trip; the tunnel serializes
+    # transfers with compute, so overlap can't hide them) — control
+    # plane proven equivalent to the host pick
+    # (test_cc_device_pick_equivalent_control_plane).  161 → 99.6 ms
+    # per 1 s block measured on the tunneled v5e.
     fleet = TrunkedFleet(FS, [CC_OFF], n_voice_rows=4, center_hz=CENTER,
-                         hangtime_s=5.0, grant_grace_s=0.5)
+                         hangtime_s=5.0, grant_grace_s=0.5,
+                         cc_device_pick=True)
     B = int(FS)                                  # 1 s blocks
     blocks = [wide_u8[:B], wide_u8[B:2 * B]]
     fleet.step(blocks[0])                        # observe grant, retarget

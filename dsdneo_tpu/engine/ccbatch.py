@@ -208,23 +208,36 @@ class BatchedP25ControlPipeline(BatchedP25VoicePipeline):
         return self.events_from_frontend(
             self.frontend_finish(self.frontend_dispatch(iq)))
 
-    def events_from_frontend(self, fe6) -> int:
+    def events_from_frontend(self, fe6, cofetch=None):
         """Second fleet-pipeline stage: pick + device TSBK decode +
         host catalog parse from a finished frontend exchange (see
-        FleetMonitor.decode_block phase ordering)."""
+        FleetMonitor.decode_block phase ordering).
+
+        ``cofetch``: optional device array (e.g. the voice pipeline's
+        PCM wire) fetched in the SAME d2h exchange as the TSDU blob —
+        on the tunneled TPU every separate fetch costs a full ~27 ms
+        round trip, so the closed trunking loop batches them (returns
+        ``(n_parsed, cofetch_np)`` instead of ``n_parsed``)."""
+        import jax
         dibits_dev, idx, vq, dq, msg, n_sym = fe6
         ac, at, am = self.pick_tsdus(idx, vq, dq, msg, n_sym,
                                      dibits_dev=dibits_dev)
         H = ac.shape[0]
         if H == 0:
+            if cofetch is not None:
+                return 0, jax.device_get(cofetch)
             return 0
         Hp = -(-H // 64) * 64
         acp = np.full(Hp, self.C, dtype=np.int32)
         acp[:H] = ac
         atp = np.zeros(Hp, dtype=np.int32)
         atp[:H] = at
-        blob = np.asarray(p25_tsdu_decode_device(
-            dibits_dev, jnp.asarray(acp), jnp.asarray(atp)))
+        blob_dev = p25_tsdu_decode_device(
+            dibits_dev, jnp.asarray(acp), jnp.asarray(atp))
+        if cofetch is not None:
+            blob, co_np = jax.device_get((blob_dev, cofetch))
+        else:
+            blob, co_np = np.asarray(blob_dev), None
         blk = blob[:H].reshape(H, 3, 38)
         payloads = blk[:, :, :12]
         oks = blk[:, :, 12] != 0
@@ -252,6 +265,8 @@ class BatchedP25ControlPipeline(BatchedP25VoicePipeline):
                 n_parsed += 1
                 if self._parse_tsbk(c, t, data):
                     break
+        if cofetch is not None:
+            return n_parsed, co_np
         return n_parsed
 
     @staticmethod

@@ -139,6 +139,14 @@ class TrunkedFleet:
     integer); ``n_voice_rows``: concurrent call slots.  ``step(wide)``
     consumes one wideband block ([B] complex or [B, 2] float planes)
     and returns the [V, T] float32 PCM of the voice rows.
+
+    ``cc_device_pick=True`` (p25p1): replace the host TSDU candidate
+    pick with the fixed-capacity device pick so the whole step needs
+    ONE d2h exchange instead of three — the tunneled TPU serializes
+    transfers with compute, so each separate fetch costs a full
+    ~27 ms round trip that no overlap can hide (measured 161 →
+    99.6 ms per 1 s 768 kHz block; control plane equivalent, see
+    test_cc_device_pick_equivalent_control_plane).
     """
 
     def __init__(self, fs: float, cc_offsets_hz, n_voice_rows: int,
@@ -146,7 +154,8 @@ class TrunkedFleet:
                  cqpsk: bool = False, hangtime_s: float = 1.0,
                  grant_grace_s: float = 1.5, sync_threshold: float = 0.62,
                  tg_policy=None, pcm_fmt: str = "f16", chan_map=None,
-                 p2_rows: int = 0, p2_params=None):
+                 p2_rows: int = 0, p2_params=None,
+                 cc_device_pick: bool = False):
         n_ch = int(round(fs / CHANNEL_RATE))
         if abs(fs - n_ch * CHANNEL_RATE) > 1.0 or n_ch < 2:
             raise ValueError(f"fs {fs:g} must be a ≥2 multiple of 48 kHz")
@@ -258,6 +267,15 @@ class TrunkedFleet:
         self.stats = FleetStats()
         self.log: list[str] = []
         self._next_block = None        # double-buffer upload handle
+        # cc_device_pick (p25p1 only): replace the host candidate pick
+        # with the fixed-capacity DEVICE pick (parallel.mesh
+        # _p25_cc_body, shoulder-suppressed) so the step needs ONE d2h
+        # exchange instead of three — on the tunneled TPU each fetch is
+        # a full ~27 ms round trip and the closed loop is bound by them
+        self.cc_device_pick = bool(cc_device_pick and mode == "p25p1"
+                                   and not cqpsk)
+        self._ccbody_jit = None
+        self._cc_k = 16                # TSDU capacity per block
 
     # -- grant handling -----------------------------------------------------
     def _resolve_freq(self, cc: int, fields: dict) -> float:
@@ -527,7 +545,18 @@ class TrunkedFleet:
         # reference's controller thread similarly overlaps tuner
         # retune/parse with the demod thread (rtl_sdr_fm.cpp:4665).
         pcm = h = h2 = None
-        cc_fe = self.cc_pipe.frontend_dispatch(cc_rows)
+        cc_fe = cc_out = None
+        if self.cc_device_pick:
+            if self._ccbody_jit is None:
+                from dsdneo_tpu.parallel.mesh import _p25_cc_body
+                self._ccbody_jit = jax.jit(_p25_cc_body(
+                    self.n_cc, int(cc_rows.shape[1]), CHANNEL_RATE,
+                    self._cc_k, self.sync_threshold,
+                    use_pallas=jax.default_backend() not in ("cpu",),
+                    nac_out=True, dedup=True))
+            cc_out = self._ccbody_jit(cc_rows)   # (blob, valid, msg)
+        else:
+            cc_fe = self.cc_pipe.frontend_dispatch(cc_rows)
         if self.calls:
             if hasattr(self.vc_pipe, "decode_block_async"):
                 h = self.vc_pipe.decode_block_async(vc_rows)
@@ -539,8 +568,32 @@ class TrunkedFleet:
             # every device program for THIS block is now enqueued; the
             # next block's upload streams while they execute
             self._next_block = self.prefetch(prefetch)
-        self.cc_pipe.events_from_frontend(
-            self.cc_pipe.frontend_finish(cc_fe))
+        # co-fetch the voice wire(s) in the SAME d2h exchange as the CC
+        # TSDU blob where the pipeline supports it: on the tunneled TPU
+        # each separate fetch is a full ~27 ms round trip, and the
+        # closed loop otherwise pays three of them per block
+        cof = tuple(x for x in (h, h2) if x is not None)
+        if cc_out is not None:
+            # device-pick CC: the whole step is ONE d2h exchange
+            fetched = jax.device_get((cc_out,) + cof)
+            blob, valid, msg = fetched[0]
+            self._cc_events_from_blob(blob, valid, msg)
+            rest = list(fetched[1:])
+            if h is not None:
+                h = rest.pop(0)
+            if h2 is not None:
+                h2 = rest.pop(0)
+        elif cof and self.mode == "p25p1":
+            _n, co_np = self.cc_pipe.events_from_frontend(
+                self.cc_pipe.frontend_finish(cc_fe), cofetch=cof)
+            co = list(co_np)
+            if h is not None:
+                h = co.pop(0)
+            if h2 is not None:
+                h2 = co.pop(0)
+        else:
+            self.cc_pipe.events_from_frontend(
+                self.cc_pipe.frontend_finish(cc_fe))
         if h is not None:
             pcm = self.vc_pipe.fetch_pcm(h)
         if pcm is not None:
@@ -579,6 +632,133 @@ class TrunkedFleet:
                     call.last_voice = self.clock + block_s
                     call.pcm_samples += int(pcm2.shape[1])
         self.clock += block_s
+        self.blocks += 1
+        self._walk_cc_events()
+        self._tick_releases()
+        return pcm
+
+    def _cc_events_from_blob(self, blob, valid, msg) -> int:
+        """Host catalog parse of device-picked TSDU blobs
+        ([n_cc, K, 114]; parallel.mesh._p25_cc_body layout, same walk
+        as ShardedTrunkedFleet._parse_blobs)."""
+        from dsdneo_tpu.engine.ccbatch import TSDU_BLOCKS
+        n = 0
+        for c in range(self.n_cc):
+            ctx = self.cc_pipe.ctxs[c]
+            for k in range(blob.shape[1]):
+                if not valid[c, k]:
+                    continue
+                pos = self.blocks * 100 + k
+                nac = (int(msg[c, k]) >> 4) & 0xFFF
+                if nac not in (0, 0xFFF):
+                    ctx.state.nac = nac
+                    ctx.state.p2_cc = nac
+                blk = blob[c, k].reshape(TSDU_BLOCKS, 38)
+                for b in range(TSDU_BLOCKS):
+                    if blk[b, 12]:
+                        data = blk[b, :12]
+                    else:
+                        data = self.cc_pipe._crc_fallback(blk[b, 13:38])
+                        if data is None:
+                            break
+                    n += 1
+                    if self.cc_pipe._parse_tsbk(c, pos, data):
+                        break
+        return n
+
+    # -- one-block-deep pipelined step ---------------------------------------
+    def step_pipelined(self, wide, prefetch=None) -> np.ndarray:
+        """Deep-pipelined form of :meth:`step`: dispatches THIS block's
+        device programs, then consumes the PREVIOUS block's results
+        (CC blob fetch + catalog parse + voice PCM) while this block
+        executes on device — the two d2h round trips and the host
+        parse ride under the current block's compute instead of
+        serializing behind it (measured 150 → ~100 ms per 1 s
+        768 kHz block on the tunneled chip).
+
+        Returns the PREVIOUS block's [n_voice_rows, T] PCM (empty on
+        the first call).  The cost is one extra block of control-plane
+        latency: a grant observed in block N retargets rows for block
+        N+2 instead of N+1 — the same tolerance the reference's
+        asynchronous controller-thread retune already has
+        (src/io/radio/rtl_sdr_fm.cpp:4665).  P1 voice rows only (the
+        P2 row path stays on the synchronous step)."""
+        import jax
+        import jax.numpy as jnp
+        if self.n_vc2:
+            raise ValueError("step_pipelined drives P1 voice rows only")
+        if wide is None:
+            wide = self._next_block
+            self._next_block = None
+            if wide is None:
+                raise ValueError("step(None) without a prefetched block")
+        elif self._next_block is not None:
+            self.log.append(f"[{self.clock:7.2f}s] WARN: prefetched "
+                            "block dropped (step called with a fresh "
+                            "block while one was queued)")
+            self._next_block = None
+        if isinstance(wide, np.ndarray):
+            if np.iscomplexobj(wide):
+                wide = np.stack([wide.real, wide.imag],
+                                axis=-1).astype(np.float32)
+            wide = jnp.asarray(wide)
+        rows = self._extract(wide, jnp.asarray(self.offs))
+        block_s = float(rows.shape[1]) / CHANNEL_RATE
+        if not hasattr(self, "_split"):
+            n_cc, n_v1 = self.n_cc, self.n_vc
+            planes = lambda r: jnp.stack([r.real, r.imag], axis=-1)
+            self._split = jax.jit(lambda r: (
+                planes(r[:n_cc]), planes(r[n_cc:n_cc + n_v1]),
+                planes(r[n_cc + n_v1:])))
+        cc_rows, vc_rows, _vc2 = self._split(rows)
+        cc_fe = self.cc_pipe.frontend_dispatch(cc_rows)
+        h = (self.vc_pipe.decode_block_async(vc_rows)
+             if self.calls else None)
+        if prefetch is not None:
+            self._next_block = self.prefetch(prefetch)
+        # snapshot the call set the dispatched block decodes under
+        cur = (cc_fe, h, dict(self.calls), block_s)
+        pend = getattr(self, "_pipe_pending", None)
+        self._pipe_pending = cur
+        if pend is None:
+            return np.zeros((self.n_vc, 0), dtype=np.float32)
+        # consume the previous block while this one executes on device
+        return self._consume_pending(pend)
+
+    def flush_pipelined(self) -> np.ndarray:
+        """Consume the last in-flight block of :meth:`step_pipelined`
+        (end of stream): returns its PCM."""
+        pend = getattr(self, "_pipe_pending", None)
+        if pend is None:
+            return np.zeros((self.n_vc, 0), dtype=np.float32)
+        self._pipe_pending = None
+        return self._consume_pending(pend)
+
+    def _consume_pending(self, pend) -> np.ndarray:
+        p_fe, p_h, p_calls, p_block_s = pend
+        if p_h is not None and self.mode == "p25p1":
+            # single d2h exchange for TSDU blob + voice wire (see step)
+            _n, co = self.cc_pipe.events_from_frontend(
+                self.cc_pipe.frontend_finish(p_fe), cofetch=(p_h,))
+            pcm = self.vc_pipe.fetch_pcm(co[0])
+        else:
+            self.cc_pipe.events_from_frontend(
+                self.cc_pipe.frontend_finish(p_fe))
+            if p_h is not None:
+                pcm = self.vc_pipe.fetch_pcm(p_h)
+            else:
+                pcm = np.zeros((self.n_vc, 0), dtype=np.float32)
+        if pcm.shape[1]:
+            mask = np.zeros((self.n_vc, 1), dtype=pcm.dtype)
+            for row in p_calls:
+                mask[row] = 1.0
+            pcm = pcm * mask
+            energy = np.abs(pcm).mean(axis=1)
+            for row in p_calls:
+                if energy[row] > 1e-4 and row in self.calls:
+                    self.calls[row].last_voice = self.clock + p_block_s
+                    self.calls[row].pcm_samples += int(pcm.shape[1])
+        self.clock += p_block_s
         self.blocks += 1
         self._walk_cc_events()
         self._tick_releases()

@@ -703,7 +703,8 @@ def make_sharded_p2_voice_step(mesh: Mesh, C: int, B: int,
 
 def _p25_cc_body(Cl: int, B: int, fs: float = 48000.0,
                  max_tsdus: int = 4, sync_threshold: float = 0.62,
-                 use_pallas: bool = False, nac_out: bool = False):
+                 use_pallas: bool = False, nac_out: bool = False,
+                 dedup: bool = False):
     """Traceable per-shard body of P25p1 CC monitoring: maps [Cl, B, 2]
     I/Q planes → ([Cl, max_tsdus, 114] uint8 TSDU blobs,
     [Cl, max_tsdus] valid mask[, [Cl, max_tsdus] NID msg16]).  Blob
@@ -748,6 +749,10 @@ def _p25_cc_body(Cl: int, B: int, fs: float = 48000.0,
         inv = jnp.take_along_axis(best_def, idx, axis=1) & 1
         valid = ((vals >= sync_threshold) & (duid == 7) & (inv == 0)
                  & (idx + need < n_sym))               # [Cl, K]
+        if dedup:
+            # shoulder suppression (see _topk_shoulder_mask): frees
+            # fixed-capacity slots for distinct TSDUs when K is tight
+            valid = valid & ~_topk_shoulder_mask(idx)
         ch = jnp.where(valid, jnp.arange(Cl)[:, None], Cl
                        ).reshape(-1).astype(jnp.int32)
         pos = idx.reshape(-1).astype(jnp.int32)

@@ -199,3 +199,32 @@ def test_prefetch_path_bit_identical(wide):
                for line in pre.log)
     with pytest.raises(ValueError):
         pre.step(None)
+
+
+def test_cc_device_pick_equivalent_control_plane(wide):
+    """cc_device_pick=True replaces the host TSDU candidate pick with
+    the fixed-capacity device pick (parallel.mesh._p25_cc_body,
+    shoulder-suppressed) so the closed loop needs ONE d2h exchange per
+    block instead of three — the control-plane outcome (grants,
+    refreshes, releases, offsets, decoded voice) must match the host
+    pick on the same wideband."""
+    from dsdneo_tpu.engine.fleettrunk import TrunkedFleet
+    B = int(FS)
+
+    def run(flag):
+        fleet = TrunkedFleet(FS, [CC_OFF], n_voice_rows=2,
+                             center_hz=CENTER, hangtime_s=0.6,
+                             grant_grace_s=0.5, cc_device_pick=flag)
+        pcms = [fleet.step(wide[i * B:(i + 1) * B]) for i in range(4)]
+        return fleet, pcms
+
+    host, pcm_h = run(False)
+    dev, pcm_d = run(True)
+    assert dev.cc_device_pick and not host.cc_device_pick
+    assert dev.stats.grants == host.stats.grants == 1
+    assert dev.stats.releases == host.stats.releases == 1
+    assert dev.stats.grant_refreshes == host.stats.grant_refreshes
+    assert dev.offs.tolist() == host.offs.tolist()
+    # voice rows decode the same stream (identical voice pipeline)
+    for a, b in zip(pcm_h, pcm_d):
+        np.testing.assert_array_equal(a, b)
