@@ -733,7 +733,14 @@ def bench_provoice_follow():
     ProVoice fixture — ref docs/testing.md:63-66 — and the IMBE-7100
     ECC is a labeled hypothesis, PARITY.md).  Measures the serial
     decode_samples x_realtime on a synthesized ProVoice superframe
-    stream (protocol/provoice)."""
+    stream (protocol/provoice).
+
+    Pinned to the CPU backend: the serial path uploads COMPLEX
+    samples, and a complex h2d on the tunneled TPU backend "succeeds"
+    async and then wedges every later transfer with UNIMPLEMENTED
+    (PARITY.md; it poisoned the stages after this one when it ran on
+    the TPU)."""
+    import jax
     from tests.test_dsp import synth_c4fm
 
     from dsdneo_tpu.engine.decoder import decode_samples
@@ -750,13 +757,14 @@ def bench_provoice_follow():
     dib = np.concatenate(chunks)
     vc = synth_c4fm(dib, sps=5, dev_hz=4800.0, snr_db=35, seed=2)
     block_s = len(vc) / 48000.0
-    ctx = decode_samples(vc, "provoice", fs=48000.0)    # warm compiles
-    assert any("ProVoice" in e.line for e in ctx.events)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        decode_samples(vc, "provoice", fs=48000.0)
-        times.append(time.perf_counter() - t0)
+    with jax.default_device(jax.devices("cpu")[0]):
+        ctx = decode_samples(vc, "provoice", fs=48000.0)   # warm
+        assert any("ProVoice" in e.line for e in ctx.events)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decode_samples(vc, "provoice", fs=48000.0)
+            times.append(time.perf_counter() - t0)
     step_s = float(np.min(times))
     return block_s / step_s, step_s
 
@@ -903,8 +911,10 @@ def main() -> int:
         ("nxdncc", st_nxdncc), ("edacscc", st_edacscc),
         ("p25p2cc", st_p25p2cc), ("x2tdma", st_x2tdma),
         ("dstar", st_dstar), ("m17", st_m17),
-        ("provoice", st_provoice), ("frontend", st_frontend),
-        ("parity", st_parity),
+        ("frontend", st_frontend), ("parity", st_parity),
+        # provoice LAST: its serial path runs on the CPU backend (a
+        # complex h2d would wedge the tunneled TPU for later stages)
+        ("provoice", st_provoice),
     ]
     for name, fn in stages:
         if time.perf_counter() - t_start > budget_s:
