@@ -130,6 +130,35 @@ def bench_pallas_parity():
     return float(np.max(np.abs(s_p - s_x)))
 
 
+def _pipelined_loop(pipe, x, k: int) -> float:
+    """Deep 3-stage pipelined timing loop shared by every batched
+    voice family: block N+1's frontend is dispatched before block N's
+    candidate blob is fetched, and block N-1's PCM is fetched LAST —
+    the ~27 ms tunnel round trips and the host LDU/superframe pick
+    ride under the device programs of adjacent blocks.
+
+    Measured note (round 5): merging the blob fetch with the previous
+    block's PCM wire via ``frontend_finish(cofetch=...)`` — the ONE-
+    exchange trick that speeds the trunked fleet's small transfers
+    (TrunkedFleet.step) — makes THESE loops 25-40% SLOWER: the voice
+    wires are ~2 MB/block, and the tunnel streams a computed result
+    back eagerly so the late separate np.asarray is a cheap local
+    copy, while an early bundled device_get stalls on the transfer.
+    Keep the late-PCM ordering here."""
+    t0 = time.perf_counter()
+    fe = pipe.frontend_dispatch(x)
+    prev = None          # decode wire handle of the previous block
+    for _ in range(k):
+        fe_next = pipe.frontend_dispatch(x)
+        h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
+        if prev is not None:
+            pipe.fetch_pcm(prev)
+        prev = h
+        fe = fe_next
+    pipe.fetch_pcm(prev)
+    return (time.perf_counter() - t0) / k
+
+
 def bench_full_chain(C: int, reps: int = 5):
     """I/Q→audio for C channels of the real voice fixture."""
     from dsdneo_tpu.engine.voicebatch import BatchedP25VoicePipeline
@@ -150,28 +179,7 @@ def bench_full_chain(C: int, reps: int = 5):
     pcm = pipe.decode_block(x)         # compile + warmup
     assert pcm.shape[0] == C and pcm.shape[1] > 0
 
-    def pipelined(k: int) -> float:
-        """Deep 3-stage pipeline: block N+1's frontend is dispatched
-        before block N's candidate blob is fetched, and block N-1's PCM
-        is fetched last — the ~27 ms tunnel round trips and the host
-        LDU pick ride under the device programs of adjacent blocks
-        (frontend_dispatch/frontend_finish/decode_from_frontend)."""
-        t0 = time.perf_counter()
-        fe = pipe.frontend_dispatch(x)
-        prev = None
-        for _ in range(k):
-            fe_next = pipe.frontend_dispatch(x)
-            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
-            if prev is not None:
-                pipe.fetch_pcm(prev)
-            prev = h
-            fe = fe_next
-        pipe.fetch_pcm(prev)
-        return (time.perf_counter() - t0) / k
-
-    # best-of-3 runs: the tunneled host link adds multi-100ms jitter
-    # spikes unrelated to the chip
-    step_s = min(pipelined(reps) for _ in range(5))
+    step_s = min(_pipelined_loop(pipe, x, reps) for _ in range(5))
     return C * block_s / step_s, step_s, block_s, int(pcm.shape[1] // 160)
 
 
@@ -205,22 +213,7 @@ def bench_dmr_chain(C: int, reps: int = 5, pcm_fmt: str = "adpcm"):
     pcm = pipe.decode_block(x)
     assert pcm.shape[1] > 0
 
-    def pipelined(k: int) -> float:
-        """Deep 3-stage pipeline (see bench_full_chain)."""
-        t0 = time.perf_counter()
-        fe = pipe.frontend_dispatch(x)
-        prev = None
-        for _ in range(k):
-            fe_next = pipe.frontend_dispatch(x)
-            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
-            if prev is not None:
-                pipe.fetch_pcm(prev)
-            prev = h
-            fe = fe_next
-        pipe.fetch_pcm(prev)
-        return (time.perf_counter() - t0) / k
-
-    step_s = min(pipelined(reps) for _ in range(5))
+    step_s = min(_pipelined_loop(pipe, x, reps) for _ in range(5))
     return C * block_s / step_s, step_s
 
 
@@ -243,22 +236,7 @@ def bench_nxdn_chain(C: int, reps: int = 5):
     pcm = pipe.decode_block(x)
     assert pcm.shape[1] > 0
 
-    def pipelined(k: int) -> float:
-        """Deep 3-stage pipeline (see bench_full_chain)."""
-        t0 = time.perf_counter()
-        fe = pipe.frontend_dispatch(x)
-        prev = None
-        for _ in range(k):
-            fe_next = pipe.frontend_dispatch(x)
-            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
-            if prev is not None:
-                pipe.fetch_pcm(prev)
-            prev = h
-            fe = fe_next
-        pipe.fetch_pcm(prev)
-        return (time.perf_counter() - t0) / k
-
-    step_s = min(pipelined(reps) for _ in range(5))
+    step_s = min(_pipelined_loop(pipe, x, reps) for _ in range(5))
     return C * block_s / step_s, step_s
 
 
@@ -283,26 +261,7 @@ def bench_cqpsk_chain(C: int, reps: int = 5):
     pcm = pipe.decode_block(x)
     assert pcm.shape[0] == C and pcm.shape[1] > 0
 
-    def pipelined(k: int) -> float:
-        """Deep 3-stage pipeline: block N+1's frontend is dispatched
-        before block N's candidate blob is fetched, and block N-1's PCM
-        is fetched last — the ~27 ms tunnel round trips and the host
-        LDU pick ride under the device programs of adjacent blocks
-        (frontend_dispatch/frontend_finish/decode_from_frontend)."""
-        t0 = time.perf_counter()
-        fe = pipe.frontend_dispatch(x)
-        prev = None
-        for _ in range(k):
-            fe_next = pipe.frontend_dispatch(x)
-            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
-            if prev is not None:
-                pipe.fetch_pcm(prev)
-            prev = h
-            fe = fe_next
-        pipe.fetch_pcm(prev)
-        return (time.perf_counter() - t0) / k
-
-    step_s = min(pipelined(reps) for _ in range(5))
+    step_s = min(_pipelined_loop(pipe, x, reps) for _ in range(5))
     return C * block_s / step_s, step_s
 
 
@@ -329,22 +288,7 @@ def bench_p25p2_chain(C: int, reps: int = 5):
     pcm = pipe.decode_block(x)
     assert pcm.shape[1] > 0
 
-    def pipelined(k: int) -> float:
-        """Deep 3-stage pipeline (see bench_full_chain)."""
-        t0 = time.perf_counter()
-        fe = pipe.frontend_dispatch(x)
-        prev = None
-        for _ in range(k):
-            fe_next = pipe.frontend_dispatch(x)
-            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
-            if prev is not None:
-                pipe.fetch_pcm(prev)
-            prev = h
-            fe = fe_next
-        pipe.fetch_pcm(prev)
-        return (time.perf_counter() - t0) / k
-
-    step_s = min(pipelined(reps) for _ in range(5))
+    step_s = min(_pipelined_loop(pipe, x, reps) for _ in range(5))
     return C * block_s / step_s, step_s
 
 
@@ -357,22 +301,7 @@ def _bench_pipeline(pipe, iq1, fs, C, reps: int = 5):
     pcm = pipe.decode_block(x)
     assert pcm.shape[1] > 0
 
-    def pipelined(k: int) -> float:
-        """Deep 3-stage pipeline (see bench_full_chain)."""
-        t0 = time.perf_counter()
-        fe = pipe.frontend_dispatch(x)
-        prev = None
-        for _ in range(k):
-            fe_next = pipe.frontend_dispatch(x)
-            h = pipe.decode_from_frontend(pipe.frontend_finish(fe))
-            if prev is not None:
-                pipe.fetch_pcm(prev)
-            prev = h
-            fe = fe_next
-        pipe.fetch_pcm(prev)
-        return (time.perf_counter() - t0) / k
-
-    step_s = min(pipelined(reps) for _ in range(5))
+    step_s = min(_pipelined_loop(pipe, x, reps) for _ in range(5))
     return C * block_s / step_s, step_s
 
 

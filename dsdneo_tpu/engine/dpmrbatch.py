@@ -111,15 +111,24 @@ class BatchedDpmrVoicePipeline(VoiceCarryMixin):
             iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
         return dibits_dev, blob_dev, n_sym
 
-    def frontend_finish(self, fe):
+    def frontend_finish(self, fe, cofetch=None):
         dibits_dev, blob_dev, n_sym = fe
-        blob = np.asarray(blob_dev)
+        if cofetch is not None:
+            # one d2h exchange for the candidate blob + the caller's
+            # extra device arrays (each separate fetch on the tunneled
+            # TPU costs a full ~27 ms round trip; the link serializes
+            # transfers with compute — see TrunkedFleet.step)
+            import jax
+            blob, _co = jax.device_get((blob_dev, cofetch))
+        else:
+            blob, _co = np.asarray(blob_dev), None
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)
         idx = blob[:, :2 * k_cand].copy().view(np.uint16).astype(np.int64)
         vq = blob[:, 2 * k_cand:3 * k_cand]
         dq = blob[:, 3 * k_cand:4 * k_cand]
-        return dibits_dev, idx, vq, dq, n_sym
+        out = (dibits_dev, idx, vq, dq, n_sym)
+        return (out, _co) if cofetch is not None else out
 
     def pick_parts(self, idx, vq, dq, n_sym: int):
         """Score threshold + local-max refinement + 384-dibit stride;

@@ -331,9 +331,17 @@ class BatchedP2VoicePipeline(VoiceCarryMixin):
             iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
         return dibits_dev, blob_dev, n_sym
 
-    def frontend_finish(self, fe):
+    def frontend_finish(self, fe, cofetch=None):
         dibits_dev, blob_dev, n_sym = fe
-        blob = np.asarray(blob_dev)
+        if cofetch is not None:
+            # one d2h exchange for the candidate blob + the caller's
+            # extra device arrays (each separate fetch on the tunneled
+            # TPU costs a full ~27 ms round trip; the link serializes
+            # transfers with compute — see TrunkedFleet.step)
+            import jax
+            blob, _co = jax.device_get((blob_dev, cofetch))
+        else:
+            blob, _co = np.asarray(blob_dev), None
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         k_cand = min(self.SYNC_TOPK, n_sym - n_max + 1)
         o = 0
@@ -344,7 +352,8 @@ class BatchedP2VoicePipeline(VoiceCarryMixin):
         duid = blob[:, o:o + 4 * k_cand].reshape(-1, k_cand, 4)
         o += 4 * k_cand
         isch = blob[:, o:o + 20 * k_cand].reshape(-1, k_cand, 4, 5)
-        return dibits_dev, idx, vq, duid, isch, n_sym
+        out = (dibits_dev, idx, vq, duid, isch, n_sym)
+        return (out, _co) if cofetch is not None else out
 
     @staticmethod
     def _isch_word(b5: np.ndarray) -> int:

@@ -322,10 +322,18 @@ class BatchedP25VoicePipeline:
             iq if isinstance(iq, jax.Array) else jnp.asarray(iq))
         return dibits_dev, blob_dev, n_sym
 
-    def frontend_finish(self, fe):
+    def frontend_finish(self, fe, cofetch=None):
         """Fetch + parse the candidate blob of a frontend_dispatch."""
         dibits_dev, blob_dev, n_sym = fe
-        blob = np.asarray(blob_dev)
+        if cofetch is not None:
+            # one d2h exchange for the candidate blob + the caller's
+            # extra device arrays (each separate fetch on the tunneled
+            # TPU costs a full ~27 ms round trip; the link serializes
+            # transfers with compute — see TrunkedFleet.step)
+            import jax
+            blob, _co = jax.device_get((blob_dev, cofetch))
+        else:
+            blob, _co = np.asarray(blob_dev), None
         defs, _, _, n_max = _sync_kernel(self.SYNC_NAMES)
         Tp = n_sym - n_max + 1
         k_cand = min(self.SYNC_TOPK, Tp)
@@ -337,7 +345,8 @@ class BatchedP25VoicePipeline:
         vq = blob[:, o:o + k_cand]; o += k_cand
         dq = blob[:, o:o + k_cand]; o += k_cand
         msg = blob[:, o:o + 2 * k_nid].copy().view(np.uint16)
-        return dibits_dev, idx, vq, dq, msg, n_sym
+        out = (dibits_dev, idx, vq, dq, msg, n_sym)
+        return (out, _co) if cofetch is not None else out
 
     def frontend_sync_device(self, iq, use_pallas: bool | None = None):
         """frontend_sync variant for the device-resident fast path: the
