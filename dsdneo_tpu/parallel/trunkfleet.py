@@ -416,16 +416,17 @@ class ShardedTrunkedFleet:
                 wide = np.ascontiguousarray(wide, dtype=np.float32)
             wide = jax.device_put(wide, self._w_shard)
         block_s = self.B / self.fs
-        blob, valid, msg, pcm, _ok = self.step_fn(
+        out = self.step_fn(
             wide, jax.device_put(self.offs, self._o_shard))
         if prefetch is not None:
             # the SPMD program is enqueued; the next block's upload
             # streams while it executes
             self._next_block = self.prefetch(prefetch)
-        blob = np.asarray(blob)
-        valid = np.asarray(valid)
-        msg = np.asarray(msg)
-        pcm = np.asarray(pcm)                      # [S, n_vc, T]
+        # ONE d2h exchange for all four outputs: each separate fetch on
+        # the tunneled link costs a full ~27 ms round trip (see
+        # TrunkedFleet.step)
+        blob, valid, msg, pcm, _ok = jax.device_get(out)
+        # pcm: [S, R_v, T]
         # voice activity refreshes hangtime (CC-parked rows carry FSK,
         # but their decode output is masked to the active-call rows)
         act_mask = np.zeros(pcm.shape[:2] + (1,), pcm.dtype)
