@@ -1463,7 +1463,11 @@ def main(argv: list[str] | None = None) -> int:
                 fs_band, cc_offs, n_vc,
                 center_hz=float(meta.center_frequency_hz or 0.0),
                 mode=tmode, cqpsk=bool(getattr(args, "cqpsk", False)),
-                chan_map=chan_map, p2_rows=n_p2)
+                chan_map=chan_map, p2_rows=n_p2,
+                # DSD_NEO_TRUNK_CC_DEVICE_PICK=0 reverts to the host
+                # candidate pick (fleettrunk docstring; p25p1 only)
+                cc_device_pick=(cfg.trunk_cc_device_pick
+                                if cfg is not None else True))
         except ValueError as e:
             print(f"dsd-neo-tpu: {e}", file=sys.stderr)
             return 2

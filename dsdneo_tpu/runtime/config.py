@@ -115,6 +115,10 @@ class RuntimeConfig:
     debug_cqpsk: bool = False          # DSD_NEO_DEBUG_CQPSK
     disable_fs4_shift: bool = False    # DSD_NEO_DISABLE_FS4_SHIFT
     combine_rot: bool = True           # DSD_NEO_COMBINE_ROT
+    # DSD_NEO_TRUNK_CC_DEVICE_PICK: fixed-capacity device TSDU pick in
+    # the wideband trunked fleet (one d2h exchange per block; see
+    # engine.fleettrunk.TrunkedFleet) — default ON for p25p1 C4FM
+    trunk_cc_device_pick: bool = True
     iq_dc_shift: int = 0               # DSD_NEO_IQ_DC_SHIFT (one-pole k)
     retune_drain_ms: float = 0.0       # DSD_NEO_RETUNE_DRAIN_MS
     output_clear_on_retune: bool = False   # DSD_NEO_OUTPUT_CLEAR_ON_RETUNE
@@ -257,6 +261,8 @@ _ENV_MAP = {
     "DISABLE_FS4_SHIFT": ("disable_fs4_shift",
                           _env_bool),
     "COMBINE_ROT": ("combine_rot", lambda v: v not in ("0", "false")),
+    "TRUNK_CC_DEVICE_PICK": ("trunk_cc_device_pick",
+                             lambda v: v not in ("0", "false")),
     "IQ_DC_SHIFT": ("iq_dc_shift", int),
     "RETUNE_DRAIN_MS": ("retune_drain_ms", float),
     "OUTPUT_CLEAR_ON_RETUNE": ("output_clear_on_retune",
