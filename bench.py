@@ -372,8 +372,23 @@ def bench_p25_cc(C: int, reps: int = 5):
     n = pipe.decode_block_events(x)       # compile + warmup
     assert n > 0
 
-    best = min((_events_pipelined_run(pipe, x, reps)
-                for _ in range(3)), key=lambda r: r[0])
+    def run(k: int):
+        """Plain per-block loop: P25's CC parse is the heaviest host
+        stage of the monitors (~84k TSBKs/s through the catalog +
+        parse cache), and the pipelined loop (_events_pipelined_run)
+        measures ~10% SLOWER here — the early next-block frontend
+        dispatch lands its execution on the serialized queue ahead of
+        this block's candidate fetch, which the long host parse no
+        longer hides.  The lighter monitors keep the pipelined loop."""
+        t0 = time.perf_counter()
+        total = 0
+        for _ in range(k):
+            for ctx in pipe.ctxs:
+                ctx.events.clear()
+            total += pipe.decode_block_events(x)
+        return (time.perf_counter() - t0) / k, total / k
+
+    best = min((run(reps) for _ in range(3)), key=lambda r: r[0])
     step_s, tsbk_per_block = best
     return C * block_s / step_s, step_s, tsbk_per_block / step_s
 
