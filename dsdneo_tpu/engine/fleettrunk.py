@@ -682,7 +682,11 @@ class TrunkedFleet:
         N+2 instead of N+1 — the same tolerance the reference's
         asynchronous controller-thread retune already has
         (src/io/radio/rtl_sdr_fm.cpp:4665).  P1 voice rows only (the
-        P2 row path stays on the synchronous step)."""
+        P2 row path stays on the synchronous step), and the CC always
+        uses the host pick here (``cc_device_pick`` applies to
+        :meth:`step`; on the serialized tunnel the synchronous
+        one-exchange step measures faster than this pipeline anyway —
+        see PARITY.md round-5 notes)."""
         import jax
         import jax.numpy as jnp
         if self.n_vc2:
