@@ -981,10 +981,13 @@ class BatchedDmrControlPipeline:
 @jax.jit
 def p2_xcch_gather_device(dibits: jax.Array, ch: jax.Array,
                           tpos: jax.Array) -> jax.Array:
-    """Gather the 180 dibits of every accepted xCCH timeslot and unpack
-    to [N, 360] bits (reference p25p2_frame.c timeslot geometry; the
-    4th burst of a frame is only 320 bits — its tail gathers the next
-    sync, which the payload/parity extraction never reads)."""
+    """Gather the 180 dibits of every accepted xCCH timeslot and PACK
+    to [N, 45] bytes (360 bits msb-first; reference p25p2_frame.c
+    timeslot geometry; the 4th burst of a frame is only 320 bits — its
+    tail gathers the next sync, which the payload/parity extraction
+    never reads).  Packed on device: at fleet scale the burst blob is
+    the monitor's largest d2h transfer (23k bursts/s·block = 8.3 MB
+    unpacked vs 1.0 MB packed; the host unpackbits is ~3 ms)."""
     from dsdneo_tpu.engine.p2batch import TS_DIBITS
     Tn = dibits.shape[1]
     gp = jnp.clip(tpos[:, None] + jnp.arange(TS_DIBITS), 0, Tn - 1)
@@ -993,7 +996,7 @@ def p2_xcch_gather_device(dibits: jax.Array, ch: jax.Array,
     bits = jnp.zeros((dd.shape[0], 360), dtype=jnp.uint8)
     bits = bits.at[:, 0::2].set(((dd >> 1) & 1).astype(jnp.uint8))
     bits = bits.at[:, 1::2].set((dd & 1).astype(jnp.uint8))
-    return bits
+    return _pack_bits(bits)
 
 
 @lru_cache(maxsize=1)
@@ -1129,31 +1132,54 @@ class BatchedP2ControlPipeline(BatchedP2VoicePipeline):
         chp[:N] = ch
         tpp = np.zeros(Np, dtype=np.int32)
         tpp[:N] = tpos
-        bits = np.asarray(p2_xcch_gather_device(
+        packed = np.asarray(p2_xcch_gather_device(
             dibits_dev, jnp.asarray(chp), jnp.asarray(tpp)))[:N]
+        bits = np.unpackbits(packed, axis=1)   # [N, 360]
         raw = bits.copy()                      # serial-fallback input
         # descramble (vectorized): per-channel LFSR table at each ts's
-        # superframe position (+20 bit alignment, phase2._descramble)
-        have = np.zeros(N, dtype=bool)
-        scrambled = np.zeros(N, dtype=bool)
+        # superframe position (+20 bit alignment, phase2._descramble).
+        # Per-burst flags come from 16-entry DUID LUTs and the masks
+        # are built with one fancy-gather per distinct scramble key —
+        # the per-burst Python loop cost ~100 ms/block at fleet scale.
+        duid_arr = np.asarray(duidv)
+        scr_lut = np.zeros(16, dtype=bool)
+        kind_lut = np.zeros(16, dtype=np.int8)
+        for d, (kind, scr, _l) in self.XCCH_DUIDS.items():
+            scr_lut[d] = scr
+            kind_lut[d] = 0 if kind == "sacch" else 1
+        scrambled = scr_lut[duid_arr]
+        ch_np = np.asarray(ch)
+        sfp_np = np.asarray(sfp)
+        keys = [(c.state.p2_wacn, c.state.p2_sysid, c.state.p2_cc)
+                for c in self.ctxs]
+        key_ok = np.asarray([all(k) for k in keys], dtype=bool)
+        have = key_ok[ch_np] & (~scrambled | (sfp_np >= 0))
         mask = np.zeros_like(bits)
-        for i in range(N):
-            kind, scr, _lcch = self.XCCH_DUIDS[int(duidv[i])]
-            scrambled[i] = scr
-            s = self.ctxs[int(ch[i])].state
-            key = (s.p2_wacn, s.p2_sysid, s.p2_cc)
-            if all(key) and (not scr or sfp[i] >= 0):
-                have[i] = True
-                if scr:
-                    base = 360 * int(sfp[i]) + 20
-                    mask[i] = self._scramble_table(key)[base:base + 360]
+        need = scrambled & have
+        if need.any():
+            uniq: dict = {}
+            gid = np.asarray([uniq.setdefault(k, len(uniq))
+                              for k in keys], dtype=np.int32)
+            bgid = gid[ch_np]
+            off360 = np.arange(360)
+            for key, g in uniq.items():
+                if not all(key):
+                    continue
+                sel = need & (bgid == g)
+                if not sel.any():
+                    continue
+                tbl = self._scramble_table(key)
+                base = 360 * sfp_np[sel] + 20
+                mask[sel] = tbl[base[:, None] + off360]
         x = bits ^ mask
-        # two-matmul screen per kind: RS parity consistency + CRC12
+        # two-matmul screen per kind: RS parity consistency + CRC12.
+        # float32 matmuls: numpy routes them through BLAS while int32
+        # takes the naive loop (measured 635 → ~35 ms per block at
+        # N=23k); sums are ≤360 so float32 is exact.
         idxmap = _xcch_index_arrays()
         res_ok = np.zeros(N, dtype=bool)
         crc_okv = np.zeros(N, dtype=bool)
-        kinds = np.asarray([0 if self.XCCH_DUIDS[int(d)][0] == "sacch"
-                            else 1 for d in duidv])
+        kinds = kind_lut[duid_arr]
         for kb, kind in ((0, "sacch"), (1, "facch")):
             sel = np.flatnonzero(kinds == kb)
             if sel.size == 0:
@@ -1162,11 +1188,13 @@ class BatchedP2ControlPipeline(BatchedP2VoicePipeline):
             pays = x[sel][:, pay_i].astype(np.uint8)
             pars = x[sel][:, par_i].astype(np.uint8)
             M = p2_xcch.xcch_encode_matrix(kind)
-            res_ok[sel] = ((pays.astype(np.int32) @ M.astype(np.int32))
-                           % 2 == pars).all(axis=1)
+            res = (pays.astype(np.float32)
+                   @ M.astype(np.float32)).astype(np.int32)
+            res_ok[sel] = (res % 2 == pars).all(axis=1)
             nd = 168 if kind == "sacch" else 144
-            T12 = p2_xcch.crc12_matrix(nd).astype(np.int32)
-            crc = (pays[:, :nd].astype(np.int32) @ T12) % 2
+            T12 = p2_xcch.crc12_matrix(nd).astype(np.float32)
+            crc = (pays[:, :nd].astype(np.float32)
+                   @ T12).astype(np.int32) % 2
             crc_okv[sel] = ((crc ^ 1)                      # 0xFFF inv
                             == pays[:, nd:nd + 12]).all(axis=1)
         n_parsed = 0
