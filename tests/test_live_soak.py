@@ -36,12 +36,14 @@ def test_live_soak_drops_retunes_squelch_hops(tmp_path):
 
     fix = _cu8(os.path.join(FIXDIR, "p25p1_c4fm_cc.iq"))
     gap = bytes([127]) * (2 * 48000)          # 1 s of dead carrier
-    # ~2.5 minutes of signal: fixture + silence gaps (squelch closes
-    # in the gaps → scanner hops), looped; the server paces it at 2×
-    # realtime so the feed SUSTAINS for the whole soak while still
-    # outrunning the consumer during the initial jit compile (which
-    # overflows the deliberately small 1 s ring → drops)
-    payload = (fix + gap) * max(1, int(150 * 2 * 48000 / (len(fix)
+    # ~7 minutes of signal: fixture + silence gaps (squelch closes
+    # in the gaps → scanner hops), looped; the server paces it at 4×
+    # realtime so the feed SUSTAINS past the whole soak even under
+    # heavy host contention (a shorter payload once drained mid-soak
+    # and read as a stall), while still outrunning the consumer
+    # during the initial jit compile (which overflows the
+    # deliberately small 1 s ring → drops)
+    payload = (fix + gap) * max(1, int(420 * 2 * 48000 / (len(fix)
                                                           + len(gap))))
 
     srv = FakeRtlTcpServer(payload, pace_bytes_per_s=4 * 96000)
@@ -84,6 +86,13 @@ def test_live_soak_drops_retunes_squelch_hops(tmp_path):
         t_end = time.time() + 2.0
         while time.time() < t_end and time.time() < deadline:
             time.sleep(0.1)
+        # no-stall = the counter advances within a BOUNDED wait (a
+        # fixed 2 s window false-positives when the 1-CPU host is
+        # saturated by a concurrent test run)
+        t_extend = time.time() + 10.0
+        while (eng.metrics.snapshot().blocks <= last_blocks
+               and time.time() < t_extend):
+            time.sleep(0.2)
         snap = eng.metrics.snapshot()
         if snap.blocks <= last_blocks:
             progress_ok = False
