@@ -110,6 +110,12 @@ def test_live_soak_drops_retunes_squelch_hops(tmp_path):
         # (deliberately overflowing) ring can't take the bytes
         eng.feed_cu8(stale, generation=eng.tune_generation)
         assert not eng.tune_pending
+    # deterministically overflow the 1 s ring: a cold-start jit
+    # compile stalls the consumer long enough to do this naturally,
+    # but inside a full-suite process the warm caches keep the
+    # consumer ahead — burst 8 s of bytes into the ring so the drop
+    # counter MUST tick, then let the loop publish it
+    eng.feed_cu8(bytes([127]) * (8 * 48000 * 2))
     # keep draining a few more seconds after the last retune
     t_end = time.time() + 5.0
     while time.time() < t_end and time.time() < deadline:
@@ -139,7 +145,7 @@ def test_live_soak_drops_retunes_squelch_hops(tmp_path):
     # 5) induced overflow: the small ring dropped bytes and the loop
     #    survived; the drop counter surfaced in the metrics snapshot
     assert eng.ring.drops > 0
-    assert snap.ring_drops == eng.ring.drops or snap.ring_drops > 0
+    assert snap.ring_drops > 0
     # 6) squelch-hop: the dead-carrier gaps rotated the scanner
     assert len(tunes) >= 1
     assert set(tunes) <= {851e6, 852e6}
