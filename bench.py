@@ -702,9 +702,11 @@ def main() -> int:
     import jax
     _enable_compile_cache()
 
-    # 320 audio channels is the measured sweet spot on the tunneled
-    # single chip with the device-resident dibit path (2602x vs 2483x
-    # at 256 and 2420x at 384, where the PCM DMA goes superlinear)
+    # 320 audio channels stays the default: the round-5 sweep measured
+    # 4037x @ 320, 4108x @ 384, 4000x @ 512 — the 384 bump is inside
+    # the ±10-15% tunnel-jitter band, and every family stage's compile
+    # cache is keyed on C (a new default would pay fresh compiles
+    # across the board for ~2%)
     C_audio = int(sys.argv[1]) if len(sys.argv) > 1 else 320
     C_fe = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     budget_s = float(os.environ.get("DSD_NEO_BENCH_BUDGET_S", "1500"))
